@@ -1,0 +1,154 @@
+"""Exactly-once manifest commit protocol (ops S5, S6, U5, U7).
+
+Design anchor: the Delta Lake transaction-log idea (PAPERS.md) reduced
+to what a replayable ordered log needs — an atomic, idempotent,
+driver-side pointer swap over immutable data files:
+
+1. Merge tasks write partition files under
+   ``lake/_staging/epoch-<e>/p=<k>.parquet`` (deterministic paths; task
+   retries overwrite with identical bytes).
+2. The driver *publishes* the epoch: renames each staged file to
+   ``lake/p=<k>/epoch-<e>.parquet``, then atomically writes
+   ``lake/_manifests/manifest-<e>.json`` naming the exact file set,
+   per-partition watermark / row count / checksum, carried-forward
+   entries for untouched partitions, and the global offset watermark.
+3. Readers and the next epoch resolve state ONLY through the newest
+   manifest — un-manifested files are invisible garbage.
+
+Crash matrix (tests/props/test_exactly_once.py):
+- crash before any rename → staging is garbage; rerun reconverges
+- crash mid-rename → some finals exist but unreferenced; rerun's
+  renames overwrite (``os.replace``) with identical bytes
+- crash after manifest write → rerun sees the watermark, input filter
+  drops everything (D5), commit is a no-op (idempotent re-commit)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+MANIFEST_DIR = "_manifests"
+LINEAGE_DIR = "_lineage"
+STAGING_DIR = "_staging"
+
+
+@dataclass
+class Manifest:
+    epoch: int
+    watermark: int  # max applied change-log offset (-1 = base only)
+    partitions: dict[int, dict] = field(default_factory=dict)
+    # each: {"file": rel_path, "rows": int, "checksum": int, "watermark": int}
+    counters: dict[str, int] = field(default_factory=dict)  # per-epoch metrics
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "epoch": self.epoch,
+                "watermark": self.watermark,
+                "partitions": {str(k): v for k, v in sorted(self.partitions.items())},
+                "counters": dict(sorted(self.counters.items())),
+            },
+            sort_keys=True,
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        return Manifest(
+            epoch=d["epoch"],
+            watermark=d["watermark"],
+            partitions={int(k): v for k, v in d["partitions"].items()},
+            counters=d.get("counters", {}),
+        )
+
+
+def manifest_path(lake_dir: str, epoch: int) -> str:
+    return os.path.join(lake_dir, MANIFEST_DIR, f"manifest-{epoch:012d}.json")
+
+
+def latest_manifest(lake_dir: str) -> Manifest | None:
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    names = sorted(n for n in os.listdir(mdir) if n.startswith("manifest-"))
+    if not names:
+        return None
+    with open(os.path.join(mdir, names[-1])) as f:
+        return Manifest.from_json(f.read())
+
+
+def publish_epoch(
+    lake_dir: str,
+    epoch: int,
+    watermark: int,
+    merged: list[dict],
+    prev: Manifest | None,
+    counters: dict[str, int] | None = None,
+) -> Manifest:
+    """Atomically publish epoch ``epoch``: rename staged partition files
+    into place and write the manifest. Idempotent: if this epoch's
+    manifest already exists with identical content, it is a no-op.
+
+    ``merged`` rows are dicts with keys partition / row_count / checksum
+    / watermark_offset (the merge stage's lineage output).
+    """
+    parts: dict[int, dict] = dict(prev.partitions) if prev else {}
+    staging = os.path.join(lake_dir, STAGING_DIR, f"epoch-{epoch:012d}")
+    for row in merged:
+        p = int(row["partition"])
+        rel = os.path.join(f"p={p}", f"epoch-{epoch:012d}.parquet")
+        src = os.path.join(staging, f"p={p}.parquet")
+        dst = os.path.join(lake_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.exists(src):  # may be gone if a previous publish renamed it
+            os.replace(src, dst)
+        parts[p] = {
+            "file": rel,
+            "rows": int(row["row_count"]),
+            "checksum": int(row["checksum"]),
+            "watermark": int(row["watermark_offset"]),
+        }
+    m = Manifest(epoch=epoch, watermark=watermark, partitions=parts,
+                 counters=counters or {})
+    path = manifest_path(lake_dir, epoch)
+    if os.path.exists(path):
+        with open(path) as f:
+            if f.read() == m.to_json():
+                return m  # idempotent re-commit: no-op
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(m.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    # staging dir for this epoch is now garbage; best-effort cleanup
+    try:
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)
+    except OSError:
+        pass
+    return m
+
+
+def vacuum(lake_dir: str, keep_manifest: Manifest) -> int:
+    """Delete partition files not referenced by ``keep_manifest`` and any
+    leftover staging dirs. Returns number of files removed. Safe to run
+    any time after publish — readers only follow the manifest."""
+    live = {
+        os.path.normpath(os.path.join(lake_dir, v["file"]))
+        for v in keep_manifest.partitions.values()
+    }
+    removed = 0
+    for root, _dirs, files in os.walk(lake_dir):
+        if MANIFEST_DIR in root or LINEAGE_DIR in root:
+            continue
+        for name in files:
+            path = os.path.normpath(os.path.join(root, name))
+            if path.endswith(".parquet") and path not in live:
+                os.remove(path)
+                removed += 1
+    return removed

@@ -1,0 +1,106 @@
+"""Changelog (binlog/WAL) source — SURVEY.md §2 op S2 + U4 admission.
+
+Segments are parquet files named ``seg-<first_offset>.parquet`` so that
+resume can skip whole files by name before touching any bytes, then
+row-filter the overlap with parquet predicate pushdown. Segments may
+carry any admitted schema version (v1 no-lang, v2 second-resolution
+timestamps, v3 canonical); files are grouped by physical schema
+driver-side (footer metadata only), each group becomes one lazy
+``ray.data`` read, every batch is evolved to the head schema inside
+``map_batches`` (parallel, vectorized — never on the driver), and the
+groups are unioned into a single stream.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from maestro_ray.core.schema import (
+    CHANGELOG_V3,
+    SchemaContractError,
+    check_evolvable,
+    evolve_table,
+)
+
+_SEG_RE = re.compile(r"seg-(\d+)\.parquet$")
+
+
+def list_segments(log_dir: str) -> list[tuple[int, str]]:
+    """``(first_offset, path)`` for every segment, in offset order."""
+    out = []
+    for name in os.listdir(log_dir):
+        m = _SEG_RE.search(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(log_dir, name)))
+    out.sort()
+    return out
+
+
+def segments_after(log_dir: str, from_offset: int) -> list[tuple[int, str]]:
+    """Segments that may contain offsets > ``from_offset``.
+
+    A segment is skipped entirely when the NEXT segment's first offset is
+    already <= ``from_offset`` (its whole range was committed). Duplicate
+    re-deliveries inside kept files are removed by the row-level filter.
+    """
+    segs = list_segments(log_dir)
+    keep = []
+    for i, (first, path) in enumerate(segs):
+        next_first = segs[i + 1][0] if i + 1 < len(segs) else None
+        if next_first is not None and next_first <= from_offset + 1:
+            continue  # every offset in this file is <= watermark
+        keep.append((first, path))
+    return keep
+
+
+def read_changelog(
+    log_dir: str,
+    from_offset: int = -1,
+    head_schema: pa.Schema = CHANGELOG_V3,
+    segments: list[tuple[int, str]] | None = None,
+) -> rd.Dataset | None:
+    """Lazy Dataset of change events with offset > ``from_offset``,
+    evolved to ``head_schema``. Returns None when nothing remains.
+    """
+    segs = segments if segments is not None else segments_after(log_dir, from_offset)
+    if not segs:
+        return None
+    # group by physical schema (footer-only read; cheap driver-side) and
+    # enforce admission *here* — a bad segment fails loudly before any
+    # Ray task launches (maestro-style contract check, SURVEY.md §1.4)
+    groups: dict[tuple, list[str]] = {}
+    for _first, path in segs:
+        sch = pq.read_schema(path)
+        try:
+            check_evolvable(sch, head_schema)
+        except SchemaContractError as e:
+            raise SchemaContractError(
+                f"segment {path} is not admissible to the changelog "
+                f"contract: {e}"
+            ) from e
+        key = tuple((f.name, str(f.type)) for f in sch)
+        groups.setdefault(key, []).append(path)
+
+    def make_evolver(target: pa.Schema):
+        def evolve_batch(batch: pa.Table) -> pa.Table:
+            return evolve_table(batch, target)
+
+        return evolve_batch
+
+    parts: list[rd.Dataset] = []
+    flt = (pads.field("offset") > from_offset) if from_offset >= 0 else None
+    for paths in groups.values():
+        ds = rd.read_parquet(paths, filter=flt)
+        parts.append(
+            ds.map_batches(make_evolver(head_schema), batch_format="pyarrow")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -1,0 +1,79 @@
+"""Lake source/sink helpers (ops S1, S4, S6, S7, U8).
+
+The lake is a directory of hash-partitioned parquet files addressed
+ONLY through the newest manifest (core/manifest.py). ``read_lake``
+resolves the manifest to a file list and hands it to
+``ray.data.read_parquet`` — streaming, column-prunable, and safe to run
+concurrently with an in-flight epoch (whose staged files are invisible
+until publish).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from maestro_ray.core.manifest import LINEAGE_DIR, Manifest, latest_manifest
+
+
+def read_pages(path: str | list[str], columns: list[str] | None = None,
+               predicate=None) -> rd.Dataset:
+    """S1: read a pages parquet table, column-pruned + predicate pushdown."""
+    return rd.read_parquet(path, columns=columns, filter=predicate)
+
+
+def lake_files(lake_dir: str, manifest: Manifest | None = None) -> list[str]:
+    m = manifest or latest_manifest(lake_dir)
+    if m is None:
+        return []
+    return [
+        os.path.join(lake_dir, v["file"])
+        for _p, v in sorted(m.partitions.items())
+        if v["rows"] > 0
+    ]
+
+
+def read_lake(lake_dir: str, columns: list[str] | None = None,
+              manifest: Manifest | None = None) -> rd.Dataset | None:
+    """S7: the converged lake as a lazy Dataset (None if empty)."""
+    files = lake_files(lake_dir, manifest)
+    if not files:
+        return None
+    return rd.read_parquet(files, columns=columns)
+
+
+def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table:
+    """Driver-side full read — FOR TESTS ONLY (small lakes)."""
+    files = lake_files(lake_dir, manifest)
+    if not files:
+        from maestro_ray.core.schema import PAGES_V2
+
+        return PAGES_V2.empty_table()
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+
+def write_lineage(lake_dir: str, epoch: int, rows: list[dict]) -> str:
+    """S6: per-partition lineage records for one epoch (tiny, driver-side)."""
+    from maestro_ray.core.schema import LINEAGE
+
+    path = os.path.join(lake_dir, LINEAGE_DIR, f"epoch-{epoch:012d}.parquet")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arrays = [
+        pa.array([r[f.name] for r in rows], type=f.type) for f in LINEAGE
+    ]
+    pq.write_table(pa.Table.from_arrays(arrays, schema=LINEAGE), path)
+    return path
+
+
+def read_lineage(lake_dir: str) -> pa.Table | None:
+    d = os.path.join(lake_dir, LINEAGE_DIR)
+    if not os.path.isdir(d):
+        return None
+    files = sorted(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
+    return pa.concat_tables([pq.read_table(f) for f in files]) if files else None

@@ -1,0 +1,109 @@
+"""Partitioning, combiner pre-reduce, hot-key handling (ops U1, U2, U6).
+
+The one big shuffle per epoch is ``groupby("p")`` where
+``p = hash64(url) % P``. Two explicit skew defenses (BASELINE.json
+north_rule: "partitioning / shuffle / skew handled explicitly"):
+
+1. **Combiner pre-reduce** (always on): LWW winner-selection is
+   associative, so each ``map_batches`` task reduces its batch to at
+   most one row per url *before* the shuffle. A url with 10^6 churn
+   events spread over B batches ships at most B rows through the
+   exchange instead of 10^6 — this is the groupby-partial-aggregation
+   pattern applied to merge.
+2. **Salted sub-partitioning** (opt-in for pathological skew): route by
+   ``hash(url ‖ salt) % P`` where ``salt = offset % n_salts`` for urls
+   in a detected hot set, pre-reduce per salted group, then run the
+   final (tiny) merge on the true partition key. Exactness follows from
+   associativity of LWW max.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from maestro_ray.ops.hashing import hash_array, partition_ids
+
+_U64 = np.uint64
+
+
+def lww_reduce(batch: pa.Table, key: str = "url") -> pa.Table:
+    """Keep only the max-(warc_ts, offset) row per key — vectorized.
+
+    Sorts the batch by (key, warc_ts, offset) ascending and keeps each
+    key's last row. Associative: reducing partial reductions gives the
+    same winners as reducing everything at once, so this is safe both as
+    a per-batch combiner and as the final per-partition step.
+    """
+    if batch.num_rows == 0:
+        return batch
+    idx = pc.sort_indices(
+        batch,
+        sort_keys=[(key, "ascending"), ("warc_ts", "ascending"), ("offset", "ascending")],
+    )
+    s = batch.take(idx)
+    keys = s.column(key).to_pandas().to_numpy(dtype=object)
+    last = np.ones(len(keys), dtype=bool)
+    last[:-1] = keys[1:] != keys[:-1]
+    return s.filter(pa.array(last))
+
+
+def add_partition_column(
+    batch: pa.Table,
+    num_partitions: int,
+    key: str = "url",
+    hot_keys: set | None = None,
+    n_salts: int = 8,
+) -> pa.Table:
+    """U1: append ``p`` (int32). Hot keys are salted across ``n_salts``
+    sub-partitions derived from ``offset`` (requires a later final merge
+    on the true key — see ``pipelines.ingest``)."""
+    keys = batch.column(key)
+    p = partition_ids(keys, num_partitions)
+    if hot_keys:
+        kvals = keys.to_pandas().to_numpy(dtype=object)
+        hot = np.isin(kvals, list(hot_keys))
+        if hot.any():
+            offs = batch.column("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+            salt = (offs % n_salts).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                salted = (
+                    (hash_array(keys) ^ (salt * _U64(0x9E3779B97F4A7C15)))
+                    % _U64(num_partitions)
+                ).astype(np.int32)
+            p = np.where(hot, salted, p)
+    return batch.append_column("p", pa.array(p, pa.int32()))
+
+
+def hot_key_counts(ds, key: str = "url", sample_fraction: float = 0.05, seed: int = 7):
+    """U6: approximate per-key churn counts from a sample (small output).
+
+    Returns a pandas DataFrame (key, n) sorted descending. Run on the
+    changelog Dataset BEFORE the shuffle; keys whose sampled count
+    exceeds a threshold go into the ``hot_keys`` set for salting.
+    """
+    import pandas as pd
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        vc = batch.column(key).to_pandas().value_counts()
+        return pa.table({key: vc.index.astype(str), "n": vc.to_numpy()})
+
+    sampled = ds if sample_fraction >= 1.0 else ds.random_sample(sample_fraction, seed=seed)
+    partials = sampled.map_batches(count_batch, batch_format="pyarrow")
+    agg = partials.groupby(key).sum("n")
+    pdf = agg.to_pandas()
+    ncol = "sum(n)" if "sum(n)" in pdf.columns else "n"
+    return (
+        pdf.rename(columns={ncol: "n"})
+        .sort_values(["n", key], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def detect_hot_keys(ds, key: str = "url", threshold: int = 1000,
+                    sample_fraction: float = 0.05, seed: int = 7) -> set:
+    """Keys whose estimated total count exceeds ``threshold``."""
+    pdf = hot_key_counts(ds, key, sample_fraction, seed)
+    est = pdf["n"] / max(sample_fraction, 1e-9)
+    return set(pdf.loc[est > threshold, key])
