@@ -1,44 +1,687 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay pipeline at sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` gives each one's DuckDB twin (omitted
+for non-SQL-expressible ops → driver records a rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported —
+nothing here calls ``ray.init`` / ``ray.shutdown``.
+
+Cross-engine float policy: per-row arithmetic is bit-exact between
+pyarrow and DuckDB, so computed columns are compared raw; *reductions*
+(sum/avg) accumulate in different orders, so every float aggregate is
+rounded to 3 decimals ON BOTH SIDES (`round(x, 3)` / `AS ... ROUND`).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from maestro_ray.ops import parse as P
+from maestro_ray.ops import text as T
+from maestro_ray.ops.aggregates import (
+    distinct,
+    global_agg,
+    grouped_agg,
+    sessionize,
+    topk,
+    tumbling_window,
+)
+from maestro_ray.ops.functions import explode_list, json_extract, key_gen
+from maestro_ray.ops.hashing import hash_columns
+from maestro_ray.ops.joins import (
+    anti_join,
+    asof_join,
+    broadcast_join,
+    hash_join,
+    semi_join,
+)
+from maestro_ray.ops.partition import lww_reduce
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, **kw) -> rd.Dataset:
+    return rd.read_parquet(_t(sf_dir, name), **kw)
+
+
+# ===================================================================== entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: CDC replay ingest at sf0.001 — build a Common-Crawl-style
+    pages table from ``documents``, synthesize a changelog over the same
+    url universe, replay it through the partitioned LWW merge into a
+    manifest-committed lake, and return the converged lake Dataset."""
+    from maestro_ray.fixtures import ChangelogParams, write_changelog
+    from maestro_ray.io.lake import read_lake
+    from maestro_ray.ops.extract_pure import extract_text
+    from maestro_ray.pipelines.ingest import ingest
+
+    sf_dir = "/root/testdata/sf0.001"
+    work = "/tmp/maestro_ray_entry"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    docs = pq.read_table(_t(sf_dir, "documents"))
+    n_sites = max(1, docs.num_rows // 25)
+    base_us = 1704067200000000
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i, row in enumerate(docs.to_pylist()):
+        url = f"https://site{row['doc_id'] % n_sites}.example/{row['doc_id']}"
+        html = (
+            f"<html><head><title>doc {row['doc_id']}</title></head>"
+            f"<body><p>{row['text']}</p></body></html>"
+        ).encode()
+        urls.append(url)
+        tss.append(base_us + i * 1_000_000)
+        htmls.append(html)
+        texts.append(extract_text(html))
+        langs.append(row["lang"])
+    from maestro_ray.core.schema import PAGES_V2
+
+    pages = pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(htmls, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=PAGES_V2,
+    )
+    pages_path = os.path.join(work, "pages.parquet")
+    pq.write_table(pages, pages_path)
+    log_dir = os.path.join(work, "log")
+    write_changelog(
+        log_dir,
+        ChangelogParams(n_urls=docs.num_rows, n_events=4000, seg_rows=800),
+    )
+    lake_dir = os.path.join(work, "lake")
+    ingest(
+        log_dir,
+        lake_dir,
+        base_pages=pages_path,
+        num_partitions=8,
+        segments_per_epoch=3,
+    )
+    return read_lake(lake_dir)
+
+
+# ==================================================================== queries
+
+
+def _q_read_pages(sf):
+    return P.project(
+        _read(sf, "documents", columns=["doc_id", "lang", "n_chars"],
+              filter=pads.field("lang") == "en"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+
+def _q_read_changelog(sf):
+    return _read(sf, "events", filter=pads.field("event_id") >= 500)
+
+
+def _q_clean_fields(sf):
+    ds = _read(sf, "customer", columns=["c_custkey", "c_name"])
+    ds = ds.map_batches(
+        lambda t: P.clean_fields(t, trim=["c_name"], upper=["c_name"]),
+        batch_format="pyarrow",
+    )
+    return P.project(ds, columns=["c_custkey", "name_clean"],
+                     rename={"c_name": "name_clean"})
+
+
+def _q_validate_rows(sf):
+    ds = _read(sf, "events", columns=["event_id", "event_type", "value"])
+    ds = P.validate_rows(
+        ds,
+        non_empty=["event_type"],
+        one_of={"event_type": EVENT_TYPES},
+        ranges={"value": (0.0, 10000.0)},
+    )
+    return ds
+
+
+def _q_filter_rows(sf):
+    ds = _read(sf, "lineitem",
+               columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"])
+    ds = P.filter_rows(
+        ds,
+        lambda t: pc.and_(
+            pc.greater(t.column("l_quantity"), pa.scalar(25.0)),
+            pc.less(t.column("l_discount"), pa.scalar(0.05)),
+        ),
+    )
+    return P.project(ds, columns=["l_orderkey", "l_quantity", "l_extendedprice"])
+
+
+def _q_project(sf):
+    ds = _read(sf, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+    return P.project(
+        ds,
+        columns=["l_orderkey", "l_linenumber", "revenue"],
+        computed={
+            "revenue": lambda t: pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        },
+    )
+
+
+def _q_key_gen(sf):
+    ds = key_gen(_read(sf, "customer", columns=["c_name"]), "c_name")
+    n = len(set(ds.unique("key_hash")))
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def _q_json_extract(sf):
+    ds = json_extract(_read(sf, "events", columns=["event_id", "props"]),
+                      "props", "k", "k")
+    return P.project(ds, columns=["event_id", "k"])
+
+
+def _q_explode(sf):
+    ds = explode_list(_read(sf, "embeddings", columns=["vec_id", "embedding"]),
+                      "embedding", keep=["vec_id"], out_col="value")
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("value"), "value",
+            t.column("value").cast(pa.float64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_scalar_string(sf):
+    ds = _read(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
+    return P.project(
+        ds,
+        columns=["o_orderkey", "pri_upper", "pri_code", "pri_len", "pri_bang"],
+        computed={
+            "pri_upper": lambda t: pc.utf8_upper(t.column("o_orderpriority")),
+            "pri_code": lambda t: pc.utf8_slice_codeunits(
+                t.column("o_orderpriority"), 0, 1
+            ),
+            "pri_len": lambda t: pc.utf8_length(t.column("o_orderpriority")).cast(
+                pa.int64()
+            ),
+            "pri_bang": lambda t: pc.binary_join_element_wise(
+                t.column("o_orderpriority"), pa.scalar("!"), ""
+            ),
+        },
+    )
+
+
+def _q_scalar_date(sf):
+    ds = _read(sf, "orders", columns=["o_orderkey", "o_orderdate"])
+    return P.project(
+        ds,
+        columns=["o_orderkey", "y", "m", "month_start"],
+        computed={
+            "y": lambda t: pc.year(t.column("o_orderdate")).cast(pa.int64()),
+            "m": lambda t: pc.month(t.column("o_orderdate")).cast(pa.int64()),
+            "month_start": lambda t: pc.floor_temporal(
+                t.column("o_orderdate"), unit="month"
+            ),
+        },
+    )
+
+
+def _q_scalar_math(sf):
+    ds = _read(sf, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                        "l_discount", "l_quantity"])
+    return P.project(
+        ds,
+        columns=["l_orderkey", "l_linenumber", "scaled", "absd", "fq", "half"],
+        computed={
+            "scaled": lambda t: pc.multiply(t.column("l_extendedprice"), pa.scalar(1.1)),
+            "absd": lambda t: pc.abs(pc.subtract(t.column("l_discount"), pa.scalar(0.05))),
+            "fq": lambda t: pc.floor(t.column("l_quantity")),
+            "half": lambda t: pc.divide(t.column("l_extendedprice"), pa.scalar(2.0)),
+        },
+    )
+
+
+def _q_scalar_null(sf):
+    ds = _read(sf, "events", columns=["event_id", "value"])
+    return P.project(
+        ds,
+        columns=["event_id", "v_filled", "v_is_null"],
+        computed={
+            "v_filled": lambda t: pc.coalesce(t.column("value"), pa.scalar(0.0)),
+            "v_is_null": lambda t: pc.is_null(t.column("value")),
+        },
+    )
+
+
+def _q_agg_global(sf):
+    ds = _read(sf, "lineitem",
+               columns=["l_quantity", "l_extendedprice", "l_shipdate"])
+    return global_agg(
+        ds,
+        {
+            "n_rows": (None, "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "avg_price": ("l_extendedprice", "mean"),
+            "min_ship": ("l_shipdate", "min"),
+            "max_ship": ("l_shipdate", "max"),
+        },
+        round_to=3,
+    )
+
+
+def _q_agg_grouped(sf):
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    ds = P.project(
+        ds,
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "disc_price"],
+        computed={
+            "disc_price": lambda t: pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        },
+    )
+    return grouped_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "count_order": (None, "count"),
+        },
+        round_to=3,
+    )
+
+
+def _q_distinct(sf):
+    return distinct(
+        _read(sf, "lineitem", columns=["l_returnflag", "l_linestatus"]),
+        ["l_returnflag", "l_linestatus"],
+    )
+
+
+def _q_sort(sf):
+    ds = _read(sf, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+def _q_topk(sf):
+    ds = _read(sf, "customer", columns=["c_custkey", "c_acctbal"])
+    return topk(ds, "c_acctbal", 50, descending=True, tie_break=["c_custkey"])
+
+
+def _q_join_broadcast(sf):
+    # align key names: n_regionkey -> r_regionkey, then broadcast-join
+    nation = P.project(
+        _read(sf, "nation"),
+        columns=["n_nationkey", "n_name", "r_regionkey"],
+        rename={"n_regionkey": "r_regionkey"},
+    )
+    region = pq.read_table(_t(sf, "region"))
+    out = broadcast_join(nation, region.select(["r_regionkey", "r_name"]),
+                         keys=["r_regionkey"])
+    return P.project(out, columns=["n_nationkey", "n_name", "r_name"])
+
+
+def _q_join_hash(sf):
+    li = _read(sf, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = P.project(
+        _read(sf, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        columns=["l_orderkey", "o_custkey", "o_totalprice"],
+        rename={"o_orderkey": "l_orderkey"},
+    )
+    return hash_join(li, orders, keys=["l_orderkey"], num_buckets=16)
+
+
+def _q_join_asof(sf):
+    left = _read(sf, "events", columns=["event_id", "user_id", "ts"])
+    right = P.filter_rows(
+        _read(sf, "events", columns=["user_id", "ts", "event_type"]),
+        lambda t: pc.equal(t.column("event_type"), pa.scalar("signup")),
+    )
+    right = P.project(right, columns=["user_id", "ts"])
+    out = asof_join(left, right, by="user_id", on="ts")
+    return P.project(out, columns=["event_id", "user_id", "ts", "signup_ts"],
+                     rename={"ts_r": "signup_ts"})
+
+
+def _q_join_semi(sf):
+    cust = _read(sf, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf, "orders", columns=["o_custkey"])
+    return semi_join(cust, orders, key="c_custkey", right_key="o_custkey")
+
+
+def _q_join_anti(sf):
+    # lineitem partkeys with no large-size part match (non-empty at all SFs)
+    li = distinct(_read(sf, "lineitem", columns=["l_partkey"]), "l_partkey")
+    parts = P.filter_rows(
+        _read(sf, "part", columns=["p_partkey", "p_size"]),
+        lambda t: pc.greater(t.column("p_size"), pa.scalar(40)),
+    )
+    return anti_join(li, parts, key="l_partkey", right_key="p_partkey")
+
+
+def _q_union_all(sf):
+    c = P.project(_read(sf, "customer", columns=["c_nationkey"]),
+                  columns=["nationkey"], rename={"c_nationkey": "nationkey"})
+    s = P.project(_read(sf, "supplier", columns=["s_nationkey"]),
+                  columns=["nationkey"], rename={"s_nationkey": "nationkey"})
+    return c.union(s)
+
+
+def _q_intersect(sf):
+    c = distinct(_read(sf, "customer", columns=["c_nationkey"]), "c_nationkey")
+    c = P.project(c, columns=["nationkey"], rename={"c_nationkey": "nationkey"})
+    s = _read(sf, "supplier", columns=["s_nationkey"])
+    return semi_join(c, s, key="nationkey", right_key="s_nationkey")
+
+
+def _q_except(sf):
+    # customer keys minus supplier keys (non-empty at all SFs)
+    c = distinct(_read(sf, "customer", columns=["c_custkey"]), "c_custkey")
+    c = P.project(c, columns=["k"], rename={"c_custkey": "k"})
+    s = _read(sf, "supplier", columns=["s_suppkey"])
+    return anti_join(c, s, key="k", right_key="s_suppkey")
+
+
+def _q_dedup_exact(sf):
+    ds = key_gen(_read(sf, "documents", columns=["doc_id", "text"]), "text",
+                 out_col="__h")
+
+    def first_by_doc_id(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        return g.take(idx).slice(0, 1)
+
+    out = ds.groupby("__h").map_groups(first_by_doc_id, batch_format="pyarrow")
+    return P.project(out, columns=["doc_id", "text"])
+
+
+def _q_upsert_lww(sf):
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def comb(b: pa.Table) -> pa.Table:
+        return lww_reduce(b, key="user_id", ts_col="ts", seq_col="event_id")
+
+    winners = (
+        ds.map_batches(comb, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(comb, batch_format="pyarrow")
+    )
+    return P.project(winners, columns=["user_id", "ts", "event_type", "value"])
+
+
+def _q_window_tumbling(sf):
+    ds = _read(sf, "events", columns=["user_id", "ts", "value"])
+    return tumbling_window(
+        ds, "ts", "1D", ["user_id"],
+        {"n_events": (None, "count"), "sum_value": ("value", "sum")},
+        round_to=3,
+    )
+
+
+def _q_sessionize(sf):
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id"])
+    return sessionize(ds, key="user_id", ts_col="ts", gap="30min",
+                      order_tiebreak="event_id")
+
+
+def _q_stateful_scorer(sf):
+    ds = P.filter_rows(
+        _read(sf, "documents", columns=["doc_id", "text"]),
+        lambda t: pc.greater(pc.utf8_length(t.column("text")), pa.scalar(0)),
+    )
+    scored = ds.map_batches(T.WordCountScorer, batch_format="pandas", concurrency=2)
+    return P.project(scored, columns=["doc_id", "n_words"])
+
+
+def _q_token_count(sf):
+    ds = P.filter_rows(
+        _read(sf, "documents", columns=["doc_id", "text"]),
+        lambda t: pc.greater(pc.utf8_length(t.column("text")), pa.scalar(0)),
+    )
+    counted = ds.map_batches(T.TokenCount, batch_format="pandas", concurrency=2)
+    return P.project(counted, columns=["doc_id", "n_ws_tokens"])
+
+
+def _q_lang_detect(sf):
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return P.project(T.lang_detect(ds, concurrency=2),
+                     columns=["doc_id", "lang_detected"])
+
+
+def _q_checksum(sf):
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, ["doc_id", "text"])
+        p = (h % np.uint64(8)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            sums = np.zeros(8, dtype=np.uint64)
+            np.add.at(sums, p, h)  # wraparound sum mod 2**64 per partition
+        return pa.table({
+            "partition": pa.array(np.arange(8, dtype=np.int32)),
+            # ship as int64 bit-view: Ray/Arrow aggregate-safe
+            "partial": pa.array(sums.view(np.int64), pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    with np.errstate(over="ignore"):
+        merged = (
+            parts.assign(u=parts["partial"].to_numpy().view(np.uint64))
+            .groupby("partition")["u"]
+            .apply(lambda s: np.uint64(s.to_numpy(np.uint64).sum(dtype=np.uint64)))
+        )
+    out = merged.reset_index().rename(columns={"u": "checksum"})
+    out["checksum"] = out["checksum"].astype("uint64")
+    return out.sort_values("partition").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "read_pages": _q_read_pages,
+        "read_changelog": _q_read_changelog,
+        "clean_fields": _q_clean_fields,
+        "validate_rows": _q_validate_rows,
+        "filter_rows": _q_filter_rows,
+        "project": _q_project,
+        "key_gen": _q_key_gen,
+        "json_extract": _q_json_extract,
+        "explode": _q_explode,
+        "scalar_string": _q_scalar_string,
+        "scalar_date": _q_scalar_date,
+        "scalar_math": _q_scalar_math,
+        "scalar_null": _q_scalar_null,
+        "agg_global": _q_agg_global,
+        "agg_grouped": _q_agg_grouped,
+        "distinct": _q_distinct,
+        "sort": _q_sort,
+        "topk": _q_topk,
+        "join_broadcast": _q_join_broadcast,
+        "join_hash": _q_join_hash,
+        "join_asof": _q_join_asof,
+        "join_semi": _q_join_semi,
+        "join_anti": _q_join_anti,
+        "union_all": _q_union_all,
+        "intersect": _q_intersect,
+        "except_": _q_except,
+        "dedup_exact": _q_dedup_exact,
+        "upsert_lww": _q_upsert_lww,
+        "window_tumbling": _q_window_tumbling,
+        "sessionize": _q_sessionize,
+        "stateful_scorer": _q_stateful_scorer,
+        "token_count": _q_token_count,
+        "lang_detect": _q_lang_detect,
+        "checksum": _q_checksum,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ev_types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    return {
+        "read_pages": "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+        "read_changelog": "SELECT * FROM events WHERE event_id >= 500",
+        "clean_fields": (
+            "SELECT c_custkey, upper(trim(c_name)) AS name_clean FROM customer"
+        ),
+        "validate_rows": (
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE event_type IS NOT NULL AND event_type <> '' "
+            f"AND event_type IN ({ev_types}) "
+            "AND value IS NOT NULL AND value BETWEEN 0.0 AND 10000.0"
+        ),
+        "filter_rows": (
+            "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem "
+            "WHERE l_quantity > 25.0 AND l_discount < 0.05"
+        ),
+        "project": (
+            "SELECT l_orderkey, l_linenumber, "
+            "l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem"
+        ),
+        "key_gen": "SELECT count(DISTINCT c_name) AS n_distinct FROM customer",
+        "json_extract": (
+            "SELECT event_id, CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) "
+            "AS BIGINT) AS k FROM events"
+        ),
+        "explode": (
+            "SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS value FROM embeddings"
+        ),
+        "scalar_string": (
+            "SELECT o_orderkey, upper(o_orderpriority) AS pri_upper, "
+            "substr(o_orderpriority, 1, 1) AS pri_code, "
+            "CAST(length(o_orderpriority) AS BIGINT) AS pri_len, "
+            "o_orderpriority || '!' AS pri_bang FROM orders"
+        ),
+        "scalar_date": (
+            "SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y, "
+            "CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m, "
+            "date_trunc('month', o_orderdate) AS month_start FROM orders"
+        ),
+        "scalar_math": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice * 1.1 AS scaled, "
+            "abs(l_discount - 0.05) AS absd, floor(l_quantity) AS fq, "
+            "l_extendedprice / 2.0 AS half FROM lineitem"
+        ),
+        "scalar_null": (
+            "SELECT event_id, COALESCE(value, 0.0) AS v_filled, "
+            "(value IS NULL) AS v_is_null FROM events"
+        ),
+        "agg_global": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "round(sum(l_quantity), 3) AS sum_qty, "
+            "round(avg(l_extendedprice), 3) AS avg_price, "
+            "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem"
+        ),
+        "agg_grouped": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 3) AS sum_qty, "
+            "round(sum(l_extendedprice), 3) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)), 3) AS sum_disc_price, "
+            "CAST(count(*) AS BIGINT) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "sort": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        "topk": (
+            "SELECT c_custkey, c_acctbal FROM customer "
+            "ORDER BY c_acctbal DESC, c_custkey LIMIT 50"
+        ),
+        "join_broadcast": (
+            "SELECT n_nationkey, n_name, r_name FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "join_hash": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice, o_custkey, "
+            "o_totalprice FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "join_asof": (
+            "SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts FROM events e "
+            "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'signup') s "
+            "ON e.user_id = s.user_id AND e.ts >= s.ts"
+        ),
+        "join_semi": (
+            "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        ),
+        "join_anti": (
+            "SELECT DISTINCT l_partkey FROM lineitem WHERE NOT EXISTS "
+            "(SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size > 40)"
+        ),
+        "union_all": (
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "UNION ALL SELECT s_nationkey AS nationkey FROM supplier"
+        ),
+        "intersect": (
+            "SELECT DISTINCT c_nationkey AS nationkey FROM customer "
+            "INTERSECT SELECT DISTINCT s_nationkey AS nationkey FROM supplier"
+        ),
+        "except_": (
+            "SELECT DISTINCT c_custkey AS k FROM customer "
+            "EXCEPT SELECT DISTINCT s_suppkey AS k FROM supplier"
+        ),
+        "dedup_exact": (
+            "SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER "
+            "(PARTITION BY text ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
+        ),
+        "upsert_lww": (
+            "SELECT user_id, ts, event_type, value FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1"
+        ),
+        "window_tumbling": (
+            "SELECT user_id, date_trunc('day', ts) AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 3) AS sum_value "
+            "FROM events GROUP BY user_id, date_trunc('day', ts)"
+        ),
+        "sessionize": (
+            "WITH ordered AS ("
+            "  SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL "
+            "    OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END "
+            "    AS is_new FROM events WINDOW w AS "
+            "    (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), sessions AS ("
+            "  SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id "
+            "  FROM ordered) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start, "
+            "max(ts) AS session_end FROM sessions GROUP BY user_id, session_id"
+        ),
+        "stateful_scorer": (
+            "SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) + 1 "
+            "AS BIGINT) AS n_words FROM documents WHERE length(text) > 0"
+        ),
+        "token_count": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+            "AS n_ws_tokens FROM documents WHERE length(text) > 0"
+        ),
+        # lang_detect, checksum: non-SQL-expressible → rows-only check
+    }

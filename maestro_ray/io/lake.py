@@ -42,7 +42,9 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     files = lake_files(lake_dir, manifest)
     if not files:
         return None
-    return rd.read_parquet(files, columns=columns)
+    # partitioning=None: the p=<k>/ dir layout must NOT be inferred as a
+    # hive partition column — `p` is physical placement, not data
+    return rd.read_parquet(files, columns=columns, partitioning=None)
 
 
 def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table:

@@ -1,0 +1,264 @@
+"""Aggregations, windows, top-k, sketches (A1–A6, O2; SURVEY.md §2.E/F).
+
+The scale rule (ray_guide 'Aggregation at scale'): a bare
+``groupby(key).aggregate(...)`` shuffles every row, so ``grouped_agg``
+ALWAYS pre-aggregates per batch first — one partial row per key per
+batch crosses the exchange, then a small ``groupby`` over partials
+finishes. Mean/std are derived from (sum, count, sum-of-squares)
+partials so every partial is mergeable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from maestro_ray.ops.hashing import hash_array
+
+# spec: out_name -> (column | None, kind)
+# kinds: sum count min max mean std
+_PARTIAL_KINDS = {"sum", "count", "min", "max", "mean", "std"}
+
+
+def grouped_agg(
+    ds: rd.Dataset,
+    keys: list[str] | str,
+    specs: dict[str, tuple[str | None, str]],
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """A2: grouped aggregation with per-batch partial pre-aggregation.
+
+    Returns a pandas DataFrame (grouped results are small by
+    definition); ``round_to`` rounds float outputs for stable
+    cross-engine comparison (summation order differs between engines).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    for _out, (_col, kind) in specs.items():
+        if kind not in _PARTIAL_KINDS:
+            raise ValueError(f"unknown agg kind {kind!r}")
+
+    # one partial row per key per batch
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(keys, dropna=False, sort=False)
+        out = pd.DataFrame(index=g.size().index)
+        out["__n"] = g.size()
+        for name, (col, kind) in specs.items():
+            if kind == "count":
+                out[f"__cnt_{name}"] = g.size() if col is None else g[col].count()
+            elif kind in ("sum", "min", "max"):
+                out[f"__{kind}_{name}"] = getattr(g[col], kind)()
+            elif kind == "mean":
+                out[f"__sum_{name}"] = g[col].sum()
+                out[f"__cnt_{name}"] = g[col].count()
+            elif kind == "std":
+                out[f"__sum_{name}"] = g[col].sum()
+                out[f"__cnt_{name}"] = g[col].count()
+                out[f"__sq_{name}"] = g[col].apply(lambda s: float((s.astype(float) ** 2).sum()))
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = []
+    for name, (col, kind) in specs.items():
+        if kind in ("sum", "min", "max"):
+            cls = {"sum": Sum, "min": Min, "max": Max}[kind]
+            aggs.append(cls(f"__{kind}_{name}", alias_name=f"__{kind}_{name}"))
+        if kind in ("count", "mean", "std"):
+            aggs.append(Sum(f"__cnt_{name}", alias_name=f"__cnt_{name}"))
+        if kind in ("mean", "std"):
+            aggs.append(Sum(f"__sum_{name}", alias_name=f"__sum_{name}"))
+        if kind == "std":
+            aggs.append(Sum(f"__sq_{name}", alias_name=f"__sq_{name}"))
+    merged = partials.groupby(keys).aggregate(*aggs).to_pandas()
+    out = merged[keys].copy()
+    for name, (col, kind) in specs.items():
+        if kind in ("sum", "min", "max"):
+            out[name] = merged[f"__{kind}_{name}"]
+        elif kind == "count":
+            out[name] = merged[f"__cnt_{name}"].astype("int64")
+        elif kind == "mean":
+            out[name] = merged[f"__sum_{name}"] / merged[f"__cnt_{name}"]
+        elif kind == "std":
+            n = merged[f"__cnt_{name}"]
+            mu = merged[f"__sum_{name}"] / n
+            var = (merged[f"__sq_{name}"] / n - mu**2) * (n / (n - 1))
+            out[name] = np.sqrt(var.clip(lower=0))
+    if round_to is not None:
+        for name, (_c, kind) in specs.items():
+            if out[name].dtype.kind == "f":
+                out[name] = out[name].round(round_to)
+    return out.sort_values(keys).reset_index(drop=True)
+
+
+def global_agg(ds: rd.Dataset, specs: dict[str, tuple[str | None, str]],
+               round_to: int | None = None) -> pd.DataFrame:
+    """A1: global aggregates via the same partial machinery (one row)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__g", pa.array([0] * batch.num_rows, pa.int8()))
+
+    res = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"), ["__g"], specs,
+                      round_to=round_to)
+    return res.drop(columns=["__g"])
+
+
+def distinct(ds: rd.Dataset, cols: list[str] | str) -> rd.Dataset:
+    """A3: exact multi-column distinct — local per-batch dedup (combiner)
+    then one grouped shuffle over the already-shrunk rows."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    deduped = ds.map_batches(local, batch_format="pyarrow")
+    return deduped.groupby(cols).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def topk(ds: rd.Dataset, key: str, k: int, descending: bool = True,
+         tie_break: list[str] | None = None) -> pd.DataFrame:
+    """O2: global top-k WITHOUT a global sort — per-batch local top-k
+    (combiner), then one tiny sort over ≤ k·num_batches survivors."""
+    sort_cols = [key] + (tie_break or [])
+    asc = [not descending] + [True] * len(tie_break or [])
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(sort_cols, ascending=asc).head(k), preserve_index=False
+        )
+
+    survivors = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    return (
+        survivors.sort_values(sort_cols, ascending=asc)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+# ------------------------------------------------------------------ windows
+
+
+def tumbling_window(
+    ds: rd.Dataset,
+    ts_col: str,
+    window: str,
+    keys: list[str] | str,
+    specs: dict[str, tuple[str | None, str]],
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """A6: tumbling windows = derived bucket column + grouped agg.
+
+    ``window`` is a pandas offset alias ('1D', '1h', ...). Ordering
+    assumption: none — bucketing is per-row, aggregation is mergeable.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).to_pandas()
+        win = ts.dt.floor(window)
+        return batch.append_column("window_start", pa.array(win, pa.timestamp("us")))
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow")
+    return grouped_agg(bucketed, keys + ["window_start"], specs, round_to=round_to)
+
+
+def sessionize(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    gap: str = "30min",
+    order_tiebreak: str | None = None,
+) -> rd.Dataset:
+    """A6: session windows per key with inactivity gap ``gap``.
+
+    Shuffle by key, sort each group locally by (ts, tiebreak), open a
+    new session when the gap to the previous event exceeds the
+    threshold. Emits one row per session: key, session_id (1-based per
+    key), n_events, session_start, session_end. Ordering assumption:
+    per-key grouping only; local sort is deterministic with the
+    tiebreak column.
+    """
+    gap_td = pd.Timedelta(gap)
+    sort_cols = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="mergesort")
+        new = (g[ts_col].diff() > gap_td) | g[ts_col].diff().isna()
+        sid = new.cumsum()
+        out = g.groupby(sid).agg(
+            n_events=(ts_col, "size"),
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+        )
+        out.insert(0, key, g[key].iloc[0])
+        out.insert(1, "session_id", out.index.astype("int64"))
+        return out.reset_index(drop=True)
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ sketches
+
+
+class HLL:
+    """A4: HyperLogLog sketch (p-bit bucketing, standard bias constant).
+
+    Mergeable by register-wise max — each batch emits one serialized
+    sketch; merging is a tiny second stage.
+    """
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of remaining bits + 1 (capped)
+        restf = rest.astype(np.float64)
+        lz = np.where(
+            rest == 0,
+            64 - self.p,
+            63 - np.floor(np.log2(restf + 0.5)).astype(np.int64),
+        )
+        rank = np.minimum(lz, 64 - self.p) + 1
+        np.maximum.at(self.registers, idx, rank.astype(np.uint8))
+
+    def merge(self, other: "HLL") -> "HLL":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = np.count_nonzero(self.registers == 0)
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting for small n
+        return float(est)
+
+
+def approx_ndistinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """A4: approximate count-distinct via per-batch HLL partials."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = HLL(p)
+        h.add_hashes(hash_array(batch.column(col)))
+        return pa.table({"sketch": pa.array([h.registers.tobytes()], pa.binary())})
+
+    merged = HLL(p)
+    for b in ds.map_batches(sketch, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for blob in b.column("sketch").to_pylist():
+            other = HLL(p)
+            other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+            merged.merge(other)
+    return merged.estimate()

@@ -1,0 +1,235 @@
+"""Joins and lookups (J1–J4, SURVEY.md §2.D) — Ray-Data-first.
+
+Strategy table (BASELINE.json north_rule: shuffle handled explicitly):
+
+- **broadcast_join** — small side is ``ray.put`` ONCE; every map task
+  reads it zero-copy from the local object store and does a pyarrow
+  hash join per batch. No shuffle at all. This is the right plan for
+  any dimension-sized right side (≪ worker heap).
+- **hash_join** — both sides large: explicit partitioned hash join.
+  Each side gets a ``__bucket = hash64(key) % B`` column and a side
+  tag, the union is shuffled ONCE by bucket, and matching buckets join
+  pairwise inside ``map_groups``. B is the parallelism/skew knob.
+- **asof_join / semi / anti** — per-bucket ``pd.merge_asof`` /
+  broadcast key-set ``is_in`` filters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from maestro_ray.ops.hashing import hash_array
+
+_SIDE = "__side"
+_BUCKET = "__bucket"
+
+
+def _as_table(obj) -> pa.Table:
+    if isinstance(obj, pa.Table):
+        return obj
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    if isinstance(obj, rd.Dataset):
+        return pa.concat_tables(ray.get(obj.to_arrow_refs()))
+    raise TypeError(type(obj))
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small,
+    keys: list[str] | str,
+    join_type: str = "inner",
+) -> rd.Dataset:
+    """J1: join a Dataset against a broadcast small table (no shuffle)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ref = ray.put(_as_table(small))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        right = ray.get(ref)
+        out = batch.join(right, keys=keys, join_type=join_type)
+        return out.combine_chunks()
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def _tag_and_bucket(key_cols: list[str], side: int, num_buckets: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in key_cols:
+                h = h * np.uint64(31) ^ hash_array(batch.column(k))
+        b = (h % np.uint64(num_buckets)).astype(np.int32)
+        batch = batch.append_column(_BUCKET, pa.array(b, pa.int32()))
+        return batch.append_column(
+            _SIDE, pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+        )
+
+    return fn
+
+
+def _superset_schema(left: pa.Schema, right: pa.Schema) -> pa.Schema:
+    fields = list(left)
+    names = set(left.names)
+    for f in right:
+        if f.name not in names:
+            fields.append(f)
+    return pa.schema(fields)
+
+
+def _conform(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    cols = []
+    for f in schema:
+        i = batch.schema.get_field_index(f.name)
+        cols.append(batch.column(i) if i >= 0 else pa.nulls(batch.num_rows, f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    keys: list[str] | str,
+    num_buckets: int = 32,
+    join_type: str = "inner",
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """J2: large⋈large partitioned hash join (ONE shuffle, by key bucket).
+
+    Overlapping non-key right columns are renamed with ``suffix``.
+    Within each bucket the join is a vectorized ``pa.Table.join``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    lschema = left.schema().base_schema
+    overlap = [
+        n for n in right.schema().base_schema.names
+        if n in lschema.names and n not in keys
+    ]
+    if overlap:
+        right = right.map_batches(
+            lambda t, ov=tuple(overlap): t.rename_columns(
+                [c + suffix if c in ov else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    rschema = right.schema().base_schema
+    union_schema = _superset_schema(
+        lschema.append(pa.field(_BUCKET, pa.int32())).append(pa.field(_SIDE, pa.int8())),
+        rschema,
+    )
+    lt = left.map_batches(_tag_and_bucket(keys, 0, num_buckets), batch_format="pyarrow")
+    rt = right.map_batches(_tag_and_bucket(keys, 1, num_buckets), batch_format="pyarrow")
+    conform = lambda t: _conform(t, union_schema)  # noqa: E731
+    both = lt.map_batches(conform, batch_format="pyarrow").union(
+        rt.map_batches(conform, batch_format="pyarrow")
+    )
+    lcols = [n for n in lschema.names]
+    rcols = [n for n in rschema.names]
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group.column(_SIDE)
+        lmask = pc.equal(side, pa.scalar(0, pa.int8()))
+        l = group.filter(lmask).select(lcols)
+        r = group.filter(pc.invert(lmask)).select(rcols)
+        out = l.join(r, keys=keys, join_type=join_type)
+        return out.combine_chunks()
+
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by: str,
+    on: str,
+    right_cols: list[str] | None = None,
+    num_buckets: int = 32,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """J3: as-of join — for each left row, the right row with the
+    greatest ``on`` ≤ left's ``on`` within the same ``by`` key
+    (CDC-flavored latest-state-at-time lookup).
+
+    Both sides are bucketed on ``by`` (one shuffle) and matched with
+    ``pd.merge_asof`` per bucket after a local sort — never a global
+    sort. Ordering assumption: none on input; sorting is local.
+    """
+    rkeep = [by, on] + [c for c in (right_cols or []) if c not in (by, on)]
+    right = right.map_batches(lambda t: t.select(rkeep), batch_format="pyarrow")
+    lschema = left.schema().base_schema
+    overlap = [n for n in rkeep if n in lschema.names and n != by]
+    rename_map = {c: c + suffix for c in overlap}
+    union_schema = _superset_schema(
+        lschema.append(pa.field(_BUCKET, pa.int32())).append(pa.field(_SIDE, pa.int8())),
+        pa.schema(
+            [
+                pa.field(rename_map.get(f.name, f.name), f.type)
+                for f in right.schema().base_schema
+            ]
+        ),
+    )
+    if rename_map:
+        right = right.map_batches(
+            lambda t, rm=tuple(rename_map.items()): t.rename_columns(
+                [dict(rm).get(c, c) for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    lt = left.map_batches(_tag_and_bucket([by], 0, num_buckets), batch_format="pyarrow")
+    rt = right.map_batches(_tag_and_bucket([by], 1, num_buckets), batch_format="pyarrow")
+    conform = lambda t: _conform(t, union_schema)  # noqa: E731
+    both = lt.map_batches(conform, batch_format="pyarrow").union(
+        rt.map_batches(conform, batch_format="pyarrow")
+    )
+    lcols = list(lschema.names)
+    ron = rename_map.get(on, on)
+    rcols = [by, ron] + [rename_map.get(c, c) for c in (right_cols or []) if c not in (by, on)]
+
+    def asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group[_SIDE] == 0][lcols].sort_values(on, kind="mergesort")
+        r = group[group[_SIDE] == 1][rcols].sort_values(ron, kind="mergesort")
+        if len(r) == 0:
+            out = l.copy()
+            for c in rcols:
+                if c != by and c not in out.columns:
+                    out[c] = pd.NA
+            return out
+        out = pd.merge_asof(
+            l, r, left_on=on, right_on=ron, by=by, allow_exact_matches=True,
+            direction="backward",
+        )
+        return out
+
+    return both.groupby(_BUCKET).map_groups(asof_bucket, batch_format="pandas")
+
+
+def _key_set(ds_or_table, col: str):
+    if isinstance(ds_or_table, rd.Dataset):
+        vals = ds_or_table.unique(col)
+    else:
+        vals = _as_table(ds_or_table).column(col).unique().to_pylist()
+    return pa.array(sorted(set(v for v in vals if v is not None)))
+
+
+def semi_join(ds: rd.Dataset, right, key: str, right_key: str | None = None) -> rd.Dataset:
+    """J4: rows of ``ds`` whose key appears in ``right`` (broadcast set)."""
+    keys = ray.put(_key_set(right, right_key or key))
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(key), value_set=ray.get(keys)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def anti_join(ds: rd.Dataset, right, key: str, right_key: str | None = None) -> rd.Dataset:
+    """J4: rows of ``ds`` whose key does NOT appear in ``right``."""
+    keys = ray.put(_key_set(right, right_key or key))
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(key), value_set=ray.get(keys))
+        return batch.filter(pc.invert(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")

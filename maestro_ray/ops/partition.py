@@ -28,19 +28,24 @@ from maestro_ray.ops.hashing import hash_array, partition_ids
 _U64 = np.uint64
 
 
-def lww_reduce(batch: pa.Table, key: str = "url") -> pa.Table:
-    """Keep only the max-(warc_ts, offset) row per key — vectorized.
+def lww_reduce(
+    batch: pa.Table,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    seq_col: str = "offset",
+) -> pa.Table:
+    """Keep only the max-(ts, seq) row per key — vectorized.
 
-    Sorts the batch by (key, warc_ts, offset) ascending and keeps each
-    key's last row. Associative: reducing partial reductions gives the
-    same winners as reducing everything at once, so this is safe both as
-    a per-batch combiner and as the final per-partition step.
+    Sorts the batch by (key, ts, seq) ascending and keeps each key's
+    last row. Associative: reducing partial reductions gives the same
+    winners as reducing everything at once, so this is safe both as a
+    per-batch combiner and as the final per-partition step.
     """
     if batch.num_rows == 0:
         return batch
     idx = pc.sort_indices(
         batch,
-        sort_keys=[(key, "ascending"), ("warc_ts", "ascending"), ("offset", "ascending")],
+        sort_keys=[(key, "ascending"), (ts_col, "ascending"), (seq_col, "ascending")],
     )
     s = batch.take(idx)
     keys = s.column(key).to_pandas().to_numpy(dtype=object)

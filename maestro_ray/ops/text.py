@@ -1,0 +1,172 @@
+"""Text analysis for webtext pipelines (SURVEY.md §2 P7/P8/C2 + the
+training-data text suite): language-ID, quality scoring, token
+counting, document fingerprinting, and the distributed extract_text
+stage.
+
+All stateful stages are CALLABLE CLASSES (actor pools): expensive setup
+(regex compilation, stop-word tables) happens once per actor in
+``__init__``, per-batch work is vectorized pandas/numpy.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from maestro_ray.ops.extract_pure import extract_text
+from maestro_ray.ops.hashing import hash_array
+
+
+def extract_text_batch(batch: pa.Table, html_col: str = "html",
+                       out_col: str = "text") -> pa.Table:
+    """P7: the distributed extract_text stage — delegates every row to
+    the frozen pure contract (ops/extract_pure.py) so the byte-identity
+    invariant holds by construction."""
+    texts = [extract_text(h) for h in batch.column(html_col).to_pylist()]
+    return batch.append_column(out_col, pa.array(texts, pa.string()))
+
+
+#: minimal deterministic stop-word tables for the lang heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "es", "se", "no"},
+    "fr": {"le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"},
+}
+
+
+class LangDetect:
+    """P8: deterministic language-ID heuristic (stop-word hit rates +
+    CJK codepoint ratio). Actor-pool stage: tables built once per actor.
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_detected"):
+        self.text_col, self.out_col = text_col, out_col
+        self.word_re = re.compile(r"[a-zA-ZäöüßáéíóúàèñçÀ-ÿ]+")
+        self.cjk_re = re.compile(r"[一-鿿぀-ヿ]")
+
+    def detect(self, text: str | None) -> str:
+        if not text:
+            return "und"
+        cjk = len(self.cjk_re.findall(text))
+        if cjk * 10 > len(text):
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "und"
+        scores = {
+            lang: sum(w in table for w in words)
+            for lang, table in _STOPWORDS.items()
+        }
+        best = max(sorted(scores), key=lambda k: scores[k])
+        return best if scores[best] > 0 else "und"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch[self.out_col] = [self.detect(t) for t in batch[self.text_col]]
+        return batch
+
+
+class QualityScore:
+    """Quality scoring: length, punctuation ratio, stop-word ratio,
+    mean word length — the standard web-corpus quality signals, all
+    deterministic and vectorized."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.punct_re = re.compile(r"[^\w\s]")
+        self.word_re = re.compile(r"\S+")
+        self.stop = _STOPWORDS["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        n_chars = texts.str.len()
+        words_list = [self.word_re.findall(t) for t in texts]
+        n_words = pd.Series([len(w) for w in words_list], index=batch.index)
+        n_punct = pd.Series([len(self.punct_re.findall(t)) for t in texts], index=batch.index)
+        n_stop = pd.Series(
+            [sum(w.lower() in self.stop for w in ws) for ws in words_list],
+            index=batch.index,
+        )
+        batch["n_chars"] = n_chars.astype("int64")
+        batch["n_words"] = n_words.astype("int64")
+        batch["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).astype("float64")
+        batch["stopword_ratio"] = (n_stop / n_words.clip(lower=1)).astype("float64")
+        batch["mean_word_len"] = (
+            (n_chars - n_words.clip(lower=1) + 1) / n_words.clip(lower=1)
+        ).astype("float64")
+        return batch
+
+
+class TokenCount:
+    """C2-pattern token counter: whitespace tokens plus a BPE-ish
+    regex tokenization (GPT-2-style word/punct/space classes)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.ws_re = re.compile(r"\S+")
+        self.bpe_re = re.compile(
+            r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        batch["n_ws_tokens"] = pd.Series(
+            [len(self.ws_re.findall(t)) for t in texts], index=batch.index
+        ).astype("int64")
+        batch["n_bpe_tokens"] = pd.Series(
+            [len(self.bpe_re.findall(t)) for t in texts], index=batch.index
+        ).astype("int64")
+        return batch
+
+
+class Fingerprint:
+    """Document fingerprint: 64-bit rolling-hash over the word sequence
+    (order-sensitive, whitespace-insensitive) — cheap near-exact-dup
+    signal."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "fingerprint"):
+        self.text_col, self.out_col = text_col, out_col
+        self.word_re = re.compile(r"\S+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        B, M = np.uint64(1000003), np.uint64(0xFFFFFFFFFFFFFFFF)
+        for t in batch[self.text_col].fillna(""):
+            words = self.word_re.findall(t)
+            h = np.uint64(14695981039346656037)
+            with np.errstate(over="ignore"):
+                if words:
+                    whs = hash_array(pd.Series(words))  # one vectorized hash per doc
+                    for wh in whs:
+                        h = (h * B + wh) & M
+            out.append(int(h))
+        batch[self.out_col] = pd.Series(out, index=batch.index, dtype="uint64")
+        return batch
+
+
+class WordCountScorer:
+    """The oracle-checkable stateful scorer (C2): n_words per doc,
+    defined so a SQL twin exists (space-separated word count)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.re = re.compile(r" ")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        batch["n_words"] = (
+            pd.Series([len(self.re.findall(t)) for t in texts], index=batch.index)
+            + 1
+        ).astype("int64")
+        return batch
+
+
+def lang_detect(ds: rd.Dataset, text_col: str = "text", concurrency: int = 4) -> rd.Dataset:
+    return ds.map_batches(
+        LangDetect, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas", concurrency=concurrency,
+    )

@@ -32,4 +32,6 @@ def ray_session():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return "/root/testdata/sf0.001"
+    import os
+
+    return os.environ.get("MAESTRO_TEST_SF", "/root/testdata/sf0.001")

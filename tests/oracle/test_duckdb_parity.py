@@ -1,0 +1,99 @@
+"""DuckDB oracle equivalence (SURVEY.md §5 layer 2): every queries()
+entry with an oracle_sql() twin must match on row count, column names,
+and order-insensitive values — the same comparison the driver runs at
+sf0.01 (here at sf0.001 for speed).
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(obj) -> pd.DataFrame:
+    if isinstance(obj, pa.Table):
+        df = obj.to_pandas()
+    elif isinstance(obj, pd.DataFrame):
+        df = obj.copy()
+    else:  # ray Dataset
+        df = obj.to_pandas()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+        elif df[c].dtype == "float32":
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_unsigned_integer_dtype(df[c]):
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _all_names(entry_mod):
+    return sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", [
+    # keep in sync with oracle_sql(); parametrized statically for -k selection
+    "read_pages", "read_changelog", "clean_fields", "validate_rows",
+    "filter_rows", "project", "key_gen", "json_extract", "explode",
+    "scalar_string", "scalar_date", "scalar_math", "scalar_null",
+    "agg_global", "agg_grouped", "distinct", "sort", "topk",
+    "join_broadcast", "join_hash", "join_asof", "join_semi", "join_anti",
+    "union_all", "intersect", "except_", "dedup_exact", "upsert_lww",
+    "window_tumbling", "sessionize", "stateful_scorer", "token_count",
+])
+def test_query_matches_oracle(entry_mod, con, sf_dir, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = normalize(q(sf_dir))
+    exp = normalize(con.execute(sql).fetch_df())
+    if len(exp) == 0 and len(got) == 0:
+        return  # empty both sides: schema of an empty Ray result may be lost
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True,
+                                  obj=name)
+
+
+def test_every_oracle_key_has_query(entry_mod):
+    qs = entry_mod.queries()
+    for name in entry_mod.oracle_sql():
+        assert name in qs, f"oracle_sql key {name} missing from queries()"
+
+
+def test_rows_only_queries_run(entry_mod, sf_dir):
+    """Entries without SQL twins must still run and return rows."""
+    qs = entry_mod.queries()
+    oracle = entry_mod.oracle_sql()
+    for name in set(qs) - set(oracle):
+        res = qs[name](sf_dir)
+        df = normalize(res)
+        assert len(df) >= 0, name
