@@ -445,6 +445,17 @@ def _q_window_tumbling(sf):
     )
 
 
+def _q_window_sliding(sf):
+    from maestro_ray.ops.aggregates import sliding_window
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "value"])
+    return sliding_window(
+        ds, "ts", window="3h", slide="1h", keys=["user_id"],
+        specs={"n_events": (None, "count"), "sum_value": ("value", "sum")},
+        round_to=3,
+    )
+
+
 def _q_sessionize(sf):
     ds = _read(sf, "events", columns=["user_id", "ts", "event_id"])
     return sessionize(ds, key="user_id", ts_col="ts", gap="30min",
@@ -502,6 +513,99 @@ def _q_checksum(sf):
     return out.sort_values("partition").reset_index(drop=True)
 
 
+def _q_quality_score(sf):
+    ds = P.filter_rows(
+        _read(sf, "documents", columns=["doc_id", "text"]),
+        lambda t: pc.greater(pc.utf8_length(t.column("text")), pa.scalar(0)),
+    )
+    scored = ds.map_batches(T.QualityScore, batch_format="pandas", concurrency=2)
+    return P.project(scored, columns=["doc_id", "n_chars", "n_words"])
+
+
+def _q_dedup_near(sf):
+    from maestro_ray.ops.dedup import dedup_near_minhash
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return dedup_near_minhash(ds, threshold=0.8)
+
+
+def _q_simhash(sf):
+    from maestro_ray.ops.dedup import simhash_batch
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: simhash_batch(t).select(["doc_id", "simhash"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out["simhash"] = out["simhash"].astype(str)  # uint64-safe for compare
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_fingerprint(sf):
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(T.Fingerprint, batch_format="pandas", concurrency=2)
+    pdf = P.project(out, columns=["doc_id", "fingerprint"]).to_pandas()
+    pdf["fingerprint"] = pdf["fingerprint"].astype(str)
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _knn_query_vec(sf) -> np.ndarray:
+    emb = pq.read_table(_t(sf, "embeddings"), columns=["vec_id", "embedding"])
+    idx = emb.column("vec_id").to_pylist().index(0)
+    return np.asarray(emb.column("embedding")[idx].as_py(), dtype=np.float32)
+
+
+def _q_knn_brute(sf):
+    from maestro_ray.ops.similarity import knn_brute
+
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_brute(ds, _knn_query_vec(sf), k=10)
+    return out[["vec_id"]].reset_index(drop=True)
+
+
+def _q_knn_lsh(sf):
+    from maestro_ray.ops.similarity import knn_lsh
+
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_lsh(ds, _knn_query_vec(sf), k=10, n_planes=8, n_probes=9)
+    return out[["vec_id"]].reset_index(drop=True)
+
+
+def _q_embedding_near_dup(sf):
+    from maestro_ray.ops.dedup import embedding_near_dup
+
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=0.9, n_planes=8)
+
+
+def _q_multimodal_decode(sf):
+    from maestro_ray.ops.multimodal import decode_images, make_fake_image
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        imgs = [
+            make_fake_image(64 + (i % 8) * 32, 64 + (i % 5) * 48, seed=i)
+            for i in ids
+        ]
+        return pa.table({
+            "img_id": batch.column("doc_id"),
+            "image": pa.array(imgs, pa.binary()),
+        })
+
+    ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    out = decode_images(ds, concurrency=2, batch_size=256)
+    return P.project(out, columns=["img_id", "width", "height", "n_bytes"])
+
+
+def _q_approx_distinct(sf):
+    from maestro_ray.ops.aggregates import approx_ndistinct
+
+    est = approx_ndistinct(_read(sf, "orders", columns=["o_custkey"]), "o_custkey")
+    return pa.table({"approx_n": pa.array([round(est)], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -533,11 +637,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "upsert_lww": _q_upsert_lww,
         "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
         "sessionize": _q_sessionize,
         "stateful_scorer": _q_stateful_scorer,
         "token_count": _q_token_count,
         "lang_detect": _q_lang_detect,
         "checksum": _q_checksum,
+        "quality_score": _q_quality_score,
+        "dedup_near": _q_dedup_near,
+        "simhash": _q_simhash,
+        "fingerprint": _q_fingerprint,
+        "knn_brute": _q_knn_brute,
+        "knn_lsh": _q_knn_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "multimodal_decode": _q_multimodal_decode,
+        "approx_distinct": _q_approx_distinct,
     }
 
 
@@ -661,6 +775,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 3) AS sum_value "
             "FROM events GROUP BY user_id, date_trunc('day', ts)"
         ),
+        "window_sliding": (
+            "SELECT user_id, window_start, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 3) AS sum_value FROM ("
+            "  SELECT user_id, ts, value, "
+            "  date_trunc('hour', ts) - h * INTERVAL 1 HOUR AS window_start "
+            "  FROM events, (VALUES (0), (1), (2)) hops(h)"
+            ") WHERE ts < window_start + INTERVAL 3 HOUR "
+            "GROUP BY user_id, window_start"
+        ),
         "sessionize": (
             "WITH ordered AS ("
             "  SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL "
@@ -683,5 +806,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
             "AS n_ws_tokens FROM documents WHERE length(text) > 0"
         ),
-        # lang_detect, checksum: non-SQL-expressible → rows-only check
+        "quality_score": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "
+            "FROM documents WHERE length(text) > 0"
+        ),
+        "knn_brute": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id "
+            "LIMIT 10"
+        ),
+        # lang_detect, checksum, dedup_near, simhash, fingerprint,
+        # knn_lsh, embedding_near_dup, multimodal_decode, approx_distinct:
+        # non-SQL-expressible → rows-only check
     }

@@ -1,0 +1,211 @@
+"""Benchmark harness (SURVEY.md §4.2 pinned methodology).
+
+Default run: one JSON line with the headline CDC-upsert pipeline time
+plus representative per-query times over ``$GRAFT_SF_DIR`` (default
+sf0.1). ``--scaling`` runs the headline at num_cpus=4 and 16 in fresh
+processes (N vs 4N; NOT 8 vs 32 — above this VM's real parallel
+capacity the measurement reflects throttling, see BASELINE.md
+anti-methodology) and reports both throughputs + scaling efficiency.
+
+Methodology pins (all from measured pitfalls, BASELINE.md):
+- fresh process per parallelism level (ray.init once per process)
+- untimed warmup query first (absorbs cold worker spin-up)
+- identical inputs and partition counts at every level
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# fixture + lake live on tmpfs: the scaling criterion measures the
+# ENGINE's parallel efficiency, and this VM's single virtual disk
+# (~200 MB/s, non-parallelizing) would otherwise dominate both levels
+# (measured: 6M events moved ~4.6 GB -> ~25s of serial disk per run).
+# A real cluster's object store / distributed FS scales with nodes.
+_SCRATCH = "/dev/shm/maestro_bench" if os.path.isdir("/dev/shm") else "/tmp"
+CACHE = os.path.join(_SCRATCH, "cache")
+
+# headline CDC fixture scale, keyed by sf dir name
+_SCALES = {
+    "sf0.001": dict(n_urls=500, n_events=5_000, seg_rows=1_000),
+    "sf0.01": dict(n_urls=5_000, n_events=50_000, seg_rows=10_000, fast_html=True),
+    # 1M events across 32 segment files: large enough that compute
+    # dominates fixed per-epoch costs, and enough FILES that the read
+    # stage parallelizes (read task count is bounded by file count —
+    # with 8 files the 1 GB decode ran in ≤4 tasks and floored scaling)
+    "sf0.1": dict(n_urls=50_000, n_events=1_000_000, seg_rows=31_250,
+                  fast_html=True),
+}
+
+
+def _fixture(scale: dict) -> tuple[str, str]:
+    """Deterministic cached changelog+pages fixture for the headline."""
+    from maestro_ray.fixtures import (
+        ChangelogParams,
+        gen_pages,
+        write_changelog,
+        write_changelog_fast,
+    )
+    import pyarrow.parquet as pq
+
+    key = f"u{scale['n_urls']}_e{scale['n_events']}_s{scale['seg_rows']}"
+    with_pages = scale.get("with_pages", True)
+    root = os.path.join(CACHE, key)
+    log_dir = os.path.join(root, "log")
+    pages_dir = os.path.join(root, "pages")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(log_dir, exist_ok=True)
+        params = {k: v for k, v in scale.items() if k != "with_pages"}
+        gen = (
+            write_changelog_fast  # vectorized, O(seg) memory
+            if params["n_events"] > 500_000
+            else write_changelog
+        )
+        gen(log_dir, ChangelogParams(**params))
+        if with_pages:
+            os.makedirs(pages_dir, exist_ok=True)
+            pages = gen_pages(scale["n_urls"], seed=42)
+            # split into 8 files so the bootstrap read parallelizes
+            n = pages.num_rows
+            step = -(-n // 8)
+            for i in range(8):
+                chunk = pages.slice(i * step, step)
+                if chunk.num_rows:
+                    pq.write_table(
+                        chunk, os.path.join(pages_dir, f"part-{i}.parquet")
+                    )
+        open(done, "w").close()
+    return log_dir, (pages_dir if with_pages else None)
+
+
+def run_bench(num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # untimed warmup: spin up worker processes before any timed region
+    rd.range(2_000_000, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: {"x": b["id"] * 2}, batch_format="numpy"
+    ).sum("x")
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    scaling_mode = os.environ.get("MAESTRO_BENCH_SCALE") == "scaling"
+    scale = (
+        dict(_SCALING_SCALE, with_pages=False)
+        if scaling_mode
+        else _SCALES.get(sf_name, _SCALES["sf0.1"])
+    )
+    log_dir, pages_path = _fixture(scale)
+
+    from maestro_ray.pipelines.ingest import ingest
+
+    # best of 2 trials: this VM shows up to 2x run-to-run noise
+    # (contended Firecracker host, BASELINE.md); min = warm capability
+    trials = []
+    n_events = scale["n_events"]
+    for trial in range(2):  # best-of-2: this VM shows 2-3x run noise
+        lake_dir = os.path.join(_SCRATCH, f"lake_{num_cpus}_{trial}")
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        m = ingest(log_dir, lake_dir, base_pages=pages_path, num_partitions=64)
+        trials.append(time.perf_counter() - t0)
+        assert m is not None and m.watermark == n_events - 1
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    headline = min(trials)
+
+    # representative per-query times over the driver testdata at SF_DIR
+    import __ray_entry__ as M
+
+    qs = M.queries()
+    queries = {}
+    for name in () if scaling_mode else (
+            "agg_grouped", "join_hash", "upsert_lww", "window_tumbling",
+            "dedup_exact", "sort", "filter_rows"):
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # force execution of lazy Datasets
+        queries[name] = round(time.perf_counter() - t0, 3)
+    out = {
+        "metric": "cdc_replay_ingest_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_name,
+        "num_cpus": num_cpus,
+        "n_events": n_events,
+        "trials_sec": [round(t, 3) for t in trials],
+        "events_per_sec": round(n_events / headline, 1),
+        "lake_rows": m.counters.get("rows_final"),
+    }
+    ray.shutdown()
+    return out
+
+
+# --scaling tier: ~6x the default so parallel compute dominates the
+# ~2-4s serial floor (pipeline startup, shuffle barrier, manifest
+# publish) — below that scale both levels measure the floor, not the
+# engine (see BASELINE.md methodology). No base-pages bootstrap in
+# scaling mode: the changelog replay IS the measured pipeline.
+_SCALING_SCALE = dict(
+    n_urls=150_000, n_events=6_000_000, seg_rows=250_000, fast_html=True
+)
+
+
+def _subprocess_run(ncpu: int, extra_env: dict | None = None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        # pinned two-level methodology: N=4 vs 4N=16, fresh process each,
+        # same fixture (cache warmed by the first run)
+        lo, hi = 4, 16
+        env = {"MAESTRO_BENCH_SCALE": "scaling"}
+        r_lo = _subprocess_run(lo, env)
+        r_hi = _subprocess_run(hi, env)
+        tp_lo = r_lo["events_per_sec"]
+        tp_hi = r_hi["events_per_sec"]
+        eff = (tp_hi / tp_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "cdc_upsert_scaling",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "cpus": [lo, hi],
+            "sec": [r_lo["value"], r_hi["value"]],
+            "events_per_sec": [tp_lo, tp_hi],
+            "scaling_efficiency": round(eff, 3),
+            "sf": r_lo["sf"],
+        }))
+        return
+    print(json.dumps(run_bench(NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

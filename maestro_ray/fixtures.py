@@ -76,6 +76,10 @@ class ChangelogParams:
     seg_rows: int = 1_000
     evolution: bool = True
     html_bytes: int = 1024
+    #: bench tier: draw html from a small deterministic template pool
+    #: with a per-event unique marker instead of fully random payloads —
+    #: ~20x faster generation at identical schema/size characteristics.
+    fast_html: bool = False
 
 
 def _zipf_probs(n: int, a: float) -> np.ndarray:
@@ -137,6 +141,12 @@ def gen_changelog_events(params: ChangelogParams) -> list[dict]:
     upd_frac = p.p_update / max(1e-9, (p.p_update + p.p_delete))
     op_draw = rng.random(p.n_events)
     lang_draw = rng.integers(0, len(_LANGS), size=p.n_events)
+    html_pool: list[bytes] = []
+    if p.fast_html:
+        pool_rng = np.random.default_rng(p.seed + 7)
+        html_pool = [
+            _html_for(pool_rng, f"pool{i}", p.html_bytes) for i in range(64)
+        ]
     events: list[dict] = []
     for off in range(p.n_events):
         u = int(url_ids[off])
@@ -154,9 +164,13 @@ def gen_changelog_events(params: ChangelogParams) -> list[dict]:
         if op == "delete":
             html, text_lang = None, None
         else:
-            html = _html_for(
-                np.random.default_rng((p.seed, off)), url, p.html_bytes
-            )
+            if p.fast_html:
+                pool_i = off % len(html_pool)
+                html = b"<p>v" + str(off).encode() + b"</p>" + html_pool[pool_i]
+            else:
+                html = _html_for(
+                    np.random.default_rng((p.seed, off)), url, p.html_bytes
+                )
             text_lang = _LANGS[int(lang_draw[off])]
         events.append(
             {
@@ -231,3 +245,79 @@ def write_changelog(log_dir: str, params: ChangelogParams) -> list[dict]:
         first = i * p.seg_rows
         pq.write_table(tbl, os.path.join(log_dir, f"seg-{first:012d}.parquet"))
     return events
+
+
+def write_changelog_fast(log_dir: str, params: ChangelogParams) -> int:
+    """Vectorized, segment-streaming generator for BENCH-scale fixtures.
+
+    Same schema/segment layout as ``write_changelog`` but builds Arrow
+    arrays per segment directly (no per-event Python dicts), so memory
+    is O(seg_rows) and 10^7-event fixtures generate in tens of seconds.
+    Content differs from the oracle-grade generator (op assignment is
+    vectorized, no duplicate re-emission) — use ONLY for benchmarks;
+    correctness tests use ``write_changelog`` + the replay oracle.
+    Returns the number of events written.
+    """
+    os.makedirs(log_dir, exist_ok=True)
+    p = params
+    rng = np.random.default_rng(p.seed)
+    probs = _zipf_probs(p.n_urls, p.zipf_a)
+    url_ids = rng.choice(p.n_urls, size=p.n_events, p=probs)
+    n_sites = max(1, p.n_urls // 25)
+    base = _BASE_TS_US + np.arange(p.n_events, dtype=np.int64) * 60_000_000
+    jitter = rng.integers(0, 50_000_000, size=p.n_events)
+    ooo = rng.random(p.n_events) < p.p_ooo
+    back = rng.integers(120_000_000, 7_200_000_000, size=p.n_events)
+    ts = base + jitter - np.where(ooo, back, 0)
+    # op assignment, vectorized: first occurrence of a url -> insert
+    first_idx = np.zeros(p.n_events, dtype=bool)
+    _uniq, first = np.unique(url_ids, return_index=True)
+    first_idx[first] = True
+    upd_frac = p.p_update / max(1e-9, (p.p_update + p.p_delete))
+    op_draw = rng.random(p.n_events)
+    ops_all = np.where(
+        first_idx, "insert", np.where(op_draw < upd_frac, "update", "delete")
+    )
+    lang_draw = rng.integers(0, len(_LANGS), size=p.n_events)
+    pool_rng = np.random.default_rng(p.seed + 7)
+    pool = [_html_for(pool_rng, f"pool{i}", p.html_bytes) for i in range(64)]
+    n_segments = max(1, -(-p.n_events // p.seg_rows))
+    for s in range(n_segments):
+        lo, hi = s * p.seg_rows, min((s + 1) * p.seg_rows, p.n_events)
+        version = _segment_version(s, n_segments, p.evolution)
+        offs = np.arange(lo, hi, dtype=np.int64)
+        seg_ts = ts[lo:hi].copy()
+        if version == 2:
+            seg_ts = (seg_ts // 1_000_000) * 1_000_000
+        urls = [
+            f"https://site{u % n_sites}.example/{u}" for u in url_ids[lo:hi]
+        ]
+        seg_ops = ops_all[lo:hi]
+        htmls = [
+            None
+            if seg_ops[i - lo] == "delete"
+            else b"<p>v" + str(i).encode() + b"</p>" + pool[i % 64]
+            for i in range(lo, hi)
+        ]
+        cols = [
+            pa.array(offs, pa.int64()),
+            pa.array(seg_ops.tolist(), pa.string()),
+            pa.array(urls, pa.string()),
+        ]
+        if version == 2:
+            cols.append(pa.array(seg_ts // 1_000_000, pa.timestamp("s")))
+        else:
+            cols.append(pa.array(seg_ts, pa.timestamp("us")))
+        cols.append(pa.array(htmls, pa.binary()))
+        if version >= 2:
+            langs = [
+                None if seg_ops[i] == "delete" else _LANGS[int(lang_draw[lo + i])]
+                for i in range(hi - lo)
+            ]
+            cols.append(pa.array(langs, pa.string()))
+            schema = CHANGELOG_V2 if version == 2 else CHANGELOG_V3
+        else:
+            schema = CHANGELOG_V1
+        tbl = pa.Table.from_arrays(cols, schema=schema)
+        pq.write_table(tbl, os.path.join(log_dir, f"seg-{lo:012d}.parquet"))
+    return p.n_events

@@ -60,6 +60,54 @@ def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table
     return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
 
 
+def compact_partitions(
+    lake_dir: str,
+    target_rows_per_file: int = 1_000_000,
+    row_group_size: int = 128 * 1024,
+) -> Manifest:
+    """U8: rewrite each partition's file with right-sized row groups
+    under a new manifest epoch. No semantic change — per-partition
+    checksums are invariant (asserted), so readers see identical data
+    addressed by the new manifest. Runs as Ray tasks (one per
+    partition); the driver only publishes."""
+    import ray
+
+    from maestro_ray.core.manifest import STAGING_DIR, publish_epoch
+    from maestro_ray.ops.hashing import checksum as _checksum
+
+    m = latest_manifest(lake_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {lake_dir}")
+    epoch = m.epoch + 1
+
+    @ray.remote
+    def compact_one(p: int, rel: str, expect_checksum: int, watermark: int) -> dict:
+        t = pq.read_table(os.path.join(lake_dir, rel))
+        got = _checksum(t)
+        assert got == expect_checksum, f"partition {p} checksum drift"
+        out_rel = os.path.join(STAGING_DIR, f"epoch-{epoch:012d}", f"p={p}.parquet")
+        path = os.path.join(lake_dir, out_rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(t, path, row_group_size=row_group_size)
+        return {
+            "partition": p,
+            "epoch": epoch,
+            "watermark_offset": watermark,
+            "row_count": t.num_rows,
+            "checksum": got,
+            "n_input": t.num_rows,
+        }
+
+    rows = ray.get(
+        [
+            compact_one.remote(p, v["file"], v["checksum"], v["watermark"])
+            for p, v in m.partitions.items()
+            if v["rows"] > 0
+        ]
+    )
+    return publish_epoch(lake_dir, epoch, m.watermark, rows, m)
+
+
 def write_lineage(lake_dir: str, epoch: int, rows: list[dict]) -> str:
     """S6: per-partition lineage records for one epoch (tiny, driver-side)."""
     from maestro_ray.core.schema import LINEAGE

@@ -1,0 +1,117 @@
+"""Generic sources + landing-zone intake (SURVEY.md §2 S8, S9).
+
+Maestro's load side ingests delimited landing files discovered in an
+upload area, idempotently (already-ingested files are skipped) [M].
+Here: ``LandingZone`` is a pure-Python segment registry (a JSON file
+next to the log dir — tiny driver-side state, no Ray needed), and the
+generic readers are thin prunable wrappers over ``ray.data``.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def read_csv(paths, **kw) -> rd.Dataset:
+    return rd.read_csv(paths, **kw)
+
+
+def read_json(paths, **kw) -> rd.Dataset:
+    return rd.read_json(paths, **kw)
+
+
+def read_text(paths, **kw) -> rd.Dataset:
+    return rd.read_text(paths, **kw)
+
+
+def read_binary(paths, include_paths: bool = True, **kw) -> rd.Dataset:
+    return rd.read_binary_files(paths, include_paths=include_paths, **kw)
+
+
+def parse_delimited_batch(
+    batch: pa.Table,
+    schema: pa.Schema,
+    delimiter: str = "|",
+    text_col: str = "text",
+    none_sentinel: str = "",
+) -> pa.Table:
+    """P1: maestro-style delimited-line decode → typed columns.
+
+    Rows with the wrong field count or uncastable fields become nulls in
+    every column plus ``_error_reason`` — the quarantine channel shape
+    (pair with ops.parse.validate_split)."""
+    names = [f.name for f in schema]
+    cols: dict[str, list] = {n: [] for n in names}
+    errors: list[str | None] = []
+    for line in batch.column(text_col).to_pylist():
+        parts = (line or "").split(delimiter)
+        if len(parts) != len(names):
+            for n in names:
+                cols[n].append(None)
+            errors.append(f"field_count={len(parts)}!={len(names)}")
+            continue
+        errors.append(None)
+        for n, v in zip(names, parts):
+            cols[n].append(None if v == none_sentinel else v)
+    arrays = []
+    for f in schema:
+        arr = pa.array(cols[f.name], pa.string())
+        try:
+            arrays.append(arr.cast(f.type))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            # per-row salvage cast: bad cells -> null
+            vals = []
+            for v in cols[f.name]:
+                try:
+                    vals.append(pa.scalar(v, pa.string()).cast(f.type).as_py())
+                except (pa.ArrowInvalid, ValueError, TypeError):
+                    vals.append(None)
+            arrays.append(pa.array(vals, f.type))
+    arrays.append(pa.array(errors, pa.string()))
+    return pa.Table.from_arrays(arrays, names=names + ["_error_reason"])
+
+
+class LandingZone:
+    """S9: idempotent landing-file intake.
+
+    ``discover()`` returns files matching the pattern that have not been
+    ingested yet; ``commit(files)`` records them (atomic rename of the
+    registry). Re-running after a crash re-offers uncommitted files —
+    pairs with the manifest watermark so double-ingest is harmless.
+    """
+
+    def __init__(self, landing_dir: str, registry_path: str | None = None):
+        self.landing_dir = landing_dir
+        self.registry_path = registry_path or os.path.join(
+            landing_dir, "_ingested.json"
+        )
+
+    def _load(self) -> set[str]:
+        if not os.path.exists(self.registry_path):
+            return set()
+        with open(self.registry_path) as f:
+            return set(json.load(f)["files"])
+
+    def discover(self, pattern: str = "*.parquet") -> list[str]:
+        seen = self._load()
+        found = sorted(
+            p
+            for p in _glob.glob(os.path.join(self.landing_dir, pattern))
+            if os.path.basename(p) not in seen
+        )
+        return found
+
+    def commit(self, files: list[str]) -> None:
+        seen = self._load()
+        seen.update(os.path.basename(p) for p in files)
+        tmp = self.registry_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"files": sorted(seen)}, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.registry_path)

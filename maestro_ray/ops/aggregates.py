@@ -168,6 +168,50 @@ def tumbling_window(
     return grouped_agg(bucketed, keys + ["window_start"], specs, round_to=round_to)
 
 
+def sliding_window(
+    ds: rd.Dataset,
+    ts_col: str,
+    window: str,
+    slide: str,
+    keys: list[str] | str,
+    specs: dict[str, tuple[str | None, str]],
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """A6: sliding/hopping windows — each row is exploded to every
+    window that contains it (window/slide ratio rows), then the grouped
+    pre-agg machinery finishes. Ordering assumption: none."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    win_us = int(pd.Timedelta(window).total_seconds() * 1e6)
+    slide_us = int(pd.Timedelta(slide).total_seconds() * 1e6)
+    if win_us % slide_us:
+        raise ValueError("window must be a multiple of slide")
+    k = win_us // slide_us
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))  # normalize ns/ms/s inputs to µs
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(ts)
+        take = np.repeat(np.arange(n, dtype=np.int64), k)
+        # window starts: floor to slide, then k backward hops that still contain ts
+        base = (ts // slide_us) * slide_us
+        starts = np.concatenate(
+            [base - i * slide_us for i in range(k)]
+        ).reshape(k, n).T.reshape(-1)
+        valid = starts + win_us > np.repeat(ts, k)
+        cols = [batch.column(c).take(pa.array(take[valid])) for c in batch.column_names]
+        names = list(batch.column_names)
+        cols.append(pa.array(starts[valid]).cast(pa.timestamp("us")))
+        names.append("window_start")
+        return pa.Table.from_arrays(cols, names=names)
+
+    exploded = ds.map_batches(explode_windows, batch_format="pyarrow")
+    return grouped_agg(exploded, keys + ["window_start"], specs, round_to=round_to)
+
+
 def sessionize(
     ds: rd.Dataset,
     key: str,

@@ -1,0 +1,138 @@
+"""Multimodal column stages (SURVEY.md training-data ops).
+
+Images / audio / video are opaque ``binary`` columns with typed
+metadata columns alongside. Decode / feature-extract / resize /
+frame-sample are ACTOR-POOL ``map_batches`` stages: codec/model setup
+happens once per actor in ``__init__``; batches stay Arrow (pandas
+mangles binary — ray_guide pitfalls).
+
+The image/audio libraries are not in this container, so the decode
+kernels are STUBBED: with ``fake=True`` (default) they parse a
+deterministic fake header (first 8 bytes = big-endian width/height);
+with ``fake=False`` they raise ``NotImplementedError`` at the exact
+call site where PIL/libav would be invoked. The Ray-side plumbing —
+schema contracts, batch sizing, actor signature, output layout — is
+real and tested (tests/unit/test_multimodal.py).
+
+Batch-size guidance: binary payloads dominate block size; callers
+should pass small ``batch_size`` (e.g. 64 for ~1 MB images) and let
+``target_max_block_size`` govern block splits.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+IMAGE_META = pa.schema(
+    [("width", pa.int32()), ("height", pa.int32()), ("n_bytes", pa.int64())]
+)
+
+
+def make_fake_image(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic fake image payload: 8-byte header + seeded body."""
+    rng = np.random.default_rng((seed, width, height))
+    body = rng.integers(0, 256, size=min(width * height, 4096), dtype=np.uint8)
+    return struct.pack(">II", width, height) + body.tobytes()
+
+
+class ImageDecode:
+    """Decode stage: binary → (width, height, n_bytes) metadata columns.
+
+    Real implementation would call PIL.Image.open here (once-per-actor
+    import in __init__); the container has no PIL, so ``fake=True``
+    reads the fake header instead.
+    """
+
+    def __init__(self, img_col: str = "image", fake: bool = True):
+        self.img_col = img_col
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "real image decode requires PIL/pillow, absent in this "
+                "container — construct with fake=True"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, ns = [], [], []
+        for blob in batch.column(self.img_col).to_pylist():
+            if blob is None or len(blob) < 8:
+                ws.append(None), hs.append(None), ns.append(0)
+                continue
+            w, h = struct.unpack(">II", blob[:8])
+            ws.append(w), hs.append(h), ns.append(len(blob))
+        return (
+            batch.append_column("width", pa.array(ws, pa.int32()))
+            .append_column("height", pa.array(hs, pa.int32()))
+            .append_column("n_bytes", pa.array(ns, pa.int64()))
+        )
+
+
+class ImageResize:
+    """Resize stage: rewrites the fake header to the target box
+    (aspect-preserving); real impl would re-encode pixels."""
+
+    def __init__(self, max_side: int = 256, img_col: str = "image", fake: bool = True):
+        self.max_side, self.img_col = max_side, img_col
+        if not fake:
+            raise NotImplementedError("real resize requires an image library")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for blob in batch.column(self.img_col).to_pylist():
+            if blob is None or len(blob) < 8:
+                out.append(blob)
+                continue
+            w, h = struct.unpack(">II", blob[:8])
+            scale = min(1.0, self.max_side / max(w, h, 1))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            out.append(struct.pack(">II", nw, nh) + blob[8:])
+        i = batch.schema.get_field_index(self.img_col)
+        return batch.set_column(i, self.img_col, pa.array(out, pa.binary()))
+
+
+class FrameSample:
+    """Video frame-sampling stage: one row per sampled frame.
+
+    Fake container format: concatenated fixed-size 'frames' after an
+    8-byte header; real impl would use pyav. Emits (id cols…, frame_idx,
+    frame binary) — a flat_map-shaped batch op (more rows out than in).
+    """
+
+    def __init__(self, every_n: int = 10, video_col: str = "video",
+                 frame_bytes: int = 1024, fake: bool = True):
+        self.every_n, self.video_col, self.frame_bytes = every_n, video_col, frame_bytes
+        if not fake:
+            raise NotImplementedError("real frame sampling requires pyav")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep_cols = [c for c in batch.column_names if c != self.video_col]
+        parents, idxs, frames = [], [], []
+        vids = batch.column(self.video_col).to_pylist()
+        for i, blob in enumerate(vids):
+            if blob is None:
+                continue
+            body = blob[8:]
+            n_frames = len(body) // self.frame_bytes
+            for f in range(0, n_frames, self.every_n):
+                parents.append(i)
+                idxs.append(f)
+                frames.append(body[f * self.frame_bytes : (f + 1) * self.frame_bytes])
+        take = pa.array(parents, pa.int64())
+        cols = [batch.column(c).take(take) for c in keep_cols]
+        cols.append(pa.array(idxs, pa.int32()))
+        cols.append(pa.array(frames, pa.binary()))
+        return pa.Table.from_arrays(cols, names=keep_cols + ["frame_idx", "frame"])
+
+
+def decode_images(ds: rd.Dataset, img_col: str = "image",
+                  concurrency: int = 4, batch_size: int = 64) -> rd.Dataset:
+    """Actor-pool wiring for the decode stage (small batches: binary
+    payloads dominate memory)."""
+    return ds.map_batches(
+        ImageDecode, fn_constructor_kwargs={"img_col": img_col},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )

@@ -59,6 +59,30 @@ def _segment_max_offset(path: str) -> int:
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _push_based_shuffle():
+    """Use Ray's push-based sort shuffle for the merge exchange.
+
+    Measured on the bench epoch (1M events, 64 partitions): pull-based
+    sort was 7–9s and did not improve with CPUs; push-based was 5.4–6.6s
+    and scaled. (HASH_SHUFFLE deadlocks in local mode with map_groups —
+    do not use it here.)
+    """
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    old = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = old
+
+
 def _run_epoch(
     ds: rd.Dataset,
     lake_dir: str,
@@ -67,6 +91,7 @@ def _run_epoch(
     num_partitions: int,
     prev: Manifest | None,
     hot_keys: set | None = None,
+    prepped: bool = False,
 ) -> Manifest:
     prev_files = (
         {p: v["file"] for p, v in prev.partitions.items()} if prev else {}
@@ -77,7 +102,7 @@ def _run_epoch(
         batch = lww_reduce(batch)  # combiner: ≤1 row per url per batch
         return add_partition_column(batch, num_partitions, hot_keys=hot_keys)
 
-    staged = ds.map_batches(prep, batch_format="pyarrow")
+    staged = ds if prepped else ds.map_batches(prep, batch_format="pyarrow")
     if hot_keys:
         # salted pre-reduce: collapse each hot url's salted sub-groups,
         # then re-partition on the true key for the final merge.
@@ -94,7 +119,8 @@ def _run_epoch(
         )
     merge_fn = make_merge_fn(lake_dir, epoch, prev_ref, epoch_watermark)
     lineage_ds = staged.groupby("p").map_groups(merge_fn, batch_format="pyarrow")
-    rows = lineage_ds.take_all()  # O(P) tiny
+    with _push_based_shuffle():
+        rows = lineage_ds.take_all()  # O(P) tiny
     counters = {
         "partitions_touched": len(rows),
         "rows_shuffled": sum(r.get("n_input", 0) for r in rows),
@@ -105,16 +131,102 @@ def _run_epoch(
     return m
 
 
+def _run_epoch_files(
+    acks_ds: rd.Dataset,
+    lake_dir: str,
+    ex_dir: str,
+    epoch: int,
+    epoch_watermark: int,
+    num_partitions: int,
+    prev: Manifest | None,
+) -> Manifest:
+    """File-exchange epoch: ``acks_ds``'s fused read stage has already
+    split prepped candidates into per-partition files under ``ex_dir``
+    (ops/merge.py:write_exchange); here we drive it, then run one merge
+    task per partition. No object-store all-to-all — the wide payload
+    moves via shared storage, which parallelizes (plasma's single-store
+    memcpy was the measured scaling floor of the groupby path)."""
+    import shutil as _shutil
+
+    prev_files = (
+        {p: v["file"] for p, v in prev.partitions.items()} if prev else {}
+    )
+    prev_ref = ray.put(prev_files)
+    acks_ds.take_all()  # drives the exchange writes
+    from maestro_ray.ops.merge import make_exchange_merge_fn
+
+    parts_ds = rd.from_arrow(
+        pa.table({"p": pa.array(range(num_partitions), pa.int32())})
+    ).repartition(num_partitions)
+    fn = make_exchange_merge_fn(lake_dir, ex_dir, epoch, prev_ref, epoch_watermark)
+    # batch_size=1: one merge task per partition — the default batch
+    # size would coalesce partition ids into few serial mega-tasks
+    rows = parts_ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=1
+    ).take_all()
+    counters = {
+        "partitions_touched": len(rows),
+        "rows_shuffled": sum(r.get("n_input", 0) for r in rows),
+        "rows_final": sum(r["row_count"] for r in rows),
+    }
+    m = publish_epoch(lake_dir, epoch, epoch_watermark, rows, prev, counters)
+    write_lineage(lake_dir, epoch, rows)
+    _shutil.rmtree(ex_dir, ignore_errors=True)
+    return m
+
+
+def _exchange_dir(lake_dir: str, epoch: int) -> str:
+    from maestro_ray.core.manifest import STAGING_DIR
+
+    d = os.path.join(lake_dir, STAGING_DIR, f"epoch-{epoch:012d}-exchange")
+    import shutil as _shutil
+
+    _shutil.rmtree(d, ignore_errors=True)  # stale partial runs
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def bootstrap(
-    pages, lake_dir: str, num_partitions: int = 16
+    pages, lake_dir: str, num_partitions: int = 16, exchange: str = "shuffle"
 ) -> Manifest:
     """Epoch 0: load the base pages table as the lake's initial state."""
     if isinstance(pages, str):
-        pages = rd.read_parquet(pages)
+        from maestro_ray.io.changelog import _num_read_blocks
+
+        if os.path.isdir(pages):
+            files = sorted(
+                os.path.join(pages, f)
+                for f in os.listdir(pages)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [pages]
+        pages = rd.read_parquet(
+            files, override_num_blocks=_num_read_blocks(files)
+        )
     elif isinstance(pages, pa.Table):
         pages = rd.from_arrow(pages)
-    ds = pages.map_batches(pages_to_candidates, batch_format="pyarrow")
-    return _run_epoch(ds, lake_dir, 0, -1, num_partitions, None)
+    if exchange == "files":
+        os.makedirs(lake_dir, exist_ok=True)
+        ex_dir = _exchange_dir(lake_dir, 0)
+        from maestro_ray.ops.merge import write_exchange
+
+        def fused_ex(batch: pa.Table) -> pa.Table:
+            prepped = add_partition_column(
+                lww_reduce(pages_to_candidates(batch)), num_partitions
+            )
+            return write_exchange(prepped, ex_dir, num_partitions)
+
+        acks = pages.map_batches(fused_ex, batch_format="pyarrow", batch_size=None)
+        return _run_epoch_files(acks, lake_dir, ex_dir, 0, -1, num_partitions, None)
+
+    def fused(batch: pa.Table) -> pa.Table:
+        return add_partition_column(
+            lww_reduce(pages_to_candidates(batch)), num_partitions
+        )
+
+    ds = pages.map_batches(fused, batch_format="pyarrow", batch_size=None)
+    return _run_epoch(ds, lake_dir, 0, -1, num_partitions, None, prepped=True)
 
 
 def ingest(
@@ -127,14 +239,25 @@ def ingest(
     salt_hot_keys: bool = False,
     hot_key_threshold: int = 5000,
     max_epochs: int | None = None,
+    exchange: str = "shuffle",
 ) -> Manifest | None:
     """EP1/EP2: replay the changelog into the lake; resumes from the
     newest committed manifest automatically (U7). Returns the final
-    manifest (None only if there was nothing at all to do)."""
+    manifest (None only if there was nothing at all to do).
+
+    ``exchange``: "shuffle" (default) uses the Ray Data groupby with
+    the push-based sort shuffle — measured fastest on this machine;
+    "files" routes the merge exchange through per-partition parquet on
+    the lake's (shared) filesystem instead of the object store — kept
+    as an alternative for plasma-memory-constrained deployments (A/B on
+    the 6M-event bench: shuffle 8.9-17.5s, files 36-45s; the parquet
+    encode/decode cycle of the exchange loses to plasma here). Salted
+    hot-key mode always uses the groupby path.
+    """
     os.makedirs(lake_dir, exist_ok=True)
     m = latest_manifest(lake_dir)
     if m is None and base_pages is not None:
-        m = bootstrap(base_pages, lake_dir, num_partitions)
+        m = bootstrap(base_pages, lake_dir, num_partitions, exchange=exchange)
     watermark = m.watermark if m else -1
     epoch = (m.epoch + 1) if m else 1
     segs = segments_after(log_dir, watermark)
@@ -148,16 +271,57 @@ def ingest(
         epoch_watermark = max(_segment_max_offset(path) for _first, path in chunk)
         if epoch_watermark <= watermark:
             continue  # fully committed already (e.g. trailing segment rerun)
-        ds = read_changelog(log_dir, from_offset=watermark, segments=chunk)
-        if ds is None:
-            continue
-        ds = ds.map_batches(events_to_candidates, batch_format="pyarrow")
         hot: set | None = None
         if salt_hot_keys:
-            hot = detect_hot_keys(ds, threshold=hot_key_threshold)
-        m = _run_epoch(
-            ds, lake_dir, epoch, epoch_watermark, num_partitions, m, hot or None
-        )
+            probe = read_changelog(log_dir, from_offset=watermark, segments=chunk)
+            if probe is None:
+                continue
+            hot = detect_hot_keys(probe, threshold=hot_key_threshold)
+        # evolve + candidates + combiner (+ exchange write) fused into
+        # the read stage: the wide html payload is materialized once
+        if hot:
+            ds = read_changelog(log_dir, from_offset=watermark, segments=chunk)
+            if ds is None:
+                continue
+            ds = ds.map_batches(events_to_candidates, batch_format="pyarrow")
+            m = _run_epoch(
+                ds, lake_dir, epoch, epoch_watermark, num_partitions, m, hot
+            )
+        elif exchange == "files":
+            ex_dir = _exchange_dir(lake_dir, epoch)
+            from maestro_ray.ops.merge import write_exchange
+
+            def fused_ex(batch: pa.Table, _np=num_partitions, _ex=ex_dir) -> pa.Table:
+                prepped = add_partition_column(
+                    lww_reduce(events_to_candidates(batch)), _np
+                )
+                return write_exchange(prepped, _ex, _np)
+
+            acks = read_changelog(
+                log_dir, from_offset=watermark, segments=chunk,
+                transform=fused_ex,
+            )
+            if acks is None:
+                continue
+            m = _run_epoch_files(
+                acks, lake_dir, ex_dir, epoch, epoch_watermark,
+                num_partitions, m,
+            )
+        else:
+            def fused(batch: pa.Table, _np=num_partitions) -> pa.Table:
+                return add_partition_column(
+                    lww_reduce(events_to_candidates(batch)), _np
+                )
+
+            ds = read_changelog(
+                log_dir, from_offset=watermark, segments=chunk, transform=fused
+            )
+            if ds is None:
+                continue
+            m = _run_epoch(
+                ds, lake_dir, epoch, epoch_watermark, num_partitions, m,
+                None, prepped=True,
+            )
         watermark = epoch_watermark
         epoch += 1
     return m

@@ -1,0 +1,224 @@
+"""Tail mode — the incremental ingest loop (SURVEY.md §2 C1/C3, §7).
+
+Replay mode (pipelines/ingest.py) is shuffle-based and restart-safe —
+the default. Tail mode is the low-latency path for a live binlog: an
+ACTOR POOL holds per-partition merge state in memory across
+micro-batches, so applying one new segment touches no lake files until
+the next checkpoint.
+
+This is the one place the Dataset API genuinely can't express the
+semantics (a shared mutable index per partition), so it drops to raw
+Ray actors deliberately:
+
+- ``PartitionMerger`` (one actor per lake partition): in-memory
+  ``{url: winner}`` high-water map (C1) + the epoch's applied-offset
+  set (C3 DedupIndex — intra-epoch duplicate delivery is dropped here;
+  cross-epoch idempotence still comes from manifest watermarks / D5).
+- The driver streams each micro-batch through the same vectorized
+  prep (evolve → candidates → combiner LWW → partition ids), splits
+  the shrunken batch by partition (vectorized take), and ships each
+  sub-table to its actor — routing is explicit because actor pools
+  don't route by key natively (SURVEY.md §7 hard-parts).
+- ``checkpoint()`` makes every actor write its partition file to the
+  staging dir; the driver publishes the same atomic manifest as replay
+  mode, so tail and replay epochs interleave safely and a crashed tail
+  resumes from the last manifest (losing only un-checkpointed state,
+  which replay of offsets > watermark reconstructs).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from maestro_ray.core.manifest import Manifest, latest_manifest, publish_epoch
+from maestro_ray.io.changelog import read_changelog, segments_after
+from maestro_ray.io.lake import write_lineage
+from maestro_ray.ops.hashing import checksum, partition_ids
+from maestro_ray.ops.merge import (
+    CANDIDATE,
+    _fill_text,
+    events_to_candidates,
+    pages_to_candidates,
+)
+from maestro_ray.ops.partition import lww_reduce
+from maestro_ray.pipelines.ingest import _segment_max_offset
+
+
+@ray.remote
+class PartitionMerger:
+    """C1: one lake partition's merge state, held across micro-batches."""
+
+    def __init__(self, lake_dir: str, partition: int, prev_file_rel: str | None,
+                 watermark: int):
+        self.lake_dir = lake_dir
+        self.partition = partition
+        self.watermark = watermark
+        self.seen_offsets: set[int] = set()  # C3: intra-epoch dedup index
+        self.n_applied = 0
+        self.dirty = False  # set by apply() on any state change
+        self.has_file = prev_file_rel is not None
+        # state: url -> (warc_ts_us, offset, op, html, text, lang)
+        self.state: dict[str, tuple] = {}
+        if prev_file_rel:
+            prev = pq.read_table(os.path.join(lake_dir, prev_file_rel))
+            cands = pages_to_candidates(prev)
+            ts_us = cands.column("warc_ts").cast(pa.int64()).to_pylist()
+            for i, row in enumerate(cands.to_pylist()):
+                self.state[row["url"]] = (
+                    ts_us[i], -1, "insert", row["html"], row["text"],
+                    row["lang"],
+                )
+
+    def apply(self, batch: pa.Table) -> int:
+        """Apply a CANDIDATE sub-batch routed to this partition."""
+        applied = 0
+        for row in batch.to_pylist():
+            off = row["offset"]
+            if off <= self.watermark or off in self.seen_offsets:
+                continue  # D5 / C3: already applied or duplicate delivery
+            self.seen_offsets.add(off)
+            ts = row["warc_ts"]
+            ts_us = (
+                ts if isinstance(ts, int) else int(ts.timestamp() * 1_000_000)
+            )
+            cur = self.state.get(row["url"])
+            if cur is None or (ts_us, off) > (cur[0], cur[1]):
+                self.state[row["url"]] = (
+                    ts_us, off, row["op"], row["html"], row.get("text"),
+                    row.get("lang"),
+                )
+                self.dirty = True
+            applied += 1
+        self.n_applied += applied
+        return applied
+
+    def checkpoint(self, epoch: int, new_watermark: int) -> dict | None:
+        """Write this partition's current table to staging; return the
+        lineage row, or None when nothing changed since the last
+        checkpoint (the manifest then carries the old file forward).
+        Idempotent per (epoch, state)."""
+        self.watermark = new_watermark
+        if not self.dirty:
+            self.seen_offsets.clear()
+            return None
+        urls = sorted(
+            u for u, v in self.state.items() if v[2] != "delete"
+        )
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array([self.state[u][1] for u in urls], pa.int64()),
+                pa.array([self.state[u][2] for u in urls], pa.string()),
+                pa.array(urls, pa.string()),
+                pa.array([self.state[u][0] for u in urls], pa.timestamp("us")),
+                pa.array([self.state[u][3] for u in urls], pa.binary()),
+                pa.array([self.state[u][4] for u in urls], pa.string()),
+                pa.array([self.state[u][5] for u in urls], pa.string()),
+            ],
+            schema=CANDIDATE,
+        )
+        tbl = _fill_text(tbl)
+        # persist extracted text back into state (byte-identity across
+        # checkpoints: never re-extract a winner)
+        for i, u in enumerate(urls):
+            v = self.state[u]
+            if v[4] is None:
+                self.state[u] = (*v[:4], tbl.column("text")[i].as_py(), v[5])
+        from maestro_ray.core.schema import PAGES_V2
+
+        out = tbl.select([f.name for f in PAGES_V2]).cast(PAGES_V2)
+        rel = os.path.join(
+            "_staging", f"epoch-{epoch:012d}", f"p={self.partition}.parquet"
+        )
+        path = os.path.join(self.lake_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(out, path)
+        self.seen_offsets.clear()  # epoch boundary: watermark now covers them
+        self.dirty = False
+        self.has_file = True
+        return {
+            "partition": self.partition,
+            "epoch": epoch,
+            "watermark_offset": new_watermark,
+            "row_count": out.num_rows,
+            "checksum": checksum(out),
+            "n_input": self.n_applied,
+        }
+
+
+def tail_ingest(
+    log_dir: str,
+    lake_dir: str,
+    *,
+    num_partitions: int = 16,
+    checkpoint_every: int = 2,
+    max_segments: int | None = None,
+) -> Manifest | None:
+    """Incremental tail loop: one micro-batch per segment, checkpoint
+    (manifest epoch) every ``checkpoint_every`` segments. Resumes from
+    the newest manifest like replay mode."""
+    os.makedirs(lake_dir, exist_ok=True)
+    m = latest_manifest(lake_dir)
+    watermark = m.watermark if m else -1
+    epoch = (m.epoch + 1) if m else 1
+    prev_files = {p: v["file"] for p, v in m.partitions.items()} if m else {}
+    segs = segments_after(log_dir, watermark)
+    if max_segments is not None:
+        segs = segs[:max_segments]
+    if not segs:
+        return m
+    actors = [
+        PartitionMerger.remote(lake_dir, p, prev_files.get(p), watermark)
+        for p in range(num_partitions)
+    ]
+    pending_watermark = watermark
+    n_since_ckpt = 0
+
+    def do_checkpoint() -> Manifest:
+        nonlocal m, epoch, watermark, n_since_ckpt
+        rows = [
+            r
+            for r in ray.get(
+                [a.checkpoint.remote(epoch, pending_watermark) for a in actors]
+            )
+            if r is not None
+        ]
+        m = publish_epoch(lake_dir, epoch, pending_watermark, rows, m)
+        if rows:
+            write_lineage(lake_dir, epoch, rows)
+        watermark = pending_watermark
+        epoch += 1
+        n_since_ckpt = 0
+        return m
+
+    for first, path in segs:
+        ds = read_changelog(
+            log_dir, from_offset=watermark, segments=[(first, path)]
+        )
+        if ds is None:
+            continue
+        ds = ds.map_batches(events_to_candidates, batch_format="pyarrow")
+        for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            batch = lww_reduce(batch)
+            p = partition_ids(batch.column("url"), num_partitions)
+            batch = batch.append_column("p", pa.array(p, pa.int32()))
+            refs = []
+            for part in set(p.tolist()):
+                sub = batch.filter(
+                    pc.equal(batch.column("p"), pa.scalar(part, pa.int32()))
+                ).drop_columns(["p"])
+                refs.append(actors[part].apply.remote(sub))
+            ray.get(refs)
+        pending_watermark = max(pending_watermark, _segment_max_offset(path))
+        n_since_ckpt += 1
+        if n_since_ckpt >= checkpoint_every:
+            do_checkpoint()
+    if n_since_ckpt:
+        do_checkpoint()
+    for a in actors:
+        ray.kill(a)
+    return m

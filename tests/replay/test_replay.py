@@ -36,10 +36,12 @@ def _assert_lake_equals(lake_dir, expected):
         assert got.column(col).equals(expected.column(col)), f"column {col} differs"
 
 
-def test_full_replay_matches_oracle(ray_session, fixture_dirs, tmp_path):
-    lake = str(tmp_path / "lake")
+@pytest.mark.parametrize("exchange", ["files", "shuffle"])
+def test_full_replay_matches_oracle(ray_session, fixture_dirs, tmp_path, exchange):
+    lake = str(tmp_path / f"lake_{exchange}")
     m = ingest(fixture_dirs["log"], lake,
-               base_pages=fixture_dirs["pages_path"], num_partitions=8)
+               base_pages=fixture_dirs["pages_path"], num_partitions=8,
+               exchange=exchange)
     assert m is not None and m.watermark == PARAMS.n_events - 1
     _assert_lake_equals(lake, fixture_dirs["expected"])
     # lineage written for every epoch, checksums recorded

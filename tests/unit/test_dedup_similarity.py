@@ -1,0 +1,146 @@
+"""Near-dup + similarity-search tests on planted fixtures."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from maestro_ray.ops.dedup import (
+    dedup_near_minhash,
+    dedup_near_simhash,
+    embedding_near_dup,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    simhash_batch,
+    _shingle_hashes,
+)
+from maestro_ray.ops.similarity import knn_brute, knn_lsh
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the data engine "
+    "streams arrow batches through the object store with backpressure "
+    "and partitioned parquet outputs for every epoch of the changelog"
+)
+
+
+def _docs_table():
+    docs = {
+        0: BASE,
+        1: BASE.replace("lazy", "sleepy"),  # near-dup of 0
+        2: BASE + " trailing words appended here",  # near-dup of 0
+        3: "completely different content about cooking pasta with garlic "
+           "and olive oil in a big pot of salted boiling water tonight",
+        4: "yet another unrelated document mentioning mountains rivers "
+           "forests and the long hike we took last autumn in the north",
+        5: BASE,  # exact dup of 0
+    }
+    return pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_docs_table())
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    from maestro_ray.ops.dedup import _perm_params
+
+    a, b = _perm_params(128)
+    s0 = minhash_signature(_shingle_hashes(BASE), a, b)
+    s1 = minhash_signature(_shingle_hashes(BASE.replace("lazy", "sleepy")), a, b)
+    s3 = minhash_signature(_shingle_hashes("pasta with garlic and oil"), a, b)
+    est01 = (s0 == s1).mean()
+    est03 = (s0 == s3).mean()
+    true01 = jaccard(BASE, BASE.replace("lazy", "sleepy"))
+    assert abs(est01 - true01) < 0.15
+    assert est03 < 0.1 < est01
+
+
+def test_minhash_lsh_finds_planted_cluster(docs_ds):
+    out = dedup_near_minhash(docs_ds, threshold=0.5)
+    rep = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert rep[0] == rep[1] == rep[2] == rep[5] == 0
+    assert rep[3] == 3 and rep[4] == 4
+
+
+def test_minhash_deterministic(docs_ds):
+    a = dedup_near_minhash(docs_ds, threshold=0.5)
+    b = dedup_near_minhash(docs_ds, threshold=0.5)
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_simhash_near_dups(docs_ds):
+    tbl = simhash_batch(_docs_table())
+    fp = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("simhash").to_pylist()))
+    assert fp[0] == fp[5]  # identical docs -> identical fingerprint
+    assert hamming64(fp[0], fp[1]) < hamming64(fp[0], fp[3])
+    pairs = dedup_near_simhash(docs_ds, max_hamming=6)
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy().tolist()))
+    assert (0, 5) in got
+
+
+def _emb_ds(rd):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 32)).astype(np.float32)
+    # plant: vec 20 = vec 0 + tiny noise; vec 21 = vec 1 scaled
+    planted = np.vstack([
+        base,
+        base[0] + 0.01 * rng.standard_normal(32).astype(np.float32),
+        base[1] * 3.0,
+    ])
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(planted)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in planted],
+                              pa.list_(pa.float32())),
+    })), planted
+
+
+def test_embedding_near_dup_finds_planted(ray_session):
+    import ray.data as rd
+
+    ds, _ = _emb_ds(rd)
+    pairs = embedding_near_dup(ds, threshold=0.98, n_planes=6)
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy().tolist()))
+    assert (0, 20) in got
+    assert (1, 21) in got
+
+
+def test_knn_brute_matches_numpy_exact(ray_session):
+    import ray.data as rd
+
+    ds, planted = _emb_ds(rd)
+    q = planted[:2]
+    out = knn_brute(ds, q, k=5)
+    # exact reference
+    norm = planted / np.linalg.norm(planted, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = norm @ qn.T
+    for qi in range(2):
+        expect = set(np.argsort(-sims[:, qi])[:5].tolist())
+        got = set(out[out["query_id"] == qi]["vec_id"].tolist())
+        assert got == expect, f"query {qi}"
+    assert out[(out.query_id == 0) & (out.vec_id == 0)]["score"].iloc[0] == 1.0
+
+
+def test_knn_lsh_recall_against_brute(ray_session):
+    import ray.data as rd
+
+    ds, planted = _emb_ds(rd)
+    q = planted[:3]
+    brute = knn_brute(ds, q, k=5)
+    approx = knn_lsh(ds, q, k=5, n_planes=6, n_probes=7)
+    recalls = []
+    for qi in range(3):
+        b = set(brute[brute.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.6  # multi-probe LSH recall floor
