@@ -91,32 +91,39 @@ def knn_lsh(
     id_col: str = "vec_id",
     n_planes: int = 8,
     n_probes: int = 9,
+    n_tables: int = 4,
     seed: int = 23,
 ) -> pd.DataFrame:
-    """Approximate top-k: hyperplane buckets + multi-probe (the query's
-    bucket and its ``n_probes-1`` nearest single-bit flips). Same output
-    shape as knn_brute; recall measured in tests against it."""
+    """Approximate top-k: MULTI-TABLE hyperplane LSH + multi-probe.
+
+    ``n_tables`` independent hyperplane sets; per table the query probes
+    its own bucket plus the ``n_probes-1`` nearest single-bit flips
+    (least-confident planes first). A vector is a candidate if ANY
+    table buckets it with the query — the standard recall amplifier for
+    unclustered data, where a single table's recall collapses. Same
+    output shape as knn_brute; recall measured in tests against it."""
     q = np.asarray(queries, dtype=np.float32)
     if q.ndim == 1:
         q = q[None, :]
     q = _normalize(q)
     dim = q.shape[1]
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    planes = rng.standard_normal((n_tables, dim, n_planes)).astype(np.float32)
     bits = np.arange(n_planes, dtype=np.uint64)
 
-    # query probe set: own bucket + buckets at hamming distance 1 in
-    # order of |margin| (flip the least-confident planes first)
-    qproj = q @ planes
-    probes: list[set[int]] = []
-    for qi in range(q.shape[0]):
-        base = int(((qproj[qi] > 0).astype(np.uint64) << bits).sum())
-        order = np.argsort(np.abs(qproj[qi]))
-        ps = {base}
-        for flip in order[: max(0, n_probes - 1)]:
-            ps.add(base ^ (1 << int(flip)))
-        probes.append(ps)
-    probe_union = set().union(*probes)
+    # per-table probe sets
+    probes: list[list[set[int]]] = []  # [table][query] -> bucket set
+    for t_i in range(n_tables):
+        qproj = q @ planes[t_i]
+        per_q = []
+        for qi in range(q.shape[0]):
+            base = int(((qproj[qi] > 0).astype(np.uint64) << bits).sum())
+            order = np.argsort(np.abs(qproj[qi]))
+            ps = {base}
+            for flip in order[: max(0, n_probes - 1)]:
+                ps.add(base ^ (1 << int(flip)))
+            per_q.append(ps)
+        probes.append(per_q)
     planes_ref = ray.put(planes)
     q_ref = ray.put(q)
     probes_ref = ray.put(probes)
@@ -124,24 +131,30 @@ def knn_lsh(
     def local(t: pa.Table) -> pa.Table:
         pl, qm, prb = ray.get(planes_ref), ray.get(q_ref), ray.get(probes_ref)
         emb = _normalize(_emb_matrix(t, emb_col))
-        bucket = ((emb @ pl > 0).astype(np.uint64) << bits[None, :]).sum(axis=1)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        keep = np.isin(bucket, np.fromiter(probe_union, dtype=np.uint64))
-        emb, ids, bucket = emb[keep], ids[keep], bucket[keep]
+        buckets = [
+            ((emb @ pl[t_i] > 0).astype(np.uint64) << bits[None, :]).sum(axis=1)
+            for t_i in range(len(pl))
+        ]
         out_q, out_id, out_s = [], [], []
-        if len(ids):
-            sims = emb @ qm.T
-            for qi in range(qm.shape[0]):
-                mask = np.isin(bucket, np.fromiter(prb[qi], dtype=np.uint64))
-                if not mask.any():
-                    continue
-                s = sims[mask, qi]
-                cids = ids[mask]
-                kk = min(k, len(cids))
-                part = np.argpartition(-s, kk - 1)[:kk]
-                out_q.extend([qi] * kk)
-                out_id.extend(cids[part].tolist())
-                out_s.extend(s[part].astype(np.float64).tolist())
+        sims = None
+        for qi in range(qm.shape[0]):
+            cand = np.zeros(len(ids), dtype=bool)
+            for t_i in range(len(pl)):
+                cand |= np.isin(
+                    buckets[t_i], np.fromiter(prb[t_i][qi], dtype=np.uint64)
+                )
+            if not cand.any():
+                continue
+            if sims is None:
+                sims = emb @ qm.T
+            s = sims[cand, qi]
+            cids = ids[cand]
+            kk = min(k, len(cids))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(cids[part].tolist())
+            out_s.extend(s[part].astype(np.float64).tolist())
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
             id_col: pa.array(out_id, pa.int64()),

@@ -254,6 +254,10 @@ def ingest(
     encode/decode cycle of the exchange loses to plasma here). Salted
     hot-key mode always uses the groupby path.
     """
+    if exchange not in ("shuffle", "files"):
+        raise ValueError(
+            f"exchange={exchange!r}: expected 'shuffle' or 'files'"
+        )
     os.makedirs(lake_dir, exist_ok=True)
     m = latest_manifest(lake_dir)
     if m is None and base_pages is not None:
