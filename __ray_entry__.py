@@ -10,8 +10,12 @@ nothing here calls ``ray.init`` / ``ray.shutdown``.
 
 Cross-engine float policy: per-row arithmetic is bit-exact between
 pyarrow and DuckDB, so computed columns are compared raw; *reductions*
-(sum/avg) accumulate in different orders, so every float aggregate is
-rounded to 3 decimals ON BOTH SIDES (`round(x, 3)` / `AS ... ROUND`).
+(sum/avg) accumulate in different orders, so float aggregates are
+rounded ON BOTH SIDES — and the rounding grain must be COARSE RELATIVE
+TO MAGNITUDE: a 1e9-magnitude sum carries ~1e-3 absolute accumulation
+skew between engines, so money sums are reported in millions at 4
+decimals (``round(sum(x)/1e6, 4)``), while integral-valued or
+small-magnitude aggregates use 3 decimals directly.
 """
 
 from __future__ import annotations
@@ -305,7 +309,7 @@ def _q_agg_grouped(sf):
             )
         },
     )
-    return grouped_agg(
+    agg = grouped_agg(
         ds,
         ["l_returnflag", "l_linestatus"],
         {
@@ -314,8 +318,15 @@ def _q_agg_grouped(sf):
             "sum_disc_price": ("disc_price", "sum"),
             "count_order": (None, "count"),
         },
-        round_to=3,
     )
+    # float policy: quantity sums are integral-valued (3dp safe); price
+    # sums reach 1e9 where cross-engine accumulation differs by ~1e-3
+    # absolute -> report in millions at 4dp (relative-coarse rounding)
+    agg["sum_qty"] = agg["sum_qty"].round(3)
+    agg["sum_base_price_m"] = (agg["sum_base_price"] / 1e6).round(4)
+    agg["sum_disc_price_m"] = (agg["sum_disc_price"] / 1e6).round(4)
+    return agg[["l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price_m", "sum_disc_price_m", "count_order"]]
 
 
 def _q_distinct(sf):
@@ -606,6 +617,107 @@ def _q_approx_distinct(sf):
     return pa.table({"approx_n": pa.array([round(est)], pa.int64())})
 
 
+def _q_scalar_array(sf):
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding", "label"])
+    return P.project(
+        ds,
+        columns=["vec_id", "n_dims", "first_val", "label"],
+        computed={
+            "n_dims": lambda t: pc.list_value_length(t.column("embedding")).cast(
+                pa.int64()
+            ),
+            "first_val": lambda t: pc.list_element(t.column("embedding"), 0).cast(
+                pa.float64()
+            ),
+        },
+    )
+
+
+def _q_pipeline_topk_revenue(sf):
+    """Q3-flavored composition: filter -> semi-join -> hash-join ->
+    grouped agg -> top-k. Every stage is the library op."""
+    cut = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+    cust = P.filter_rows(
+        _read(sf, "customer", columns=["c_custkey", "c_mktsegment"]),
+        lambda t: pc.equal(t.column("c_mktsegment"), pa.scalar("BUILDING")),
+    )
+    orders = P.filter_rows(
+        _read(sf, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        lambda t: pc.less(t.column("o_orderdate"), cut),
+    )
+    orders = semi_join(orders, cust, key="o_custkey", right_key="c_custkey")
+    li = P.filter_rows(
+        _read(sf, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]),
+        lambda t: pc.greater(t.column("l_shipdate"), cut),
+    )
+    li = P.project(
+        li,
+        columns=["l_orderkey", "disc_price"],
+        computed={
+            "disc_price": lambda t: pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        },
+    )
+    joined = hash_join(
+        li,
+        P.project(orders, columns=["l_orderkey", "o_orderdate"],
+                  rename={"o_orderkey": "l_orderkey"}),
+        keys=["l_orderkey"], num_buckets=16,
+    )
+    agg = grouped_agg(
+        joined, ["l_orderkey", "o_orderdate"],
+        {"revenue": ("disc_price", "sum")}, round_to=3,
+    )
+    return (
+        agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+def _q_pipeline_nation_revenue(sf):
+    """Q5-flavored composition: broadcast dim join + two hash joins +
+    grouped aggregation."""
+    cust = broadcast_join(
+        _read(sf, "customer", columns=["c_custkey", "c_nationkey"]),
+        pq.read_table(_t(sf, "nation"), columns=["n_nationkey", "n_name"])
+        .rename_columns(["c_nationkey", "n_name"]),
+        keys=["c_nationkey"],
+    )
+    orders = hash_join(
+        _read(sf, "orders", columns=["o_orderkey", "o_custkey"]),
+        P.project(cust, columns=["o_custkey", "n_name"],
+                  rename={"c_custkey": "o_custkey"}),
+        keys=["o_custkey"], num_buckets=16,
+    )
+    li = P.project(
+        _read(sf, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"]),
+        columns=["l_orderkey", "disc_price"],
+        computed={
+            "disc_price": lambda t: pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+        },
+    )
+    joined = hash_join(
+        li,
+        P.project(orders, columns=["l_orderkey", "n_name"],
+                  rename={"o_orderkey": "l_orderkey"}),
+        keys=["l_orderkey"], num_buckets=16,
+    )
+    agg = grouped_agg(joined, ["n_name"], {"revenue": ("disc_price", "sum")})
+    # large-magnitude sums: round in RELATIVE terms (millions, 4dp) —
+    # at 1e7 magnitude the engines' accumulation orders differ by ~1e-3
+    # absolute, finer than a 3-decimal grain (measured mismatch)
+    agg["revenue_m"] = (agg["revenue"] / 1e6).round(4)
+    return agg[["n_name", "revenue_m"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -652,6 +764,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_decode": _q_multimodal_decode,
         "approx_distinct": _q_approx_distinct,
+        "scalar_array": _q_scalar_array,
+        "pipeline_topk_revenue": _q_pipeline_topk_revenue,
+        "pipeline_nation_revenue": _q_pipeline_nation_revenue,
     }
 
 
@@ -713,8 +828,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg_grouped": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 3) AS sum_qty, "
-            "round(sum(l_extendedprice), 3) AS sum_base_price, "
-            "round(sum(l_extendedprice * (1.0 - l_discount)), 3) AS sum_disc_price, "
+            "round(sum(l_extendedprice) / 1000000.0, 4) AS sum_base_price_m, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)) / 1000000.0, 4) "
+            "AS sum_disc_price_m, "
             "CAST(count(*) AS BIGINT) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
@@ -810,6 +926,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "
             "FROM documents WHERE length(text) > 0"
+        ),
+        "scalar_array": (
+            "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims, "
+            "CAST(embedding[1] AS DOUBLE) AS first_val, label FROM embeddings"
+        ),
+        "pipeline_topk_revenue": (
+            "SELECT l_orderkey, o_orderdate, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)), 3) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "pipeline_nation_revenue": (
+            # millions + 4dp: relative-coarse rounding — see Ray twin
+            "SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)) "
+            "/ 1000000.0, 4) AS revenue_m FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN orders ON o_custkey = c_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "GROUP BY n_name"
         ),
         "knn_brute": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

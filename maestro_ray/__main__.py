@@ -1,0 +1,134 @@
+"""CLI — the ``ray job submit`` entry point (BASELINE.json north_rule).
+
+    ray job submit --working-dir . -- python -m maestro_ray ingest \
+        --log-dir /data/changelog --lake-dir /data/lake --partitions 256
+
+Subcommands: ``ingest`` (replay / resume), ``tail`` (incremental
+actor-pool mode), ``compact``, ``vacuum``, ``status``. This module is
+the ONLY library-side owner of a Ray session, and only when run
+standalone (``ray job submit`` drivers init their own session via the
+runtime; a pre-initialised session is respected).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="maestro_ray")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="only for standalone local runs")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_ing = sub.add_parser("ingest", help="replay changelog into the lake (resumes)")
+    p_ing.add_argument("--log-dir", required=True)
+    p_ing.add_argument("--lake-dir", required=True)
+    p_ing.add_argument("--base-pages", default=None)
+    p_ing.add_argument("--partitions", type=int, default=64)
+    p_ing.add_argument("--segments-per-epoch", type=int, default=None)
+    p_ing.add_argument("--salt-hot-keys", action="store_true")
+    p_ing.add_argument("--exchange", choices=["shuffle", "files"], default="shuffle")
+
+    p_tail = sub.add_parser("tail", help="incremental tail mode (actor pool)")
+    p_tail.add_argument("--log-dir", required=True)
+    p_tail.add_argument("--lake-dir", required=True)
+    p_tail.add_argument("--partitions", type=int, default=64)
+    p_tail.add_argument("--checkpoint-every", type=int, default=4)
+
+    p_cmp = sub.add_parser("compact", help="rewrite partition files (U8)")
+    p_cmp.add_argument("--lake-dir", required=True)
+
+    p_vac = sub.add_parser("vacuum", help="delete unreferenced files")
+    p_vac.add_argument("--lake-dir", required=True)
+
+    p_st = sub.add_parser("status", help="print newest manifest")
+    p_st.add_argument("--lake-dir", required=True)
+
+    args = ap.parse_args(argv)
+
+    from maestro_ray.core.manifest import latest_manifest
+
+    if args.cmd == "status":
+        m = latest_manifest(args.lake_dir)
+        print(m.to_json() if m else "{}")
+        return 0
+
+    _ensure_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "ingest":
+            from maestro_ray.pipelines.ingest import ingest
+
+            m = ingest(
+                args.log_dir,
+                args.lake_dir,
+                num_partitions=args.partitions,
+                base_pages=args.base_pages,
+                segments_per_epoch=args.segments_per_epoch,
+                salt_hot_keys=args.salt_hot_keys,
+                exchange=args.exchange,
+            )
+        elif args.cmd == "tail":
+            from maestro_ray.pipelines.tail import tail_ingest
+
+            m = tail_ingest(
+                args.log_dir,
+                args.lake_dir,
+                num_partitions=args.partitions,
+                checkpoint_every=args.checkpoint_every,
+            )
+        elif args.cmd == "compact":
+            from maestro_ray.io.lake import compact_partitions
+
+            m = compact_partitions(args.lake_dir)
+        elif args.cmd == "vacuum":
+            from maestro_ray.core.manifest import vacuum
+
+            m = latest_manifest(args.lake_dir)
+            if m is None:
+                print(json.dumps({"removed": 0}))
+                return 0
+            removed = vacuum(args.lake_dir, m)
+            print(json.dumps({"removed": removed, "epoch": m.epoch}))
+            return 0
+        if m is None:
+            print(json.dumps({"status": "nothing to do"}))
+        else:
+            print(json.dumps({
+                "epoch": m.epoch,
+                "watermark": m.watermark,
+                "partitions": len(m.partitions),
+                "rows": sum(v["rows"] for v in m.partitions.values()),
+                "counters": m.counters,
+            }))
+        return 0
+    finally:
+        if os.environ.get("MAESTRO_KEEP_RAY") != "1":
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
