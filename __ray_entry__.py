@@ -617,6 +617,17 @@ def _q_approx_distinct(sf):
     return pa.table({"approx_n": pa.array([round(est)], pa.int64())})
 
 
+def _q_model_score(sf):
+    """Actor-pool model inference: weights built once per actor
+    (LinearModelScorer.__init__), batches scored by one matmul."""
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    scored = ds.map_batches(
+        T.LinearModelScorer, batch_format="pyarrow", concurrency=2,
+        batch_size=1024,
+    )
+    return P.project(scored, columns=["vec_id", "score"])
+
+
 def _q_scalar_array(sf):
     ds = _read(sf, "embeddings", columns=["vec_id", "embedding", "label"])
     return P.project(
@@ -764,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_decode": _q_multimodal_decode,
         "approx_distinct": _q_approx_distinct,
+        "model_score": _q_model_score,
         "scalar_array": _q_scalar_array,
         "pipeline_topk_revenue": _q_pipeline_topk_revenue,
         "pipeline_nation_revenue": _q_pipeline_nation_revenue,
@@ -926,6 +938,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "
             "FROM documents WHERE length(text) > 0"
+        ),
+        "model_score": (
+            # same seeded weights the actor builds in __init__
+            "SELECT vec_id, round(list_dot_product("
+            "CAST(embedding AS DOUBLE[]), "
+            f"{T.LinearModelScorer().weights_list()!r}"
+            "), 4) AS score FROM embeddings"
         ),
         "scalar_array": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims, "

@@ -102,6 +102,10 @@ def run_bench(num_cpus: int) -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray's default ~200-block read floor shatters the sf0.1 tables into
+    # tiny blocks and the groupby shuffles pay O(blocks^2) fetches —
+    # worst at high CPU counts (BASELINE.md anti-methodology)
+    ctx.read_op_min_num_blocks = min(32, 2 * num_cpus)
 
     # untimed warmup: spin up worker processes before any timed region
     rd.range(2_000_000, override_num_blocks=num_cpus * 2).map_batches(

@@ -165,6 +165,39 @@ class WordCountScorer:
         return batch
 
 
+class LinearModelScorer:
+    """The batched-model-inference pattern (C2): a weight vector is
+    derived ONCE per actor in ``__init__`` (stand-in for loading model
+    weights from disk/object store), then every batch is scored with a
+    single vectorized matmul. Deterministic: weights come from a seeded
+    RNG, so a DuckDB ``list_dot_product`` twin can verify the scores.
+    """
+
+    def __init__(self, dim: int = 64, seed: int = 11,
+                 emb_col: str = "embedding", out_col: str = "score"):
+        import numpy as np
+
+        self.emb_col, self.out_col = emb_col, out_col
+        # "model load": done once per actor, never per batch
+        self.weights = (
+            np.random.default_rng(seed).standard_normal(dim).astype(np.float64)
+        )
+
+    def weights_list(self) -> list[float]:
+        return [float(w) for w in self.weights]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        col = batch.column(self.emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        emb = flat.reshape(len(col), -1)
+        scores = np.round(emb @ self.weights, 4)
+        return batch.append_column(self.out_col, pa.array(scores, pa.float64()))
+
+
 def lang_detect(ds: rd.Dataset, text_col: str = "text", concurrency: int = 4) -> rd.Dataset:
     return ds.map_batches(
         LangDetect, fn_constructor_kwargs={"text_col": text_col},
