@@ -617,6 +617,54 @@ def _q_approx_distinct(sf):
     return pa.table({"approx_n": pa.array([round(est)], pa.int64())})
 
 
+_CDC_SCALES = {  # per-sf replay sizes for the cdc_* driver checks
+    "sf0.001": dict(n_urls=300, n_events=2_000, seg_rows=500),
+    "sf0.01": dict(n_urls=2_000, n_events=20_000, seg_rows=4_000),
+    "sf0.1": dict(n_urls=8_000, n_events=80_000, seg_rows=10_000),
+}
+
+
+def _cdc_lake(sf) -> str:
+    """Run a deterministic CDC replay sized to ``sf`` (cached per run id
+    under /tmp); returns the lake dir."""
+    from maestro_ray.fixtures import ChangelogParams, write_changelog
+    from maestro_ray.pipelines.ingest import ingest
+
+    name = os.path.basename(sf.rstrip("/"))
+    scale = _CDC_SCALES.get(name, _CDC_SCALES["sf0.01"])
+    work = f"/tmp/maestro_cdc_{name}"
+    lake = os.path.join(work, "lake")
+    done = os.path.join(work, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        log = os.path.join(work, "log")
+        write_changelog(log, ChangelogParams(**scale))
+        ingest(log, lake, num_partitions=16, segments_per_epoch=2)
+        open(done, "w").close()
+    return lake
+
+
+def _q_cdc_replay(sf):
+    """The engine itself as a driver check: replay a deterministic
+    changelog (tombstones, dups, evolution, skew) and return the
+    converged lake's verifiable columns. Rows-only check (the full
+    byte-level gate is the pytest replay-oracle suite)."""
+    from maestro_ray.io.lake import read_lake
+
+    ds = read_lake(_cdc_lake(sf), columns=["url", "warc_ts", "lang"])
+    return ds
+
+
+def _q_cdc_lineage(sf):
+    """S6: the per-partition lineage records of the same replay."""
+    from maestro_ray.io.lake import read_lineage
+
+    t = read_lineage(_cdc_lake(sf))
+    out = t.to_pandas()
+    out["checksum"] = out["checksum"].astype(str)  # uint64-safe
+    return out.sort_values(["epoch", "partition"]).reset_index(drop=True)
+
+
 def _q_model_score(sf):
     """Actor-pool model inference: weights built once per actor
     (LinearModelScorer.__init__), batches scored by one matmul."""
@@ -775,6 +823,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_decode": _q_multimodal_decode,
         "approx_distinct": _q_approx_distinct,
+        "cdc_replay": _q_cdc_replay,
+        "cdc_lineage": _q_cdc_lineage,
         "model_score": _q_model_score,
         "scalar_array": _q_scalar_array,
         "pipeline_topk_revenue": _q_pipeline_topk_revenue,

@@ -42,9 +42,14 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     files = lake_files(lake_dir, manifest)
     if not files:
         return None
+    if columns:
+        # explicit column list never selects the inferred hive col, and
+        # ray's parquet datasource errors on columns= + partitioning=None
+        # (UnboundLocalError in _infer_partition_columns, ray 2.49)
+        return rd.read_parquet(files, columns=columns)
     # partitioning=None: the p=<k>/ dir layout must NOT be inferred as a
     # hive partition column — `p` is physical placement, not data
-    return rd.read_parquet(files, columns=columns, partitioning=None)
+    return rd.read_parquet(files, partitioning=None)
 
 
 def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table:
