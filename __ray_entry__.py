@@ -586,7 +586,10 @@ def _q_embedding_near_dup(sf):
     from maestro_ray.ops.dedup import embedding_near_dup
 
     ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_near_dup(ds, threshold=0.9, n_planes=8)
+    # the test embeddings are uniform-random (max pairwise cosine ~0.5),
+    # so a production-style 0.9/8-plane config returns zero pairs — a
+    # vacuous driver check. 0.4 with 4 planes yields a small stable set.
+    return embedding_near_dup(ds, threshold=0.4, n_planes=4)
 
 
 def _q_multimodal_decode(sf):

@@ -1,0 +1,95 @@
+"""Property tests (hypothesis) for the algebraic claims the engine's
+correctness rests on: LWW-reduce associativity (justifies the combiner
+and salting), checksum mergeability, evolution idempotence/composition.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from maestro_ray.core.schema import CHANGELOG_V1, CHANGELOG_V3, evolve_table
+from maestro_ray.ops.hashing import checksum
+from maestro_ray.ops.partition import lww_reduce
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 9),        # url id
+        st.integers(0, 5),        # warc_ts
+        st.integers(0, 1000),     # offset (may collide: dup delivery)
+        st.sampled_from(["insert", "update", "delete"]),
+    ),
+    min_size=0, max_size=60,
+)
+
+
+def _tbl(rows):
+    return pa.table({
+        "offset": pa.array([r[2] for r in rows], pa.int64()),
+        "op": pa.array([r[3] for r in rows], pa.string()),
+        "url": pa.array([f"u{r[0]}" for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array([f"h{r[2]}".encode() for r in rows], pa.binary()),
+    })
+
+
+def _canon(t: pa.Table):
+    return sorted(
+        zip(
+            t.column("url").to_pylist(),
+            t.column("warc_ts").to_pylist(),
+            t.column("offset").to_pylist(),
+            t.column("op").to_pylist(),
+        )
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(_events, st.integers(0, 59))
+def test_lww_reduce_associative(rows, split):
+    """reduce(reduce(A) ∪ reduce(B)) == reduce(A ∪ B) for any split —
+    the exact property the per-batch combiner and salted pre-merge
+    rely on (SURVEY.md U1/U6)."""
+    t = _tbl(rows)
+    split = min(split, t.num_rows)
+    a, b = t.slice(0, split), t.slice(split)
+    two_phase = lww_reduce(
+        pa.concat_tables([lww_reduce(a), lww_reduce(b)])
+    )
+    one_phase = lww_reduce(t)
+    assert _canon(two_phase) == _canon(one_phase)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_events)
+def test_lww_reduce_idempotent(rows):
+    t = lww_reduce(_tbl(rows))
+    assert _canon(lww_reduce(t)) == _canon(t)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_events, st.integers(0, 59))
+def test_checksum_partition_invariant(rows, split):
+    """checksum(A) + checksum(B) ≡ checksum(A ∪ B) mod 2^64 for any
+    row partition — why per-partition checksums sum to a global one."""
+    t = _tbl(rows)
+    split = min(split, t.num_rows)
+    a, b = t.slice(0, split), t.slice(split)
+    assert (checksum(a) + checksum(b)) % (1 << 64) == checksum(t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_events)
+def test_evolution_composes(rows):
+    """evolve(evolve(t, vN), vN) == evolve(t, vN): evolution to the head
+    schema is idempotent, and evolving v1 data through the head schema
+    null-fills exactly the added columns."""
+    t1 = _tbl(rows)  # CHANGELOG_V1-shaped
+    e1 = evolve_table(t1, CHANGELOG_V3)
+    e2 = evolve_table(e1, CHANGELOG_V3)
+    assert e1.equals(e2)
+    assert e1.column("lang").null_count == t1.num_rows
+    assert e1.schema.equals(CHANGELOG_V3)
+    # column order/type fidelity of the untouched columns
+    for name in CHANGELOG_V1.names:
+        assert e1.column(name).cast(t1.column(name).type).equals(t1.column(name))
