@@ -41,12 +41,17 @@ class Manifest:
     partitions: dict[int, dict] = field(default_factory=dict)
     # each: {"file": rel_path, "rows": int, "checksum": int, "watermark": int}
     counters: dict[str, int] = field(default_factory=dict)  # per-epoch metrics
+    #: the lake's partition-count — part of its identity: hash routing
+    #: p = hash(url) % P means a different P re-routes urls, and merging
+    #: against files partitioned under the old P would duplicate urls
+    num_partitions: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(
             {
                 "epoch": self.epoch,
                 "watermark": self.watermark,
+                "num_partitions": self.num_partitions,
                 "partitions": {str(k): v for k, v in sorted(self.partitions.items())},
                 "counters": dict(sorted(self.counters.items())),
             },
@@ -62,6 +67,7 @@ class Manifest:
             watermark=d["watermark"],
             partitions={int(k): v for k, v in d["partitions"].items()},
             counters=d.get("counters", {}),
+            num_partitions=d.get("num_partitions"),
         )
 
 
@@ -87,6 +93,7 @@ def publish_epoch(
     merged: list[dict],
     prev: Manifest | None,
     counters: dict[str, int] | None = None,
+    num_partitions: int | None = None,
 ) -> Manifest:
     """Atomically publish epoch ``epoch``: rename staged partition files
     into place and write the manifest. Idempotent: if this epoch's
@@ -111,8 +118,12 @@ def publish_epoch(
             "checksum": int(row["checksum"]),
             "watermark": int(row["watermark_offset"]),
         }
-    m = Manifest(epoch=epoch, watermark=watermark, partitions=parts,
-                 counters=counters or {})
+    m = Manifest(
+        epoch=epoch, watermark=watermark, partitions=parts,
+        counters=counters or {},
+        num_partitions=num_partitions
+        or (prev.num_partitions if prev else None),
+    )
     path = manifest_path(lake_dir, epoch)
     if os.path.exists(path):
         with open(path) as f:

@@ -54,9 +54,15 @@ def _segment_max_offset(path: str) -> int:
         raise SchemaContractError(
             f"segment {path} has no 'offset' column — not a changelog segment"
         )
-    return max(
-        md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)
-    )
+    stats = [
+        md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)
+    ]
+    if all(s is not None and s.has_min_max for s in stats):
+        return max(s.max for s in stats)
+    # externally-produced segments may lack stats: read the column
+    import pyarrow.compute as _pc
+
+    return _pc.max(pq.read_table(path, columns=["offset"]).column("offset")).as_py()
 
 
 import contextlib
@@ -126,7 +132,8 @@ def _run_epoch(
         "rows_shuffled": sum(r.get("n_input", 0) for r in rows),
         "rows_final": sum(r["row_count"] for r in rows),
     }
-    m = publish_epoch(lake_dir, epoch, epoch_watermark, rows, prev, counters)
+    m = publish_epoch(lake_dir, epoch, epoch_watermark, rows, prev, counters,
+                      num_partitions=num_partitions)
     write_lineage(lake_dir, epoch, rows)
     return m
 
@@ -169,7 +176,8 @@ def _run_epoch_files(
         "rows_shuffled": sum(r.get("n_input", 0) for r in rows),
         "rows_final": sum(r["row_count"] for r in rows),
     }
-    m = publish_epoch(lake_dir, epoch, epoch_watermark, rows, prev, counters)
+    m = publish_epoch(lake_dir, epoch, epoch_watermark, rows, prev, counters,
+                      num_partitions=num_partitions)
     write_lineage(lake_dir, epoch, rows)
     _shutil.rmtree(ex_dir, ignore_errors=True)
     return m
@@ -260,6 +268,12 @@ def ingest(
         )
     os.makedirs(lake_dir, exist_ok=True)
     m = latest_manifest(lake_dir)
+    if m is not None and m.num_partitions not in (None, num_partitions):
+        raise ValueError(
+            f"lake {lake_dir} was built with num_partitions="
+            f"{m.num_partitions}; resuming with {num_partitions} would "
+            "re-route urls across partitions and duplicate rows"
+        )
     if m is None and base_pages is not None:
         m = bootstrap(base_pages, lake_dir, num_partitions, exchange=exchange)
     watermark = m.watermark if m else -1

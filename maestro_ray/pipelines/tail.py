@@ -163,6 +163,12 @@ def tail_ingest(
     the newest manifest like replay mode."""
     os.makedirs(lake_dir, exist_ok=True)
     m = latest_manifest(lake_dir)
+    if m is not None and m.num_partitions not in (None, num_partitions):
+        raise ValueError(
+            f"lake {lake_dir} was built with num_partitions="
+            f"{m.num_partitions}; tailing with {num_partitions} would "
+            "re-route urls across partitions and duplicate rows"
+        )
     watermark = m.watermark if m else -1
     epoch = (m.epoch + 1) if m else 1
     prev_files = {p: v["file"] for p, v in m.partitions.items()} if m else {}
@@ -187,7 +193,8 @@ def tail_ingest(
             )
             if r is not None
         ]
-        m = publish_epoch(lake_dir, epoch, pending_watermark, rows, m)
+        m = publish_epoch(lake_dir, epoch, pending_watermark, rows, m,
+                          num_partitions=num_partitions)
         if rows:
             write_lineage(lake_dir, epoch, rows)
         watermark = pending_watermark
