@@ -281,6 +281,18 @@ def ingest(
     segs = segments_after(log_dir, watermark)
     if not segs:
         return m
+    # contiguity check: a missing segment file would otherwise silently
+    # drop its offset range (exactly-once means exactly-once, not
+    # at-most-once). First offsets must chain: seg i+1 starts at i's
+    # max primary offset + 1; the current watermark must cover seg 0.
+    prev_max = watermark
+    for first, path in segs:
+        if first > prev_max + 1:
+            raise FileNotFoundError(
+                f"changelog gap: offsets {prev_max + 1}..{first - 1} missing "
+                f"before {os.path.basename(path)} — refusing to lose events"
+            )
+        prev_max = max(prev_max, _segment_max_offset(path))
     chunk_size = segments_per_epoch or len(segs)
     chunks = [segs[i : i + chunk_size] for i in range(0, len(segs), chunk_size)]
     if max_epochs is not None:
