@@ -132,6 +132,30 @@ def error_threshold(ds: rd.Dataset, threshold: float, **rules) -> tuple[rd.Datas
 # ------------------------------------------------------------ filter/project
 
 
+def union_evolved(datasets: list[rd.Dataset], schemas: list[pa.Schema]) -> rd.Dataset:
+    """D1: bag union of schema-COMPATIBLE datasets — each input is
+    evolved (column-add null-fill + widen casts, SURVEY.md §1.4) to the
+    unified schema inside ``map_batches`` before the union, so the
+    result has one consistent Arrow schema. ``schemas[i]`` declares
+    input i's schema (passed explicitly to keep this lazy — probing a
+    Dataset's schema can trigger execution)."""
+    from maestro_ray.core.schema import evolve_table, unify
+
+    target = unify(*schemas)
+
+    def make(t_schema):
+        def f(batch: pa.Table) -> pa.Table:
+            return evolve_table(batch, target)
+
+        return f
+
+    out = None
+    for ds, s in zip(datasets, schemas):
+        part = ds.map_batches(make(s), batch_format="pyarrow")
+        out = part if out is None else out.union(part)
+    return out
+
+
 def filter_rows(ds: rd.Dataset, expr) -> rd.Dataset:
     """P5: vectorized predicate filter. ``expr`` is a pyarrow.compute
     expression (preferred — pushed into the scan when possible) or a

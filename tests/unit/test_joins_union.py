@@ -1,0 +1,77 @@
+"""Join variants (outer/left) and schema-evolving union."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from maestro_ray.core.schema import SchemaContractError
+from maestro_ray.ops.joins import broadcast_join, hash_join
+from maestro_ray.ops.parse import union_evolved
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def _left(rd):
+    return rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "lv": ["a", "b", "c", "d"],
+    }))
+
+
+def _right(rd):
+    return rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 5], pa.int64()),
+        "rv": pa.array([20.0, 30.0, 50.0]),
+    }))
+
+
+def test_hash_join_inner(rd):
+    out = hash_join(_left(rd), _right(rd), keys=["k"], num_buckets=4).to_pandas()
+    assert sorted(out["k"]) == [2, 3]
+
+
+def test_hash_join_left_outer(rd):
+    out = hash_join(_left(rd), _right(rd), keys=["k"], num_buckets=4,
+                    join_type="left outer").to_pandas()
+    assert sorted(out["k"]) == [1, 2, 3, 4]
+    assert out.set_index("k")["rv"].isna().loc[[1, 4]].all()
+
+
+def test_hash_join_full_outer(rd):
+    out = hash_join(_left(rd), _right(rd), keys=["k"], num_buckets=4,
+                    join_type="full outer").to_pandas()
+    assert sorted(out["k"]) == [1, 2, 3, 4, 5]
+    row5 = out[out.k == 5].iloc[0]
+    assert pd.isna(row5["lv"]) and row5["rv"] == 50.0
+
+
+def test_broadcast_join_left_outer(rd):
+    small = pa.table({"k": pa.array([2], pa.int64()), "rv": [9.0]})
+    out = broadcast_join(_left(rd), small, keys=["k"],
+                         join_type="left outer").to_pandas()
+    assert sorted(out["k"]) == [1, 2, 3, 4]
+    assert out[out.k == 2]["rv"].iloc[0] == 9.0
+
+
+def test_union_evolved_add_and_widen(rd):
+    s1 = pa.schema([("a", pa.int32()), ("b", pa.string())])
+    s2 = pa.schema([("a", pa.int64()), ("c", pa.float64())])
+    d1 = rd.from_arrow(pa.table({"a": pa.array([1], pa.int32()), "b": ["x"]}))
+    d2 = rd.from_arrow(pa.table({"a": pa.array([2], pa.int64()), "c": [3.5]}))
+    out = union_evolved([d1, d2], [s1, s2]).to_pandas().sort_values("a")
+    assert out["a"].tolist() == [1, 2]
+    assert out["b"].tolist()[0] == "x" and pd.isna(out["b"].tolist()[1])
+    assert pd.isna(out["c"].tolist()[0]) and out["c"].tolist()[1] == 3.5
+
+
+def test_union_evolved_conflict_rejected(rd):
+    s1 = pa.schema([("a", pa.string())])
+    s2 = pa.schema([("a", pa.int64())])
+    d = rd.from_arrow(pa.table({"a": ["x"]}))
+    with pytest.raises(SchemaContractError):
+        union_evolved([d, d], [s1, s2])
