@@ -289,6 +289,51 @@ class HLL:
         return float(est)
 
 
+def grouped_approx_ndistinct(
+    ds: rd.Dataset, keys: list[str] | str, col: str, p: int = 12
+) -> pd.DataFrame:
+    """A4 (grouped): per-key approximate count-distinct.
+
+    Per batch: one serialized HLL sketch per key (mergeable partial);
+    the groupby then merges register-wise — the sketch pattern from the
+    scale guide, so no key ever ships its raw values."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        h = hash_array(batch.column(col))
+        out_keys: dict[str, list] = {k: [] for k in keys}
+        blobs = []
+        for kv, idx in df.groupby(keys, dropna=False, sort=False).indices.items():
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            hll = HLL(p)
+            hll.add_hashes(h[idx])
+            for k, v in zip(keys, kv):
+                out_keys[k].append(v)
+            blobs.append(hll.registers.tobytes())
+        cols = [pa.array(out_keys[k]) for k in keys]
+        cols.append(pa.array(blobs, pa.binary()))
+        return pa.Table.from_arrays(cols, names=keys + ["sketch"])
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        hll = HLL(p)
+        for blob in g.column("sketch").to_pylist():
+            other = HLL(p)
+            other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+            hll.merge(other)
+        cols = [g.column(k).slice(0, 1) for k in keys]
+        cols.append(pa.array([int(round(hll.estimate()))], pa.int64()))
+        return pa.Table.from_arrays(cols, names=keys + ["approx_n"])
+
+    out = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(merge_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(keys).reset_index(drop=True)
+
+
 def approx_ndistinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
     """A4: approximate count-distinct via per-batch HLL partials."""
 

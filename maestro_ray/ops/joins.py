@@ -148,15 +148,21 @@ def asof_join(
     right_cols: list[str] | None = None,
     num_buckets: int = 32,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> rd.Dataset:
-    """J3: as-of join — for each left row, the right row with the
-    greatest ``on`` ≤ left's ``on`` within the same ``by`` key
-    (CDC-flavored latest-state-at-time lookup).
+    """J3: as-of join — for each left row, the matching right row within
+    the same ``by`` key: ``direction="backward"`` (default) takes the
+    greatest right ``on`` ≤ left's (CDC latest-state-at-time lookup),
+    ``"forward"`` the least ≥, ``"nearest"`` the closest.
 
     Both sides are bucketed on ``by`` (one shuffle) and matched with
     ``pd.merge_asof`` per bucket after a local sort — never a global
     sort. Ordering assumption: none on input; sorting is local.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction={direction!r}: expected backward/forward/nearest"
+        )
     rkeep = [by, on] + [c for c in (right_cols or []) if c not in (by, on)]
     right = right.map_batches(lambda t: t.select(rkeep), batch_format="pyarrow")
     lschema = left.schema().base_schema
@@ -199,7 +205,7 @@ def asof_join(
             return out
         out = pd.merge_asof(
             l, r, left_on=on, right_on=ron, by=by, allow_exact_matches=True,
-            direction="backward",
+            direction=direction,
         )
         return out
 
