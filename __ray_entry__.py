@@ -635,7 +635,9 @@ def _cdc_lake(sf) -> str:
 
     name = os.path.basename(sf.rstrip("/"))
     scale = _CDC_SCALES.get(name, _CDC_SCALES["sf0.01"])
-    work = f"/tmp/maestro_cdc_{name}"
+    # version-keyed: a future round changing merge semantics must not
+    # serve a lake produced by older code from the cache
+    work = f"/tmp/maestro_cdc_r1_{name}"
     lake = os.path.join(work, "lake")
     done = os.path.join(work, "_DONE")
     if not os.path.exists(done):
