@@ -637,7 +637,7 @@ def _cdc_lake(sf) -> str:
     scale = _CDC_SCALES.get(name, _CDC_SCALES["sf0.01"])
     # version-keyed: a future round changing merge semantics must not
     # serve a lake produced by older code from the cache
-    work = f"/tmp/maestro_cdc_r1_{name}"
+    work = f"/tmp/maestro_cdc_r2_{name}"  # r2: tombstones persisted in lake files
     lake = os.path.join(work, "lake")
     done = os.path.join(work, "_DONE")
     if not os.path.exists(done):

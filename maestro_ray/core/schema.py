@@ -44,6 +44,16 @@ PAGES_V2 = pa.schema(
 #: v1 of the lake schema (before the ``lang`` column add).
 PAGES_V1 = pa.schema([f for f in PAGES_V2 if f.name != "lang"])
 
+#: Physical lake-FILE schema: PAGES_V2 plus the persisted LWW ``op``
+#: marker. Rows with ``op='delete'`` are tombstones — they must survive
+#: in the partition files so an out-of-order event arriving in a LATER
+#: epoch (older ``warc_ts`` than the delete) loses the LWW race instead
+#: of resurrecting the row. ``read_lake`` filters them out, so the
+#: logical lake readers see is still PAGES_V2. Tombstones are vacuumed
+#: only by compaction once a caller-supplied event-time watermark
+#: guarantees no older event can still arrive (io/lake.py).
+LAKE_V2 = pa.schema([*PAGES_V2, pa.field("op", pa.string())])
+
 #: The simulated binlog/WAL. One row per change event; totally ordered
 #: per partition by ``offset``.
 CHANGELOG_V3 = pa.schema(

@@ -36,9 +36,29 @@ def lake_files(lake_dir: str, manifest: Manifest | None = None) -> list[str]:
     ]
 
 
+def _drop_tombstones(batch: pa.Table, keep_op: bool = False) -> pa.Table:
+    """Filter persisted delete markers (LAKE_V2 ``op`` column) out of a
+    lake batch; drops the ``op`` column unless the caller asked for it."""
+    import pyarrow.compute as pc
+
+    i = batch.schema.get_field_index("op")
+    if i < 0:
+        return batch  # pre-tombstone file (e.g. external pages input)
+    out = batch.filter(
+        pc.not_equal(batch.column(i), pa.scalar("delete", pa.string()))
+    )
+    return out if keep_op else out.remove_column(i)
+
+
 def read_lake(lake_dir: str, columns: list[str] | None = None,
               manifest: Manifest | None = None) -> rd.Dataset | None:
-    """S7: the converged lake as a lazy Dataset (None if empty)."""
+    """S7: the converged lake as a lazy Dataset (None if empty).
+
+    Lake files physically carry tombstone rows (core/schema.py LAKE_V2);
+    this reader hides them, so the logical schema is PAGES_V2 (or the
+    requested column subset). Pass ``columns=[..., "op"]`` to see raw
+    rows including tombstones.
+    """
     files = lake_files(lake_dir, manifest)
     if not files:
         return None
@@ -46,10 +66,17 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
         # explicit column list never selects the inferred hive col, and
         # ray's parquet datasource errors on columns= + partitioning=None
         # (UnboundLocalError in _infer_partition_columns, ray 2.49)
-        return rd.read_parquet(files, columns=columns)
+        keep_op = "op" in columns
+        cols = list(columns) if keep_op else [*columns, "op"]
+        ds = rd.read_parquet(files, columns=cols)
+        return ds.map_batches(
+            lambda t, _k=keep_op: _drop_tombstones(t, keep_op=_k),
+            batch_format="pyarrow",
+        )
     # partitioning=None: the p=<k>/ dir layout must NOT be inferred as a
     # hive partition column — `p` is physical placement, not data
-    return rd.read_parquet(files, partitioning=None)
+    ds = rd.read_parquet(files, partitioning=None)
+    return ds.map_batches(_drop_tombstones, batch_format="pyarrow")
 
 
 def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table:
@@ -60,6 +87,7 @@ def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table
 
         return PAGES_V2.empty_table()
     t = pa.concat_tables([pq.read_table(f) for f in files])
+    t = _drop_tombstones(t)
     import pyarrow.compute as pc
 
     return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
@@ -69,12 +97,23 @@ def compact_partitions(
     lake_dir: str,
     target_rows_per_file: int = 1_000_000,
     row_group_size: int = 128 * 1024,
+    vacuum_tombstones_ts: int | None = None,
 ) -> Manifest:
     """U8: rewrite each partition's file with right-sized row groups
-    under a new manifest epoch. No semantic change — per-partition
-    checksums are invariant (asserted), so readers see identical data
-    addressed by the new manifest. Runs as Ray tasks (one per
-    partition); the driver only publishes."""
+    under a new manifest epoch. Runs as Ray tasks (one per partition);
+    the driver only publishes.
+
+    Without ``vacuum_tombstones_ts`` there is no semantic change —
+    per-partition checksums are invariant (asserted against the input
+    file), so readers see identical data addressed by the new manifest.
+
+    ``vacuum_tombstones_ts`` (µs since epoch) additionally drops
+    tombstone rows whose ``warc_ts`` is strictly below the bound. ONLY
+    pass a bound the ingest source guarantees: no future change event
+    may carry ``warc_ts`` older than it (an event-time low watermark) —
+    otherwise a late out-of-order event could resurrect a vacuumed
+    delete. Live rows are never touched; checksums are recomputed on
+    the vacuumed table."""
     import ray
 
     from maestro_ray.core.manifest import STAGING_DIR, publish_epoch
@@ -87,9 +126,21 @@ def compact_partitions(
 
     @ray.remote
     def compact_one(p: int, rel: str, expect_checksum: int, watermark: int) -> dict:
+        import pyarrow.compute as pc
+
         t = pq.read_table(os.path.join(lake_dir, rel))
         got = _checksum(t)
         assert got == expect_checksum, f"partition {p} checksum drift"
+        if vacuum_tombstones_ts is not None and "op" in t.column_names:
+            expired = pc.and_(
+                pc.equal(t.column("op"), pa.scalar("delete", pa.string())),
+                pc.less(
+                    t.column("warc_ts"),
+                    pa.scalar(vacuum_tombstones_ts, pa.timestamp("us")),
+                ),
+            )
+            t = t.filter(pc.invert(pc.fill_null(expired, False)))
+            got = _checksum(t)
         out_rel = os.path.join(STAGING_DIR, f"epoch-{epoch:012d}", f"p={p}.parquet")
         path = os.path.join(lake_dir, out_rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -45,7 +45,20 @@ def broadcast_join(
     keys: list[str] | str,
     join_type: str = "inner",
 ) -> rd.Dataset:
-    """J1: join a Dataset against a broadcast small table (no shuffle)."""
+    """J1: join a Dataset against a broadcast small table (no shuffle).
+
+    Only left-preserving join types are valid: the join runs once per
+    batch, so 'right outer' / 'full outer' would re-emit the small
+    side's unmatched rows once per batch (duplicates) — use hash_join
+    for those.
+    """
+    if join_type not in ("inner", "left outer", "left semi", "left anti"):
+        raise ValueError(
+            f"join_type={join_type!r}: broadcast_join supports inner/"
+            "left outer/left semi/left anti only (right/full outer would "
+            "duplicate the small side's unmatched rows per batch — use "
+            "hash_join)"
+        )
     keys = [keys] if isinstance(keys, str) else list(keys)
     ref = ray.put(_as_table(small))
 
@@ -193,23 +206,40 @@ def asof_join(
     lcols = list(lschema.names)
     ron = rename_map.get(on, on)
     rcols = [by, ron] + [rename_map.get(c, c) for c in (right_cols or []) if c not in (by, on)]
+    # declared output contract: left columns + right columns minus `by`.
+    # Every bucket's result is cast back to THIS schema — the pandas
+    # round-trip otherwise coerces int64-with-null to float64 (the union
+    # padding puts nulls in left columns of right-side rows), which
+    # silently changes the result dtype (caught by the driver's
+    # type-sensitive value hash, r1).
+    out_schema = pa.schema(
+        [union_schema.field(n) for n in lcols]
+        + [union_schema.field(n) for n in rcols if n != by]
+    )
 
-    def asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group[_SIDE] == 0][lcols].sort_values(on, kind="mergesort")
-        r = group[group[_SIDE] == 1][rcols].sort_values(ron, kind="mergesort")
-        if len(r) == 0:
-            out = l.copy()
-            for c in rcols:
-                if c != by and c not in out.columns:
-                    out[c] = pd.NA
-            return out
+    def asof_bucket(group: pa.Table) -> pa.Table:
+        lmask = pc.equal(group.column(_SIDE), pa.scalar(0, pa.int8()))
+        lt = group.filter(lmask).select(lcols)
+        rt = group.filter(pc.invert(lmask)).select(rcols)
+        if rt.num_rows == 0:
+            arrs = [lt.column(n) for n in lcols] + [
+                pa.nulls(lt.num_rows, out_schema.field(n).type)
+                for n in rcols
+                if n != by
+            ]
+            return pa.Table.from_arrays(arrs, schema=out_schema)
+        # sides are split in Arrow FIRST so each frame's columns carry
+        # only genuine nulls; merge_asof's unmatched-row NaNs are then
+        # restored to typed nulls by the from_pandas schema cast
+        l = lt.to_pandas().sort_values(on, kind="mergesort")
+        r = rt.to_pandas().sort_values(ron, kind="mergesort")
         out = pd.merge_asof(
             l, r, left_on=on, right_on=ron, by=by, allow_exact_matches=True,
             direction=direction,
         )
-        return out
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
-    return both.groupby(_BUCKET).map_groups(asof_bucket, batch_format="pandas")
+    return both.groupby(_BUCKET).map_groups(asof_bucket, batch_format="pyarrow")
 
 
 def _key_set(ds_or_table, col: str):

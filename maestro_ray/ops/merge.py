@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from maestro_ray.core.schema import PAGES_V2
+from maestro_ray.core.schema import LAKE_V2, PAGES_V2
 from maestro_ray.ops.extract_pure import extract_text
 from maestro_ray.ops.hashing import checksum
 from maestro_ray.ops.partition import lww_reduce
@@ -43,6 +43,7 @@ CANDIDATE = pa.schema(
 )
 
 PAGES_COLS = [f.name for f in PAGES_V2]
+LAKE_COLS = [f.name for f in LAKE_V2]
 
 
 def events_to_candidates(batch: pa.Table) -> pa.Table:
@@ -54,25 +55,39 @@ def events_to_candidates(batch: pa.Table) -> pa.Table:
 
 
 def pages_to_candidates(batch: pa.Table, offset: int = -1) -> pa.Table:
-    """PAGES_V2 batch → CANDIDATE pseudo-events (``offset=-1, op='insert'``)."""
+    """PAGES/LAKE batch → CANDIDATE pseudo-events (``offset=-1``).
+
+    Lake files (LAKE_V2) carry a persisted ``op`` column so tombstones
+    re-enter later merges as delete candidates; bare PAGES input (e.g.
+    bootstrap) has no ``op`` and every row is an insert.
+    """
     n = batch.num_rows
     cols = {name: batch.column(name) for name in batch.column_names}
     if "lang" not in cols:
         cols["lang"] = pa.nulls(n, pa.string())
     cols["offset"] = pa.array([offset] * n, pa.int64())
-    cols["op"] = pa.array(["insert"] * n, pa.string())
+    if "op" not in cols:
+        cols["op"] = pa.array(["insert"] * n, pa.string())
     return pa.Table.from_arrays([cols[f.name] for f in CANDIDATE], schema=CANDIDATE)
 
 
 def _fill_text(winners: pa.Table) -> pa.Table:
-    """Extract ``text`` where null (changelog-origin winners only)."""
+    """Extract ``text`` where null (changelog-origin winners only).
+
+    Tombstone winners (``op='delete'``) keep null text — their html is
+    null and they never surface through ``read_lake``.
+    """
     text = winners.column("text")
     if text.null_count == 0:
         return winners
     html = winners.column("html").to_pylist()
+    ops = winners.column("op").to_pylist()
     vals = text.to_pylist()
     out = [
-        extract_text(html[i]) if v is None else v for i, v in enumerate(vals)
+        extract_text(html[i])
+        if v is None and ops[i] != "delete"
+        else v
+        for i, v in enumerate(vals)
     ]
     return winners.set_column(
         winners.schema.get_field_index("text"), "text", pa.array(out, pa.string())
@@ -80,18 +95,32 @@ def _fill_text(winners: pa.Table) -> pa.Table:
 
 
 def merge_candidates(prev: pa.Table | None, events: pa.Table) -> pa.Table:
-    """Pure merge: previous lake partition (PAGES_V2) + candidate events
-    → new PAGES_V2 partition table, sorted by url (deterministic bytes).
+    """Pure merge: previous lake partition (LAKE_V2) + candidate events
+    → new LAKE_V2 partition table, sorted by url (deterministic bytes).
+
+    Delete winners are PERSISTED as tombstone rows (op='delete', null
+    html/text): an out-of-order update in a later epoch must lose the
+    LWW race against the remembered delete, not resurrect the row
+    (matches oracle.replay, which keeps every url's winner forever).
+    ``read_lake`` filters tombstones; compaction vacuums them once the
+    event-time watermark passes.
     """
     cands = [events if events.schema.equals(CANDIDATE) else events_to_candidates(events)]
     if prev is not None and prev.num_rows:
         cands.append(pages_to_candidates(prev))
     allc = pa.concat_tables(cands, promote_options="default")
     winners = lww_reduce(allc)
-    winners = winners.filter(pc.not_equal(winners.column("op"), pa.scalar("delete")))
     winners = _fill_text(winners)
-    out = winners.select(PAGES_COLS)
-    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")])).cast(PAGES_V2)
+    out = winners.select(LAKE_COLS)
+    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")])).cast(LAKE_V2)
+
+
+def live_row_count(out: pa.Table) -> int:
+    """Non-tombstone row count of a LAKE_V2 table."""
+    dead = pc.sum(
+        pc.cast(pc.equal(out.column("op"), pa.scalar("delete")), pa.int64())
+    ).as_py()
+    return out.num_rows - (dead or 0)
 
 
 def write_exchange(
@@ -130,10 +159,15 @@ def write_exchange(
     # tiny file — measured 4x slower end-to-end.)
     os.makedirs(ex_dir, exist_ok=True)
     # deterministic per-batch name: min offset disambiguates changelog
-    # blocks; the first-url hash disambiguates bootstrap batches (which
-    # all carry offset=-1 but disjoint urls)
-    tag = int(_ha(s.column("url").slice(0, 1))[0]) & 0xFFFFFFFF
-    path = os.path.join(ex_dir, f"o{min_off:012d}-{tag:08x}.parquet")
+    # blocks; the FULL 64-bit first-url hash plus the row count
+    # disambiguates bootstrap batches (all offset=-1, disjoint urls) —
+    # a 32-bit tag alone would see birthday collisions at ~1.6M blocks
+    # (100TB / 64MB), and a collision silently overwrites another
+    # batch's exchange file
+    tag = int(_ha(s.column("url").slice(0, 1))[0])
+    path = os.path.join(
+        ex_dir, f"o{min_off:012d}-{tag:016x}-r{s.num_rows}.parquet"
+    )
     acks_p, acks_n = [], []
     tmp = path + ".tmp"
     writer = None
@@ -218,6 +252,7 @@ def make_exchange_merge_fn(
                     "epoch": epoch,
                     "watermark_offset": epoch_watermark,
                     "row_count": out.num_rows,
+                    "live_rows": live_row_count(out),
                     "checksum": checksum(out),
                     "n_input": events.num_rows,
                 }
@@ -228,6 +263,7 @@ def make_exchange_merge_fn(
                 "epoch": pa.array([], pa.int64()),
                 "watermark_offset": pa.array([], pa.int64()),
                 "row_count": pa.array([], pa.int64()),
+                "live_rows": pa.array([], pa.int64()),
                 "checksum": pa.array([], pa.uint64()),
                 "n_input": pa.array([], pa.int64()),
             })
@@ -238,6 +274,7 @@ def make_exchange_merge_fn(
                 [o["watermark_offset"] for o in outs], pa.int64()
             ),
             "row_count": pa.array([o["row_count"] for o in outs], pa.int64()),
+            "live_rows": pa.array([o["live_rows"] for o in outs], pa.int64()),
             "checksum": pa.array([o["checksum"] for o in outs], pa.uint64()),
             "n_input": pa.array([o["n_input"] for o in outs], pa.int64()),
         })
@@ -281,6 +318,7 @@ def make_merge_fn(
                 "epoch": pa.array([epoch], pa.int64()),
                 "watermark_offset": pa.array([epoch_watermark], pa.int64()),
                 "row_count": pa.array([out.num_rows], pa.int64()),
+                "live_rows": pa.array([live_row_count(out)], pa.int64()),
                 "checksum": pa.array([checksum(out)], pa.uint64()),
                 "n_input": pa.array([group.num_rows], pa.int64()),
             }

@@ -130,7 +130,10 @@ def _run_epoch(
     counters = {
         "partitions_touched": len(rows),
         "rows_shuffled": sum(r.get("n_input", 0) for r in rows),
-        "rows_final": sum(r["row_count"] for r in rows),
+        # rows_final = LIVE rows; row_count in the manifest is physical
+        # (live + persisted tombstones)
+        "rows_final": sum(r.get("live_rows", r["row_count"]) for r in rows),
+        "rows_physical": sum(r["row_count"] for r in rows),
     }
     m = publish_epoch(lake_dir, epoch, epoch_watermark, rows, prev, counters,
                       num_partitions=num_partitions)
@@ -174,7 +177,8 @@ def _run_epoch_files(
     counters = {
         "partitions_touched": len(rows),
         "rows_shuffled": sum(r.get("n_input", 0) for r in rows),
-        "rows_final": sum(r["row_count"] for r in rows),
+        "rows_final": sum(r.get("live_rows", r["row_count"]) for r in rows),
+        "rows_physical": sum(r["row_count"] for r in rows),
     }
     m = publish_epoch(lake_dir, epoch, epoch_watermark, rows, prev, counters,
                       num_partitions=num_partitions)

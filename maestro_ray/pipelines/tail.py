@@ -66,26 +66,31 @@ class PartitionMerger:
         self.state: dict[str, tuple] = {}
         if prev_file_rel:
             prev = pq.read_table(os.path.join(lake_dir, prev_file_rel))
+            # pages_to_candidates keeps the persisted `op`: tombstones in
+            # the lake file re-enter actor state so a restart can't lose
+            # remembered deletes (they'd otherwise be resurrected by
+            # late out-of-order updates)
             cands = pages_to_candidates(prev)
             ts_us = cands.column("warc_ts").cast(pa.int64()).to_pylist()
             for i, row in enumerate(cands.to_pylist()):
                 self.state[row["url"]] = (
-                    ts_us[i], -1, "insert", row["html"], row["text"],
+                    ts_us[i], -1, row["op"], row["html"], row["text"],
                     row["lang"],
                 )
 
     def apply(self, batch: pa.Table) -> int:
         """Apply a CANDIDATE sub-batch routed to this partition."""
         applied = 0
-        for row in batch.to_pylist():
+        # exact vectorized µs conversion — datetime.timestamp() would be
+        # local-timezone dependent and float64-rounded (±1µs at 2024
+        # epoch magnitudes), either of which can flip LWW order
+        ts_us_all = batch.column("warc_ts").cast(pa.int64()).to_pylist()
+        for i, row in enumerate(batch.to_pylist()):
             off = row["offset"]
             if off <= self.watermark or off in self.seen_offsets:
                 continue  # D5 / C3: already applied or duplicate delivery
             self.seen_offsets.add(off)
-            ts = row["warc_ts"]
-            ts_us = (
-                ts if isinstance(ts, int) else int(ts.timestamp() * 1_000_000)
-            )
+            ts_us = ts_us_all[i]
             cur = self.state.get(row["url"])
             if cur is None or (ts_us, off) > (cur[0], cur[1]):
                 self.state[row["url"]] = (
@@ -106,9 +111,9 @@ class PartitionMerger:
         if not self.dirty:
             self.seen_offsets.clear()
             return None
-        urls = sorted(
-            u for u, v in self.state.items() if v[2] != "delete"
-        )
+        # tombstones (op='delete') are persisted with the partition file
+        # so later epochs / restarts keep losing late events to them
+        urls = sorted(self.state)
         tbl = pa.Table.from_arrays(
             [
                 pa.array([self.state[u][1] for u in urls], pa.int64()),
@@ -128,9 +133,9 @@ class PartitionMerger:
             v = self.state[u]
             if v[4] is None:
                 self.state[u] = (*v[:4], tbl.column("text")[i].as_py(), v[5])
-        from maestro_ray.core.schema import PAGES_V2
+        from maestro_ray.core.schema import LAKE_V2
 
-        out = tbl.select([f.name for f in PAGES_V2]).cast(PAGES_V2)
+        out = tbl.select([f.name for f in LAKE_V2]).cast(LAKE_V2)
         rel = os.path.join(
             "_staging", f"epoch-{epoch:012d}", f"p={self.partition}.parquet"
         )
@@ -140,11 +145,14 @@ class PartitionMerger:
         self.seen_offsets.clear()  # epoch boundary: watermark now covers them
         self.dirty = False
         self.has_file = True
+        from maestro_ray.ops.merge import live_row_count
+
         return {
             "partition": self.partition,
             "epoch": epoch,
             "watermark_offset": new_watermark,
             "row_count": out.num_rows,
+            "live_rows": live_row_count(out),
             "checksum": checksum(out),
             "n_input": self.n_applied,
         }
@@ -177,6 +185,17 @@ def tail_ingest(
         segs = segs[:max_segments]
     if not segs:
         return m
+    # same contiguity check as replay-mode ingest(): a missing segment
+    # would otherwise be silently skipped and the watermark advanced
+    # past it, losing its events forever (exactly-once, not at-most-once)
+    prev_max = watermark
+    for first, path in segs:
+        if first > prev_max + 1:
+            raise FileNotFoundError(
+                f"changelog gap: offsets {prev_max + 1}..{first - 1} missing "
+                f"before {os.path.basename(path)} — refusing to lose events"
+            )
+        prev_max = max(prev_max, _segment_max_offset(path))
     actors = [
         PartitionMerger.remote(lake_dir, p, prev_files.get(p), watermark)
         for p in range(num_partitions)

@@ -32,13 +32,24 @@ def con(sf_dir):
     return con
 
 
-def normalize(obj) -> pd.DataFrame:
+def to_df(obj) -> pd.DataFrame:
     if isinstance(obj, pa.Table):
-        df = obj.to_pandas()
-    elif isinstance(obj, pd.DataFrame):
-        df = obj.copy()
-    else:  # ray Dataset
-        df = obj.to_pandas()
+        return obj.to_pandas()
+    if isinstance(obj, pd.DataFrame):
+        return obj.copy()
+    return obj.to_pandas()  # ray Dataset
+
+
+def kinds(df: pd.DataFrame) -> dict:
+    """Pre-normalization dtype KINDS (i/u/f/M/O/b) per column — asserted
+    equal between engine and oracle so silent numeric-type drift (e.g.
+    the r1 join_asof int64→float64 pandas coercion) fails loudly here,
+    the way the driver's type-sensitive value hash fails."""
+    return {c: df[c].dtype.kind for c in df.columns}
+
+
+def normalize(obj) -> pd.DataFrame:
+    df = to_df(obj)
     df = df[sorted(df.columns)]
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -73,12 +84,18 @@ def _all_names(entry_mod):
 def test_query_matches_oracle(entry_mod, con, sf_dir, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
-    got = normalize(q(sf_dir))
-    exp = normalize(con.execute(sql).fetch_df())
+    got_raw = to_df(q(sf_dir))
+    exp_raw = con.execute(sql).fetch_df()
+    got = normalize(got_raw)
+    exp = normalize(exp_raw)
     if len(exp) == 0 and len(got) == 0:
         return  # empty both sides: schema of an empty Ray result may be lost
     assert list(got.columns) == list(exp.columns), (
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert kinds(got_raw) == kinds(exp_raw), (
+        f"{name}: dtype-kind drift (engine vs oracle) — "
+        f"{kinds(got_raw)} != {kinds(exp_raw)}"
     )
     assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True,
