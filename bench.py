@@ -131,7 +131,8 @@ def run_bench(num_cpus: int) -> dict:
         lake_dir = os.path.join(_SCRATCH, f"lake_{num_cpus}_{trial}")
         shutil.rmtree(lake_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        m = ingest(log_dir, lake_dir, base_pages=pages_path, num_partitions=64)
+        m = ingest(log_dir, lake_dir, base_pages=pages_path, num_partitions=64,
+                   exchange=os.environ.get("MAESTRO_BENCH_EXCHANGE", "shuffle"))
         trials.append(time.perf_counter() - t0)
         assert m is not None and m.watermark == n_events - 1
         shutil.rmtree(lake_dir, ignore_errors=True)
@@ -176,6 +177,60 @@ _SCALING_SCALE = dict(
 )
 
 
+def _decode_one(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).num_rows  # full decode incl. html
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _env_ceiling() -> dict:
+    """No-Ray host scaling ceilings, measured on the SAME fixture in the
+    same run: (a) raw parquet payload decode across k processes — pure
+    memcpy/memory-bandwidth work; (b) pure-CPU integer burn. The engine
+    cannot scale better than (a) on its payload-bound phases or (b) on
+    its compute-bound phases; reporting them alongside the engine
+    efficiency separates engine serialization from the shared-memory-
+    bandwidth artifact of measuring N vs 4N CPUS of ONE box (separate
+    cluster nodes each bring their own memory bandwidth)."""
+    import glob
+    from concurrent.futures import ProcessPoolExecutor
+
+    files = sorted(
+        glob.glob(os.path.join(CACHE, "u150000_e6000000_s250000", "log", "*.parquet"))
+    )
+
+    def t_decode(k: int) -> float:
+        t0 = time.perf_counter()
+        with ProcessPoolExecutor(max_workers=k) as ex:
+            list(ex.map(_decode_one, files))
+        return time.perf_counter() - t0
+
+    def t_cpu(k: int) -> float:
+        t0 = time.perf_counter()
+        with ProcessPoolExecutor(max_workers=k) as ex:
+            list(ex.map(_burn, [6_000_000] * 48))
+        return time.perf_counter() - t0
+
+    t_decode(2)  # warm pool/page cache effects out of the timed region
+    d4 = min(t_decode(4) for _ in range(2))
+    d16 = min(t_decode(16) for _ in range(2))
+    c4 = min(t_cpu(4) for _ in range(2))
+    c16 = min(t_cpu(16) for _ in range(2))
+    return {
+        "decode_sec": [round(d4, 2), round(d16, 2)],
+        "decode_efficiency": round((d4 / d16) / 4, 3),
+        "cpu_sec": [round(c4, 2), round(c16, 2)],
+        "cpu_efficiency": round((c4 / c16) / 4, 3),
+    }
+
+
 def _subprocess_run(ncpu: int, extra_env: dict | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
     res = subprocess.run(
@@ -197,6 +252,7 @@ def main() -> None:
         tp_lo = r_lo["events_per_sec"]
         tp_hi = r_hi["events_per_sec"]
         eff = (tp_hi / tp_lo) / (hi / lo)
+        env = _env_ceiling()
         print(json.dumps({
             "metric": "cdc_upsert_scaling",
             "value": round(eff, 3),
@@ -205,6 +261,10 @@ def main() -> None:
             "sec": [r_lo["value"], r_hi["value"]],
             "events_per_sec": [tp_lo, tp_hi],
             "scaling_efficiency": round(eff, 3),
+            # same-host, same-run, no-Ray ceilings (see _env_ceiling):
+            # the engine's payload phases cannot beat decode_efficiency,
+            # its compute phases cannot beat cpu_efficiency, on this box
+            "env_ceiling": env,
             "sf": r_lo["sf"],
         }))
         return

@@ -39,9 +39,30 @@ _SEG_RE = re.compile(r"seg-(\d+)\.parquet$")
 TARGET_READ_BLOCK_BYTES = 64 << 20
 
 
-def _num_read_blocks(paths: list[str]) -> int:
-    """Byte-proportional read block count, floored at the CPU count."""
-    total = sum(os.path.getsize(p) for p in paths)
+def _pruned_bytes(path: str, columns: list[str]) -> int:
+    """On-disk bytes of just ``columns`` (footer metadata only)."""
+    md = pq.ParquetFile(path).metadata
+    names = md.schema.to_arrow_schema().names
+    idxs = [i for i, n in enumerate(names) if n in columns]
+    total = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        total += sum(g.column(i).total_compressed_size for i in idxs)
+    return total
+
+
+def _num_read_blocks(paths: list[str], columns: list[str] | None = None) -> int:
+    """Byte-proportional read block count, floored at the CPU count.
+
+    With ``columns``, blocks are sized by the PRUNED bytes actually read
+    (summed column-chunk sizes from the footers) — sizing a narrow
+    3-column scan by full-file bytes would shatter it into near-empty
+    blocks and re-create the O(blocks²) shuffle-fetch pathology.
+    """
+    if columns is None:
+        total = sum(os.path.getsize(p) for p in paths)
+    else:
+        total = sum(_pruned_bytes(p, columns) for p in paths)
     try:
         import ray
 
@@ -85,6 +106,7 @@ def read_changelog(
     head_schema: pa.Schema = CHANGELOG_V3,
     segments: list[tuple[int, str]] | None = None,
     transform=None,
+    columns: list[str] | None = None,
 ) -> rd.Dataset | None:
     """Lazy Dataset of change events with offset > ``from_offset``,
     evolved to ``head_schema``. Returns None when nothing remains.
@@ -96,6 +118,13 @@ def read_changelog(
     through the object store per boundary — fusing it here keeps the
     wide ``html`` payload to a single materialization before the
     shuffle.
+
+    ``columns`` prunes the scan (parquet column-chunk pushdown): only
+    the named columns leave storage — the slim-exchange winner pass
+    reads (offset, url, warc_ts) without touching ``html`` bytes at
+    all. ``head_schema`` should then be the matching narrow schema;
+    columns a segment version lacks (e.g. v1 ``lang``) are null-filled
+    by evolution as usual.
     """
     segs = segments if segments is not None else segments_after(log_dir, from_offset)
     if not segs:
@@ -106,6 +135,8 @@ def read_changelog(
     groups: dict[tuple, list[str]] = {}
     for _first, path in segs:
         sch = pq.read_schema(path)
+        if columns is not None:
+            sch = pa.schema([f for f in sch if f.name in columns])
         try:
             check_evolvable(sch, head_schema)
         except SchemaContractError as e:
@@ -125,9 +156,11 @@ def read_changelog(
 
     parts: list[rd.Dataset] = []
     flt = (pads.field("offset") > from_offset) if from_offset >= 0 else None
-    for paths in groups.values():
+    for key, paths in groups.items():
+        cols = [n for n, _t in key] if columns is not None else None
         ds = rd.read_parquet(
-            paths, filter=flt, override_num_blocks=_num_read_blocks(paths)
+            paths, filter=flt, columns=cols,
+            override_num_blocks=_num_read_blocks(paths, cols),
         )
         parts.append(
             ds.map_batches(

@@ -48,9 +48,17 @@ def lww_reduce(
         sort_keys=[(key, "ascending"), (ts_col, "ascending"), (seq_col, "ascending")],
     )
     s = batch.take(idx)
-    keys = s.column(key).to_pandas().to_numpy(dtype=object)
-    last = np.ones(len(keys), dtype=bool)
-    last[:-1] = keys[1:] != keys[:-1]
+    # Arrow-native key-boundary detection: adjacent-slice not_equal on
+    # the sorted key column stays in C++ kernels end to end — the
+    # previous pandas object-array round-trip materialized every key as
+    # a Python str in the hottest per-batch combiner of the ingest path.
+    kcol = s.column(key)
+    arr = kcol.combine_chunks() if kcol.num_chunks != 1 else kcol.chunk(0)
+    n = len(arr)
+    last = np.ones(n, dtype=bool)
+    if n > 1:
+        neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+        last[:-1] = neq.to_numpy(zero_copy_only=False)
     return s.filter(pa.array(last))
 
 

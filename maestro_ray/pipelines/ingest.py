@@ -187,6 +187,135 @@ def _run_epoch_files(
     return m
 
 
+@ray.remote
+def _lww_reduce_blocks(*tabs):
+    """Tree-reduce node: LWW-combine narrow candidate blocks."""
+    return lww_reduce(pa.concat_tables(tabs, promote_options="default"))
+
+
+def _tree_winner_offsets(ds1, fan_in: int = 8):
+    """Global LWW winner offsets of a narrow candidate Dataset, via a
+    shuffle-FREE tree reduction over its block refs.
+
+    The sort shuffle's fixed cost (boundary sampling barrier + reduce
+    scheduling) measured ~2.4 s at 16 CPUs on ~40 MB of narrow keys —
+    pure overhead at this volume. A fan-in-8 task tree over the already
+    per-block-combined refs reaches the same global winners in
+    O(log_8 blocks) rounds of vectorized reduces, with no barrier and
+    no driver funnel (only the final ≤1-row-per-url offsets land on the
+    driver). Scale: 100 TB epoch ≈ 1.6 M blocks → 7 tree levels.
+    """
+    import numpy as np
+
+    refs = list(ds1.to_arrow_refs())
+    while len(refs) > 1:
+        refs = [
+            _lww_reduce_blocks.remote(*refs[i : i + fan_in])
+            for i in range(0, len(refs), fan_in)
+        ]
+    winners = ray.get(refs[0]) if refs else None
+    if winners is None or winners.num_rows == 0:
+        return np.empty(0, np.int64)
+    return np.sort(
+        winners.column("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+
+def _run_epoch_slim(
+    log_dir: str,
+    chunk: list[tuple[int, str]],
+    lake_dir: str,
+    epoch: int,
+    epoch_watermark: int,
+    num_partitions: int,
+    prev: Manifest | None,
+    watermark: int,
+    payload_exchange: str = "files",
+) -> Manifest:
+    """Slim exchange: keep the wide ``html`` payload OUT of the big
+    shuffle (SURVEY.md §7 "wide binary rows", VERDICT r1 #2b).
+
+    Pass 1 scans only (offset, url, warc_ts) — parquet column pruning,
+    ~2 orders of magnitude fewer bytes than the html column — and finds
+    each url's global LWW winner via a shuffle-free tree reduction
+    (``_tree_winner_offsets``). Only the winner OFFSETS (8 bytes per
+    surviving url) are sorted and broadcast once via ``ray.put``
+    (zero-copy numpy in every task).
+
+    Pass 2 re-scans with html, drops every non-winner row immediately
+    after decode (vectorized searchsorted against the broadcast
+    offsets), and exchanges ONLY winner payloads — ~1 row/url instead
+    of ~1 row/url/block. At that volume the per-partition parquet file
+    exchange (default) beats the sort shuffle: the sort's fixed barrier
+    cost dominates 100 MB-scale exchanges, while the r1 rejection of
+    the file exchange was measured on the FULL multi-GB payload.
+    Correct because LWW is a max: removing non-maximal changelog
+    candidates before the merge cannot change the winner; duplicate
+    deliveries of a winner offset pass the filter twice as identical
+    rows and collapse in ``lww_reduce``.
+
+    Scale note: the broadcast is one int64 per url touched this epoch —
+    cap epoch size (``segments_per_epoch``) so it stays ≪ worker heap
+    (10^8-event epochs → ≤800 MB, stored once per node in plasma).
+    """
+    import numpy as np
+
+    from maestro_ray.core.schema import CHANGELOG_V3
+
+    narrow_head = pa.schema(
+        [f for f in CHANGELOG_V3 if f.name in ("offset", "url", "warc_ts")]
+    )
+    ds1 = read_changelog(
+        log_dir, from_offset=watermark, segments=chunk,
+        head_schema=narrow_head, columns=[f.name for f in narrow_head],
+        transform=lww_reduce,
+    )
+    offs = _tree_winner_offsets(ds1)
+    offs_ref = ray.put(offs)
+
+    def filter_winners(batch: pa.Table) -> pa.Table:
+        o = ray.get(offs_ref)
+        b = batch.column("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(o):
+            ix = np.clip(np.searchsorted(o, b), 0, len(o) - 1)
+            mask = o[ix] == b
+        else:
+            mask = np.zeros(len(b), dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    if payload_exchange == "files":
+        from maestro_ray.ops.merge import write_exchange
+
+        ex_dir = _exchange_dir(lake_dir, epoch)
+
+        def fused_ex(batch: pa.Table, _np=num_partitions, _ex=ex_dir) -> pa.Table:
+            prepped = add_partition_column(
+                lww_reduce(events_to_candidates(filter_winners(batch))), _np
+            )
+            return write_exchange(prepped, _ex, _np)
+
+        acks = read_changelog(
+            log_dir, from_offset=watermark, segments=chunk, transform=fused_ex
+        )
+        return _run_epoch_files(
+            acks, lake_dir, ex_dir, epoch, epoch_watermark, num_partitions,
+            prev,
+        )
+
+    def prep_payload(batch: pa.Table, _np=num_partitions) -> pa.Table:
+        return add_partition_column(
+            lww_reduce(events_to_candidates(filter_winners(batch))), _np
+        )
+
+    ds2 = read_changelog(
+        log_dir, from_offset=watermark, segments=chunk, transform=prep_payload
+    )
+    return _run_epoch(
+        ds2, lake_dir, epoch, epoch_watermark, num_partitions, prev,
+        prepped=True,
+    )
+
+
 def _exchange_dir(lake_dir: str, epoch: int) -> str:
     from maestro_ray.core.manifest import STAGING_DIR
 
@@ -259,6 +388,9 @@ def ingest(
 
     ``exchange``: "shuffle" (default) uses the Ray Data groupby with
     the push-based sort shuffle — measured fastest on this machine;
+    "slim" is the two-pass variant that keeps the wide html payload out
+    of the shuffle (narrow winner pass + winners-only payload pass, see
+    ``_run_epoch_slim``) — wins when payload bytes ≫ key bytes;
     "files" routes the merge exchange through per-partition parquet on
     the lake's (shared) filesystem instead of the object store — kept
     as an alternative for plasma-memory-constrained deployments (A/B on
@@ -266,9 +398,10 @@ def ingest(
     encode/decode cycle of the exchange loses to plasma here). Salted
     hot-key mode always uses the groupby path.
     """
-    if exchange not in ("shuffle", "files"):
+    if exchange not in ("shuffle", "files", "slim", "slim_sort"):
         raise ValueError(
-            f"exchange={exchange!r}: expected 'shuffle' or 'files'"
+            f"exchange={exchange!r}: expected 'shuffle', 'slim', "
+            "'slim_sort' or 'files'"
         )
     os.makedirs(lake_dir, exist_ok=True)
     m = latest_manifest(lake_dir)
@@ -320,6 +453,12 @@ def ingest(
             ds = ds.map_batches(events_to_candidates, batch_format="pyarrow")
             m = _run_epoch(
                 ds, lake_dir, epoch, epoch_watermark, num_partitions, m, hot
+            )
+        elif exchange in ("slim", "slim_sort"):
+            m = _run_epoch_slim(
+                log_dir, chunk, lake_dir, epoch, epoch_watermark,
+                num_partitions, m, watermark,
+                payload_exchange="files" if exchange == "slim" else "sort",
             )
         elif exchange == "files":
             ex_dir = _exchange_dir(lake_dir, epoch)
