@@ -498,30 +498,46 @@ def _q_lang_detect(sf):
 
 
 def _q_checksum(sf):
+    """A5 checksum_agg with an EXACT DuckDB twin (value-hash checked).
+
+    Per-partition order-insensitive content checksum via ``bit_xor`` of
+    a 64-bit-overflow-safe row fingerprint — every operation (bounded
+    multiply, shift-by-constant-multiply, xor) is expressible in ANSI
+    SQL with identical integer semantics, unlike the production lake
+    checksum (ops/hashing.py splitmix64+SipHash, which needs wrapping
+    64x64 multiplies SQL can't do). Mergeable: per-batch xor partials
+    combine associatively across blocks; the lake's own checksum stays
+    pytest-verified (tests/unit/test_hashing).
+    """
     ds = _read(sf, "documents", columns=["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        h = hash_columns(batch, ["doc_id", "text"])
-        p = (h % np.uint64(8)).astype(np.int64)
-        with np.errstate(over="ignore"):
-            sums = np.zeros(8, dtype=np.uint64)
-            np.add.at(sums, p, h)  # wraparound sum mod 2**64 per partition
+        import pyarrow.compute as pc
+
+        k = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = pc.fill_null(pc.utf8_length(batch.column("text")), 0)
+        ln = ln.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = (k * 2654435761) ^ (ln * 4294967296)  # len << 32; < 2^53
+        p = k % 8
+        xors = np.zeros(8, dtype=np.int64)
+        np.bitwise_xor.at(xors, p, v)
+        present = np.unique(p)
         return pa.table({
-            "partition": pa.array(np.arange(8, dtype=np.int32)),
-            # ship as int64 bit-view: Ray/Arrow aggregate-safe
-            "partial": pa.array(sums.view(np.int64), pa.int64()),
+            "partition": pa.array(present, pa.int64()),
+            "partial": pa.array(xors[present], pa.int64()),
         })
 
+    # per-block partials are ≤8 tiny rows; the driver-side xor-merge is
+    # O(blocks) scalars — same footprint as lineage collection
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    with np.errstate(over="ignore"):
-        merged = (
-            parts.assign(u=parts["partial"].to_numpy().view(np.uint64))
-            .groupby("partition")["u"]
-            .apply(lambda s: np.uint64(s.to_numpy(np.uint64).sum(dtype=np.uint64)))
-        )
-    out = merged.reset_index().rename(columns={"u": "checksum"})
-    out["checksum"] = out["checksum"].astype("uint64")
-    return out.sort_values("partition").reset_index(drop=True)
+    merged = (
+        parts.groupby("partition")["partial"]
+        .apply(lambda s: int(np.bitwise_xor.reduce(s.to_numpy(np.int64))))
+        .reset_index()
+        .rename(columns={"partial": "checksum"})
+    )
+    merged["checksum"] = merged["checksum"].astype("int64")
+    return merged.sort_values("partition").reset_index(drop=True)
 
 
 def _q_quality_score(sf):
@@ -614,10 +630,49 @@ def _q_multimodal_decode(sf):
 
 
 def _q_approx_distinct(sf):
-    from maestro_ray.ops.aggregates import approx_ndistinct
+    """A4 approx-distinct, value-hash checked: the query returns the
+    HyperLogLOG SKETCH STATE (m=64 registers: per-register max rho)
+    over ``orders.o_custkey``, built with an overflow-safe hash whose
+    every step (bounded multiplies, xor, //, bit_count of (x & -x) - 1)
+    has identical integer semantics in DuckDB — so the distributed
+    sketch pipeline (hash → register → rho → grouped max-merge) is
+    checked EXACTLY, not within ε. Registers are integers, so no float
+    summation-order hazard; the production splitmix64 HLL
+    (ops/aggregates.py approx_ndistinct and its grouped variant) stays,
+    with its ε-bound and determinism pytest oracles.
+    """
+    ds = _read(sf, "orders", columns=["o_custkey"])
 
-    est = approx_ndistinct(_read(sf, "orders", columns=["o_custkey"]), "o_custkey")
-    return pa.table({"approx_n": pa.array([round(est)], pa.int64())})
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        # lowbias32-style avalanche: every multiply bounded < 2^59, so
+        # int64 never wraps — identical semantics in DuckDB BIGINT
+        h = k % 4294967296
+        h = (((h >> 16) ^ h) * 73244475) % 4294967296
+        h = (((h >> 16) ^ h) * 73244475) % 4294967296
+        hv = (h >> 16) ^ h
+        reg = hv >> 26  # TOP 6 bits: low bits of multiplicative hashes
+        q = hv & 67108863  # are structured (measured: 10/64 regs hit)
+        lsb = q & -q
+        # exact: lsb is a power of two < 2^26, log2 is exact in float64
+        ntz = np.where(q > 0, np.log2(np.maximum(lsb, 1)), 0).astype(np.int64)
+        rho = np.where(q == 0, 27, ntz + 1)
+        regs = np.zeros(64, dtype=np.int64)
+        np.maximum.at(regs, reg, rho)
+        present = np.unique(reg)
+        return pa.table({
+            "reg": pa.array(present, pa.int64()),
+            "rho": pa.array(regs[present], pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("reg")
+        .max("rho")
+        .to_pandas()
+        .rename(columns={"max(rho)": "rho"})
+    )
+    return out.sort_values("reg").reset_index(drop=True)
 
 
 _CDC_SCALES = {  # per-sf replay sizes for the cdc_* driver checks
@@ -1000,6 +1055,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(embedding AS DOUBLE[]), "
             f"{T.LinearModelScorer().weights_list()!r}"
             "), 4) AS score FROM embeddings"
+        ),
+        "checksum": (
+            "SELECT doc_id % 8 AS partition, "
+            "bit_xor(xor(doc_id * 2654435761, "
+            "coalesce(length(text), 0) * 4294967296)) AS checksum "
+            "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "approx_distinct": (
+            "WITH h0 AS (SELECT (o_custkey % 4294967296) AS h FROM orders), "
+            "h1 AS (SELECT (xor(h // 65536, h) * 73244475) % 4294967296 AS h FROM h0), "
+            "h2 AS (SELECT (xor(h // 65536, h) * 73244475) % 4294967296 AS h FROM h1), "
+            "h3 AS (SELECT xor(h // 65536, h) AS hv FROM h2) "
+            "SELECT hv // 67108864 AS reg, "
+            "MAX(CASE WHEN hv % 67108864 = 0 THEN 27 "
+            "ELSE bit_count(((hv % 67108864) & (-(hv % 67108864))) - 1) + 1 END) AS rho "
+            "FROM h3 GROUP BY 1 ORDER BY 1"
         ),
         "scalar_array": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims, "

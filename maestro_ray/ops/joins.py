@@ -121,23 +121,36 @@ def hash_join(
         n for n in right.schema().base_schema.names
         if n in lschema.names and n not in keys
     ]
-    if overlap:
-        right = right.map_batches(
-            lambda t, ov=tuple(overlap): t.rename_columns(
-                [c + suffix if c in ov else c for c in t.column_names]
-            ),
-            batch_format="pyarrow",
-        )
-    rschema = right.schema().base_schema
+    rename = {c: c + suffix for c in overlap}
+    rschema = pa.schema(
+        [
+            pa.field(rename.get(f.name, f.name), f.type)
+            for f in right.schema().base_schema
+        ]
+    )
     union_schema = _superset_schema(
         lschema.append(pa.field(_BUCKET, pa.int32())).append(pa.field(_SIDE, pa.int8())),
         rschema,
     )
-    lt = left.map_batches(_tag_and_bucket(keys, 0, num_buckets), batch_format="pyarrow")
-    rt = right.map_batches(_tag_and_bucket(keys, 1, num_buckets), batch_format="pyarrow")
-    conform = lambda t: _conform(t, union_schema)  # noqa: E731
-    both = lt.map_batches(conform, batch_format="pyarrow").union(
-        rt.map_batches(conform, batch_format="pyarrow")
+
+    # rename + tag + conform fused into ONE map per side: separate
+    # map_batches either side of the union each cost a full-payload
+    # object-store hop (the same fusion-across-union pitfall measured
+    # in io/changelog.py)
+    def prep_side(side: int, rn: dict):
+        tag = _tag_and_bucket(keys, side, num_buckets)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            if rn:
+                batch = batch.rename_columns(
+                    [rn.get(c, c) for c in batch.column_names]
+                )
+            return _conform(tag(batch), union_schema)
+
+        return fn
+
+    both = left.map_batches(prep_side(0, {}), batch_format="pyarrow").union(
+        right.map_batches(prep_side(1, rename), batch_format="pyarrow")
     )
     lcols = [n for n in lschema.names]
     rcols = [n for n in rschema.names]
@@ -177,31 +190,36 @@ def asof_join(
             f"direction={direction!r}: expected backward/forward/nearest"
         )
     rkeep = [by, on] + [c for c in (right_cols or []) if c not in (by, on)]
-    right = right.map_batches(lambda t: t.select(rkeep), batch_format="pyarrow")
     lschema = left.schema().base_schema
     overlap = [n for n in rkeep if n in lschema.names and n != by]
     rename_map = {c: c + suffix for c in overlap}
+    rsel = pa.schema(
+        [f for f in right.schema().base_schema if f.name in rkeep]
+    )
     union_schema = _superset_schema(
         lschema.append(pa.field(_BUCKET, pa.int32())).append(pa.field(_SIDE, pa.int8())),
         pa.schema(
-            [
-                pa.field(rename_map.get(f.name, f.name), f.type)
-                for f in right.schema().base_schema
-            ]
+            [pa.field(rename_map.get(f.name, f.name), f.type) for f in rsel]
         ),
     )
-    if rename_map:
-        right = right.map_batches(
-            lambda t, rm=tuple(rename_map.items()): t.rename_columns(
-                [dict(rm).get(c, c) for c in t.column_names]
-            ),
-            batch_format="pyarrow",
-        )
-    lt = left.map_batches(_tag_and_bucket([by], 0, num_buckets), batch_format="pyarrow")
-    rt = right.map_batches(_tag_and_bucket([by], 1, num_buckets), batch_format="pyarrow")
-    conform = lambda t: _conform(t, union_schema)  # noqa: E731
-    both = lt.map_batches(conform, batch_format="pyarrow").union(
-        rt.map_batches(conform, batch_format="pyarrow")
+    tag_l = _tag_and_bucket([by], 0, num_buckets)
+    tag_r = _tag_and_bucket([by], 1, num_buckets)
+
+    # select + rename + tag + conform fused into one map per side (the
+    # fusion-across-union pitfall — see hash_join)
+    def prep_left(batch: pa.Table) -> pa.Table:
+        return _conform(tag_l(batch), union_schema)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        batch = batch.select(rkeep)
+        if rename_map:
+            batch = batch.rename_columns(
+                [rename_map.get(c, c) for c in batch.column_names]
+            )
+        return _conform(tag_r(batch), union_schema)
+
+    both = left.map_batches(prep_left, batch_format="pyarrow").union(
+        right.map_batches(prep_right, batch_format="pyarrow")
     )
     lcols = list(lschema.names)
     ron = rename_map.get(on, on)
