@@ -14,11 +14,12 @@ Ray actors deliberately:
   ``{url: winner}`` high-water map (C1) + the epoch's applied-offset
   set (C3 DedupIndex — intra-epoch duplicate delivery is dropped here;
   cross-epoch idempotence still comes from manifest watermarks / D5).
-- The driver streams each micro-batch through the same vectorized
-  prep (evolve → candidates → combiner LWW → partition ids), splits
-  the shrunken batch by partition (vectorized take), and ships each
-  sub-table to its actor — routing is explicit because actor pools
-  don't route by key natively (SURVEY.md §7 hard-parts).
+- Routing runs INSIDE the read tasks (fused transform): each worker
+  task evolves → candidates → combiner-LWW-reduces its batch, splits
+  it by partition id, and ships sub-tables straight to the owning
+  actors, blocking on their acks — event bytes never pass through the
+  driver process. Routing is explicit because actor pools don't route
+  by key natively (SURVEY.md §7 hard-parts).
 - ``checkpoint()`` makes every actor write its partition file to the
   staging dir; the driver publishes the same atomic manifest as replay
   mode, so tail and replay epochs interleave safely and a crashed tail
@@ -31,7 +32,6 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -79,23 +79,33 @@ class PartitionMerger:
                 )
 
     def apply(self, batch: pa.Table) -> int:
-        """Apply a CANDIDATE sub-batch routed to this partition."""
-        applied = 0
-        # exact vectorized µs conversion — datetime.timestamp() would be
-        # local-timezone dependent and float64-rounded (±1µs at 2024
-        # epoch magnitudes), either of which can flip LWW order
+        """Apply a CANDIDATE sub-batch routed to this partition.
+
+        Columnar decode happens ONCE per batch (plain Python lists via
+        ``to_pylist`` per column — no per-row dict construction); the
+        merge itself is an inherent per-key dict update. ``warc_ts`` is
+        cast to int64 µs vectorized — ``datetime.timestamp()`` would be
+        local-timezone dependent and float64-rounded (±1 µs at 2024
+        epoch magnitudes), either of which can flip LWW order.
+        """
+        offs = batch.column("offset").to_pylist()
         ts_us_all = batch.column("warc_ts").cast(pa.int64()).to_pylist()
-        for i, row in enumerate(batch.to_pylist()):
-            off = row["offset"]
-            if off <= self.watermark or off in self.seen_offsets:
+        urls = batch.column("url").to_pylist()
+        ops = batch.column("op").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        applied = 0
+        state, seen, wm = self.state, self.seen_offsets, self.watermark
+        for i, off in enumerate(offs):
+            if off <= wm or off in seen:
                 continue  # D5 / C3: already applied or duplicate delivery
-            self.seen_offsets.add(off)
+            seen.add(off)
             ts_us = ts_us_all[i]
-            cur = self.state.get(row["url"])
+            cur = state.get(urls[i])
             if cur is None or (ts_us, off) > (cur[0], cur[1]):
-                self.state[row["url"]] = (
-                    ts_us, off, row["op"], row["html"], row.get("text"),
-                    row.get("lang"),
+                state[urls[i]] = (
+                    ts_us, off, ops[i], htmls[i], texts[i], langs[i]
                 )
                 self.dirty = True
             applied += 1
@@ -221,24 +231,33 @@ def tail_ingest(
         n_since_ckpt = 0
         return m
 
+    # worker-routed dispatch: candidates + combiner + actor routing run
+    # INSIDE the read tasks (fused transform), so event bytes go
+    # storage → worker → actor without ever passing through the driver
+    # process (r1 VERDICT #3: the driver loop capped tail throughput at
+    # one process's NIC/CPU and was a single point of back-pressure).
+    # Each route call blocks on its actors' acks, so driving the
+    # Dataset to completion is the epoch barrier.
+    def route(batch: pa.Table, _actors=actors, _np=num_partitions) -> pa.Table:
+        import numpy as np
+
+        batch = lww_reduce(events_to_candidates(batch))
+        p = partition_ids(batch.column("url"), _np)
+        refs = []
+        for part in np.unique(p):
+            sub = batch.filter(pa.array(p == part))
+            refs.append(_actors[int(part)].apply.remote(sub))
+        applied = sum(ray.get(refs)) if refs else 0
+        return pa.table({"applied": pa.array([applied], pa.int64())})
+
     for first, path in segs:
         ds = read_changelog(
-            log_dir, from_offset=watermark, segments=[(first, path)]
+            log_dir, from_offset=watermark, segments=[(first, path)],
+            transform=route,
         )
         if ds is None:
             continue
-        ds = ds.map_batches(events_to_candidates, batch_format="pyarrow")
-        for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-            batch = lww_reduce(batch)
-            p = partition_ids(batch.column("url"), num_partitions)
-            batch = batch.append_column("p", pa.array(p, pa.int32()))
-            refs = []
-            for part in set(p.tolist()):
-                sub = batch.filter(
-                    pc.equal(batch.column("p"), pa.scalar(part, pa.int32()))
-                ).drop_columns(["p"])
-                refs.append(actors[part].apply.remote(sub))
-            ray.get(refs)
+        ds.take_all()  # drives routing; returns when all applies acked
         pending_watermark = max(pending_watermark, _segment_max_offset(path))
         n_since_ckpt += 1
         if n_since_ckpt >= checkpoint_every:
