@@ -7,19 +7,19 @@ Ray-Data-first shapes (ray_guide 'Exact dedup / Near-dup'):
   groupby → deterministic winner (min id) per group.
 - **MinHash-LSH**: per-batch vectorized shingle→minhash signatures →
   explode to (band_id, band_hash, doc_id) rows → groupby bands →
-  candidate pairs → exact-Jaccard verification → connected components
-  by iterative min-label propagation (driver-side union-find only on
-  the verified edge list, which LSH keeps small).
+  candidate pairs (per-bucket emission capped; degenerate buckets emit
+  a star) → exact-Jaccard verification via bucketed pairs⋈corpus hash
+  joins → connected components by DISTRIBUTED min-label propagation.
+  Nothing corpus-sized ever lands on the driver.
 - **SimHash**: 64-bit weighted-sign fingerprint; candidate blocking by
   16-bit sub-blocks (any hamming-≤-k pair shares a block for k ≤ 3·…).
 - **embedding near-dup**: random-hyperplane signature buckets →
   within-bucket pairwise cosine.
 
 Scale notes: signatures/fingerprints are per-batch vectorized numpy;
-the only shuffles are the band/bucket groupbys whose rows are tiny
-(ints). Verification re-reads only candidate docs. At 100 TB the
-verify step must join candidates back to text via a bucketed join on
-doc id rather than the broadcast used below (flagged per call site).
+the shuffles are the band/bucket groupbys (tiny int rows) and, for
+MinHash verification, two hash joins that stream the corpus's text
+through the bucket exchange once per endpoint.
 """
 
 from __future__ import annotations
@@ -105,23 +105,87 @@ def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
-def _components(edges: list[tuple[int, int]]) -> dict[int, int]:
-    """Union-find on the verified edge list (driver-side; edge list is
-    post-LSH small). Returns node -> min-id representative."""
-    parent: dict[int, int] = {}
+def _min_label_components(edges: rd.Dataset, max_rounds: int = 10) -> pa.Table:
+    """Connected components of a (a, b) edge Dataset by distributed
+    min-label propagation; returns the SMALL (node, label) table of
+    nodes that appear in any edge (every other node is its own rep).
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    Each round: join current labels onto both edge endpoints, send each
+    endpoint the pair's min label, fold with groupby-min, stop when no
+    label changed. Rounds needed = component diameter — near-dup
+    clusters are cliques/stars from LSH buckets, so 1–2 in practice.
+    All joins/groupbys are over the EDGE set (post-LSH small), never
+    the corpus; each round is materialized so lazy re-execution doesn't
+    recompute prior rounds.
+    """
+    from maestro_ray.ops.joins import hash_join
 
-    for u, v in edges:
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            lo, hi = min(ru, rv), max(ru, rv)
-            parent[hi] = lo
-    return {n: find(n) for n in parent}
+    def edge_nodes(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        )
+        return pa.table({"node": both, "label": both})
+
+    labels = (
+        edges.map_batches(edge_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .min("label")
+        .map_batches(
+            lambda t: t.rename_columns(["node", "label"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    for _ in range(max_rounds):
+        la = labels.map_batches(
+            lambda t: t.rename_columns(["a", "la"]), batch_format="pyarrow"
+        )
+        lb = labels.map_batches(
+            lambda t: t.rename_columns(["b", "lb"]), batch_format="pyarrow"
+        )
+        joined = hash_join(hash_join(edges, la, keys="a"), lb, keys="b")
+
+        def msgs(t: pa.Table) -> pa.Table:
+            m = pc.min_element_wise(t.column("la"), t.column("lb"))
+            return pa.table({
+                "node": pa.concat_arrays(
+                    [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                ),
+                "label": pa.concat_arrays([m.combine_chunks()] * 2),
+            })
+
+        new_labels = (
+            joined.map_batches(msgs, batch_format="pyarrow")
+            .union(labels)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        old = labels.map_batches(
+            lambda t: t.rename_columns(["node", "old"]), batch_format="pyarrow"
+        )
+        changed = (
+            hash_join(new_labels, old, keys="node")
+            .map_batches(
+                lambda t: t.filter(
+                    pc.not_equal(t.column("label"), t.column("old"))
+                ),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    tabs = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64())})
+    return pa.concat_tables(tabs)
 
 
 def dedup_near_minhash(
@@ -132,13 +196,24 @@ def dedup_near_minhash(
     n_hashes: int = 128,
     n_bands: int = 32,
     shingle_k: int = 3,
-) -> pd.DataFrame:
-    """D4: MinHash-LSH near-dup clusters.
+    max_bucket: int = 64,
+) -> rd.Dataset:
+    """D4: MinHash-LSH near-dup clusters, fully distributed.
 
-    Returns DataFrame (doc_id, cluster_rep); docs in no near-dup pair
-    map to themselves. Verification broadcasts the candidate docs' texts
-    (fine while candidates ≪ memory; at 100 TB swap the broadcast for a
-    bucketed join of candidate pairs against the corpus by doc id).
+    Returns a Dataset (doc_id, cluster_rep); docs in no near-dup pair
+    map to themselves. No whole-corpus driver materialization anywhere:
+    candidate pairs stay a Dataset, verification texts arrive via two
+    bucketed hash joins of the pairs against the corpus (never a
+    broadcast id-set rescan), components run as distributed min-label
+    propagation, and only the final (node → representative) table —
+    O(docs that belong to some near-dup cluster) — is broadcast for the
+    assignment pass.
+
+    ``max_bucket`` caps per-bucket pair emission: a bucket with more
+    than ``max_bucket`` members (degenerate — e.g. N identical docs)
+    emits a STAR to its min id (N-1 edges) instead of N²/2 pairs;
+    connectivity of such a bucket is preserved because its members
+    collide on the full band hash.
     """
     bands = ds.map_batches(
         lambda t: minhash_batch(
@@ -149,41 +224,80 @@ def dedup_near_minhash(
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids = sorted(set(g.column("doc_id").to_pylist()))
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        if n > max_bucket:  # degenerate bucket: star to the min id
+            a_out = [ids[0]] * (n - 1)
+            b_out = ids[1:]
+        else:
+            for i in range(n):
+                for j in range(i + 1, n):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
         return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
 
     pairs = (
         bands.groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+        .groupby(["a", "b"])  # distributed distinct (pairs recur per band)
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
     )
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
-    if pairs.empty:
-        return pd.DataFrame({id_col: all_ids, "cluster_rep": all_ids})
-    # verify candidates with exact jaccard on the involved docs only
-    cand_ids = sorted(set(pairs["a"]) | set(pairs["b"]))
-    texts_tbl = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=pa.array(cand_ids)))
-        .select([id_col, text_col]),
+
+    def self_map(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "cluster_rep": t.column(id_col),
+        })
+
+    ids_ds = ds.select_columns([id_col])
+    if pairs.count() == 0:
+        return ids_ds.map_batches(self_map, batch_format="pyarrow")
+
+    # verification: texts reach their pairs via two bucketed hash joins
+    # (pairs ⋈ corpus on a, then on b) — the corpus streams through the
+    # join exchange, never onto the driver
+    from maestro_ray.ops.joins import hash_join
+
+    docs_a = ds.map_batches(
+        lambda t: t.select([id_col, text_col]).rename_columns(["a", "__ta"]),
         batch_format="pyarrow",
-    ).to_pandas()
-    texts = dict(zip(texts_tbl[id_col], texts_tbl[text_col]))
-    edges = [
-        (int(a), int(b))
-        for a, b in zip(pairs["a"], pairs["b"])
-        if jaccard(texts[a], texts[b], shingle_k) >= threshold
-    ]
-    rep = _components(edges)
-    return pd.DataFrame(
-        {id_col: all_ids, "cluster_rep": [rep.get(i, i) for i in all_ids]}
     )
+    docs_b = ds.map_batches(
+        lambda t: t.select([id_col, text_col]).rename_columns(["b", "__tb"]),
+        batch_format="pyarrow",
+    )
+    withtext = hash_join(hash_join(pairs, docs_a, keys="a"), docs_b, keys="b")
+
+    def verify(t: pa.Table) -> pa.Table:
+        ta = t.column("__ta").to_pylist()
+        tb = t.column("__tb").to_pylist()
+        keep = [
+            jaccard(ta[i], tb[i], shingle_k) >= threshold
+            for i in range(t.num_rows)
+        ]
+        return t.filter(pa.array(keep, pa.bool_())).select(["a", "b"])
+
+    edges = withtext.map_batches(verify, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ids_ds.map_batches(self_map, batch_format="pyarrow")
+    labels = _min_label_components(edges)
+    rep_map = dict(
+        zip(labels.column("node").to_pylist(), labels.column("label").to_pylist())
+    )
+    rep_ref = ray.put(rep_map)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        ids = t.column(id_col).to_pylist()
+        return pa.table({
+            id_col: t.column(id_col),
+            "cluster_rep": pa.array([m.get(i, i) for i in ids], pa.int64()),
+        })
+
+    return ids_ds.map_batches(assign, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ simhash

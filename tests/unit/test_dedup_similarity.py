@@ -63,15 +63,15 @@ def test_minhash_signature_similarity_tracks_jaccard():
 
 
 def test_minhash_lsh_finds_planted_cluster(docs_ds):
-    out = dedup_near_minhash(docs_ds, threshold=0.5)
+    out = dedup_near_minhash(docs_ds, threshold=0.5).to_pandas()
     rep = dict(zip(out["doc_id"], out["cluster_rep"]))
     assert rep[0] == rep[1] == rep[2] == rep[5] == 0
     assert rep[3] == 3 and rep[4] == 4
 
 
 def test_minhash_deterministic(docs_ds):
-    a = dedup_near_minhash(docs_ds, threshold=0.5)
-    b = dedup_near_minhash(docs_ds, threshold=0.5)
+    a = dedup_near_minhash(docs_ds, threshold=0.5).to_pandas()
+    b = dedup_near_minhash(docs_ds, threshold=0.5).to_pandas()
     pd.testing.assert_frame_equal(
         a.sort_values("doc_id").reset_index(drop=True),
         b.sort_values("doc_id").reset_index(drop=True),
