@@ -598,6 +598,23 @@ def _q_knn_lsh(sf):
     return out[["vec_id"]].reset_index(drop=True)
 
 
+def _q_knn_ann_index(sf):
+    """Persisted-LSH-bucket-index ANN: build-once (cached per sf under
+    /tmp), then probe touching only matching bucket files — probe I/O
+    is sublinear in corpus size (asserted in
+    tests/unit/test_dedup_similarity.py). Rows-only driver check;
+    recall vs knn_brute and scan-LSH equivalence are pytest-pinned."""
+    from maestro_ray.ops.similarity import build_ann_index, knn_lsh_probe
+
+    name = os.path.basename(sf.rstrip("/"))
+    idx = f"/tmp/maestro_ann_r2_{name}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        build_ann_index(ds, idx, n_planes=8, n_tables=4)
+    out = knn_lsh_probe(idx, _knn_query_vec(sf), k=10, n_probes=9)
+    return out[["vec_id"]].reset_index(drop=True)
+
+
 def _q_embedding_near_dup(sf):
     from maestro_ray.ops.dedup import embedding_near_dup
 
@@ -880,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
+        "knn_ann_index": _q_knn_ann_index,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_decode": _q_multimodal_decode,
         "approx_distinct": _q_approx_distinct,

@@ -83,6 +83,36 @@ def knn_brute(
     return out
 
 
+def _probe_sets(
+    q: np.ndarray, planes: np.ndarray, n_probes: int
+) -> list[list[set[int]]]:
+    """Per-table, per-query probe bucket sets: the query's own bucket
+    plus the ``n_probes - 1`` nearest single-bit flips (least-confident
+    hyperplanes first) — standard multi-probe LSH."""
+    n_planes = planes.shape[2]
+    bits = np.arange(n_planes, dtype=np.uint64)
+    probes: list[list[set[int]]] = []
+    for t_i in range(planes.shape[0]):
+        qproj = q @ planes[t_i]
+        per_q = []
+        for qi in range(q.shape[0]):
+            base = int(((qproj[qi] > 0).astype(np.uint64) << bits).sum())
+            order = np.argsort(np.abs(qproj[qi]))
+            ps = {base}
+            for flip in order[: max(0, n_probes - 1)]:
+                ps.add(base ^ (1 << int(flip)))
+            per_q.append(ps)
+        probes.append(per_q)
+    return probes
+
+
+def _lsh_planes(
+    dim: int, n_planes: int, n_tables: int, seed: int
+) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, dim, n_planes)).astype(np.float32)
+
+
 def knn_lsh(
     ds: rd.Dataset,
     queries: np.ndarray,
@@ -107,23 +137,9 @@ def knn_lsh(
         q = q[None, :]
     q = _normalize(q)
     dim = q.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, dim, n_planes)).astype(np.float32)
+    planes = _lsh_planes(dim, n_planes, n_tables, seed)
     bits = np.arange(n_planes, dtype=np.uint64)
-
-    # per-table probe sets
-    probes: list[list[set[int]]] = []  # [table][query] -> bucket set
-    for t_i in range(n_tables):
-        qproj = q @ planes[t_i]
-        per_q = []
-        for qi in range(q.shape[0]):
-            base = int(((qproj[qi] > 0).astype(np.uint64) << bits).sum())
-            order = np.argsort(np.abs(qproj[qi]))
-            ps = {base}
-            for flip in order[: max(0, n_probes - 1)]:
-                ps.add(base ^ (1 << int(flip)))
-            per_q.append(ps)
-        probes.append(per_q)
+    probes = _probe_sets(q, planes, n_probes)
     planes_ref = ray.put(planes)
     q_ref = ray.put(q)
     probes_ref = ray.put(probes)
@@ -172,3 +188,210 @@ def knn_lsh(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------- persisted bucket index
+
+
+def build_ann_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 23,
+) -> dict:
+    """Build-once persisted LSH bucket layout (r1 VERDICT #6).
+
+    ``knn_lsh`` is scan-time LSH: every query run still streams ALL
+    vectors and recomputes their buckets — it saves matmul, not I/O. At
+    100 TB an ANN needs the shuffle-by-bucket done ONCE and written
+    down, so probes touch only matching buckets' files. This builds
+    exactly that: vectors are exploded to one row per (table, bucket),
+    shuffled by bucket, and each bucket is written as its own parquet
+    file of (id, normalized float32 vector bytes); a JSON manifest maps
+    (table, bucket) -> file + rows + bytes. Probing is
+    ``knn_lsh_probe`` — its I/O is the probed buckets only, asserted
+    sublinear in tests.
+    """
+    import json
+    import os
+
+    first = ds.take(1)[0][emb_col]
+    dim = len(first)
+    planes = _lsh_planes(dim, n_planes, n_tables, seed)
+    planes_ref = ray.put(planes)
+    bits = np.arange(n_planes, dtype=np.uint64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        emb = _normalize(_emb_matrix(t, emb_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        vec_bytes = [emb[i].tobytes() for i in range(len(ids))]
+        tabs, bucks, out_ids, out_vec = [], [], [], []
+        for t_i in range(pl.shape[0]):
+            b = ((emb @ pl[t_i] > 0).astype(np.uint64) << bits[None, :]).sum(axis=1)
+            tabs.extend([t_i] * len(ids))
+            bucks.extend(b.astype(np.int64).tolist())
+            out_ids.extend(ids.tolist())
+            out_vec.extend(vec_bytes)
+        return pa.table({
+            "table": pa.array(tabs, pa.int32()),
+            "bucket": pa.array(bucks, pa.int64()),
+            "id": pa.array(out_ids, pa.int64()),
+            "vec": pa.array(out_vec, pa.binary()),
+        })
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        t_i = g.column("table")[0].as_py()
+        b = g.column("bucket")[0].as_py()
+        rel = os.path.join(f"t{t_i}", f"b{b:06d}.parquet")
+        path = os.path.join(index_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        out = g.select(["id", "vec"])
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)  # idempotent on task retry
+        return pa.table({
+            "table": pa.array([t_i], pa.int32()),
+            "bucket": pa.array([b], pa.int64()),
+            "file": pa.array([rel], pa.string()),
+            "rows": pa.array([out.num_rows], pa.int64()),
+            "bytes": pa.array([os.path.getsize(path)], pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["table", "bucket"])
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .take_all()  # O(buckets) manifest rows only
+    )
+    manifest = {
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "seed": seed,
+        "dim": dim,
+        "id_col": id_col,
+        "buckets": [
+            {k: (int(v) if k in ("table", "bucket", "rows", "bytes") else v)
+             for k, v in r.items()}
+            for r in sorted(rows, key=lambda r: (r["table"], r["bucket"]))
+        ],
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    return manifest
+
+
+def knn_lsh_probe(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probes: int = 9,
+    id_col: str = "vec_id",
+    with_stats: bool = False,
+):
+    """Approximate top-k against a persisted ``build_ann_index`` layout.
+
+    Reads ONLY the bucket files any query probes (multi-probe over the
+    same plane family the index was built with) — probe I/O is
+    sublinear in corpus size, unlike scan-time ``knn_lsh``. Each probed
+    file becomes one Ray task computing its local exact-cosine top-k
+    for exactly the queries that probed it; the tiny partials merge on
+    the driver. ``with_stats=True`` additionally returns
+    {files,bytes}_{probed,total} for the sublinearity assertion.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    q = _normalize(q)
+    planes = _lsh_planes(man["dim"], man["n_planes"], man["n_tables"], man["seed"])
+    probes = _probe_sets(q, planes, n_probes)
+    by_key = {(b["table"], b["bucket"]): b for b in man["buckets"]}
+    tasks: dict[str, list[int]] = {}
+    bytes_probed = 0
+    for t_i in range(man["n_tables"]):
+        for qi in range(q.shape[0]):
+            for bucket in probes[t_i][qi]:
+                b = by_key.get((t_i, bucket))
+                if b is None:
+                    continue
+                lst = tasks.setdefault(b["file"], [])
+                if qi not in lst:
+                    lst.append(qi)
+    files_probed = sorted(tasks)
+    bytes_probed = sum(by_key[k_]["bytes"] for k_ in by_key
+                       if by_key[k_]["file"] in tasks)
+    stats = {
+        "files_probed": len(files_probed),
+        "files_total": len(man["buckets"]),
+        "bytes_probed": bytes_probed,
+        "bytes_total": sum(b["bytes"] for b in man["buckets"]),
+    }
+    empty = pd.DataFrame({
+        "query_id": pd.Series([], dtype="int64"),
+        id_col: pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="float64"),
+    })
+    if not files_probed:
+        return (empty, stats) if with_stats else empty
+    q_ref = ray.put(q)
+    desc = pa.table({
+        "file": pa.array(files_probed, pa.string()),
+        "qids": pa.array([tasks[f] for f in files_probed],
+                         pa.list_(pa.int64())),
+    })
+
+    def probe_file(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        qm = ray.get(q_ref)
+        out_q, out_id, out_s = [], [], []
+        for row in t.to_pylist():
+            tab = pq.read_table(os.path.join(index_dir, row["file"]))
+            ids = tab.column("id").to_numpy(zero_copy_only=False)
+            vecs = np.stack([
+                np.frombuffer(b, dtype=np.float32)
+                for b in tab.column("vec").to_pylist()
+            ])
+            sims = vecs @ qm[row["qids"]].T
+            for j, qi in enumerate(row["qids"]):
+                kk = min(k, len(ids))
+                part = np.argpartition(-sims[:, j], kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(ids[part].tolist())
+                out_s.extend(sims[part, j].astype(np.float64).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    survivors = (
+        rd.from_arrow(desc)
+        .map_batches(probe_file, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+    if survivors.empty:
+        return (empty, stats) if with_stats else empty
+    survivors["score"] = survivors["score"].round(6)
+    survivors = survivors.drop_duplicates(subset=["query_id", id_col])
+    out = (
+        survivors.sort_values(["query_id", "score", id_col],
+                              ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return (out, stats) if with_stats else out

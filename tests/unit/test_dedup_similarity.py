@@ -144,3 +144,59 @@ def test_knn_lsh_recall_against_brute(ray_session):
         a = set(approx[approx.query_id == qi]["vec_id"])
         recalls.append(len(a & b) / len(b))
     assert np.mean(recalls) >= 0.6  # multi-probe LSH recall floor
+
+
+def test_ann_index_probe_recall_and_sublinear_io(ray_session, tmp_path):
+    """Persisted bucket index: probe must (a) reach knn_lsh-grade recall
+    vs brute force and (b) read strictly less than the whole index —
+    the property scan-time knn_lsh lacks."""
+    import ray.data as rd
+
+    from maestro_ray.ops.similarity import build_ann_index, knn_lsh_probe
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    idx = str(tmp_path / "annidx")
+    man = build_ann_index(ds, idx, n_planes=6, n_tables=4)
+    assert sum(b["rows"] for b in man["buckets"]) == 200 * 4  # 1 row/table
+    q = vecs[:3]
+    out, stats = knn_lsh_probe(idx, q, k=5, n_probes=7, with_stats=True)
+    brute = knn_brute(ds, q, k=5)
+    recalls = []
+    for qi in range(3):
+        b = set(brute[brute.query_id == qi]["vec_id"])
+        a = set(out[out.query_id == qi]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.6
+    # sublinear probe: strictly fewer files AND bytes than the index
+    assert 0 < stats["files_probed"] < stats["files_total"]
+    assert 0 < stats["bytes_probed"] < stats["bytes_total"]
+
+
+def test_ann_index_probe_matches_scan_lsh(ray_session, tmp_path):
+    """Same plane family + probe set => indexed probe returns a superset-
+    quality result comparable to scan-time knn_lsh (identical candidates
+    per table/bucket), and rebuilding is deterministic."""
+    import ray.data as rd
+
+    from maestro_ray.ops.similarity import build_ann_index, knn_lsh_probe
+
+    ds, planted = _emb_ds(rd)
+    idx = str(tmp_path / "annidx")
+    m1 = build_ann_index(ds, idx, n_planes=6, n_tables=4)
+    m2 = build_ann_index(ds, str(tmp_path / "annidx2"), n_planes=6, n_tables=4)
+    assert [(b["table"], b["bucket"], b["rows"]) for b in m1["buckets"]] == [
+        (b["table"], b["bucket"], b["rows"]) for b in m2["buckets"]
+    ]
+    q = planted[:3]
+    scan = knn_lsh(ds, q, k=5, n_planes=6, n_probes=7, n_tables=4)
+    probe = knn_lsh_probe(idx, q, k=5, n_probes=7)
+    for qi in range(3):
+        s = set(scan[scan.query_id == qi]["vec_id"])
+        p = set(probe[probe.query_id == qi]["vec_id"])
+        assert s == p, f"query {qi}: {s} != {p}"
