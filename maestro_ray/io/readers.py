@@ -76,6 +76,61 @@ def parse_delimited_batch(
     return pa.Table.from_arrays(arrays, names=names + ["_error_reason"])
 
 
+def parse_fixed_width_batch(
+    batch: pa.Table,
+    schema: pa.Schema,
+    widths: list[int],
+    text_col: str = "text",
+    pad: str = " ",
+    none_sentinel: str = "",
+) -> pa.Table:
+    """P1 (fixed-width variant): maestro's load path also parses
+    fixed-width landing files [M]. Each line is sliced at the cumulative
+    ``widths`` offsets, fields are stripped of ``pad``; a line shorter
+    than the record length (or empty) quarantines with nulls in every
+    column plus ``_error_reason`` — same channel shape as
+    ``parse_delimited_batch``. Longer lines keep their trailing extra
+    bytes ignored (fixed-width records are prefix-addressed).
+    """
+    if len(widths) != len(schema):
+        raise ValueError(
+            f"{len(widths)} widths for {len(schema)} schema fields"
+        )
+    names = [f.name for f in schema]
+    offsets = [0]
+    for w in widths:
+        offsets.append(offsets[-1] + w)
+    record_len = offsets[-1]
+    cols: dict[str, list] = {n: [] for n in names}
+    errors: list[str | None] = []
+    for line in batch.column(text_col).to_pylist():
+        line = line or ""
+        if len(line) < record_len:
+            for n in names:
+                cols[n].append(None)
+            errors.append(f"line_len={len(line)}<{record_len}")
+            continue
+        errors.append(None)
+        for i, n in enumerate(names):
+            v = line[offsets[i] : offsets[i + 1]].strip(pad)
+            cols[n].append(None if v == none_sentinel else v)
+    arrays = []
+    for f in schema:
+        arr = pa.array(cols[f.name], pa.string())
+        try:
+            arrays.append(arr.cast(f.type))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            vals = []
+            for v in cols[f.name]:
+                try:
+                    vals.append(pa.scalar(v, pa.string()).cast(f.type).as_py())
+                except (pa.ArrowInvalid, ValueError, TypeError):
+                    vals.append(None)
+            arrays.append(pa.array(vals, f.type))
+    arrays.append(pa.array(errors, pa.string()))
+    return pa.Table.from_arrays(arrays, names=names + ["_error_reason"])
+
+
 class LandingZone:
     """S9: idempotent landing-file intake.
 

@@ -24,6 +24,31 @@ def test_parse_delimited_typed_and_quarantine():
     assert errs[0] is None and "field_count" in errs[2]
 
 
+def test_parse_fixed_width_typed_and_quarantine():
+    from maestro_ray.io.readers import parse_fixed_width_batch
+
+    schema = pa.schema([("id", pa.int64()), ("name", pa.string()),
+                        ("score", pa.float64())])
+    # widths: id=4, name=8, score=6
+    lines = pa.table({"text": [
+        "   1alice      3.5",
+        "   2           1.0",   # all-pad name -> null via sentinel
+        "   3bob",              # line too short -> quarantined
+        "xxxxcarol    2.0  ",   # uncastable id -> null id, rest kept
+        "   5dave     2.25  IGNORED-TRAILING",
+    ]})
+    out = parse_fixed_width_batch(lines, schema, widths=[4, 8, 6])
+    assert out.column("id").to_pylist() == [1, 2, None, None, 5]
+    assert out.column("name").to_pylist() == [
+        "alice", None, None, "carol", "dave"
+    ]
+    assert out.column("score").to_pylist() == [3.5, 1.0, None, 2.0, 2.25]
+    errs = out.column("_error_reason").to_pylist()
+    assert errs[0] is None and "line_len" in errs[2] and errs[4] is None
+    with pytest.raises(ValueError):
+        parse_fixed_width_batch(lines, schema, widths=[4, 8])
+
+
 def test_landing_zone_idempotent(tmp_path):
     d = tmp_path / "landing"
     d.mkdir()
