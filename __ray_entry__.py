@@ -569,10 +569,37 @@ def _q_simhash(sf):
 
 
 def _q_fingerprint(sf):
+    """Document fingerprint with an EXACT DuckDB twin: polynomial
+    rolling hash over the text's unicode code points, h = fold
+    (a*31 + c) mod 1e9+7 seeded with the first code point — the same
+    fold ``list_reduce`` computes in SQL. Vectorized per doc via
+    Horner-as-dot-product (precomputed 31^i mod p; every intermediate
+    < 2^51, int64-safe). The production SipHash-based ``T.Fingerprint``
+    actor keeps its pytest determinism oracle.
+    """
     ds = _read(sf, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(T.Fingerprint, batch_format="pandas", concurrency=2)
-    pdf = P.project(out, columns=["doc_id", "fingerprint"]).to_pandas()
-    pdf["fingerprint"] = pdf["fingerprint"].astype(str)
+    P_MOD = 1_000_000_007
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        max_len = max((len(t or "") for t in texts), default=1)
+        pows = np.ones(max(max_len, 1), dtype=np.int64)
+        for i in range(1, len(pows)):
+            pows[i] = (pows[i - 1] * 31) % P_MOD
+        out = []
+        for t in texts:
+            if not t:
+                out.append(0)
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.int64)
+            n = len(cp)
+            out.append(int((cp * pows[n - 1 :: -1] % P_MOD).sum() % P_MOD))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(out, pa.int64()),
+        })
+
+    pdf = ds.map_batches(fp_batch, batch_format="pyarrow").to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -596,6 +623,49 @@ def _q_knn_lsh(sf):
     ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
     out = knn_lsh(ds, _knn_query_vec(sf), k=10, n_planes=8, n_probes=9)
     return out[["vec_id"]].reset_index(drop=True)
+
+
+def _q_approx_distinct_grouped(sf):
+    """Grouped HLL sketch state (A4 grouped variant), value-hash
+    checked: per ``o_orderpriority``, the m=64 max-rho registers over
+    ``o_custkey`` — same SQL-twin avalanche hash as ``approx_distinct``,
+    with the group key carried through the register groupby. The
+    production grouped splitmix HLL (ops/aggregates.py) keeps its
+    pytest ε oracle.
+    """
+    ds = _read(sf, "orders", columns=["o_orderpriority", "o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = batch.column("o_orderpriority").to_pylist()
+        h = k % 4294967296
+        h = (((h >> 16) ^ h) * 73244475) % 4294967296
+        h = (((h >> 16) ^ h) * 73244475) % 4294967296
+        hv = (h >> 16) ^ h
+        reg = hv >> 26
+        q = hv & 67108863
+        lsb = q & -q
+        ntz = np.where(q > 0, np.log2(np.maximum(lsb, 1)), 0).astype(np.int64)
+        rho = np.where(q == 0, 27, ntz + 1)
+        # per-batch partial: max rho per (group, register)
+        import pandas as pd_
+
+        df = pd_.DataFrame({"grp": g, "reg": reg, "rho": rho})
+        agg = df.groupby(["grp", "reg"], sort=False)["rho"].max().reset_index()
+        return pa.table({
+            "grp": pa.array(agg["grp"], pa.string()),
+            "reg": pa.array(agg["reg"].to_numpy(np.int64), pa.int64()),
+            "rho": pa.array(agg["rho"].to_numpy(np.int64), pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["grp", "reg"])
+        .max("rho")
+        .to_pandas()
+        .rename(columns={"max(rho)": "rho"})
+    )
+    return out.sort_values(["grp", "reg"]).reset_index(drop=True)
 
 
 def _q_knn_ann_index(sf):
@@ -901,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_decode": _q_multimodal_decode,
         "approx_distinct": _q_approx_distinct,
+        "approx_distinct_grouped": _q_approx_distinct_grouped,
         "cdc_replay": _q_cdc_replay,
         "cdc_lineage": _q_cdc_lineage,
         "model_score": _q_model_score,
@@ -1079,6 +1150,25 @@ def oracle_sql() -> dict[str, str]:
             "bit_xor(xor(doc_id * 2654435761, "
             "coalesce(length(text), 0) * 4294967296)) AS checksum "
             "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "approx_distinct_grouped": (
+            "WITH h0 AS (SELECT o_orderpriority AS grp, "
+            "(o_custkey % 4294967296) AS h FROM orders), "
+            "h1 AS (SELECT grp, (xor(h // 65536, h) * 73244475) % 4294967296 AS h FROM h0), "
+            "h2 AS (SELECT grp, (xor(h // 65536, h) * 73244475) % 4294967296 AS h FROM h1), "
+            "h3 AS (SELECT grp, xor(h // 65536, h) AS hv FROM h2) "
+            "SELECT grp, hv // 67108864 AS reg, "
+            "MAX(CASE WHEN hv % 67108864 = 0 THEN 27 "
+            "ELSE bit_count(((hv % 67108864) & (-(hv % 67108864))) - 1) + 1 END) AS rho "
+            "FROM h3 GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, CASE WHEN text IS NULL OR length(text) = 0 "
+            "THEN 0 ELSE list_reduce("
+            "list_transform(generate_series(1, length(text)), "
+            "i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)), "
+            "(a, b) -> (a * 31 + b) % 1000000007) END AS fingerprint "
+            "FROM documents ORDER BY doc_id"
         ),
         "approx_distinct": (
             "WITH h0 AS (SELECT (o_custkey % 4294967296) AS h FROM orders), "
