@@ -557,15 +557,48 @@ def _q_dedup_near(sf):
 
 
 def _q_simhash(sf):
-    from maestro_ray.ops.dedup import simhash_batch
+    """16-bit SimHash with an EXACT DuckDB twin (value-hash checked).
 
+    Word hash = avalanche32(rolling-31 hash of the word's code points
+    mod 1e9+7) — every step SQL-replicable (list_reduce + the bounded
+    xor/multiply rounds used by the approx_distinct twin); simhash =
+    per-bit ±1 vote over word OCCURRENCES, bit set where the vote is
+    positive. The production 64-bit SipHash simhash
+    (ops/dedup.py:simhash_batch) keeps its pytest hamming/blocking
+    oracles.
+    """
     ds = _read(sf, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(
-        lambda t: simhash_batch(t).select(["doc_id", "simhash"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    out["simhash"] = out["simhash"].astype(str)  # uint64-safe for compare
-    return out.sort_values("doc_id").reset_index(drop=True)
+    P_MOD = 1_000_000_007
+    word_re = __import__("re").compile(r"\S+")
+
+    def sim_batch(batch: pa.Table) -> pa.Table:
+        bits = np.arange(16, dtype=np.int64)
+        out = []
+        for t in batch.column("text").to_pylist():
+            words = word_re.findall(t or "")
+            if not words:
+                out.append(0)
+                continue
+            whs = np.empty(len(words), dtype=np.int64)
+            for wi, w in enumerate(words):
+                h = ord(w[0])
+                for c in w[1:]:
+                    h = (h * 31 + ord(c)) % P_MOD
+                whs[wi] = h
+            h = whs % 4294967296
+            h = (((h >> 16) ^ h) * 73244475) % 4294967296
+            h = (((h >> 16) ^ h) * 73244475) % 4294967296
+            wh = (h >> 16) ^ h
+            signs = (((wh[:, None] >> bits[None, :]) & 1) * 2 - 1)
+            v = signs.sum(axis=0)
+            out.append(int(((v > 0).astype(np.int64) << bits).sum()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "simhash16": pa.array(out, pa.int64()),
+        })
+
+    pdf = ds.map_batches(sim_batch, batch_format="pyarrow").to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_fingerprint(sf):
@@ -1161,6 +1194,49 @@ def oracle_sql() -> dict[str, str]:
             "MAX(CASE WHEN hv % 67108864 = 0 THEN 27 "
             "ELSE bit_count(((hv % 67108864) & (-(hv % 67108864))) - 1) + 1 END) AS rho "
             "FROM h3 GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "lang_detect": (
+            # exact SQL twin of ops/text.py:LangDetect — same word regex,
+            # stopword tables, CJK-ratio rule and alphabetical tie-break
+            "WITH base AS (SELECT doc_id, COALESCE(length(text), 0) AS n, "
+            "COALESCE(len(regexp_extract_all(text, '[一-鿿぀-ヿ]')), 0) AS cjk "
+            "FROM documents), "
+            "w AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, "
+            "'[a-zA-ZäöüßáéíóúàèñçÀ-ÿ]+'))) AS lw FROM documents), "
+            "s AS (SELECT doc_id, "
+            "COUNT(*) FILTER (lw IN ('the','and','of','to','a','in','is','it','you','that')) AS s_en, "
+            "COUNT(*) FILTER (lw IN ('der','die','das','und','ist','ich','nicht','ein','zu','mit')) AS s_de, "
+            "COUNT(*) FILTER (lw IN ('el','la','de','que','y','en','un','es','se','no')) AS s_es, "
+            "COUNT(*) FILTER (lw IN ('le','la','de','et','un','une','est','que','pour','dans')) AS s_fr, "
+            "COUNT(*) AS n_words FROM w GROUP BY doc_id) "
+            "SELECT b.doc_id, CASE WHEN b.n = 0 THEN 'und' "
+            "WHEN b.cjk * 10 > b.n THEN 'zh' "
+            "WHEN s.doc_id IS NULL OR s.n_words = 0 THEN 'und' "
+            "WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+            "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
+            "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+            "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_detected "
+            "FROM base b LEFT JOIN s USING (doc_id) ORDER BY b.doc_id"
+        ),
+        "simhash": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split_regex(text, '\\s+')) AS word FROM documents), "
+            "w2 AS (SELECT doc_id, word FROM w WHERE word <> ''), "
+            "r AS (SELECT doc_id, list_reduce(list_transform("
+            "generate_series(1, length(word)), "
+            "i -> CAST(unicode(substr(word, i, 1)) AS BIGINT)), "
+            "(a, b) -> (a * 31 + b) % 1000000007) AS h FROM w2), "
+            "a1 AS (SELECT doc_id, (h % 4294967296) AS h FROM r), "
+            "a2 AS (SELECT doc_id, (xor(h // 65536, h) * 73244475) % 4294967296 AS h FROM a1), "
+            "a3 AS (SELECT doc_id, (xor(h // 65536, h) * 73244475) % 4294967296 AS h FROM a2), "
+            "a4 AS (SELECT doc_id, xor(h // 65536, h) AS wh FROM a3), "
+            "v AS (SELECT doc_id, b, SUM(CASE WHEN (wh // (1 << b)) % 2 = 1 "
+            "THEN 1 ELSE -1 END) AS vote FROM a4 CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 15)) AS b) bs GROUP BY 1, 2), "
+            "s AS (SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1 << b) "
+            "ELSE 0 END) AS BIGINT) AS simhash16 FROM v GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(s.simhash16, 0) AS simhash16 "
+            "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"
         ),
         "fingerprint": (
             "SELECT doc_id, CASE WHEN text IS NULL OR length(text) = 0 "
