@@ -729,12 +729,19 @@ def _q_embedding_near_dup(sf):
 
 
 def _q_multimodal_decode(sf):
-    from maestro_ray.ops.multimodal import decode_images, make_fake_image
+    """REAL image decode path (r2): deterministic seeded PNGs are
+    synthesized per doc, then decoded by the pure-stdlib PNG codec
+    (ops/png.py — zlib inflate + scanline unfilter + CRC verification)
+    in an actor pool; dimensions come from actual pixel data, not a
+    header peek. Rows-only driver check; codec correctness (all five
+    filter types, corruption detection, resize round-trips) is pinned
+    in tests/unit/test_png.py."""
+    from maestro_ray.ops.multimodal import decode_images, make_png_image
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         imgs = [
-            make_fake_image(64 + (i % 8) * 32, 64 + (i % 5) * 48, seed=i)
+            make_png_image(24 + (i % 8) * 8, 16 + (i % 5) * 12, seed=i)
             for i in ids
         ]
         return pa.table({
@@ -745,8 +752,12 @@ def _q_multimodal_decode(sf):
     ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
         synth, batch_format="pyarrow"
     )
-    out = decode_images(ds, concurrency=2, batch_size=256)
-    return P.project(out, columns=["img_id", "width", "height", "n_bytes"])
+    out = decode_images(ds, concurrency=2, batch_size=256, fake=False)
+    # width/height are ORACLE-checked: the synthesized dims are a pure
+    # function of doc_id, so the values recovered through zlib-inflate +
+    # unfilter must match the SQL formula exactly (n_bytes intentionally
+    # excluded — compressed size is not SQL-derivable)
+    return P.project(out, columns=["img_id", "width", "height"])
 
 
 def _q_approx_distinct(sf):
@@ -1194,6 +1205,15 @@ def oracle_sql() -> dict[str, str]:
             "MAX(CASE WHEN hv % 67108864 = 0 THEN 27 "
             "ELSE bit_count(((hv % 67108864) & (-(hv % 67108864))) - 1) + 1 END) AS rho "
             "FROM h3 GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "multimodal_decode": (
+            # the engine synthesizes a seeded PNG per doc with dims
+            # derived from doc_id, then REALLY decodes it; the oracle is
+            # the dim formula — any codec bug breaks the match
+            "SELECT doc_id AS img_id, "
+            "CAST(24 + (doc_id % 8) * 8 AS INTEGER) AS width, "
+            "CAST(16 + (doc_id % 5) * 12 AS INTEGER) AS height "
+            "FROM documents ORDER BY doc_id"
         ),
         "lang_detect": (
             # exact SQL twin of ops/text.py:LangDetect — same word regex,

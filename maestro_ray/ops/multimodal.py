@@ -6,13 +6,15 @@ frame-sample are ACTOR-POOL ``map_batches`` stages: codec/model setup
 happens once per actor in ``__init__``; batches stay Arrow (pandas
 mangles binary — ray_guide pitfalls).
 
-The image/audio libraries are not in this container, so the decode
-kernels are STUBBED: with ``fake=True`` (default) they parse a
-deterministic fake header (first 8 bytes = big-endian width/height);
-with ``fake=False`` they raise ``NotImplementedError`` at the exact
-call site where PIL/libav would be invoked. The Ray-side plumbing —
-schema contracts, batch sizing, actor signature, output layout — is
-real and tested (tests/unit/test_multimodal.py).
+IMAGE kernels are REAL: ``ops/png.py`` is a pure-stdlib (zlib + numpy)
+PNG codec — decode with full filter support, CRC verification,
+nearest-neighbor resize, per-channel feature extraction. Construct the
+stages with ``fake=False`` (PNG mode). ``fake=True`` keeps the legacy
+8-byte-header toy protocol for the plumbing-only tests.
+
+AUDIO/VIDEO remain stubbed (pyav/ffmpeg genuinely absent from the
+container): ``FrameSample`` parses the deterministic fake container
+format and documents the pyav call site.
 
 Batch-size guidance: binary payloads dominate block size; callers
 should pass small ``batch_size`` (e.g. 64 for ~1 MB images) and let
@@ -27,6 +29,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from maestro_ray.ops.png import decode_png, encode_png, resize_nearest
+
 IMAGE_META = pa.schema(
     [("width", pa.int32()), ("height", pa.int32()), ("n_bytes", pa.int64())]
 )
@@ -39,31 +43,47 @@ def make_fake_image(width: int, height: int, seed: int = 0) -> bytes:
     return struct.pack(">II", width, height) + body.tobytes()
 
 
+def make_png_image(width: int, height: int, seed: int = 0,
+                   channels: int = 3) -> bytes:
+    """Deterministic REAL PNG payload (seeded pixels, valid file)."""
+    rng = np.random.default_rng((seed, width, height, channels))
+    shape = (height, width) if channels == 1 else (height, width, channels)
+    return encode_png(rng.integers(0, 256, size=shape, dtype=np.uint8))
+
+
 class ImageDecode:
     """Decode stage: binary → (width, height, n_bytes) metadata columns.
 
-    Real implementation would call PIL.Image.open here (once-per-actor
-    import in __init__); the container has no PIL, so ``fake=True``
-    reads the fake header instead.
+    ``fake=False`` (PNG mode): real decode via ops/png.py — dimensions
+    come from actually decompressing and unfiltering the pixel data, and
+    undecodable blobs yield null dims (quarantine-style). ``fake=True``:
+    the legacy toy header protocol.
     """
 
     def __init__(self, img_col: str = "image", fake: bool = True):
         self.img_col = img_col
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "real image decode requires PIL/pillow, absent in this "
-                "container — construct with fake=True"
-            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ws, hs, ns = [], [], []
         for blob in batch.column(self.img_col).to_pylist():
-            if blob is None or len(blob) < 8:
-                ws.append(None), hs.append(None), ns.append(0)
-                continue
-            w, h = struct.unpack(">II", blob[:8])
-            ws.append(w), hs.append(h), ns.append(len(blob))
+            if self.fake:
+                if blob is None or len(blob) < 8:
+                    ws.append(None), hs.append(None), ns.append(0)
+                    continue
+                w, h = struct.unpack(">II", blob[:8])
+                ws.append(w), hs.append(h), ns.append(len(blob))
+            else:
+                if blob is None:
+                    ws.append(None), hs.append(None), ns.append(0)
+                    continue
+                try:
+                    img = decode_png(blob)
+                except ValueError:
+                    ws.append(None), hs.append(None), ns.append(len(blob))
+                    continue
+                ws.append(img.shape[1]), hs.append(img.shape[0])
+                ns.append(len(blob))
         return (
             batch.append_column("width", pa.array(ws, pa.int32()))
             .append_column("height", pa.array(hs, pa.int32()))
@@ -72,26 +92,78 @@ class ImageDecode:
 
 
 class ImageResize:
-    """Resize stage: rewrites the fake header to the target box
-    (aspect-preserving); real impl would re-encode pixels."""
+    """Resize stage, aspect-preserving to ``max_side``.
+
+    ``fake=False`` (PNG mode): real decode → nearest-neighbor resample →
+    re-encode (ops/png.py). ``fake=True``: header-only toy rewrite."""
 
     def __init__(self, max_side: int = 256, img_col: str = "image", fake: bool = True):
         self.max_side, self.img_col = max_side, img_col
-        if not fake:
-            raise NotImplementedError("real resize requires an image library")
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for blob in batch.column(self.img_col).to_pylist():
-            if blob is None or len(blob) < 8:
-                out.append(blob)
-                continue
-            w, h = struct.unpack(">II", blob[:8])
-            scale = min(1.0, self.max_side / max(w, h, 1))
-            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-            out.append(struct.pack(">II", nw, nh) + blob[8:])
+            if self.fake:
+                if blob is None or len(blob) < 8:
+                    out.append(blob)
+                    continue
+                w, h = struct.unpack(">II", blob[:8])
+                scale = min(1.0, self.max_side / max(w, h, 1))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                out.append(struct.pack(">II", nw, nh) + blob[8:])
+            else:
+                if blob is None:
+                    out.append(None)
+                    continue
+                try:
+                    img = decode_png(blob)
+                except ValueError:
+                    out.append(blob)  # pass through undecodable payloads
+                    continue
+                h, w = img.shape[:2]
+                scale = min(1.0, self.max_side / max(w, h, 1))
+                if scale >= 1.0:
+                    out.append(blob)
+                    continue
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                out.append(encode_png(resize_nearest(img, nw, nh)))
         i = batch.schema.get_field_index(self.img_col)
         return batch.set_column(i, self.img_col, pa.array(out, pa.binary()))
+
+
+class ImageFeatures:
+    """Real feature-extraction stage (PNG mode only): per-image mean /
+    std luminance from decoded pixels — the shape a CLIP-style embedder
+    slots into (decode → normalize → model), with the model swapped for
+    deterministic statistics since no ML runtime ships here."""
+
+    def __init__(self, img_col: str = "image"):
+        self.img_col = img_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, stds = [], []
+        for blob in batch.column(self.img_col).to_pylist():
+            if blob is None:
+                means.append(None), stds.append(None)
+                continue
+            try:
+                img = decode_png(blob)
+            except ValueError:
+                means.append(None), stds.append(None)
+                continue
+            # ITU-R 601 luma for color, identity for gray; alpha ignored
+            if img.ndim == 2:
+                lum = img.astype(np.float64)
+            else:
+                rgb = img[:, :, :3].astype(np.float64)
+                lum = rgb @ np.array([0.299, 0.587, 0.114])
+            means.append(round(float(lum.mean()), 4))
+            stds.append(round(float(lum.std()), 4))
+        return (
+            batch.append_column("lum_mean", pa.array(means, pa.float64()))
+            .append_column("lum_std", pa.array(stds, pa.float64()))
+        )
 
 
 class FrameSample:
@@ -129,10 +201,11 @@ class FrameSample:
 
 
 def decode_images(ds: rd.Dataset, img_col: str = "image",
-                  concurrency: int = 4, batch_size: int = 64) -> rd.Dataset:
+                  concurrency: int = 4, batch_size: int = 64,
+                  fake: bool = True) -> rd.Dataset:
     """Actor-pool wiring for the decode stage (small batches: binary
-    payloads dominate memory)."""
+    payloads dominate memory). ``fake=False`` = real PNG decode."""
     return ds.map_batches(
-        ImageDecode, fn_constructor_kwargs={"img_col": img_col},
+        ImageDecode, fn_constructor_kwargs={"img_col": img_col, "fake": fake},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )

@@ -38,9 +38,44 @@ def test_resize_preserves_aspect():
     assert meta.column("width").to_pylist()[1] == 12
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        ImageDecode(fake=False)
+def test_real_png_decode_resize_features():
+    """fake=False is a REAL path now: PNG decode (ops/png.py), pixel
+    resize, luminance features — no image library involved."""
+    import numpy as np
+
+    from maestro_ray.ops.multimodal import ImageFeatures, ImageResize, make_png_image
+    from maestro_ray.ops.png import decode_png
+
+    blobs = [
+        make_png_image(40, 30, seed=1),          # RGB
+        make_png_image(16, 64, seed=2, channels=1),  # gray
+        None,
+        b"not a png at all",
+    ]
+    t = pa.table({
+        "img_id": pa.array(range(4), pa.int64()),
+        "image": pa.array(blobs, pa.binary()),
+    })
+    dec = ImageDecode(fake=False)(t)
+    assert dec.column("width").to_pylist() == [40, 16, None, None]
+    assert dec.column("height").to_pylist() == [30, 64, None, None]
+    # resize: longest side capped at 32, aspect preserved, output is a
+    # VALID PNG of real resampled pixels
+    res = ImageResize(max_side=32, fake=False)(t)
+    out0 = decode_png(res.column("image")[0].as_py())
+    assert out0.shape == (24, 32, 3)  # 40x30 -> 32x24
+    out1 = decode_png(res.column("image")[1].as_py())
+    assert out1.shape == (32, 8)  # 16x64 -> 8x32
+    # original pixels survive the resample at the sampled grid points
+    src = decode_png(blobs[0])
+    ys = np.minimum((np.arange(24) * 30) // 24, 29)
+    xs = np.minimum((np.arange(32) * 40) // 32, 39)
+    assert np.array_equal(out0, src[ys][:, xs])
+    feats = ImageFeatures()(t)
+    lm = feats.column("lum_mean").to_pylist()
+    assert lm[2] is None and lm[3] is None
+    exp = (src[:, :, :3].astype(float) @ np.array([0.299, 0.587, 0.114])).mean()
+    assert abs(lm[0] - exp) < 1e-3
 
 
 def test_frame_sample_explodes():
