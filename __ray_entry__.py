@@ -701,6 +701,40 @@ def _q_approx_distinct_grouped(sf):
     return out.sort_values(["grp", "reg"]).reset_index(drop=True)
 
 
+def _q_audio_features(sf):
+    """REAL audio decode path (r2): deterministic seeded PCM WAV clips
+    are synthesized per doc and decoded by the pure-stdlib RIFF/WAVE
+    parser (ops/wav.py) in an actor pool. sample_rate / channels /
+    n_samples / duration are ORACLE-checked: the clip parameters are
+    pure functions of doc_id, so values recovered through the real
+    parser must match the SQL formulas (rms/peak excluded — seeded
+    noise is not SQL-derivable; pinned in tests/unit/test_wav.py)."""
+    from maestro_ray.ops.multimodal import AudioFeatures, make_wav_clip
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        clips = [
+            make_wav_clip(800 + (i % 7) * 160, 8000, 1 + i % 2, seed=i)
+            for i in ids
+        ]
+        return pa.table({
+            "clip_id": batch.column("doc_id"),
+            "audio": pa.array(clips, pa.binary()),
+        })
+
+    ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", concurrency=2, batch_size=256
+    )
+    return P.project(
+        out,
+        columns=["clip_id", "sample_rate", "channels", "n_samples",
+                 "duration_sec"],
+    )
+
+
 def _q_knn_ann_index(sf):
     """Persisted-LSH-bucket-index ANN: build-once (cached per sf under
     /tmp), then probe touching only matching bucket files — probe I/O
@@ -1012,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
         "knn_ann_index": _q_knn_ann_index,
+        "audio_features": _q_audio_features,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_decode": _q_multimodal_decode,
         "approx_distinct": _q_approx_distinct,
@@ -1205,6 +1240,13 @@ def oracle_sql() -> dict[str, str]:
             "MAX(CASE WHEN hv % 67108864 = 0 THEN 27 "
             "ELSE bit_count(((hv % 67108864) & (-(hv % 67108864))) - 1) + 1 END) AS rho "
             "FROM h3 GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "audio_features": (
+            "SELECT doc_id AS clip_id, CAST(8000 AS INTEGER) AS sample_rate, "
+            "CAST(1 + doc_id % 2 AS INTEGER) AS channels, "
+            "CAST(800 + (doc_id % 7) * 160 AS BIGINT) AS n_samples, "
+            "round((800 + (doc_id % 7) * 160) / 8000.0, 6) AS duration_sec "
+            "FROM documents ORDER BY doc_id"
         ),
         "multimodal_decode": (
             # the engine synthesizes a seeded PNG per doc with dims

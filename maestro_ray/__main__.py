@@ -49,7 +49,7 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--partitions", type=int, default=64)
     p_ing.add_argument("--segments-per-epoch", type=int, default=None)
     p_ing.add_argument("--salt-hot-keys", action="store_true")
-    p_ing.add_argument("--exchange", choices=["shuffle", "files"], default="shuffle")
+    p_ing.add_argument("--exchange", choices=["shuffle", "slim", "slim_sort", "files"], default="shuffle")
 
     p_tail = sub.add_parser("tail", help="incremental tail mode (actor pool)")
     p_tail.add_argument("--log-dir", required=True)
@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
 
     p_cmp = sub.add_parser("compact", help="rewrite partition files (U8)")
     p_cmp.add_argument("--lake-dir", required=True)
+    p_cmp.add_argument("--vacuum-tombstones-ts", type=int, default=None,
+                       help="event-time low watermark (us); tombstones older "
+                            "than this are dropped — ONLY pass a bound the "
+                            "source guarantees no older event can still arrive")
 
     p_vac = sub.add_parser("vacuum", help="delete unreferenced files")
     p_vac.add_argument("--lake-dir", required=True)
@@ -103,7 +107,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from maestro_ray.io.lake import compact_partitions
 
-            m = compact_partitions(args.lake_dir)
+            m = compact_partitions(
+                args.lake_dir,
+                vacuum_tombstones_ts=args.vacuum_tombstones_ts,
+            )
         elif args.cmd == "vacuum":
             from maestro_ray.core.manifest import vacuum
 

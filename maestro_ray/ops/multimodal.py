@@ -166,6 +166,51 @@ class ImageFeatures:
         )
 
 
+def make_wav_clip(n_samples: int, sample_rate: int = 16_000,
+                  channels: int = 1, seed: int = 0) -> bytes:
+    """Deterministic REAL PCM WAV payload (seeded int16 noise)."""
+    from maestro_ray.ops.wav import encode_wav
+
+    rng = np.random.default_rng((seed, n_samples, sample_rate, channels))
+    samples = rng.integers(-32768, 32768, size=(n_samples, channels),
+                           dtype=np.int64).astype(np.int16)
+    return encode_wav(samples, sample_rate)
+
+
+class AudioFeatures:
+    """Real audio feature-extraction stage: PCM WAV decode via
+    ops/wav.py (pure stdlib), per-clip duration / rate / channels /
+    RMS / peak. Undecodable blobs yield nulls (quarantine-style)."""
+
+    def __init__(self, audio_col: str = "audio"):
+        self.audio_col = audio_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from maestro_ray.ops.wav import wav_features
+
+        cols: dict[str, list] = {
+            k: [] for k in (
+                "sample_rate", "channels", "n_samples", "duration_sec",
+                "rms", "peak",
+            )
+        }
+        for blob in batch.column(self.audio_col).to_pylist():
+            try:
+                f = wav_features(blob) if blob is not None else None
+            except ValueError:
+                f = None
+            for k in cols:
+                cols[k].append(None if f is None else f[k])
+        out = batch
+        for k, typ in (
+            ("sample_rate", pa.int32()), ("channels", pa.int32()),
+            ("n_samples", pa.int64()), ("duration_sec", pa.float64()),
+            ("rms", pa.float64()), ("peak", pa.float64()),
+        ):
+            out = out.append_column(k, pa.array(cols[k], typ))
+        return out
+
+
 class FrameSample:
     """Video frame-sampling stage: one row per sampled frame.
 

@@ -81,7 +81,7 @@ def _all_names(entry_mod):
     "quality_score", "knn_brute", "window_sliding", "scalar_array",
     "pipeline_topk_revenue", "pipeline_nation_revenue", "model_score",
     "checksum", "approx_distinct", "fingerprint", "approx_distinct_grouped",
-    "simhash", "lang_detect", "multimodal_decode",
+    "simhash", "lang_detect", "multimodal_decode", "audio_features",
 ])
 def test_query_matches_oracle(entry_mod, con, sf_dir, name):
     q = entry_mod.queries()[name]

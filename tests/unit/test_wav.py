@@ -1,0 +1,87 @@
+"""Pure-stdlib PCM WAV codec tests: round-trips, chunk alignment,
+corruption, feature extraction."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from maestro_ray.ops.wav import decode_wav, encode_wav, wav_features
+
+
+@pytest.mark.parametrize("dtype,ch", [
+    (np.int16, 1), (np.int16, 2), (np.uint8, 1), (np.int32, 2),
+])
+def test_roundtrip_exact(dtype, ch):
+    rng = np.random.default_rng(3)
+    info = np.iinfo(dtype)
+    samples = rng.integers(info.min, int(info.max) + 1, size=(123, ch),
+                           dtype=np.int64).astype(dtype)
+    out, rate = decode_wav(encode_wav(samples, sample_rate=8000))
+    assert rate == 8000
+    assert out.shape == (123, ch) and out.dtype == dtype
+    assert np.array_equal(out, samples)
+
+
+def test_mono_1d_input_and_odd_chunk_alignment():
+    # odd data length (8-bit, odd sample count) exercises the RIFF
+    # word-alignment rule when another chunk follows
+    samples = np.arange(7, dtype=np.uint8)
+    wav = encode_wav(samples, sample_rate=4000)
+    # append a trailing LIST chunk after data; decoder must still work
+    out, rate = decode_wav(wav + b"LIST" + struct.pack("<I", 4) + b"INFO")
+    assert np.array_equal(out[:, 0], samples)
+
+
+def test_unknown_chunks_skipped():
+    samples = np.array([[100, -100]], dtype=np.int16)
+    wav = encode_wav(samples, 44100)
+    # inject a junk chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    injected = wav[:fmt_end] + b"junk" + struct.pack("<I", 6) + b"abcdef" + wav[fmt_end:]
+    out, rate = decode_wav(injected)
+    assert rate == 44100 and np.array_equal(out, samples)
+
+
+def test_corruption_and_unsupported_raise():
+    wav = encode_wav(np.zeros(4, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + wav)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav[:-3])
+    # float format tag (3) rejected
+    bad = bytearray(wav)
+    bad[20] = 3
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="dtype"):
+        encode_wav(np.zeros(4, dtype=np.float32), 8000)
+
+
+def test_features_known_values():
+    # full-scale square wave: rms == peak == 1.0 (int16 min is -32768,
+    # use +/-32767 to keep symmetry exact at 6dp rounding)
+    sq = np.tile(np.array([32767, -32767], dtype=np.int16), 50)
+    f = wav_features(encode_wav(sq, sample_rate=100))
+    assert f["n_samples"] == 100 and f["sample_rate"] == 100
+    assert f["channels"] == 1 and f["duration_sec"] == 1.0
+    assert abs(f["rms"] - 32767 / 32768) < 1e-6
+    assert abs(f["peak"] - 32767 / 32768) < 1e-6
+    silent = wav_features(encode_wav(np.zeros(10, dtype=np.int16), 8000))
+    assert silent["rms"] == 0.0 and silent["peak"] == 0.0
+
+
+def test_audio_features_stage():
+    import pyarrow as pa
+
+    from maestro_ray.ops.multimodal import AudioFeatures, make_wav_clip
+
+    blobs = [make_wav_clip(320, 16000, 2, seed=1), None, b"not audio"]
+    t = pa.table({
+        "clip_id": pa.array(range(3), pa.int64()),
+        "audio": pa.array(blobs, pa.binary()),
+    })
+    out = AudioFeatures()(t)
+    assert out.column("n_samples").to_pylist() == [320, None, None]
+    assert out.column("channels").to_pylist() == [2, None, None]
+    assert out.column("duration_sec").to_pylist()[0] == 0.02
