@@ -735,6 +735,43 @@ def _q_audio_features(sf):
     )
 
 
+def _q_video_meta(sf):
+    """REAL video-container path (r2): deterministic minimal MP4s are
+    synthesized per doc and shallow-demuxed by the pure-stdlib box
+    parser (ops/mp4.py) in an actor pool. duration / track count /
+    codec are ORACLE-checked via the synthesis formulas; frame DECODE
+    remains honestly stubbed (codecs need pyav, absent here)."""
+    from maestro_ray.ops.mp4 import encode_minimal_mp4
+    from maestro_ray.ops.multimodal import VideoMeta
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        clips = [
+            encode_minimal_mp4(
+                (1 + i % 10) * 0.5,
+                tracks=[
+                    ("vide", "avc1" if i % 2 == 0 else "vp09"),
+                    ("soun", "mp4a"),
+                ],
+            )
+            for i in ids
+        ]
+        return pa.table({
+            "vid_id": batch.column("doc_id"),
+            "video": pa.array(clips, pa.binary()),
+        })
+
+    ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        VideoMeta, batch_format="pyarrow", concurrency=2, batch_size=256
+    )
+    return P.project(
+        out, columns=["vid_id", "duration_sec", "n_tracks", "video_codec"]
+    )
+
+
 def _q_knn_ann_index(sf):
     """Persisted-LSH-bucket-index ANN: build-once (cached per sf under
     /tmp), then probe touching only matching bucket files — probe I/O
@@ -1047,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ann_index": _q_knn_ann_index,
         "audio_features": _q_audio_features,
+        "video_meta": _q_video_meta,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_decode": _q_multimodal_decode,
         "approx_distinct": _q_approx_distinct,
@@ -1240,6 +1278,13 @@ def oracle_sql() -> dict[str, str]:
             "MAX(CASE WHEN hv % 67108864 = 0 THEN 27 "
             "ELSE bit_count(((hv % 67108864) & (-(hv % 67108864))) - 1) + 1 END) AS rho "
             "FROM h3 GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "video_meta": (
+            "SELECT doc_id AS vid_id, "
+            "(1 + doc_id % 10) * 0.5 AS duration_sec, "
+            "CAST(2 AS INTEGER) AS n_tracks, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'vp09' END AS video_codec "
+            "FROM documents ORDER BY doc_id"
         ),
         "audio_features": (
             "SELECT doc_id AS clip_id, CAST(8000 AS INTEGER) AS sample_rate, "

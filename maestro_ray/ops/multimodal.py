@@ -211,6 +211,42 @@ class AudioFeatures:
         return out
 
 
+class VideoMeta:
+    """Real video-metadata stage: shallow MP4 demux via ops/mp4.py
+    (pure stdlib box parsing) — duration, track count, per-type codec
+    fourccs. Filtering/routing on container metadata is the common
+    100 TB pre-pass; actual frame decode stays behind ``FrameSample``'s
+    documented pyav call site."""
+
+    def __init__(self, video_col: str = "video"):
+        self.video_col = video_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from maestro_ray.ops.mp4 import parse_mp4
+
+        durs, ntracks, vcodec, acodec = [], [], [], []
+        for blob in batch.column(self.video_col).to_pylist():
+            try:
+                meta = parse_mp4(blob) if blob is not None else None
+            except ValueError:
+                meta = None
+            if meta is None:
+                durs.append(None), ntracks.append(None)
+                vcodec.append(None), acodec.append(None)
+                continue
+            durs.append(meta["duration_sec"])
+            ntracks.append(meta["n_tracks"])
+            by_handler = {t["handler"]: t["codec"] for t in meta["tracks"]}
+            vcodec.append(by_handler.get("vide"))
+            acodec.append(by_handler.get("soun"))
+        return (
+            batch.append_column("duration_sec", pa.array(durs, pa.float64()))
+            .append_column("n_tracks", pa.array(ntracks, pa.int32()))
+            .append_column("video_codec", pa.array(vcodec, pa.string()))
+            .append_column("audio_codec", pa.array(acodec, pa.string()))
+        )
+
+
 class FrameSample:
     """Video frame-sampling stage: one row per sampled frame.
 

@@ -1,0 +1,76 @@
+"""MP4 shallow-demux tests: box walking, version layouts, corruption."""
+
+import struct
+
+import pyarrow as pa
+import pytest
+
+from maestro_ray.ops.mp4 import _box, encode_minimal_mp4, parse_mp4
+
+
+def test_roundtrip_metadata():
+    data = encode_minimal_mp4(12.5, timescale=1000)
+    meta = parse_mp4(data)
+    assert meta["brand"] == "isom"
+    assert meta["duration_sec"] == 12.5
+    assert meta["n_tracks"] == 2
+    handlers = {t["handler"]: t for t in meta["tracks"]}
+    assert handlers["vide"]["codec"] == "avc1"
+    assert handlers["soun"]["codec"] == "mp4a"
+    assert handlers["vide"]["duration_sec"] == 12.5
+
+
+def test_version1_mvhd_and_largesize_box():
+    # hand-build a v1 mvhd (64-bit times) inside a largesize moov
+    timescale, dur = 600, 9000  # 15 s
+    mvhd_payload = (
+        b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, timescale, dur)
+        + b"\x00" * 80
+    )
+    mvhd = _box(b"mvhd", mvhd_payload)
+    moov_inner = mvhd
+    largesize_moov = (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_inner))
+        + moov_inner
+    )
+    data = _box(b"ftyp", b"isom\x00\x00\x00\x00") + largesize_moov
+    meta = parse_mp4(data)
+    assert meta["duration_sec"] == 15.0
+    assert meta["timescale"] == 600
+    assert meta["n_tracks"] == 0
+
+
+def test_unknown_boxes_skipped_and_errors():
+    data = (
+        _box(b"free", b"\x00" * 10)
+        + encode_minimal_mp4(2.0, tracks=[("vide", "vp09")])
+        + _box(b"mdat", b"\xff" * 32)
+    )
+    meta = parse_mp4(data)
+    assert meta["n_tracks"] == 1 and meta["tracks"][0]["codec"] == "vp09"
+    with pytest.raises(ValueError, match="moov"):
+        parse_mp4(_box(b"ftyp", b"isom\x00\x00\x00\x00"))
+    with pytest.raises(ValueError, match="bad box size"):
+        parse_mp4(struct.pack(">I", 5) + b"ftypX")  # size < header
+    truncated = encode_minimal_mp4(1.0)[:-7]
+    with pytest.raises(ValueError, match="bad box size|truncated"):
+        parse_mp4(truncated)
+
+
+def test_video_meta_stage():
+    from maestro_ray.ops.multimodal import VideoMeta
+
+    blobs = [
+        encode_minimal_mp4(3.25),
+        None,
+        b"RIFFnot an mp4 container at all",
+    ]
+    t = pa.table({
+        "vid_id": pa.array(range(3), pa.int64()),
+        "video": pa.array(blobs, pa.binary()),
+    })
+    out = VideoMeta()(t)
+    assert out.column("duration_sec").to_pylist() == [3.25, None, None]
+    assert out.column("n_tracks").to_pylist() == [2, None, None]
+    assert out.column("video_codec").to_pylist() == ["avc1", None, None]
+    assert out.column("audio_codec").to_pylist() == ["mp4a", None, None]
