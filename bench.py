@@ -202,9 +202,19 @@ def _env_ceiling() -> dict:
     import glob
     from concurrent.futures import ProcessPoolExecutor
 
-    files = sorted(
-        glob.glob(os.path.join(CACHE, "u150000_e6000000_s250000", "log", "*.parquet"))
+    # derive the cache key from _SCALING_SCALE (same formula as
+    # _fixture) — a hardcoded dir would silently glob nothing and
+    # report a vacuous ~1.0 ceiling if the scale params ever change
+    key = (
+        f"u{_SCALING_SCALE['n_urls']}_e{_SCALING_SCALE['n_events']}"
+        f"_s{_SCALING_SCALE['seg_rows']}"
     )
+    files = sorted(glob.glob(os.path.join(CACHE, key, "log", "*.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"scaling fixture missing under {os.path.join(CACHE, key)} — "
+            "run the scaling levels first (they generate it)"
+        )
 
     def t_decode(k: int) -> float:
         t0 = time.perf_counter()

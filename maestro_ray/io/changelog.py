@@ -100,6 +100,47 @@ def segments_after(log_dir: str, from_offset: int) -> list[tuple[int, str]]:
     return keep
 
 
+def segment_max_offset(path: str) -> int:
+    """Max primary offset from parquet row-group stats (footer only)."""
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index("offset")
+    if idx < 0:
+        raise SchemaContractError(
+            f"segment {path} has no 'offset' column — not a changelog segment"
+        )
+    stats = [
+        md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)
+    ]
+    if all(s is not None and s.has_min_max for s in stats):
+        return max(s.max for s in stats)
+    # externally-produced segments may lack stats: read the column
+    import pyarrow.compute as _pc
+
+    return _pc.max(pq.read_table(path, columns=["offset"]).column("offset")).as_py()
+
+
+def check_contiguity(
+    segs: list[tuple[int, str]], watermark: int
+) -> dict[str, int]:
+    """Refuse offset gaps: a missing segment file would otherwise
+    silently drop its offset range (exactly-once means exactly-once,
+    not at-most-once). First offsets must chain — segment i+1 starts at
+    most one past segment i's max offset, and the watermark must cover
+    segment 0. Returns ``{path: max_offset}`` (footer-only reads) so
+    callers never re-read footers for watermark bookkeeping."""
+    max_offsets: dict[str, int] = {}
+    prev_max = watermark
+    for first, path in segs:
+        if first > prev_max + 1:
+            raise FileNotFoundError(
+                f"changelog gap: offsets {prev_max + 1}..{first - 1} missing "
+                f"before {os.path.basename(path)} — refusing to lose events"
+            )
+        max_offsets[path] = segment_max_offset(path)
+        prev_max = max(prev_max, max_offsets[path])
+    return max_offsets
+
+
 def read_changelog(
     log_dir: str,
     from_offset: int = -1,

@@ -38,15 +38,15 @@ def lake_files(lake_dir: str, manifest: Manifest | None = None) -> list[str]:
 
 def _drop_tombstones(batch: pa.Table, keep_op: bool = False) -> pa.Table:
     """Filter persisted delete markers (LAKE_V2 ``op`` column) out of a
-    lake batch; drops the ``op`` column unless the caller asked for it."""
+    lake batch; drops the ``op`` column unless the caller asked for it.
+    Null ``op`` (schema-unified pre-tombstone rows) counts as live."""
     import pyarrow.compute as pc
 
     i = batch.schema.get_field_index("op")
     if i < 0:
         return batch  # pre-tombstone file (e.g. external pages input)
-    out = batch.filter(
-        pc.not_equal(batch.column(i), pa.scalar("delete", pa.string()))
-    )
+    op = pc.fill_null(batch.column(i), "insert")
+    out = batch.filter(pc.not_equal(op, pa.scalar("delete", pa.string())))
     return out if keep_op else out.remove_column(i)
 
 
@@ -56,8 +56,9 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
 
     Lake files physically carry tombstone rows (core/schema.py LAKE_V2);
     this reader hides them, so the logical schema is PAGES_V2 (or the
-    requested column subset). Pass ``columns=[..., "op"]`` to see raw
-    rows including tombstones.
+    requested column subset). Pass ``columns=[..., "op"]`` to get the
+    RAW rows — tombstones included, no filtering — for audits/vacuum
+    verification.
     """
     files = lake_files(lake_dir, manifest)
     if not files:
@@ -66,13 +67,16 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
         # explicit column list never selects the inferred hive col, and
         # ray's parquet datasource errors on columns= + partitioning=None
         # (UnboundLocalError in _infer_partition_columns, ray 2.49)
-        keep_op = "op" in columns
-        cols = list(columns) if keep_op else [*columns, "op"]
-        ds = rd.read_parquet(files, columns=cols)
-        return ds.map_batches(
-            lambda t, _k=keep_op: _drop_tombstones(t, keep_op=_k),
-            batch_format="pyarrow",
-        )
+        if "op" in columns:  # raw audit view: no tombstone filtering
+            return rd.read_parquet(files, columns=list(columns))
+        # a pre-tombstone (r1) lake has no `op` column — probe footers
+        # (one per partition, O(P) driver-side) rather than asking the
+        # reader for a missing field; a MIXED lake (upgraded mid-life)
+        # still reads `op` and null-fills it for the old files
+        if not any("op" in pq.read_schema(f).names for f in files):
+            return rd.read_parquet(files, columns=list(columns))
+        ds = rd.read_parquet(files, columns=[*columns, "op"])
+        return ds.map_batches(_drop_tombstones, batch_format="pyarrow")
     # partitioning=None: the p=<k>/ dir layout must NOT be inferred as a
     # hive partition column — `p` is physical placement, not data
     ds = rd.read_parquet(files, partitioning=None)

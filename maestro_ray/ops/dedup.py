@@ -117,6 +117,12 @@ def _min_label_components(edges: rd.Dataset, max_rounds: int = 10) -> pa.Table:
     All joins/groupbys are over the EDGE set (post-LSH small), never
     the corpus; each round is materialized so lazy re-execution doesn't
     recompute prior rounds.
+
+    Raises ``RuntimeError`` if labels have not converged after
+    ``max_rounds`` — returning partially-propagated labels would split
+    one connected component across representatives silently. (Raise
+    ``max_rounds`` for pathological chain-shaped similarity graphs;
+    min-label propagation needs diameter rounds, not log.)
     """
     from maestro_ray.ops.joins import hash_join
 
@@ -136,6 +142,7 @@ def _min_label_components(edges: rd.Dataset, max_rounds: int = 10) -> pa.Table:
         )
         .materialize()
     )
+    converged = False
     for _ in range(max_rounds):
         la = labels.map_batches(
             lambda t: t.rename_columns(["a", "la"]), batch_format="pyarrow"
@@ -180,7 +187,13 @@ def _min_label_components(edges: rd.Dataset, max_rounds: int = 10) -> pa.Table:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_rounds} "
+            "rounds — component diameter exceeds max_rounds; raise it"
+        )
     tabs = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
     if not tabs:
         return pa.table({"node": pa.array([], pa.int64()),
@@ -228,9 +241,17 @@ def dedup_near_minhash(
         if n < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         a_out, b_out = [], []
-        if n > max_bucket:  # degenerate bucket: star to the min id
-            a_out = [ids[0]] * (n - 1)
-            b_out = ids[1:]
+        if n > max_bucket:
+            # degenerate bucket: STAR to the min id plus a CHAIN of
+            # consecutive ids — 2(n-1) edges instead of n²/2. The chain
+            # keeps the bucket connected even when the min-id doc is a
+            # band-hash false positive that verification rejects (a
+            # star alone would then shatter the true cluster); a member
+            # only detaches if BOTH its star and its chain edges fail
+            # exact-Jaccard, i.e. it wasn't a near-dup of its
+            # neighbors anyway.
+            a_out = [ids[0]] * (n - 1) + ids[1:-1]
+            b_out = ids[1:] + ids[2:]
         else:
             for i in range(n):
                 for j in range(i + 1, n):

@@ -52,13 +52,19 @@ def lww_reduce(
     # the sorted key column stays in C++ kernels end to end — the
     # previous pandas object-array round-trip materialized every key as
     # a Python str in the hottest per-batch combiner of the ingest path.
+    # Null keys need explicit handling: pc.not_equal(x, null) is null,
+    # which a bare bool cast would read as "no boundary" and silently
+    # drop the last non-null key's winner. A boundary exists iff the
+    # values differ OR exactly one side is null.
     kcol = s.column(key)
     arr = kcol.combine_chunks() if kcol.num_chunks != 1 else kcol.chunk(0)
     n = len(arr)
     last = np.ones(n, dtype=bool)
     if n > 1:
-        neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
-        last[:-1] = neq.to_numpy(zero_copy_only=False)
+        a, b = arr.slice(1), arr.slice(0, n - 1)
+        neq = pc.fill_null(pc.not_equal(a, b), False)
+        one_null = pc.xor(pc.is_null(a), pc.is_null(b))
+        last[:-1] = pc.or_(neq, one_null).to_numpy(zero_copy_only=False)
     return s.filter(pa.array(last))
 
 

@@ -378,8 +378,11 @@ def knn_lsh_probe(
             "score": pa.array(out_s, pa.float64()),
         })
 
+    # from_arrow yields ONE block; repartition so each probed file is
+    # its own task (otherwise all probes run serially in one task)
     survivors = (
         rd.from_arrow(desc)
+        .repartition(len(files_probed))
         .map_batches(probe_file, batch_format="pyarrow", batch_size=1)
         .to_pandas()
     )

@@ -44,25 +44,8 @@ from maestro_ray.ops.partition import (
 )
 
 
-def _segment_max_offset(path: str) -> int:
-    """Max primary offset from parquet row-group stats (footer only)."""
-    md = pq.ParquetFile(path).metadata
-    idx = md.schema.to_arrow_schema().get_field_index("offset")
-    if idx < 0:
-        from maestro_ray.core.schema import SchemaContractError
-
-        raise SchemaContractError(
-            f"segment {path} has no 'offset' column — not a changelog segment"
-        )
-    stats = [
-        md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)
-    ]
-    if all(s is not None and s.has_min_max for s in stats):
-        return max(s.max for s in stats)
-    # externally-produced segments may lack stats: read the column
-    import pyarrow.compute as _pc
-
-    return _pc.max(pq.read_table(path, columns=["offset"]).column("offset")).as_py()
+# compat re-export: the footer-only max-offset helper moved to io/changelog
+from maestro_ray.io.changelog import segment_max_offset as _segment_max_offset
 
 
 import contextlib
@@ -418,24 +401,15 @@ def ingest(
     segs = segments_after(log_dir, watermark)
     if not segs:
         return m
-    # contiguity check: a missing segment file would otherwise silently
-    # drop its offset range (exactly-once means exactly-once, not
-    # at-most-once). First offsets must chain: seg i+1 starts at i's
-    # max primary offset + 1; the current watermark must cover seg 0.
-    prev_max = watermark
-    for first, path in segs:
-        if first > prev_max + 1:
-            raise FileNotFoundError(
-                f"changelog gap: offsets {prev_max + 1}..{first - 1} missing "
-                f"before {os.path.basename(path)} — refusing to lose events"
-            )
-        prev_max = max(prev_max, _segment_max_offset(path))
+    from maestro_ray.io.changelog import check_contiguity
+
+    seg_max = check_contiguity(segs, watermark)  # raises on offset gaps
     chunk_size = segments_per_epoch or len(segs)
     chunks = [segs[i : i + chunk_size] for i in range(0, len(segs), chunk_size)]
     if max_epochs is not None:
         chunks = chunks[:max_epochs]
     for chunk in chunks:
-        epoch_watermark = max(_segment_max_offset(path) for _first, path in chunk)
+        epoch_watermark = max(seg_max[path] for _first, path in chunk)
         if epoch_watermark <= watermark:
             continue  # fully committed already (e.g. trailing segment rerun)
         hot: set | None = None

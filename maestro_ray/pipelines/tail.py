@@ -46,7 +46,6 @@ from maestro_ray.ops.merge import (
     pages_to_candidates,
 )
 from maestro_ray.ops.partition import lww_reduce
-from maestro_ray.pipelines.ingest import _segment_max_offset
 
 
 @ray.remote
@@ -195,17 +194,13 @@ def tail_ingest(
         segs = segs[:max_segments]
     if not segs:
         return m
-    # same contiguity check as replay-mode ingest(): a missing segment
-    # would otherwise be silently skipped and the watermark advanced
-    # past it, losing its events forever (exactly-once, not at-most-once)
-    prev_max = watermark
-    for first, path in segs:
-        if first > prev_max + 1:
-            raise FileNotFoundError(
-                f"changelog gap: offsets {prev_max + 1}..{first - 1} missing "
-                f"before {os.path.basename(path)} — refusing to lose events"
-            )
-        prev_max = max(prev_max, _segment_max_offset(path))
+    # shared contiguity check (io/changelog.py): a missing segment would
+    # otherwise be silently skipped and the watermark advanced past it;
+    # the returned per-segment max offsets feed the watermark bookkeeping
+    # below without re-reading footers
+    from maestro_ray.io.changelog import check_contiguity
+
+    seg_max = check_contiguity(segs, watermark)
     actors = [
         PartitionMerger.remote(lake_dir, p, prev_files.get(p), watermark)
         for p in range(num_partitions)
@@ -258,7 +253,7 @@ def tail_ingest(
         if ds is None:
             continue
         ds.take_all()  # drives routing; returns when all applies acked
-        pending_watermark = max(pending_watermark, _segment_max_offset(path))
+        pending_watermark = max(pending_watermark, seg_max[path])
         n_since_ckpt += 1
         if n_since_ckpt >= checkpoint_every:
             do_checkpoint()

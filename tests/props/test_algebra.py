@@ -93,3 +93,21 @@ def test_evolution_composes(rows):
     # column order/type fidelity of the untouched columns
     for name in CHANGELOG_V1.names:
         assert e1.column(name).cast(t1.column(name).type).equals(t1.column(name))
+
+
+def test_lww_reduce_null_keys_keep_other_winners():
+    """Regression (r2 self-review): the Arrow boundary detection must
+    treat null-vs-value adjacency as a boundary — a single null-url row
+    used to swallow the last non-null key's winner entirely."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "url": pa.array(["a", "a", None, None], pa.string()),
+        "warc_ts": pa.array([1, 2, 5, 9], pa.int64()),
+        "offset": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    out = lww_reduce(t)
+    by_url = {r["url"]: r for r in out.to_pylist()}
+    assert "a" in by_url and by_url["a"]["warc_ts"] == 2
+    assert None in by_url and by_url[None]["warc_ts"] == 9
+    assert out.num_rows == 2
