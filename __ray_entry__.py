@@ -556,6 +556,19 @@ def _q_dedup_near(sf):
     return dedup_near_minhash(ds, threshold=0.8)
 
 
+def _q_dedup_ngram(sf):
+    """Exact n-gram Jaccard similarity join (ops/dedup.py), value-hash
+    checked: the inverted-index plan's pair set and similarity values
+    must equal DuckDB's self-join over the identical SQL-replicable
+    shingle hash — unlike MinHash-LSH this operator is deterministic
+    and exact, so the whole distributed plan gets an exact oracle."""
+    from maestro_ray.ops.dedup import dedup_ngram_jaccard
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    out = dedup_ngram_jaccard(ds, threshold=0.5).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_simhash(sf):
     """16-bit SimHash with an EXACT DuckDB twin (value-hash checked).
 
@@ -1078,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checksum": _q_checksum,
         "quality_score": _q_quality_score,
         "dedup_near": _q_dedup_near,
+        "dedup_ngram": _q_dedup_ngram,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "knn_brute": _q_knn_brute,
@@ -1324,6 +1338,28 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
             "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_detected "
             "FROM base b LEFT JOIN s USING (doc_id) ORDER BY b.doc_id"
+        ),
+        "dedup_ngram": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, CASE WHEN len(ws) < 3 "
+            "THEN array_to_string(ws, ' ') "
+            "ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS s "
+            "FROM w, unnest(generate_series(1, CASE WHEN len(ws) = 0 THEN 0 "
+            "WHEN len(ws) < 3 THEN 1 ELSE len(ws) - 2 END)) t(i)), "
+            "sh AS (SELECT DISTINCT doc_id, list_reduce(list_transform("
+            "generate_series(1, length(s)), "
+            "i -> CAST(unicode(substr(s, i, 1)) AS BIGINT)), "
+            "(a, b) -> (a * 31 + b) % 1000000007) AS sh FROM grams), "
+            "p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter "
+            "FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id "
+            "GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1) "
+            "SELECT p.a, p.b, "
+            "round(p.inter / (na.n + nb.n - p.inter), 6) AS jaccard "
+            "FROM p JOIN sz na ON p.a = na.doc_id "
+            "JOIN sz nb ON p.b = nb.doc_id "
+            "WHERE p.inter / (na.n + nb.n - p.inter) >= 0.5 ORDER BY 1, 2"
         ),
         "simhash": (
             "WITH w AS (SELECT doc_id, "

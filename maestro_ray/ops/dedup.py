@@ -471,3 +471,139 @@ def embedding_near_dup(
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------- n-gram Jaccard (exact)
+
+
+def _shingle_strings(text: str, k: int = 3) -> list[str]:
+    """DISTINCT word k-shingles as strings (SQL-replicable: words are
+    \\S+ runs, shingles joined with single spaces)."""
+    words = _WORD_RE.findall(text or "")
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return sorted({" ".join(words[i : i + k]) for i in range(len(words) - k + 1)})
+
+
+def _roll31(s: str, p: int = 1_000_000_007) -> int:
+    """Code-point rolling hash mod p — identical fold to DuckDB's
+    list_reduce twin (see __ray_entry__ fingerprint oracle)."""
+    if not s:
+        return 0
+    h = ord(s[0])
+    for c in s[1:]:
+        h = (h * 31 + ord(c)) % p
+    return h
+
+
+def dedup_ngram_jaccard(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> rd.Dataset:
+    """EXACT n-gram Jaccard similarity join, fully distributed.
+
+    The classic inverted-index all-pairs plan: explode each doc to its
+    DISTINCT shingle hashes → groupby shingle → emit co-occurring doc
+    pairs → groupby (a, b) counts intersections → join per-doc shingle
+    counts (bucketed hash joins — the size table is corpus-sized, never
+    broadcast) → Jaccard = |∩| / (|A| + |B| − |∩|), filter ≥ threshold.
+    Unlike MinHash-LSH this is exact (no bands, no verification pass)
+    at the cost of shuffling one row per (shingle, doc) — use it below
+    ~10^8 shingle-doc pairs; LSH above.
+
+    Shingle identity is the SQL-replicable rolling hash (mod 1e9+7) of
+    the shingle STRING, so the DuckDB oracle joins on the identical
+    key — hash collisions (p ≈ 2^30) affect both sides identically.
+
+    Returns a Dataset (a, b, jaccard) with a < b, jaccard rounded 6dp.
+    """
+    from maestro_ray.ops.joins import hash_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_out, hashes = [], []
+        ids = t.column(id_col).to_pylist()
+        for i, text in enumerate(t.column(text_col).to_pylist()):
+            # distinct on the HASH (not the string): the SQL twin's
+            # DISTINCT(doc_id, sh) dedups post-hash, so an intra-doc
+            # hash collision must collapse identically on both sides
+            for h in sorted({_roll31(s) for s in _shingle_strings(text, shingle_k)}):
+                ids_out.append(ids[i])
+                hashes.append(h)
+        return pa.table({
+            "sh": pa.array(hashes, pa.int64()),
+            id_col: pa.array(ids_out, pa.int64()),
+        })
+
+    shingles = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def sizes_batch(t: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = t.to_pandas().groupby(id_col).size().reset_index(name="n")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sizes = (
+        shingles.map_batches(sizes_batch, batch_format="pyarrow")
+        .groupby(id_col).sum("n")
+        .map_batches(
+            lambda t: t.rename_columns([id_col, "n"]), batch_format="pyarrow"
+        )
+    )
+
+    def shingle_pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(set(g.column(id_col).to_pylist()))
+        a_o, b_o = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_o.append(ids[i])
+                b_o.append(ids[j])
+        return pa.table({"a": pa.array(a_o, pa.int64()),
+                         "b": pa.array(b_o, pa.int64())})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = t.to_pandas().groupby(["a", "b"]).size().reset_index(name="inter")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    inter = (
+        shingles.groupby("sh")
+        .map_groups(shingle_pairs, batch_format="pyarrow")
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["a", "b"]).sum("inter")
+        .map_batches(
+            lambda t: t.rename_columns(["a", "b", "inter"]),
+            batch_format="pyarrow",
+        )
+    )
+    na = sizes.map_batches(
+        lambda t: t.rename_columns(["a", "na"]), batch_format="pyarrow"
+    )
+    nb = sizes.map_batches(
+        lambda t: t.rename_columns(["b", "nb"]), batch_format="pyarrow"
+    )
+    joined = hash_join(hash_join(inter, na, keys="a"), nb, keys="b")
+
+    def jacc(t: pa.Table) -> pa.Table:
+        i = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (
+            t.column("na").to_numpy(zero_copy_only=False)
+            + t.column("nb").to_numpy(zero_copy_only=False)
+            - i
+        )
+        j = i / np.maximum(union, 1)
+        # filter on the UNROUNDED ratio (as the SQL twin does), round
+        # only the reported value — a 0.4999996 must not sneak in via
+        # display rounding
+        keep = j >= threshold
+        out = pa.table({
+            "a": t.column("a").filter(pa.array(keep)),
+            "b": t.column("b").filter(pa.array(keep)),
+            "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+        })
+        return out
+
+    return joined.map_batches(jacc, batch_format="pyarrow")

@@ -1,0 +1,27 @@
+"""Tail mode and replay mode must produce BYTE-IDENTICAL lake partition
+files (including persisted tombstones) when checkpoint boundaries equal
+epoch boundaries — the cross-mode convergence invariant that lets tail
+and replay epochs interleave on one lake."""
+
+from maestro_ray.core.manifest import latest_manifest
+from maestro_ray.fixtures import ChangelogParams, write_changelog
+from maestro_ray.pipelines.ingest import ingest
+from maestro_ray.pipelines.tail import tail_ingest
+
+
+def test_tail_and_replay_produce_identical_partitions(ray_session, tmp_path):
+    p = ChangelogParams(seed=13, n_urls=50, n_events=600, seg_rows=100,
+                        p_delete=0.15, p_ooo=0.2, p_dup=0.08)
+    log = str(tmp_path / "log")
+    write_changelog(log, p)
+    lake_r = str(tmp_path / "lake_replay")
+    lake_t = str(tmp_path / "lake_tail")
+    ingest(log, lake_r, num_partitions=4, segments_per_epoch=2)
+    tail_ingest(log, lake_t, num_partitions=4, checkpoint_every=2)
+    mr, mt = latest_manifest(lake_r), latest_manifest(lake_t)
+    assert mr.watermark == mt.watermark == p.n_events - 1
+    assert set(mr.partitions) == set(mt.partitions)
+    for part, vr in mr.partitions.items():
+        vt = mt.partitions[part]
+        assert vr["rows"] == vt["rows"], f"partition {part} row count"
+        assert vr["checksum"] == vt["checksum"], f"partition {part} checksum"

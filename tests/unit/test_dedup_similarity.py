@@ -200,3 +200,22 @@ def test_ann_index_probe_matches_scan_lsh(ray_session, tmp_path):
         s = set(scan[scan.query_id == qi]["vec_id"])
         p = set(probe[probe.query_id == qi]["vec_id"])
         assert s == p, f"query {qi}: {s} != {p}"
+
+
+def test_ngram_jaccard_exact_planted(docs_ds):
+    """Exact operator: planted pair values must equal set-Jaccard over
+    word-3-gram strings computed naively in Python."""
+    from maestro_ray.ops.dedup import _shingle_strings, dedup_ngram_jaccard
+
+    out = dedup_ngram_jaccard(docs_ds, threshold=0.3).to_pandas()
+    got = {(r.a, r.b): r.jaccard for r in out.itertuples()}
+    docs = {r["doc_id"]: r["text"] for r in _docs_table().to_pylist()}
+
+    def naive(x, y):
+        sa, sb = set(_shingle_strings(docs[x])), set(_shingle_strings(docs[y]))
+        return round(len(sa & sb) / len(sa | sb), 6)
+
+    assert got[(0, 5)] == 1.0  # exact dup
+    assert (0, 1) in got and got[(0, 1)] == naive(0, 1)
+    assert (0, 2) in got and got[(0, 2)] == naive(0, 2)
+    assert (0, 3) not in got and (3, 4) not in got  # unrelated docs
