@@ -111,3 +111,39 @@ def test_lww_reduce_null_keys_keep_other_winners():
     assert "a" in by_url and by_url["a"]["warc_ts"] == 2
     assert None in by_url and by_url[None]["warc_ts"] == 9
     assert out.num_rows == 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 3, 4]),
+    st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    """decode(encode(x)) == x for every shape/channel combination."""
+    import numpy as np
+
+    from maestro_ray.ops.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 300), st.integers(1, 3),
+    st.sampled_from(["uint8", "int16", "int32"]),
+    st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, dtype, seed):
+    import numpy as np
+
+    from maestro_ray.ops.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    info = np.iinfo(np.dtype(dtype))
+    samples = rng.integers(info.min, int(info.max) + 1, size=(n, ch),
+                           dtype=np.int64).astype(dtype)
+    out, rate = decode_wav(encode_wav(samples, sample_rate=22050))
+    assert rate == 22050 and np.array_equal(out, samples)
