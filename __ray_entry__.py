@@ -569,6 +569,69 @@ def _q_dedup_ngram(sf):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_pipeline_corpus_curation(sf):
+    """Flagship composed TRAINING-DATA CURATION pipeline, end-to-end
+    oracle-checked: language filter (actor-pool lang-ID, keep 'en') →
+    quality filter (≥ 20 whitespace words) → exact dedup (min doc_id
+    per identical text) → near-dedup (drop any doc with an exact
+    n-gram Jaccard ≥ 0.8 to a lower-id survivor). Every stage is
+    deterministic, so the WHOLE chain has one DuckDB twin — the
+    standard web-corpus curation recipe as a single verified query.
+    """
+    from maestro_ray.ops.dedup import dedup_ngram_jaccard
+    from maestro_ray.ops.functions import key_gen
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    en = P.filter_rows(
+        T.lang_detect(ds, concurrency=2),
+        lambda t: pc.equal(t.column("lang_detected"), pa.scalar("en")),
+    )
+
+    def add_n_words(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(pc.fill_null(t.column("text"), ""), r"\S+")
+        return t.append_column("n_words", pc.cast(n, pa.int64()))
+
+    q = P.filter_rows(
+        en.map_batches(add_n_words, batch_format="pyarrow"),
+        lambda t: pc.greater_equal(t.column("n_words"), pa.scalar(20)),
+    )
+
+    def first_by_doc_id(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        return g.take(idx).slice(0, 1)
+
+    d1 = (
+        key_gen(q, "text", out_col="__h")
+        .groupby("__h")
+        .map_groups(first_by_doc_id, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["doc_id", "text", "n_words"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    import ray as _ray
+
+    pairs = dedup_ngram_jaccard(
+        d1.select_columns(["doc_id", "text"]), threshold=0.8
+    ).to_pandas()
+    drop = _ray.put(set(pairs["b"].tolist()))  # near-dup of a lower id
+
+    def keep(t: pa.Table) -> pa.Table:
+        import ray as _ray2
+
+        bad = _ray2.get(drop)
+        ids = t.column("doc_id").to_pylist()
+        return t.filter(pa.array([i not in bad for i in ids], pa.bool_()))
+
+    out = d1.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return (
+        out[["doc_id", "n_words"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_simhash(sf):
     """16-bit SimHash with an EXACT DuckDB twin (value-hash checked).
 
@@ -1092,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "dedup_near": _q_dedup_near,
         "dedup_ngram": _q_dedup_ngram,
+        "pipeline_corpus_curation": _q_pipeline_corpus_curation,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "knn_brute": _q_knn_brute,
@@ -1338,6 +1402,55 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
             "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_detected "
             "FROM base b LEFT JOIN s USING (doc_id) ORDER BY b.doc_id"
+        ),
+        "pipeline_corpus_curation": (
+            # full curation chain: lang-ID → quality → exact dedup →
+            # n-gram-Jaccard near-dedup, one SQL program
+            "WITH lb AS (SELECT doc_id, COALESCE(length(text), 0) AS n, "
+            "COALESCE(len(regexp_extract_all(text, '[一-鿿぀-ヿ]')), 0) AS cjk "
+            "FROM documents), "
+            "lw AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, "
+            "'[a-zA-ZäöüßáéíóúàèñçÀ-ÿ]+'))) AS w FROM documents), "
+            "ls AS (SELECT doc_id, "
+            "COUNT(*) FILTER (w IN ('the','and','of','to','a','in','is','it','you','that')) AS s_en, "
+            "COUNT(*) FILTER (w IN ('der','die','das','und','ist','ich','nicht','ein','zu','mit')) AS s_de, "
+            "COUNT(*) FILTER (w IN ('el','la','de','que','y','en','un','es','se','no')) AS s_es, "
+            "COUNT(*) FILTER (w IN ('le','la','de','et','un','une','est','que','pour','dans')) AS s_fr, "
+            "COUNT(*) AS nw FROM lw GROUP BY doc_id), "
+            "lang AS (SELECT lb.doc_id, CASE WHEN lb.n = 0 THEN 'und' "
+            "WHEN lb.cjk * 10 > lb.n THEN 'zh' "
+            "WHEN ls.doc_id IS NULL OR ls.nw = 0 THEN 'und' "
+            "WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+            "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
+            "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+            "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang "
+            "FROM lb LEFT JOIN ls USING (doc_id)), "
+            "q AS (SELECT d.doc_id, d.text, "
+            "CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_words "
+            "FROM documents d JOIN lang USING (doc_id) "
+            "WHERE lang.lang = 'en' "
+            "AND len(regexp_extract_all(d.text, '\\S+')) >= 20), "
+            "d1 AS (SELECT doc_id, text, n_words FROM q "
+            "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1), "
+            "gw AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM d1), "
+            "grams AS (SELECT doc_id, CASE WHEN len(ws) < 3 "
+            "THEN array_to_string(ws, ' ') "
+            "ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS s "
+            "FROM gw, unnest(generate_series(1, CASE WHEN len(ws) = 0 THEN 0 "
+            "WHEN len(ws) < 3 THEN 1 ELSE len(ws) - 2 END)) t(i)), "
+            "sh AS (SELECT DISTINCT doc_id, list_reduce(list_transform("
+            "generate_series(1, length(s)), "
+            "i -> CAST(unicode(substr(s, i, 1)) AS BIGINT)), "
+            "(a, b) -> (a * 31 + b) % 1000000007) AS sh FROM grams), "
+            "pr AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter "
+            "FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id "
+            "GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), "
+            "dup AS (SELECT pr.b FROM pr JOIN sz na ON pr.a = na.doc_id "
+            "JOIN sz nb ON pr.b = nb.doc_id "
+            "WHERE pr.inter / (na.n + nb.n - pr.inter) >= 0.8) "
+            "SELECT doc_id, n_words FROM d1 "
+            "WHERE doc_id NOT IN (SELECT b FROM dup) ORDER BY doc_id"
         ),
         "dedup_ngram": (
             "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws "

@@ -82,7 +82,7 @@ def _all_names(entry_mod):
     "pipeline_topk_revenue", "pipeline_nation_revenue", "model_score",
     "checksum", "approx_distinct", "fingerprint", "approx_distinct_grouped",
     "simhash", "lang_detect", "multimodal_decode", "audio_features",
-    "video_meta", "dedup_ngram",
+    "video_meta", "dedup_ngram", "pipeline_corpus_curation",
 ])
 def test_query_matches_oracle(entry_mod, con, sf_dir, name):
     q = entry_mod.queries()[name]
