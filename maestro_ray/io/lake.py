@@ -66,17 +66,43 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     if columns:
         # explicit column list never selects the inferred hive col, and
         # ray's parquet datasource errors on columns= + partitioning=None
-        # (UnboundLocalError in _infer_partition_columns, ray 2.49)
+        # (UnboundLocalError in _infer_partition_columns, ray 2.49).
+        # Files are grouped by op-presence (footer probe, O(P) driver-
+        # side): a MIXED lake — r1 partitions untouched since the
+        # tombstone upgrade next to r2 files — would otherwise crash the
+        # reader on the missing `op` field (ray does NOT null-fill
+        # missing requested columns).
+        with_op = [f for f in files if "op" in pq.read_schema(f).names]
+        sans_op = [f for f in files if f not in set(with_op)]
         if "op" in columns:  # raw audit view: no tombstone filtering
-            return rd.read_parquet(files, columns=list(columns))
-        # a pre-tombstone (r1) lake has no `op` column — probe footers
-        # (one per partition, O(P) driver-side) rather than asking the
-        # reader for a missing field; a MIXED lake (upgraded mid-life)
-        # still reads `op` and null-fills it for the old files
-        if not any("op" in pq.read_schema(f).names for f in files):
-            return rd.read_parquet(files, columns=list(columns))
-        ds = rd.read_parquet(files, columns=[*columns, "op"])
-        return ds.map_batches(_drop_tombstones, batch_format="pyarrow")
+            base = [c for c in columns if c != "op"]
+
+            def add_null_op(t: pa.Table) -> pa.Table:
+                return t.append_column("op", pa.nulls(t.num_rows, pa.string()))
+
+            parts = []
+            if with_op:
+                parts.append(rd.read_parquet(with_op, columns=list(columns)))
+            if sans_op:
+                parts.append(
+                    rd.read_parquet(sans_op, columns=base).map_batches(
+                        add_null_op, batch_format="pyarrow"
+                    )
+                )
+        else:
+            parts = []
+            if with_op:
+                parts.append(
+                    rd.read_parquet(with_op, columns=[*columns, "op"]).map_batches(
+                        _drop_tombstones, batch_format="pyarrow"
+                    )
+                )
+            if sans_op:  # pre-tombstone files: every row is live
+                parts.append(rd.read_parquet(sans_op, columns=list(columns)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
     # partitioning=None: the p=<k>/ dir layout must NOT be inferred as a
     # hive partition column — `p` is physical placement, not data
     ds = rd.read_parquet(files, partitioning=None)

@@ -210,6 +210,7 @@ def dedup_near_minhash(
     n_bands: int = 32,
     shingle_k: int = 3,
     max_bucket: int = 64,
+    component_rounds: int = 64,
 ) -> rd.Dataset:
     """D4: MinHash-LSH near-dup clusters, fully distributed.
 
@@ -224,9 +225,12 @@ def dedup_near_minhash(
 
     ``max_bucket`` caps per-bucket pair emission: a bucket with more
     than ``max_bucket`` members (degenerate — e.g. N identical docs)
-    emits a STAR to its min id (N-1 edges) instead of N²/2 pairs;
-    connectivity of such a bucket is preserved because its members
-    collide on the full band hash.
+    emits a STAR to its min id PLUS a consecutive-id CHAIN — 2(N-1)
+    edges instead of N²/2 — so the bucket stays connected through
+    verification even when the min-id doc is a band-hash false
+    positive. ``component_rounds`` bounds min-label propagation; it
+    defaults to ``max_bucket`` (the worst surviving-chain diameter a
+    capped bucket can produce) and the loop exits early on convergence.
     """
     bands = ds.map_batches(
         lambda t: minhash_batch(
@@ -249,7 +253,8 @@ def dedup_near_minhash(
             # star alone would then shatter the true cluster); a member
             # only detaches if BOTH its star and its chain edges fail
             # exact-Jaccard, i.e. it wasn't a near-dup of its
-            # neighbors anyway.
+            # neighbors anyway. (Worst-case surviving diameter = the
+            # chain — covered by component_rounds >= max_bucket.)
             a_out = [ids[0]] * (n - 1) + ids[1:-1]
             b_out = ids[1:] + ids[2:]
         else:
@@ -304,7 +309,7 @@ def dedup_near_minhash(
     edges = withtext.map_batches(verify, batch_format="pyarrow").materialize()
     if edges.count() == 0:
         return ids_ds.map_batches(self_map, batch_format="pyarrow")
-    labels = _min_label_components(edges)
+    labels = _min_label_components(edges, max_rounds=component_rounds)
     rep_map = dict(
         zip(labels.column("node").to_pylist(), labels.column("label").to_pylist())
     )
@@ -551,6 +556,7 @@ def dedup_ngram_jaccard(
         .map_batches(
             lambda t: t.rename_columns([id_col, "n"]), batch_format="pyarrow"
         )
+        .materialize()  # consumed twice (na + nb join sides)
     )
 
     def shingle_pairs(g: pa.Table) -> pa.Table:
@@ -596,13 +602,15 @@ def dedup_ngram_jaccard(
         )
         j = i / np.maximum(union, 1)
         # filter on the UNROUNDED ratio (as the SQL twin does), round
-        # only the reported value — a 0.4999996 must not sneak in via
-        # display rounding
+        # only the reported value — and round HALF-AWAY-FROM-ZERO like
+        # SQL round(); np.round's half-to-even differs on exact 7th-
+        # decimal ties (e.g. 65/128 → .507813 vs np's .507812)
         keep = j >= threshold
+        jr = np.floor(j[keep] * 1e6 + 0.5) / 1e6
         out = pa.table({
             "a": t.column("a").filter(pa.array(keep)),
             "b": t.column("b").filter(pa.array(keep)),
-            "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+            "jaccard": pa.array(jr, pa.float64()),
         })
         return out
 

@@ -25,7 +25,6 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
@@ -44,8 +43,6 @@ from maestro_ray.ops.partition import (
 )
 
 
-# compat re-export: the footer-only max-offset helper moved to io/changelog
-from maestro_ray.io.changelog import segment_max_offset as _segment_max_offset
 
 
 import contextlib

@@ -134,3 +134,39 @@ def pa_concat(lake):
 
         return LAKE_V2.empty_table()
     return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def test_read_lake_columns_handles_mixed_op_files(ray_session, tmp_path):
+    """A lake upgraded mid-life keeps pre-tombstone (no `op` column)
+    files for untouched partitions; the pruned-columns reader must
+    handle the mix instead of crashing on the missing field
+    (self-review r2 finding)."""
+    from maestro_ray.io.lake import read_lake
+
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    segments = [
+        [_ev(0, "insert", T0, HTML_V1), _ev(1, "delete", T0 + 2_000_000, None)],
+        [_ev(2, "insert", T0 + 3_000_000, HTML_NEW)],
+    ]
+    segments[1][0]["url"] = "https://site0.example/1"
+    _write_segments(log, segments)
+    ingest(log, lake, num_partitions=2, segments_per_epoch=1)
+    # simulate an r1 leftover: strip `op` from one partition's file
+    files = lake_files(lake)
+    assert len(files) >= 2
+    legacy = pq.read_table(files[0]).drop_columns(["op"])
+    pq.write_table(legacy, files[0])
+    stripped_rows = legacy.num_rows
+    # narrow read must not crash and must still hide NEW files' tombstones
+    got = read_lake(lake, columns=["url", "warc_ts"]).to_pandas()
+    raw = read_lake(lake, columns=["url", "op"]).to_pandas()
+    tomb_in_new = sum(
+        1 for f in files[1:]
+        for v in pq.read_table(f).column("op").to_pylist() if v == "delete"
+    )
+    assert len(raw) == stripped_rows + sum(
+        pq.read_table(f).num_rows for f in files[1:]
+    )
+    assert raw["op"].isna().sum() == stripped_rows  # legacy rows: null op
+    assert (raw["op"] == "delete").sum() == tomb_in_new
+    assert len(got) == len(raw) - tomb_in_new  # filtered view hides them
