@@ -501,6 +501,32 @@ def _roll31(s: str, p: int = 1_000_000_007) -> int:
     return h
 
 
+def _roll31_batch(strs: list[str], p: int = 1_000_000_007) -> np.ndarray:
+    """Vectorized ``_roll31`` over many strings: front-zero-padded
+    code-point matrix × precomputed 31^k-mod-p powers (leading zeros
+    contribute nothing to the polynomial). Every intermediate < 2^36 —
+    int64-exact, value-identical to the scalar fold. The per-char
+    Python loop was the dominant cost of the n-gram join (~45 s →
+    sub-second hashing for 1.5 M shingles at sf0.1)."""
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, np.int64)
+    enc = [s.encode("utf-32-le") for s in strs]
+    lens = np.fromiter((len(b) >> 2 for b in enc), np.int64, n)
+    max_len = int(lens.max())
+    if max_len == 0:
+        return np.zeros(n, np.int64)
+    m = np.zeros((n, max_len), np.int64)
+    for i, b in enumerate(enc):
+        if b:
+            cp = np.frombuffer(b, np.uint32)
+            m[i, max_len - len(cp):] = cp
+    pw = np.ones(max_len, np.int64)
+    for k in range(max_len - 2, -1, -1):
+        pw[k] = (pw[k + 1] * 31) % p
+    return ((m * pw[None, :]) % p).sum(axis=1) % p
+
+
 def dedup_ngram_jaccard(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -528,70 +554,127 @@ def dedup_ngram_jaccard(
     from maestro_ray.ops.joins import hash_join
 
     def explode(t: pa.Table) -> pa.Table:
-        ids_out, hashes = [], []
         ids = t.column(id_col).to_pylist()
+        all_strs: list[str] = []
+        doc_of: list[int] = []
         for i, text in enumerate(t.column(text_col).to_pylist()):
-            # distinct on the HASH (not the string): the SQL twin's
-            # DISTINCT(doc_id, sh) dedups post-hash, so an intra-doc
-            # hash collision must collapse identically on both sides
-            for h in sorted({_roll31(s) for s in _shingle_strings(text, shingle_k)}):
-                ids_out.append(ids[i])
-                hashes.append(h)
+            ss = _shingle_strings(text, shingle_k)
+            all_strs.extend(ss)
+            doc_of.extend([i] * len(ss))
+        hashes = _roll31_batch(all_strs)
+        # distinct on the HASH (not the string): the SQL twin's
+        # DISTINCT(doc_id, sh) dedups post-hash, so an intra-doc hash
+        # collision must collapse identically on both sides
+        ids_out, out_h = [], []
+        per_doc: dict[int, set] = {}
+        for j, d in enumerate(doc_of):
+            per_doc.setdefault(d, set()).add(int(hashes[j]))
+        for d, hs in per_doc.items():
+            ids_out.extend([ids[d]] * len(hs))
+            out_h.extend(sorted(hs))
         return pa.table({
-            "sh": pa.array(hashes, pa.int64()),
+            "sh": pa.array(out_h, pa.int64()),
             id_col: pa.array(ids_out, pa.int64()),
         })
 
     shingles = ds.map_batches(explode, batch_format="pyarrow").materialize()
 
-    def sizes_batch(t: pa.Table) -> pa.Table:
-        import pandas as pd_
-
-        df = t.to_pandas().groupby(id_col).size().reset_index(name="n")
-        return pa.Table.from_pandas(df, preserve_index=False)
-
     sizes = (
-        shingles.map_batches(sizes_batch, batch_format="pyarrow")
-        .groupby(id_col).sum("n")
+        shingles.groupby(id_col).count()
         .map_batches(
             lambda t: t.rename_columns([id_col, "n"]), batch_format="pyarrow"
         )
         .materialize()  # consumed twice (na + nb join sides)
     )
 
-    def shingle_pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g.column(id_col).to_pylist()))
-        a_o, b_o = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_o.append(ids[i])
-                b_o.append(ids[j])
-        return pa.table({"a": pa.array(a_o, pa.int64()),
-                         "b": pa.array(b_o, pa.int64())})
+    # co-occurrence pairs via a bucketed SELF-JOIN on the shingle hash —
+    # exactly the SQL twin's plan, and every per-row step runs in C++
+    # join/aggregate kernels (a groupby("sh").map_groups pair emitter
+    # was measured 40x slower: one Python call per shingle group, and
+    # almost every group has a single member). The (a, b) pair key is
+    # PACKED into one int64 (ids < 2^31) so the intersection count is a
+    # single-key groupby — the two-column sort shuffle was 4x slower.
+    sh_a = shingles.map_batches(
+        lambda t: t.rename_columns(["sh", "a"]), batch_format="pyarrow"
+    )
+    sh_b = shingles.map_batches(
+        lambda t: t.rename_columns(["sh", "b"]), batch_format="pyarrow"
+    )
+    from maestro_ray.ops.joins import hash_join as _hj
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        import pandas as pd_
-
-        df = t.to_pandas().groupby(["a", "b"]).size().reset_index(name="inter")
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def pack_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a < b
+        return pa.table({
+            "pk": pa.array((a[keep] << 31) | b[keep], pa.int64())
+        })
 
     inter = (
-        shingles.groupby("sh")
-        .map_groups(shingle_pairs, batch_format="pyarrow")
-        .map_batches(count_partial, batch_format="pyarrow")
-        .groupby(["a", "b"]).sum("inter")
+        _hj(sh_a, sh_b, keys="sh")
+        .map_batches(pack_pairs, batch_format="pyarrow")
+        .groupby("pk").count()
         .map_batches(
-            lambda t: t.rename_columns(["a", "b", "inter"]),
-            batch_format="pyarrow",
+            lambda t: t.rename_columns(["pk", "inter"]), batch_format="pyarrow"
         )
     )
+
+    # Jaccard needs |A| and |B| per pair. `sizes` is one int per DOC —
+    # O(docs), not O(corpus bytes) — so broadcast it while it fits
+    # comfortably (≤ 2M docs ≈ 32 MB); beyond that fall back to the
+    # fully distributed bucketed joins.
+    def jacc_from_sizes(t: pa.Table, size_map) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = pk >> 31
+        b = pk & ((1 << 31) - 1)
+        i = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        na_ = np.array([size_map[x] for x in a.tolist()], dtype=np.float64)
+        nb_ = np.array([size_map[x] for x in b.tolist()], dtype=np.float64)
+        union = na_ + nb_ - i
+        j = i / np.maximum(union, 1)
+        # filter on the UNROUNDED ratio (as the SQL twin does), round
+        # only the reported value — and round HALF-AWAY-FROM-ZERO like
+        # SQL round(); np.round's half-to-even differs on exact 7th-
+        # decimal ties (e.g. 65/128 → .507813 vs np's .507812)
+        keep = j >= threshold
+        return pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "jaccard": pa.array(np.floor(j[keep] * 1e6 + 0.5) / 1e6,
+                                pa.float64()),
+        })
+
+    if sizes.count() <= 2_000_000:
+        tabs = [t for t in ray.get(sizes.to_arrow_refs()) if t.num_rows]
+        smap = {}
+        for t in tabs:
+            smap.update(zip(t.column(id_col).to_pylist(),
+                            t.column("n").to_pylist()))
+        smap_ref = ray.put(smap)
+        return inter.map_batches(
+            lambda t, _r=smap_ref: jacc_from_sizes(t, ray.get(_r)),
+            batch_format="pyarrow",
+        )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "a": pa.array(pk >> 31, pa.int64()),
+            "b": pa.array(pk & ((1 << 31) - 1), pa.int64()),
+            "inter": t.column("inter"),
+        })
+
     na = sizes.map_batches(
         lambda t: t.rename_columns(["a", "na"]), batch_format="pyarrow"
     )
     nb = sizes.map_batches(
         lambda t: t.rename_columns(["b", "nb"]), batch_format="pyarrow"
     )
-    joined = hash_join(hash_join(inter, na, keys="a"), nb, keys="b")
+    joined = hash_join(
+        hash_join(inter.map_batches(unpack, batch_format="pyarrow"), na,
+                  keys="a"),
+        nb, keys="b",
+    )
 
     def jacc(t: pa.Table) -> pa.Table:
         i = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -601,17 +684,12 @@ def dedup_ngram_jaccard(
             - i
         )
         j = i / np.maximum(union, 1)
-        # filter on the UNROUNDED ratio (as the SQL twin does), round
-        # only the reported value — and round HALF-AWAY-FROM-ZERO like
-        # SQL round(); np.round's half-to-even differs on exact 7th-
-        # decimal ties (e.g. 65/128 → .507813 vs np's .507812)
         keep = j >= threshold
-        jr = np.floor(j[keep] * 1e6 + 0.5) / 1e6
-        out = pa.table({
+        return pa.table({
             "a": t.column("a").filter(pa.array(keep)),
             "b": t.column("b").filter(pa.array(keep)),
-            "jaccard": pa.array(jr, pa.float64()),
+            "jaccard": pa.array(np.floor(j[keep] * 1e6 + 0.5) / 1e6,
+                                pa.float64()),
         })
-        return out
 
     return joined.map_batches(jacc, batch_format="pyarrow")
