@@ -624,12 +624,12 @@ def _q_pipeline_corpus_curation(sf):
         ids = t.column("doc_id").to_pylist()
         return t.filter(pa.array([i not in bad for i in ids], pa.bool_()))
 
-    out = d1.map_batches(keep, batch_format="pyarrow").to_pandas()
-    return (
-        out[["doc_id", "n_words"]]
-        .sort_values("doc_id")
-        .reset_index(drop=True)
+    out = (
+        d1.map_batches(keep, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_words"])  # drop text BEFORE driver
+        .to_pandas()
     )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_simhash(sf):
