@@ -104,9 +104,25 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
             out = out.union(p)
         return out
     # partitioning=None: the p=<k>/ dir layout must NOT be inferred as a
-    # hive partition column — `p` is physical placement, not data
-    ds = rd.read_parquet(files, partitioning=None)
-    return ds.map_batches(_drop_tombstones, batch_format="pyarrow")
+    # hive partition column — `p` is physical placement, not data.
+    # MIXED lakes (pre-tombstone PAGES_V2 files next to LAKE_V2 ones)
+    # need the same op-presence grouping as the columns= path: one
+    # read_parquet over both schema shapes crashes on unification.
+    with_op = [f for f in files if "op" in pq.read_schema(f).names]
+    sans_op = [f for f in files if f not in set(with_op)]
+    parts = []
+    if with_op:
+        parts.append(
+            rd.read_parquet(with_op, partitioning=None).map_batches(
+                _drop_tombstones, batch_format="pyarrow"
+            )
+        )
+    if sans_op:  # pre-tombstone files: every row is live, no op column
+        parts.append(rd.read_parquet(sans_op, partitioning=None))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table:
@@ -116,7 +132,12 @@ def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table
         from maestro_ray.core.schema import PAGES_V2
 
         return PAGES_V2.empty_table()
-    t = pa.concat_tables([pq.read_table(f) for f in files])
+    # promote_options: a MIXED lake (pre-tombstone files lacking `op`)
+    # must null-fill the missing column, not raise ArrowInvalid;
+    # _drop_tombstones treats null op as live
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
     t = _drop_tombstones(t)
     import pyarrow.compute as pc
 

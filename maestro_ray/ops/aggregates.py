@@ -41,25 +41,57 @@ def grouped_agg(
         if kind not in _PARTIAL_KINDS:
             raise ValueError(f"unknown agg kind {kind!r}")
 
-    # one partial row per key per batch
+    # one partial row per key per batch — Arrow-native: pa.Table.group_by
+    # runs the hash aggregation in C++ (the pandas round-trip here was
+    # VERDICT r2 anti-pattern #4). Each requested (input, fn) is
+    # computed once and fanned out to every partial name that needs it.
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(keys, dropna=False, sort=False)
-        out = pd.DataFrame(index=g.size().index)
-        out["__n"] = g.size()
+        # built per-batch: pyarrow options objects don't pickle into
+        # the task closure (cheap — one tiny C++ struct per batch)
+        sum0 = pc.ScalarAggregateOptions(min_count=0)  # all-null group -> 0
+        t = batch
+        agg_list: list[tuple] = []
+        requested: dict[tuple[str, str], str] = {}  # (col, fn) -> out col
+        fanout: list[tuple[str, str]] = []  # (arrow out col, partial name)
+
+        def want(col: str | None, fn: str, pname: str, opts=None):
+            key = ("" if col is None else col, fn)
+            if key not in requested:
+                if col is None:
+                    agg_list.append(([], fn))
+                    requested[key] = f"{fn}"
+                elif opts is not None:
+                    agg_list.append((col, fn, opts))
+                    requested[key] = f"{col}_{fn}"
+                else:
+                    agg_list.append((col, fn))
+                    requested[key] = f"{col}_{fn}"
+            fanout.append((requested[key], pname))
+
         for name, (col, kind) in specs.items():
             if kind == "count":
-                out[f"__cnt_{name}"] = g.size() if col is None else g[col].count()
+                want(col, "count_all" if col is None else "count",
+                     f"__cnt_{name}")
             elif kind in ("sum", "min", "max"):
-                out[f"__{kind}_{name}"] = getattr(g[col], kind)()
-            elif kind == "mean":
-                out[f"__sum_{name}"] = g[col].sum()
-                out[f"__cnt_{name}"] = g[col].count()
-            elif kind == "std":
-                out[f"__sum_{name}"] = g[col].sum()
-                out[f"__cnt_{name}"] = g[col].count()
-                out[f"__sq_{name}"] = g[col].apply(lambda s: float((s.astype(float) ** 2).sum()))
-        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+                want(col, kind, f"__{kind}_{name}",
+                     sum0 if kind == "sum" else None)
+            elif kind in ("mean", "std"):
+                want(col, "sum", f"__sum_{name}", sum0)
+                want(col, "count", f"__cnt_{name}")
+                if kind == "std":
+                    sq = f"__sqin_{col}"
+                    if sq not in t.column_names:
+                        f = pc.cast(t.column(col), pa.float64())
+                        t = t.append_column(sq, pc.multiply(f, f))
+                    want(sq, "sum", f"__sq_{name}", sum0)
+
+        res = t.group_by(keys).aggregate(agg_list)
+        cols = [res.column(k) for k in keys]
+        names = list(keys)
+        for arrow_name, pname in fanout:
+            cols.append(res.column(arrow_name))
+            names.append(pname)
+        return pa.Table.from_arrays(cols, names=names)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     aggs = []

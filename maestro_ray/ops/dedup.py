@@ -105,10 +105,13 @@ def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
-def _min_label_components(edges: rd.Dataset, max_rounds: int = 10) -> pa.Table:
+def _min_label_components(edges: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
     """Connected components of a (a, b) edge Dataset by distributed
-    min-label propagation; returns the SMALL (node, label) table of
-    nodes that appear in any edge (every other node is its own rep).
+    min-label propagation; returns the (node, label) DATASET of nodes
+    that appear in any edge (every other node is its own rep). The
+    result stays distributed — O(clustered docs) rows never transit
+    the driver (callers join or, under an explicit size guard,
+    collect it themselves).
 
     Each round: join current labels onto both edge endpoints, send each
     endpoint the pair's min label, fold with groupby-min, stop when no
@@ -194,11 +197,7 @@ def _min_label_components(edges: rd.Dataset, max_rounds: int = 10) -> pa.Table:
             f"min-label propagation did not converge in {max_rounds} "
             "rounds — component diameter exceeds max_rounds; raise it"
         )
-    tabs = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
-    if not tabs:
-        return pa.table({"node": pa.array([], pa.int64()),
-                         "label": pa.array([], pa.int64())})
-    return pa.concat_tables(tabs)
+    return labels
 
 
 def dedup_near_minhash(
@@ -211,6 +210,7 @@ def dedup_near_minhash(
     shingle_k: int = 3,
     max_bucket: int = 64,
     component_rounds: int = 64,
+    assign_broadcast_limit: int = 2_000_000,
 ) -> rd.Dataset:
     """D4: MinHash-LSH near-dup clusters, fully distributed.
 
@@ -219,18 +219,26 @@ def dedup_near_minhash(
     candidate pairs stay a Dataset, verification texts arrive via two
     bucketed hash joins of the pairs against the corpus (never a
     broadcast id-set rescan), components run as distributed min-label
-    propagation, and only the final (node → representative) table —
-    O(docs that belong to some near-dup cluster) — is broadcast for the
-    assignment pass.
+    propagation, and the final (node → representative) assignment is a
+    bucketed LEFT-OUTER hash join of the labels Dataset onto the id
+    column (fill-self on miss). Only when the label table is provably
+    small (≤ ``assign_broadcast_limit`` rows, ≈32 MB of int pairs at
+    the 2M default) is it collected and broadcast instead — the join
+    exchange costs more than a dictionary lookup at that size. Set
+    ``assign_broadcast_limit=0`` to force the distributed path.
 
     ``max_bucket`` caps per-bucket pair emission: a bucket with more
     than ``max_bucket`` members (degenerate — e.g. N identical docs)
-    emits a STAR to its min id PLUS a consecutive-id CHAIN — 2(N-1)
-    edges instead of N²/2 — so the bucket stays connected through
-    verification even when the min-id doc is a band-hash false
-    positive. ``component_rounds`` bounds min-label propagation; it
-    defaults to ``max_bucket`` (the worst surviving-chain diameter a
-    capped bucket can produce) and the loop exits early on convergence.
+    emits a STAR to its min id PLUS a consecutive-id CHAIN (so the
+    bucket stays connected through verification even when the min-id
+    doc is a band-hash false positive) PLUS BINARY-JUMP edges
+    (ids[i]—ids[i+2^k]) so the surviving graph's diameter is O(log N)
+    rather than N — ~N·log₂N edges total instead of N²/2.
+    ``component_rounds`` bounds min-label propagation: with the jump
+    edges, 64 rounds covers a degenerate bucket of ~2^60 genuine dups;
+    if verification knocks out enough jump edges to stretch the
+    diameter past the bound, the failure is LOUD (RuntimeError from
+    ``_min_label_components``), never a silently split cluster.
     """
     bands = ds.map_batches(
         lambda t: minhash_batch(
@@ -247,16 +255,23 @@ def dedup_near_minhash(
         a_out, b_out = [], []
         if n > max_bucket:
             # degenerate bucket: STAR to the min id plus a CHAIN of
-            # consecutive ids — 2(n-1) edges instead of n²/2. The chain
-            # keeps the bucket connected even when the min-id doc is a
-            # band-hash false positive that verification rejects (a
-            # star alone would then shatter the true cluster); a member
-            # only detaches if BOTH its star and its chain edges fail
-            # exact-Jaccard, i.e. it wasn't a near-dup of its
-            # neighbors anyway. (Worst-case surviving diameter = the
-            # chain — covered by component_rounds >= max_bucket.)
+            # consecutive ids plus BINARY-JUMP edges (i, i+2^k) —
+            # O(n·log n) edges instead of n²/2. The chain keeps the
+            # bucket connected even when the min-id doc is a band-hash
+            # false positive that verification rejects (a star alone
+            # would then shatter the true cluster); the jumps keep the
+            # surviving diameter O(log n) so min-label propagation
+            # converges within component_rounds even when the star
+            # center drops out. A member only detaches if ALL its
+            # star/chain/jump edges fail exact-Jaccard, i.e. it wasn't
+            # a near-dup of its neighbors anyway.
             a_out = [ids[0]] * (n - 1) + ids[1:-1]
             b_out = ids[1:] + ids[2:]
+            step = 2  # chain already covers stride 2^0
+            while step < n:
+                a_out.extend(ids[: n - step])
+                b_out.extend(ids[step:])
+                step <<= 1
         else:
             for i in range(n):
                 for j in range(i + 1, n):
@@ -310,20 +325,47 @@ def dedup_near_minhash(
     if edges.count() == 0:
         return ids_ds.map_batches(self_map, batch_format="pyarrow")
     labels = _min_label_components(edges, max_rounds=component_rounds)
-    rep_map = dict(
-        zip(labels.column("node").to_pylist(), labels.column("label").to_pylist())
+
+    if labels.count() <= assign_broadcast_limit:
+        # small label table: collect + broadcast beats a join exchange
+        rep_map: dict = {}
+        for t in ray.get(labels.to_arrow_refs()):
+            if t.num_rows == 0:  # empty blocks can drop the schema
+                continue
+            rep_map.update(
+                zip(t.column("node").to_pylist(), t.column("label").to_pylist())
+            )
+        rep_ref = ray.put(rep_map)
+
+        def assign(t: pa.Table) -> pa.Table:
+            m = ray.get(rep_ref)
+            ids = t.column(id_col).to_pylist()
+            return pa.table({
+                id_col: t.column(id_col),
+                "cluster_rep": pa.array(
+                    [m.get(i, i) for i in ids], pa.int64()
+                ),
+            })
+
+        return ids_ds.map_batches(assign, batch_format="pyarrow")
+
+    # distributed assignment: bucketed LEFT-OUTER join of the labels
+    # Dataset onto the corpus ids, fill-self on miss — nothing
+    # O(clustered docs) ever lands on the driver
+    lab = labels.map_batches(
+        lambda t: t.rename_columns([id_col, "cluster_rep"]),
+        batch_format="pyarrow",
     )
-    rep_ref = ray.put(rep_map)
+    joined = hash_join(ids_ds, lab, keys=id_col, join_type="left outer")
 
-    def assign(t: pa.Table) -> pa.Table:
-        m = ray.get(rep_ref)
-        ids = t.column(id_col).to_pylist()
-        return pa.table({
-            id_col: t.column(id_col),
-            "cluster_rep": pa.array([m.get(i, i) for i in ids], pa.int64()),
-        })
+    def fill_self(t: pa.Table) -> pa.Table:
+        rep = pc.coalesce(
+            pc.cast(t.column("cluster_rep"), pa.int64()),
+            pc.cast(t.column(id_col), pa.int64()),
+        )
+        return pa.table({id_col: t.column(id_col), "cluster_rep": rep})
 
-    return ids_ds.map_batches(assign, batch_format="pyarrow")
+    return joined.map_batches(fill_self, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ simhash
@@ -350,14 +392,37 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (byte LUT — numpy 1.x
+    has no bitwise_count)."""
+    return _POP_LUT[np.ascontiguousarray(x).view(np.uint8)
+                    .reshape(x.size, 8)].sum(axis=1).astype(np.int64)
+
+
 def dedup_near_simhash(
     ds: rd.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-) -> pd.DataFrame:
+    max_bucket: int = 256,
+) -> rd.Dataset:
     """SimHash near-dup pairs via 16-bit block LSH: a pair with hamming
-    ≤ 3 must agree on at least one of the four 16-bit blocks."""
+    ≤ 3 must agree on at least one of the four 16-bit blocks.
+
+    Returns a DATASET of distinct (a, b) pairs (a < b), hamming-verified
+    — never a driver DataFrame. Within a block group, pairwise hamming
+    runs as one vectorized XOR + byte-LUT popcount over the group's
+    uint64 array, no Python pair loop. A degenerate block with more
+    than ``max_bucket`` members (e.g. every empty text → simhash 0)
+    emits only STAR + CHAIN candidates — 2(n−1) hamming-checked edges,
+    O(n) work and output — instead of n²/2; the surviving pair set
+    still connects the block's true near-dup cluster (same capping
+    argument as ``dedup_near_minhash``), it just doesn't enumerate
+    every within-cluster pair.
+    """
     fp = ds.map_batches(
         lambda t: simhash_batch(t, text_col).select([id_col, "simhash"]),
         batch_format="pyarrow",
@@ -365,42 +430,60 @@ def dedup_near_simhash(
 
     def explode_blocks(t: pa.Table) -> pa.Table:
         sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        blocks, keys, out_ids, out_sh = [], [], [], []
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        keys = np.empty(4 * n, dtype=np.int64)
         for blk in range(4):
-            part = (sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
-            blocks.extend([blk] * len(ids))
-            keys.extend(part.tolist())
-            out_ids.extend(ids.tolist())
-            out_sh.extend(sh.tolist())
+            keys[blk * n : (blk + 1) * n] = (
+                (sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            ).astype(np.int64)
         return pa.table({
-            "block": pa.array(blocks, pa.int32()),
+            "block": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
             "key": pa.array(keys, pa.int64()),
-            id_col: pa.array(out_ids, pa.int64()),
-            "simhash": pa.array(out_sh, pa.uint64()),
+            id_col: pa.array(np.tile(ids, 4), pa.int64()),
+            "simhash": pa.array(np.tile(sh, 4), pa.uint64()),
         })
 
-    def block_pairs(g: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(zip(g.column(id_col).to_pylist(), g.column("simhash").to_pylist()))
-        )
-        a_o, b_o = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if hamming64(rows[i][1], rows[j][1]) <= max_hamming:
-                    a_o.append(rows[i][0])
-                    b_o.append(rows[j][0])
-        return pa.table({"a": pa.array(a_o, pa.int64()), "b": pa.array(b_o, pa.int64())})
+    empty_pairs = pa.table({
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+    })
 
-    pairs = (
+    def block_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order]
+        n = len(ids)
+        if n < 2:
+            return empty_pairs
+        if n > max_bucket:
+            # degenerate block: star to min id + consecutive-id chain
+            ii = np.concatenate([
+                np.zeros(n - 1, dtype=np.int64),
+                np.arange(1, n - 1, dtype=np.int64),
+            ])
+            jj = np.concatenate([
+                np.arange(1, n, dtype=np.int64),
+                np.arange(2, n, dtype=np.int64),
+            ])
+        else:
+            ii, jj = np.triu_indices(n, k=1)
+        d = _popcount64(sh[ii] ^ sh[jj])
+        # a == b possible only if the input repeats a doc_id; drop it
+        keep = (d <= max_hamming) & (ids[ii] != ids[jj])
+        return pa.table({
+            "a": pa.array(ids[ii[keep]], pa.int64()),
+            "b": pa.array(ids[jj[keep]], pa.int64()),
+        })
+
+    return (
         fp.map_batches(explode_blocks, batch_format="pyarrow")
         .groupby(["block", "key"])
         .map_groups(block_pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
-        .reset_index(drop=True)
+        .groupby(["a", "b"])  # distributed distinct (pairs recur per block)
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
-    return pairs
 
 
 # ------------------------------------------------------- embedding near-dup
@@ -591,9 +674,12 @@ def dedup_ngram_jaccard(
     # exactly the SQL twin's plan, and every per-row step runs in C++
     # join/aggregate kernels (a groupby("sh").map_groups pair emitter
     # was measured 40x slower: one Python call per shingle group, and
-    # almost every group has a single member). The (a, b) pair key is
-    # PACKED into one int64 (ids < 2^31) so the intersection count is a
-    # single-key groupby — the two-column sort shuffle was 4x slower.
+    # almost every group has a single member). When every id fits in
+    # 31 bits the (a, b) pair key is PACKED into one int64 so the
+    # intersection count is a single-key groupby — the two-column sort
+    # shuffle was measured 4x slower; ids ≥ 2^31 (plausible at 100-TB
+    # corpus scale) fall back to the two-column groupby rather than
+    # silently corrupting the packed key.
     sh_a = shingles.map_batches(
         lambda t: t.rename_columns(["sh", "a"]), batch_format="pyarrow"
     )
@@ -601,6 +687,13 @@ def dedup_ngram_jaccard(
         lambda t: t.rename_columns(["sh", "b"]), batch_format="pyarrow"
     )
     from maestro_ray.ops.joins import hash_join as _hj
+
+    max_id = shingles.max(id_col)
+    min_id = shingles.min(id_col)
+    packable = (
+        max_id is None  # empty corpus — path choice is moot
+        or (0 <= min_id and max_id < (1 << 31))
+    )
 
     def pack_pairs(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -610,23 +703,48 @@ def dedup_ngram_jaccard(
             "pk": pa.array((a[keep] << 31) | b[keep], pa.int64())
         })
 
-    inter = (
-        _hj(sh_a, sh_b, keys="sh")
-        .map_batches(pack_pairs, batch_format="pyarrow")
-        .groupby("pk").count()
-        .map_batches(
-            lambda t: t.rename_columns(["pk", "inter"]), batch_format="pyarrow"
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "a": pa.array(pk >> 31, pa.int64()),
+            "b": pa.array(pk & ((1 << 31) - 1), pa.int64()),
+            "inter": t.column("inter"),
+        })
+
+    def pair_cols(t: pa.Table) -> pa.Table:
+        a = t.column("a")
+        b = t.column("b")
+        keep = pc.less(a, b)
+        return pa.table({"a": a.filter(keep), "b": b.filter(keep)})
+
+    joined_pairs = _hj(sh_a, sh_b, keys="sh")
+    if packable:
+        inter = (
+            joined_pairs.map_batches(pack_pairs, batch_format="pyarrow")
+            .groupby("pk").count()
+            .map_batches(
+                lambda t: t.rename_columns(["pk", "inter"]),
+                batch_format="pyarrow",
+            )
+            .map_batches(unpack, batch_format="pyarrow")
         )
-    )
+    else:
+        inter = (
+            joined_pairs.map_batches(pair_cols, batch_format="pyarrow")
+            .groupby(["a", "b"]).count()
+            .map_batches(
+                lambda t: t.rename_columns(["a", "b", "inter"]),
+                batch_format="pyarrow",
+            )
+        )
 
     # Jaccard needs |A| and |B| per pair. `sizes` is one int per DOC —
     # O(docs), not O(corpus bytes) — so broadcast it while it fits
     # comfortably (≤ 2M docs ≈ 32 MB); beyond that fall back to the
     # fully distributed bucketed joins.
     def jacc_from_sizes(t: pa.Table, size_map) -> pa.Table:
-        pk = t.column("pk").to_numpy(zero_copy_only=False).astype(np.int64)
-        a = pk >> 31
-        b = pk & ((1 << 31) - 1)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
         i = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
         na_ = np.array([size_map[x] for x in a.tolist()], dtype=np.float64)
         nb_ = np.array([size_map[x] for x in b.tolist()], dtype=np.float64)
@@ -656,25 +774,13 @@ def dedup_ngram_jaccard(
             batch_format="pyarrow",
         )
 
-    def unpack(t: pa.Table) -> pa.Table:
-        pk = t.column("pk").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "a": pa.array(pk >> 31, pa.int64()),
-            "b": pa.array(pk & ((1 << 31) - 1), pa.int64()),
-            "inter": t.column("inter"),
-        })
-
     na = sizes.map_batches(
         lambda t: t.rename_columns(["a", "na"]), batch_format="pyarrow"
     )
     nb = sizes.map_batches(
         lambda t: t.rename_columns(["b", "nb"]), batch_format="pyarrow"
     )
-    joined = hash_join(
-        hash_join(inter.map_batches(unpack, batch_format="pyarrow"), na,
-                  keys="a"),
-        nb, keys="b",
-    )
+    joined = hash_join(hash_join(inter, na, keys="a"), nb, keys="b")
 
     def jacc(t: pa.Table) -> pa.Table:
         i = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)

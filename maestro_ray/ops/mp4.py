@@ -61,8 +61,18 @@ def parse_mp4(data: bytes) -> dict:
 
     Returns ``{"brand", "timescale", "duration_sec", "n_tracks",
     "tracks": [{"handler", "codec", "duration_sec"}, ...]}``.
-    Raises ``ValueError`` on malformed box structure or missing moov.
+    Raises ``ValueError`` on ANY malformed input — box-structure
+    errors AND struct failures from well-framed boxes with short
+    payloads (e.g. a 12-byte mvhd), so quarantine handlers need catch
+    only one type.
     """
+    try:
+        return _parse_mp4_impl(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed MP4: {e}") from e
+
+
+def _parse_mp4_impl(data: bytes) -> dict:
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("parse_mp4 expects bytes")
     data = bytes(data)

@@ -104,7 +104,20 @@ def _unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG to a uint8 array — (H, W) for grayscale, (H, W, C)
-    otherwise. CRCs are verified; unsupported features raise."""
+    otherwise. CRCs are verified; unsupported features raise.
+
+    Contract: EVERY malformed input raises ``ValueError`` — including
+    zlib/struct failures from inside (e.g. a CRC-valid chunk carrying a
+    truncated deflate stream), so quarantine handlers need catch only
+    one type and a single bad blob can never kill a pipeline stage.
+    """
+    try:
+        return _decode_png_impl(data)
+    except (zlib.error, struct.error) as e:
+        raise ValueError(f"malformed PNG: {e}") from e
+
+
+def _decode_png_impl(data: bytes) -> np.ndarray:
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("decode_png expects bytes")
     data = bytes(data)

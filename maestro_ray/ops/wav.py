@@ -43,7 +43,18 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM WAV → ((n, channels) array, sample_rate)."""
+    """Decode a PCM WAV → ((n, channels) array, sample_rate).
+
+    Contract: EVERY malformed input raises ``ValueError`` (struct
+    failures included), so quarantine handlers need catch only one
+    type."""
+    try:
+        return _decode_wav_impl(data)
+    except struct.error as e:
+        raise ValueError(f"malformed WAV: {e}") from e
+
+
+def _decode_wav_impl(data: bytes) -> tuple[np.ndarray, int]:
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("decode_wav expects bytes")
     data = bytes(data)

@@ -170,3 +170,13 @@ def test_read_lake_columns_handles_mixed_op_files(ray_session, tmp_path):
     assert raw["op"].isna().sum() == stripped_rows  # legacy rows: null op
     assert (raw["op"] == "delete").sum() == tomb_in_new
     assert len(got) == len(raw) - tomb_in_new  # filtered view hides them
+    # the NO-columns read and the driver-side full read must survive
+    # the same mix (ADVICE r2: both crashed on schema unification)
+    from maestro_ray.io.lake import read_lake_table
+
+    full = read_lake(lake).to_pandas()
+    assert len(full) == len(got)
+    assert set(full["url"]) == set(got["url"])
+    tab = read_lake_table(lake)
+    assert tab.num_rows == len(got)
+    assert set(tab.column("url").to_pylist()) == set(got["url"])

@@ -83,9 +83,70 @@ def test_simhash_near_dups(docs_ds):
     fp = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("simhash").to_pylist()))
     assert fp[0] == fp[5]  # identical docs -> identical fingerprint
     assert hamming64(fp[0], fp[1]) < hamming64(fp[0], fp[3])
-    pairs = dedup_near_simhash(docs_ds, max_hamming=6)
+    pairs = dedup_near_simhash(docs_ds, max_hamming=6).to_pandas()
     got = set(map(tuple, pairs[["a", "b"]].to_numpy().tolist()))
     assert (0, 5) in got
+
+
+def test_simhash_degenerate_block_capped(ray_session):
+    """A degenerate block (every doc identical → one 16-bit bucket per
+    block) must complete with O(N) pairs via the star+chain cap, not
+    N²/2 — and still connect the cluster (every doc reachable)."""
+    import ray.data as rd
+
+    n = 600
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["same text for everyone"] * n, pa.string()),
+    }))
+    pairs = dedup_near_simhash(ds, max_hamming=3, max_bucket=64).to_pandas()
+    # capped: star + chain = 2(n-1) distinct pairs max, far below n²/2
+    assert 0 < len(pairs) <= 2 * (n - 1)
+    # connectivity: union-find over the emitted pairs joins all docs
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs[["a", "b"]].to_numpy().tolist():
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n)}) == 1
+
+
+def test_minhash_distributed_assignment_matches_broadcast(docs_ds):
+    """assign_broadcast_limit=0 forces the hash-join (no driver dict)
+    assignment path; results must be identical to the broadcast path."""
+    bcast = (
+        dedup_near_minhash(docs_ds, threshold=0.5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        dedup_near_minhash(docs_ds, threshold=0.5, assign_broadcast_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bcast, dist)
+
+
+def test_minhash_degenerate_bucket_converges(ray_session):
+    """A planted 100%-dup corpus far beyond max_bucket: the capped
+    star+chain+jump edges must keep one cluster and converge within
+    component_rounds even with the broadcast path disabled."""
+    import ray.data as rd
+
+    n = 300
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([BASE] * n, pa.string()),
+    }))
+    out = dedup_near_minhash(
+        ds, threshold=0.5, max_bucket=16, component_rounds=16,
+        assign_broadcast_limit=0,
+    ).to_pandas()
+    assert len(out) == n
+    assert set(out["cluster_rep"]) == {0}
 
 
 def _emb_ds(rd):
@@ -219,3 +280,29 @@ def test_ngram_jaccard_exact_planted(docs_ds):
     assert (0, 1) in got and got[(0, 1)] == naive(0, 1)
     assert (0, 2) in got and got[(0, 2)] == naive(0, 2)
     assert (0, 3) not in got and (3, 4) not in got  # unrelated docs
+
+
+def test_ngram_jaccard_ids_beyond_31_bits(ray_session):
+    """doc ids ≥ 2^31 must take the two-column fallback (the packed
+    int64 key would silently corrupt) and produce the same jaccard
+    values as the same corpus with small ids."""
+    import ray.data as rd
+    from maestro_ray.ops.dedup import dedup_ngram_jaccard
+
+    base = _docs_table()
+    small = rd.from_arrow(base)
+    shift = 1 << 32
+    big = rd.from_arrow(base.set_column(
+        0, "doc_id",
+        pa.array([i + shift for i in base.column("doc_id").to_pylist()],
+                 pa.int64()),
+    ))
+    out_small = dedup_ngram_jaccard(small, threshold=0.3).to_pandas()
+    out_big = dedup_ngram_jaccard(big, threshold=0.3).to_pandas()
+    small_pairs = {
+        (r.a, r.b): r.jaccard for r in out_small.itertuples()
+    }
+    big_pairs = {
+        (r.a - shift, r.b - shift): r.jaccard for r in out_big.itertuples()
+    }
+    assert small_pairs == big_pairs and len(small_pairs) > 0

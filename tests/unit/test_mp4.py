@@ -57,6 +57,16 @@ def test_unknown_boxes_skipped_and_errors():
         parse_mp4(truncated)
 
 
+def test_short_payload_box_raises_valueerror():
+    """A well-framed box whose payload is too short for its version's
+    struct layout (e.g. a 12-byte mvhd) must raise ValueError, not leak
+    struct.error — the quarantine contract (ADVICE r2)."""
+    short_mvhd = _box(b"mvhd", b"\x00" * 12)  # v0 needs >= 20 bytes
+    data = _box(b"ftyp", b"isom\x00\x00\x00\x00") + _box(b"moov", short_mvhd)
+    with pytest.raises(ValueError, match="malformed MP4"):
+        parse_mp4(data)
+
+
 def test_video_meta_stage():
     from maestro_ray.ops.multimodal import VideoMeta
 
@@ -64,13 +74,17 @@ def test_video_meta_stage():
         encode_minimal_mp4(3.25),
         None,
         b"RIFFnot an mp4 container at all",
+        # quarantine: well-framed but short mvhd must yield nulls,
+        # not kill the stage
+        _box(b"ftyp", b"isom\x00\x00\x00\x00")
+        + _box(b"moov", _box(b"mvhd", b"\x00" * 12)),
     ]
     t = pa.table({
-        "vid_id": pa.array(range(3), pa.int64()),
+        "vid_id": pa.array(range(4), pa.int64()),
         "video": pa.array(blobs, pa.binary()),
     })
     out = VideoMeta()(t)
-    assert out.column("duration_sec").to_pylist() == [3.25, None, None]
-    assert out.column("n_tracks").to_pylist() == [2, None, None]
-    assert out.column("video_codec").to_pylist() == ["avc1", None, None]
-    assert out.column("audio_codec").to_pylist() == ["mp4a", None, None]
+    assert out.column("duration_sec").to_pylist() == [3.25, None, None, None]
+    assert out.column("n_tracks").to_pylist() == [2, None, None, None]
+    assert out.column("video_codec").to_pylist() == ["avc1", None, None, None]
+    assert out.column("audio_codec").to_pylist() == ["mp4a", None, None, None]

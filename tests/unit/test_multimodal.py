@@ -38,6 +38,36 @@ def test_resize_preserves_aspect():
     assert meta.column("width").to_pylist()[1] == 12
 
 
+def test_corrupt_deflate_png_quarantined_not_fatal():
+    """A CRC-valid PNG carrying a corrupt deflate stream must yield
+    nulls through every image stage (ADVICE r2: zlib.error used to
+    escape the ValueError-only handlers and kill the task)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from maestro_ray.ops.multimodal import ImageFeatures, make_png_image
+
+    good = make_png_image(8, 8, seed=3)
+    pos = good.index(b"IDAT") - 4
+    (length,) = _struct.unpack(">I", good[pos : pos + 4])
+    garbage = (b"\xde\xad\xbe\xef" * (length // 4 + 1))[:length]
+    chunk = (
+        _struct.pack(">I", length) + b"IDAT" + garbage
+        + _struct.pack(">I", _zlib.crc32(b"IDAT" + garbage) & 0xFFFFFFFF)
+    )
+    corrupt = good[:pos] + chunk + good[pos + 12 + length:]
+    t = pa.table({
+        "img_id": pa.array([0, 1], pa.int64()),
+        "image": pa.array([make_png_image(8, 8, seed=4), corrupt], pa.binary()),
+    })
+    dec = ImageDecode(fake=False)(t)
+    assert dec.column("width").to_pylist() == [8, None]
+    res = ImageResize(max_side=4, fake=False)(t)  # corrupt passes through
+    assert res.column("image").to_pylist()[1] == corrupt
+    feat = ImageFeatures()(t)
+    assert feat.column("lum_mean").to_pylist()[1] is None
+
+
 def test_real_png_decode_resize_features():
     """fake=False is a REAL path now: PNG decode (ops/png.py), pixel
     resize, luminance features — no image library involved."""

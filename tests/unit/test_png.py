@@ -124,6 +124,30 @@ def test_corruption_and_unsupported_raise():
         encode_png(np.zeros((2, 2), dtype=np.int32))
 
 
+def test_crc_valid_corrupt_deflate_raises_valueerror():
+    """A chunk whose CRC is RIGHT but whose payload is not a valid
+    deflate stream must raise ValueError, not leak zlib.error — the
+    quarantine contract for stage handlers (ADVICE r2)."""
+    img = np.zeros((4, 4), dtype=np.uint8)
+    good = encode_png(img)
+    # locate IDAT, replace payload with garbage, recompute CRC
+    pos = good.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", good[pos : pos + 4])
+    garbage = b"\xde\xad\xbe\xef" * (length // 4 + 1)
+    garbage = garbage[:length]
+    rebuilt = (
+        good[:pos] + _chunk(b"IDAT", garbage)
+        + good[pos + 12 + length:]
+    )
+    with pytest.raises(ValueError, match="malformed PNG"):
+        decode_png(rebuilt)
+    # truncated-but-CRC-valid deflate: half the IDAT bytes, re-CRC'd
+    half = good[pos + 8 : pos + 8 + length // 2]
+    rebuilt2 = good[:pos] + _chunk(b"IDAT", half) + good[pos + 12 + length:]
+    with pytest.raises(ValueError):
+        decode_png(rebuilt2)
+
+
 def test_resize_nearest_known_values():
     img = np.array([[0, 10], [20, 30]], dtype=np.uint8)
     up = resize_nearest(img, 4, 4)
