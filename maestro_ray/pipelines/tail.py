@@ -50,65 +50,92 @@ from maestro_ray.ops.partition import lww_reduce
 
 @ray.remote
 class PartitionMerger:
-    """C1: one lake partition's merge state, held across micro-batches."""
+    """C1: one lake partition's merge state, held across micro-batches.
+
+    State is an ARROW TABLE, not a Python dict (VERDICT r2 #6): the
+    converged base table (CANDIDATE schema, one LWW winner per url,
+    html payload bytes stay in Arrow buffers) plus a list of pending
+    candidate sub-batches. ``apply`` is fully vectorized — offset
+    watermark/dedup filtering via numpy, then a zero-copy table append;
+    the actual merge is deferred to ``lww_reduce`` (the same Arrow
+    winner kernel replay mode uses), run when pending rows exceed
+    ``compact_rows`` and at every checkpoint. A hot partition's state
+    therefore costs one Arrow table + bounded pending batches, and no
+    per-row Python runs anywhere on the apply path.
+    """
 
     def __init__(self, lake_dir: str, partition: int, prev_file_rel: str | None,
-                 watermark: int):
+                 watermark: int, compact_rows: int = 65536):
+        import numpy as np
+
         self.lake_dir = lake_dir
         self.partition = partition
         self.watermark = watermark
-        self.seen_offsets: set[int] = set()  # C3: intra-epoch dedup index
+        self.compact_rows = compact_rows
+        self.seen = np.empty(0, dtype=np.int64)  # C3: intra-epoch dedup index
         self.n_applied = 0
-        self.dirty = False  # set by apply() on any state change
+        self.dirty = False  # set by apply() on any accepted row
         self.has_file = prev_file_rel is not None
-        # state: url -> (warc_ts_us, offset, op, html, text, lang)
-        self.state: dict[str, tuple] = {}
+        self.pending: list[pa.Table] = []
+        self.pending_rows = 0
         if prev_file_rel:
             prev = pq.read_table(os.path.join(lake_dir, prev_file_rel))
             # pages_to_candidates keeps the persisted `op`: tombstones in
             # the lake file re-enter actor state so a restart can't lose
             # remembered deletes (they'd otherwise be resurrected by
             # late out-of-order updates)
-            cands = pages_to_candidates(prev)
-            ts_us = cands.column("warc_ts").cast(pa.int64()).to_pylist()
-            for i, row in enumerate(cands.to_pylist()):
-                self.state[row["url"]] = (
-                    ts_us[i], -1, row["op"], row["html"], row["text"],
-                    row["lang"],
-                )
+            self.base: pa.Table | None = pages_to_candidates(prev)
+        else:
+            self.base = None
+
+    def _compact(self) -> None:
+        """Fold pending sub-batches into the base table with one
+        ``lww_reduce`` — identical winner rule to replay-mode merge
+        (max (warc_ts, offset) per url; base rows carry offset=-1)."""
+        if not self.pending:
+            return
+        tabs = ([self.base] if self.base is not None else []) + self.pending
+        merged = lww_reduce(pa.concat_tables(tabs, promote_options="default"))
+        import pyarrow.compute as pc
+
+        self.base = merged.take(
+            pc.sort_indices(merged, sort_keys=[("url", "ascending")])
+        )
+        self.pending = []
+        self.pending_rows = 0
 
     def apply(self, batch: pa.Table) -> int:
         """Apply a CANDIDATE sub-batch routed to this partition.
 
-        Columnar decode happens ONCE per batch (plain Python lists via
-        ``to_pylist`` per column — no per-row dict construction); the
-        merge itself is an inherent per-key dict update. ``warc_ts`` is
-        cast to int64 µs vectorized — ``datetime.timestamp()`` would be
-        local-timezone dependent and float64-rounded (±1 µs at 2024
-        epoch magnitudes), either of which can flip LWW order.
+        Vectorized: one numpy mask drops events at/below the watermark,
+        duplicates of already-seen offsets (C3/D5), and intra-batch
+        duplicate deliveries; survivors append as an Arrow table slice.
+        ``warc_ts`` ordering is handled entirely inside ``lww_reduce``
+        at compaction time (int64 µs — no float/timezone hazards).
         """
-        offs = batch.column("offset").to_pylist()
-        ts_us_all = batch.column("warc_ts").cast(pa.int64()).to_pylist()
-        urls = batch.column("url").to_pylist()
-        ops = batch.column("op").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        texts = batch.column("text").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        applied = 0
-        state, seen, wm = self.state, self.seen_offsets, self.watermark
-        for i, off in enumerate(offs):
-            if off <= wm or off in seen:
-                continue  # D5 / C3: already applied or duplicate delivery
-            seen.add(off)
-            ts_us = ts_us_all[i]
-            cur = state.get(urls[i])
-            if cur is None or (ts_us, off) > (cur[0], cur[1]):
-                state[urls[i]] = (
-                    ts_us, off, ops[i], htmls[i], texts[i], langs[i]
-                )
-                self.dirty = True
-            applied += 1
-        self.n_applied += applied
+        import numpy as np
+
+        offs = batch.column("offset").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        fresh = offs > self.watermark
+        if self.seen.size:
+            fresh &= ~np.isin(offs, self.seen)
+        # intra-batch duplicate delivery: keep the first occurrence
+        _u, first_idx = np.unique(offs, return_index=True)
+        keep = np.zeros(len(offs), dtype=bool)
+        keep[first_idx] = True
+        mask = fresh & keep
+        applied = int(mask.sum())
+        if applied:
+            accepted = batch.filter(pa.array(mask))
+            self.pending.append(accepted)
+            self.pending_rows += applied
+            self.seen = np.union1d(self.seen, offs[mask])
+            self.dirty = True
+            self.n_applied += applied
+            if self.pending_rows >= self.compact_rows:
+                self._compact()
         return applied
 
     def checkpoint(self, epoch: int, new_watermark: int) -> dict | None:
@@ -116,32 +143,19 @@ class PartitionMerger:
         lineage row, or None when nothing changed since the last
         checkpoint (the manifest then carries the old file forward).
         Idempotent per (epoch, state)."""
+        import numpy as np
+
         self.watermark = new_watermark
         if not self.dirty:
-            self.seen_offsets.clear()
+            self.seen = np.empty(0, dtype=np.int64)
             return None
         # tombstones (op='delete') are persisted with the partition file
         # so later epochs / restarts keep losing late events to them
-        urls = sorted(self.state)
-        tbl = pa.Table.from_arrays(
-            [
-                pa.array([self.state[u][1] for u in urls], pa.int64()),
-                pa.array([self.state[u][2] for u in urls], pa.string()),
-                pa.array(urls, pa.string()),
-                pa.array([self.state[u][0] for u in urls], pa.timestamp("us")),
-                pa.array([self.state[u][3] for u in urls], pa.binary()),
-                pa.array([self.state[u][4] for u in urls], pa.string()),
-                pa.array([self.state[u][5] for u in urls], pa.string()),
-            ],
-            schema=CANDIDATE,
-        )
-        tbl = _fill_text(tbl)
-        # persist extracted text back into state (byte-identity across
+        self._compact()
+        tbl = _fill_text(self.base)
+        # extracted text persists in state (byte-identity across
         # checkpoints: never re-extract a winner)
-        for i, u in enumerate(urls):
-            v = self.state[u]
-            if v[4] is None:
-                self.state[u] = (*v[:4], tbl.column("text")[i].as_py(), v[5])
+        self.base = tbl
         from maestro_ray.core.schema import LAKE_V2
 
         out = tbl.select([f.name for f in LAKE_V2]).cast(LAKE_V2)
@@ -151,7 +165,7 @@ class PartitionMerger:
         path = os.path.join(self.lake_dir, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         pq.write_table(out, path)
-        self.seen_offsets.clear()  # epoch boundary: watermark now covers them
+        self.seen = np.empty(0, dtype=np.int64)  # watermark now covers them
         self.dirty = False
         self.has_file = True
         from maestro_ray.ops.merge import live_row_count
@@ -245,19 +259,29 @@ def tail_ingest(
         applied = sum(ray.get(refs)) if refs else 0
         return pa.table({"applied": pa.array([applied], pa.int64())})
 
-    for first, path in segs:
+    # Segments are processed in CHUNKS of checkpoint_every — one Dataset
+    # execution (≈0.3–0.5 s fixed streaming-executor cost each) per
+    # CHECKPOINT, not per segment. Checkpoint boundaries are unchanged
+    # (epoch == every checkpoint_every segments); within a chunk the
+    # actors' LWW state absorbs ordering, exactly as within a segment.
+    # When tailing LIVE, segments_after returns few segments and each
+    # chunk is small — the micro-batch latency story is intact; this
+    # only collapses the fixed costs during catch-up. (Measured: the
+    # per-segment loop ran the 1M-event fixture at 58–66k ev/s; the
+    # chunked loop — see BASELINE.md r3 tail line.)
+    for i in range(0, len(segs), checkpoint_every):
+        chunk = segs[i : i + checkpoint_every]
         ds = read_changelog(
-            log_dir, from_offset=watermark, segments=[(first, path)],
+            log_dir, from_offset=watermark, segments=chunk,
             transform=route,
         )
         if ds is None:
             continue
         ds.take_all()  # drives routing; returns when all applies acked
-        pending_watermark = max(pending_watermark, seg_max[path])
-        n_since_ckpt += 1
-        if n_since_ckpt >= checkpoint_every:
-            do_checkpoint()
-    if n_since_ckpt:
+        pending_watermark = max(
+            [pending_watermark] + [seg_max[path] for _f, path in chunk]
+        )
+        n_since_ckpt = len(chunk)
         do_checkpoint()
     for a in actors:
         ray.kill(a)
