@@ -56,6 +56,26 @@ def main(argv: list[str] | None = None) -> int:
     p_tail.add_argument("--lake-dir", required=True)
     p_tail.add_argument("--partitions", type=int, default=64)
     p_tail.add_argument("--checkpoint-every", type=int, default=4)
+    p_tail.add_argument("--follow", action="store_true",
+                        help="keep polling the log dir for new segments "
+                             "(continuous daemon mode)")
+    p_tail.add_argument("--poll-interval", type=float, default=0.5)
+    p_tail.add_argument("--idle-timeout", type=float, default=None,
+                        help="exit after this many idle seconds "
+                             "(default: run until killed)")
+
+    p_inf = sub.add_parser(
+        "infer-schema",
+        help="propose a typed contract from a landing file sample "
+             "(no Ray session needed)",
+    )
+    p_inf.add_argument("--path", required=True)
+    p_inf.add_argument("--delimiter", default="|")
+    p_inf.add_argument("--widths", default=None,
+                       help="comma-separated field widths (fixed-width mode)")
+    p_inf.add_argument("--header", action="store_true")
+    p_inf.add_argument("--n-sample", type=int, default=100)
+    p_inf.add_argument("--none-sentinel", default="")
 
     p_cmp = sub.add_parser("compact", help="rewrite partition files (U8)")
     p_cmp.add_argument("--lake-dir", required=True)
@@ -77,6 +97,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "status":
         m = latest_manifest(args.lake_dir)
         print(m.to_json() if m else "{}")
+        return 0
+
+    if args.cmd == "infer-schema":  # pure driver-side sampling, no Ray
+        from maestro_ray.io.readers import infer_schema_file
+
+        widths = (
+            [int(w) for w in args.widths.split(",")] if args.widths else None
+        )
+        schema = infer_schema_file(
+            args.path, n_sample=args.n_sample,
+            delimiter=None if widths else args.delimiter,
+            widths=widths, header=args.header,
+            none_sentinel=args.none_sentinel,
+        )
+        print(json.dumps({f.name: str(f.type) for f in schema}, indent=1))
         return 0
 
     _ensure_ray(args.num_cpus)
@@ -103,6 +138,9 @@ def main(argv: list[str] | None = None) -> int:
                 args.lake_dir,
                 num_partitions=args.partitions,
                 checkpoint_every=args.checkpoint_every,
+                follow=args.follow,
+                poll_interval=args.poll_interval,
+                idle_timeout=args.idle_timeout,
             )
         elif args.cmd == "compact":
             from maestro_ray.io.lake import compact_partitions

@@ -188,10 +188,26 @@ def tail_ingest(
     num_partitions: int = 16,
     checkpoint_every: int = 2,
     max_segments: int | None = None,
+    follow: bool = False,
+    poll_interval: float = 0.5,
+    idle_timeout: float | None = None,
 ) -> Manifest | None:
-    """Incremental tail loop: one micro-batch per segment, checkpoint
+    """Incremental tail loop: micro-batches of segments, checkpoint
     (manifest epoch) every ``checkpoint_every`` segments. Resumes from
-    the newest manifest like replay mode."""
+    the newest manifest like replay mode.
+
+    ``follow=True`` is the CONTINUOUS daemon mode (``maestro_ray tail
+    --follow``): after draining the segments present, keep polling the
+    log directory every ``poll_interval`` seconds and apply new
+    segments as they land — the actor pool (and its merge state) stays
+    warm across polls, so a newly-appended segment costs one micro-
+    batch, not a cold resume. The loop exits after ``idle_timeout``
+    seconds with no new segment (``None`` = run until the process is
+    killed; a killed follow loop loses only un-checkpointed state,
+    which the next run replays from the manifest watermark).
+    """
+    import time as _time
+
     os.makedirs(lake_dir, exist_ok=True)
     m = latest_manifest(lake_dir)
     if m is not None and m.num_partitions not in (None, num_partitions):
@@ -203,24 +219,13 @@ def tail_ingest(
     watermark = m.watermark if m else -1
     epoch = (m.epoch + 1) if m else 1
     prev_files = {p: v["file"] for p, v in m.partitions.items()} if m else {}
-    segs = segments_after(log_dir, watermark)
-    if max_segments is not None:
-        segs = segs[:max_segments]
-    if not segs:
-        return m
-    # shared contiguity check (io/changelog.py): a missing segment would
-    # otherwise be silently skipped and the watermark advanced past it;
-    # the returned per-segment max offsets feed the watermark bookkeeping
-    # below without re-reading footers
     from maestro_ray.io.changelog import check_contiguity
 
-    seg_max = check_contiguity(segs, watermark)
-    actors = [
-        PartitionMerger.remote(lake_dir, p, prev_files.get(p), watermark)
-        for p in range(num_partitions)
-    ]
+    actors: list | None = None
     pending_watermark = watermark
     n_since_ckpt = 0
+    processed = 0
+    idle_since: float | None = None
 
     def do_checkpoint() -> Manifest:
         nonlocal m, epoch, watermark, n_since_ckpt
@@ -247,7 +252,7 @@ def tail_ingest(
     # one process's NIC/CPU and was a single point of back-pressure).
     # Each route call blocks on its actors' acks, so driving the
     # Dataset to completion is the epoch barrier.
-    def route(batch: pa.Table, _actors=actors, _np=num_partitions) -> pa.Table:
+    def route(batch: pa.Table, _np=num_partitions) -> pa.Table:
         import numpy as np
 
         batch = lww_reduce(events_to_candidates(batch))
@@ -255,34 +260,86 @@ def tail_ingest(
         refs = []
         for part in np.unique(p):
             sub = batch.filter(pa.array(p == part))
-            refs.append(_actors[int(part)].apply.remote(sub))
+            refs.append(actors[int(part)].apply.remote(sub))
         applied = sum(ray.get(refs)) if refs else 0
         return pa.table({"applied": pa.array([applied], pa.int64())})
 
-    # Segments are processed in CHUNKS of checkpoint_every — one Dataset
-    # execution (≈0.3–0.5 s fixed streaming-executor cost each) per
-    # CHECKPOINT, not per segment. Checkpoint boundaries are unchanged
-    # (epoch == every checkpoint_every segments); within a chunk the
-    # actors' LWW state absorbs ordering, exactly as within a segment.
-    # When tailing LIVE, segments_after returns few segments and each
-    # chunk is small — the micro-batch latency story is intact; this
-    # only collapses the fixed costs during catch-up. (Measured: the
-    # per-segment loop ran the 1M-event fixture at 58–66k ev/s; the
-    # chunked loop — see BASELINE.md r3 tail line.)
-    for i in range(0, len(segs), checkpoint_every):
-        chunk = segs[i : i + checkpoint_every]
-        ds = read_changelog(
-            log_dir, from_offset=watermark, segments=chunk,
-            transform=route,
-        )
-        if ds is None:
-            continue
-        ds.take_all()  # drives routing; returns when all applies acked
-        pending_watermark = max(
-            [pending_watermark] + [seg_max[path] for _f, path in chunk]
-        )
-        n_since_ckpt = len(chunk)
-        do_checkpoint()
-    for a in actors:
-        ray.kill(a)
+    try:
+        while True:
+            segs = segments_after(log_dir, watermark)
+            if max_segments is not None:
+                segs = segs[: max_segments - processed]
+            if not segs:
+                if not follow:
+                    break
+                now = _time.monotonic()
+                if idle_since is None:
+                    idle_since = now
+                if (idle_timeout is not None
+                        and now - idle_since >= idle_timeout):
+                    break
+                _time.sleep(poll_interval)
+                continue
+            # shared contiguity check (io/changelog.py): a missing
+            # segment would otherwise be silently skipped and the
+            # watermark advanced past it; the returned per-segment max
+            # offsets feed the watermark bookkeeping without re-reading
+            # footers
+            seg_max = check_contiguity(segs, watermark)
+            # segments_after always re-offers the newest segment (its
+            # tail rows might exceed the watermark); once it is fully
+            # committed it carries nothing new — processing it would
+            # publish an empty epoch per poll in follow mode
+            segs = [(f, p) for (f, p) in segs if seg_max[p] > watermark]
+            if not segs:
+                if not follow:
+                    break
+                now = _time.monotonic()
+                if idle_since is None:
+                    idle_since = now
+                if (idle_timeout is not None
+                        and now - idle_since >= idle_timeout):
+                    break
+                _time.sleep(poll_interval)
+                continue
+            idle_since = None
+            if actors is None:
+                actors = [
+                    PartitionMerger.remote(
+                        lake_dir, p, prev_files.get(p), watermark
+                    )
+                    for p in range(num_partitions)
+                ]
+            # Segments are processed in CHUNKS of checkpoint_every —
+            # one Dataset execution (≈0.3–0.5 s fixed streaming-
+            # executor cost each) per CHECKPOINT, not per segment.
+            # Checkpoint boundaries are unchanged (epoch == every
+            # checkpoint_every segments); within a chunk the actors'
+            # LWW state absorbs ordering, exactly as within a segment.
+            # When tailing LIVE each poll returns few segments and the
+            # chunk is small — micro-batch latency intact; this only
+            # collapses fixed costs during catch-up. (Measured: the
+            # per-segment loop ran the 1M-event fixture at 58–66k
+            # ev/s; the chunked loop at 190k — BASELINE.md r3.)
+            for i in range(0, len(segs), checkpoint_every):
+                chunk = segs[i : i + checkpoint_every]
+                ds = read_changelog(
+                    log_dir, from_offset=watermark, segments=chunk,
+                    transform=route,
+                )
+                if ds is not None:
+                    ds.take_all()  # drives routing; blocks on all acks
+                pending_watermark = max(
+                    [pending_watermark] + [seg_max[path] for _f, path in chunk]
+                )
+                n_since_ckpt = len(chunk)
+                do_checkpoint()
+            processed += len(segs)
+            if max_segments is not None and processed >= max_segments:
+                break
+            if not follow:
+                break
+    finally:
+        for a in actors or []:
+            ray.kill(a)
     return m
