@@ -725,6 +725,54 @@ def _knn_query_vec(sf) -> np.ndarray:
     return np.asarray(emb.column("embedding")[idx].as_py(), dtype=np.float32)
 
 
+def _q_grouped_topk(sf):
+    """O2 grouped variant: top-3 orders per priority class by total
+    price — per-batch local top-k-per-group combiner, then one grouped
+    shuffle over ≤ k·batches survivors per key. Tie-break on o_orderkey
+    makes the selection deterministic for the SQL twin."""
+    from maestro_ray.ops.aggregates import grouped_topk
+
+    ds = _read(sf, "orders",
+               columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(ds, keys="o_orderpriority", sort_col="o_totalprice",
+                       k=3, tie_break=["o_orderkey"])
+    return out.to_pandas().sort_values(
+        ["o_orderpriority", "o_orderkey"]).reset_index(drop=True)
+
+
+def _q_quantiles(sf):
+    """Exact discrete quantiles of the document length distribution —
+    distributed value-count partials, DuckDB ``quantile_disc``
+    semantics (value at 1-based position max(1, ceil(q·n)))."""
+    from maestro_ray.ops.aggregates import quantiles_disc
+
+    ds = _read(sf, "documents", columns=["text"])
+
+    def n_chars(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_chars": pc.cast(
+                pc.utf8_length(pc.fill_null(t.column("text"), "")),
+                pa.int64(),
+            )
+        })
+
+    return quantiles_disc(
+        ds.map_batches(n_chars, batch_format="pyarrow"), "n_chars",
+        [0.25, 0.5, 0.9, 0.99],
+    )
+
+
+def _q_embedding_dup_exact(sf):
+    """EXACT cosine near-dup pair join (the baseline the LSH
+    ``embedding_near_dup`` is recall-tested against) — broadcast
+    corpus matrix, per-batch block matmul, threshold filter."""
+    from maestro_ray.ops.similarity import cosine_pairs_exact
+
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_pairs_exact(ds, threshold=0.4).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_knn_brute(sf):
     from maestro_ray.ops.similarity import knn_brute
 
@@ -1166,6 +1214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "knn_brute": _q_knn_brute,
+        "grouped_topk": _q_grouped_topk,
+        "quantiles": _q_quantiles,
+        "embedding_dup_exact": _q_embedding_dup_exact,
         "knn_lsh": _q_knn_lsh,
         "knn_ann_index": _q_knn_ann_index,
         "audio_features": _q_audio_features,
@@ -1548,6 +1599,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id FROM embeddings e, q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id "
             "LIMIT 10"
+        ),
+        "grouped_topk": (
+            "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
+            "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+            "WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey"
+        ),
+        "quantiles": (
+            "WITH t AS (SELECT quantile_disc(length(text), "
+            "[0.25, 0.5, 0.9, 0.99]) AS l FROM documents) "
+            "SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q, "
+            "CAST(unnest(l) AS BIGINT) AS value FROM t"
+        ),
+        "embedding_dup_exact": (
+            "SELECT e1.vec_id AS a, e2.vec_id AS b "
+            "FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id "
+            "WHERE list_cosine_similarity("
+            "CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])"
+            ") >= 0.4 ORDER BY a, b"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, embedding_near_dup, multimodal_decode, approx_distinct:

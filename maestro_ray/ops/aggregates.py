@@ -173,6 +173,105 @@ def topk(ds: rd.Dataset, key: str, k: int, descending: bool = True,
     )
 
 
+def _rank_in_key_runs(s: pa.Table, keys: list[str]) -> np.ndarray:
+    """0-based rank of each row within consecutive equal-key runs of an
+    ALREADY key-sorted table — vectorized (adjacent-row compare, null ==
+    null counts as the same group)."""
+    n = s.num_rows
+    change = np.zeros(n, dtype=bool)
+    if n:
+        change[0] = True
+    for kcol in keys:
+        a = s.column(kcol).combine_chunks()
+        hi, lo = a.slice(1), a.slice(0, n - 1)
+        eq = pc.fill_null(pc.equal(hi, lo), False).to_numpy(
+            zero_copy_only=False
+        )
+        both_null = (
+            pc.and_(pc.is_null(hi), pc.is_null(lo)).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        change[1:] |= ~(eq | both_null)
+    starts = np.flatnonzero(change)
+    group_id = np.cumsum(change) - 1
+    return np.arange(n, dtype=np.int64) - starts[group_id]
+
+
+def grouped_topk(
+    ds: rd.Dataset,
+    keys: list[str] | str,
+    sort_col: str,
+    k: int,
+    descending: bool = True,
+    tie_break: list[str] | None = None,
+) -> rd.Dataset:
+    """O2 (grouped): top-k rows PER KEY GROUP without a global sort —
+    the 'best documents per domain' curation shape.
+
+    Per-batch local top-k-per-group (combiner: at most k rows per key
+    per batch survive) → groupby(keys) → final top-k per group. Both
+    stages are the same sort + vectorized run-rank kernel; pass
+    ``tie_break`` columns to make the selection deterministic under
+    value ties (required for oracle comparison)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sort_keys = (
+        [(c, "ascending") for c in keys]
+        + [(sort_col, "descending" if descending else "ascending")]
+        + [(c, "ascending") for c in (tie_break or [])]
+    )
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        s = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+        rank = _rank_in_key_runs(s, keys)
+        return s.filter(pa.array(rank < k))
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return pruned.groupby(keys).map_groups(local, batch_format="pyarrow")
+
+
+def quantiles_disc(
+    ds: rd.Dataset, col: str, qs: list[float]
+) -> pd.DataFrame:
+    """Exact discrete quantiles, distributed: per-batch value-count
+    partials (combiner) → one groupby over DISTINCT values → driver-
+    side cumulative pick. Matches DuckDB ``quantile_disc`` exactly: the
+    value at 1-based sorted position ``max(1, ceil(q·n))``.
+
+    Driver materialization is O(distinct values) — the right bound for
+    discrete columns (token counts, lengths, scores); for continuous
+    high-cardinality columns bucket first or use a sketch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+        return t.rename_columns([col, "cnt"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .sum("cnt")
+        .to_pandas()
+    )
+    cnt_col = [c for c in merged.columns if c != col][0]
+    merged = merged.sort_values(col).reset_index(drop=True)
+    cum = merged[cnt_col].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            out_q.append(float(q))
+            out_v.append(None)
+            continue
+        target = max(1, int(np.ceil(q * n)))
+        i = int(np.searchsorted(cum, target))
+        out_q.append(float(q))
+        out_v.append(merged[col].iloc[i])
+    return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"),
+                         "value": pd.Series(out_v)})
+
+
 # ------------------------------------------------------------------ windows
 
 

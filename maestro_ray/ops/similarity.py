@@ -83,6 +83,51 @@ def knn_brute(
     return out
 
 
+def cosine_pairs_exact(
+    ds: rd.Dataset,
+    threshold: float,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """EXACT cosine-similarity self-join: all (a, b) pairs with
+    cosine ≥ threshold, a < b — the exact baseline
+    ``embedding_near_dup``'s LSH variant is recall-tested against,
+    itself SQL-twinnable (DuckDB ``list_cosine_similarity`` self-join).
+
+    Plan: the corpus matrix is broadcast ONCE (``ray.put``); each batch
+    computes its block of the similarity matrix with one float64
+    matmul and emits only above-threshold pairs. O(n²/batches) work per
+    task, nothing driver-side. This is the ≤~10^6-vector exact tier —
+    use ``embedding_near_dup`` (bucketed LSH) above it; float64 math on
+    both engine and oracle sides, so only a pair lying within one ulp
+    of the threshold could diverge (measure-zero for real data)."""
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    full = pa.concat_tables(tabs)
+    all_ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    order = np.argsort(all_ids, kind="stable")
+    all_ids = all_ids[order]
+    mat = _normalize(_emb_matrix(full, emb_col).astype(np.float64))[order]
+    mat_ref = ray.put((all_ids, mat))
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        ids_all, m = ray.get(mat_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _normalize(_emb_matrix(t, emb_col).astype(np.float64))
+        sims = emb @ m.T  # (batch, n)
+        keep = sims >= threshold
+        # a < b only: mask the lower triangle against the GLOBAL ids
+        keep &= ids[:, None] < ids_all[None, :]
+        bi, bj = np.nonzero(keep)
+        return pa.table({
+            "a": pa.array(ids[bi], pa.int64()),
+            "b": pa.array(ids_all[bj], pa.int64()),
+        })
+
+    return ds.map_batches(block_pairs, batch_format="pyarrow")
+
+
 def _probe_sets(
     q: np.ndarray, planes: np.ndarray, n_probes: int
 ) -> list[list[set[int]]]:

@@ -1,0 +1,99 @@
+"""grouped_topk / quantiles_disc / cosine_pairs_exact unit oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from maestro_ray.ops.aggregates import grouped_topk, quantiles_disc
+
+
+@pytest.fixture(scope="module")
+def num_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    return rd.from_arrow(pa.table({
+        "grp": pa.array(rng.integers(0, 7, n), pa.int64()),
+        "val": pa.array(rng.integers(0, 400, n), pa.int64()),
+        "id": pa.array(range(n), pa.int64()),
+    })).repartition(8), n
+
+
+def test_grouped_topk_matches_pandas(num_ds):
+    ds, _n = num_ds
+    got = (
+        grouped_topk(ds, keys="grp", sort_col="val", k=5, tie_break=["id"])
+        .to_pandas().sort_values(["grp", "id"]).reset_index(drop=True)
+    )
+    df = ds.to_pandas()
+    want = (
+        df.sort_values(["val", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("grp", sort=False).head(5)
+        .sort_values(["grp", "id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["grp", "val", "id"]],
+                                  want[["grp", "val", "id"]])
+
+
+def test_grouped_topk_null_keys_form_one_group(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "grp": pa.array([None, None, None, "a"], pa.string()),
+        "val": pa.array([3, 1, 2, 9], pa.int64()),
+        "id": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    got = (
+        grouped_topk(rd.from_arrow(t), keys="grp", sort_col="val", k=2,
+                     tie_break=["id"])
+        .to_pandas()
+    )
+    nulls = got[got["grp"].isna()]
+    assert sorted(nulls["val"].tolist()) == [2, 3]  # top-2 of the null group
+
+
+def test_quantiles_disc_matches_duckdb(num_ds):
+    import duckdb
+
+    ds, _n = num_ds
+    qs = [0.0, 0.1, 0.25, 0.5, 0.77, 0.9, 0.99, 1.0]
+    got = quantiles_disc(ds, "val", qs)
+    df = ds.to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        f"WITH x AS (SELECT quantile_disc(val, {qs}) AS l FROM t) "
+        f"SELECT unnest({qs}) AS q, unnest(l) AS value FROM x"
+    ).fetchdf()
+    assert got["q"].tolist() == want["q"].tolist()
+    assert got["value"].tolist() == want["value"].tolist()
+
+
+def test_cosine_pairs_exact_planted(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.similarity import cosine_pairs_exact
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    planted = np.vstack([base, base[3] * 2.0, base[7] + 1e-3])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(planted)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in planted],
+                              pa.list_(pa.float32())),
+    }))
+    got = cosine_pairs_exact(ds, threshold=0.99).to_pandas()
+    pairs = set(map(tuple, got[["a", "b"]].to_numpy().tolist()))
+    assert (3, 30) in pairs and (7, 31) in pairs
+    # exact == brute-force numpy reference at the same threshold
+    m = planted.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ref = {
+        (i, j)
+        for i in range(len(m)) for j in range(i + 1, len(m))
+        if sims[i, j] >= 0.99
+    }
+    assert pairs == ref
