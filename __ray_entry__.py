@@ -1608,7 +1608,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey"
         ),
         "quantiles": (
-            "WITH t AS (SELECT quantile_disc(length(text), "
+            # coalesce mirrors the engine's fill_null(text,'') — a
+            # null-text row counts as length 0 on BOTH sides (bare
+            # length(text) would make quantile_disc skip the NULL and
+            # shift every position by one)
+            "WITH t AS (SELECT quantile_disc(coalesce(length(text), 0), "
             "[0.25, 0.5, 0.9, 0.99]) AS l FROM documents) "
             "SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q, "
             "CAST(unnest(l) AS BIGINT) AS value FROM t"

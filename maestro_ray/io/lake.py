@@ -73,7 +73,8 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
         # reader on the missing `op` field (ray does NOT null-fill
         # missing requested columns).
         with_op = [f for f in files if "op" in pq.read_schema(f).names]
-        sans_op = [f for f in files if f not in set(with_op)]
+        _wo = set(with_op)
+        sans_op = [f for f in files if f not in _wo]
         if "op" in columns:  # raw audit view: no tombstone filtering
             base = [c for c in columns if c != "op"]
 
@@ -109,7 +110,8 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     # need the same op-presence grouping as the columns= path: one
     # read_parquet over both schema shapes crashes on unification.
     with_op = [f for f in files if "op" in pq.read_schema(f).names]
-    sans_op = [f for f in files if f not in set(with_op)]
+    _wo = set(with_op)
+    sans_op = [f for f in files if f not in _wo]
     parts = []
     if with_op:
         parts.append(

@@ -688,8 +688,11 @@ def dedup_ngram_jaccard(
     )
     from maestro_ray.ops.joins import hash_join as _hj
 
-    max_id = shingles.max(id_col)
-    min_id = shingles.min(id_col)
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    bounds = shingles.aggregate(_Min(id_col), _Max(id_col))  # ONE pass
+    min_id = bounds.get(f"min({id_col})")
+    max_id = bounds.get(f"max({id_col})")
     packable = (
         max_id is None  # empty corpus — path choice is moot
         or (0 <= min_id and max_id < (1 << 31))

@@ -102,6 +102,11 @@ def cosine_pairs_exact(
     both engine and oracle sides, so only a pair lying within one ulp
     of the threshold could diverge (measure-zero for real data)."""
     tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+        }))
     full = pa.concat_tables(tabs)
     all_ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(
         np.int64

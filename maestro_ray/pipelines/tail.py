@@ -72,7 +72,13 @@ class PartitionMerger:
         self.partition = partition
         self.watermark = watermark
         self.compact_rows = compact_rows
-        self.seen = np.empty(0, dtype=np.int64)  # C3: intra-epoch dedup index
+        # C3: intra-epoch dedup index — a sorted base array plus small
+        # unsorted recent chunks, merged geometrically (re-sorting the
+        # full union per apply would be O(S log S) on the latency-
+        # critical path; this is amortized O(log) per offset)
+        self.seen = np.empty(0, dtype=np.int64)
+        self.seen_new: list = []
+        self._seen_new_n = 0
         self.n_applied = 0
         self.dirty = False  # set by apply() on any accepted row
         self.has_file = prev_file_rel is not None
@@ -121,6 +127,8 @@ class PartitionMerger:
         fresh = offs > self.watermark
         if self.seen.size:
             fresh &= ~np.isin(offs, self.seen)
+        for arr in self.seen_new:
+            fresh &= ~np.isin(offs, arr)
         # intra-batch duplicate delivery: keep the first occurrence
         _u, first_idx = np.unique(offs, return_index=True)
         keep = np.zeros(len(offs), dtype=bool)
@@ -131,7 +139,13 @@ class PartitionMerger:
             accepted = batch.filter(pa.array(mask))
             self.pending.append(accepted)
             self.pending_rows += applied
-            self.seen = np.union1d(self.seen, offs[mask])
+            self.seen_new.append(offs[mask])
+            self._seen_new_n += applied
+            if self._seen_new_n > max(1024, self.seen.size // 2):
+                self.seen = np.union1d(
+                    self.seen, np.concatenate(self.seen_new)
+                )
+                self.seen_new, self._seen_new_n = [], 0
             self.dirty = True
             self.n_applied += applied
             if self.pending_rows >= self.compact_rows:
@@ -148,6 +162,7 @@ class PartitionMerger:
         self.watermark = new_watermark
         if not self.dirty:
             self.seen = np.empty(0, dtype=np.int64)
+            self.seen_new, self._seen_new_n = [], 0
             return None
         # tombstones (op='delete') are persisted with the partition file
         # so later epochs / restarts keep losing late events to them
@@ -166,6 +181,7 @@ class PartitionMerger:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         pq.write_table(out, path)
         self.seen = np.empty(0, dtype=np.int64)  # watermark now covers them
+        self.seen_new, self._seen_new_n = [], 0
         self.dirty = False
         self.has_file = True
         from maestro_ray.ops.merge import live_row_count
@@ -205,6 +221,11 @@ def tail_ingest(
     seconds with no new segment (``None`` = run until the process is
     killed; a killed follow loop loses only un-checkpointed state,
     which the next run replays from the manifest watermark).
+
+    Checkpoint cadence: every ``checkpoint_every`` segments under
+    sustained load (``n_since_ckpt`` accumulates ACROSS polls), plus
+    one flush when the feed goes idle — durability beats strict
+    cadence the moment there is nothing left to batch with.
     """
     import time as _time
 
@@ -264,43 +285,47 @@ def tail_ingest(
         applied = sum(ray.get(refs)) if refs else 0
         return pa.table({"applied": pa.array([applied], pa.int64())})
 
+    def idle_wait() -> bool:
+        """Idle bookkeeping for follow mode; True = keep polling.
+        Un-checkpointed applies are flushed BEFORE the first sleep so a
+        paused feed's data lands promptly instead of waiting for the
+        next checkpoint_every boundary."""
+        nonlocal idle_since
+        if n_since_ckpt:
+            do_checkpoint()
+        now = _time.monotonic()
+        if idle_since is None:
+            idle_since = now
+        if idle_timeout is not None and now - idle_since >= idle_timeout:
+            return False
+        _time.sleep(poll_interval)
+        return True
+
     try:
         while True:
-            segs = segments_after(log_dir, watermark)
+            # discovery/read filtering uses pending_watermark (applies
+            # so far, checkpointed or not) so an un-checkpointed poll
+            # doesn't re-read the segments it already routed; crash
+            # resume still starts from the CHECKPOINTED watermark (the
+            # pending one is in-memory only)
+            segs = segments_after(log_dir, pending_watermark)
             if max_segments is not None:
                 segs = segs[: max_segments - processed]
-            if not segs:
-                if not follow:
-                    break
-                now = _time.monotonic()
-                if idle_since is None:
-                    idle_since = now
-                if (idle_timeout is not None
-                        and now - idle_since >= idle_timeout):
-                    break
-                _time.sleep(poll_interval)
-                continue
-            # shared contiguity check (io/changelog.py): a missing
+            seg_max = check_contiguity(segs, pending_watermark) if segs else {}
+            # shared contiguity check (io/changelog.py) above: a missing
             # segment would otherwise be silently skipped and the
             # watermark advanced past it; the returned per-segment max
             # offsets feed the watermark bookkeeping without re-reading
-            # footers
-            seg_max = check_contiguity(segs, watermark)
-            # segments_after always re-offers the newest segment (its
-            # tail rows might exceed the watermark); once it is fully
-            # committed it carries nothing new — processing it would
-            # publish an empty epoch per poll in follow mode
-            segs = [(f, p) for (f, p) in segs if seg_max[p] > watermark]
+            # footers. segments_after always re-offers the newest
+            # segment (its tail rows might exceed the watermark); once
+            # fully committed it carries nothing new — processing it
+            # would publish an empty epoch per poll in follow mode.
+            segs = [(f, p) for (f, p) in segs if seg_max[p] > pending_watermark]
             if not segs:
                 if not follow:
                     break
-                now = _time.monotonic()
-                if idle_since is None:
-                    idle_since = now
-                if (idle_timeout is not None
-                        and now - idle_since >= idle_timeout):
+                if not idle_wait():
                     break
-                _time.sleep(poll_interval)
                 continue
             idle_since = None
             if actors is None:
@@ -310,21 +335,25 @@ def tail_ingest(
                     )
                     for p in range(num_partitions)
                 ]
-            # Segments are processed in CHUNKS of checkpoint_every —
-            # one Dataset execution (≈0.3–0.5 s fixed streaming-
-            # executor cost each) per CHECKPOINT, not per segment.
-            # Checkpoint boundaries are unchanged (epoch == every
-            # checkpoint_every segments); within a chunk the actors'
-            # LWW state absorbs ordering, exactly as within a segment.
-            # When tailing LIVE each poll returns few segments and the
-            # chunk is small — micro-batch latency intact; this only
-            # collapses fixed costs during catch-up. (Measured: the
-            # per-segment loop ran the 1M-event fixture at 58–66k
-            # ev/s; the chunked loop at 190k — BASELINE.md r3.)
-            for i in range(0, len(segs), checkpoint_every):
-                chunk = segs[i : i + checkpoint_every]
+            # Segments are processed in CHUNKS — one Dataset execution
+            # (≈0.3–0.5 s fixed streaming-executor cost each) per
+            # checkpoint interval, not per segment. n_since_ckpt
+            # accumulates ACROSS polls, so a live feed trickling one
+            # segment per poll still checkpoints every checkpoint_every
+            # segments (plus the idle flush above), matching the CLI
+            # contract. When tailing LIVE each poll returns few
+            # segments and the chunk is small — micro-batch latency
+            # intact; chunking only collapses fixed costs during
+            # catch-up. (Measured: the per-segment loop ran the
+            # 1M-event fixture at 58–66k ev/s; the chunked loop at
+            # 190k — BASELINE.md r3.)
+            idx = 0
+            while idx < len(segs):
+                take = checkpoint_every - n_since_ckpt
+                chunk = segs[idx : idx + take]
+                idx += len(chunk)
                 ds = read_changelog(
-                    log_dir, from_offset=watermark, segments=chunk,
+                    log_dir, from_offset=pending_watermark, segments=chunk,
                     transform=route,
                 )
                 if ds is not None:
@@ -332,13 +361,16 @@ def tail_ingest(
                 pending_watermark = max(
                     [pending_watermark] + [seg_max[path] for _f, path in chunk]
                 )
-                n_since_ckpt = len(chunk)
-                do_checkpoint()
+                n_since_ckpt += len(chunk)
+                if n_since_ckpt >= checkpoint_every:
+                    do_checkpoint()
             processed += len(segs)
             if max_segments is not None and processed >= max_segments:
                 break
             if not follow:
                 break
+        if n_since_ckpt:
+            do_checkpoint()  # flush the final partial chunk
     finally:
         for a in actors or []:
             ray.kill(a)

@@ -59,6 +59,25 @@ def test_follow_picks_up_segments_appended_mid_run(ray_session, tmp_path):
         assert got.column(col).equals(expected.column(col)), col
 
 
+def test_catchup_honors_checkpoint_every(ray_session, tmp_path):
+    """A catch-up over N pre-existing segments must publish
+    ceil(N / checkpoint_every) epochs — not one per segment/poll."""
+    from maestro_ray.core.manifest import latest_manifest
+
+    log = str(tmp_path / "log")
+    write_changelog(log, PARAMS)  # 6 segments (600 events / 100)
+    n_segs = len(list_segments(log))
+    lake = str(tmp_path / "lake")
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(gen_pages(PARAMS.n_urls, seed=42), pages_path)
+    bootstrap(pages_path, lake, num_partitions=4)
+    e0 = latest_manifest(lake).epoch
+    m = tail_ingest(log, lake, num_partitions=4, checkpoint_every=3,
+                    follow=True, poll_interval=0.05, idle_timeout=0.5)
+    expect_epochs = -(-n_segs // 3)  # ceil
+    assert m.epoch == e0 + expect_epochs, (m.epoch, e0, n_segs)
+
+
 def test_follow_idle_timeout_returns_promptly(ray_session, tmp_path):
     """No segments at all: follow mode must return after idle_timeout
     without publishing any epoch."""
