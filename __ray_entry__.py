@@ -773,6 +773,39 @@ def _q_embedding_dup_exact(sf):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_window_lag(sf):
+    """Per-key LAG/LEAD (previous/next value within user ordered by
+    (ts, event_id)) — one grouped shuffle, local sort + shifted slices
+    per group. Values pass through unchanged (no float arithmetic), so
+    the oracle compare is exact."""
+    from maestro_ray.ops.aggregates import lag_lead
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id", "value"])
+    out = lag_lead(ds, key="user_id", order_cols=["ts", "event_id"],
+                   value_col="value")
+    return P.project(out, columns=["user_id", "event_id", "value",
+                                   "prev_value", "next_value"])
+
+
+def _q_pivot(sf):
+    """Pivot: order counts per priority class, one column per order
+    status — vectorized indicator columns + the partial-pre-agg grouped
+    sum (the CASE-WHEN pivot shape)."""
+    from maestro_ray.ops.aggregates import pivot_count
+
+    ds = _read(sf, "orders", columns=["o_orderpriority", "o_orderstatus"])
+    return pivot_count(ds, key="o_orderpriority",
+                       pivot_col="o_orderstatus", values=["F", "O", "P"])
+
+
+def _q_text_normalize(sf):
+    """Curation text normalization (lower → collapse whitespace →
+    trim), Arrow RE2 kernels — SQL twin is regexp_replace verbatim."""
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(T.normalize_text_batch, batch_format="pyarrow")
+    return P.project(out, columns=["doc_id", "norm_text"])
+
+
 def _q_knn_brute(sf):
     from maestro_ray.ops.similarity import knn_brute
 
@@ -1217,6 +1250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": _q_grouped_topk,
         "quantiles": _q_quantiles,
         "embedding_dup_exact": _q_embedding_dup_exact,
+        "window_lag": _q_window_lag,
+        "pivot": _q_pivot,
+        "text_normalize": _q_text_normalize,
         "knn_lsh": _q_knn_lsh,
         "knn_ann_index": _q_knn_ann_index,
         "audio_features": _q_audio_features,
@@ -1623,6 +1659,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity("
             "CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])"
             ") >= 0.4 ORDER BY a, b"
+        ),
+        "window_lag": (
+            "SELECT user_id, event_id, value, "
+            "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_value, "
+            "lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS next_value FROM events"
+        ),
+        "pivot": (
+            "SELECT o_orderpriority, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_F, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_O, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_P "
+            "FROM orders GROUP BY 1 ORDER BY 1"
+        ),
+        "text_normalize": (
+            "SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), "
+            r"'\s+', ' ', 'g')) AS norm_text FROM documents"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, embedding_near_dup, multimodal_decode, approx_distinct:

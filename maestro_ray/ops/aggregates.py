@@ -378,6 +378,61 @@ def sessionize(
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def lag_lead(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    out_prev: str = "prev_value",
+    out_next: str = "next_value",
+) -> rd.Dataset:
+    """A6-adjacent: per-key LAG/LEAD — each row gets the previous and
+    next ``value_col`` within its key, ordered by ``order_cols``
+    (include a unique tiebreak for determinism). One shuffle (groupby
+    key), local sort + zero-copy shifted slices per group — the
+    standard CDC "value before/after this change" lookup."""
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        v = s.column(value_col).combine_chunks()
+        n = s.num_rows
+        prev = pa.concat_arrays([pa.nulls(1, v.type), v.slice(0, n - 1)])
+        nxt = pa.concat_arrays([v.slice(1), pa.nulls(1, v.type)])
+        return s.append_column(out_prev, prev).append_column(out_next, nxt)
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def pivot_count(
+    ds: rd.Dataset,
+    key: str,
+    pivot_col: str,
+    values: list[str],
+) -> pd.DataFrame:
+    """Pivot: one count column per ``pivot_col`` value, grouped by
+    ``key`` — indicator columns built vectorized per batch, then the
+    standard partial-pre-agg grouped sum (values outside ``values`` are
+    simply not counted). The explicit value list keeps the output
+    schema static — mandatory for a distributed pivot (a data-dependent
+    column set would need two passes)."""
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        col = batch.column(pivot_col)
+        out = batch.select([key])
+        for v in values:
+            ind = pc.cast(
+                pc.fill_null(pc.equal(col, pa.scalar(v)), False), pa.int64()
+            )
+            out = out.append_column(f"n_{v}", ind)
+        return out
+
+    specs = {f"n_{v}": (f"n_{v}", "sum") for v in values}
+    return grouped_agg(
+        ds.map_batches(indicators, batch_format="pyarrow"), key, specs
+    )
+
+
 # ------------------------------------------------------------------ sketches
 
 

@@ -231,6 +231,21 @@ class LinearModelScorer:
         return batch.append_column(self.out_col, pa.array(scores, pa.float64()))
 
 
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "norm_text") -> pa.Table:
+    """Curation-standard text normalization, fully Arrow-vectorized:
+    lowercase → collapse whitespace runs to one space → trim. RE2
+    semantics match DuckDB's regexp_replace(…, 'g'), so the op is
+    SQL-twinnable verbatim."""
+    import pyarrow.compute as pc
+
+    t = pc.fill_null(batch.column(text_col), "")
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column(out_col, t)
+
+
 def lang_detect(ds: rd.Dataset, text_col: str = "text", concurrency: int = 4) -> rd.Dataset:
     return ds.map_batches(
         LangDetect, fn_constructor_kwargs={"text_col": text_col},

@@ -71,6 +71,28 @@ def test_quantiles_disc_matches_duckdb(num_ds):
     assert got["value"].tolist() == want["value"].tolist()
 
 
+def test_lag_lead_per_key(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.aggregates import lag_lead
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([30, 10, 20, 5], pa.int64()),
+        "v": pa.array([3.0, 1.0, 2.0, 9.0], pa.float64()),
+    })
+    got = (
+        lag_lead(rd.from_arrow(t), key="k", order_cols=["ts"], value_col="v")
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    assert np.isnan(got["prev_value"].iloc[0])
+    assert got["prev_value"].tolist()[1:3] == [1.0, 2.0]
+    assert got["next_value"].tolist()[:2] == [2.0, 3.0]
+    assert np.isnan(got["next_value"].iloc[2])
+    # single-row group: both neighbors null
+    assert got.iloc[3][["prev_value", "next_value"]].isna().all()
+
+
 def test_cosine_pairs_exact_planted(ray_session):
     import ray.data as rd
 
