@@ -64,6 +64,17 @@ def main(argv: list[str] | None = None) -> int:
                         help="exit after this many idle seconds "
                              "(default: run until killed)")
 
+    p_land = sub.add_parser(
+        "landing",
+        help="convert new landing files to changelog segments "
+             "(idempotent; quarantine + error threshold)",
+    )
+    p_land.add_argument("--landing-dir", required=True)
+    p_land.add_argument("--log-dir", required=True)
+    p_land.add_argument("--delimiter", default="|")
+    p_land.add_argument("--error-threshold", type=float, default=0.05)
+    p_land.add_argument("--pattern", default="*.txt")
+
     p_inf = sub.add_parser(
         "infer-schema",
         help="propose a typed contract from a landing file sample "
@@ -142,6 +153,19 @@ def main(argv: list[str] | None = None) -> int:
                 poll_interval=args.poll_interval,
                 idle_timeout=args.idle_timeout,
             )
+        elif args.cmd == "landing":
+            from maestro_ray.pipelines.landing import convert_landing_files
+
+            written = convert_landing_files(
+                args.landing_dir, args.log_dir,
+                delimiter=args.delimiter,
+                error_threshold=args.error_threshold,
+                pattern=args.pattern,
+            )
+            print(json.dumps({"segments_written": len(written),
+                              "segments": [os.path.basename(w)
+                                           for w in written]}))
+            return 0
         elif args.cmd == "compact":
             from maestro_ray.io.lake import compact_partitions
 
