@@ -1678,8 +1678,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1 ORDER BY 1"
         ),
         "text_normalize": (
-            "SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), "
-            r"'\s+', ' ', 'g')) AS norm_text FROM documents"
+            # trim via RE2 anchors, NOT trim(): DuckDB trim strips
+            # Unicode spaces (NBSP) that RE2 \s does not — regexp both
+            # sides keeps engine and oracle byte-identical on any text
+            "SELECT doc_id, regexp_replace(regexp_replace("
+            r"lower(coalesce(text, '')), '\s+', ' ', 'g'), "
+            r"'^\s+|\s+$', '', 'g') AS norm_text FROM documents"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, embedding_near_dup, multimodal_decode, approx_distinct:

@@ -691,8 +691,13 @@ def dedup_ngram_jaccard(
     from ray.data.aggregate import Max as _Max, Min as _Min
 
     bounds = shingles.aggregate(_Min(id_col), _Max(id_col))  # ONE pass
-    min_id = bounds.get(f"min({id_col})")
-    max_id = bounds.get(f"max({id_col})")
+    if not bounds:  # empty corpus: Ray may return an empty/None result
+        min_id = max_id = None
+    else:
+        # index (not .get): an aggregate-key rename must fail LOUDLY,
+        # not silently route big ids down the 31-bit packed path
+        min_id = bounds[f"min({id_col})"]
+        max_id = bounds[f"max({id_col})"]
     packable = (
         max_id is None  # empty corpus — path choice is moot
         or (0 <= min_id and max_id < (1 << 31))

@@ -242,7 +242,11 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text",
     t = pc.fill_null(batch.column(text_col), "")
     t = pc.utf8_lower(t)
     t = pc.replace_substring_regex(t, r"\s+", " ")
-    t = pc.utf8_trim_whitespace(t)
+    # trim with the SAME RE2 \s class as the collapse (and as the
+    # DuckDB twin's regexp_replace): utf8_trim_whitespace strips
+    # Unicode White_Space (\v, NBSP, U+2028 …) that RE2 \s does not,
+    # which would silently diverge engine and oracle on non-ASCII text
+    t = pc.replace_substring_regex(t, r"^\s+|\s+$", "")
     return batch.append_column(out_col, t)
 
 

@@ -229,6 +229,10 @@ def tail_ingest(
     """
     import time as _time
 
+    if checkpoint_every < 1:
+        # the chunking loop would otherwise spin forever on a 0-length
+        # chunk — fail loudly like the pre-chunking range() did
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     os.makedirs(lake_dir, exist_ok=True)
     m = latest_manifest(lake_dir)
     if m is not None and m.num_partitions not in (None, num_partitions):

@@ -104,6 +104,8 @@ def test_pivot_count_property(ray_session, rows):
     got = pivot_count(rd.from_arrow(t), key="k", pivot_col="cat",
                       values=["c0", "c1", "c2"])
     df = t.to_pandas()
+    assert set(got["k"]) == set(df["k"])  # no dropped/duplicated groups
+    assert len(got) == df["k"].nunique()
     for _, row in got.iterrows():
         sub = df[df["k"] == row["k"]]
         for v in ["c0", "c1", "c2"]:
