@@ -806,6 +806,33 @@ def _q_text_normalize(sf):
     return P.project(out, columns=["doc_id", "norm_text"])
 
 
+def _q_rdbms_import(sf):
+    """S10 sqoop analog: range-partitioned parallel import from an
+    RDBMS (DuckDB stands in for the JDBC source). The database file is
+    materialized once per sf under /tmp (atomic rename), then 8 Ray
+    tasks each pull their o_orderkey range read-only."""
+    import duckdb
+
+    from maestro_ray.io.rdbms import read_rdbms
+
+    db = "/tmp/maestro_rdbms_" + sf.strip("/").replace("/", "_") + ".duckdb"
+    if not os.path.exists(db):
+        tmp = db + ".tmp"
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        con = duckdb.connect(tmp)
+        con.execute(
+            f"CREATE TABLE orders AS "
+            f"SELECT * FROM read_parquet('{sf}/orders.parquet')"
+        )
+        con.close()
+        os.replace(tmp, db)
+    return read_rdbms(
+        db, "orders", split_col="o_orderkey", num_partitions=8,
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+
 def _q_knn_brute(sf):
     from maestro_ray.ops.similarity import knn_brute
 
@@ -1253,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_lag": _q_window_lag,
         "pivot": _q_pivot,
         "text_normalize": _q_text_normalize,
+        "rdbms_import": _q_rdbms_import,
         "knn_lsh": _q_knn_lsh,
         "knn_ann_index": _q_knn_ann_index,
         "audio_features": _q_audio_features,
@@ -1684,6 +1712,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, regexp_replace(regexp_replace("
             r"lower(coalesce(text, '')), '\s+', ' ', 'g'), "
             r"'^\s+|\s+$', '', 'g') AS norm_text FROM documents"
+        ),
+        "rdbms_import": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, embedding_near_dup, multimodal_decode, approx_distinct:

@@ -1,0 +1,149 @@
+"""S10: RDBMS import/export — the sqoop analog (SURVEY.md §2 S10).
+
+Maestro's lineage bulk-moves tables between an RDBMS and the lake with
+range-partitioned parallel reads (sqoop's core trick: split a numeric
+key into N ranges, one JDBC reader each) [M]. The sandbox ships DuckDB,
+which stands in for the RDBMS: the import plan is identical to what a
+Postgres/MySQL source would use — only the connector line changes.
+
+- ``read_rdbms``: driver reads MIN/MAX of the split column (one tiny
+  query), then N Ray tasks each open the database READ-ONLY and pull
+  their half-open key range — parallel, partition-pruned at the source,
+  nothing corpus-sized through the driver.
+- ``write_rdbms``: the sqoop-export staging pattern — the Dataset is
+  written to partitioned parquet first (restartable, each task writes
+  its own file), then ONE transactional ``INSERT … FROM read_parquet``
+  on the driver commits it (RDBMS writes want a single transaction, not
+  N racing writers).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def read_rdbms(
+    db_path: str,
+    table: str,
+    split_col: str,
+    num_partitions: int = 8,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+) -> rd.Dataset:
+    """Range-partitioned parallel import of ``table``.
+
+    ``split_col`` must be numeric (sqoop's --split-by); rows where it
+    is NULL are picked up by the first partition. ``predicate`` is an
+    optional SQL WHERE fragment pushed down to every range reader.
+    """
+    import duckdb
+
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    cols = ", ".join(columns) if columns else "*"
+    con = duckdb.connect(db_path, read_only=True)
+    try:
+        lo, hi = con.execute(
+            f"SELECT min({split_col}), max({split_col}) FROM {table}"
+        ).fetchone()
+        empty = con.execute(
+            f"SELECT {cols} FROM {table} LIMIT 0"
+        ).fetch_arrow_table()  # schema-carrying empty block
+    finally:
+        con.close()
+    where_extra = f" AND ({predicate})" if predicate else ""
+    if lo is None:  # empty table (or all-null split col): one reader
+        bounds = [(None, None)]
+    else:
+        lo, hi = float(lo), float(hi)
+        step = (hi - lo) / num_partitions or 1.0
+        bounds = [
+            (lo + i * step, (lo + (i + 1) * step) if i < num_partitions - 1
+             else None)
+            for i in range(num_partitions)
+        ]
+
+    def fetch_range(batch: pa.Table) -> pa.Table:
+        import duckdb as _duckdb
+
+        out = []
+        for i in batch.column("id").to_pylist():
+            b_lo, b_hi = bounds[i]
+            if b_lo is None and b_hi is None:
+                rng = "TRUE"
+            elif b_hi is None:
+                rng = f"({split_col} >= {b_lo} OR {split_col} IS NULL)" \
+                    if i == 0 else f"{split_col} >= {b_lo}"
+            else:
+                rng = f"{split_col} >= {b_lo} AND {split_col} < {b_hi}"
+                if i == 0:
+                    rng = f"({rng} OR {split_col} IS NULL)"
+            c = _duckdb.connect(db_path, read_only=True)
+            try:
+                t = c.execute(
+                    f"SELECT {cols} FROM {table} WHERE {rng}{where_extra}"
+                ).fetch_arrow_table()
+            finally:
+                c.close()
+            if t.num_rows:
+                out.append(t)
+        if not out:
+            return empty  # schema-carrying empty block
+        return pa.concat_tables(out)
+
+    ids = rd.range(len(bounds)).repartition(len(bounds))
+    return ids.map_batches(fetch_range, batch_format="pyarrow", batch_size=1)
+
+
+def write_rdbms(
+    ds: rd.Dataset,
+    db_path: str,
+    table: str,
+    staging_dir: str,
+    mode: str = "append",
+) -> int:
+    """sqoop-export analog: stage the Dataset as partitioned parquet
+    (each Ray task writes its own file — restartable), then commit with
+    ONE transactional INSERT on the driver. Returns rows written.
+
+    ``mode``: 'append' adds to an existing table, 'overwrite' replaces
+    it, 'create' fails if it exists.
+    """
+    import duckdb
+
+    if mode not in ("append", "overwrite", "create"):
+        raise ValueError(f"mode={mode!r}")
+    os.makedirs(staging_dir, exist_ok=True)
+    ds.write_parquet(staging_dir)
+    glob = os.path.join(staging_dir, "*.parquet")
+    con = duckdb.connect(db_path)
+    try:
+        con.execute("BEGIN")
+        exists = con.execute(
+            "SELECT count(*) FROM information_schema.tables "
+            "WHERE table_name = ?", [table]
+        ).fetchone()[0]
+        if mode == "create" and exists:
+            raise ValueError(f"table {table} already exists")
+        if mode == "overwrite":
+            con.execute(f"DROP TABLE IF EXISTS {table}")
+            exists = 0
+        if not exists:
+            con.execute(
+                f"CREATE TABLE {table} AS SELECT * FROM read_parquet('{glob}')"
+            )
+        else:
+            con.execute(
+                f"INSERT INTO {table} SELECT * FROM read_parquet('{glob}')"
+            )
+        n = con.execute(f"SELECT count(*) FROM {table}").fetchone()[0]
+        con.execute("COMMIT")
+        return int(n)
+    except Exception:
+        con.execute("ROLLBACK")
+        raise
+    finally:
+        con.close()
