@@ -806,6 +806,51 @@ def _q_text_normalize(sf):
     return P.project(out, columns=["doc_id", "norm_text"])
 
 
+def _q_video_frames(sf):
+    """REAL video frame sampling (r3): per-doc MP4s carry actual sample
+    tables + mdat payloads; FrameSample(fake=False) demuxes every 2nd
+    video sample via stsz/stsc/stco walking (ops/mp4.py). The sampled
+    (vid_id, frame_idx, n_bytes) set is fully SQL-replicable from the
+    synthesis formulas — frame k of doc i is 64 + ((i·7 + k·13) mod 50)
+    bytes, docs have 1 + i mod 7 frames. Pixel DECODE of the sampled
+    bytes remains the one env-gated step (needs a codec library)."""
+    from maestro_ray.ops.mp4 import encode_minimal_mp4
+    from maestro_ray.ops.multimodal import FrameSample
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        clips = []
+        for i in ids:
+            frames = [
+                bytes([(i + k) % 251]) * (64 + ((i * 7 + k * 13) % 50))
+                for k in range(1 + i % 7)
+            ]
+            clips.append(encode_minimal_mp4(1.0, frames=frames))
+        return pa.table({
+            "vid_id": batch.column("doc_id"),
+            "video": pa.array(clips, pa.binary()),
+        })
+
+    ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    sampled = ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"every_n": 2, "fake": False},
+        batch_format="pyarrow", concurrency=2, batch_size=256,
+    )
+
+    def sizes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid_id": t.column("vid_id"),
+            "frame_idx": t.column("frame_idx"),
+            "n_bytes": pc.cast(
+                pc.binary_length(t.column("frame")), pa.int64()
+            ),
+        })
+
+    return sampled.map_batches(sizes, batch_format="pyarrow")
+
+
 def _q_rdbms_import(sf):
     """S10 sqoop analog: range-partitioned parallel import from an
     RDBMS (DuckDB stands in for the JDBC source). The database file is
@@ -1281,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot": _q_pivot,
         "text_normalize": _q_text_normalize,
         "rdbms_import": _q_rdbms_import,
+        "video_frames": _q_video_frames,
         "knn_lsh": _q_knn_lsh,
         "knn_ann_index": _q_knn_ann_index,
         "audio_features": _q_audio_features,
@@ -1715,6 +1761,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rdbms_import": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        ),
+        "video_frames": (
+            # the synthesis formulas, replayed in SQL: doc i has
+            # 1 + i%7 frames; frame k is 64 + ((i*7 + k*13) % 50)
+            # bytes; the sampler keeps every 2nd frame
+            "SELECT d.doc_id AS vid_id, CAST(u.f AS INTEGER) AS frame_idx, "
+            "CAST(64 + ((d.doc_id * 7 + u.f * 13) % 50) AS BIGINT) AS n_bytes "
+            "FROM documents d, "
+            "LATERAL unnest(range(0, 1 + d.doc_id % 7)) u(f) "
+            "WHERE u.f % 2 = 0"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, embedding_near_dup, multimodal_decode, approx_distinct:

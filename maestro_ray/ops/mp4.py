@@ -144,10 +144,16 @@ def encode_minimal_mp4(
     timescale: int = 1000,
     tracks: list[tuple[str, str]] = (("vide", "avc1"), ("soun", "mp4a")),
     brand: str = "isom",
+    frames: list[bytes] | None = None,
 ) -> bytes:
     """Build a structurally valid minimal MP4 (ftyp + moov tree with
     mvhd/trak/mdia/mdhd/hdlr/minf/stbl/stsd) — enough for any shallow
-    demuxer; carries no media samples."""
+    demuxer. With ``frames``, the FIRST 'vide' track additionally gets
+    REAL sample tables (stsz/stsc/stco, one chunk per sample) and the
+    samples land in a trailing mdat — a demuxable progressive file.
+    Built in two passes: stco carries absolute file offsets, which
+    depend on moov's size, which does not depend on the offset VALUES —
+    so pass 1 measures, pass 2 fills."""
     dur = int(round(duration_sec * timescale))
     ftyp = _box(b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0))
     mvhd = _box(
@@ -155,27 +161,161 @@ def encode_minimal_mp4(
         b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, timescale, dur)
         + b"\x00" * 80,
     )
-    traks = b""
-    for handler, codec in tracks:
-        stsd = _box(
-            b"stsd",
-            b"\x00\x00\x00\x00" + struct.pack(">I", 1)
-            + struct.pack(">I", 16) + codec.encode("latin-1") + b"\x00" * 8,
-        )
-        stbl = _box(b"stbl", stsd)
-        minf = _box(b"minf", stbl)
-        hdlr = _box(
-            b"hdlr",
-            b"\x00\x00\x00\x00" + b"\x00" * 4 + handler.encode("latin-1")
-            + b"\x00" * 12,
-        )
-        mdhd = _box(
-            b"mdhd",
-            b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, timescale, dur)
-            + b"\x00" * 4,
-        )
-        mdia = _box(b"mdia", mdhd + hdlr + minf)
-        tkhd = _box(b"tkhd", b"\x00\x00\x00\x0f" + b"\x00" * 80)
-        traks += _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + traks)
-    return ftyp + moov
+
+    def build_moov(sample_offsets: list[int]) -> bytes:
+        traks = b""
+        vide_done = False
+        for handler, codec in tracks:
+            stsd = _box(
+                b"stsd",
+                b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                + struct.pack(">I", 16) + codec.encode("latin-1") + b"\x00" * 8,
+            )
+            stbl_payload = stsd
+            if frames is not None and handler == "vide" and not vide_done:
+                vide_done = True
+                stsz = _box(
+                    b"stsz",
+                    b"\x00\x00\x00\x00" + struct.pack(">II", 0, len(frames))
+                    + b"".join(struct.pack(">I", len(f)) for f in frames),
+                )
+                stsc = _box(
+                    b"stsc",
+                    b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                    + struct.pack(">III", 1, 1, 1),  # every chunk: 1 sample
+                )
+                stco = _box(
+                    b"stco",
+                    b"\x00\x00\x00\x00" + struct.pack(">I", len(frames))
+                    + b"".join(struct.pack(">I", o) for o in sample_offsets),
+                )
+                stbl_payload += stsz + stsc + stco
+            stbl = _box(b"stbl", stbl_payload)
+            minf = _box(b"minf", stbl)
+            hdlr = _box(
+                b"hdlr",
+                b"\x00\x00\x00\x00" + b"\x00" * 4 + handler.encode("latin-1")
+                + b"\x00" * 12,
+            )
+            mdhd = _box(
+                b"mdhd",
+                b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, timescale, dur)
+                + b"\x00" * 4,
+            )
+            mdia = _box(b"mdia", mdhd + hdlr + minf)
+            tkhd = _box(b"tkhd", b"\x00\x00\x00\x0f" + b"\x00" * 80)
+            traks += _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + traks)
+
+    if frames is None:
+        return ftyp + build_moov([])
+    moov_len = len(build_moov([0] * len(frames)))
+    base = len(ftyp) + moov_len + 8  # + mdat header
+    offsets, pos = [], base
+    for f in frames:
+        offsets.append(pos)
+        pos += len(f)
+    moov = build_moov(offsets)
+    assert len(moov) == moov_len  # size must not depend on offset values
+    return ftyp + moov + _box(b"mdat", b"".join(frames))
+
+
+def extract_samples(
+    data: bytes, every_n: int = 1, handler: str = "vide"
+) -> list[tuple[int, bytes]]:
+    """REAL MP4 sample extraction (the demux half of frame sampling):
+    walk the selected track's stsz/stsc/stco(co64) sample tables and
+    slice every ``every_n``-th sample's bytes out of the file — exactly
+    what pyav's demux layer does. Pixel DECODE of the extracted samples
+    (h264 etc.) genuinely needs a codec library and stays out of scope.
+    Raises ``ValueError`` on malformed tables; returns [] when the
+    track has no sample tables (metadata-only file)."""
+    try:
+        return _extract_samples_impl(data, every_n, handler)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed MP4 sample tables: {e}") from e
+
+
+def _extract_samples_impl(
+    data: bytes, every_n: int, handler: str
+) -> list[tuple[int, bytes]]:
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise ValueError("extract_samples expects bytes")
+    data = bytes(data)
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    sizes = offsets = stsc = None
+    fixed_size = None
+    for btype, s, e in _walk(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for t2, s2, e2 in _walk(data, s, e):
+            if t2 != b"trak":
+                continue
+            got_handler = None
+            tables: dict[str, tuple[int, int]] = {}
+            for t3, s3, e3 in _walk(data, s2, e2):
+                if t3 != b"mdia":
+                    continue
+                for t4, s4, e4 in _walk(data, s3, e3):
+                    if t4 == b"hdlr":
+                        got_handler = data[s4 + 8 : s4 + 12].decode("latin-1")
+                    elif t4 == b"minf":
+                        for t5, s5, e5 in _walk(data, s4, e4):
+                            if t5 == b"stbl":
+                                for t6, s6, e6 in _walk(data, s5, e5):
+                                    tables[t6.decode("latin-1")] = (s6, e6)
+            if got_handler != handler or "stsz" not in tables:
+                continue
+            s6, e6 = tables["stsz"]
+            fixed_size, count = struct.unpack(">II", data[s6 + 4 : s6 + 12])
+            if fixed_size == 0:
+                sizes = list(
+                    struct.unpack(f">{count}I", data[s6 + 12 : s6 + 12 + 4 * count])
+                )
+            else:
+                sizes = [fixed_size] * count
+            if "stco" in tables:
+                s6, e6 = tables["stco"]
+                (n,) = struct.unpack(">I", data[s6 + 4 : s6 + 8])
+                offsets = list(
+                    struct.unpack(f">{n}I", data[s6 + 8 : s6 + 8 + 4 * n])
+                )
+            elif "co64" in tables:
+                s6, e6 = tables["co64"]
+                (n,) = struct.unpack(">I", data[s6 + 4 : s6 + 8])
+                offsets = list(
+                    struct.unpack(f">{n}Q", data[s6 + 8 : s6 + 8 + 8 * n])
+                )
+            if "stsc" in tables:
+                s6, e6 = tables["stsc"]
+                (n,) = struct.unpack(">I", data[s6 + 4 : s6 + 8])
+                stsc = [
+                    struct.unpack(">III", data[s6 + 8 + 12 * i : s6 + 20 + 12 * i])
+                    for i in range(n)
+                ]
+            break
+    if sizes is None or offsets is None or stsc is None:
+        return []
+    # expand stsc: samples-per-chunk for every chunk
+    per_chunk: list[int] = []
+    for i, (first, spc, _sdi) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(offsets)
+        per_chunk.extend([spc] * (last - first + 1))
+    out: list[tuple[int, bytes]] = []
+    sample = 0
+    for ci, chunk_off in enumerate(offsets):
+        pos = chunk_off
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if sample >= len(sizes):
+                break
+            sz = sizes[sample]
+            if pos + sz > len(data):
+                raise ValueError(
+                    f"sample {sample} extends past end of file"
+                )
+            if sample % every_n == 0:
+                out.append((sample, data[pos : pos + sz]))
+            pos += sz
+            sample += 1
+    return out

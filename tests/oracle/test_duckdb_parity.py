@@ -84,7 +84,7 @@ def _all_names(entry_mod):
     "simhash", "lang_detect", "multimodal_decode", "audio_features",
     "video_meta", "dedup_ngram", "pipeline_corpus_curation",
     "grouped_topk", "quantiles", "embedding_dup_exact",
-    "window_lag", "pivot", "text_normalize", "rdbms_import",
+    "window_lag", "pivot", "text_normalize", "rdbms_import", "video_frames",
 ])
 def test_query_matches_oracle(entry_mod, con, sf_dir, name):
     q = entry_mod.queries()[name]

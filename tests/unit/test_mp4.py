@@ -57,6 +57,49 @@ def test_unknown_boxes_skipped_and_errors():
         parse_mp4(truncated)
 
 
+def test_sample_extraction_roundtrip():
+    """Frames written through the sample tables come back byte-equal,
+    in order, with every_n sampling."""
+    from maestro_ray.ops.mp4 import extract_samples
+
+    frames = [bytes([k]) * (10 + 3 * k) for k in range(7)]
+    data = encode_minimal_mp4(2.0, frames=frames)
+    # metadata path untouched by the added tables
+    meta = parse_mp4(data)
+    assert meta["duration_sec"] == 2.0 and meta["n_tracks"] == 2
+    got = extract_samples(data, every_n=1)
+    assert [i for i, _ in got] == list(range(7))
+    assert [b for _, b in got] == frames
+    every3 = extract_samples(data, every_n=3)
+    assert [i for i, _ in every3] == [0, 3, 6]
+    assert [b for _, b in every3] == [frames[0], frames[3], frames[6]]
+    # metadata-only file (no sample tables): empty, not an error
+    assert extract_samples(encode_minimal_mp4(1.0)) == []
+    # truncated mdat: a sample past EOF must raise ValueError
+    with pytest.raises(ValueError, match="past end|malformed|bad box size"):
+        extract_samples(data[:-5], every_n=1)
+
+
+def test_frame_sample_stage_real_mp4():
+    from maestro_ray.ops.multimodal import FrameSample
+
+    frames_a = [b"A" * 20, b"B" * 30, b"C" * 40]
+    blobs = [
+        encode_minimal_mp4(1.0, frames=frames_a),
+        None,
+        b"not an mp4",                 # malformed: quarantined, 0 rows
+        encode_minimal_mp4(1.0),       # metadata-only: 0 rows
+    ]
+    t = pa.table({
+        "vid_id": pa.array(range(4), pa.int64()),
+        "video": pa.array(blobs, pa.binary()),
+    })
+    out = FrameSample(every_n=2, fake=False)(t)
+    assert out.column("vid_id").to_pylist() == [0, 0]
+    assert out.column("frame_idx").to_pylist() == [0, 2]
+    assert out.column("frame").to_pylist() == [frames_a[0], frames_a[2]]
+
+
 def test_short_payload_box_raises_valueerror():
     """A well-framed box whose payload is too short for its version's
     struct layout (e.g. a 12-byte mvhd) must raise ValueError, not leak
