@@ -862,9 +862,12 @@ def _q_rdbms_import(sf):
 
     db = "/tmp/maestro_rdbms_" + sf.strip("/").replace("/", "_") + ".duckdb"
     if not os.path.exists(db):
-        tmp = db + ".tmp"
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        # pid+uuid tmp name: concurrent builders (driver + a pytest
+        # session) must never share a half-written file; whoever
+        # renames last wins with a COMPLETE database either way
+        import uuid
+
+        tmp = f"{db}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
         con = duckdb.connect(tmp)
         con.execute(
             f"CREATE TABLE orders AS "

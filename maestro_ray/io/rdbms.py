@@ -58,7 +58,15 @@ def read_rdbms(
     if lo is None:  # empty table (or all-null split col): one reader
         bounds = [(None, None)]
     else:
+        import math
+
         lo, hi = float(lo), float(hi)
+        if math.isnan(lo) or math.isnan(hi):
+            raise ValueError(
+                f"split column {split_col} contains NaN — NaN rows are "
+                "unreachable by any >=/< range; filter them out or pick "
+                "another split column"
+            )
         step = (hi - lo) / num_partitions or 1.0
         bounds = [
             (lo + i * step, (lo + (i + 1) * step) if i < num_partitions - 1
@@ -110,18 +118,35 @@ def write_rdbms(
     ONE transactional INSERT on the driver. Returns rows written.
 
     ``mode``: 'append' adds to an existing table, 'overwrite' replaces
-    it, 'create' fails if it exists.
+    it, 'create' fails if it exists. Returns the number of rows THIS
+    call inserted (counted from the staged parquet, not the table
+    total). Each call stages into a fresh unique subdirectory of
+    ``staging_dir`` — a retry after a pre-commit crash (or a second
+    export sharing the dir) can never re-insert the dead attempt's
+    files.
     """
+    import uuid
+
     import duckdb
+    import pyarrow.parquet as _pq
 
     if mode not in ("append", "overwrite", "create"):
         raise ValueError(f"mode={mode!r}")
-    os.makedirs(staging_dir, exist_ok=True)
-    ds.write_parquet(staging_dir)
-    glob = os.path.join(staging_dir, "*.parquet")
+    stage = os.path.join(staging_dir, f"attempt-{uuid.uuid4().hex}")
+    os.makedirs(stage)
+    ds.write_parquet(stage)
+    glob = os.path.join(stage, "*.parquet")
+    import glob as _glob
+
+    n_staged = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(glob)
+    )
     con = duckdb.connect(db_path)
+    in_txn = False
     try:
         con.execute("BEGIN")
+        in_txn = True
         exists = con.execute(
             "SELECT count(*) FROM information_schema.tables "
             "WHERE table_name = ?", [table]
@@ -139,11 +164,15 @@ def write_rdbms(
             con.execute(
                 f"INSERT INTO {table} SELECT * FROM read_parquet('{glob}')"
             )
-        n = con.execute(f"SELECT count(*) FROM {table}").fetchone()[0]
         con.execute("COMMIT")
-        return int(n)
+        in_txn = False
+        return int(n_staged)
     except Exception:
-        con.execute("ROLLBACK")
+        if in_txn:
+            try:  # never mask the real error with a rollback failure
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
         raise
     finally:
         con.close()

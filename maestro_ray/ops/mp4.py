@@ -7,8 +7,11 @@ count, handler types, codec fourccs — is pure box-tree byte work:
 version-dependent mvhd/mdhd layouts. This parses that critical subset
 and a matching minimal encoder exists for deterministic fixtures.
 
-Out of scope (and honestly so): sample tables, frame extraction,
-codec payloads — ``FrameSample`` documents the pyav call site.
+Sample tables are parsed too (r3): ``extract_samples`` walks
+stsz/stsc/stco(co64) and slices raw sample bytes — real frame-level
+demux, the layer a pyav-based sampler would call. Out of scope (and
+honestly so): DECODING the extracted compressed payloads (h264 …),
+which needs a codec library absent from this sandbox.
 """
 
 from __future__ import annotations
@@ -267,29 +270,50 @@ def _extract_samples_impl(
                                     tables[t6.decode("latin-1")] = (s6, e6)
             if got_handler != handler or "stsz" not in tables:
                 continue
+            # every count field is VALIDATED against its box end (or,
+            # for fixed-size stsz which carries no table, against the
+            # file size) BEFORE any allocation — a corrupt count must
+            # raise ValueError for the quarantine path, never OOM a
+            # worker or silently read sibling-box bytes as table data
+            def _check(claim: int, avail: int, what: str) -> None:
+                if claim > avail:
+                    raise ValueError(
+                        f"{what} table claims {claim} bytes but its box "
+                        f"holds {avail}"
+                    )
+
             s6, e6 = tables["stsz"]
             fixed_size, count = struct.unpack(">II", data[s6 + 4 : s6 + 12])
             if fixed_size == 0:
+                _check(12 + 4 * count, e6 - s6, "stsz")
                 sizes = list(
                     struct.unpack(f">{count}I", data[s6 + 12 : s6 + 12 + 4 * count])
                 )
             else:
+                if count * max(1, fixed_size) > len(data):
+                    raise ValueError(
+                        f"stsz claims {count} samples × {fixed_size} B "
+                        f"> file size {len(data)}"
+                    )
                 sizes = [fixed_size] * count
             if "stco" in tables:
                 s6, e6 = tables["stco"]
                 (n,) = struct.unpack(">I", data[s6 + 4 : s6 + 8])
+                _check(8 + 4 * n, e6 - s6, "stco")
                 offsets = list(
                     struct.unpack(f">{n}I", data[s6 + 8 : s6 + 8 + 4 * n])
                 )
             elif "co64" in tables:
                 s6, e6 = tables["co64"]
                 (n,) = struct.unpack(">I", data[s6 + 4 : s6 + 8])
+                _check(8 + 8 * n, e6 - s6, "co64")
                 offsets = list(
                     struct.unpack(f">{n}Q", data[s6 + 8 : s6 + 8 + 8 * n])
                 )
             if "stsc" in tables:
                 s6, e6 = tables["stsc"]
                 (n,) = struct.unpack(">I", data[s6 + 4 : s6 + 8])
+                _check(8 + 12 * n, e6 - s6, "stsc")
                 stsc = [
                     struct.unpack(">III", data[s6 + 8 + 12 * i : s6 + 20 + 12 * i])
                     for i in range(n)

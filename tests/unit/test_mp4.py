@@ -80,6 +80,37 @@ def test_sample_extraction_roundtrip():
         extract_samples(data[:-5], every_n=1)
 
 
+def test_sample_tables_corrupt_counts_raise_not_oom():
+    """A corrupt stsz claiming 2^32-1 fixed-size samples must raise
+    ValueError BEFORE any allocation — one bad blob may quarantine but
+    never OOM a worker (review r3)."""
+    from maestro_ray.ops.mp4 import extract_samples
+
+    good = encode_minimal_mp4(1.0, frames=[b"x" * 16, b"y" * 16])
+    pos = good.index(b"stsz") + 4  # payload: ver/flags(4) size(4) count(4)
+    corrupt = bytearray(good)
+    # fixed sample_size=1, count=0xFFFFFFFF
+    corrupt[pos + 4 : pos + 12] = struct.pack(">II", 1, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="stsz"):
+        extract_samples(bytes(corrupt))
+    # variable-size stsz whose count overruns its own box
+    corrupt2 = bytearray(good)
+    corrupt2[pos + 4 : pos + 12] = struct.pack(">II", 0, 1_000_000)
+    with pytest.raises(ValueError, match="stsz"):
+        extract_samples(bytes(corrupt2))
+    # the quarantine path in FrameSample survives both
+    import pyarrow as _pa
+
+    from maestro_ray.ops.multimodal import FrameSample
+
+    t = _pa.table({
+        "vid_id": _pa.array([0, 1], _pa.int64()),
+        "video": _pa.array([bytes(corrupt), good], _pa.binary()),
+    })
+    out = FrameSample(every_n=1, fake=False)(t)
+    assert out.column("vid_id").to_pylist() == [1, 1]
+
+
 def test_frame_sample_stage_real_mp4():
     from maestro_ray.ops.multimodal import FrameSample
 

@@ -55,6 +55,15 @@ def test_read_rdbms_empty_table(ray_session, tmp_path):
     assert read_rdbms(path, "t", "k", num_partitions=4).count() == 0
 
 
+def test_read_rdbms_nan_split_col_fails_loudly(ray_session, tmp_path):
+    path = str(tmp_path / "nan.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE t AS SELECT 1.0 AS k UNION ALL SELECT 'nan'::DOUBLE")
+    con.close()
+    with pytest.raises(ValueError, match="NaN"):
+        read_rdbms(path, "t", "k", num_partitions=2)
+
+
 def test_write_rdbms_roundtrip_and_modes(ray_session, db, tmp_path):
     import ray.data as rd
 
@@ -63,17 +72,22 @@ def test_write_rdbms_roundtrip_and_modes(ray_session, db, tmp_path):
         "v": pa.array(range(50), pa.int64()),
     }))
     out_db = str(tmp_path / "dst.duckdb")
-    n = write_rdbms(ds, out_db, "exported", str(tmp_path / "stage1"))
+    stage = str(tmp_path / "stage")  # SHARED dir: attempts must isolate
+    n = write_rdbms(ds, out_db, "exported", stage)
+    assert n == 50  # rows THIS call inserted
+    n = write_rdbms(ds, out_db, "exported", stage, mode="append")
     assert n == 50
-    n = write_rdbms(ds, out_db, "exported", str(tmp_path / "stage2"),
-                    mode="append")
-    assert n == 100
-    n = write_rdbms(ds, out_db, "exported", str(tmp_path / "stage3"),
-                    mode="overwrite")
+    con = duckdb.connect(out_db, read_only=True)
+    assert con.execute("SELECT count(*) FROM exported").fetchone()[0] == 100
+    con.close()
+    n = write_rdbms(ds, out_db, "exported", stage, mode="overwrite")
     assert n == 50
+    con = duckdb.connect(out_db, read_only=True)
+    # overwrite replaced the table — reused staging dir leaked nothing
+    assert con.execute("SELECT count(*) FROM exported").fetchone()[0] == 50
+    con.close()
     with pytest.raises(ValueError, match="already exists"):
-        write_rdbms(ds, out_db, "exported", str(tmp_path / "stage4"),
-                    mode="create")
+        write_rdbms(ds, out_db, "exported", stage, mode="create")
     # imported back == exported
     back = read_rdbms(out_db, "exported", "k", num_partitions=4).to_pandas()
     assert sorted(back["k"]) == list(range(50))
