@@ -806,6 +806,115 @@ def _q_text_normalize(sf):
     return P.project(out, columns=["doc_id", "norm_text"])
 
 
+def _q_join_range(sf):
+    """J5 keyed range join: every event landing inside the 2-hour
+    window opened by a purchase of the SAME user (the anchor event
+    itself included — its ts equals the closed-left bound). One
+    shuffle on user_id; per-bucket equality join + vectorized interval
+    filter (ops/joins.py range_join). The window table is derived from
+    the same events read, so the relation is provably non-empty at
+    every SF (each purchase matches at least itself)."""
+    from maestro_ray.ops.joins import range_join
+
+    ds = _read(sf, "events", columns=["event_id", "user_id", "ts"])
+    anchors = _read(sf, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def mk_windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), pa.scalar("purchase")))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "w_start": t.column("ts"),
+            "w_end": pc.add(t.column("ts"),
+                            pa.scalar(7_200_000_000, pa.duration("us"))),
+            "anchor_id": t.column("event_id"),
+        })
+
+    wds = anchors.map_batches(mk_windows, batch_format="pyarrow")
+    out = range_join(ds, wds, by="user_id", left_on="ts",
+                     right_start="w_start", right_end="w_end",
+                     right_cols=["anchor_id"])
+    return P.project(out, columns=["event_id", "user_id", "anchor_id"])
+
+
+def _q_join_band(sf):
+    """J5 key-free band join: all events falling in ANY of one user's
+    2-hour purchase windows — intervals replicated to each 1-hour band
+    they overlap, points banded once, every pair meets in exactly one
+    band (ops/joins.py band_join). The global-interval shape a keyed
+    range join cannot express."""
+    from maestro_ray.ops.joins import band_join
+
+    ds = _read(sf, "events", columns=["event_id", "ts"])
+    anchors = _read(sf, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def mk_windows(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t.column("event_type"), pa.scalar("purchase")),
+            pc.equal(t.column("user_id"), pa.scalar(3, pa.int64())),
+        )
+        t = t.filter(keep)
+        return pa.table({
+            "w_start": t.column("ts"),
+            "w_end": pc.add(t.column("ts"),
+                            pa.scalar(7_200_000_000, pa.duration("us"))),
+            "anchor_id": t.column("event_id"),
+        })
+
+    wds = anchors.map_batches(mk_windows, batch_format="pyarrow")
+    out = band_join(ds, wds, left_on="ts", right_start="w_start",
+                    right_end="w_end", band_width=3_600_000_000,
+                    right_cols=["anchor_id"])
+    return P.project(out, columns=["event_id", "anchor_id"])
+
+
+def _q_window_rank(sf):
+    """A6 ranking window: per-user ROW_NUMBER over (ts, event_id) —
+    one grouped shuffle, vectorized rank assignment after a local sort
+    (ops/aggregates.py rank_window; dense_rank unit-tested beside it).
+    Integer output, so the oracle compare is exact."""
+    from maestro_ray.ops.aggregates import rank_window
+
+    ds = _read(sf, "events", columns=["user_id", "event_id", "ts"])
+    out = rank_window(ds, key="user_id", order_cols=["ts", "event_id"])
+    return P.project(out, columns=["user_id", "event_id", "rn"])
+
+
+def _q_rollup(sf):
+    """A2 hierarchical rollup: lineitem counts/sums at (flag, status),
+    (flag), and grand-total levels from ONE distributed finest-level
+    aggregation — coarser levels re-merged from the small result, the
+    input is never re-scanned (ops/aggregates.py rollup_agg). Rolled
+    key columns carry the 'ALL' sentinel on both sides (engine fill /
+    SQL coalesce over ROLLUP nulls)."""
+    from maestro_ray.ops.aggregates import rollup_agg
+
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+    out = rollup_agg(ds, ["l_returnflag", "l_linestatus"],
+                     {"n_rows": (None, "count"),
+                      "sum_qty": ("l_quantity", "sum"),
+                      "avg_price": ("l_extendedprice", "mean")})
+    out["sum_qty"] = out["sum_qty"].round(3)
+    out["avg_price"] = out["avg_price"].round(3)
+    return out
+
+
+def _q_string_agg(sf):
+    """A2 ordered concat: each user's event-type sequence in (ts,
+    event_id) order — the clickstream encoding for sequence-model
+    training data. One grouped shuffle; a single pc.binary_join per
+    group (ops/aggregates.py grouped_string_agg)."""
+    from maestro_ray.ops.aggregates import grouped_string_agg
+
+    ds = _read(sf, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+    return grouped_string_agg(ds, key="user_id", value_col="event_type",
+                              order_cols=["ts", "event_id"])
+
+
 def _q_video_frames(sf):
     """REAL video frame sampling (r3): per-doc MP4s carry actual sample
     tables + mdat payloads; FrameSample(fake=False) demuxes every 2nd
@@ -1344,6 +1453,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scalar_array": _q_scalar_array,
         "pipeline_topk_revenue": _q_pipeline_topk_revenue,
         "pipeline_nation_revenue": _q_pipeline_nation_revenue,
+        "join_range": _q_join_range,
+        "join_band": _q_join_band,
+        "window_rank": _q_window_rank,
+        "rollup": _q_rollup,
+        "string_agg": _q_string_agg,
     }
 
 
@@ -1736,6 +1850,43 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity("
             "CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])"
             ") >= 0.4 ORDER BY a, b"
+        ),
+        "join_range": (
+            "WITH w AS (SELECT user_id, ts AS w_start, "
+            "ts + INTERVAL 2 HOUR AS w_end, event_id AS anchor_id "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT e.event_id, e.user_id, w.anchor_id "
+            "FROM events e JOIN w ON e.user_id = w.user_id "
+            "AND e.ts >= w.w_start AND e.ts < w.w_end"
+        ),
+        "join_band": (
+            "WITH w AS (SELECT ts AS w_start, "
+            "ts + INTERVAL 2 HOUR AS w_end, event_id AS anchor_id "
+            "FROM events WHERE event_type = 'purchase' AND user_id = 3) "
+            "SELECT e.event_id, w.anchor_id "
+            "FROM events e JOIN w "
+            "ON e.ts >= w.w_start AND e.ts < w.w_end"
+        ),
+        "window_rank": (
+            "SELECT user_id, event_id, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events"
+        ),
+        "rollup": (
+            # coalesce maps ROLLUP's subtotal NULLs to the engine's
+            # 'ALL' sentinel; the key columns themselves are non-null
+            # in the data, so no genuine NULL group is conflated
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "round(sum(l_quantity), 3) AS sum_qty, "
+            "round(avg(l_extendedprice), 3) AS avg_price "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "string_agg": (
+            "SELECT user_id, string_agg(event_type, ',' "
+            "ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id"
         ),
         "window_lag": (
             "SELECT user_id, event_id, value, "

@@ -404,6 +404,142 @@ def lag_lead(
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
+def rank_window(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    out: str = "rn",
+    method: str = "row_number",
+) -> rd.Dataset:
+    """A6-adjacent ranking window: per-``key`` ROW_NUMBER / DENSE_RANK
+    ordered ascending by ``order_cols`` (include a unique tiebreak for
+    a deterministic row_number). One shuffle (groupby key); ranks are
+    assigned vectorized after a local per-group sort — never a global
+    sort. dense_rank increments only where the ordering tuple changes
+    (ties share a rank, no gaps), row_number is 1..n."""
+    if method not in ("row_number", "dense_rank"):
+        raise ValueError(f"method={method!r}: row_number|dense_rank")
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        n = s.num_rows
+        if method == "row_number":
+            rn = np.arange(1, n + 1, dtype=np.int64)
+        else:
+            changed = np.zeros(n, dtype=bool)
+            for c in order_cols:
+                v = s.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+                # NaN != NaN would mark every null row as a new rank —
+                # compare via pandas object equality which treats equal
+                # nulls as ties (SQL dense_rank groups nulls together)
+                prev_eq = pd.Series(v[1:]).reset_index(drop=True).eq(
+                    pd.Series(v[:-1]).reset_index(drop=True)
+                ) | (pd.isna(v[1:]) & pd.isna(v[:-1]))
+                changed[1:] |= ~prev_eq.to_numpy()
+            rn = np.cumsum(changed) + 1
+        return s.append_column(out, pa.array(rn, pa.int64()))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def rollup_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str | None, str]],
+    round_to: int | None = None,
+    fill: str = "ALL",
+) -> pd.DataFrame:
+    """A2 hierarchical variant: GROUP BY ROLLUP(keys) — one grouped
+    result per prefix level (finest → grand total), rolled-up key
+    columns filled with ``fill`` (a sentinel, not NULL, so genuinely
+    null key values stay distinguishable and the cross-engine value
+    hash is stable).
+
+    Scale plan: ONE distributed ``grouped_agg`` at the finest level
+    (partial pre-agg, one shuffle); every coarser level is re-derived
+    from that already-small result on the driver — sums/counts re-sum,
+    min/max re-min/max, means recombine from (sum, count) partials —
+    so the input is never re-scanned per level. Supported kinds:
+    sum count min max mean."""
+    keys = list(keys)
+    internal: dict[str, tuple[str | None, str]] = {}
+    for name, (col, kind) in specs.items():
+        if kind in ("sum", "count", "min", "max"):
+            internal[name] = (col, kind)
+        elif kind == "mean":
+            internal[f"__sum_{name}"] = (col, "sum")
+            internal[f"__cnt_{name}"] = (col, "count")
+        else:
+            raise ValueError(
+                f"rollup_agg kind {kind!r}: sum/count/min/max/mean only "
+                "(std partials are not re-mergeable from the finest level)"
+            )
+    fin = grouped_agg(ds, keys, internal)
+    remerge = {
+        name: ("sum" if kind in ("sum", "count") else kind)
+        for name, (_c, kind) in internal.items()
+    }
+    levels = []
+    for depth in range(len(keys), -1, -1):
+        lv = fin.copy() if depth == len(keys) else (
+            fin.groupby(keys[:depth], as_index=False).agg(remerge)
+            if depth
+            else fin.agg(remerge).to_frame().T
+        )
+        for k in keys[depth:]:
+            lv[k] = fill
+        levels.append(lv[keys + list(internal)])
+    out = pd.concat(levels, ignore_index=True)
+    res = out[keys].copy()
+    for name, (_col, kind) in specs.items():
+        if kind == "mean":
+            res[name] = out[f"__sum_{name}"] / out[f"__cnt_{name}"]
+        elif kind == "count":
+            res[name] = out[name].astype("int64")
+        else:
+            res[name] = out[name]
+    if round_to is not None:
+        for name in specs:
+            if res[name].dtype.kind == "f":
+                res[name] = res[name].round(round_to)
+    return res.sort_values(keys).reset_index(drop=True)
+
+
+def grouped_string_agg(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    order_cols: list[str],
+    sep: str = ",",
+    out: str = "seq",
+) -> rd.Dataset:
+    """A2 ordered-concat: per-key ``string_agg(value, sep ORDER BY
+    order_cols)`` — the event-sequence / clickstream encoding. One
+    shuffle (groupby key), local deterministic sort, then ONE
+    ``pc.binary_join`` per group (no per-row Python). Null values are
+    dropped before joining (SQL string_agg semantics); a key whose
+    values are all null yields an empty string."""
+
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        vals = pc.cast(s.column(value_col).combine_chunks(), pa.string())
+        vals = vals.filter(vals.is_valid())
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(vals)], pa.int32()), vals
+        )
+        return pa.table(
+            {
+                key: s.column(key).slice(0, 1),
+                out: pc.binary_join(lst, sep),
+            }
+        )
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
 def pivot_count(
     ds: rd.Dataset,
     key: str,

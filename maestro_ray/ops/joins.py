@@ -260,6 +260,176 @@ def asof_join(
     return both.groupby(_BUCKET).map_groups(asof_bucket, batch_format="pyarrow")
 
 
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by: str,
+    left_on: str,
+    right_start: str,
+    right_end: str,
+    right_cols: list[str] | None = None,
+    num_buckets: int = 32,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """J5: keyed range (interval) join — each left row is matched to
+    EVERY right row with the same ``by`` key whose half-open interval
+    ``[right_start, right_end)`` contains ``left_on`` (asof-style
+    closed-left bound; unlike asof_join a point can match many
+    intervals and unmatched left rows are dropped — inner semantics).
+
+    Plan: both sides bucketed on ``by`` (ONE shuffle, the same
+    union-exchange as asof_join); inside a bucket the equality part is
+    a vectorized ``pa.Table.join`` on ``by`` and the interval predicate
+    two Arrow compare kernels over the joined table. Scale assumption
+    (the partitioning contract, documented per the north rule): the
+    per-bucket join intermediate is the per-key left × right cross
+    product BEFORE the interval filter, so right's intervals per key
+    must be entity-bounded (windows per user/device, never a global
+    interval table — use band_join for the key-free case). Null
+    ``left_on`` / bound values never match (Arrow null comparison
+    propagates to the filter), matching SQL inequality-join semantics.
+    """
+    rkeep = [by, right_start, right_end] + [
+        c for c in (right_cols or []) if c not in (by, right_start, right_end)
+    ]
+    lschema = left.schema().base_schema
+    overlap = [n for n in rkeep if n in lschema.names and n != by]
+    rename_map = {c: c + suffix for c in overlap}
+    rschema = pa.schema(
+        [
+            pa.field(rename_map.get(f.name, f.name), f.type)
+            for f in right.schema().base_schema
+            if f.name in rkeep
+        ]
+    )
+    union_schema = _superset_schema(
+        lschema.append(pa.field(_BUCKET, pa.int32())).append(pa.field(_SIDE, pa.int8())),
+        rschema,
+    )
+    tag_l = _tag_and_bucket([by], 0, num_buckets)
+    tag_r = _tag_and_bucket([by], 1, num_buckets)
+
+    # select + rename + tag + conform fused into one map per side (the
+    # fusion-across-union pitfall — see hash_join)
+    def prep_left(batch: pa.Table) -> pa.Table:
+        return _conform(tag_l(batch), union_schema)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        batch = batch.select(rkeep)
+        if rename_map:
+            batch = batch.rename_columns(
+                [rename_map.get(c, c) for c in batch.column_names]
+            )
+        return _conform(tag_r(batch), union_schema)
+
+    both = left.map_batches(prep_left, batch_format="pyarrow").union(
+        right.map_batches(prep_right, batch_format="pyarrow")
+    )
+    lcols = list(lschema.names)
+    rstart = rename_map.get(right_start, right_start)
+    rend = rename_map.get(right_end, right_end)
+    rcols = [rschema.field(i).name for i in range(len(rschema))]
+    out_schema = pa.schema(
+        [union_schema.field(n) for n in lcols]
+        + [union_schema.field(n) for n in rcols if n != by]
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        lmask = pc.equal(group.column(_SIDE), pa.scalar(0, pa.int8()))
+        lt = group.filter(lmask).select(lcols)
+        rt = group.filter(pc.invert(lmask)).select(rcols)
+        j = lt.join(rt, keys=[by], join_type="inner")
+        keep = pc.and_kleene(
+            pc.greater_equal(j.column(left_on), j.column(rstart)),
+            pc.less(j.column(left_on), j.column(rend)),
+        )
+        out = j.filter(pc.fill_null(keep, False))
+        return _conform(out, out_schema)
+
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def band_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_start: str,
+    right_end: str,
+    band_width: int,
+    right_cols: list[str] | None = None,
+    num_buckets: int = 32,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """J5 key-free variant: interval-containment join with NO equality
+    key — the classic band join. Each side is assigned a coarse band
+    ``floor(value / band_width)`` over the int64 view of ``left_on`` /
+    the interval bounds (microseconds for timestamps): points land in
+    exactly one band, intervals are REPLICATED into every band they
+    overlap, then the keyed range_join machinery runs with the band as
+    the equality key. Every matching pair meets in exactly one band
+    (the point's), so no post-dedup is needed. ``band_width`` is the
+    scale knob: replication factor ≈ interval_span / band_width + 1,
+    per-band cross product ≈ points_per_band × intervals_per_band —
+    size it near the typical interval span. Intervals with a null
+    bound are dropped (they can never satisfy the predicate)."""
+    if band_width <= 0:
+        raise ValueError(f"band_width={band_width}: must be positive")
+    band = "__band"
+    if band in left.schema().base_schema.names:
+        raise ValueError(f"column {band!r} already present in left")
+    w = band_width
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        v = _int64_view(batch.column(left_on))
+        return batch.append_column(band, pa.array(v // w, pa.int64()))
+
+    def replicate_intervals(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            batch.column(right_start).is_valid(), batch.column(right_end).is_valid()
+        )
+        batch = batch.filter(ok)
+        lo = _int64_view(batch.column(right_start)) // w
+        # half-open interval: the end point itself is excluded, so an
+        # end exactly on a band edge does not reach into the next band
+        hi = (_int64_view(batch.column(right_end)) - 1) // w
+        reps = np.maximum(hi - lo + 1, 0).astype(np.int64)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), reps)
+        # vectorized per-row arange: global position minus each row's
+        # segment start gives the 0..reps-1 offset within its interval
+        seg_start = np.cumsum(reps) - reps
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(seg_start, reps)
+        bands = np.repeat(lo, reps) + offs
+        out = batch.take(pa.array(idx))
+        return out.append_column(band, pa.array(bands, pa.int64()))
+
+    joined = range_join(
+        left.map_batches(tag_points, batch_format="pyarrow"),
+        right.map_batches(replicate_intervals, batch_format="pyarrow"),
+        by=band,
+        left_on=left_on,
+        right_start=right_start,
+        right_end=right_end,
+        right_cols=right_cols,
+        num_buckets=num_buckets,
+        suffix=suffix,
+    )
+    return joined.map_batches(
+        lambda t: t.drop_columns([band]), batch_format="pyarrow"
+    )
+
+
+def _int64_view(col: pa.ChunkedArray) -> np.ndarray:
+    """Int64 view of a numeric or timestamp column (timestamps → their
+    underlying epoch integer, i.e. microseconds for timestamp[us])."""
+    if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+        col = pc.cast(col, pa.int64())
+    elif not pa.types.is_integer(col.type):
+        raise TypeError(
+            f"band column must be integer/timestamp, got {col.type}"
+        )
+    return col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def _key_set(ds_or_table, col: str):
     if isinstance(ds_or_table, rd.Dataset):
         vals = ds_or_table.unique(col)

@@ -69,8 +69,9 @@ def _all_names(entry_mod):
     return sorted(entry_mod.oracle_sql().keys())
 
 
-@pytest.mark.parametrize("name", [
-    # keep in sync with oracle_sql(); parametrized statically for -k selection
+# keep in sync with oracle_sql() (asserted by
+# test_param_list_covers_all_oracles); static for -k selection
+ORACLE_NAMES = [
     "read_pages", "read_changelog", "clean_fields", "validate_rows",
     "filter_rows", "project", "key_gen", "json_extract", "explode",
     "scalar_string", "scalar_date", "scalar_math", "scalar_null",
@@ -85,7 +86,15 @@ def _all_names(entry_mod):
     "video_meta", "dedup_ngram", "pipeline_corpus_curation",
     "grouped_topk", "quantiles", "embedding_dup_exact",
     "window_lag", "pivot", "text_normalize", "rdbms_import", "video_frames",
-])
+    "join_range", "join_band", "window_rank", "rollup", "string_agg",
+]
+
+
+def test_param_list_covers_all_oracles(entry_mod):
+    assert sorted(ORACLE_NAMES) == _all_names(entry_mod)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(entry_mod, con, sf_dir, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
