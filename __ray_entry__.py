@@ -762,6 +762,32 @@ def _q_quantiles(sf):
     )
 
 
+def _q_quantiles_cont(sf):
+    """Continuous (interpolated) quantiles of the document length
+    distribution — same distributed value-count partials as
+    ``quantiles``, DuckDB ``quantile_cont`` semantics (linear
+    interpolation at rank q·(n−1)). Interpolated halves are exact in
+    float64; round(6) on both sides per the cross-engine float policy."""
+    from maestro_ray.ops.aggregates import quantiles_cont
+
+    ds = _read(sf, "documents", columns=["text"])
+
+    def n_chars(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_chars": pc.cast(
+                pc.utf8_length(pc.fill_null(t.column("text"), "")),
+                pa.int64(),
+            )
+        })
+
+    out = quantiles_cont(
+        ds.map_batches(n_chars, batch_format="pyarrow"), "n_chars",
+        [0.25, 0.5, 0.9, 0.99],
+    )
+    out["value"] = out["value"].round(6)
+    return out
+
+
 def _q_embedding_dup_exact(sf):
     """EXACT cosine near-dup pair join (the baseline the LSH
     ``embedding_near_dup`` is recall-tested against) — broadcast
@@ -1458,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank": _q_window_rank,
         "rollup": _q_rollup,
         "string_agg": _q_string_agg,
+        "quantiles_cont": _q_quantiles_cont,
     }
 
 
@@ -1887,6 +1914,14 @@ def oracle_sql() -> dict[str, str]:
         "string_agg": (
             "SELECT user_id, string_agg(event_type, ',' "
             "ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id"
+        ),
+        "quantiles_cont": (
+            # coalesce mirrors the engine's fill_null(text, '') — see
+            # the quantiles twin
+            "WITH t AS (SELECT quantile_cont(coalesce(length(text), 0), "
+            "[0.25, 0.5, 0.9, 0.99]) AS l FROM documents) "
+            "SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q, "
+            "round(unnest(l), 6) AS value FROM t"
         ),
         "window_lag": (
             "SELECT user_id, event_id, value, "

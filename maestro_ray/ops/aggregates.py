@@ -272,6 +272,49 @@ def quantiles_disc(
                          "value": pd.Series(out_v)})
 
 
+def quantiles_cont(
+    ds: rd.Dataset, col: str, qs: list[float]
+) -> pd.DataFrame:
+    """Exact continuous (interpolated) quantiles, distributed: the same
+    value-count partial plan as ``quantiles_disc`` — per-batch counts →
+    one groupby over DISTINCT values → driver-side cumulative walk —
+    but returning DuckDB ``quantile_cont`` semantics: linear
+    interpolation at 0-based rank ``h = q·(n−1)`` between the values at
+    positions ⌊h⌋ and ⌈h⌉. Same driver bound: O(distinct values)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+        return t.rename_columns([col, "cnt"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .sum("cnt")
+        .to_pandas()
+    )
+    cnt_col = [c for c in merged.columns if c != col][0]
+    merged = merged.sort_values(col).reset_index(drop=True)
+    cum = merged[cnt_col].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = merged[col].to_numpy(dtype="float64") if n else np.empty(0)
+
+    def value_at(pos: int) -> float:  # 0-based sorted position
+        return float(vals[int(np.searchsorted(cum, pos + 1))])
+
+    out_q, out_v = [], []
+    for q in qs:
+        out_q.append(float(q))
+        if n == 0:
+            out_v.append(None)
+            continue
+        h = q * (n - 1)
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        v_lo = value_at(lo)
+        out_v.append(v_lo if hi == lo else v_lo + (h - lo) * (value_at(hi) - v_lo))
+    return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"),
+                         "value": pd.Series(out_v, dtype="float64")})
+
+
 # ------------------------------------------------------------------ windows
 
 

@@ -87,6 +87,7 @@ ORACLE_NAMES = [
     "grouped_topk", "quantiles", "embedding_dup_exact",
     "window_lag", "pivot", "text_normalize", "rdbms_import", "video_frames",
     "join_range", "join_band", "window_rank", "rollup", "string_agg",
+    "quantiles_cont",
 ]
 
 

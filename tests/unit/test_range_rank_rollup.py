@@ -8,6 +8,7 @@ import pytest
 
 from maestro_ray.ops.aggregates import (
     grouped_string_agg,
+    quantiles_cont,
     rank_window,
     rollup_agg,
 )
@@ -179,6 +180,23 @@ def test_rollup_agg_levels(rd):
 def test_rollup_agg_rejects_std(rd):
     with pytest.raises(ValueError, match="std"):
         rollup_agg(_points(rd), ["k"], {"s": ("ts", "std")})
+
+
+def test_quantiles_cont_matches_numpy_linear(rd):
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 50, 400).astype("int64")  # heavy ties
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    qs = [0.0, 0.25, 0.5, 0.731, 1.0]
+    out = quantiles_cont(ds, "v", qs)
+    want = np.quantile(vals, qs, method="linear")
+    assert out["q"].tolist() == qs
+    np.testing.assert_allclose(out["value"].to_numpy(), want, rtol=0, atol=1e-12)
+
+
+def test_quantiles_cont_single_value(rd):
+    ds = rd.from_arrow(pa.table({"v": pa.array([7], pa.int64())}))
+    out = quantiles_cont(ds, "v", [0.1, 0.9])
+    assert out["value"].tolist() == [7.0, 7.0]
 
 
 def test_grouped_string_agg_order_and_nulls(rd):
