@@ -868,17 +868,29 @@ def _q_join_band(sf):
     2-hour purchase windows — intervals replicated to each 1-hour band
     they overlap, points banded once, every pair meets in exactly one
     band (ops/joins.py band_join). The global-interval shape a keyed
-    range join cannot express."""
+    range join cannot express. The window owner is the LOWEST user id
+    with a purchase (a distributed min, not a hard-coded id), so the
+    relation is structurally non-empty at every SF: the anchor user has
+    at least one purchase and that purchase matches itself."""
     from maestro_ray.ops.joins import band_join
 
     ds = _read(sf, "events", columns=["event_id", "ts"])
     anchors = _read(sf, "events",
                     columns=["event_id", "user_id", "ts", "event_type"])
 
+    def only_purchases(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(t.column("event_type"), pa.scalar("purchase"))
+        )
+
+    anchor_user = anchors.map_batches(
+        only_purchases, batch_format="pyarrow"
+    ).min("user_id")
+
     def mk_windows(t: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.equal(t.column("event_type"), pa.scalar("purchase")),
-            pc.equal(t.column("user_id"), pa.scalar(3, pa.int64())),
+            pc.equal(t.column("user_id"), pa.scalar(anchor_user, pa.int64())),
         )
         t = t.filter(keep)
         return pa.table({
@@ -1889,7 +1901,8 @@ def oracle_sql() -> dict[str, str]:
         "join_band": (
             "WITH w AS (SELECT ts AS w_start, "
             "ts + INTERVAL 2 HOUR AS w_end, event_id AS anchor_id "
-            "FROM events WHERE event_type = 'purchase' AND user_id = 3) "
+            "FROM events WHERE event_type = 'purchase' AND user_id = ("
+            "SELECT min(user_id) FROM events WHERE event_type = 'purchase')) "
             "SELECT e.event_id, w.anchor_id "
             "FROM events e JOIN w "
             "ON e.ts >= w.w_start AND e.ts < w.w_end"

@@ -173,15 +173,16 @@ def topk(ds: rd.Dataset, key: str, k: int, descending: bool = True,
     )
 
 
-def _rank_in_key_runs(s: pa.Table, keys: list[str]) -> np.ndarray:
-    """0-based rank of each row within consecutive equal-key runs of an
-    ALREADY key-sorted table — vectorized (adjacent-row compare, null ==
-    null counts as the same group)."""
+def _adjacent_change(s: pa.Table, cols: list[str]) -> np.ndarray:
+    """True where ANY of ``cols`` differs from the previous row of an
+    ALREADY sorted table (null == null counts as equal; row 0 is True).
+    Arrow adjacent-row compare — no numpy round-trip of the values, so
+    int64 above 2^53 never collapses through float64."""
     n = s.num_rows
     change = np.zeros(n, dtype=bool)
     if n:
         change[0] = True
-    for kcol in keys:
+    for kcol in cols:
         a = s.column(kcol).combine_chunks()
         hi, lo = a.slice(1), a.slice(0, n - 1)
         eq = pc.fill_null(pc.equal(hi, lo), False).to_numpy(
@@ -193,9 +194,16 @@ def _rank_in_key_runs(s: pa.Table, keys: list[str]) -> np.ndarray:
             )
         )
         change[1:] |= ~(eq | both_null)
+    return change
+
+
+def _rank_in_key_runs(s: pa.Table, keys: list[str]) -> np.ndarray:
+    """0-based rank of each row within consecutive equal-key runs of an
+    ALREADY key-sorted table — vectorized via _adjacent_change."""
+    change = _adjacent_change(s, keys)
     starts = np.flatnonzero(change)
     group_id = np.cumsum(change) - 1
-    return np.arange(n, dtype=np.int64) - starts[group_id]
+    return np.arange(s.num_rows, dtype=np.int64) - starts[group_id]
 
 
 def grouped_topk(
@@ -232,15 +240,13 @@ def grouped_topk(
     return pruned.groupby(keys).map_groups(local, batch_format="pyarrow")
 
 
-def quantiles_disc(
-    ds: rd.Dataset, col: str, qs: list[float]
-) -> pd.DataFrame:
-    """Exact discrete quantiles, distributed: per-batch value-count
-    partials (combiner) → one groupby over DISTINCT values → driver-
-    side cumulative pick. Matches DuckDB ``quantile_disc`` exactly: the
-    value at 1-based sorted position ``max(1, ceil(q·n))``.
-
-    Driver materialization is O(distinct values) — the right bound for
+def _value_counts(ds: rd.Dataset, col: str) -> tuple[pd.Series, np.ndarray, int]:
+    """Shared quantile plan: per-batch value-count partials (combiner)
+    → one groupby over DISTINCT values → sorted values + cumulative
+    counts on the driver. Null values are DROPPED (SQL aggregate
+    semantics — DuckDB quantile_disc/cont ignore nulls; keeping the
+    null group would poison every quantile with NaN). Driver
+    materialization is O(distinct values) — the right bound for
     discrete columns (token counts, lengths, scores); for continuous
     high-cardinality columns bucket first or use a sketch."""
 
@@ -255,19 +261,28 @@ def quantiles_disc(
         .to_pandas()
     )
     cnt_col = [c for c in merged.columns if c != col][0]
+    merged = merged[merged[col].notna()]
     merged = merged.sort_values(col).reset_index(drop=True)
     cum = merged[cnt_col].cumsum().to_numpy()
     n = int(cum[-1]) if len(cum) else 0
+    return merged[col], cum, n
+
+
+def quantiles_disc(
+    ds: rd.Dataset, col: str, qs: list[float]
+) -> pd.DataFrame:
+    """Exact discrete quantiles, distributed (plan + scale bound: see
+    ``_value_counts``). Matches DuckDB ``quantile_disc`` exactly: the
+    value at 1-based sorted position ``max(1, ceil(q·n))``."""
+    vals, cum, n = _value_counts(ds, col)
     out_q, out_v = [], []
     for q in qs:
+        out_q.append(float(q))
         if n == 0:
-            out_q.append(float(q))
             out_v.append(None)
             continue
         target = max(1, int(np.ceil(q * n)))
-        i = int(np.searchsorted(cum, target))
-        out_q.append(float(q))
-        out_v.append(merged[col].iloc[i])
+        out_v.append(vals.iloc[int(np.searchsorted(cum, target))])
     return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"),
                          "value": pd.Series(out_v)})
 
@@ -275,28 +290,12 @@ def quantiles_disc(
 def quantiles_cont(
     ds: rd.Dataset, col: str, qs: list[float]
 ) -> pd.DataFrame:
-    """Exact continuous (interpolated) quantiles, distributed: the same
-    value-count partial plan as ``quantiles_disc`` — per-batch counts →
-    one groupby over DISTINCT values → driver-side cumulative walk —
-    but returning DuckDB ``quantile_cont`` semantics: linear
-    interpolation at 0-based rank ``h = q·(n−1)`` between the values at
-    positions ⌊h⌋ and ⌈h⌉. Same driver bound: O(distinct values)."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        t = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
-        return t.rename_columns([col, "cnt"])
-
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(col)
-        .sum("cnt")
-        .to_pandas()
-    )
-    cnt_col = [c for c in merged.columns if c != col][0]
-    merged = merged.sort_values(col).reset_index(drop=True)
-    cum = merged[cnt_col].cumsum().to_numpy()
-    n = int(cum[-1]) if len(cum) else 0
-    vals = merged[col].to_numpy(dtype="float64") if n else np.empty(0)
+    """Exact continuous (interpolated) quantiles, distributed (plan +
+    scale bound: see ``_value_counts``). DuckDB ``quantile_cont``
+    semantics: linear interpolation at 0-based rank ``h = q·(n−1)``
+    between the values at positions ⌊h⌋ and ⌈h⌉."""
+    series, cum, n = _value_counts(ds, col)
+    vals = series.to_numpy(dtype="float64") if n else np.empty(0)
 
     def value_at(pos: int) -> float:  # 0-based sorted position
         return float(vals[int(np.searchsorted(cum, pos + 1))])
@@ -470,17 +469,9 @@ def rank_window(
         if method == "row_number":
             rn = np.arange(1, n + 1, dtype=np.int64)
         else:
-            changed = np.zeros(n, dtype=bool)
-            for c in order_cols:
-                v = s.column(c).combine_chunks().to_numpy(zero_copy_only=False)
-                # NaN != NaN would mark every null row as a new rank —
-                # compare via pandas object equality which treats equal
-                # nulls as ties (SQL dense_rank groups nulls together)
-                prev_eq = pd.Series(v[1:]).reset_index(drop=True).eq(
-                    pd.Series(v[:-1]).reset_index(drop=True)
-                ) | (pd.isna(v[1:]) & pd.isna(v[:-1]))
-                changed[1:] |= ~prev_eq.to_numpy()
-            rn = np.cumsum(changed) + 1
+            # dense rank = cumulative count of ordering-tuple changes
+            # (null == null ties, Arrow compare — see _adjacent_change)
+            rn = np.cumsum(_adjacent_change(s, order_cols)).astype(np.int64)
         return s.append_column(out, pa.array(rn, pa.int64()))
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
@@ -525,8 +516,11 @@ def rollup_agg(
     }
     levels = []
     for depth in range(len(keys), -1, -1):
+        # dropna=False: a genuinely-null key value is a real group and
+        # must keep its subtotal row (SQL ROLLUP emits it; pandas'
+        # default silently drops it, making levels inconsistent)
         lv = fin.copy() if depth == len(keys) else (
-            fin.groupby(keys[:depth], as_index=False).agg(remerge)
+            fin.groupby(keys[:depth], as_index=False, dropna=False).agg(remerge)
             if depth
             else fin.agg(remerge).to_frame().T
         )
@@ -561,8 +555,9 @@ def grouped_string_agg(
     order_cols)`` — the event-sequence / clickstream encoding. One
     shuffle (groupby key), local deterministic sort, then ONE
     ``pc.binary_join`` per group (no per-row Python). Null values are
-    dropped before joining (SQL string_agg semantics); a key whose
-    values are all null yields an empty string."""
+    dropped before joining and a key whose values are ALL null yields
+    NULL, exactly like SQL string_agg (not an empty string — the
+    oracle twin would diverge otherwise)."""
 
     sort_keys = [(c, "ascending") for c in order_cols]
 
@@ -570,13 +565,17 @@ def grouped_string_agg(
         s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
         vals = pc.cast(s.column(value_col).combine_chunks(), pa.string())
         vals = vals.filter(vals.is_valid())
-        lst = pa.ListArray.from_arrays(
-            pa.array([0, len(vals)], pa.int32()), vals
-        )
+        if len(vals) == 0:
+            joined = pa.array([None], pa.string())
+        else:
+            lst = pa.ListArray.from_arrays(
+                pa.array([0, len(vals)], pa.int32()), vals
+            )
+            joined = pc.binary_join(lst, sep)
         return pa.table(
             {
                 key: s.column(key).slice(0, 1),
-                out: pc.binary_join(lst, sep),
+                out: joined,
             }
         )
 

@@ -375,8 +375,10 @@ def band_join(
     if band_width <= 0:
         raise ValueError(f"band_width={band_width}: must be positive")
     band = "__band"
-    if band in left.schema().base_schema.names:
-        raise ValueError(f"column {band!r} already present in left")
+    for side_name, schema in (("left", left.schema().base_schema),
+                              ("right", right.schema().base_schema)):
+        if band in schema.names:
+            raise ValueError(f"column {band!r} already present in {side_name}")
     w = band_width
 
     def tag_points(batch: pa.Table) -> pa.Table:
@@ -420,13 +422,21 @@ def band_join(
 
 def _int64_view(col: pa.ChunkedArray) -> np.ndarray:
     """Int64 view of a numeric or timestamp column (timestamps → their
-    underlying epoch integer, i.e. microseconds for timestamp[us])."""
+    underlying epoch integer, i.e. microseconds for timestamp[us]).
+
+    Nulls are filled with 0 BEFORE the numpy conversion: a nullable
+    int64 column otherwise round-trips through float64, where values
+    above 2^53 collapse onto their neighbours and would silently land
+    in the wrong band. A null point gets band 0 but its null value can
+    never satisfy the interval predicate downstream, so it still
+    matches nothing."""
     if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
         col = pc.cast(col, pa.int64())
     elif not pa.types.is_integer(col.type):
         raise TypeError(
             f"band column must be integer/timestamp, got {col.type}"
         )
+    col = pc.fill_null(pc.cast(col, pa.int64()), 0)
     return col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
 
 

@@ -213,7 +213,8 @@ def test_grouped_string_agg_order_and_nulls(rd):
     assert seq[1] == "a,b" and seq[2] == "z,y"
 
 
-def test_grouped_string_agg_all_null_key(rd):
+def test_grouped_string_agg_all_null_key_yields_null(rd):
+    # SQL string_agg over an all-null group is NULL, not ''
     t = pa.table({
         "k": pa.array([5, 5], pa.int64()),
         "v": pa.array([None, None], pa.string()),
@@ -221,4 +222,87 @@ def test_grouped_string_agg_all_null_key(rd):
     })
     out = grouped_string_agg(rd.from_arrow(t), key="k", value_col="v",
                              order_cols=["o"]).to_pandas()
-    assert out["seq"].tolist() == [""]
+    assert len(out) == 1 and pd.isna(out["seq"].iloc[0])
+
+
+def test_quantiles_cont_ignores_nulls(rd):
+    # SQL aggregates skip nulls; the null group must not poison the
+    # cumulative walk with NaN
+    ds = rd.from_arrow(pa.table({
+        "v": pa.array([1, 2, 3, 4, None, None, None, None], pa.int64())
+    }))
+    out = quantiles_cont(ds, "v", [0.5])
+    assert out["value"].tolist() == [2.5]
+
+
+def test_quantiles_disc_ignores_nulls(rd):
+    from maestro_ray.ops.aggregates import quantiles_disc
+
+    ds = rd.from_arrow(pa.table({
+        "v": pa.array([10, 20, 30, 40, None, None], pa.int64())
+    }))
+    out = quantiles_disc(ds, "v", [0.5, 1.0])
+    assert out["value"].tolist() == [20, 40]
+
+
+def test_rollup_agg_keeps_null_key_subtotals(rd):
+    # pandas groupby default dropna=True would silently drop the
+    # (a=NULL, b=ALL) subtotal while the grand total still counts the
+    # rows — levels must stay mutually consistent
+    t = pa.table({
+        "a": pa.array(["x", "x", None, None], pa.string()),
+        "b": pa.array(["p", "q", "p", "q"], pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    out = rollup_agg(rd.from_arrow(t), ["a", "b"],
+                     {"n": (None, "count"), "s": ("v", "sum")})
+    null_sub = out[out["a"].isna() & (out["b"] == "ALL")]
+    assert len(null_sub) == 1
+    assert null_sub["n"].iloc[0] == 2 and null_sub["s"].iloc[0] == 7.0
+    total = out[(out["a"] == "ALL") & (out["b"] == "ALL")].iloc[0]
+    assert total["n"] == 4 and total["s"] == 10.0
+
+
+def test_band_join_big_int64_with_nulls_keeps_precision(rd):
+    # a null in the column forces pandas/numpy toward float64 where
+    # 2^53 and 2^53+1 collapse — bands must stay exact int64
+    base = 2**53
+    pts = rd.from_arrow(pa.table({
+        "pid": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([base, base + 1, None], pa.int64()),
+    }))
+    ivs = rd.from_arrow(pa.table({
+        "lo": pa.array([base + 1], pa.int64()),
+        "hi": pa.array([base + 2], pa.int64()),
+        "iid": pa.array([9], pa.int64()),
+    }))
+    out = band_join(pts, ivs, left_on="ts", right_start="lo",
+                    right_end="hi", band_width=1,
+                    right_cols=["iid"]).to_pandas()
+    assert sorted(zip(out["pid"], out["iid"])) == [(1, 9)]
+
+
+def test_band_join_rejects_reserved_column_either_side(rd):
+    pts = rd.from_arrow(pa.table({"ts": pa.array([1], pa.int64())}))
+    ivs = rd.from_arrow(pa.table({
+        "lo": pa.array([0], pa.int64()),
+        "hi": pa.array([2], pa.int64()),
+        "__band": pa.array([0], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="right"):
+        band_join(pts, ivs, left_on="ts", right_start="lo",
+                  right_end="hi", band_width=1)
+
+
+def test_rank_window_dense_rank_big_int64(rd):
+    # ordering values above 2^53: a float64 round-trip would merge
+    # adjacent distinct values into one rank
+    base = 2**53
+    t = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "v": pa.array([base, base + 1, base + 1], pa.int64()),
+        "pid": pa.array([0, 1, 2], pa.int64()),
+    })
+    out = rank_window(rd.from_arrow(t), key="k", order_cols=["v"],
+                      method="dense_rank", out="dr").to_pandas()
+    assert out.set_index("pid")["dr"].tolist() == [1, 2, 2]
