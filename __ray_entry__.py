@@ -953,6 +953,60 @@ def _q_string_agg(sf):
                               order_cols=["ts", "event_id"])
 
 
+def _q_join_skew(sf):
+    """J2 skew-aware join: events ⋈ customer on user_id with hot keys
+    auto-detected (exact combiner counts, threshold 67 ≈ the mean
+    events-per-user at every SF, so BOTH paths carry rows). Hot keys
+    bypass the shuffle via a broadcast of their right rows; the cold
+    majority takes the bucketed hash join. The oracle is the plain SQL
+    join — plan equivalence IS the check (ops/joins.py skew_join)."""
+    from maestro_ray.ops.joins import skew_join
+
+    ev = _read(sf, "events", columns=["event_id", "user_id"])
+    cust = _read(sf, "customer", columns=["c_custkey", "c_name"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["user_id", "c_name"]),
+        batch_format="pyarrow",
+    )
+    out = skew_join(ev, cust, key="user_id", hot_threshold=67,
+                    sample_fraction=1.0)
+    return P.project(out, columns=["event_id", "user_id", "c_name"])
+
+
+def _q_grouped_quantiles(sf):
+    """Per-key exact discrete quantiles: median and p90 of event value
+    per event type — the keyed value-count plan (ops/aggregates.py
+    grouped_quantiles_disc). Values pass through unchanged (no
+    arithmetic), so the compare is exact."""
+    from maestro_ray.ops.aggregates import grouped_quantiles_disc
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+    return grouped_quantiles_disc(ds, "event_type", "value", [0.5, 0.9])
+
+
+def _q_histogram(sf):
+    """Equi-width histogram of event values over [0, 500) in 10 bins —
+    pure combiner plan (vectorized floor-divide + partial counts), the
+    cheapest distributed shape (ops/aggregates.py histogram)."""
+    from maestro_ray.ops.aggregates import histogram
+
+    ds = _read(sf, "events", columns=["value"])
+    return histogram(ds, "value", 0.0, 500.0, 10)
+
+
+def _q_heavy_hitters(sf):
+    """EXACT frequent items ≥12% of events by type — Misra-Gries
+    candidate pass (≤ ⌈1/0.12⌉ = 9 summary entries per batch cross the
+    exchange) then an exact recount of candidates only; identical to
+    GROUP BY ... HAVING on the true counts (ops/aggregates.py
+    heavy_hitters). Structurally non-empty: five event types summing
+    to n force max ≥ 20% ≥ 12%."""
+    from maestro_ray.ops.aggregates import heavy_hitters
+
+    ds = _read(sf, "events", columns=["event_type"])
+    return heavy_hitters(ds, "event_type", 0.12)
+
+
 def _q_video_frames(sf):
     """REAL video frame sampling (r3): per-doc MP4s carry actual sample
     tables + mdat payloads; FrameSample(fake=False) demuxes every 2nd
@@ -1497,6 +1551,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": _q_rollup,
         "string_agg": _q_string_agg,
         "quantiles_cont": _q_quantiles_cont,
+        "join_skew": _q_join_skew,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "histogram": _q_histogram,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -1935,6 +1993,27 @@ def oracle_sql() -> dict[str, str]:
             "[0.25, 0.5, 0.9, 0.99]) AS l FROM documents) "
             "SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q, "
             "round(unnest(l), 6) AS value FROM t"
+        ),
+        "join_skew": (
+            "SELECT e.event_id, e.user_id, c.c_name "
+            "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        ),
+        "grouped_quantiles": (
+            "WITH t AS (SELECT event_type, quantile_disc(value, "
+            "[0.5, 0.9]) AS l FROM events GROUP BY event_type) "
+            "SELECT event_type, unnest([0.5, 0.9]) AS q, "
+            "unnest(l) AS value FROM t"
+        ),
+        "histogram": (
+            "SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE value >= 0 AND value < 500 GROUP BY 1 ORDER BY 1"
+        ),
+        "heavy_hitters": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1 "
+            "HAVING count(*) >= ceil(0.12 * "
+            "(SELECT count(*) FROM events)) ORDER BY 1"
         ),
         "window_lag": (
             "SELECT user_id, event_id, value, "

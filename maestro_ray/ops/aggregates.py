@@ -240,27 +240,43 @@ def grouped_topk(
     return pruned.groupby(keys).map_groups(local, batch_format="pyarrow")
 
 
-def _value_counts(ds: rd.Dataset, col: str) -> tuple[pd.Series, np.ndarray, int]:
-    """Shared quantile plan: per-batch value-count partials (combiner)
-    → one groupby over DISTINCT values → sorted values + cumulative
-    counts on the driver. Null values are DROPPED (SQL aggregate
-    semantics — DuckDB quantile_disc/cont ignore nulls; keeping the
-    null group would poison every quantile with NaN). Driver
-    materialization is O(distinct values) — the right bound for
-    discrete columns (token counts, lengths, scores); for continuous
-    high-cardinality columns bucket first or use a sketch."""
+def _count_merge(ds: rd.Dataset, cols: list[str]) -> tuple[pd.DataFrame, str]:
+    """Shared distinct-count plan: per-batch count partials (combiner)
+    → one groupby over DISTINCT ``cols`` tuples → driver frame plus the
+    discovered count-column name. Driver materialization is O(distinct
+    tuples) — the right bound for discrete columns (token counts,
+    lengths, scores); for continuous high-cardinality columns bucket
+    first or use a sketch."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
-        return t.rename_columns([col, "cnt"])
+        t = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+        return t.rename_columns([*cols, "cnt"])
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(col)
+        .groupby(cols if len(cols) > 1 else cols[0])
         .sum("cnt")
         .to_pandas()
     )
-    cnt_col = [c for c in merged.columns if c != col][0]
+    cnt_col = [c for c in merged.columns if c not in cols][0]
+    return merged, cnt_col
+
+
+def _disc_pick(vals, cum: np.ndarray, q: float):
+    """DuckDB ``quantile_disc`` rule: the value at 1-based sorted
+    position ``max(1, ceil(q·n))``, located via the cumulative counts."""
+    n = int(cum[-1])
+    target = max(1, int(np.ceil(q * n)))
+    return vals.iloc[int(np.searchsorted(cum, target))]
+
+
+def _value_counts(ds: rd.Dataset, col: str) -> tuple[pd.Series, np.ndarray, int]:
+    """Sorted distinct values + cumulative counts for the quantile
+    plans. Null values are DROPPED (SQL aggregate semantics — DuckDB
+    quantile_disc/cont ignore nulls; keeping the null group would
+    poison every quantile with NaN). Plan + scale bound:
+    ``_count_merge``."""
+    merged, cnt_col = _count_merge(ds, [col])
     merged = merged[merged[col].notna()]
     merged = merged.sort_values(col).reset_index(drop=True)
     cum = merged[cnt_col].cumsum().to_numpy()
@@ -278,11 +294,7 @@ def quantiles_disc(
     out_q, out_v = [], []
     for q in qs:
         out_q.append(float(q))
-        if n == 0:
-            out_v.append(None)
-            continue
-        target = max(1, int(np.ceil(q * n)))
-        out_v.append(vals.iloc[int(np.searchsorted(cum, target))])
+        out_v.append(_disc_pick(vals, cum, q) if n else None)
     return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"),
                          "value": pd.Series(out_v)})
 
@@ -312,6 +324,147 @@ def quantiles_cont(
         out_v.append(v_lo if hi == lo else v_lo + (h - lo) * (value_at(hi) - v_lo))
     return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"),
                          "value": pd.Series(out_v, dtype="float64")})
+
+
+def grouped_quantiles_disc(
+    ds: rd.Dataset, key: str, col: str, qs: list[float]
+) -> pd.DataFrame:
+    """Per-key exact discrete quantiles: the ``_value_counts`` plan
+    keyed — per-batch (key, value) count partials → one groupby over
+    DISTINCT (key, value) pairs → per-key cumulative pick on the
+    driver. DuckDB ``quantile_disc ... GROUP BY key`` semantics (value
+    at 1-based position max(1, ceil(q·n)); nulls ignored). Driver
+    bound: O(distinct (key, value)) — right for discrete metrics per
+    bounded key set; bucket or sketch beyond that."""
+    merged, cnt_col = _count_merge(ds, [key, col])
+    merged = merged[merged[col].notna()]
+    merged = merged.sort_values([key, col]).reset_index(drop=True)
+    rows = []
+    # per-key walk over the already-small distinct-pairs frame: the key
+    # count is the operator's documented small dimension
+    for kval, g in merged.groupby(key, dropna=False, sort=True):
+        cum = g[cnt_col].cumsum().to_numpy()
+        rows.extend(
+            (kval, float(q), _disc_pick(g[col], cum, q)) for q in qs
+        )
+    return pd.DataFrame(rows, columns=[key, "q", "value"])
+
+
+def histogram(
+    ds: rd.Dataset, col: str, lo: float, hi: float, n_bins: int
+) -> pd.DataFrame:
+    """Equi-width histogram over ``[lo, hi)``: bin assignment is one
+    vectorized floor-divide per batch, counts go through the standard
+    partial pre-agg — a pure combiner plan, no driver walk, the
+    cheapest possible shape at any scale. Values outside the range (and
+    nulls) are dropped; only non-empty bins are emitted (matches the
+    GROUP BY twin — zero-fill is a presentation concern)."""
+    if not (n_bins > 0 and hi > lo):
+        raise ValueError(f"need n_bins>0 and hi>lo, got {n_bins}, [{lo},{hi})")
+    width = (hi - lo) / n_bins
+
+    def binify(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        keep = pc.and_(pc.greater_equal(v, pa.scalar(lo)),
+                       pc.less(v, pa.scalar(hi)))
+        v = v.filter(pc.fill_null(keep, False))
+        b = pc.cast(
+            pc.floor(pc.divide(pc.subtract(pc.cast(v, pa.float64()),
+                                           pa.scalar(lo, pa.float64())),
+                               pa.scalar(width, pa.float64()))),
+            pa.int64(),
+        )
+        # inexact width can float values just under hi into bin n_bins;
+        # anything that passed the v < hi filter belongs to the last bin
+        b = pc.min_element_wise(b, pa.scalar(n_bins - 1, pa.int64()))
+        return pa.table({"bin": b})
+
+    out = grouped_agg(
+        ds.map_batches(binify, batch_format="pyarrow"),
+        "bin", {"n": (None, "count")},
+    )
+    return out
+
+
+def heavy_hitters(
+    ds: rd.Dataset, col: str, min_fraction: float
+) -> pd.DataFrame:
+    """EXACT frequent-item detection above ``min_fraction`` of all rows
+    in two passes with NO full shuffle — the sketch-then-verify shape:
+
+    1. *Candidates*: each batch's value counts are compressed to a
+       Misra-Gries summary of k = ⌈1/min_fraction⌉ entries (subtract
+       the (k+1)-th largest count, keep positives — per-entry
+       undercount ≤ n_batch/(k+1)); partials merge by summing then
+       re-compressing on the driver. MG's guarantee: any value with
+       true count > n/(k+1) survives, and n·min_fraction > n/(k+1)
+       by choice of k — so the candidate set is a SUPERSET of the
+       answer, at most k entries ever held anywhere.
+    2. *Verify*: exact counts for the ≤k candidates only (broadcast
+       ``is_in`` + the standard partial count), filtered by the true
+       threshold count ≥ ⌈min_fraction · n⌉.
+
+    Result is exactly ``GROUP BY col HAVING count(*) >= min_fraction·n``
+    while the exchange only ever carries O(k) rows per batch."""
+    if not 0 < min_fraction < 1:
+        raise ValueError(f"min_fraction={min_fraction}: need (0, 1)")
+    k = int(np.ceil(1.0 / min_fraction))
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+        t = t.rename_columns([col, "cnt"])
+        t = t.filter(t.column(col).is_valid())
+        if t.num_rows > k:
+            cnts = t.column("cnt").to_numpy(zero_copy_only=False)
+            cut = int(np.sort(cnts)[::-1][k])  # (k+1)-th largest
+            kept = pc.subtract(t.column("cnt"), pa.scalar(cut, pa.int64()))
+            t = pa.table({col: t.column(col), "cnt": kept}).filter(
+                pc.greater(kept, pa.scalar(0, pa.int64()))
+            )
+        vals, cnts = t.column(col), t.column("cnt")
+        if t.num_rows == 0:
+            # all-null batch: a null filler row still carries n_rows so
+            # the denominator counts every input row (the driver merge
+            # groupby drops the null key again)
+            vals = pa.array([None], batch.schema.field(col).type)
+            cnts = pa.array([0], pa.int64())
+        n_rows = np.zeros(len(vals), dtype=np.int64)
+        n_rows[0] = batch.num_rows
+        return pa.table({col: vals, "cnt": cnts, "n_rows": n_rows})
+
+    partials = ds.map_batches(mg_partial, batch_format="pyarrow").to_pandas()
+    n_total = int(partials["n_rows"].sum())
+    if n_total == 0:
+        return pd.DataFrame({col: pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    summed = partials.groupby(col, as_index=False)["cnt"].sum()
+    if len(summed) > k:
+        cut = summed["cnt"].sort_values(ascending=False).iloc[k]
+        summed["cnt"] -= cut
+        summed = summed[summed["cnt"] > 0]
+    if summed.empty:  # every value null → no candidates, empty result
+        return pd.DataFrame({col: pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    candidates = pa.array(sorted(summed[col]))
+
+    def exact_count(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        kept = v.filter(pc.fill_null(pc.is_in(v, value_set=candidates), False))
+        t = pa.table({col: kept}).group_by([col]).aggregate([([], "count_all")])
+        return t.rename_columns([col, "n"])
+
+    counts = (
+        ds.map_batches(exact_count, batch_format="pyarrow")
+        .groupby(col)
+        .sum("n")
+        .to_pandas()
+    )
+    ncol = [c for c in counts.columns if c != col][0]
+    counts = counts.rename(columns={ncol: "n"})
+    thresh = int(np.ceil(min_fraction * n_total))
+    out = counts[counts["n"] >= thresh].copy()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(col).reset_index(drop=True)
 
 
 # ------------------------------------------------------------------ windows

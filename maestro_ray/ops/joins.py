@@ -260,6 +260,117 @@ def asof_join(
     return both.groupby(_BUCKET).map_groups(asof_bucket, batch_format="pyarrow")
 
 
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    join_type: str = "inner",
+    hot_keys: set | None = None,
+    hot_threshold: int = 100_000,
+    sample_fraction: float = 0.05,
+    num_buckets: int = 32,
+    suffix: str = "_r",
+    seed: int = 7,
+) -> rd.Dataset:
+    """J2 skew-aware variant: the brief's "salt hot keys" defense for
+    joins. Hot left keys (caller-supplied, or sampled via
+    ``partition.detect_hot_keys``) BYPASS the shuffle entirely — the
+    right side's matching rows are broadcast once and the hot rows join
+    per batch where they already sit — while the cold majority takes
+    the normal bucketed ``hash_join``. Result is value-identical to a
+    plain join (plan-equivalence is the oracle); only the data movement
+    changes: a key with 10^9 left rows ships ZERO of them through the
+    exchange instead of melting one bucket.
+
+    Scale assumptions (documented per the north rule): the hot-key SET
+    is small (that is what "hot" means — a handful of keys owning a
+    disproportionate row share), and the right side's rows for those
+    keys are broadcastable (dimension-shaped). For skew on BOTH sides
+    of a fact-fact join, fall back to salted sub-partitioning
+    (``partition.add_partition_column``). Detection cost: one sampled
+    combiner pass (see hot_key_counts — output is per-distinct-key,
+    driver-held; pass ``hot_keys`` explicitly for unbounded domains).
+    """
+    if join_type not in ("inner", "left outer"):
+        raise ValueError(
+            f"join_type={join_type!r}: skew_join supports inner/left outer"
+        )
+    if hot_keys is None or hot_keys:
+        # left is consumed more than once on the skew path (detection
+        # sample, then the hot/cold split feeding different join
+        # algorithms) — pin its lineage once so reads/decodes don't
+        # re-execute per consumer; the object store spills, not OOMs
+        left = left.materialize()
+    if hot_keys is None:
+        from maestro_ray.ops.partition import detect_hot_keys
+
+        hot_keys = detect_hot_keys(
+            left, key=key, threshold=hot_threshold,
+            sample_fraction=sample_fraction, seed=seed,
+        )
+    if not hot_keys:
+        return hash_join(left, right, keys=[key], num_buckets=num_buckets,
+                         join_type=join_type, suffix=suffix)
+
+    # pre-rename overlapping right columns so BOTH paths emit the same
+    # schema (hash_join then finds no overlap and renames nothing)
+    lschema = left.schema().base_schema
+    overlap = [
+        n for n in right.schema().base_schema.names
+        if n in lschema.names and n != key
+    ]
+    rename = {c: c + suffix for c in overlap}
+    hot_arr = pa.array(sorted(hot_keys))
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        if rename:
+            batch = batch.rename_columns(
+                [rename.get(c, c) for c in batch.column_names]
+            )
+        return batch
+
+    right2 = right.map_batches(prep_right, batch_format="pyarrow").materialize()
+
+    def split(want_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pc.fill_null(
+                pc.is_in(batch.column(key), value_set=hot_arr), False
+            )
+            return batch.filter(mask if want_hot else pc.invert(mask))
+
+        return fn
+
+    cold = hash_join(
+        left.map_batches(split(False), batch_format="pyarrow"), right2,
+        keys=[key], num_buckets=num_buckets, join_type=join_type,
+        suffix=suffix,
+    )
+    hot_right_ds = right2.map_batches(split(True), batch_format="pyarrow")
+    refs = hot_right_ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs)] if refs else []
+    if tables:
+        right_hot_tbl = pa.concat_tables(tables)
+    else:
+        # no right rows carry a hot key: an empty right with the correct
+        # schema keeps broadcast_join's per-batch join well-typed
+        right_hot_tbl = pa.Table.from_arrays(
+            [pa.array([], f.type) for f in right2.schema().base_schema],
+            schema=right2.schema().base_schema,
+        )
+    out_names = [f.name for f in lschema] + [
+        rename.get(f.name, f.name)
+        for f in right.schema().base_schema
+        if f.name != key
+    ]
+    hot = broadcast_join(
+        left.map_batches(split(True), batch_format="pyarrow"),
+        right_hot_tbl, keys=[key], join_type=join_type,
+    ).map_batches(lambda t: t.select(out_names), batch_format="pyarrow")
+    return cold.map_batches(
+        lambda t: t.select(out_names), batch_format="pyarrow"
+    ).union(hot)
+
+
 def range_join(
     left: rd.Dataset,
     right: rd.Dataset,

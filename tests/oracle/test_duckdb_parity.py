@@ -87,7 +87,8 @@ ORACLE_NAMES = [
     "grouped_topk", "quantiles", "embedding_dup_exact",
     "window_lag", "pivot", "text_normalize", "rdbms_import", "video_frames",
     "join_range", "join_band", "window_rank", "rollup", "string_agg",
-    "quantiles_cont",
+    "quantiles_cont", "join_skew", "grouped_quantiles", "histogram",
+    "heavy_hitters",
 ]
 
 
