@@ -1007,6 +1007,62 @@ def _q_heavy_hitters(sf):
     return heavy_hitters(ds, "event_type", 0.12)
 
 
+def _q_chunk_documents(sf):
+    """Token-window document chunking (8-token chunks, 2-token
+    overlap) — the context-window prep stage; streaming flat-map with
+    vectorized boundary math (ops/corpus.py chunk_documents). The twin
+    replays the identical single-space split + generate_series walk."""
+    from maestro_ray.ops.corpus import chunk_documents
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, "doc_id", "text", 8, 2)
+
+
+def _q_sample_hash(sf):
+    """Deterministic 30% corpus sample by multiplicative key hash —
+    reproducible across runs/cluster sizes and join-compatible across
+    tables, unlike random_sample (ops/corpus.py sample_hash). The key
+    is pre-reduced mod 2^32 so engine uint64 and oracle HUGEINT agree
+    at any scale."""
+    from maestro_ray.ops.corpus import sample_hash
+
+    ds = _read(sf, "documents", columns=["doc_id", "lang", "n_chars"])
+    return sample_hash(ds, "doc_id", 30)
+
+
+def _q_sample_stratified(sf):
+    """Per-stratum deterministic sampling — keep 80% of en, 10% of es,
+    50% of everything else (ops/corpus.py stratified_sample_hash); the
+    rebalancing move of every corpus-curation recipe."""
+    from maestro_ray.ops.corpus import stratified_sample_hash
+
+    ds = _read(sf, "documents", columns=["doc_id", "lang", "n_chars"])
+    return stratified_sample_hash(ds, "doc_id", "lang",
+                                  {"en": 80, "es": 10}, default_pct=50)
+
+
+def _q_term_stats(sf):
+    """Per-term document frequency + term frequency with min_df=2 —
+    distinct (term, doc) partials per batch, ONE groupby over terms
+    (ops/corpus.py term_doc_stats)."""
+    from maestro_ray.ops.corpus import term_doc_stats
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return term_doc_stats(ds, "doc_id", "text", min_df=2)
+
+
+def _q_tfidf(sf):
+    """TF-IDF score for every (doc, term) pair: the df table is small
+    (per distinct term) and broadcast once via ray.put; scoring is a
+    per-batch explode + vectorized searchsorted lookup — the canonical
+    broadcast-small-side shape (ops/corpus.py tfidf_scores). Scores
+    rounded 6dp per the cross-engine float policy."""
+    from maestro_ray.ops.corpus import tfidf_scores
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return tfidf_scores(ds, "doc_id", "text")
+
+
 def _q_video_frames(sf):
     """REAL video frame sampling (r3): per-doc MP4s carry actual sample
     tables + mdat payloads; FrameSample(fake=False) demuxes every 2nd
@@ -1555,6 +1611,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "histogram": _q_histogram,
         "heavy_hitters": _q_heavy_hitters,
+        "chunk_documents": _q_chunk_documents,
+        "sample_hash": _q_sample_hash,
+        "sample_stratified": _q_sample_stratified,
+        "term_stats": _q_term_stats,
+        "tfidf": _q_tfidf,
     }
 
 
@@ -2014,6 +2075,48 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1 "
             "HAVING count(*) >= ceil(0.12 * "
             "(SELECT count(*) FROM events)) ORDER BY 1"
+        ),
+        "chunk_documents": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents WHERE text IS NOT NULL), "
+            "starts AS (SELECT doc_id, l, "
+            "unnest(generate_series(1, len(l), 6)) AS s FROM toks) "
+            "SELECT doc_id, CAST((s - 1) // 6 AS BIGINT) AS chunk_id, "
+            "array_to_string(l[s : least(s + 7, len(l))], ' ') AS chunk_text, "
+            "CAST(least(s + 7, len(l)) - s + 1 AS BIGINT) AS n_tokens "
+            "FROM starts"
+        ),
+        "sample_hash": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) "
+            "% 4294967296 % 100 < 30"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) "
+            "% 4294967296 % 100 < "
+            "CASE lang WHEN 'en' THEN 80 WHEN 'es' THEN 10 ELSE 50 END"
+        ),
+        "term_stats": (
+            "WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents WHERE text IS NOT NULL), "
+            "p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM e GROUP BY 1, 2) "
+            "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+            "CAST(sum(cnt) AS BIGINT) AS tf "
+            "FROM p GROUP BY term HAVING count(*) >= 2"
+        ),
+        "tfidf": (
+            "WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents WHERE text IS NOT NULL), "
+            "tfs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM e GROUP BY 1, 2), "
+            "dfs AS (SELECT term, count(DISTINCT doc_id) AS df "
+            "FROM e GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents) "
+            "SELECT t.doc_id, t.term, t.tf, "
+            "round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS score "
+            "FROM tfs t JOIN dfs d USING (term), n"
         ),
         "window_lag": (
             "SELECT user_id, event_id, value, "

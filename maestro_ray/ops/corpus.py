@@ -1,0 +1,259 @@
+"""Corpus-preparation operators for training-data pipelines: document
+chunking (token windows with overlap), deterministic hash sampling
+(reproducible corpus subsetting, optionally stratified), and term /
+document-frequency statistics with a TF-IDF scoring stage.
+
+All are streaming ``map_batches`` plans. The tokenizer is a SINGLE
+SPACE split everywhere in this module — the same semantics as DuckDB's
+``string_split(text, ' ')`` — so every operator has an exact SQL twin
+(consecutive spaces yield empty tokens, the empty string yields one
+empty token, null text yields nothing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+# --------------------------------------------------------------- chunking
+
+
+def chunk_documents(
+    ds: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+) -> rd.Dataset:
+    """Split each document into token windows of ``chunk_tokens`` with
+    ``overlap_tokens`` shared between consecutive chunks (stride =
+    chunk − overlap) — the standard context-window prep for training
+    pipelines. Streaming flat-map: each batch expands independently, no
+    shuffle, no driver state; output rows are (id, chunk_id,
+    chunk_text, n_tokens).
+
+    Fully Arrow-side: one ``split_pattern`` per batch, chunk membership
+    as one vectorized ``take`` over the flattened token array, chunk
+    text via ``binary_join`` — no Python objects on the hot path. Chunk
+    text is a verbatim substring of the input (tokens re-joined by the
+    single separator they were split on), so bytes survive round-trips.
+    """
+    if chunk_tokens <= 0 or not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need chunk_tokens>0, 0<=overlap<chunk; got "
+            f"{chunk_tokens}, {overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        tbl = batch.filter(pc.is_valid(batch.column(text_col)))
+        if tbl.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "chunk_id": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            })
+        texts = tbl.column(text_col).combine_chunks()
+        if isinstance(texts, pa.ChunkedArray):  # zero/one chunk cases
+            texts = (texts.chunk(0) if texts.num_chunks else
+                     pa.array([], pa.string()))
+        toks = pc.split_pattern(texts, " ")
+        offs = toks.offsets.to_numpy()              # token-index bounds/doc
+        n_tok = np.diff(offs)                       # ≥1 per non-null doc
+        n_chunks = (n_tok + stride - 1) // stride   # ceil(n/stride), n≥1
+        doc_idx = np.repeat(np.arange(len(n_tok)), n_chunks)
+        chunk_id = np.concatenate([np.arange(c) for c in n_chunks]) \
+            if len(n_chunks) else np.empty(0, dtype=np.int64)
+        s_tok = offs[doc_idx] + chunk_id * stride   # global 1st-token idx
+        e_tok = np.minimum(s_tok + chunk_tokens, offs[doc_idx] + n_tok[doc_idx])
+        lens = e_tok - s_tok
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        # flat token index per (chunk, position): start + within-chunk pos
+        flat_idx = np.repeat(s_tok, lens) + (
+            np.arange(int(bounds[-1])) - np.repeat(bounds[:-1], lens))
+        chunk_vals = toks.values.take(pa.array(flat_idx, pa.int64()))
+        chunks = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()), chunk_vals)
+        return pa.table({
+            id_col: tbl.column(id_col).take(pa.array(doc_idx, pa.int64())),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "chunk_text": pc.binary_join(chunks, " "),
+            "n_tokens": pa.array(lens, pa.int64()),
+        })
+
+    return ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- hash sampling
+
+#: Knuth multiplicative constant — shared with the checksum twin policy
+#: (__ray_entry__ docstring): reduce the key mod 2^32 BEFORE the
+#: multiply so both numpy uint64 and the SQL twin (HUGEINT) stay exact.
+_HASH_MULT = 2654435761
+_HASH_MOD = 2**32
+
+
+def _bucket100(keys: np.ndarray) -> np.ndarray:
+    """Deterministic 0-99 bucket per integer key, overflow-safe.
+
+    Keys must be NON-NEGATIVE: SQL ``%`` yields negative remainders for
+    negative operands while uint64 arithmetic wraps, so the engine and
+    the oracle twin would silently disagree — fail loudly instead."""
+    if len(keys) and keys.min() < 0:
+        raise ValueError(
+            "sample_hash requires non-negative integer keys (negative "
+            "keys diverge between uint64 wrap and SQL % semantics)"
+        )
+    k = keys.astype(np.uint64) % _HASH_MOD
+    return ((k * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)) % np.uint64(100)
+
+
+def sample_hash(ds: rd.Dataset, key_col: str, pct: int) -> rd.Dataset:
+    """Deterministic ``pct``-percent sample by integer key: keep rows
+    whose multiplicative-hash bucket (0-99) is < ``pct``. Reproducible
+    across runs/cluster sizes and consistent across TABLES (the same
+    key always lands the same side — join-compatible sampling), unlike
+    ``Dataset.random_sample``. Pure per-batch filter, no shuffle.
+
+    SQL twin: ``(CAST(key % 2^32 AS HUGEINT) * 2654435761) % 2^32 %
+    100 < pct`` — exact on both engines at any key scale."""
+    if not 0 <= pct <= 100:
+        raise ValueError(f"pct={pct}: need 0..100")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        # null keys hash nowhere: fill for the arithmetic, then drop via
+        # the validity bitmap (SQL twin: NULL < pct is NULL → filtered)
+        keys = pc.fill_null(batch.column(key_col), 0).to_numpy(
+            zero_copy_only=False)
+        mask = _bucket100(keys) < pct
+        valid = pc.is_valid(batch.column(key_col)).to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(mask & valid))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample_hash(
+    ds: rd.Dataset, key_col: str, strata_col: str, pcts: dict[str, int],
+    default_pct: int = 0,
+) -> rd.Dataset:
+    """Per-stratum deterministic sampling: each stratum value gets its
+    own keep-percentage (absent strata fall back to ``default_pct``) —
+    e.g. keep 100% of rare languages, 5% of English. Same hash contract
+    as ``sample_hash``; still a pure per-batch filter."""
+    for s, p in pcts.items():
+        if not 0 <= p <= 100:
+            raise ValueError(f"pct for stratum {s!r} = {p}: need 0..100")
+    if not 0 <= default_pct <= 100:
+        raise ValueError(f"default_pct={default_pct}: need 0..100")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = pc.fill_null(batch.column(key_col), 0).to_numpy(
+            zero_copy_only=False)
+        strata = batch.column(strata_col).to_pylist()
+        thresh = np.fromiter(
+            (pcts.get(s, default_pct) for s in strata),
+            dtype=np.uint64, count=len(strata),
+        )
+        mask = _bucket100(keys) < thresh
+        valid = pc.is_valid(batch.column(key_col)).to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(mask & valid))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ term statistics
+
+
+def _explode_term_counts(
+    batch: pa.Table, id_col: str, text_col: str, key_order: list[str]
+) -> pa.Table:
+    """Shared explode plan: drop null texts, single-space split, repeat
+    ids over tokens, count per (id, term) — the per-batch partial for
+    both ``term_doc_stats`` and ``tfidf_scores``. Output columns are
+    ``key_order`` + ["tf"]."""
+    tbl = batch.filter(pc.is_valid(batch.column(text_col)))
+    toks = pc.split_pattern(tbl.column(text_col).combine_chunks(), " ")
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ids = tbl.column(id_col).take(
+        pa.array(np.repeat(np.arange(len(n)), n), pa.int64()))
+    flat = pa.table({id_col: ids, "term": toks.flatten()}).select(key_order)
+    out = flat.group_by(key_order).aggregate([([], "count_all")])
+    return out.rename_columns([*key_order, "tf"])
+
+
+def term_doc_stats(
+    ds: rd.Dataset, id_col: str, text_col: str, min_df: int = 1
+) -> rd.Dataset:
+    """Per-term corpus statistics: document frequency (docs containing
+    the term) and total term frequency. Plan: per-batch explode →
+    group_by (term, id) — each document lives wholly inside one input
+    row, so per-batch (term, doc) partials are already globally
+    distinct — then ONE distributed groupby(term) folds df (row count)
+    and tf (sum). The exchange carries distinct (term, doc) pairs, not
+    tokens; driver holds nothing."""
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        out = _explode_term_counts(batch, id_col, text_col,
+                                   ["term", id_col])
+        return out.append_column(
+            "df", pa.array(np.ones(out.num_rows, dtype=np.int64)))
+
+    merged = (
+        ds.map_batches(explode_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["df", "tf"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = {c: c.replace("sum(", "").rstrip(")")
+                 for c in batch.column_names if c.startswith("sum(")}
+        batch = batch.rename_columns(
+            [names.get(c, c) for c in batch.column_names])
+        if min_df > 1:
+            batch = batch.filter(
+                pc.greater_equal(batch.column("df"),
+                                 pa.scalar(min_df, pa.int64())))
+        return batch.select(["term", "df", "tf"])
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def tfidf_scores(
+    ds: rd.Dataset, id_col: str, text_col: str, n_docs: int | None = None,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """TF-IDF score for every (doc, term) pair: tf(d,t) · ln(N / df(t)).
+    The df table is computed once by ``term_doc_stats`` (small — one row
+    per distinct TERM) and broadcast via ``ray.put``; the scoring pass
+    is a per-batch explode + count + dict-free vectorized lookup
+    (searchsorted into the sorted broadcast term array). No shuffle
+    touches the (doc, term) pairs — the canonical broadcast-small-side
+    shape. Scores are rounded to ``round_to`` dp (cross-engine float
+    policy, __ray_entry__ docstring)."""
+    if n_docs is None:
+        n_docs = ds.count()
+    df_tbl = term_doc_stats(ds, id_col, text_col).to_pandas()
+    df_tbl = df_tbl.sort_values("term").reset_index(drop=True)
+    terms_ref = ray.put(df_tbl["term"].to_numpy())
+    idf_ref = ray.put(np.log(float(n_docs) / df_tbl["df"].to_numpy()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_sorted = ray.get(terms_ref)
+        idf = ray.get(idf_ref)
+        cnt = _explode_term_counts(batch, id_col, text_col,
+                                   [id_col, "term"])
+        pos = np.searchsorted(
+            terms_sorted, np.asarray(cnt.column("term").to_pylist()))
+        score = cnt.column("tf").to_numpy(zero_copy_only=False) * idf[pos]
+        return cnt.append_column(
+            "score", pa.array(np.round(score, round_to), pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")

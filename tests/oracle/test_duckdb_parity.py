@@ -88,7 +88,8 @@ ORACLE_NAMES = [
     "window_lag", "pivot", "text_normalize", "rdbms_import", "video_frames",
     "join_range", "join_band", "window_rank", "rollup", "string_agg",
     "quantiles_cont", "join_skew", "grouped_quantiles", "histogram",
-    "heavy_hitters",
+    "heavy_hitters", "chunk_documents", "sample_hash", "sample_stratified",
+    "term_stats", "tfidf",
 ]
 
 
