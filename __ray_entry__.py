@@ -1413,6 +1413,35 @@ def _q_cdc_replay(sf):
     return ds
 
 
+def _q_cdc_time_travel(sf):
+    """Time travel over the same replay lake: the state exactly as of
+    the MIDDLE committed epoch (io/lake.py read_lake_at — retained
+    per-epoch manifests make history free until vacuum). Rows-only
+    check; the epoch≡replay-prefix oracle is pytest
+    (tests/replay/test_time_travel.py)."""
+    from maestro_ray.core.manifest import list_epochs
+    from maestro_ray.io.lake import read_lake_at
+
+    lake = _cdc_lake(sf)
+    epochs = list_epochs(lake)
+    mid = epochs[len(epochs) // 2]
+    return read_lake_at(lake, mid, columns=["url", "warc_ts", "lang"])
+
+
+def _q_cdc_incremental_view(sf):
+    """Incremental materialized view over the replay lake: per-lang
+    live-row counts maintained by PARTITION DIFF per epoch — correct by
+    construction against the merge's LWW/tombstone semantics, O(touched
+    bytes) per epoch (pipelines/views.py). Rows-only check; the
+    view≡recompute-at-every-epoch oracle is pytest
+    (tests/replay/test_views.py)."""
+    from maestro_ray.pipelines.views import maintain_group_counts
+
+    view = maintain_group_counts(_cdc_lake(sf), "lang")
+    view["lang"] = view["lang"].fillna("∅")
+    return view
+
+
 def _q_cdc_lineage(sf):
     """S6: the per-partition lineage records of the same replay."""
     from maestro_ray.io.lake import read_lineage
@@ -1596,6 +1625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "approx_distinct_grouped": _q_approx_distinct_grouped,
         "cdc_replay": _q_cdc_replay,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_incremental_view": _q_cdc_incremental_view,
         "cdc_lineage": _q_cdc_lineage,
         "model_score": _q_model_score,
         "scalar_array": _q_scalar_array,

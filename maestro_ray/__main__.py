@@ -98,16 +98,42 @@ def main(argv: list[str] | None = None) -> int:
     p_vac = sub.add_parser("vacuum", help="delete unreferenced files")
     p_vac.add_argument("--lake-dir", required=True)
 
+    p_vw = sub.add_parser(
+        "view", help="maintain/print an incremental per-group count view")
+    p_vw.add_argument("--lake-dir", required=True)
+    p_vw.add_argument("--group-col", default="lang")
+
     p_st = sub.add_parser("status", help="print newest manifest")
     p_st.add_argument("--lake-dir", required=True)
+    p_st.add_argument("--epoch", type=int, default=None,
+                      help="print a historical epoch's manifest instead "
+                           "(time travel; see io/lake.py read_lake_at)")
+    p_st.add_argument("--history", action="store_true",
+                      help="also print the list of committed epochs")
 
     args = ap.parse_args(argv)
 
     from maestro_ray.core.manifest import latest_manifest
 
     if args.cmd == "status":
-        m = latest_manifest(args.lake_dir)
-        print(m.to_json() if m else "{}")
+        if args.epoch is not None:
+            from maestro_ray.core.manifest import manifest_at
+
+            print(manifest_at(args.lake_dir, args.epoch).to_json())
+        else:
+            m = latest_manifest(args.lake_dir)
+            print(m.to_json() if m else "{}")
+        if args.history:
+            from maestro_ray.core.manifest import list_epochs
+
+            print(json.dumps({"epochs": list_epochs(args.lake_dir)}))
+        return 0
+
+    if args.cmd == "view":  # pure driver-side partition diffs, no Ray
+        from maestro_ray.pipelines.views import maintain_group_counts
+
+        out = maintain_group_counts(args.lake_dir, args.group_col)
+        print(out.to_json(orient="records"))
         return 0
 
     if args.cmd == "infer-schema":  # pure driver-side sampling, no Ray

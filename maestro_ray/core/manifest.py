@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 MANIFEST_DIR = "_manifests"
 LINEAGE_DIR = "_lineage"
 STAGING_DIR = "_staging"
+VIEWS_DIR = "_views"  # incremental materialized views (pipelines/views.py)
 
 
 @dataclass
@@ -75,15 +76,41 @@ def manifest_path(lake_dir: str, epoch: int) -> str:
     return os.path.join(lake_dir, MANIFEST_DIR, f"manifest-{epoch:012d}.json")
 
 
-def latest_manifest(lake_dir: str) -> Manifest | None:
+def list_epochs(lake_dir: str) -> list[int]:
+    """All committed epochs, ascending — every published manifest is
+    retained (one small json per epoch), so the lake's full history is
+    addressable until ``vacuum`` reclaims the data files."""
     mdir = os.path.join(lake_dir, MANIFEST_DIR)
     if not os.path.isdir(mdir):
-        return None
-    names = sorted(n for n in os.listdir(mdir) if n.startswith("manifest-"))
-    if not names:
-        return None
-    with open(os.path.join(mdir, names[-1])) as f:
+        return []
+    return sorted(
+        int(n[len("manifest-"):-len(".json")])
+        for n in os.listdir(mdir)
+        if n.startswith("manifest-") and n.endswith(".json")
+    )
+
+
+def manifest_at(lake_dir: str, epoch: int) -> Manifest:
+    """The manifest of a specific committed epoch; raises with the
+    available history when the epoch was never committed."""
+    path = manifest_path(lake_dir, epoch)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"epoch {epoch} was never committed to {lake_dir}; "
+            f"available epochs: {list_epochs(lake_dir)}"
+        )
+    with open(path) as f:
         return Manifest.from_json(f.read())
+
+
+def latest_manifest(lake_dir: str) -> Manifest | None:
+    # shares list_epochs' filter so a crash-leftover manifest-*.json.tmp
+    # can never be picked as the lake head while being invisible to the
+    # epoch history
+    epochs = list_epochs(lake_dir)
+    if not epochs:
+        return None
+    return manifest_at(lake_dir, epochs[-1])
 
 
 def publish_epoch(
@@ -155,7 +182,8 @@ def vacuum(lake_dir: str, keep_manifest: Manifest) -> int:
     }
     removed = 0
     for root, _dirs, files in os.walk(lake_dir):
-        if MANIFEST_DIR in root or LINEAGE_DIR in root:
+        if (MANIFEST_DIR in root or LINEAGE_DIR in root
+                or VIEWS_DIR in root):  # views are metadata, not lake data
             continue
         for name in files:
             path = os.path.normpath(os.path.join(root, name))

@@ -127,6 +127,31 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     return out
 
 
+def read_lake_at(lake_dir: str, epoch: int,
+                 columns: list[str] | None = None) -> rd.Dataset | None:
+    """Time travel: the lake EXACTLY as of committed epoch ``epoch``.
+
+    Free by construction — every ``publish_epoch`` retains its manifest
+    (a small json) and writes fresh partition files, so any historical
+    epoch stays addressable until ``vacuum`` reclaims unreferenced data
+    files (standard table-format semantics: history costs only the
+    un-vacuumed storage). Reads stream through the normal ``read_lake``
+    path (tombstones hidden, column pruning); a vacuumed epoch fails
+    loudly instead of returning a partial lake."""
+    from maestro_ray.core.manifest import manifest_at
+
+    m = manifest_at(lake_dir, epoch)  # raises with available history
+    missing = [f for f in lake_files(lake_dir, m) if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            f"epoch {epoch} of {lake_dir} is no longer readable: "
+            f"{len(missing)} partition file(s) were vacuumed "
+            f"(e.g. {os.path.basename(missing[0])}); time travel only "
+            "reaches epochs newer than the last vacuum"
+        )
+    return read_lake(lake_dir, columns=columns, manifest=m)
+
+
 def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table:
     """Driver-side full read — FOR TESTS ONLY (small lakes)."""
     files = lake_files(lake_dir, manifest)

@@ -1,0 +1,212 @@
+"""Incremental materialized views over the CDC lake.
+
+``maintain_group_counts`` keeps a per-group LIVE-row count (tombstones
+excluded) synchronized with the lake, one small parquet per epoch under
+``<lake>/_views/<group_col>/``. The delta for epoch *e* is a PARTITION
+DIFF: every ``publish_epoch`` writes fresh files for exactly the
+partitions it touched, so
+
+    view(e) = view(e-1) + Σ_p∈changed [counts(file_e(p)) − counts(file_{e-1}(p))]
+
+is correct BY CONSTRUCTION — no winner-selection logic is re-derived
+here, so the view can never diverge from the merge's LWW/tombstone
+semantics. Per-epoch cost is O(touched-partition bytes) over TWO narrow
+columns (group + op), not O(changelog) and not O(whole lake): sparse
+update epochs cost what they touched; compaction epochs (rewrites with
+unchanged content) fold to a zero delta. The O(delta-rows) alternative
+— emitting retraction pairs from inside the merge tasks — is the
+documented extension point if per-epoch touched bytes ever dominate.
+
+Maintenance is resumable and idempotent: the newest persisted view
+epoch is the cursor; re-running catches up only the missing epochs. A
+vacuum that outran maintenance fails loudly (the old side of the diff
+is gone) instead of silently corrupting the view.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from maestro_ray.core.manifest import (
+    VIEWS_DIR,
+    Manifest,
+    list_epochs,
+    manifest_at,
+)
+
+
+def _view_path(lake_dir: str, group_col: str, epoch: int) -> str:
+    return os.path.join(lake_dir, VIEWS_DIR, group_col,
+                        f"epoch-{epoch:012d}.parquet")
+
+
+def _live_group_counts(paths: list[str], group_col: str) -> pd.Series:
+    """Per-group live-row counts over lake files (narrow read: group +
+    op only; tombstones excluded, null group kept as its own bucket)."""
+    total: dict = {}
+    for path in paths:
+        names = pq.read_schema(path).names
+        cols = [group_col] + (["op"] if "op" in names else [])
+        t = pq.read_table(path, columns=cols)
+        if "op" in t.column_names:
+            live = pc.not_equal(pc.fill_null(t.column("op"), "insert"),
+                                pa.scalar("delete", pa.string()))
+            t = t.filter(live)
+        g = t.select([group_col]).group_by([group_col]) \
+             .aggregate([([], "count_all")])
+        for k, n in zip(g.column(0).to_pylist(), g.column(1).to_pylist()):
+            total[k] = total.get(k, 0) + n
+    return pd.Series(total, dtype="int64")
+
+
+def _changed_partitions(
+    cur: Manifest, prev: Manifest | None
+) -> tuple[list[str], list[str]]:
+    """(new_files, old_files) for partitions whose file changed between
+    the two manifests — the two sides of the epoch's diff."""
+    prev_parts = prev.partitions if prev else {}
+    new_files, old_files = [], []
+    for p, v in cur.partitions.items():
+        old = prev_parts.get(p)
+        if old is not None and old["file"] == v["file"]:
+            continue  # untouched this epoch
+        if v["rows"] > 0:
+            new_files.append(v["file"])
+        if old is not None and old["rows"] > 0:
+            old_files.append(old["file"])
+    # a partition present before but absent now (never happens today —
+    # publish only adds/replaces) would need its old side retracted too
+    for p, old in prev_parts.items():
+        if p not in cur.partitions and old["rows"] > 0:
+            old_files.append(old["file"])
+    return new_files, old_files
+
+
+def read_view(lake_dir: str, group_col: str,
+              epoch: int | None = None) -> pd.DataFrame | None:
+    """The persisted view at ``epoch`` (default: newest maintained).
+    Columns: (group_col, n); None if the view was never maintained."""
+    vdir = os.path.join(lake_dir, VIEWS_DIR, group_col)
+    if epoch is None:
+        epochs = _view_epochs(vdir)
+        if not epochs:
+            return None
+        epoch = epochs[-1]
+    path = _view_path(lake_dir, group_col, epoch)
+    if not os.path.exists(path):
+        return None
+    return pq.read_table(path).to_pandas()
+
+
+def _view_epochs(vdir: str) -> list[int]:
+    if not os.path.isdir(vdir):
+        return []
+    return sorted(
+        int(n[len("epoch-"):-len(".parquet")])
+        for n in os.listdir(vdir)
+        if n.startswith("epoch-") and n.endswith(".parquet")
+    )
+
+
+def _as_frame(view: pd.Series, group_col: str) -> pd.DataFrame:
+    out = view.reset_index()
+    out.columns = [group_col, "n"]
+    # sort_values (not sort_index): a null group sorts as missing
+    # instead of raising on None-vs-str comparison
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def _persist(view: pd.Series, lake_dir: str, group_col: str, epoch: int) -> None:
+    vdir = os.path.join(lake_dir, VIEWS_DIR, group_col)
+    os.makedirs(vdir, exist_ok=True)
+    out = _as_frame(view, group_col)
+    tmp = _view_path(lake_dir, group_col, epoch) + ".tmp"
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+    os.replace(tmp, _view_path(lake_dir, group_col, epoch))
+
+
+def _newest_readable(lake_dir: str, epochs: list[int]) -> tuple[int, Manifest]:
+    """Newest epoch whose FULL file set survives on disk — the only
+    sound re-bootstrap anchor after a vacuum (vacuum always keeps the
+    head manifest's files)."""
+    from maestro_ray.io.lake import lake_files
+
+    for e in reversed(epochs):
+        m = manifest_at(lake_dir, e)
+        if all(os.path.exists(f) for f in lake_files(lake_dir, m)):
+            return e, m
+    raise ValueError(f"no fully-readable epoch in {lake_dir}")
+
+
+def maintain_group_counts(
+    lake_dir: str, group_col: str = "lang", on_vacuumed: str = "bootstrap"
+) -> pd.DataFrame:
+    """Catch the materialized per-group live-row count up to the lake's
+    newest committed epoch (see module docstring for the plan and cost
+    model). Returns the final view as (group_col, n), sorted by group.
+    Idempotent: a second call with no new epochs reads the cursor and
+    returns immediately.
+
+    When a needed diff side was vacuumed before maintenance ran, the
+    default (``on_vacuumed="bootstrap"``) re-anchors with ONE full count
+    at the newest fully-readable epoch and diffs forward from there —
+    history views below the anchor stay unmaterialized;
+    ``on_vacuumed="error"`` raises instead."""
+    if on_vacuumed not in ("bootstrap", "error"):
+        raise ValueError(f"on_vacuumed={on_vacuumed!r}")
+    epochs = list_epochs(lake_dir)
+    if not epochs:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    vdir = os.path.join(lake_dir, VIEWS_DIR, group_col)
+    done = [e for e in _view_epochs(vdir) if e in set(epochs)]
+    cursor = done[-1] if done else None
+    view = (read_view(lake_dir, group_col, cursor)
+            .set_index(group_col)["n"] if cursor is not None
+            else pd.Series(dtype="int64"))
+    prev_m = manifest_at(lake_dir, cursor) if cursor is not None else None
+    pending = [x for x in epochs if cursor is None or x > cursor]
+    while pending:
+        e = pending[0]
+        m = manifest_at(lake_dir, e)
+        new_files, old_files = _changed_partitions(m, prev_m)
+        missing = [
+            rel for rel in new_files + old_files
+            if not os.path.exists(os.path.join(lake_dir, rel))
+        ]
+        if missing:
+            if on_vacuumed == "error":
+                raise ValueError(
+                    f"cannot maintain view {group_col!r} through epoch "
+                    f"{e}: {missing[0]} was vacuumed before maintenance "
+                    "ran (pass on_vacuumed='bootstrap' to re-anchor at "
+                    "the newest readable epoch)"
+                )
+            from maestro_ray.io.lake import lake_files
+
+            b, mb = _newest_readable(lake_dir, epochs)
+            view = _live_group_counts(lake_files(lake_dir, mb), group_col)
+            _persist(view, lake_dir, group_col, b)
+            prev_m = mb
+            pending = [x for x in epochs if x > b]
+            continue
+        delta = (
+            _live_group_counts(
+                [os.path.join(lake_dir, f) for f in new_files], group_col)
+            .sub(_live_group_counts(
+                [os.path.join(lake_dir, f) for f in old_files], group_col),
+                 fill_value=0)
+        )
+        view = view.add(delta, fill_value=0).astype("int64")
+        view = view[view != 0]
+        _persist(view, lake_dir, group_col, e)
+        prev_m = m
+        pending = pending[1:]
+    # return the in-memory state — never a newest-on-disk file that
+    # could be a stale epoch outside this lake's history
+    return _as_frame(view, group_col)

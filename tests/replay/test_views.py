@@ -1,0 +1,111 @@
+"""Incremental materialized view (pipelines/views.py): the maintained
+per-group live-row count must equal a full recompute at EVERY epoch,
+resume idempotently, survive compaction as a zero delta, and fail
+loudly when vacuum outran maintenance."""
+
+import pandas as pd
+import pytest
+
+from maestro_ray.core.manifest import latest_manifest, list_epochs, vacuum
+from maestro_ray.fixtures import ChangelogParams, write_changelog
+from maestro_ray.io.lake import compact_partitions, read_lake_at
+from maestro_ray.pipelines.ingest import ingest
+from maestro_ray.pipelines.views import (
+    maintain_group_counts,
+    read_view,
+)
+
+PARAMS = ChangelogParams(n_urls=60, n_events=500, seg_rows=50,
+                         evolution=False)
+
+
+def _recompute(lake_dir, epoch):
+    ds = read_lake_at(lake_dir, epoch, columns=["url", "lang"])
+    pdf = ds.to_pandas()
+    vc = pdf.groupby("lang", dropna=False)["url"].count()
+    return {k if pd.notna(k) else None: int(v) for k, v in vc.items()}
+
+
+def _as_dict(view):
+    return {
+        (k if pd.notna(k) else None): int(v)
+        for k, v in zip(view.iloc[:, 0], view["n"])
+    }
+
+
+@pytest.fixture()
+def lake(ray_session, tmp_path):
+    log = str(tmp_path / "log")
+    write_changelog(log, PARAMS)
+    lake_dir = str(tmp_path / "lake")
+    m = ingest(log, lake_dir, num_partitions=4, segments_per_epoch=3)
+    assert m is not None and m.epoch >= 3
+    return lake_dir
+
+
+def test_view_matches_recompute_at_every_epoch(lake):
+    final = maintain_group_counts(lake, "lang")
+    for e in list_epochs(lake):
+        view = read_view(lake, "lang", e)
+        assert view is not None
+        assert _as_dict(view) == _recompute(lake, e), f"epoch {e}"
+    assert _as_dict(final) == _recompute(lake, list_epochs(lake)[-1])
+
+
+def test_view_resume_is_incremental_and_idempotent(lake, tmp_path):
+    # maintain, ingest MORE epochs from a second log, maintain again:
+    # the second call only processes the new epochs and converges
+    first = maintain_group_counts(lake, "lang")
+    again = maintain_group_counts(lake, "lang")
+    assert _as_dict(first) == _as_dict(again)
+    more = ChangelogParams(n_urls=60, n_events=700, seg_rows=50,
+                           evolution=False)
+    log2 = str(tmp_path / "log2")
+    write_changelog(log2, more)
+    ingest(log2, lake, num_partitions=4, segments_per_epoch=4)
+    caught_up = maintain_group_counts(lake, "lang")
+    last = list_epochs(lake)[-1]
+    assert _as_dict(caught_up) == _recompute(lake, last)
+
+
+def test_compaction_epoch_is_zero_delta(lake):
+    before = maintain_group_counts(lake, "lang")
+    compact_partitions(lake)
+    after = maintain_group_counts(lake, "lang")
+    assert _as_dict(before) == _as_dict(after)
+
+
+def test_vacuum_before_maintenance_bootstraps_or_errors(lake):
+    # never maintained; vacuum removed the historical diff sides
+    vacuum(lake, latest_manifest(lake))
+    with pytest.raises(ValueError, match="vacuumed"):
+        maintain_group_counts(lake, "lang", on_vacuumed="error")
+    # default: re-anchor with one full count at the newest readable epoch
+    view = maintain_group_counts(lake, "lang")
+    last = list_epochs(lake)[-1]
+    assert _as_dict(view) == _recompute(lake, last)
+
+
+def test_vacuum_preserves_views_and_cursor(lake):
+    before = maintain_group_counts(lake, "lang")
+    vacuum(lake, latest_manifest(lake))
+    on_disk = read_view(lake, "lang")
+    assert on_disk is not None and _as_dict(on_disk) == _as_dict(before)
+    # cursor survives → catch-up is a no-op, not a bricked restart
+    again = maintain_group_counts(lake, "lang")
+    assert _as_dict(again) == _as_dict(before)
+
+
+def test_latest_manifest_ignores_tmp_leftovers(lake):
+    import os
+
+    from maestro_ray.core.manifest import latest_manifest as lm
+    from maestro_ray.core.manifest import list_epochs as le
+
+    junk = os.path.join(lake, "_manifests", "manifest-999999999999.json.tmp")
+    with open(junk, "w") as f:
+        f.write("{not json")
+    try:
+        assert lm(lake).epoch == le(lake)[-1]
+    finally:
+        os.remove(junk)
