@@ -1442,6 +1442,25 @@ def _q_cdc_incremental_view(sf):
     return view
 
 
+def _q_cdc_change_feed(sf):
+    """Change feed (CDC-out) over the replay lake: net row-level
+    changes from the MIDDLE committed epoch to the newest — one Ray
+    task per changed partition diffing exactly its two file versions,
+    no shuffle (pipelines/changefeed.py). Rows-only check; the
+    feed≡oracle-state-diff invariant is pytest
+    (tests/replay/test_changefeed.py)."""
+    from maestro_ray.core.manifest import list_epochs
+    from maestro_ray.pipelines.changefeed import table_changes
+
+    lake = _cdc_lake(sf)
+    epochs = list_epochs(lake)
+    # floor-mid: strictly before the last epoch even at 2 epochs, so the
+    # feed is provably non-empty (empty Datasets lose their schema in
+    # to_pandas — see the cross-engine policy note in the docstring)
+    mid = epochs[(len(epochs) - 1) // 2]
+    return table_changes(lake, mid, epochs[-1])
+
+
 def _q_cdc_lineage(sf):
     """S6: the per-partition lineage records of the same replay."""
     from maestro_ray.io.lake import read_lineage
@@ -1627,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": _q_cdc_replay,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_incremental_view": _q_cdc_incremental_view,
+        "cdc_change_feed": _q_cdc_change_feed,
         "cdc_lineage": _q_cdc_lineage,
         "model_score": _q_model_score,
         "scalar_array": _q_scalar_array,
