@@ -1461,6 +1461,23 @@ def _q_cdc_change_feed(sf):
     return table_changes(lake, mid, epochs[-1])
 
 
+def _q_cdc_point_lookup(sf):
+    """Keyed point lookup over the replay lake: hash routing
+    (p = hash64(url) % P, the ingest shuffle's own function) resolves
+    each url to its single owning partition file via the manifest — a
+    k-url lookup opens ≤ min(k, P) of the lake's files, then parquet
+    url row-group stats prune inside the file (io/lake.py lookup_urls).
+    Rows-only check; the lookup≡full-scan oracle plus the
+    filesystem-level pruning proof (non-owning files deleted, lookup
+    still succeeds) is pytest (tests/replay/test_pruned_reads.py)."""
+    from maestro_ray.io.lake import lookup_urls, read_lake
+
+    lake = _cdc_lake(sf)
+    ds = read_lake(lake, columns=["url"])
+    urls = sorted(ds.to_pandas()["url"])[:24:2] + ["https://never.example/x"]
+    return lookup_urls(lake, urls, columns=["url", "warc_ts", "lang"])
+
+
 def _q_cdc_lineage(sf):
     """S6: the per-partition lineage records of the same replay."""
     from maestro_ray.io.lake import read_lineage
@@ -1647,6 +1664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_incremental_view": _q_cdc_incremental_view,
         "cdc_change_feed": _q_cdc_change_feed,
+        "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_lineage": _q_cdc_lineage,
         "model_score": _q_model_score,
         "scalar_array": _q_scalar_array,

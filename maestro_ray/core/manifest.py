@@ -145,6 +145,11 @@ def publish_epoch(
             "checksum": int(row["checksum"]),
             "watermark": int(row["watermark_offset"]),
         }
+        # change-activity high watermark (max warc_ts µs in the file):
+        # lets time-window scans skip files via the manifest alone
+        # (io/lake.py read_lake_since); absent on pre-r3 lakes → no skip
+        if row.get("ts_max") is not None:
+            parts[p]["ts_max"] = int(row["ts_max"])
     m = Manifest(
         epoch=epoch, watermark=watermark, partitions=parts,
         counters=counters or {},

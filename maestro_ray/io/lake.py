@@ -152,6 +152,116 @@ def read_lake_at(lake_dir: str, epoch: int,
     return read_lake(lake_dir, columns=columns, manifest=m)
 
 
+def lookup_urls(lake_dir: str, urls: list[str],
+                columns: list[str] | None = None,
+                manifest: Manifest | None = None) -> pa.Table:
+    """Keyed point lookup: the live rows for ``urls``, reading ONLY the
+    partition files that can own them.
+
+    This is the 100-TB point-read path: ``p = hash64(url) % P`` (the
+    same routing the ingest shuffle uses, ops/hashing.py partition_ids)
+    resolves each url to exactly one partition via the manifest — a
+    k-url lookup opens ≤ min(k, P) files out of the whole lake, and
+    within each file the parquet url row-group statistics prune further
+    (partition files are sorted by url). Runs driver-side on a thread
+    pool — a latency-path read should not need cluster scheduling; the
+    per-file work is a footer plus the matching row groups.
+
+    A lake without a recorded ``num_partitions`` (pre-routing manifest)
+    degrades to scanning every file — correct, just not pruned.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from maestro_ray.core.schema import PAGES_V2
+    from maestro_ray.ops.hashing import partition_ids
+
+    m = manifest or latest_manifest(lake_dir)
+    want = list(columns) if columns else [f.name for f in PAGES_V2]
+    out_schema = pa.schema(
+        [PAGES_V2.field(c) if PAGES_V2.get_field_index(c) >= 0
+         else pa.field(c, pa.string()) for c in want])
+    if m is None or not urls:
+        return out_schema.empty_table()
+    if m.num_partitions:
+        by_p: dict[int, list[str]] = {}
+        for u, p in zip(urls, partition_ids(pa.array(urls, pa.string()),
+                                            m.num_partitions)):
+            by_p.setdefault(int(p), []).append(u)
+        tasks = [
+            (os.path.join(lake_dir, m.partitions[p]["file"]), us)
+            for p, us in sorted(by_p.items())
+            if p in m.partitions and m.partitions[p]["rows"] > 0
+        ]
+    else:  # degraded: no routing info — every file may own any url
+        tasks = [(f, list(urls)) for f in lake_files(lake_dir, m)]
+
+    def read_one(task):
+        path, us = task
+        names = pq.read_schema(path).names
+        cols = [c for c in want if c in names]
+        need = sorted({*cols, "url"} | ({"op"} if "op" in names else set()))
+        t = pq.read_table(
+            path, columns=need,
+            filters=[("url", "in", us)],  # row-group stats prune here
+        )
+        t = _drop_tombstones(t, keep_op="op" in want)
+        for c in want:  # pre-evolution files: null-fill missing columns
+            if c not in t.column_names:
+                t = t.append_column(
+                    c, pa.nulls(t.num_rows, out_schema.field(c).type))
+        return t.select(want).cast(pa.schema([out_schema.field(c)
+                                              for c in want]))
+
+    if not tasks:
+        return out_schema.empty_table()
+    with ThreadPoolExecutor(max_workers=min(16, len(tasks))) as ex:
+        parts = list(ex.map(read_one, tasks))
+    t = pa.concat_tables(parts)
+    if "url" in t.column_names:
+        import pyarrow.compute as pc
+
+        t = t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+    return t
+
+
+def read_lake_since(lake_dir: str, since_ts_us: int,
+                    columns: list[str] | None = None,
+                    manifest: Manifest | None = None) -> rd.Dataset | None:
+    """Time-window scan: live rows with ``warc_ts >= since_ts_us``,
+    skipping every partition file whose manifest ``ts_max`` (the file's
+    change-activity high watermark, recorded at merge time) is below
+    the bound — the manifest alone prunes untouched partitions without
+    opening a single footer. Entries without ``ts_max`` (pre-r3 lakes)
+    are conservatively read. Returns None when no file can qualify."""
+    import pyarrow.compute as pc
+
+    m = manifest or latest_manifest(lake_dir)
+    if m is None:
+        return None
+    keep = {
+        p: v for p, v in m.partitions.items()
+        if v.get("ts_max") is None or v["ts_max"] >= since_ts_us
+    }
+    if not keep:
+        return None
+    sub = Manifest(epoch=m.epoch, watermark=m.watermark, partitions=keep,
+                   counters=m.counters, num_partitions=m.num_partitions)
+    cols = None if columns is None else (
+        list(columns) if "warc_ts" in columns else [*columns, "warc_ts"])
+    ds = read_lake(lake_dir, columns=cols, manifest=sub)
+    if ds is None:
+        return None
+    bound = pa.scalar(since_ts_us, pa.timestamp("us"))
+
+    def row_filter(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.greater_equal(t.column("warc_ts"), bound))
+        if columns is not None and "warc_ts" not in columns:
+            out = out.drop_columns(["warc_ts"])
+        return out
+
+    return ds.map_batches(row_filter, batch_format="pyarrow")
+
+
 def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table:
     """Driver-side full read — FOR TESTS ONLY (small lakes)."""
     files = lake_files(lake_dir, manifest)
@@ -223,12 +333,15 @@ def compact_partitions(
         path = os.path.join(lake_dir, out_rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         pq.write_table(t, path, row_group_size=row_group_size)
+        from maestro_ray.ops.merge import ts_max_us
+
         return {
             "partition": p,
             "epoch": epoch,
             "watermark_offset": watermark,
             "row_count": t.num_rows,
             "checksum": got,
+            "ts_max": ts_max_us(t),
             "n_input": t.num_rows,
         }
 

@@ -123,6 +123,17 @@ def live_row_count(out: pa.Table) -> int:
     return out.num_rows - (dead or 0)
 
 
+def ts_max_us(out: pa.Table) -> int | None:
+    """Max ``warc_ts`` (µs) over ALL rows incl. tombstones — the
+    partition file's change-activity high watermark, recorded in the
+    manifest so time-window scans (``io/lake.py read_lake_since``) can
+    skip files untouched since a bound without opening them."""
+    if out.num_rows == 0:
+        return None
+    v = pc.max(out.column("warc_ts")).cast(pa.int64()).as_py()
+    return int(v) if v is not None else None
+
+
 def write_exchange(
     batch: pa.Table, ex_dir: str, num_partitions: int
 ) -> pa.Table:
@@ -265,6 +276,7 @@ def make_exchange_merge_fn(
                     "row_count": out.num_rows,
                     "live_rows": live_row_count(out),
                     "checksum": checksum(out),
+                    "ts_max": ts_max_us(out),
                     "n_input": events.num_rows,
                 }
             )
@@ -276,6 +288,7 @@ def make_exchange_merge_fn(
                 "row_count": pa.array([], pa.int64()),
                 "live_rows": pa.array([], pa.int64()),
                 "checksum": pa.array([], pa.uint64()),
+                "ts_max": pa.array([], pa.int64()),
                 "n_input": pa.array([], pa.int64()),
             })
         return pa.table({
@@ -287,6 +300,7 @@ def make_exchange_merge_fn(
             "row_count": pa.array([o["row_count"] for o in outs], pa.int64()),
             "live_rows": pa.array([o["live_rows"] for o in outs], pa.int64()),
             "checksum": pa.array([o["checksum"] for o in outs], pa.uint64()),
+            "ts_max": pa.array([o["ts_max"] for o in outs], pa.int64()),
             "n_input": pa.array([o["n_input"] for o in outs], pa.int64()),
         })
 
@@ -331,6 +345,7 @@ def make_merge_fn(
                 "row_count": pa.array([out.num_rows], pa.int64()),
                 "live_rows": pa.array([live_row_count(out)], pa.int64()),
                 "checksum": pa.array([checksum(out)], pa.uint64()),
+                "ts_max": pa.array([ts_max_us(out)], pa.int64()),
                 "n_input": pa.array([group.num_rows], pa.int64()),
             }
         )

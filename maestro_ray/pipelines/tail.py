@@ -184,7 +184,7 @@ class PartitionMerger:
         self.seen_new, self._seen_new_n = [], 0
         self.dirty = False
         self.has_file = True
-        from maestro_ray.ops.merge import live_row_count
+        from maestro_ray.ops.merge import live_row_count, ts_max_us
 
         return {
             "partition": self.partition,
@@ -193,6 +193,7 @@ class PartitionMerger:
             "row_count": out.num_rows,
             "live_rows": live_row_count(out),
             "checksum": checksum(out),
+            "ts_max": ts_max_us(out),
             "n_input": self.n_applied,
         }
 
