@@ -113,6 +113,28 @@ def latest_manifest(lake_dir: str) -> Manifest | None:
     return manifest_at(lake_dir, epochs[-1])
 
 
+def changed_partitions(
+    cur: Manifest, prev: Manifest | None
+) -> list[tuple[int, dict | None, dict | None]]:
+    """(partition, new_entry, old_entry) for every partition whose file
+    differs between the two manifests — the one manifest-diff walk the
+    incremental consumers (pipelines/views.py, pipelines/changefeed.py)
+    share. ``None`` marks a side where the partition is absent; entries
+    are the raw manifest dicts (callers filter ``rows > 0``). Untouched
+    partitions (identical file) never appear."""
+    prev_parts = prev.partitions if prev else {}
+    out: list[tuple[int, dict | None, dict | None]] = []
+    for p, v in sorted(cur.partitions.items()):
+        old = prev_parts.get(p)
+        if old is not None and old["file"] == v["file"]:
+            continue
+        out.append((p, v, old))
+    for p, old in sorted(prev_parts.items()):
+        if p not in cur.partitions:
+            out.append((p, None, old))
+    return out
+
+
 def publish_epoch(
     lake_dir: str,
     epoch: int,

@@ -36,22 +36,34 @@ def lake_files(lake_dir: str, manifest: Manifest | None = None) -> list[str]:
     ]
 
 
+def live_mask(batch: pa.Table) -> pa.Array | pa.ChunkedArray:
+    """THE liveness rule, defined once: a row is live unless its ``op``
+    is ``delete``; null/absent ``op`` (schema-unified pre-tombstone
+    rows) counts as live. Shared by ``_drop_tombstones`` and the
+    incremental consumers (pipelines/views.py, pipelines/changefeed.py)
+    so tombstone semantics can never silently diverge between them."""
+    import pyarrow.compute as pc
+
+    if batch.schema.get_field_index("op") < 0:
+        return pa.array([True] * batch.num_rows, pa.bool_())
+    op = pc.fill_null(batch.column("op"), "insert")
+    return pc.not_equal(op, pa.scalar("delete", pa.string()))
+
+
 def _drop_tombstones(batch: pa.Table, keep_op: bool = False) -> pa.Table:
     """Filter persisted delete markers (LAKE_V2 ``op`` column) out of a
     lake batch; drops the ``op`` column unless the caller asked for it.
     Null ``op`` (schema-unified pre-tombstone rows) counts as live."""
-    import pyarrow.compute as pc
-
     i = batch.schema.get_field_index("op")
     if i < 0:
         return batch  # pre-tombstone file (e.g. external pages input)
-    op = pc.fill_null(batch.column(i), "insert")
-    out = batch.filter(pc.not_equal(op, pa.scalar("delete", pa.string())))
+    out = batch.filter(live_mask(batch))
     return out if keep_op else out.remove_column(i)
 
 
 def read_lake(lake_dir: str, columns: list[str] | None = None,
-              manifest: Manifest | None = None) -> rd.Dataset | None:
+              manifest: Manifest | None = None,
+              transform=None) -> rd.Dataset | None:
     """S7: the converged lake as a lazy Dataset (None if empty).
 
     Lake files physically carry tombstone rows (core/schema.py LAKE_V2);
@@ -59,68 +71,70 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     requested column subset). Pass ``columns=[..., "op"]`` to get the
     RAW rows — tombstones included, no filtering — for audits/vacuum
     verification.
+
+    ``transform`` (optional per-batch Table→Table) is FUSED into each
+    file group's read stage — never applied after the union a mixed
+    lake produces, where it would cost a full-payload object-store hop
+    (the fusion-across-union rule; see ``read_lake_since`` row filter).
     """
     files = lake_files(lake_dir, manifest)
     if not files:
         return None
+
+    def _composed(fn):
+        """Per-part batch fn ∘ caller transform, fused into one
+        map_batches so the part's read stage chains directly into it."""
+        if fn is None and transform is None:
+            return None
+        if fn is None:
+            return transform
+        if transform is None:
+            return fn
+        return lambda t: transform(fn(t))
+
+    def _part(files_, fn, **read_kwargs):
+        ds = rd.read_parquet(files_, **read_kwargs)
+        f = _composed(fn)
+        return ds.map_batches(f, batch_format="pyarrow") if f else ds
+
+    # Files are grouped by op-presence (footer probe, O(P) driver-side):
+    # a MIXED lake — pre-tombstone partitions untouched since the
+    # tombstone upgrade next to newer files — would crash a single
+    # read_parquet on schema unification (and, with columns=, on the
+    # missing `op` field: ray does NOT null-fill requested columns).
+    with_op = [f for f in files if "op" in pq.read_schema(f).names]
+    _wo = set(with_op)
+    sans_op = [f for f in files if f not in _wo]
+    parts = []
     if columns:
         # explicit column list never selects the inferred hive col, and
         # ray's parquet datasource errors on columns= + partitioning=None
         # (UnboundLocalError in _infer_partition_columns, ray 2.49).
-        # Files are grouped by op-presence (footer probe, O(P) driver-
-        # side): a MIXED lake — r1 partitions untouched since the
-        # tombstone upgrade next to r2 files — would otherwise crash the
-        # reader on the missing `op` field (ray does NOT null-fill
-        # missing requested columns).
-        with_op = [f for f in files if "op" in pq.read_schema(f).names]
-        _wo = set(with_op)
-        sans_op = [f for f in files if f not in _wo]
         if "op" in columns:  # raw audit view: no tombstone filtering
             base = [c for c in columns if c != "op"]
 
             def add_null_op(t: pa.Table) -> pa.Table:
                 return t.append_column("op", pa.nulls(t.num_rows, pa.string()))
 
-            parts = []
             if with_op:
-                parts.append(rd.read_parquet(with_op, columns=list(columns)))
+                parts.append(_part(with_op, None, columns=list(columns)))
             if sans_op:
-                parts.append(
-                    rd.read_parquet(sans_op, columns=base).map_batches(
-                        add_null_op, batch_format="pyarrow"
-                    )
-                )
+                parts.append(_part(sans_op, add_null_op, columns=base))
         else:
-            parts = []
             if with_op:
                 parts.append(
-                    rd.read_parquet(with_op, columns=[*columns, "op"]).map_batches(
-                        _drop_tombstones, batch_format="pyarrow"
-                    )
-                )
+                    _part(with_op, _drop_tombstones,
+                          columns=[*columns, "op"]))
             if sans_op:  # pre-tombstone files: every row is live
-                parts.append(rd.read_parquet(sans_op, columns=list(columns)))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.union(p)
-        return out
-    # partitioning=None: the p=<k>/ dir layout must NOT be inferred as a
-    # hive partition column — `p` is physical placement, not data.
-    # MIXED lakes (pre-tombstone PAGES_V2 files next to LAKE_V2 ones)
-    # need the same op-presence grouping as the columns= path: one
-    # read_parquet over both schema shapes crashes on unification.
-    with_op = [f for f in files if "op" in pq.read_schema(f).names]
-    _wo = set(with_op)
-    sans_op = [f for f in files if f not in _wo]
-    parts = []
-    if with_op:
-        parts.append(
-            rd.read_parquet(with_op, partitioning=None).map_batches(
-                _drop_tombstones, batch_format="pyarrow"
-            )
-        )
-    if sans_op:  # pre-tombstone files: every row is live, no op column
-        parts.append(rd.read_parquet(sans_op, partitioning=None))
+                parts.append(_part(sans_op, None, columns=list(columns)))
+    else:
+        # partitioning=None: the p=<k>/ dir layout must NOT be inferred
+        # as a hive partition column — `p` is placement, not data.
+        if with_op:
+            parts.append(_part(with_op, _drop_tombstones,
+                               partitioning=None))
+        if sans_op:  # pre-tombstone files: every row is live, no op col
+            parts.append(_part(sans_op, None, partitioning=None))
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
@@ -248,9 +262,6 @@ def read_lake_since(lake_dir: str, since_ts_us: int,
                    counters=m.counters, num_partitions=m.num_partitions)
     cols = None if columns is None else (
         list(columns) if "warc_ts" in columns else [*columns, "warc_ts"])
-    ds = read_lake(lake_dir, columns=cols, manifest=sub)
-    if ds is None:
-        return None
     bound = pa.scalar(since_ts_us, pa.timestamp("us"))
 
     def row_filter(t: pa.Table) -> pa.Table:
@@ -259,7 +270,11 @@ def read_lake_since(lake_dir: str, since_ts_us: int,
             out = out.drop_columns(["warc_ts"])
         return out
 
-    return ds.map_batches(row_filter, batch_format="pyarrow")
+    # transform= fuses the filter into each file group's read stage —
+    # applied after the union of a mixed lake it would pay a
+    # full-payload object-store hop (fusion-across-union rule)
+    return read_lake(lake_dir, columns=cols, manifest=sub,
+                     transform=row_filter)
 
 
 def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table:

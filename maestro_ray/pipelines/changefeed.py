@@ -44,47 +44,41 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from maestro_ray.core.manifest import Manifest, list_epochs, manifest_at
+from maestro_ray.core.manifest import changed_partitions, list_epochs, manifest_at
 from maestro_ray.ops.hashing import hash_array
 
 #: feed output ahead of the payload columns
 _OP = "change_op"
 
 
-def _changed_pairs(
-    cur: Manifest, prev: Manifest | None
-) -> list[tuple[int, str | None, str | None]]:
-    """(partition, new_rel_file, old_rel_file) for partitions whose file
-    differs between the two manifests; ``None`` marks an absent side."""
-    prev_parts = prev.partitions if prev else {}
-    pairs = []
-    for p, v in sorted(cur.partitions.items()):
-        old = prev_parts.get(p)
-        if old is not None and old["file"] == v["file"]:
-            continue  # untouched across the range
-        new_rel = v["file"] if v["rows"] > 0 else None
-        old_rel = old["file"] if old is not None and old["rows"] > 0 else None
-        if new_rel or old_rel:
-            pairs.append((p, new_rel, old_rel))
-    for p, old in sorted(prev_parts.items()):
-        if p not in cur.partitions and old["rows"] > 0:
-            pairs.append((p, None, old["file"]))
-    return pairs
+def _payload_type(col: str) -> pa.DataType:
+    """Arrow type of a payload column — from the lake schema when the
+    column is known there (html is binary!), string for ad-hoc ones."""
+    from maestro_ray.core.schema import LAKE_V2
+
+    i = LAKE_V2.get_field_index(col)
+    return LAKE_V2.field(i).type if i >= 0 else pa.string()
 
 
 def _read_side(path: str | None, cols: list[str]) -> pa.Table:
     """One side of a partition diff: (url, warc_ts, op?, payload...).
-    Pre-tombstone files lack ``op`` — every row counts as live."""
+    Pre-tombstone files lack ``op`` — every row counts as live; a file
+    predating a payload column (pre-evolution) null-fills it."""
     fields = [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
-              ("op", pa.string())] + [(c, pa.string()) for c in cols]
+              ("op", pa.string())] + [(c, _payload_type(c)) for c in cols]
     if path is None:
         return pa.schema(fields).empty_table()
     names = pq.read_schema(path).names
-    want = ["url", "warc_ts"] + (["op"] if "op" in names else []) + cols
+    have = [c for c in cols if c in names]
+    want = ["url", "warc_ts"] + (["op"] if "op" in names else []) + have
     t = pq.read_table(path, columns=want)
     if "op" not in t.column_names:
         t = t.append_column("op", pa.nulls(t.num_rows, pa.string()))
-    return t.select(["url", "warc_ts", "op", *cols])
+    for c in cols:
+        if c not in t.column_names:
+            t = t.append_column(c, pa.nulls(t.num_rows, _payload_type(c)))
+    return t.select(["url", "warc_ts", "op", *cols]) \
+        .cast(pa.schema(fields))
 
 
 def _row_version(t: pa.Table, cols: list[str]) -> np.ndarray:
@@ -101,13 +95,13 @@ def _diff_partition(new: pa.Table, old: pa.Table,
                     cols: list[str]) -> pa.Table:
     """Classify one partition's rows: full-outer url join of the two
     versions (both sorted by url on disk), vectorized comparison."""
-    live = lambda t: pc.not_equal(  # noqa: E731 — tiny local predicate
-        pc.fill_null(t.column("op"), "insert"), pa.scalar("delete"))
+    from maestro_ray.io.lake import live_mask  # THE shared liveness rule
+
     new = new.append_column("__vn", pa.array(_row_version(new, cols))) \
-             .append_column("__ln", live(new)).drop_columns(["op"])
+             .append_column("__ln", live_mask(new)).drop_columns(["op"])
     old_keep = old.select(["url", "warc_ts", "op"]) \
         .append_column("__vo", pa.array(_row_version(old, cols))) \
-        .append_column("__lo", live(old)).drop_columns(["op"]) \
+        .append_column("__lo", live_mask(old)).drop_columns(["op"]) \
         .rename_columns(["url", "__ts_o", "__vo", "__lo"])
     j = new.join(old_keep, keys="url", join_type="full outer")
     ln = pc.fill_null(j.column("__ln"), False)
@@ -152,11 +146,21 @@ def table_changes(
     if to_epoch is None:
         to_epoch = epochs[-1]
     cur = manifest_at(lake_dir, to_epoch)  # raises with history
-    prev = manifest_at(lake_dir, from_epoch) if from_epoch else None
+    # `is not None`, NOT truthiness: bootstrap publishes epoch 0, and a
+    # feed from epoch 0 must diff against the base state — treating 0
+    # as genesis would re-report the whole base table as inserts
+    prev = manifest_at(lake_dir, from_epoch) if from_epoch is not None \
+        else None
     if prev is not None and prev.epoch > cur.epoch:
         raise ValueError(
             f"from_epoch {from_epoch} is newer than to_epoch {to_epoch}")
-    pairs = _changed_pairs(cur, prev)
+    pairs = [
+        (p,
+         new["file"] if new is not None and new["rows"] > 0 else None,
+         old["file"] if old is not None and old["rows"] > 0 else None)
+        for p, new, old in changed_partitions(cur, prev)
+    ]
+    pairs = [t for t in pairs if t[1] or t[2]]
     missing = [
         rel for _p, new_rel, old_rel in pairs
         for rel in (new_rel, old_rel)

@@ -35,6 +35,7 @@ import pyarrow.parquet as pq
 from maestro_ray.core.manifest import (
     VIEWS_DIR,
     Manifest,
+    changed_partitions,
     list_epochs,
     manifest_at,
 )
@@ -47,16 +48,21 @@ def _view_path(lake_dir: str, group_col: str, epoch: int) -> str:
 
 def _live_group_counts(paths: list[str], group_col: str) -> pd.Series:
     """Per-group live-row counts over lake files (narrow read: group +
-    op only; tombstones excluded, null group kept as its own bucket)."""
+    op only; tombstones excluded via the shared liveness rule, null
+    group kept as its own bucket; a file predating the group column —
+    pre-evolution — counts its rows in the null bucket too)."""
+    from maestro_ray.io.lake import live_mask
+
     total: dict = {}
     for path in paths:
         names = pq.read_schema(path).names
-        cols = [group_col] + (["op"] if "op" in names else [])
+        cols = ([group_col] if group_col in names else []) \
+            + (["op"] if "op" in names else [])
         t = pq.read_table(path, columns=cols)
-        if "op" in t.column_names:
-            live = pc.not_equal(pc.fill_null(t.column("op"), "insert"),
-                                pa.scalar("delete", pa.string()))
-            t = t.filter(live)
+        t = t.filter(live_mask(t))
+        if group_col not in t.column_names:
+            t = t.append_column(group_col,
+                                pa.nulls(t.num_rows, pa.string()))
         g = t.select([group_col]).group_by([group_col]) \
              .aggregate([([], "count_all")])
         for k, n in zip(g.column(0).to_pylist(), g.column(1).to_pylist()):
@@ -64,25 +70,16 @@ def _live_group_counts(paths: list[str], group_col: str) -> pd.Series:
     return pd.Series(total, dtype="int64")
 
 
-def _changed_partitions(
+def _changed_files(
     cur: Manifest, prev: Manifest | None
 ) -> tuple[list[str], list[str]]:
-    """(new_files, old_files) for partitions whose file changed between
-    the two manifests — the two sides of the epoch's diff."""
-    prev_parts = prev.partitions if prev else {}
+    """(new_files, old_files) — the two sides of the epoch's diff, from
+    the shared manifest walk (core/manifest.py changed_partitions)."""
     new_files, old_files = [], []
-    for p, v in cur.partitions.items():
-        old = prev_parts.get(p)
-        if old is not None and old["file"] == v["file"]:
-            continue  # untouched this epoch
-        if v["rows"] > 0:
-            new_files.append(v["file"])
+    for _p, new, old in changed_partitions(cur, prev):
+        if new is not None and new["rows"] > 0:
+            new_files.append(new["file"])
         if old is not None and old["rows"] > 0:
-            old_files.append(old["file"])
-    # a partition present before but absent now (never happens today —
-    # publish only adds/replaces) would need its old side retracted too
-    for p, old in prev_parts.items():
-        if p not in cur.partitions and old["rows"] > 0:
             old_files.append(old["file"])
     return new_files, old_files
 
@@ -171,10 +168,11 @@ def maintain_group_counts(
             else pd.Series(dtype="int64"))
     prev_m = manifest_at(lake_dir, cursor) if cursor is not None else None
     pending = [x for x in epochs if cursor is None or x > cursor]
+    last_anchor: int | None = None
     while pending:
         e = pending[0]
         m = manifest_at(lake_dir, e)
-        new_files, old_files = _changed_partitions(m, prev_m)
+        new_files, old_files = _changed_files(m, prev_m)
         missing = [
             rel for rel in new_files + old_files
             if not os.path.exists(os.path.join(lake_dir, rel))
@@ -190,6 +188,17 @@ def maintain_group_counts(
             from maestro_ray.io.lake import lake_files
 
             b, mb = _newest_readable(lake_dir, epochs)
+            if b == last_anchor:
+                # no progress: an epoch AFTER the best re-anchor point
+                # also lost files (e.g. vacuum kept a non-head manifest)
+                # — loop forever without this guard, so fail loudly
+                raise ValueError(
+                    f"cannot maintain view {group_col!r}: epoch {e} "
+                    f"references vacuumed files ({missing[0]}) and the "
+                    f"newest fully-readable epoch {b} does not get past "
+                    "it; the lake's history is not maintainable"
+                )
+            last_anchor = b
             view = _live_group_counts(lake_files(lake_dir, mb), group_col)
             _persist(view, lake_dir, group_col, b)
             prev_m = mb

@@ -120,3 +120,75 @@ def test_vacuum_invalidates_feed_loudly(lake):
     assert vacuum(lake["dir"], latest_manifest(lake["dir"])) > 0
     with pytest.raises(ValueError, match="vacuumed"):
         table_changes(lake["dir"], None, first)
+
+
+def test_feed_from_bootstrap_epoch_zero(ray_session, tmp_path):
+    """from_epoch=0 (a bootstrapped lake's base epoch) must diff
+    against the base state — NOT be mistaken for genesis, which would
+    re-report the whole base table as inserts (falsy-zero regression)."""
+    import pyarrow.parquet as pq
+
+    from maestro_ray.fixtures import gen_pages
+    from maestro_ray.pipelines.ingest import bootstrap
+
+    params = ChangelogParams(n_urls=40, n_events=300, seg_rows=50,
+                             evolution=False)
+    pages = gen_pages(params.n_urls, seed=7)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    log = str(tmp_path / "log")
+    events = write_changelog(log, params)
+    lake_dir = str(tmp_path / "lake")
+    bootstrap(pages_path, lake_dir, num_partitions=4)
+    assert list_epochs(lake_dir)[0] == 0
+    ingest(log, lake_dir, num_partitions=4, segments_per_epoch=4)
+    last = list_epochs(lake_dir)[-1]
+    got = _feed_dict(table_changes(lake_dir, 0, last))
+    base = {u: (v[0], v[3]) for u, v in replay(pages, []).items()}
+    final = {u: (v[0], v[3]) for u, v in replay(pages, events).items()}
+    exp = {}
+    for u in final:
+        if u not in base:
+            exp[u] = "insert"
+        elif base[u] != final[u]:
+            exp[u] = "update"
+    for u in base:
+        if u not in final:
+            exp[u] = "delete"
+    assert got == exp
+    # the decisive check: base urls never touched by the log are silent
+    touched = {e["url"] for e in events}
+    untouched = set(base) - touched
+    assert untouched and not (untouched & set(got))
+
+
+def test_read_side_pre_evolution_and_binary_payloads(tmp_path):
+    """_read_side must null-fill payload columns absent from old files
+    (pre-evolution) and type absent-side placeholders from the lake
+    schema (html is binary, not string)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from maestro_ray.pipelines.changefeed import _diff_partition, _read_side
+
+    old = pa.table({
+        "url": pa.array(["a", "b"], pa.string()),
+        "warc_ts": pa.array([1, 2], pa.timestamp("us")),
+    })  # oldest shape: no op, no lang, no html
+    path = str(tmp_path / "old.parquet")
+    pq.write_table(old, path)
+    side = _read_side(path, ["lang", "html"])
+    assert side.column("lang").null_count == 2
+    assert side.schema.field("html").type == pa.binary()
+    # an absent side joins/concats cleanly against a real binary side
+    new = pa.table({
+        "url": pa.array(["a"], pa.string()),
+        "warc_ts": pa.array([5], pa.timestamp("us")),
+        "op": pa.array(["insert"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+        "html": pa.array([b"<x>"], pa.binary()),
+    })
+    d = _diff_partition(new, _read_side(None, ["lang", "html"]),
+                        ["lang", "html"])
+    assert d.schema.field("html").type == pa.binary()
+    assert d.column("change_op").to_pylist() == ["insert"]

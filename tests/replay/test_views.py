@@ -96,6 +96,38 @@ def test_vacuum_preserves_views_and_cursor(lake):
     assert _as_dict(again) == _as_dict(before)
 
 
+def test_nonhead_vacuum_fails_loudly_not_forever(lake):
+    """A vacuum that kept a NON-head manifest deletes newer epochs'
+    files; maintenance must detect that no re-anchor can get past the
+    damage and raise — not loop on the same anchor forever."""
+    from maestro_ray.core.manifest import manifest_at
+
+    eps = list_epochs(lake)
+    mid = eps[len(eps) // 2]
+    vacuum(lake, manifest_at(lake, mid))
+    with pytest.raises(ValueError, match="not maintainable"):
+        maintain_group_counts(lake, "lang")
+
+
+def test_group_counts_null_bucket_for_pre_evolution_files(tmp_path):
+    """A lake file predating the group column counts its live rows in
+    the null bucket instead of crashing the maintenance read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from maestro_ray.pipelines.views import _live_group_counts
+
+    t = pa.table({
+        "url": pa.array(["a", "b", "c"], pa.string()),
+        "warc_ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        "op": pa.array(["insert", "delete", "insert"], pa.string()),
+    })  # no 'lang' at all
+    path = str(tmp_path / "old.parquet")
+    pq.write_table(t, path)
+    counts = _live_group_counts([path], "lang")
+    assert dict(counts) == {None: 2}  # tombstone excluded
+
+
 def test_latest_manifest_ignores_tmp_leftovers(lake):
     import os
 
