@@ -103,6 +103,13 @@ def main(argv: list[str] | None = None) -> int:
     p_vw.add_argument("--lake-dir", required=True)
     p_vw.add_argument("--group-col", default="lang")
 
+    p_cl = sub.add_parser(
+        "clone", help="zero-copy branch of a lake at an epoch (hardlinks)")
+    p_cl.add_argument("--src", required=True)
+    p_cl.add_argument("--dst", required=True)
+    p_cl.add_argument("--epoch", type=int, default=None,
+                      help="base epoch (default: newest committed)")
+
     p_st = sub.add_parser("status", help="print newest manifest")
     p_st.add_argument("--lake-dir", required=True)
     p_st.add_argument("--epoch", type=int, default=None,
@@ -127,6 +134,14 @@ def main(argv: list[str] | None = None) -> int:
             from maestro_ray.core.manifest import list_epochs
 
             print(json.dumps({"epochs": list_epochs(args.lake_dir)}))
+        return 0
+
+    if args.cmd == "clone":  # pure driver-side metadata op, no Ray
+        from maestro_ray.io.lake import clone_lake
+
+        m = clone_lake(args.src, args.dst, args.epoch)
+        print(json.dumps({"cloned_epoch": m.epoch,
+                          "partitions": len(m.partitions)}))
         return 0
 
     if args.cmd == "view":  # pure driver-side partition diffs, no Ray

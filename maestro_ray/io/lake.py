@@ -277,6 +277,72 @@ def read_lake_since(lake_dir: str, since_ts_us: int,
                      transform=row_filter)
 
 
+def clone_lake(src_dir: str, dst_dir: str,
+               epoch: int | None = None) -> Manifest:
+    """Zero-copy branch: materialize ``src_dir``'s state at ``epoch``
+    (default: newest) as an independent lake at ``dst_dir``.
+
+    Partition files are HARDLINKED (same inode, no bytes copied — a
+    100-TB branch costs metadata only; falls back to a real copy across
+    filesystems), which is safe because lake files are immutable by
+    design: every epoch writes fresh files and ``vacuum`` only unlinks
+    names, so vacuum/compaction/ingest on either side can never corrupt
+    the other. The branch starts with exactly one manifest (its base
+    epoch) plus the base epoch's lineage records; further ``ingest``
+    into it continues from epoch+1 and diverges freely. A vacuumed base
+    epoch fails loudly, same contract as time travel."""
+    import shutil
+
+    from maestro_ray.core.manifest import (
+        LINEAGE_DIR,
+        MANIFEST_DIR,
+        manifest_at,
+        manifest_path,
+    )
+
+    if epoch is None:
+        m = latest_manifest(src_dir)
+        if m is None:
+            raise FileNotFoundError(f"no manifest in {src_dir}")
+        epoch = m.epoch
+    else:
+        m = manifest_at(src_dir, epoch)  # raises with available history
+    missing = [f for f in lake_files(src_dir, m) if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            f"cannot branch {src_dir} at epoch {epoch}: "
+            f"{len(missing)} partition file(s) were vacuumed "
+            f"(e.g. {os.path.basename(missing[0])})"
+        )
+    if os.path.exists(manifest_path(dst_dir, epoch)):
+        raise FileExistsError(f"{dst_dir} already has an epoch {epoch}")
+
+    def link(src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device / unsupported fs → real copy
+            shutil.copy2(src, dst)
+
+    for v in m.partitions.values():
+        if v["rows"] > 0:
+            link(os.path.join(src_dir, v["file"]),
+                 os.path.join(dst_dir, v["file"]))
+    lin = os.path.join(src_dir, LINEAGE_DIR,
+                       f"epoch-{epoch:012d}.parquet")
+    if os.path.exists(lin):
+        link(lin, os.path.join(dst_dir, LINEAGE_DIR,
+                               os.path.basename(lin)))
+    os.makedirs(os.path.join(dst_dir, MANIFEST_DIR), exist_ok=True)
+    tmp = manifest_path(dst_dir, epoch) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(m.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest_path(dst_dir, epoch))
+    return m
+
+
 def read_lake_table(lake_dir: str, manifest: Manifest | None = None) -> pa.Table:
     """Driver-side full read — FOR TESTS ONLY (small lakes)."""
     files = lake_files(lake_dir, manifest)

@@ -1,0 +1,107 @@
+"""Zero-copy lake branching (io/lake.py clone_lake): the branch equals
+the source at its base epoch, diverges independently under further
+ingest, survives a source-side vacuum (hardlinked inodes), and fails
+loudly on a vacuumed base epoch."""
+
+import os
+
+import pytest
+
+from maestro_ray.core.manifest import latest_manifest, list_epochs, manifest_at, vacuum
+from maestro_ray.fixtures import ChangelogParams, write_changelog
+from maestro_ray.io.lake import clone_lake, read_lake_at, read_lake_table
+from maestro_ray.pipelines.ingest import ingest
+
+PARAMS = ChangelogParams(n_urls=50, n_events=400, seg_rows=50,
+                         evolution=False)
+
+
+@pytest.fixture()
+def lake(ray_session, tmp_path):
+    log = str(tmp_path / "log")
+    write_changelog(log, PARAMS)
+    lake_dir = str(tmp_path / "lake")
+    m = ingest(log, lake_dir, num_partitions=4, segments_per_epoch=2)
+    assert m is not None and m.epoch >= 3
+    return lake_dir
+
+
+def test_clone_equals_source_at_epoch(lake, tmp_path):
+    epochs = list_epochs(lake)
+    mid = epochs[len(epochs) // 2]
+    dst = str(tmp_path / "branch")
+    m = clone_lake(lake, dst, mid)
+    assert m.epoch == mid and list_epochs(dst) == [mid]
+    src_t = read_lake_at(lake, mid).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    dst_t = read_lake_table(dst).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert dst_t.equals(src_t)
+
+
+def test_clone_evolves_without_touching_source(lake, tmp_path):
+    """Branch at a mid epoch, replay the log's tail into the BRANCH
+    (its watermark filter skips the already-applied prefix): the branch
+    evolves through its own epochs, the source stays bit-for-bit
+    untouched, and — replay determinism across branches — the branch
+    reconverges to the source's head state."""
+    epochs = list_epochs(lake)
+    mid = epochs[len(epochs) // 2]
+    dst = str(tmp_path / "branch")
+    clone_lake(lake, dst, mid)
+    src_before = {p: (v["file"], v["checksum"])
+                  for p, v in latest_manifest(lake).partitions.items()}
+    log = str(os.path.dirname(lake) and
+              os.path.join(os.path.dirname(lake), "log"))
+    # different epoch cadence than the source's segments_per_epoch=2
+    m2 = ingest(log, dst, num_partitions=4, segments_per_epoch=3)
+    assert m2.epoch > mid and list_epochs(dst) != epochs
+    src_after = {p: (v["file"], v["checksum"])
+                 for p, v in latest_manifest(lake).partitions.items()}
+    assert src_after == src_before  # source untouched
+    got = read_lake_table(dst).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    exp = read_lake_table(lake).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert got.equals(exp)  # branch replay reconverges to the head
+
+
+def test_clone_survives_source_vacuum(lake, tmp_path):
+    epochs = list_epochs(lake)
+    old = epochs[0]
+    dst = str(tmp_path / "branch")
+    clone_lake(lake, dst, old)
+    expected = read_lake_at(lake, old).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    n = vacuum(lake, latest_manifest(lake))
+    assert n > 0  # epoch-`old` files are gone from the SOURCE namespace
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_lake_at(lake, old)
+    got = read_lake_table(dst).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert got.equals(expected)  # hardlinked inodes outlive the unlink
+
+
+def test_clone_of_vacuumed_epoch_fails_loudly(lake, tmp_path):
+    old = list_epochs(lake)[0]
+    vacuum(lake, latest_manifest(lake))
+    with pytest.raises(ValueError, match="vacuumed"):
+        clone_lake(lake, str(tmp_path / "branch"), old)
+
+
+def test_clone_refuses_existing_epoch(lake, tmp_path):
+    dst = str(tmp_path / "branch")
+    clone_lake(lake, dst)
+    with pytest.raises(FileExistsError):
+        clone_lake(lake, dst)
+
+
+def test_clone_time_travels_from_its_base(lake, tmp_path):
+    """The branch's base epoch is itself time-travel addressable and
+    its manifest equals the source's at that epoch."""
+    epochs = list_epochs(lake)
+    mid = epochs[len(epochs) // 2]
+    dst = str(tmp_path / "branch")
+    clone_lake(lake, dst, mid)
+    assert manifest_at(dst, mid).to_json() == \
+        manifest_at(lake, mid).to_json()
