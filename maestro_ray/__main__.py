@@ -103,6 +103,17 @@ def main(argv: list[str] | None = None) -> int:
     p_vw.add_argument("--lake-dir", required=True)
     p_vw.add_argument("--group-col", default="lang")
 
+    p_ch = sub.add_parser(
+        "changes",
+        help="print the net change feed over an epoch range (CDC-out)")
+    p_ch.add_argument("--lake-dir", required=True)
+    p_ch.add_argument("--from-epoch", type=int, default=None,
+                      help="exclusive lower bound (default: genesis)")
+    p_ch.add_argument("--to-epoch", type=int, default=None,
+                      help="inclusive upper bound (default: newest)")
+    p_ch.add_argument("--columns", default="lang",
+                      help="comma-separated payload columns")
+
     p_cl = sub.add_parser(
         "clone", help="zero-copy branch of a lake at an epoch (hardlinks)")
     p_cl.add_argument("--src", required=True)
@@ -134,6 +145,19 @@ def main(argv: list[str] | None = None) -> int:
             from maestro_ray.core.manifest import list_epochs
 
             print(json.dumps({"epochs": list_epochs(args.lake_dir)}))
+        return 0
+
+    if args.cmd == "changes":  # needs a session: the feed is a Dataset
+        from maestro_ray.pipelines.changefeed import table_changes
+
+        _ensure_ray(args.num_cpus)
+        cols = tuple(c for c in args.columns.split(",") if c)
+        ds = table_changes(args.lake_dir, args.from_epoch, args.to_epoch,
+                           payload_columns=cols)
+        for batch in ds.iter_batches(batch_format="pandas"):
+            sys.stdout.write(batch.to_json(orient="records",
+                                           lines=True,
+                                           date_format="iso"))
         return 0
 
     if args.cmd == "clone":  # pure driver-side metadata op, no Ray
