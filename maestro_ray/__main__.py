@@ -168,7 +168,7 @@ def main(argv: list[str] | None = None) -> int:
                           "partitions": len(m.partitions)}))
         return 0
 
-    if args.cmd == "view":  # pure driver-side partition diffs, no Ray
+    if args.cmd == "view":  # no Ray session: thread-pool file counts
         from maestro_ray.pipelines.views import maintain_group_counts
 
         out = maintain_group_counts(args.lake_dir, args.group_col)

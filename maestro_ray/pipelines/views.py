@@ -46,26 +46,49 @@ def _view_path(lake_dir: str, group_col: str, epoch: int) -> str:
                         f"epoch-{epoch:012d}.parquet")
 
 
-def _live_group_counts(paths: list[str], group_col: str) -> pd.Series:
-    """Per-group live-row counts over lake files (narrow read: group +
-    op only; tombstones excluded via the shared liveness rule, null
-    group kept as its own bucket; a file predating the group column —
+def _file_group_counts(path: str, group_col: str) -> dict:
+    """One file's per-group live-row counts (narrow read: group + op
+    only; tombstones excluded via the shared liveness rule, null group
+    kept as its own bucket; a file predating the group column —
     pre-evolution — counts its rows in the null bucket too)."""
     from maestro_ray.io.lake import live_mask
 
+    names = pq.read_schema(path).names
+    cols = ([group_col] if group_col in names else []) \
+        + (["op"] if "op" in names else [])
+    t = pq.read_table(path, columns=cols)
+    t = t.filter(live_mask(t))
+    if group_col not in t.column_names:
+        t = t.append_column(group_col, pa.nulls(t.num_rows, pa.string()))
+    g = t.select([group_col]).group_by([group_col]) \
+         .aggregate([([], "count_all")])
+    return dict(zip(g.column(0).to_pylist(), g.column(1).to_pylist()))
+
+
+def _live_group_counts(paths: list[str], group_col: str) -> pd.Series:
+    """Per-group live-row counts over lake files. The per-file counting
+    is embarrassingly parallel and only its TINY (group → n) results
+    reach the driver: Ray tasks when a session exists (the queries()
+    path), a thread pool otherwise (the session-less CLI — parquet
+    decode releases the GIL). At true scale the extension point in the
+    module docstring — merge tasks emitting count deltas with their
+    lineage — removes even this re-read."""
+    if not paths:
+        return pd.Series(dtype="int64")
+    import ray
+
+    if ray.is_initialized() and len(paths) > 1:
+        f = ray.remote(num_cpus=1)(_file_group_counts)
+        counts = ray.get([f.remote(p, group_col) for p in paths])
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
+            counts = list(ex.map(
+                lambda p: _file_group_counts(p, group_col), paths))
     total: dict = {}
-    for path in paths:
-        names = pq.read_schema(path).names
-        cols = ([group_col] if group_col in names else []) \
-            + (["op"] if "op" in names else [])
-        t = pq.read_table(path, columns=cols)
-        t = t.filter(live_mask(t))
-        if group_col not in t.column_names:
-            t = t.append_column(group_col,
-                                pa.nulls(t.num_rows, pa.string()))
-        g = t.select([group_col]).group_by([group_col]) \
-             .aggregate([([], "count_all")])
-        for k, n in zip(g.column(0).to_pylist(), g.column(1).to_pylist()):
+    for c in counts:
+        for k, n in c.items():
             total[k] = total.get(k, 0) + n
     return pd.Series(total, dtype="int64")
 
