@@ -4,7 +4,10 @@
         --log-dir /data/changelog --lake-dir /data/lake --partitions 256
 
 Subcommands: ``ingest`` (replay / resume), ``tail`` (incremental
-actor-pool mode), ``compact``, ``vacuum``, ``status``. This module is
+actor-pool mode, ``--follow`` daemon), ``landing``, ``infer-schema``,
+``compact``, ``vacuum``, ``status`` (``--epoch``/``--history`` time
+travel), ``view`` (incremental materialized view), ``changes`` (CDC-out
+feed), ``clone`` (zero-copy branch). This module is
 the ONLY library-side owner of a Ray session, and only when run
 standalone (``ray job submit`` drivers init their own session via the
 runtime; a pre-initialised session is respected).
@@ -147,19 +150,6 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"epochs": list_epochs(args.lake_dir)}))
         return 0
 
-    if args.cmd == "changes":  # needs a session: the feed is a Dataset
-        from maestro_ray.pipelines.changefeed import table_changes
-
-        _ensure_ray(args.num_cpus)
-        cols = tuple(c for c in args.columns.split(",") if c)
-        ds = table_changes(args.lake_dir, args.from_epoch, args.to_epoch,
-                           payload_columns=cols)
-        for batch in ds.iter_batches(batch_format="pandas"):
-            sys.stdout.write(batch.to_json(orient="records",
-                                           lines=True,
-                                           date_format="iso"))
-        return 0
-
     if args.cmd == "clone":  # pure driver-side metadata op, no Ray
         from maestro_ray.io.lake import clone_lake
 
@@ -230,6 +220,29 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"segments_written": len(written),
                               "segments": [os.path.basename(w)
                                            for w in written]}))
+            return 0
+        elif args.cmd == "changes":  # the feed is a Dataset → session
+            from maestro_ray.core.schema import LAKE_V2
+            from maestro_ray.pipelines.changefeed import table_changes
+
+            cols = tuple(c.strip() for c in args.columns.split(",")
+                         if c.strip())
+            known = {f.name for f in LAKE_V2}
+            bad = [c for c in cols if c not in known]
+            if bad:  # a typo would otherwise emit silently-null columns
+                ap.error(f"unknown payload column(s) {bad}; "
+                         f"lake columns: {sorted(known)}")
+            ds = table_changes(args.lake_dir, args.from_epoch,
+                               args.to_epoch, payload_columns=cols)
+            for batch in ds.iter_batches(batch_format="pandas"):
+                for c in batch.columns:  # bytes (html) aren't JSON: hex
+                    if batch[c].map(lambda v: isinstance(v, bytes)).any():
+                        batch[c] = batch[c].map(
+                            lambda v: v.hex() if isinstance(v, bytes)
+                            else v)
+                sys.stdout.write(batch.to_json(orient="records",
+                                               lines=True,
+                                               date_format="iso"))
             return 0
         elif args.cmd == "compact":
             from maestro_ray.io.lake import compact_partitions

@@ -183,13 +183,7 @@ def publish_epoch(
         with open(path) as f:
             if f.read() == m.to_json():
                 return m  # idempotent re-commit: no-op
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(m.to_json())
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    write_manifest_atomic(path, m)
     # staging dir for this epoch is now garbage; best-effort cleanup
     try:
         if os.path.isdir(staging) and not os.listdir(staging):
@@ -197,6 +191,19 @@ def publish_epoch(
     except OSError:
         pass
     return m
+
+
+def write_manifest_atomic(path: str, m: Manifest) -> None:
+    """The one atomic manifest-publish ritual (tmp + fsync + rename),
+    shared by ``publish_epoch`` and lake branching (io/lake.py
+    clone_lake)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(m.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def vacuum(lake_dir: str, keep_manifest: Manifest) -> int:

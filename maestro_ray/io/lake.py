@@ -36,6 +36,19 @@ def lake_files(lake_dir: str, manifest: Manifest | None = None) -> list[str]:
     ]
 
 
+def require_readable(lake_dir: str, m: Manifest, what: str) -> None:
+    """Raise loudly when any of the manifest's partition files was
+    vacuumed — the shared guard for every historical-epoch consumer
+    (time travel, branching)."""
+    missing = [f for f in lake_files(lake_dir, m) if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            f"{what}: {len(missing)} partition file(s) were vacuumed "
+            f"(e.g. {os.path.basename(missing[0])}); only epochs newer "
+            "than the last vacuum remain addressable"
+        )
+
+
 def live_mask(batch: pa.Table) -> pa.Array | pa.ChunkedArray:
     """THE liveness rule, defined once: a row is live unless its ``op``
     is ``delete``; null/absent ``op`` (schema-unified pre-tombstone
@@ -155,14 +168,8 @@ def read_lake_at(lake_dir: str, epoch: int,
     from maestro_ray.core.manifest import manifest_at
 
     m = manifest_at(lake_dir, epoch)  # raises with available history
-    missing = [f for f in lake_files(lake_dir, m) if not os.path.exists(f)]
-    if missing:
-        raise ValueError(
-            f"epoch {epoch} of {lake_dir} is no longer readable: "
-            f"{len(missing)} partition file(s) were vacuumed "
-            f"(e.g. {os.path.basename(missing[0])}); time travel only "
-            "reaches epochs newer than the last vacuum"
-        )
+    require_readable(lake_dir, m,
+                     f"epoch {epoch} of {lake_dir} is no longer readable")
     return read_lake(lake_dir, columns=columns, manifest=m)
 
 
@@ -291,13 +298,14 @@ def clone_lake(src_dir: str, dst_dir: str,
     epoch) plus the base epoch's lineage records; further ``ingest``
     into it continues from epoch+1 and diverges freely. A vacuumed base
     epoch fails loudly, same contract as time travel."""
+    import errno
     import shutil
 
     from maestro_ray.core.manifest import (
         LINEAGE_DIR,
-        MANIFEST_DIR,
         manifest_at,
         manifest_path,
+        write_manifest_atomic,
     )
 
     if epoch is None:
@@ -307,13 +315,8 @@ def clone_lake(src_dir: str, dst_dir: str,
         epoch = m.epoch
     else:
         m = manifest_at(src_dir, epoch)  # raises with available history
-    missing = [f for f in lake_files(src_dir, m) if not os.path.exists(f)]
-    if missing:
-        raise ValueError(
-            f"cannot branch {src_dir} at epoch {epoch}: "
-            f"{len(missing)} partition file(s) were vacuumed "
-            f"(e.g. {os.path.basename(missing[0])})"
-        )
+    require_readable(src_dir, m,
+                     f"cannot branch {src_dir} at epoch {epoch}")
     if os.path.exists(manifest_path(dst_dir, epoch)):
         raise FileExistsError(f"{dst_dir} already has an epoch {epoch}")
 
@@ -321,8 +324,21 @@ def clone_lake(src_dir: str, dst_dir: str,
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         try:
             os.link(src, dst)
-        except OSError:  # cross-device / unsupported fs → real copy
-            shutil.copy2(src, dst)
+        except OSError as ex:
+            if ex.errno == errno.EEXIST:
+                # retry of a crashed clone: the SAME inode is fine
+                # (idempotent); a DIFFERENT file means dst holds another
+                # lake's data — never silently overwrite it
+                if os.path.samefile(src, dst):
+                    return
+                raise FileExistsError(
+                    f"{dst} exists and is not {src}; refusing to "
+                    "overwrite another lake's file"
+                ) from ex
+            if ex.errno == errno.EXDEV:  # cross-filesystem → real copy
+                shutil.copy2(src, dst)
+                return
+            raise
 
     for v in m.partitions.values():
         if v["rows"] > 0:
@@ -333,13 +349,7 @@ def clone_lake(src_dir: str, dst_dir: str,
     if os.path.exists(lin):
         link(lin, os.path.join(dst_dir, LINEAGE_DIR,
                                os.path.basename(lin)))
-    os.makedirs(os.path.join(dst_dir, MANIFEST_DIR), exist_ok=True)
-    tmp = manifest_path(dst_dir, epoch) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(m.to_json())
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, manifest_path(dst_dir, epoch))
+    write_manifest_atomic(manifest_path(dst_dir, epoch), m)
     return m
 
 

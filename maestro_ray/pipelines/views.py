@@ -65,6 +65,21 @@ def _file_group_counts(path: str, group_col: str) -> dict:
     return dict(zip(g.column(0).to_pylist(), g.column(1).to_pylist()))
 
 
+_counts_task = None
+
+
+def _get_counts_task():
+    """Cached remote wrapper: built (and exported to the cluster) ONCE
+    per session instead of re-pickled on every maintenance call; lazy
+    so importing this module never touches ray.remote."""
+    global _counts_task
+    if _counts_task is None:
+        import ray
+
+        _counts_task = ray.remote(num_cpus=1)(_file_group_counts)
+    return _counts_task
+
+
 def _live_group_counts(paths: list[str], group_col: str) -> pd.Series:
     """Per-group live-row counts over lake files. The per-file counting
     is embarrassingly parallel and only its TINY (group → n) results
@@ -78,8 +93,8 @@ def _live_group_counts(paths: list[str], group_col: str) -> pd.Series:
     import ray
 
     if ray.is_initialized() and len(paths) > 1:
-        f = ray.remote(num_cpus=1)(_file_group_counts)
-        counts = ray.get([f.remote(p, group_col) for p in paths])
+        task = _get_counts_task()
+        counts = ray.get([task.remote(p, group_col) for p in paths])
     else:
         from concurrent.futures import ThreadPoolExecutor
 

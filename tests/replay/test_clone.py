@@ -51,8 +51,7 @@ def test_clone_evolves_without_touching_source(lake, tmp_path):
     clone_lake(lake, dst, mid)
     src_before = {p: (v["file"], v["checksum"])
                   for p, v in latest_manifest(lake).partitions.items()}
-    log = str(os.path.dirname(lake) and
-              os.path.join(os.path.dirname(lake), "log"))
+    log = os.path.join(os.path.dirname(lake), "log")
     # different epoch cadence than the source's segments_per_epoch=2
     m2 = ingest(log, dst, num_partitions=4, segments_per_epoch=3)
     assert m2.epoch > mid and list_epochs(dst) != epochs
@@ -94,6 +93,34 @@ def test_clone_refuses_existing_epoch(lake, tmp_path):
     clone_lake(lake, dst)
     with pytest.raises(FileExistsError):
         clone_lake(lake, dst)
+
+
+def test_clone_retry_after_crash_is_idempotent(lake, tmp_path):
+    """A clone that crashed after linking but before publishing its
+    manifest must be re-runnable: same-inode collisions are skipped."""
+    dst = str(tmp_path / "branch")
+    m = clone_lake(lake, dst)
+    os.remove(os.path.join(dst, "_manifests",
+                           f"manifest-{m.epoch:012d}.json"))
+    m2 = clone_lake(lake, dst)  # links already exist (same inodes)
+    assert m2.to_json() == m.to_json()
+    assert read_lake_table(dst).num_rows == read_lake_table(lake).num_rows
+
+
+def test_clone_never_overwrites_foreign_files(lake, tmp_path):
+    """A dst path already holding a DIFFERENT file (another lake's
+    data) must fail loudly, not be silently overwritten."""
+    dst = str(tmp_path / "branch")
+    m = latest_manifest(lake)
+    rel = next(v["file"] for v in m.partitions.values() if v["rows"] > 0)
+    foreign = os.path.join(dst, rel)
+    os.makedirs(os.path.dirname(foreign), exist_ok=True)
+    with open(foreign, "wb") as f:
+        f.write(b"someone else's bytes")
+    with pytest.raises(FileExistsError, match="refusing"):
+        clone_lake(lake, dst)
+    with open(foreign, "rb") as f:
+        assert f.read() == b"someone else's bytes"  # untouched
 
 
 def test_clone_time_travels_from_its_base(lake, tmp_path):
