@@ -72,6 +72,19 @@ def test_range_collapses_to_net_diff(lake):
     assert got == exp
 
 
+def test_every_epoch_pair_matches_oracle_diff(lake):
+    """ALL (i < j) epoch pairs, not just adjacent ones: a range feed is
+    exactly the state diff of its endpoints, whatever happened between
+    them (the algebra that makes feeds composable and resumable)."""
+    epochs = list_epochs(lake["dir"])
+    wm = {e: manifest_at(lake["dir"], e).watermark for e in epochs}
+    for i, a in enumerate(epochs):
+        for b in epochs[i + 1:]:
+            got = _feed_dict(table_changes(lake["dir"], a, b))
+            exp = _expected(lake["events"], wm[a], wm[b])
+            assert got == exp, f"range ({a}, {b}]"
+
+
 def test_genesis_feed_is_live_state_as_inserts(lake):
     last = list_epochs(lake["dir"])[-1]
     pdf = table_changes(lake["dir"], None, last).to_pandas()
