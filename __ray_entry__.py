@@ -813,6 +813,25 @@ def _q_window_lag(sf):
                                    "prev_value", "next_value"])
 
 
+def _q_window_moving(sf):
+    """ROW-frame moving aggregate: per-user 3-row moving sum of event
+    value ordered by (ts, event_id) (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW) — direct per-frame summation inside each group, one
+    grouped shuffle. event_id is the unique tiebreak (lineitem's
+    (l_orderkey, l_linenumber) is NOT unique in the synthetic tables —
+    11,785 dup pairs at sf0.01 — which made frame order
+    engine-dependent)."""
+    from maestro_ray.ops.aggregates import moving_agg
+
+    ds = _read(sf, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    out = moving_agg(ds, key="user_id", order_cols=["ts", "event_id"],
+                     value_col="value", window=3, out="mov_val",
+                     how="sum")
+    return P.project(out, columns=["user_id", "event_id", "value",
+                                   "mov_val"])
+
+
 def _q_pivot(sf):
     """Pivot: order counts per priority class, one column per order
     status — vectorized indicator columns + the partial-pre-agg grouped
@@ -1648,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles": _q_quantiles,
         "embedding_dup_exact": _q_embedding_dup_exact,
         "window_lag": _q_window_lag,
+        "window_moving": _q_window_moving,
         "pivot": _q_pivot,
         "text_normalize": _q_text_normalize,
         "rdbms_import": _q_rdbms_import,
@@ -2193,6 +2213,12 @@ def oracle_sql() -> dict[str, str]:
             "AS prev_value, "
             "lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "AS next_value FROM events"
+        ),
+        "window_moving": (
+            "SELECT user_id, event_id, value, "
+            "sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_val "
+            "FROM events"
         ),
         "pivot": (
             "SELECT o_orderpriority, "

@@ -599,6 +599,82 @@ def lag_lead(
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
+def moving_agg(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out: str = "moving_value",
+    how: str = "sum",
+) -> rd.Dataset:
+    """A6-adjacent ROW-frame moving aggregate: per-``key``
+    ``sum/avg/min/max`` of ``value_col`` over ``ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW``, ordered by ``order_cols`` (include a
+    unique tiebreak for determinism). Complements the TIME-based
+    tumbling/sliding windows: frames count rows, not intervals. One
+    shuffle (groupby key); inside each group, small frames (≤64) sum
+    directly per frame (numerics match a SQL engine's windowed
+    aggregate), large frames use an O(n) prefix-sum difference, and
+    min/max use a sliding comparison — never a per-row Python loop.
+    Nulls contribute nothing to sum/avg
+    (DuckDB window-aggregate semantics: avg divides by non-null count
+    in frame, all-null frame → null)."""
+    if how not in ("sum", "avg", "min", "max"):
+        raise ValueError(f"how={how!r}: sum|avg|min|max")
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        v = s.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(v)
+        isnan = np.isnan(v)
+        if how in ("sum", "avg"):
+            if window <= 64:
+                # direct per-frame summation: bit-compatible with how a
+                # SQL engine sums the frame's values (a prefix-sum
+                # DIFFERENCE accumulates the whole group's rounding
+                # into each frame — visibly off at 1e-6 on long groups)
+                pad = np.concatenate((np.full(window - 1, 0.0),
+                                      np.where(isnan, 0.0, v)))
+                tot = np.lib.stride_tricks \
+                    .sliding_window_view(pad, window).sum(axis=1)
+                padk = np.concatenate((np.zeros(window - 1, dtype=bool),
+                                       ~isnan))
+                cnt = np.lib.stride_tricks \
+                    .sliding_window_view(padk, window).sum(axis=1)
+            else:  # big frames: O(n) prefix-sum difference
+                c = np.cumsum(np.where(isnan, 0.0, v))
+                k = np.cumsum((~isnan).astype(np.int64))
+                lo = np.maximum(0, np.arange(n) - window + 1)
+                tot = c - np.concatenate(([0.0], c))[lo]
+                cnt = k - np.concatenate(([0], k))[lo]
+            if how == "sum":
+                out_v = np.where(cnt > 0, tot, np.nan)
+            else:
+                with np.errstate(invalid="ignore"):
+                    out_v = np.where(cnt > 0, tot / cnt, np.nan)
+        else:
+            fill = np.inf if how == "min" else -np.inf
+            w = np.where(isnan, fill, v)
+            # sliding min/max via a strided comparison over the padded
+            # window matrix — O(n·window) vectorized, fine for the
+            # small frames ROWS windows are used with
+            pad = np.concatenate((np.full(window - 1, fill), w))
+            win = np.lib.stride_tricks.sliding_window_view(pad, window)
+            out_v = win.min(axis=1) if how == "min" else win.max(axis=1)
+            dead = np.concatenate(
+                (np.zeros(window - 1, dtype=bool), ~isnan))
+            any_live = np.lib.stride_tricks \
+                .sliding_window_view(dead, window).any(axis=1)
+            out_v = np.where(any_live, out_v, np.nan)
+        return s.append_column(
+            out, pa.array(out_v, pa.float64(), from_pandas=True))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
 def rank_window(
     ds: rd.Dataset,
     key: str,

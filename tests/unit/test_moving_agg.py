@@ -1,0 +1,61 @@
+"""ROW-frame moving aggregates (ops/aggregates.py moving_agg): every
+mode (sum/avg/min/max) must match DuckDB's windowed aggregate over the
+same frame, including null handling and short leading frames."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from maestro_ray.ops.aggregates import moving_agg
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    n = 600
+    vals = rng.uniform(0, 100, n).round(2)
+    vals[rng.random(n) < 0.15] = np.nan  # nulls inside frames
+    return pd.DataFrame({
+        "k": rng.integers(0, 25, n),
+        "o": np.arange(n),  # unique order tiebreak
+        "v": vals,
+    })
+
+
+@pytest.mark.parametrize("how,fn", [
+    ("sum", "sum"), ("avg", "avg"), ("min", "min"), ("max", "max"),
+])
+@pytest.mark.parametrize("window", [1, 3, 7])
+def test_matches_duckdb_window(ray_session, data, how, fn, window):
+    out = moving_agg(
+        rd.from_pandas(data), key="k", order_cols=["o"], value_col="v",
+        window=window, out="m", how=how,
+    ).to_pandas().sort_values("o").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", data)
+    exp = con.execute(
+        f"SELECT k, o, v, {fn}(v) OVER (PARTITION BY k ORDER BY o "
+        f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS m "
+        "FROM t ORDER BY o"
+    ).fetchdf()
+    assert np.allclose(out["m"], exp["m"], equal_nan=True, atol=1e-9)
+
+
+def test_all_null_frame_is_null(ray_session):
+    df = pd.DataFrame({"k": [1, 1, 1], "o": [0, 1, 2],
+                       "v": [np.nan, np.nan, 5.0]})
+    out = moving_agg(rd.from_pandas(df), key="k", order_cols=["o"],
+                     value_col="v", window=2, out="m", how="sum") \
+        .to_pandas().sort_values("o")
+    assert np.isnan(out["m"].iloc[0]) and np.isnan(out["m"].iloc[1])
+    assert out["m"].iloc[2] == 5.0
+
+
+def test_rejects_unknown_mode(ray_session):
+    df = pd.DataFrame({"k": [1], "o": [0], "v": [1.0]})
+    with pytest.raises(ValueError, match="how="):
+        moving_agg(rd.from_pandas(df), key="k", order_cols=["o"],
+                   value_col="v", window=2, how="median")
