@@ -89,7 +89,7 @@ ORACLE_NAMES = [
     "join_range", "join_band", "window_rank", "rollup", "string_agg",
     "quantiles_cont", "join_skew", "grouped_quantiles", "histogram",
     "heavy_hitters", "chunk_documents", "sample_hash", "sample_stratified",
-    "term_stats", "tfidf",
+    "term_stats", "tfidf", "window_moving",
 ]
 
 
