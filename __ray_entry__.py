@@ -1619,6 +1619,100 @@ def _q_pipeline_nation_revenue(sf):
     return agg[["n_name", "revenue_m"]]
 
 
+def _q_corr_grouped(sf):
+    """A2 bivariate statistics: per-flag sample covariance and Pearson
+    correlation of (quantity, extendedprice) from mergeable moment
+    partials (ops/aggregates.py grouped_corr). Moments recombine vs
+    DuckDB's single-pass updating formula with ~1e-9 absolute drift
+    (measured at sf0.1) — round(6) is three orders of margin."""
+    from maestro_ray.ops.aggregates import grouped_corr
+
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(ds, "l_returnflag", "l_quantity",
+                        "l_extendedprice", round_to=6)
+
+
+def _q_mode_grouped(sf):
+    """A2 per-key mode: each nation's most common market segment, ties
+    broken by the SMALLEST value (the SQL twin spells the same tiebreak
+    as a row_number window — bare mode() is engine-defined on ties).
+    Integer counts + string values: exact compare."""
+    from maestro_ray.ops.aggregates import grouped_mode
+
+    ds = _read(sf, "customer", columns=["c_nationkey", "c_mktsegment"])
+    return grouped_mode(ds, "c_nationkey", "c_mktsegment")
+
+
+def _q_cube(sf):
+    """A2 GROUP BY CUBE: all four (flag, status) subset levels from ONE
+    distributed finest-level aggregation, coarser levels re-merged from
+    the small result on the driver (ops/aggregates.py cube_agg) —
+    the input is scanned once no matter how many subsets. Same 'ALL'
+    sentinel / rounding policy as the rollup twin."""
+    from maestro_ray.ops.aggregates import cube_agg
+
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+    return cube_agg(ds, ["l_returnflag", "l_linestatus"],
+                    {"n_rows": (None, "count"),
+                     "sum_qty": ("l_quantity", "sum"),
+                     "avg_price": ("l_extendedprice", "mean")},
+                    round_to=3)
+
+
+def _q_window_analytic(sf):
+    """A6 analytic-window pack: ROW_NUMBER / NTILE(4) / PERCENT_RANK /
+    CUME_DIST / FIRST_VALUE / LAST_VALUE per user over (ts, event_id)
+    in ONE grouped pass (ops/aggregates.py analytic_window). event_id
+    makes the ordering unique, so every column — including the two
+    float ranks, which both engines compute as the same exact integer
+    division — compares EXACTLY, no rounding."""
+    from maestro_ray.ops.aggregates import analytic_window
+
+    ds = _read(sf, "events", columns=["user_id", "event_id", "ts", "value"])
+    out = analytic_window(ds, key="user_id", order_cols=["ts", "event_id"],
+                          value_col="value", tiles=4)
+    return P.project(out, columns=["user_id", "event_id", "rn", "bucket",
+                                   "pct_rank", "cume_dist", "first_val",
+                                   "last_val"])
+
+
+def _q_join_bloom(sf):
+    """J4 at scale: bloom-pruned EXACT semi join (events ⋈ customer
+    keys). The right side ships as a fixed 2^20-bit bitmap instead of
+    its raw key set; false positives are removed by the bucketed hash
+    join over the pruned left only (ops/joins.py bloom_semi_join). The
+    oracle is the plain IN-subquery semi join — plan equivalence IS
+    the check."""
+    from maestro_ray.ops.joins import bloom_semi_join
+
+    ev = _read(sf, "events", columns=["event_id", "user_id"])
+    cust = _read(sf, "customer", columns=["c_custkey"])
+    out = bloom_semi_join(ev, cust, key="user_id", right_key="c_custkey",
+                          m_bits=1 << 20, num_buckets=16)
+    return P.project(out, columns=["event_id", "user_id"])
+
+
+def _q_knn_ivf(sf):
+    """Persisted IVF (inverted-file) ANN index: k-means centroids
+    trained on a bounded sample, one distributed assignment pass, one
+    parquet file per centroid; probes read only the n_probes nearest
+    centroids' files (ops/similarity.py build_ivf_index/knn_ivf_probe).
+    Rows-only driver check; recall vs knn_brute and the sublinear-I/O
+    assert are pytest-pinned (tests/unit/test_dedup_similarity.py)."""
+    from maestro_ray.ops.similarity import build_ivf_index, knn_ivf_probe
+
+    name = os.path.basename(sf.rstrip("/"))
+    idx = f"/tmp/maestro_ivf_r3_{name}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        build_ivf_index(ds, idx, n_centroids=16, sample_size=2048)
+    out = knn_ivf_probe(idx, _knn_query_vec(sf), k=10, n_probes=6)
+    return out[["vec_id"]].reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -1705,6 +1799,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": _q_sample_stratified,
         "term_stats": _q_term_stats,
         "tfidf": _q_tfidf,
+        "corr_grouped": _q_corr_grouped,
+        "mode_grouped": _q_mode_grouped,
+        "cube": _q_cube,
+        "window_analytic": _q_window_analytic,
+        "join_bloom": _q_join_bloom,
+        "knn_ivf": _q_knn_ivf,
     }
 
 
@@ -2251,7 +2351,49 @@ def oracle_sql() -> dict[str, str]:
             "LATERAL unnest(range(0, 1 + d.doc_id % 7)) u(f) "
             "WHERE u.f % 2 = 0"
         ),
+        "corr_grouped": (
+            "SELECT l_returnflag, "
+            "round(covar_samp(l_quantity, l_extendedprice), 6) "
+            "AS covar_samp, "
+            "round(corr(l_quantity, l_extendedprice), 6) AS corr "
+            "FROM lineitem GROUP BY 1"
+        ),
+        "mode_grouped": (
+            # bare mode() leaves ties engine-defined; the engine's
+            # documented tiebreak (smallest value) is spelled out
+            "SELECT c_nationkey, c_mktsegment, n FROM ("
+            "SELECT c_nationkey, c_mktsegment, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "row_number() OVER (PARTITION BY c_nationkey "
+            "ORDER BY count(*) DESC, c_mktsegment) AS rn "
+            "FROM customer GROUP BY 1, 2) t WHERE rn = 1"
+        ),
+        "cube": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "round(sum(l_quantity), 3) AS sum_qty, "
+            "round(avg(l_extendedprice), 3) AS avg_price "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "window_analytic": (
+            # LAST_VALUE needs the explicit unbounded ROWS frame — the
+            # SQL default stops at CURRENT ROW
+            "SELECT user_id, event_id, "
+            "row_number() OVER w AS rn, ntile(4) OVER w AS bucket, "
+            "percent_rank() OVER w AS pct_rank, "
+            "cume_dist() OVER w AS cume_dist, "
+            "first_value(value) OVER w2 AS first_val, "
+            "last_value(value) OVER w2 AS last_val FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id), "
+            "w2 AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
+        "join_bloom": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE user_id IN (SELECT c_custkey FROM customer)"
+        ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
-        # knn_lsh, embedding_near_dup, multimodal_decode, approx_distinct:
-        # non-SQL-expressible → rows-only check
+        # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,
+        # approx_distinct: non-SQL-expressible → rows-only check
     }

@@ -467,6 +467,176 @@ def heavy_hitters(
     return out.sort_values(col).reset_index(drop=True)
 
 
+def grouped_corr(
+    ds: rd.Dataset,
+    keys: list[str] | str,
+    x: str,
+    y: str,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """A2 bivariate statistics: per-key sample covariance and Pearson
+    correlation of ``(x, y)``.
+
+    SQL ``covar_samp``/``corr`` semantics: a row counts only when BOTH
+    columns are non-null; keys with n < 2 (or zero variance, for corr)
+    yield NULL. Distributed exactly like ``grouped_agg``: each batch
+    emits one mergeable partial row per key (n, Σx, Σy, Σx², Σy², Σxy —
+    all computed by Arrow's C++ hash aggregation), one small groupby
+    merges the partials, and the moments recombine on the driver.
+    ``round_to`` stabilizes the cross-engine compare (a SQL engine's
+    single-pass updating formula differs from the naive moments in the
+    last ulps)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xa = pc.cast(batch.column(x), pa.float64())
+        ya = pc.cast(batch.column(y), pa.float64())
+        both = pc.and_(pc.is_valid(xa), pc.is_valid(ya))
+        t = pa.Table.from_arrays(
+            [batch.column(k) for k in keys] + [xa, ya],
+            names=keys + ["__x", "__y"],
+        ).filter(both)
+        xv, yv = t.column("__x"), t.column("__y")
+        t = (
+            t.append_column("__xx", pc.multiply(xv, xv))
+            .append_column("__yy", pc.multiply(yv, yv))
+            .append_column("__xy", pc.multiply(xv, yv))
+        )
+        res = t.group_by(keys).aggregate(
+            [("__x", "sum"), ("__y", "sum"), ("__xx", "sum"),
+             ("__yy", "sum"), ("__xy", "sum"), ([], "count_all")]
+        )
+        return res.rename_columns(
+            keys + ["sx", "sy", "sxx", "syy", "sxy", "n"]
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(
+            Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"), Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    n = merged["n"].astype("float64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cov = (merged["sxy"] - merged["sx"] * merged["sy"] / n) / (n - 1)
+        var_x = (merged["sxx"] - merged["sx"] ** 2 / n) / (n - 1)
+        var_y = (merged["syy"] - merged["sy"] ** 2 / n) / (n - 1)
+        corr = cov / np.sqrt(var_x.clip(lower=0) * var_y.clip(lower=0))
+    out = merged[keys].copy()
+    out["covar_samp"] = cov.where(n >= 2)
+    out["corr"] = pd.Series(corr).where((n >= 2) & (var_x > 0) & (var_y > 0))
+    if round_to is not None:
+        out["covar_samp"] = out["covar_samp"].round(round_to)
+        out["corr"] = out["corr"].round(round_to)
+    return out.sort_values(keys).reset_index(drop=True)
+
+
+def grouped_mode(
+    ds: rd.Dataset, keys: list[str] | str, col: str
+) -> pd.DataFrame:
+    """A2: per-key mode (most frequent ``col`` value), ties broken by
+    the SMALLEST value so the result is deterministic and
+    oracle-comparable (SQL ``mode()`` leaves ties engine-defined — the
+    twin must spell the tiebreak as a row_number window). Nulls are
+    ignored (SQL aggregate semantics). Plan + scale bound: the shared
+    ``_count_merge`` distinct-count partials — O(distinct (key, value))
+    ever reaches the driver."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    # drop null values BEFORE the keyed count: SQL aggregate semantics,
+    # and Ray's groupby sort can't order None among strings anyway
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(col))),
+        batch_format="pyarrow",
+    )
+    merged, cnt_col = _count_merge(ds, keys + [col])
+    merged = merged[merged[col].notna()]
+    picked = (
+        merged.sort_values(keys + [cnt_col, col],
+                           ascending=[True] * len(keys) + [False, True],
+                           kind="mergesort")
+        .groupby(keys, as_index=False, dropna=False)
+        .head(1)
+    )
+    out = picked[keys + [col, cnt_col]].rename(columns={cnt_col: "n"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(keys).reset_index(drop=True)
+
+
+def cube_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str | None, str]],
+    round_to: int | None = None,
+    fill: str = "ALL",
+) -> pd.DataFrame:
+    """A2 hierarchical variant: GROUP BY CUBE(keys) — one grouped
+    result per key SUBSET (all 2^len(keys) of them), rolled-up key
+    columns filled with ``fill`` (same sentinel policy as
+    ``rollup_agg``).
+
+    Scale plan: identical to ``rollup_agg`` — ONE distributed
+    ``grouped_agg`` at the finest level, every subset re-merged from
+    that already-small result on the driver (sums/counts re-sum,
+    min/max re-min/max, means recombine from (sum, count) partials).
+    2^k driver passes over a result the size of the finest grouping —
+    keys stay few by construction. Supported kinds: sum count min max
+    mean."""
+    from itertools import combinations
+
+    keys = list(keys)
+    internal: dict[str, tuple[str | None, str]] = {}
+    for name, (col, kind) in specs.items():
+        if kind in ("sum", "count", "min", "max"):
+            internal[name] = (col, kind)
+        elif kind == "mean":
+            internal[f"__sum_{name}"] = (col, "sum")
+            internal[f"__cnt_{name}"] = (col, "count")
+        else:
+            raise ValueError(
+                f"cube_agg kind {kind!r}: sum/count/min/max/mean only "
+                "(std partials are not re-mergeable from the finest level)"
+            )
+    fin = grouped_agg(ds, keys, internal)
+    remerge = {
+        name: ("sum" if kind in ("sum", "count") else kind)
+        for name, (_c, kind) in internal.items()
+    }
+    levels = []
+    for depth in range(len(keys), -1, -1):
+        for subset in combinations(keys, depth):
+            kept = list(subset)
+            if depth == len(keys):
+                lv = fin.copy()
+            elif kept:
+                # dropna=False: genuinely-null key values keep their
+                # subtotal rows (same rule as rollup_agg)
+                lv = fin.groupby(kept, as_index=False, dropna=False).agg(remerge)
+            else:
+                lv = fin.agg(remerge).to_frame().T
+            for k in keys:
+                if k not in kept:
+                    lv[k] = fill
+            levels.append(lv[keys + list(internal)])
+    out = pd.concat(levels, ignore_index=True)
+    res = out[keys].copy()
+    for name, (_col, kind) in specs.items():
+        if kind == "mean":
+            res[name] = out[f"__sum_{name}"] / out[f"__cnt_{name}"]
+        elif kind == "count":
+            res[name] = out[name].astype("int64")
+        else:
+            res[name] = out[name]
+    if round_to is not None:
+        for name in specs:
+            if res[name].dtype.kind == "f":
+                res[name] = res[name].round(round_to)
+    return res.sort_values(keys).reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ windows
 
 
@@ -702,6 +872,66 @@ def rank_window(
             # (null == null ties, Arrow compare — see _adjacent_change)
             rn = np.cumsum(_adjacent_change(s, order_cols)).astype(np.int64)
         return s.append_column(out, pa.array(rn, pa.int64()))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def analytic_window(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    tiles: int = 4,
+) -> rd.Dataset:
+    """A6-adjacent analytic window pack: per-``key``, ordered by
+    ``order_cols``, adds in ONE pass what SQL spells as five window
+    functions — ``rn`` (ROW_NUMBER), ``bucket`` (NTILE(tiles)),
+    ``pct_rank`` (PERCENT_RANK), ``cume_dist`` (CUME_DIST),
+    ``first_val``/``last_val`` (FIRST_VALUE/LAST_VALUE of ``value_col``
+    over the unbounded frame).
+
+    Tie semantics follow SQL exactly: rank runs are detected over the
+    ordering tuple (``_adjacent_change``), so peers share pct_rank
+    (first-peer rank) and cume_dist (last-peer position); a one-row
+    partition has pct_rank 0. NTILE hands the first ``n %% tiles``
+    buckets the extra row. first/last_val depend on within-tie order at
+    the partition edges — include a unique tiebreak in ``order_cols``
+    for a deterministic result (the oracle caution: synthetic tables
+    have duplicate ordering pairs). One shuffle (groupby key); all
+    assignments are vectorized after the local per-group sort —
+    identical plan shape to ``rank_window``."""
+    if tiles < 1:
+        raise ValueError(f"tiles={tiles}: need >= 1")
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        n = s.num_rows
+        pos = np.arange(n, dtype=np.int64)  # 0-based
+        change = _adjacent_change(s, order_cols)
+        starts = np.flatnonzero(change)
+        gid = np.cumsum(change) - 1
+        rank = starts[gid] + 1  # 1-based first-peer rank
+        run_end = np.append(starts[1:], n)  # last peer pos + 1
+        pct = (rank - 1) / (n - 1) if n > 1 else np.zeros(n)
+        cume = run_end[gid] / n
+        # NTILE: first n % tiles buckets are one row larger
+        q, rem = divmod(n, tiles)
+        split = rem * (q + 1)
+        big = pos // (q + 1) if q + 1 else pos
+        small = rem + (pos - split) // q if q else pos
+        bucket = np.where(pos < split, big, small) + 1
+        v = s.column(value_col).combine_chunks()
+        first_val = v.take(pa.array(np.zeros(n, dtype=np.int64)))
+        last_val = v.take(pa.array(np.full(n, n - 1, dtype=np.int64)))
+        return (
+            s.append_column("rn", pa.array(pos + 1, pa.int64()))
+            .append_column("bucket", pa.array(bucket, pa.int64()))
+            .append_column("pct_rank", pa.array(pct, pa.float64()))
+            .append_column("cume_dist", pa.array(cume, pa.float64()))
+            .append_column("first_val", first_val)
+            .append_column("last_val", last_val)
+        )
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
 

@@ -578,3 +578,108 @@ def anti_join(ds: rd.Dataset, right, key: str, right_key: str | None = None) -> 
         return batch.filter(pc.invert(mask))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- bloom pruning
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """(n, k) bit positions per 64-bit hash via double hashing:
+    idx_i = (h mod m + i·h2) mod m with h2 forced odd from the high
+    bits — k independent-enough probes from ONE hash computation."""
+    with np.errstate(over="ignore"):
+        h1 = h % np.uint64(m_bits)
+        h2 = ((h >> np.uint64(33)) << np.uint64(1)) | np.uint64(1)
+        steps = np.arange(k_hashes, dtype=np.uint64)
+        return (
+            (h1[:, None] + steps[None, :] * h2[:, None]) % np.uint64(m_bits)
+        ).astype(np.int64)
+
+
+def build_bloom(
+    right, key: str, m_bits: int = 1 << 23, k_hashes: int = 4
+) -> np.ndarray:
+    """Packed bloom bitmap (uint8, m_bits/8 bytes) over ``right[key]``.
+
+    Each batch emits ONE mergeable partial (its local bitmap); the
+    driver OR-streams them with bounded memory (one bitmap held,
+    m_bits/8 bytes — 1 MiB at the default 2^23). Nulls are excluded:
+    a null key never matches in SQL semi-join semantics. At cluster
+    scale swap the driver OR-stream for a fan-in tree reduce (the
+    ingest slim pass's shape); the partial count is O(blocks), each a
+    fixed 1 MiB, so even the stream is cheap next to the data pass."""
+    if m_bits % 8:
+        raise ValueError(f"m_bits={m_bits}: must be a multiple of 8")
+    if isinstance(right, pa.Table):
+        right = rd.from_arrow(right)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        h = hash_array(col)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        if valid.any():
+            idx = _bloom_positions(h[valid], m_bits, k_hashes).ravel()
+            np.bitwise_or.at(bm, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bm.tobytes()], pa.binary())})
+
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in right.map_batches(sketch, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for blob in b.column("bloom").to_pylist():
+            np.bitwise_or(acc, np.frombuffer(blob, dtype=np.uint8), out=acc)
+    return acc
+
+
+def bloom_filter_ds(
+    ds: rd.Dataset, key: str, bloom: np.ndarray,
+    m_bits: int, k_hashes: int,
+) -> rd.Dataset:
+    """Rows of ``ds`` whose key MIGHT be in the bloom set (true matches
+    plus false positives at rate ≈ (1−e^{−kn/m})^k). The bitmap is
+    broadcast ONCE via ``ray.put`` and each batch does k vectorized bit
+    tests per row — no shuffle, no Python loop."""
+    bm_ref = ray.put(bloom)
+
+    def f(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        col = batch.column(key)
+        idx = _bloom_positions(hash_array(col), m_bits, k_hashes)
+        hit = ((bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).all(axis=1)
+        hit &= pc.is_valid(col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(hit))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def bloom_semi_join(
+    ds: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    right_key: str | None = None,
+    m_bits: int = 1 << 23,
+    k_hashes: int = 4,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """J4 at scale: EXACT semi join with bloom pre-pruning.
+
+    ``semi_join`` broadcasts the right side's full distinct key set —
+    at 100 TB that set no longer fits a broadcast. This variant ships a
+    FIXED-size bitmap instead (``build_bloom``), filters the left side
+    to bloom hits (``bloom_filter_ds``), then removes false positives
+    with the bucketed ``hash_join`` against the distinct right keys —
+    one shuffle over the already-pruned left only, the raw key set
+    never transits the driver. Result is exactly ``semi_join`` (left
+    rows preserved once: the verify side is distinct)."""
+    from maestro_ray.ops.aggregates import distinct
+
+    rk = right_key or key
+    bloom = build_bloom(right, rk, m_bits=m_bits, k_hashes=k_hashes)
+    survivors = bloom_filter_ds(ds, key, bloom, m_bits, k_hashes)
+    def keys_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(rk)))  # null never semi-matches
+        return t.select([rk]).rename_columns([key])
+
+    rkeys = distinct(right.map_batches(keys_only, batch_format="pyarrow"), key)
+    return hash_join(survivors, rkeys, keys=key, num_buckets=num_buckets)

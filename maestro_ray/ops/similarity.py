@@ -389,13 +389,32 @@ def knn_lsh_probe(
         "bytes_probed": bytes_probed,
         "bytes_total": sum(b["bytes"] for b in man["buckets"]),
     }
+    out = _probe_files(index_dir, tasks, q, k, id_col)
+    return (out, stats) if with_stats else out
+
+
+def _probe_files(
+    index_dir: str,
+    tasks: dict[str, list[int]],
+    q: np.ndarray,
+    k: int,
+    id_col: str,
+) -> pd.DataFrame:
+    """Shared probe executor for the persisted index layouts (LSH
+    buckets and IVF centroid partitions share the (id, vec) file
+    schema): one Ray task per probed file computes its local exact
+    cosine top-k for exactly the queries that probed it, the O(files·k)
+    partials merge on the driver."""
+    import os
+
+    files_probed = sorted(tasks)
     empty = pd.DataFrame({
         "query_id": pd.Series([], dtype="int64"),
         id_col: pd.Series([], dtype="int64"),
         "score": pd.Series([], dtype="float64"),
     })
     if not files_probed:
-        return (empty, stats) if with_stats else empty
+        return empty
     q_ref = ray.put(q)
     desc = pa.table({
         "file": pa.array(files_probed, pa.string()),
@@ -437,14 +456,174 @@ def knn_lsh_probe(
         .to_pandas()
     )
     if survivors.empty:
-        return (empty, stats) if with_stats else empty
+        return empty
     survivors["score"] = survivors["score"].round(6)
     survivors = survivors.drop_duplicates(subset=["query_id", id_col])
-    out = (
+    return (
         survivors.sort_values(["query_id", "score", id_col],
                               ascending=[True, False, True], kind="mergesort")
         .groupby("query_id", sort=True)
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------- IVF centroid index
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int,
+            seed: int) -> np.ndarray:
+    """Plain Lloyd k-means on unit-normalized vectors (cosine = dot),
+    deterministic seed. Runs on the DRIVER over a bounded sample only —
+    the classic IVF recipe (train small, assign distributed)."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float32))
+    if len(x) < n_centroids:
+        raise ValueError(f"sample of {len(x)} < n_centroids={n_centroids}")
+    c = x[rng.choice(len(x), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=n_centroids)
+        live = counts > 0
+        c[live] = sums[live] / counts[live, None]
+        c = _normalize(c)
+    return c
+
+
+def build_ivf_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 23,
+) -> dict:
+    """Build-once persisted IVF (inverted-file) centroid layout — the
+    second scale path beside the LSH bucket index (``build_ann_index``).
+
+    Centroids are trained on the driver from a bounded sample
+    (first ``sample_size`` vectors — deterministic; at real scale feed
+    a ``sample_hash`` fraction instead for spread), broadcast once, and
+    every vector is assigned to its nearest centroid in one distributed
+    pass (per-batch matmul, no shuffle of the raw floats beyond the one
+    groupby that co-locates each centroid's members into its own
+    parquet file). Probing (``knn_ivf_probe``) reads only the
+    ``n_probes`` nearest centroids' files — I/O sublinear in corpus
+    size, same guarantee the LSH index asserts in tests. Unlike LSH the
+    vectors are written ONCE (not once per table), so the index is
+    ~n_tables× smaller for equal probe quality on clustered data."""
+    import json
+    import os
+
+    sample = ds.limit(sample_size)
+    smat = np.vstack([
+        _emb_matrix(b, emb_col)
+        for b in sample.iter_batches(batch_size=None, batch_format="pyarrow")
+    ])
+    cents = _kmeans(smat, n_centroids, iters, seed)
+    c_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        emb = _normalize(_emb_matrix(t, emb_col))
+        cid = (emb @ c.T).argmax(axis=1).astype(np.int32)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        vec_bytes = [emb[i].tobytes() for i in range(len(ids))]
+        return pa.table({
+            "centroid": pa.array(cid, pa.int32()),
+            "id": pa.array(ids, pa.int64()),
+            "vec": pa.array(vec_bytes, pa.binary()),
+        })
+
+    def write_centroid(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        cid = g.column("centroid")[0].as_py()
+        rel = f"c{cid:05d}.parquet"
+        path = os.path.join(index_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        out = g.select(["id", "vec"])
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)  # idempotent on task retry
+        return pa.table({
+            "centroid": pa.array([cid], pa.int32()),
+            "file": pa.array([rel], pa.string()),
+            "rows": pa.array([out.num_rows], pa.int64()),
+            "bytes": pa.array([os.path.getsize(path)], pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("centroid")
+        .map_groups(write_centroid, batch_format="pyarrow")
+        .take_all()  # O(centroids) manifest rows only
+    )
+    manifest = {
+        "kind": "ivf",
+        "n_centroids": n_centroids,
+        "dim": int(cents.shape[1]),
+        "id_col": id_col,
+        "centroids": [[float(v) for v in row] for row in cents],
+        "partitions": [
+            {k: (int(v) if k in ("centroid", "rows", "bytes") else v)
+             for k, v in r.items()}
+            for r in sorted(rows, key=lambda r: r["centroid"])
+        ],
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    return manifest
+
+
+def knn_ivf_probe(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    with_stats: bool = False,
+):
+    """Approximate top-k against a persisted ``build_ivf_index`` layout:
+    each query probes only its ``n_probes`` nearest centroids' files
+    (exact cosine within each — the ``_probe_files`` executor). I/O is
+    the probed partitions only; ``with_stats=True`` adds the
+    {files,bytes}_{probed,total} counters for the sublinearity assert."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    cents = np.asarray(man["centroids"], dtype=np.float32)
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    q = _normalize(q)
+    n_probes = min(n_probes, len(cents))
+    near = np.argpartition(-(q @ cents.T), n_probes - 1, axis=1)[:, :n_probes]
+    by_cid = {p["centroid"]: p for p in man["partitions"]}
+    tasks: dict[str, list[int]] = {}
+    for qi in range(q.shape[0]):
+        for cid in near[qi]:
+            p = by_cid.get(int(cid))
+            if p is None:
+                continue  # empty centroid: no file was written
+            lst = tasks.setdefault(p["file"], [])
+            if qi not in lst:
+                lst.append(qi)
+    stats = {
+        "files_probed": len(tasks),
+        "files_total": len(man["partitions"]),
+        "bytes_probed": sum(p["bytes"] for p in man["partitions"]
+                            if p["file"] in tasks),
+        "bytes_total": sum(p["bytes"] for p in man["partitions"]),
+    }
+    out = _probe_files(index_dir, tasks, q, k, id_col)
     return (out, stats) if with_stats else out

@@ -90,6 +90,8 @@ ORACLE_NAMES = [
     "quantiles_cont", "join_skew", "grouped_quantiles", "histogram",
     "heavy_hitters", "chunk_documents", "sample_hash", "sample_stratified",
     "term_stats", "tfidf", "window_moving",
+    "corr_grouped", "mode_grouped", "cube", "window_analytic",
+    "join_bloom",
 ]
 
 
