@@ -1713,6 +1713,118 @@ def _q_knn_ivf(sf):
     return out[["vec_id"]].reset_index(drop=True)
 
 
+#: Deterministic URL synthesizer for the web ops' oracle pairs — the
+#: documents table has no URL column, so BOTH sides construct the same
+#: url string from (doc_id, lang) and the op under test is the PARSE,
+#: not the synthesis. Vectorized pandas string concat (synthesis only —
+#: the parse itself is the RE2 kernel in ops/web.py).
+def _with_synth_urls(t: pa.Table) -> pa.Table:
+    ids = t.column("doc_id").to_pandas()
+    lang = t.column("lang").to_pandas().fillna("xx")
+    scheme = pd.Series(np.where(ids % 2 == 0, "https", "http"))
+    tld = pd.Series(np.array(["com", "org", "net"])[ids % 3])
+    u = (scheme + "://www.example" + (ids % 23).astype(str) + "." + tld
+         + "/p/" + ids.astype(str) + "?ref=" + lang)
+    return t.append_column("url", pa.array(u, pa.string()))
+
+
+#: The identical synthesis in DuckDB SQL, shared by the url twins.
+_SYNTH_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || "
+    "'://www.example' || CAST(doc_id % 23 AS VARCHAR) || '.' || "
+    "(CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' "
+    "ELSE 'net' END) || '/p/' || CAST(doc_id AS VARCHAR) || "
+    "'?ref=' || coalesce(lang, 'xx')"
+)
+
+
+def _q_url_parse(sf):
+    """Webtext URL structure parse: scheme/host/registrable-domain/path
+    from one vectorized RE2 extract per batch (ops/web.py parse_urls —
+    pyarrow embeds the SAME regex engine DuckDB does, so the twin is
+    the identical pattern via regexp_extract). URLs synthesized
+    deterministically on both sides (_with_synth_urls docstring)."""
+    from maestro_ray.ops.web import parse_urls
+
+    ds = _read(sf, "documents", columns=["doc_id", "lang"]).map_batches(
+        _with_synth_urls, batch_format="pyarrow")
+    out = parse_urls(ds, "url")
+    return P.project(out, columns=["doc_id", "url", "scheme", "host",
+                                   "domain", "path"])
+
+
+def _q_domain_stats(sf):
+    """Per-registrable-domain corpus stats (docs, total/mean chars) —
+    parse_urls composed with the partial-pre-agg grouped_agg; the twin
+    re-derives the domain with the same regexp_extract chain."""
+    from maestro_ray.ops.aggregates import grouped_agg
+    from maestro_ray.ops.web import parse_urls
+
+    ds = _read(sf, "documents",
+               columns=["doc_id", "lang", "n_chars"]).map_batches(
+        _with_synth_urls, batch_format="pyarrow")
+    parsed = parse_urls(ds, "url")
+    return grouped_agg(parsed, "domain",
+                       {"n_docs": (None, "count"),
+                        "sum_chars": ("n_chars", "sum"),
+                        "avg_chars": ("n_chars", "mean")},
+                       round_to=3)
+
+
+def _q_pii_redact(sf):
+    """PII redaction (email → IPv4 → phone, sequential so counts can't
+    overlap) via pyarrow's C++ replace/count_substring_regex in an
+    actor-pool stage (ops/web.py PiiRedact). The corpus has no PII, so
+    both sides PLANT the same three markers per doc first — the oracle
+    therefore exercises the actual redaction, not an identity pass;
+    Python-re/RE2/DuckDB pattern parity is pinned in
+    tests/unit/test_web_ops.py."""
+    from maestro_ray.ops.web import pii_redact
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pandas()
+        txt = t.column("text").to_pandas()
+        planted = (txt + " contact user" + ids.astype(str)
+                   + "@mail.example.com from 198.51.100."
+                   + (ids % 256).astype(str) + " call 555-867-5309")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pa.array(planted, pa.string(), from_pandas=True),
+        })
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+    out = pii_redact(ds, "text")
+    return P.project(out, columns=["doc_id", "pii_count", "text_redacted"])
+
+
+def _q_repetition_stats(sf):
+    """Gopher-rule repetition/diversity signals per document: word
+    count, distinct-word fraction, top-word share, top-adjacent-bigram
+    share (null for one-word docs) — one split + two hash groupbys per
+    batch, no per-doc Python loop (ops/web.py repetition_stats). All
+    fractions are ratios of identical exact ints, so floats compare
+    EXACTLY against the twin's unnest+count plan."""
+    from maestro_ray.ops.web import repetition_stats
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return repetition_stats(ds, "doc_id", "text")
+
+
+def _q_dedup_lines(sf):
+    """Corpus-WIDE repeated-passage removal (RefinedWeb line-dedup over
+    8-token chunks): every chunk text keeps only its first occurrence
+    (min (doc_id, chunk_id)), docs are reassembled from survivors
+    (ops/web.py dedup_chunks_global — chunk flat-map, ONE
+    groupby-min winner shuffle, bucketed hash_join back, grouped
+    reassembly; corpus never transits the driver). Twin: identical
+    chunk walk + QUALIFY row_number + ordered string_agg."""
+    from maestro_ray.ops.web import dedup_chunks_global
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return dedup_chunks_global(ds, "doc_id", "text", chunk_tokens=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -1805,6 +1917,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_analytic": _q_window_analytic,
         "join_bloom": _q_join_bloom,
         "knn_ivf": _q_knn_ivf,
+        "url_parse": _q_url_parse,
+        "domain_stats": _q_domain_stats,
+        "pii_redact": _q_pii_redact,
+        "repetition_stats": _q_repetition_stats,
+        "dedup_lines": _q_dedup_lines,
     }
 
 
@@ -2392,6 +2509,89 @@ def oracle_sql() -> dict[str, str]:
         "join_bloom": (
             "SELECT event_id, user_id FROM events "
             "WHERE user_id IN (SELECT c_custkey FROM customer)"
+        ),
+        "url_parse": (
+            "WITH u AS (SELECT doc_id, " + _SYNTH_URL_SQL + " AS url "
+            "FROM documents), "
+            "p AS (SELECT doc_id, url, "
+            r"regexp_extract(url, '^([a-z][a-z0-9+.-]*)://([^/?#]+)"
+            r"(/[^?#]*)?', 1) AS scheme, "
+            r"regexp_extract(url, '^([a-z][a-z0-9+.-]*)://([^/?#]+)"
+            r"(/[^?#]*)?', 2) AS host, "
+            r"regexp_extract(url, '^([a-z][a-z0-9+.-]*)://([^/?#]+)"
+            r"(/[^?#]*)?', 3) AS path FROM u) "
+            r"SELECT doc_id, url, scheme, host, "
+            r"regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain, "
+            "(CASE WHEN path = '' THEN '/' ELSE path END) AS path FROM p"
+        ),
+        "domain_stats": (
+            "WITH u AS (SELECT doc_id, n_chars, " + _SYNTH_URL_SQL
+            + " AS url FROM documents), "
+            r"p AS (SELECT n_chars, regexp_extract("
+            r"regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), "
+            r"'([^.]+\.[^.]+)$', 1) AS domain FROM u) "
+            "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "round(avg(n_chars), 3) AS avg_chars FROM p GROUP BY 1"
+        ),
+        "pii_redact": (
+            # same planted markers, same three patterns in the same
+            # order; counts taken on each intermediate so an email's
+            # digits can never double-count as a phone
+            "WITH p AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@mail.example.com from "
+            "198.51.100.' || CAST(doc_id % 256 AS VARCHAR) || "
+            "' call 555-867-5309' AS t FROM documents), "
+            r"r1 AS (SELECT doc_id, len(regexp_extract_all(t, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1, "
+            r"regexp_replace(t, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', "
+            r"'<EMAIL>', 'g') AS t FROM p), "
+            r"r2 AS (SELECT doc_id, n1, len(regexp_extract_all(t, "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n2, "
+            r"regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', "
+            r"'<IP>', 'g') AS t FROM r1), "
+            r"r3 AS (SELECT doc_id, n1, n2, len(regexp_extract_all(t, "
+            r"'\b\d{3}-\d{3}-\d{4}\b')) AS n3, "
+            r"regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') "
+            "AS t FROM r2) "
+            "SELECT doc_id, CAST(n1 + n2 + n3 AS BIGINT) AS pii_count, "
+            "t AS text_redacted FROM r3"
+        ),
+        "repetition_stats": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents WHERE text IS NOT NULL), "
+            "w AS (SELECT doc_id, unnest(l) AS w FROM toks), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2), "
+            "ws AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS top_w, "
+            "sum(c) AS n_words FROM wc GROUP BY 1), "
+            "bg AS (SELECT doc_id, l[i + 1] AS w1, l[i + 2] AS w2 "
+            "FROM toks, LATERAL unnest(range(len(l) - 1)) t(i)), "
+            "bc AS (SELECT doc_id, w1, w2, count(*) AS c "
+            "FROM bg GROUP BY 1, 2, 3), "
+            "bs AS (SELECT doc_id, max(c) AS top_b FROM bc GROUP BY 1) "
+            "SELECT ws.doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "n_distinct / CAST(n_words AS DOUBLE) AS distinct_frac, "
+            "top_w / CAST(n_words AS DOUBLE) AS top_word_frac, "
+            "top_b / CAST(n_words - 1 AS DOUBLE) AS top_bigram_frac "
+            "FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id"
+        ),
+        "dedup_lines": (
+            # identical 8-token non-overlapping chunk walk as the
+            # engine's chunk_documents(8, 0); first occurrence =
+            # lexicographic min (doc_id, chunk_id)
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents WHERE text IS NOT NULL), "
+            "starts AS (SELECT doc_id, l, "
+            "unnest(generate_series(1, len(l), 8)) AS s FROM toks), "
+            "chunks AS (SELECT doc_id, CAST((s - 1) // 8 AS BIGINT) AS "
+            "chunk_id, array_to_string(l[s : least(s + 7, len(l))], ' ') "
+            "AS chunk_text FROM starts), "
+            "kept AS (SELECT * FROM chunks QUALIFY row_number() OVER "
+            "(PARTITION BY chunk_text ORDER BY doc_id, chunk_id) = 1) "
+            "SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) "
+            "AS text_dedup, CAST(count(*) AS BIGINT) AS n_chunks_kept "
+            "FROM kept GROUP BY doc_id"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

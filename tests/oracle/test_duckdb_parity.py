@@ -92,6 +92,8 @@ ORACLE_NAMES = [
     "term_stats", "tfidf", "window_moving",
     "corr_grouped", "mode_grouped", "cube", "window_analytic",
     "join_bloom",
+    "url_parse", "domain_stats", "pii_redact", "repetition_stats",
+    "dedup_lines",
 ]
 
 
