@@ -1825,6 +1825,64 @@ def _q_dedup_lines(sf):
     return dedup_chunks_global(ds, "doc_id", "text", chunk_tokens=8)
 
 
+def _q_entropy_grouped(sf):
+    """A2 per-key Shannon entropy (bits, DuckDB entropy() semantics) of
+    the line-status distribution per return flag — O(distinct (key,
+    value)) count partials (ops/aggregates.py entropy_grouped); round(6)
+    absorbs the p·log2(p) summation-order difference."""
+    from maestro_ray.ops.aggregates import entropy_grouped
+
+    ds = _read(sf, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return entropy_grouped(ds, "l_returnflag", "l_linestatus", round_to=6)
+
+
+def _q_unpivot(sf):
+    """Wide → long reshape of the four lineitem measures (SQL UNPIVOT):
+    streaming flat map, one zero-copy stacked slice per value column,
+    no shuffle (ops/functions.py unpivot). The portable twin is the
+    UNION ALL of per-measure selects."""
+    from maestro_ray.ops.functions import unpivot
+
+    ds = _read(sf, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot(ds, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount",
+                    "l_tax"])
+
+
+def _q_join_outer(sf):
+    """J2 FULL OUTER variant of the bucketed hash_join: event counts
+    for every third user ⟗ every second customer — unmatched rows
+    survive on BOTH sides, the key column coalesces (Arrow's per-bucket
+    full outer is exact because both sides are co-partitioned by key
+    bucket). Floats are copied, not computed — exact compare."""
+    from maestro_ray.ops.aggregates import grouped_agg
+    from maestro_ray.ops.joins import hash_join
+
+    def left_prep(t: pa.Table) -> pa.Table:
+        keys = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keys % 3 == 0))
+
+    ev = _read(sf, "events", columns=["user_id"]).map_batches(
+        left_prep, batch_format="pyarrow")
+    counts = grouped_agg(ev, "user_id", {"n_events": (None, "count")})
+    # from_arrow, not from_pandas: hash_join reads the Arrow base_schema
+    left = rd.from_arrow(pa.Table.from_pandas(counts, preserve_index=False))
+
+    def right_prep(t: pa.Table) -> pa.Table:
+        keys = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(keys % 2 == 0))
+        return t.rename_columns(["user_id", "c_acctbal"])
+
+    right = _read(sf, "customer",
+                  columns=["c_custkey", "c_acctbal"]).map_batches(
+        right_prep, batch_format="pyarrow")
+    out = hash_join(left, right, keys="user_id", num_buckets=8,
+                    join_type="full outer")
+    return P.project(out, columns=["user_id", "n_events", "c_acctbal"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -1922,6 +1980,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "repetition_stats": _q_repetition_stats,
         "dedup_lines": _q_dedup_lines,
+        "entropy_grouped": _q_entropy_grouped,
+        "unpivot": _q_unpivot,
+        "join_outer": _q_join_outer,
     }
 
 
@@ -2575,6 +2636,30 @@ def oracle_sql() -> dict[str, str]:
             "top_w / CAST(n_words AS DOUBLE) AS top_word_frac, "
             "top_b / CAST(n_words - 1 AS DOUBLE) AS top_bigram_frac "
             "FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id"
+        ),
+        "entropy_grouped": (
+            "SELECT l_returnflag, round(entropy(l_linestatus), 6) "
+            "AS entropy FROM lineitem GROUP BY 1"
+        ),
+        "unpivot": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "
+            "CAST(l_quantity AS DOUBLE) AS val FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_extendedprice', CAST(l_extendedprice AS DOUBLE) "
+            "FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+            "CAST(l_discount AS DOUBLE) FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', "
+            "CAST(l_tax AS DOUBLE) FROM lineitem"
+        ),
+        "join_outer": (
+            "SELECT coalesce(l.user_id, r.c_custkey) AS user_id, "
+            "n_events, c_acctbal FROM "
+            "(SELECT user_id, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events WHERE user_id % 3 = 0 GROUP BY 1) l "
+            "FULL OUTER JOIN "
+            "(SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_custkey % 2 = 0) r ON l.user_id = r.c_custkey"
         ),
         "dedup_lines": (
             # identical 8-token non-overlapping chunk walk as the

@@ -566,6 +566,37 @@ def grouped_mode(
     return out.sort_values(keys).reset_index(drop=True)
 
 
+def entropy_grouped(
+    ds: rd.Dataset,
+    keys: list[str] | str,
+    col: str,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """A2 information-theoretic aggregate: per-key Shannon entropy (in
+    BITS — DuckDB ``entropy()`` semantics, log base 2) of the ``col``
+    value distribution. Nulls in ``col`` are ignored; a key whose every
+    value is null yields no row (SQL aggregate-over-empty semantics
+    under GROUP BY). Plan + scale bound: the shared ``_count_merge``
+    partials — O(distinct (key, value)) reaches the driver, the right
+    bound for categorical columns. ``round_to`` guards the one
+    engine-difference: summation ORDER of the p·log2(p) terms."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(col))),
+        batch_format="pyarrow",
+    )
+    merged, cnt_col = _count_merge(ds, keys + [col])
+    cnt = merged[cnt_col].astype("float64")
+    tot = merged.groupby(keys, dropna=False)[cnt_col].transform("sum")
+    p = cnt / tot.astype("float64")
+    merged["__h"] = -p * np.log2(p)
+    out = (merged.groupby(keys, as_index=False, dropna=False)["__h"]
+           .sum().rename(columns={"__h": "entropy"}))
+    if round_to is not None:
+        out["entropy"] = out["entropy"].round(round_to)
+    return out.sort_values(keys).reset_index(drop=True)
+
+
 def cube_agg(
     ds: rd.Dataset,
     keys: list[str],

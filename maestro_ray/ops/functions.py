@@ -88,3 +88,35 @@ def key_gen(ds: rd.Dataset, cols: list[str] | str, out_col: str = "key_hash") ->
 
 def add_hash_column(batch: pa.Table, col: str, out_col: str) -> pa.Table:
     return batch.append_column(out_col, pa.array(hash_array(batch.column(col)), pa.uint64()))
+
+
+def unpivot(
+    ds: rd.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    name_col: str = "measure",
+    value_col: str = "val",
+    value_type: pa.DataType | None = None,
+) -> rd.Dataset:
+    """Wide → long reshape (SQL UNPIVOT / pandas melt): one output row
+    per (input row, value column), nulls preserved as null rows (the
+    UNION-ALL-of-selects semantics, which DuckDB's UNPIVOT also uses
+    when ``INCLUDE NULLS`` — the portable ANSI twin is the UNION ALL).
+
+    Streaming flat map — each batch expands to len(value_cols) stacked
+    slices via zero-copy column selection + one concat; no shuffle, no
+    Python per-row work. All value columns are cast to ``value_type``
+    (default float64) since the long column must have ONE type."""
+    vt = value_type or pa.float64()
+
+    def f(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            parts.append(pa.table({
+                **{k: batch.column(k) for k in id_cols},
+                name_col: pa.array([c] * batch.num_rows, pa.string()),
+                value_col: pc.cast(batch.column(c), vt),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -93,7 +93,7 @@ ORACLE_NAMES = [
     "corr_grouped", "mode_grouped", "cube", "window_analytic",
     "join_bloom",
     "url_parse", "domain_stats", "pii_redact", "repetition_stats",
-    "dedup_lines",
+    "dedup_lines", "entropy_grouped", "unpivot", "join_outer",
 ]
 
 
