@@ -1825,6 +1825,36 @@ def _q_dedup_lines(sf):
     return dedup_chunks_global(ds, "doc_id", "text", chunk_tokens=8)
 
 
+def _q_skew_kurt_grouped(sf):
+    """A2 higher moments: per-flag sample skewness and excess kurtosis
+    of extendedprice from mergeable CENTRAL-moment partials combined
+    with the Chan pairwise formulas (ops/aggregates.py
+    grouped_skew_kurt) — the numerically safe plan at 1e10-row keys
+    where raw Σx⁴ loses every digit. round(6) absorbs the
+    moments-vs-streaming engine drift (measured ~1e-10 here)."""
+    from maestro_ray.ops.aggregates import grouped_skew_kurt
+
+    ds = _read(sf, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return grouped_skew_kurt(ds, "l_returnflag", "l_extendedprice",
+                             round_to=6)
+
+
+def _q_grouping_sets(sf):
+    """A2 GROUP BY GROUPING SETS over a subset list that is neither a
+    rollup chain nor a full cube — (flag), (status), () — from ONE
+    distributed finest-level pass, each requested subset re-merged on
+    the driver (ops/aggregates.py grouping_sets_agg)."""
+    from maestro_ray.ops.aggregates import grouping_sets_agg
+
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return grouping_sets_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        [["l_returnflag"], ["l_linestatus"], []],
+        {"n_rows": (None, "count"), "sum_qty": ("l_quantity", "sum")},
+        round_to=3)
+
+
 def _q_entropy_grouped(sf):
     """A2 per-key Shannon entropy (bits, DuckDB entropy() semantics) of
     the line-status distribution per return flag — O(distinct (key,
@@ -1981,6 +2011,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "dedup_lines": _q_dedup_lines,
         "entropy_grouped": _q_entropy_grouped,
+        "skew_kurt_grouped": _q_skew_kurt_grouped,
+        "grouping_sets": _q_grouping_sets,
         "unpivot": _q_unpivot,
         "join_outer": _q_join_outer,
     }
@@ -2636,6 +2668,19 @@ def oracle_sql() -> dict[str, str]:
             "top_w / CAST(n_words AS DOUBLE) AS top_word_frac, "
             "top_b / CAST(n_words - 1 AS DOUBLE) AS top_bigram_frac "
             "FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id"
+        ),
+        "skew_kurt_grouped": (
+            "SELECT l_returnflag, "
+            "round(skewness(l_extendedprice), 6) AS skewness, "
+            "round(kurtosis(l_extendedprice), 6) AS kurtosis "
+            "FROM lineitem GROUP BY 1"
+        ),
+        "grouping_sets": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "round(sum(l_quantity), 3) AS sum_qty FROM lineitem "
+            "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
         ),
         "entropy_grouped": (
             "SELECT l_returnflag, round(entropy(l_linestatus), 6) "

@@ -535,6 +535,102 @@ def grouped_corr(
     return out.sort_values(keys).reset_index(drop=True)
 
 
+def grouped_skew_kurt(
+    ds: rd.Dataset,
+    keys: list[str] | str,
+    col: str,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """A2 higher-moment statistics: per-key sample skewness and sample
+    excess kurtosis with DuckDB ``skewness()``/``kurtosis()`` semantics
+    (nulls ignored; skewness NULL when n < 3 or variance 0, kurtosis
+    NULL when n < 4 or variance 0 — edge rules pinned against DuckDB).
+
+    Mergeable CENTRAL-moment partials, not raw power sums: each batch
+    emits one (n, mean, M2, M3, M4) row per key (power sums are
+    computed by Arrow's hash aggregation and centered WITHIN the batch,
+    where cancellation is bounded), and partials combine with the Chan
+    et al. pairwise-update formulas — the numerically safe shape for
+    1e10-row keys, where global raw Σx⁴ would lose every significant
+    digit. Driver work is O(keys × blocks) partial rows."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xa = pc.cast(batch.column(col), pa.float64())
+        t = pa.Table.from_arrays(
+            [batch.column(k) for k in keys] + [xa], names=keys + ["__x"]
+        ).filter(pc.is_valid(xa))
+        xv = t.column("__x")
+        t = (t.append_column("__x2", pc.multiply(xv, xv))
+              .append_column("__x3", pc.multiply(pc.multiply(xv, xv), xv))
+              .append_column("__x4", pc.multiply(pc.multiply(xv, xv),
+                                                 pc.multiply(xv, xv))))
+        g = t.group_by(keys).aggregate(
+            [("__x", "sum"), ("__x2", "sum"), ("__x3", "sum"),
+             ("__x4", "sum"), ([], "count_all")]
+        ).rename_columns(keys + ["s1", "s2", "s3", "s4", "n"])
+        n = g.column("n").to_numpy().astype(np.float64)
+        s1 = g.column("s1").to_numpy(zero_copy_only=False)
+        s2 = g.column("s2").to_numpy(zero_copy_only=False)
+        s3 = g.column("s3").to_numpy(zero_copy_only=False)
+        s4 = g.column("s4").to_numpy(zero_copy_only=False)
+        mean = s1 / n
+        m2 = s2 - n * mean**2
+        m3 = s3 - 3 * mean * s2 + 2 * n * mean**3
+        m4 = s4 - 4 * mean * s3 + 6 * mean**2 * s2 - 3 * n * mean**4
+        return pa.table({
+            **{k: g.column(k) for k in keys},
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "mean": pa.array(mean, pa.float64()),
+            "M2": pa.array(m2, pa.float64()),
+            "M3": pa.array(m3, pa.float64()),
+            "M4": pa.array(m4, pa.float64()),
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())                      # O(keys × blocks) rows
+
+    def merge_key(g: pd.DataFrame) -> pd.Series:
+        na, ma, m2a, m3a, m4a = 0.0, 0.0, 0.0, 0.0, 0.0
+        for nb, mb, m2b, m3b, m4b in zip(g["n"], g["mean"], g["M2"],
+                                         g["M3"], g["M4"]):
+            nb = float(nb)
+            if na == 0.0:
+                na, ma, m2a, m3a, m4a = nb, mb, m2b, m3b, m4b
+                continue
+            n = na + nb
+            d = mb - ma
+            m4a = (m4a + m4b
+                   + d**4 * na * nb * (na * na - na * nb + nb * nb) / n**3
+                   + 6 * d * d * (na * na * m2b + nb * nb * m2a) / (n * n)
+                   + 4 * d * (na * m3b - nb * m3a) / n)
+            m3a = (m3a + m3b + d**3 * na * nb * (na - nb) / (n * n)
+                   + 3 * d * (na * m2b - nb * m2a) / n)
+            m2a = m2a + m2b + d * d * na * nb / n
+            ma = ma + d * nb / n
+            na = n
+        return pd.Series({"n": na, "mean": ma, "M2": m2a,
+                          "M3": m3a, "M4": m4a})
+
+    merged = (parts.groupby(keys, dropna=False)
+              [["n", "mean", "M2", "M3", "M4"]].apply(merge_key)
+              .reset_index())
+    n, m2, m3, m4 = (merged["n"].to_numpy(), merged["M2"].to_numpy(),
+                     merged["M3"].to_numpy(), merged["M4"].to_numpy())
+    with np.errstate(invalid="ignore", divide="ignore"):
+        g1 = (m3 / n) / (m2 / n) ** 1.5
+        skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+        g2 = n * m4 / m2**2 - 3.0
+        kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    out = merged[keys].copy()
+    out["skewness"] = pd.Series(skew).where((n >= 3) & (m2 > 0))
+    out["kurtosis"] = pd.Series(kurt).where((n >= 4) & (m2 > 0))
+    if round_to is not None:
+        out["skewness"] = out["skewness"].round(round_to)
+        out["kurtosis"] = out["kurtosis"].round(round_to)
+    return out.sort_values(keys).reset_index(drop=True)
+
+
 def grouped_mode(
     ds: rd.Dataset, keys: list[str] | str, col: str
 ) -> pd.DataFrame:
@@ -597,28 +693,32 @@ def entropy_grouped(
     return out.sort_values(keys).reset_index(drop=True)
 
 
-def cube_agg(
+def grouping_sets_agg(
     ds: rd.Dataset,
     keys: list[str],
+    subsets: list[list[str]],
     specs: dict[str, tuple[str | None, str]],
     round_to: int | None = None,
     fill: str = "ALL",
 ) -> pd.DataFrame:
-    """A2 hierarchical variant: GROUP BY CUBE(keys) — one grouped
-    result per key SUBSET (all 2^len(keys) of them), rolled-up key
-    columns filled with ``fill`` (same sentinel policy as
-    ``rollup_agg``).
+    """A2 hierarchical core: GROUP BY GROUPING SETS — one grouped
+    result per requested key subset, rolled-up key columns filled with
+    ``fill`` (same sentinel policy as ``rollup_agg``). ``cube_agg`` is
+    this with all 2^k subsets.
 
     Scale plan: identical to ``rollup_agg`` — ONE distributed
-    ``grouped_agg`` at the finest level, every subset re-merged from
-    that already-small result on the driver (sums/counts re-sum,
-    min/max re-min/max, means recombine from (sum, count) partials).
-    2^k driver passes over a result the size of the finest grouping —
-    keys stay few by construction. Supported kinds: sum count min max
-    mean."""
-    from itertools import combinations
-
+    ``grouped_agg`` at the FINEST level (the union of all subsets),
+    every requested subset re-merged from that already-small result on
+    the driver (sums/counts re-sum, min/max re-min/max, means recombine
+    from (sum, count) partials). len(subsets) driver passes over a
+    result the size of the finest grouping — keys stay few by
+    construction. Supported kinds: sum count min max mean."""
     keys = list(keys)
+    subsets = [list(s) for s in subsets]
+    for s in subsets:
+        unknown = [k for k in s if k not in keys]
+        if unknown:
+            raise ValueError(f"grouping set {s}: {unknown} not in keys")
     internal: dict[str, tuple[str | None, str]] = {}
     for name, (col, kind) in specs.items():
         if kind in ("sum", "count", "min", "max"):
@@ -628,7 +728,7 @@ def cube_agg(
             internal[f"__cnt_{name}"] = (col, "count")
         else:
             raise ValueError(
-                f"cube_agg kind {kind!r}: sum/count/min/max/mean only "
+                f"grouping-sets kind {kind!r}: sum/count/min/max/mean only "
                 "(std partials are not re-mergeable from the finest level)"
             )
     fin = grouped_agg(ds, keys, internal)
@@ -637,21 +737,20 @@ def cube_agg(
         for name, (_c, kind) in internal.items()
     }
     levels = []
-    for depth in range(len(keys), -1, -1):
-        for subset in combinations(keys, depth):
-            kept = list(subset)
-            if depth == len(keys):
-                lv = fin.copy()
-            elif kept:
-                # dropna=False: genuinely-null key values keep their
-                # subtotal rows (same rule as rollup_agg)
-                lv = fin.groupby(kept, as_index=False, dropna=False).agg(remerge)
-            else:
-                lv = fin.agg(remerge).to_frame().T
-            for k in keys:
-                if k not in kept:
-                    lv[k] = fill
-            levels.append(lv[keys + list(internal)])
+    for subset in subsets:
+        kept = [k for k in keys if k in subset]   # canonical key order
+        if kept == keys:
+            lv = fin.copy()
+        elif kept:
+            # dropna=False: genuinely-null key values keep their
+            # subtotal rows (same rule as rollup_agg)
+            lv = fin.groupby(kept, as_index=False, dropna=False).agg(remerge)
+        else:
+            lv = fin.agg(remerge).to_frame().T
+        for k in keys:
+            if k not in kept:
+                lv[k] = fill
+        levels.append(lv[keys + list(internal)])
     out = pd.concat(levels, ignore_index=True)
     res = out[keys].copy()
     for name, (_col, kind) in specs.items():
@@ -666,6 +765,25 @@ def cube_agg(
             if res[name].dtype.kind == "f":
                 res[name] = res[name].round(round_to)
     return res.sort_values(keys).reset_index(drop=True)
+
+
+def cube_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str | None, str]],
+    round_to: int | None = None,
+    fill: str = "ALL",
+) -> pd.DataFrame:
+    """A2 hierarchical variant: GROUP BY CUBE(keys) = GROUPING SETS
+    over all 2^len(keys) subsets (``grouping_sets_agg`` — one
+    distributed finest-level pass, driver re-merge per subset)."""
+    from itertools import combinations
+
+    keys = list(keys)
+    subsets = [list(s) for depth in range(len(keys), -1, -1)
+               for s in combinations(keys, depth)]
+    return grouping_sets_agg(ds, keys, subsets, specs,
+                             round_to=round_to, fill=fill)
 
 
 # ------------------------------------------------------------------ windows
@@ -870,6 +988,79 @@ def moving_agg(
             any_live = np.lib.stride_tricks \
                 .sliding_window_view(dead, window).any(axis=1)
             out_v = np.where(any_live, out_v, np.nan)
+        return s.append_column(
+            out, pa.array(out_v, pa.float64(), from_pandas=True))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def moving_agg_range(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    preceding: str,
+    out: str = "moving_value",
+    how: str = "sum",
+    direct_max_frame: int = 256,
+) -> rd.Dataset:
+    """A6-adjacent TIME-frame moving aggregate: per-``key``
+    ``sum/avg/count`` of ``value_col`` over ``RANGE BETWEEN INTERVAL
+    preceding PRECEDING AND CURRENT ROW`` ordered by ``ts_col`` — the
+    variable-width complement of the ROWS-frame ``moving_agg``.
+
+    SQL RANGE semantics exactly: the frame is every row whose ts lies
+    in [ts_i − preceding, ts_i], INCLUDING later-ordered peers of the
+    current row (ties share one frame) — two vectorized searchsorted
+    calls per group give (lo, hi] bounds. Small frames (max ≤
+    ``direct_max_frame``) sum DIRECTLY per frame via one reduceat over
+    the flattened frame indices (per-frame summation order, the
+    SQL-compatible numerics — same rationale as moving_agg); larger
+    frames fall back to the O(n) prefix-sum difference (pair with a
+    rounded compare). Nulls in ``value_col`` contribute nothing (avg
+    divides by the frame's non-null count; all-null frame → null).
+    Null timestamps are rejected loudly — RANGE frames over an
+    undefined ordering position are engine-defined. One shuffle
+    (groupby key)."""
+    if how not in ("sum", "avg", "count"):
+        raise ValueError(f"how={how!r}: sum|avg|count")
+    delta_us = np.int64(pd.Timedelta(preceding).value // 1000)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        if g.column(ts_col).null_count:
+            raise ValueError(
+                f"moving_agg_range: null {ts_col!r} in key group")
+        s = g.take(pc.sort_indices(g, sort_keys=[(ts_col, "ascending")]))
+        ts = (s.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        v = s.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        isnan = np.isnan(v)
+        vz = np.where(isnan, 0.0, v)
+        lo = np.searchsorted(ts, ts - delta_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        lens = hi - lo
+        if lens.size and lens.max() <= direct_max_frame:
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            flat = (np.repeat(lo, lens)
+                    + (np.arange(int(bounds[-1])) - np.repeat(bounds[:-1],
+                                                              lens)))
+            tot = np.add.reduceat(vz[flat], bounds[:-1]) \
+                if bounds[-1] else np.zeros(len(lens))
+            tot[lens == 0] = 0.0  # reduceat garbage on empty segments
+            cnt = np.add.reduceat((~isnan).astype(np.int64)[flat],
+                                  bounds[:-1]) if bounds[-1] \
+                else np.zeros(len(lens), dtype=np.int64)
+            cnt[lens == 0] = 0
+        else:
+            c = np.concatenate(([0.0], np.cumsum(vz)))
+            k = np.concatenate(([0], np.cumsum((~isnan).astype(np.int64))))
+            tot, cnt = c[hi] - c[lo], k[hi] - k[lo]
+        if how == "count":
+            return s.append_column(out, pa.array(cnt, pa.int64()))
+        with np.errstate(invalid="ignore"):
+            out_v = np.where(cnt > 0, tot if how == "sum" else tot / cnt,
+                             np.nan)
         return s.append_column(
             out, pa.array(out_v, pa.float64(), from_pandas=True))
 
