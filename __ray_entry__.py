@@ -832,6 +832,34 @@ def _q_window_moving(sf):
                                    "mov_val"])
 
 
+def _q_window_moving_range(sf):
+    """TIME-frame (RANGE) moving aggregate: per-user sum of event value
+    over the trailing 1 hour (RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+    AND CURRENT ROW ordered by ts) — the variable-width complement of
+    window_moving. RANGE frames are tie-safe by construction (peer rows
+    share one frame), so no unique tiebreak is needed. Compared in
+    integer CENTS: value has 2 decimals, so round(sum·100) is exact in
+    both engines, where round(float, 6) still left 1-ULP drift between
+    pc.round and DuckDB round (different nearest-doubles for
+    non-representable decimals)."""
+    from maestro_ray.ops.aggregates import moving_agg_range
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id", "value"])
+    out = moving_agg_range(ds, key="user_id", ts_col="ts",
+                           value_col="value", preceding="1h",
+                           out="mov_val", how="sum")
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("mov_val"), 100.0)),
+                    pa.int64())
+        return t.set_column(t.column_names.index("mov_val"),
+                            "mov_val_cents", c)
+
+    out = out.map_batches(cents, batch_format="pyarrow")
+    return P.project(out, columns=["user_id", "event_id", "value",
+                                   "mov_val_cents"])
+
+
 def _q_pivot(sf):
     """Pivot: order counts per priority class, one column per order
     status — vectorized indicator columns + the partial-pre-agg grouped
@@ -1962,6 +1990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_exact": _q_embedding_dup_exact,
         "window_lag": _q_window_lag,
         "window_moving": _q_window_moving,
+        "window_moving_range": _q_window_moving_range,
         "pivot": _q_pivot,
         "text_normalize": _q_text_normalize,
         "rdbms_import": _q_rdbms_import,
@@ -2529,6 +2558,12 @@ def oracle_sql() -> dict[str, str]:
             "sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_val "
             "FROM events"
+        ),
+        "window_moving_range": (
+            "SELECT user_id, event_id, value, "
+            "CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) "
+            "* 100, 0) AS BIGINT) AS mov_val_cents FROM events"
         ),
         "pivot": (
             "SELECT o_orderpriority, "

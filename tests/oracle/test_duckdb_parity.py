@@ -94,7 +94,7 @@ ORACLE_NAMES = [
     "join_bloom",
     "url_parse", "domain_stats", "pii_redact", "repetition_stats",
     "dedup_lines", "entropy_grouped", "unpivot", "join_outer",
-    "skew_kurt_grouped", "grouping_sets",
+    "skew_kurt_grouped", "grouping_sets", "window_moving_range",
 ]
 
 
