@@ -1941,6 +1941,133 @@ def _q_join_outer(sf):
     return P.project(out, columns=["user_id", "n_events", "c_acctbal"])
 
 
+def _q_ffill(sf):
+    """Time-series repair: per-user forward fill (LOCF) of event value,
+    with 'view' events nullified first so the fill has real work
+    (ops/aggregates.py ffill — sorted gather, one groupby shuffle).
+    Filled values are COPIES of input floats (no arithmetic) — exact
+    compare; ordered by (ts, event_id), event_id the unique tiebreak."""
+    from maestro_ray.ops.aggregates import ffill
+
+    def nullify(t: pa.Table) -> pa.Table:
+        v = pc.if_else(pc.equal(t.column("event_type"), "view"),
+                       pa.nulls(t.num_rows, pa.float64()),
+                       t.column("value"))
+        return t.set_column(t.column_names.index("value"), "value", v)
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                      "event_type", "value"]
+               ).map_batches(nullify, batch_format="pyarrow")
+    out = ffill(ds, key="user_id", order_cols=["ts", "event_id"],
+                value_col="value")
+    return P.project(out, columns=["user_id", "event_id", "value_ffill"])
+
+
+def _q_gap_fill(sf):
+    """Time-series densification: per-user hourly buckets of summed
+    event value with EVERY missing hour emitted as 0 between the user's
+    first and last bucket (ops/aggregates.py gap_fill — reduceat
+    aggregation + arange grid per group, one shuffle). Compared in
+    integer cents (the pinned float policy for 2-decimal sums)."""
+    from maestro_ray.ops.aggregates import gap_fill
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "value"])
+    out = gap_fill(ds, key="user_id", ts_col="ts", stride="1h",
+                   value_col="value")
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value_sum"), 100.0)),
+                    pa.int64())
+        return t.set_column(t.column_names.index("value_sum"),
+                            "v_cents", c)
+
+    return out.map_batches(cents, batch_format="pyarrow")
+
+
+def _q_mad_grouped(sf):
+    """A2 robust dispersion: per-returnflag median absolute deviation
+    of quantity — DuckDB mad() semantics (both medians interpolated,
+    nulls ignored) from the mergeable value-count partials
+    (ops/aggregates.py mad_grouped; driver bound O(distinct (key,
+    value)) — l_quantity has 50 distinct values)."""
+    from maestro_ray.ops.aggregates import mad_grouped
+
+    ds = _read(sf, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return mad_grouped(ds, "l_returnflag", "l_quantity", round_to=6)
+
+
+def _q_argmax_grouped(sf):
+    """A2 ARG_MAX: per-priority the orders row with the highest total
+    price, ties to the smallest orderkey (ops/aggregates.py
+    grouped_arg_extremum — single-pass mergeable candidate reduction:
+    one survivor per key per batch crosses the exchange, never a
+    per-key sort of the full table). Floats are copied — exact."""
+    from maestro_ray.ops.aggregates import grouped_arg_extremum
+
+    ds = _read(sf, "orders", columns=["o_orderpriority", "o_totalprice",
+                                      "o_orderkey"])
+    return grouped_arg_extremum(ds, key="o_orderpriority",
+                                order_col="o_totalprice",
+                                tiebreak="o_orderkey",
+                                payload_cols=["o_orderkey", "o_totalprice"])
+
+
+def _q_window_ntile(sf):
+    """A6 distribution windows: per-user NTILE(4) over arrival order
+    (unique (ts, event_id) tiebreak — ntile is order-sensitive under
+    ties) plus PERCENT_RANK / CUME_DIST / RANK over value (tie-aware,
+    deliberately no tiebreak: peer rows must share ranks). Two passes
+    of ops/aggregates.py rank_window — the second computes three
+    functions in ONE shuffle via methods={...}. The ratios are exact
+    int/int doubles — both engines divide the same integers."""
+    from maestro_ray.ops.aggregates import rank_window
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                      "value"])
+    out = rank_window(ds, key="user_id", order_cols=["ts", "event_id"],
+                      methods={"n4": "ntile"}, n_tiles=4)
+    out = rank_window(out, key="user_id", order_cols=["value"],
+                      methods={"pr": "percent_rank", "cd": "cume_dist",
+                               "rk": "rank"})
+    return P.project(out, columns=["user_id", "event_id", "n4", "pr",
+                                   "cd", "rk"])
+
+
+#: boilerplate threshold: chunks present in ≥ this fraction of docs are
+#: removed everywhere. 0.03 splits the synthetic corpus's bigram
+#: doc-frequency distribution near its median at every sf (measured:
+#: median nd/ndocs ≈ 0.029-0.030, max ≈ 0.037-0.062).
+_BOILER_FRAC = 0.03
+
+
+def _q_boilerplate(sf):
+    """Webtext boilerplate removal (C4/CCNet "drop lines seen on many
+    pages", over 2-token chunks — the corpus has no newlines): chunks
+    in ≥3% of docs are removed EVERYWHERE (first occurrence too, unlike
+    dedup_lines), docs reassembled from survivors (ops/web.py
+    boilerplate_chunks — count_distinct groupby + bucketed hash_join
+    back, corpus never on the driver). Byte-exact reassembly twin."""
+    from maestro_ray.ops.web import boilerplate_chunks
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    k = max(2, int(np.ceil(_BOILER_FRAC * n_docs)))
+    return boilerplate_chunks(ds, chunk_tokens=2, min_docs=k)
+
+
+def _q_blocklist(sf):
+    """Webtext blocklist scoring (the C4 bad-words pass, kept as a
+    per-doc SCORE): non-overlapping word-boundary hits of any listed
+    term, one RE2 alternation via pyarrow count_substring_regex
+    (ops/web.py blocklist_count — streaming, no shuffle; RE2 is shared
+    with DuckDB regexp_extract_all, so counts twin exactly)."""
+    from maestro_ray.ops.web import blocklist_count
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    out = blocklist_count(ds, "text", ["slow", "dup"])
+    return P.project(out, columns=["doc_id", "n_blocked"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -2044,6 +2171,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": _q_grouping_sets,
         "unpivot": _q_unpivot,
         "join_outer": _q_join_outer,
+        "ffill": _q_ffill,
+        "gap_fill": _q_gap_fill,
+        "mad_grouped": _q_mad_grouped,
+        "argmax_grouped": _q_argmax_grouped,
+        "window_ntile": _q_window_ntile,
+        "boilerplate_remove": _q_boilerplate,
+        "blocklist_count": _q_blocklist,
     }
 
 
@@ -2757,6 +2891,69 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) "
             "AS text_dedup, CAST(count(*) AS BIGINT) AS n_chunks_kept "
             "FROM kept GROUP BY doc_id"
+        ),
+        "ffill": (
+            "SELECT user_id, event_id, last_value(CASE WHEN "
+            "event_type = 'view' THEN NULL ELSE value END IGNORE NULLS) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS value_ffill FROM events"
+        ),
+        "gap_fill": (
+            "WITH agg AS (SELECT user_id, date_trunc('hour', ts) AS "
+            "bucket, CAST(round(sum(value) * 100) AS BIGINT) AS v_cents "
+            "FROM events GROUP BY 1, 2), "
+            "span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS "
+            "hi FROM agg GROUP BY 1), "
+            "grid AS (SELECT user_id, unnest(generate_series(lo, hi, "
+            "INTERVAL 1 HOUR)) AS bucket FROM span) "
+            "SELECT g.user_id, g.bucket, coalesce(a.v_cents, 0) AS "
+            "v_cents FROM grid g LEFT JOIN agg a "
+            "ON g.user_id = a.user_id AND g.bucket = a.bucket"
+        ),
+        "mad_grouped": (
+            "SELECT l_returnflag, round(mad(l_quantity), 6) AS mad "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "argmax_grouped": (
+            "SELECT o_orderpriority, o_totalprice, o_orderkey FROM "
+            "orders QUALIFY row_number() OVER (PARTITION BY "
+            "o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) = 1"
+        ),
+        "window_ntile": (
+            "SELECT user_id, event_id, "
+            "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS n4, "
+            "percent_rank() OVER (PARTITION BY user_id ORDER BY value) "
+            "AS pr, "
+            "cume_dist() OVER (PARTITION BY user_id ORDER BY value) "
+            "AS cd, "
+            "rank() OVER (PARTITION BY user_id ORDER BY value) AS rk "
+            "FROM events"
+        ),
+        "boilerplate_remove": (
+            # identical 2-token chunk walk as chunk_documents(2, 0);
+            # threshold = greatest(2, ceil(0.03 · ndocs)) — the engine
+            # computes the same from ds.count()
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents WHERE text IS NOT NULL), "
+            "starts AS (SELECT doc_id, l, "
+            "unnest(generate_series(1, len(l), 2)) AS s FROM toks), "
+            "chunks AS (SELECT doc_id, CAST((s - 1) // 2 AS BIGINT) AS "
+            "chunk_id, array_to_string(l[s : least(s + 1, len(l))], ' ') "
+            "AS chunk_text FROM starts), "
+            "freq AS (SELECT chunk_text, count(DISTINCT doc_id) AS nd "
+            "FROM chunks GROUP BY 1), "
+            "kept AS (SELECT c.* FROM chunks c JOIN freq f "
+            "USING (chunk_text) WHERE f.nd < greatest(2, CAST(ceil(0.03 "
+            "* (SELECT count(*) FROM documents)) AS BIGINT))) "
+            "SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY "
+            "chunk_id) AS text_clean, CAST(count(*) AS BIGINT) AS "
+            "n_chunks_kept FROM kept GROUP BY doc_id"
+        ),
+        "blocklist_count": (
+            r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            r"'\b(slow|dup)\b')) AS BIGINT) AS n_blocked FROM documents"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

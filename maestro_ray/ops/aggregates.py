@@ -1067,33 +1067,81 @@ def moving_agg_range(
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
+_RANK_METHODS = ("row_number", "dense_rank", "rank", "percent_rank",
+                 "cume_dist", "ntile")
+
+
 def rank_window(
     ds: rd.Dataset,
     key: str,
     order_cols: list[str],
     out: str = "rn",
     method: str = "row_number",
+    n_tiles: int | None = None,
+    methods: dict[str, str] | None = None,
 ) -> rd.Dataset:
-    """A6-adjacent ranking window: per-``key`` ROW_NUMBER / DENSE_RANK
-    ordered ascending by ``order_cols`` (include a unique tiebreak for
-    a deterministic row_number). One shuffle (groupby key); ranks are
-    assigned vectorized after a local per-group sort — never a global
-    sort. dense_rank increments only where the ordering tuple changes
-    (ties share a rank, no gaps), row_number is 1..n."""
-    if method not in ("row_number", "dense_rank"):
-        raise ValueError(f"method={method!r}: row_number|dense_rank")
+    """A6-adjacent ranking windows: per-``key`` ROW_NUMBER / DENSE_RANK
+    / RANK / PERCENT_RANK / CUME_DIST / NTILE ordered ascending by
+    ``order_cols`` (include a unique tiebreak for a deterministic
+    row_number / ntile; the tie-aware methods are order-stable without
+    one). One shuffle (groupby key); ranks are assigned vectorized
+    after a local per-group sort — never a global sort.
+
+    Semantics match the SQL window functions exactly: dense_rank has no
+    gaps (ties share a rank); rank = 1 + rows strictly before the peer
+    run; percent_rank = (rank−1)/(n−1) (0 when n==1); cume_dist =
+    (last peer position)/n; ntile(k) deals the first n % k tiles one
+    extra row. ``methods={out_col: method}`` computes several functions
+    over the SAME ordering in one pass/shuffle; the scalar ``out`` /
+    ``method`` form is the single-function shorthand."""
+    specs = dict(methods) if methods else {out: method}
+    for m in specs.values():
+        if m not in _RANK_METHODS:
+            raise ValueError(f"method={m!r}: {'|'.join(_RANK_METHODS)}")
+    if "ntile" in specs.values() and not (n_tiles and n_tiles >= 1):
+        raise ValueError("ntile needs n_tiles >= 1")
     sort_keys = [(c, "ascending") for c in order_cols]
 
     def per_key(g: pa.Table) -> pa.Table:
         s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
         n = s.num_rows
-        if method == "row_number":
-            rn = np.arange(1, n + 1, dtype=np.int64)
-        else:
-            # dense rank = cumulative count of ordering-tuple changes
-            # (null == null ties, Arrow compare — see _adjacent_change)
-            rn = np.cumsum(_adjacent_change(s, order_cols)).astype(np.int64)
-        return s.append_column(out, pa.array(rn, pa.int64()))
+        pos = np.arange(n, dtype=np.int64)  # 0-based sorted position
+        need_ties = any(m not in ("row_number", "ntile")
+                        for m in specs.values())
+        if need_ties:
+            change = _adjacent_change(s, order_cols).astype(bool)
+            # run-start position of each row's peer group, forward-filled
+            run_start = np.maximum.accumulate(np.where(change, pos, 0))
+            # run-end position: next run's start − 1, backward-filled
+            starts = pos[change]
+            nxt = np.searchsorted(starts, pos, side="right")
+            run_end = np.where(nxt < len(starts), starts[np.minimum(
+                nxt, len(starts) - 1)] - 1, n - 1)
+        for col, m in specs.items():
+            if m == "row_number":
+                v = pa.array(pos + 1, pa.int64())
+            elif m == "dense_rank":
+                v = pa.array(np.cumsum(change.astype(np.int64)), pa.int64())
+            elif m == "rank":
+                v = pa.array(run_start + 1, pa.int64())
+            elif m == "percent_rank":
+                pr = run_start / (n - 1) if n > 1 else np.zeros(n)
+                v = pa.array(pr, pa.float64())
+            elif m == "cume_dist":
+                v = pa.array((run_end + 1) / n, pa.float64())
+            else:  # ntile
+                k = int(n_tiles)
+                base, rem = divmod(n, k)
+                boundary = rem * (base + 1)
+                if base == 0:  # fewer rows than tiles: one row per tile
+                    tile = pos
+                else:
+                    tile = np.where(
+                        pos < boundary, pos // (base + 1),
+                        rem + (pos - boundary) // base)
+                v = pa.array(tile + 1, pa.int64())
+            s = s.append_column(col, v)
+        return s
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
@@ -1396,3 +1444,171 @@ def approx_ndistinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
             other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
             merged.merge(other)
     return merged.estimate()
+
+
+# ------------------------------------------------------- time-series repair
+
+
+def ffill(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "value_ffill",
+) -> rd.Dataset:
+    """Per-key forward fill (LOCF): each row gets the most recent
+    non-null ``value_col`` at or before it in ``order_cols`` order
+    (include a unique tiebreak for determinism) — SQL's
+    ``last_value(v IGNORE NULLS) OVER (... ROWS UNBOUNDED PRECEDING)``.
+    Rows before the key's first non-null stay null. One shuffle
+    (groupby key); the fill is a vectorized maximum-accumulate over
+    last-valid indices + one Arrow take — no per-row loop, any dtype
+    (the filled column is a gather of the original, so values
+    round-trip bit-exactly)."""
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        v = s.column(value_col).combine_chunks()
+        n = s.num_rows
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        idx = np.where(valid, np.arange(n, dtype=np.int64), -1)
+        np.maximum.accumulate(idx, out=idx)
+        filled = v.take(pa.array(np.maximum(idx, 0), pa.int64()))
+        filled = pc.if_else(pa.array(idx >= 0), filled,
+                            pa.nulls(n, v.type))
+        return s.append_column(out, filled)
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def gap_fill(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    stride: str,
+    value_col: str,
+    out: str = "value_sum",
+    fill: float = 0.0,
+) -> rd.Dataset:
+    """Per-key time densification: bucket ``ts_col`` to ``stride``
+    (floor), sum ``value_col`` per (key, bucket), then emit EVERY
+    bucket between the key's first and last — missing buckets get
+    ``fill``. The resample/asfreq step of time-series prep, as a
+    Dataset op: one shuffle (groupby key); inside each group the
+    aggregation is one sort + ``np.add.reduceat`` and the grid is one
+    ``arange`` — output size is the key's bucket span, never touched
+    row-by-row. Null timestamps are rejected loudly (their bucket is
+    undefined). Output: (key, bucket, out)."""
+    stride_us = np.int64(pd.Timedelta(stride).value // 1000)
+    if stride_us <= 0:
+        raise ValueError(f"gap_fill: bad stride {stride!r}")
+
+    def per_key(g: pa.Table) -> pa.Table:
+        if g.column(ts_col).null_count:
+            raise ValueError(f"gap_fill: null {ts_col!r} in key group")
+        ts = (g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        v = g.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v = np.where(np.isnan(v), 0.0, v)
+        bucket = ts - ts % stride_us
+        order = np.argsort(bucket, kind="stable")
+        bs, vs = bucket[order], v[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], bs[1:] != bs[:-1])))
+        uniq, sums = bs[starts], np.add.reduceat(vs, starts)
+        grid = np.arange(uniq[0], uniq[-1] + stride_us, stride_us)
+        vals = np.full(len(grid), float(fill))
+        vals[(uniq - uniq[0]) // stride_us] = sums
+        return pa.table({
+            key: pa.array(np.repeat(g.column(key)[0].as_py(), len(grid))),
+            "bucket": pa.array(grid, pa.int64()).cast(pa.timestamp("us")),
+            out: pa.array(vals, pa.float64()),
+        })
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+# ----------------------------------------------- order statistics / argmax
+
+
+def mad_grouped(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """Per-key median absolute deviation — DuckDB ``mad(x)`` semantics:
+    median(|x − median(x)|) with BOTH medians interpolated
+    (quantile_cont 0.5), nulls ignored. Runs on the mergeable
+    value-count partials (`_count_merge`): per-batch (key, value)
+    counts → one small groupby → per-key WEIGHTED interpolated medians
+    on the driver. Driver bound: O(distinct (key, value)) — right for
+    discrete metrics (quantities, scores); bucket first beyond that."""
+
+    def _wmedian(vals: np.ndarray, cnts: np.ndarray) -> float:
+        # interpolated median of the expanded multiset, from counts:
+        # 0-based rank h = (n-1)/2 between positions floor/ceil
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        h = (n - 1) / 2.0
+        lo_v = vals[int(np.searchsorted(cum, int(np.floor(h)) + 1))]
+        hi_v = vals[int(np.searchsorted(cum, int(np.ceil(h)) + 1))]
+        return float(lo_v + (h - np.floor(h)) * (hi_v - lo_v))
+
+    merged, cnt_col = _count_merge(ds, [key, col])
+    merged = merged[merged[col].notna()]
+    rows = []
+    for kval, g in merged.groupby(key, dropna=False, sort=True):
+        g = g.sort_values(col)
+        vals = g[col].to_numpy(dtype="float64")
+        cnts = g[cnt_col].to_numpy()
+        med = _wmedian(vals, cnts)
+        dev = np.abs(vals - med)
+        o = np.argsort(dev, kind="stable")
+        mad = _wmedian(dev[o], cnts[o])
+        rows.append((kval, round(mad, round_to) if round_to is not None
+                     else mad))
+    return pd.DataFrame(rows, columns=[key, "mad"])
+
+
+def grouped_arg_extremum(
+    ds: rd.Dataset,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    payload_cols: list[str],
+    how: str = "max",
+) -> rd.Dataset:
+    """Per-key ARG_MAX/ARG_MIN: the whole payload row at the extremum
+    of ``order_col``, ties broken by the SMALLEST ``tiebreak`` (so the
+    answer is deterministic — SQL twin: ``QUALIFY row_number() OVER
+    (PARTITION BY key ORDER BY order_col DESC, tiebreak) = 1``).
+
+    Single-pass mergeable plan — the scale story vs a per-key top-k
+    sort: each batch reduces to ONE candidate row per key it contains
+    (vectorized pandas idxmax over the batch), only candidates cross
+    the exchange, and the final per-key reduce applies the same rule.
+    Null ``order_col`` rows never win (skipped like SQL aggregates);
+    a key whose every row is null is absent from the output."""
+    if how not in ("max", "min"):
+        raise ValueError(f"how={how!r}: max|min")
+    cols = [key, order_col, tiebreak] + [
+        c for c in payload_cols if c not in (key, order_col, tiebreak)]
+    asc_order = how == "min"
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[order_col].notna()]
+        if not len(df):
+            return df
+        df = df.sort_values([order_col, tiebreak],
+                            ascending=[asc_order, True], kind="mergesort")
+        return df.groupby(key, sort=False, dropna=False).head(1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(best(t.select(cols).to_pandas()),
+                                    preserve_index=False)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return part.groupby(key).map_groups(best, batch_format="pandas")

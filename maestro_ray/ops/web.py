@@ -251,3 +251,103 @@ def dedup_chunks_global(
 
     return survivors.groupby(id_col).map_groups(
         reassemble, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- boilerplate removal
+
+
+def boilerplate_chunks(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+    min_docs: int = 2,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Corpus-frequency boilerplate removal (the CCNet/C4 "drop lines
+    that appear on many pages" pass, over token chunks since the
+    synthetic corpus has no newlines): split every doc into
+    non-overlapping ``chunk_tokens`` windows, count the DISTINCT docs
+    containing each chunk text, drop EVERY occurrence of chunks seen in
+    ``>= min_docs`` docs (unlike ``dedup_chunks_global``, the first
+    occurrence goes too — boilerplate is noise, not content), then
+    reassemble docs from the survivors. Docs that were pure boilerplate
+    disappear.
+
+    Output: (id_col, text_clean, n_chunks_kept).
+
+    Plan: chunking is a streaming flat map; the doc-frequency table is
+    ONE ``groupby(chunk_text)`` whose per-group reduce is a single
+    ``count_distinct`` (output is O(distinct chunks), never the
+    corpus); survivors are selected by the bucketed ``hash_join`` back
+    onto the chunk stream; reassembly is one per-doc group sort +
+    ``binary_join``. At 100 TB swap the string key for its 128-bit
+    content hash to shrink both shuffles (exact text kept here so the
+    DuckDB twin is collision-free by construction)."""
+    from maestro_ray.ops.corpus import chunk_documents
+    from maestro_ray.ops.joins import hash_join
+
+    chunks = chunk_documents(ds, id_col, text_col, chunk_tokens,
+                             overlap_tokens=0)
+
+    def doc_freq(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "chunk_text": g.column("chunk_text").slice(0, 1),
+            "nd": pa.array(
+                [pc.count_distinct(g.column(id_col)).as_py()], pa.int64()),
+        })
+
+    freq = chunks.groupby("chunk_text").map_groups(
+        doc_freq, batch_format="pyarrow")
+    joined = hash_join(chunks, freq, keys="chunk_text",
+                       num_buckets=num_buckets)
+    survivors = joined.map_batches(
+        lambda t: t.filter(pc.less(t.column("nd"), min_docs)),
+        batch_format="pyarrow",
+    )
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=[("chunk_id", "ascending")]))
+        txt = s.column("chunk_text").combine_chunks()
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.chunk(0) if txt.num_chunks else pa.array([], pa.string())
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(txt)], pa.int32()), txt)
+        return pa.table({
+            id_col: s.column(id_col).slice(0, 1),
+            "text_clean": pc.binary_join(lst, " "),
+            "n_chunks_kept": pa.array([s.num_rows], pa.int64()),
+        })
+
+    return survivors.groupby(id_col).map_groups(
+        reassemble, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- blocklist scoring
+
+
+def blocklist_count(
+    ds: rd.Dataset,
+    text_col: str,
+    terms: list[str],
+    out: str = "n_blocked",
+) -> rd.Dataset:
+    """Per-doc blocklist hit count (the C4 bad-words pass, kept as a
+    SCORE so downstream thresholds stay a policy choice): count
+    non-overlapping word-boundary matches of any term. One anchored RE2
+    alternation evaluated by pyarrow's C++ ``count_substring_regex``
+    per batch — streaming, no shuffle, no Python on the hot path; RE2
+    semantics are shared with DuckDB's ``regexp_extract_all`` so the
+    twin is exact. Terms are regex-escaped (they are words, not
+    patterns)."""
+    import re as _re
+
+    if not terms:
+        raise ValueError("blocklist_count: empty term list")
+    pat = r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+
+    def score(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column(text_col), pat)
+        return t.append_column(out, n.cast(pa.int64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")

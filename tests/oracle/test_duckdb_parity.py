@@ -95,6 +95,8 @@ ORACLE_NAMES = [
     "url_parse", "domain_stats", "pii_redact", "repetition_stats",
     "dedup_lines", "entropy_grouped", "unpivot", "join_outer",
     "skew_kurt_grouped", "grouping_sets", "window_moving_range",
+    "ffill", "gap_fill", "mad_grouped", "argmax_grouped", "window_ntile",
+    "boilerplate_remove", "blocklist_count",
 ]
 
 
