@@ -2068,6 +2068,51 @@ def _q_blocklist(sf):
     return P.project(out, columns=["doc_id", "n_blocked"])
 
 
+def _q_linreg_grouped(sf):
+    """A2 per-key OLS fit: slope/intercept/r²/n of extendedprice on
+    quantity per returnflag — SQL regr_* semantics from the shared
+    mergeable bivariate-moment partials (ops/aggregates.py
+    grouped_linreg; O(keys) driver rows). round(6) absorbs the
+    moments-vs-streaming engine ulp drift (same policy as corr)."""
+    from maestro_ray.ops.aggregates import grouped_linreg
+
+    ds = _read(sf, "lineitem", columns=["l_returnflag", "l_quantity",
+                                        "l_extendedprice"])
+    return grouped_linreg(ds, "l_returnflag", x="l_quantity",
+                          y="l_extendedprice", round_to=6)
+
+
+def _q_bitbool_grouped(sf):
+    """A2 bitwise/boolean reductions per event type: bit_and/or/xor of
+    user_id plus bool_and/bool_or of (value > 100) — associative
+    partial-per-batch plan (ops/aggregates.py grouped_bitbool). All
+    integer/boolean outputs — exact compare."""
+    from maestro_ray.ops.aggregates import grouped_bitbool
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("hot", pc.greater(t.column("value"), 100.0))
+
+    ds = _read(sf, "events", columns=["event_type", "user_id", "value"]
+               ).map_batches(prep, batch_format="pyarrow")
+    return grouped_bitbool(ds, "event_type", int_col="user_id",
+                           bool_col="hot")
+
+
+def _q_perplexity(sf):
+    """Webtext statistical-LM quality scoring (the CCNet/KenLM filter
+    signal, corpus-trained): add-½ smoothed bigram model over all docs,
+    each doc scored by mean negative log₂ P(w2|w1) (ops/corpus.py
+    bigram_lm_perplexity — bigram flat map, count-partial groupbys for
+    the model, TWO bucketed hash_joins to ship the model back to the
+    scoring stream, mergeable per-doc reduce; the model never sits in a
+    driver dict). round(6) on a mean of ~30 log terms absorbs float
+    noise."""
+    from maestro_ray.ops.corpus import bigram_lm_perplexity
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return bigram_lm_perplexity(ds, k=0.5, round_to=6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -2178,6 +2223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_ntile": _q_window_ntile,
         "boilerplate_remove": _q_boilerplate,
         "blocklist_count": _q_blocklist,
+        "linreg_grouped": _q_linreg_grouped,
+        "bitbool_grouped": _q_bitbool_grouped,
+        "perplexity_score": _q_perplexity,
     }
 
 
@@ -2954,6 +3002,41 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_count": (
             r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
             r"'\b(slow|dup)\b')) AS BIGINT) AS n_blocked FROM documents"
+        ),
+        "linreg_grouped": (
+            "SELECT l_returnflag, "
+            "round(regr_slope(l_extendedprice, l_quantity), 6) AS slope, "
+            "round(regr_intercept(l_extendedprice, l_quantity), 6) AS "
+            "intercept, "
+            "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, "
+            "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "bitbool_grouped": (
+            "SELECT event_type, bit_and(user_id) AS bit_and, "
+            "bit_or(user_id) AS bit_or, bit_xor(user_id) AS bit_xor, "
+            "bool_and(value > 100.0) AS bool_and, "
+            "bool_or(value > 100.0) AS bool_or "
+            "FROM events GROUP BY event_type"
+        ),
+        "perplexity_score": (
+            # identical single-space bigram walk; add-1/2 smoothing;
+            # context counts = bigram-first-token counts; V = distinct
+            # tokens corpus-wide
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents WHERE text IS NOT NULL), "
+            "pos AS (SELECT doc_id, l, "
+            "unnest(generate_series(1, len(l) - 1)) AS s FROM toks), "
+            "big AS (SELECT doc_id, l[s] AS w1, l[s+1] AS w2 FROM pos), "
+            "bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2), "
+            "cc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT t.u) AS nv FROM "
+            "(SELECT unnest(l) AS u FROM toks) t), "
+            "sc AS (SELECT b.doc_id, ln((bc.c2 + 0.5) / (cc.c1 + 0.5 * "
+            "(SELECT nv FROM v))) AS lp FROM big b "
+            "JOIN bc USING (w1, w2) JOIN cc USING (w1)) "
+            "SELECT doc_id, round(-avg(lp) / ln(2), 6) AS ppl_bits "
+            "FROM sc GROUP BY doc_id"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

@@ -467,26 +467,14 @@ def heavy_hitters(
     return out.sort_values(col).reset_index(drop=True)
 
 
-def grouped_corr(
-    ds: rd.Dataset,
-    keys: list[str] | str,
-    x: str,
-    y: str,
-    round_to: int | None = None,
+def _bivariate_moments(
+    ds: rd.Dataset, keys: list[str], x: str, y: str
 ) -> pd.DataFrame:
-    """A2 bivariate statistics: per-key sample covariance and Pearson
-    correlation of ``(x, y)``.
-
-    SQL ``covar_samp``/``corr`` semantics: a row counts only when BOTH
-    columns are non-null; keys with n < 2 (or zero variance, for corr)
-    yield NULL. Distributed exactly like ``grouped_agg``: each batch
-    emits one mergeable partial row per key (n, Σx, Σy, Σx², Σy², Σxy —
-    all computed by Arrow's C++ hash aggregation), one small groupby
-    merges the partials, and the moments recombine on the driver.
-    ``round_to`` stabilizes the cross-engine compare (a SQL engine's
-    single-pass updating formula differs from the naive moments in the
-    last ulps)."""
-    keys = [keys] if isinstance(keys, str) else list(keys)
+    """Shared mergeable-partial plan for the bivariate aggregates
+    (covar/corr/linear regression): each batch emits one partial row
+    per key (n, Σx, Σy, Σx², Σy², Σxy — Arrow C++ hash aggregation,
+    rows count only when BOTH columns are non-null), one small groupby
+    merges the partials. Driver gets O(keys) moment rows."""
 
     def partial(batch: pa.Table) -> pa.Table:
         xa = pc.cast(batch.column(x), pa.float64())
@@ -510,7 +498,7 @@ def grouped_corr(
             keys + ["sx", "sy", "sxx", "syy", "sxy", "n"]
         )
 
-    merged = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(keys if len(keys) > 1 else keys[0])
         .aggregate(
@@ -520,6 +508,26 @@ def grouped_corr(
         )
         .to_pandas()
     )
+
+
+def grouped_corr(
+    ds: rd.Dataset,
+    keys: list[str] | str,
+    x: str,
+    y: str,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """A2 bivariate statistics: per-key sample covariance and Pearson
+    correlation of ``(x, y)``.
+
+    SQL ``covar_samp``/``corr`` semantics: a row counts only when BOTH
+    columns are non-null; keys with n < 2 (or zero variance, for corr)
+    yield NULL. Plan + scale bound: ``_bivariate_moments`` (mergeable
+    partials, O(keys) on the driver). ``round_to`` stabilizes the
+    cross-engine compare (a SQL engine's single-pass updating formula
+    differs from the naive moments in the last ulps)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    merged = _bivariate_moments(ds, keys, x, y)
     n = merged["n"].astype("float64")
     with np.errstate(invalid="ignore", divide="ignore"):
         cov = (merged["sxy"] - merged["sx"] * merged["sy"] / n) / (n - 1)
@@ -533,6 +541,109 @@ def grouped_corr(
         out["covar_samp"] = out["covar_samp"].round(round_to)
         out["corr"] = out["corr"].round(round_to)
     return out.sort_values(keys).reset_index(drop=True)
+
+
+def grouped_linreg(
+    ds: rd.Dataset,
+    keys: list[str] | str,
+    x: str,
+    y: str,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """A2 per-key ordinary-least-squares fit of ``y`` on ``x`` — SQL
+    ``regr_slope / regr_intercept / regr_r2 / regr_count`` semantics:
+    rows count only when BOTH columns are non-null; slope/intercept are
+    NULL when var(x) = 0 (or n = 0); r² is corr² when both variances
+    are positive, 1 when var(y) = 0 with var(x) > 0 (a perfect
+    horizontal fit — the Postgres/DuckDB rule), NULL when var(x) = 0.
+    Plan + scale bound: ``_bivariate_moments`` (mergeable partials,
+    O(keys) on the driver — never a per-key materialization)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    merged = _bivariate_moments(ds, keys, x, y)
+    n = merged["n"].astype("float64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # population moments — the regr_* family divides by n, and the
+        # n's cancel in slope, so sums alone determine everything
+        sxx = merged["sxx"] - merged["sx"] ** 2 / n
+        syy = merged["syy"] - merged["sy"] ** 2 / n
+        sxy = merged["sxy"] - merged["sx"] * merged["sy"] / n
+        slope = sxy / sxx
+        intercept = merged["sy"] / n - slope * merged["sx"] / n
+        r2 = (sxy * sxy) / (sxx * syy)
+    has_x_var = (n > 0) & (sxx > 0)
+    out = merged[keys].copy()
+    out["slope"] = slope.where(has_x_var)
+    out["intercept"] = intercept.where(has_x_var)
+    out["r2"] = r2.where(syy > 0, 1.0).where(has_x_var)
+    out["n"] = merged["n"].astype("int64")
+    if round_to is not None:
+        for c in ("slope", "intercept", "r2"):
+            out[c] = out[c].round(round_to)
+    return out.sort_values(keys).reset_index(drop=True)
+
+
+def grouped_bitbool(
+    ds: rd.Dataset,
+    key: str,
+    int_col: str | None = None,
+    bool_col: str | None = None,
+) -> pd.DataFrame:
+    """A2 bitwise/boolean reductions: per-key ``bit_and / bit_or /
+    bit_xor`` of ``int_col`` and/or ``bool_and / bool_or`` of
+    ``bool_col`` — every one an associative-commutative reduction, so
+    the plan is the standard partial pattern: each batch reduces to ONE
+    row per key it contains (one numpy reduce per (key, op) — bounded
+    by the key count, never per-row), partials merge under the SAME
+    operator in a final small groupby. Nulls are ignored (SQL aggregate
+    rule); a key whose every value is null yields NULL for that
+    aggregate."""
+    if int_col is None and bool_col is None:
+        raise ValueError("grouped_bitbool: need int_col or bool_col")
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        aggs = {}
+        if int_col is not None:
+            v = df[int_col]
+            aggs["bit_and"] = (int_col, lambda s: np.bitwise_and.reduce(
+                s.dropna().astype(np.int64)) if s.notna().any() else None)
+            aggs["bit_or"] = (int_col, lambda s: np.bitwise_or.reduce(
+                s.dropna().astype(np.int64)) if s.notna().any() else None)
+            aggs["bit_xor"] = (int_col, lambda s: np.bitwise_xor.reduce(
+                s.dropna().astype(np.int64)) if s.notna().any() else None)
+            del v
+        if bool_col is not None:
+            aggs["bool_and"] = (bool_col, lambda s: bool(s.dropna().all())
+                                if s.notna().any() else None)
+            aggs["bool_or"] = (bool_col, lambda s: bool(s.dropna().any())
+                               if s.notna().any() else None)
+        return df.groupby(key, dropna=False).agg(**aggs).reset_index()
+
+    def partial_merge(df: pd.DataFrame) -> pd.DataFrame:
+        # merging partials re-applies the same operators: and∘and=and,
+        # or∘or=or, xor∘xor=xor (each value folded exactly once — every
+        # input row lives in exactly one batch partial)
+        aggs = {}
+        if int_col is not None:
+            for c, op in (("bit_and", np.bitwise_and),
+                          ("bit_or", np.bitwise_or),
+                          ("bit_xor", np.bitwise_xor)):
+                aggs[c] = (c, lambda s, op=op: op.reduce(
+                    s.dropna().astype(np.int64)) if s.notna().any()
+                    else None)
+        if bool_col is not None:
+            aggs["bool_and"] = ("bool_and", lambda s: bool(s.dropna().all())
+                                if s.notna().any() else None)
+            aggs["bool_or"] = ("bool_or", lambda s: bool(s.dropna().any())
+                               if s.notna().any() else None)
+        return df.groupby(key, dropna=False).agg(**aggs).reset_index()
+
+    cols = [key] + [c for c in (int_col, bool_col) if c is not None]
+    part = ds.map_batches(
+        lambda t: _reduce(t.select(cols).to_pandas()),
+        batch_format="pyarrow")
+    return (part.groupby(key)
+            .map_groups(partial_merge, batch_format="pandas")
+            .to_pandas().sort_values(key).reset_index(drop=True))
 
 
 def grouped_skew_kurt(

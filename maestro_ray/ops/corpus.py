@@ -257,3 +257,125 @@ def tfidf_scores(
             "score", pa.array(np.round(score, round_to), pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- bigram LM scoring
+
+
+def _explode_bigrams(ds: rd.Dataset, id_col: str,
+                     text_col: str) -> rd.Dataset:
+    """Streaming flat map: (id, w1, w2) for every ADJACENT token pair
+    of every doc (single-space tokenizer, module contract). Docs with
+    fewer than two tokens emit nothing. Fully Arrow-side: one
+    split_pattern per batch, the pair columns are two offset gathers of
+    the flattened token array — no Python on the hot path."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        tbl = batch.filter(pc.is_valid(batch.column(text_col)))
+        empty = pa.table({
+            id_col: pa.array([], batch.schema.field(id_col).type),
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+        })
+        if tbl.num_rows == 0:
+            return empty
+        texts = tbl.column(text_col).combine_chunks()
+        if isinstance(texts, pa.ChunkedArray):
+            texts = (texts.chunk(0) if texts.num_chunks else
+                     pa.array([], pa.string()))
+        toks = pc.split_pattern(texts, " ")
+        offs = toks.offsets.to_numpy()
+        n_pairs = np.maximum(np.diff(offs) - 1, 0)
+        if not n_pairs.sum():
+            return empty
+        doc_idx = np.repeat(np.arange(len(n_pairs)), n_pairs)
+        bounds = np.concatenate(([0], np.cumsum(n_pairs)))
+        first = np.repeat(offs[:-1], n_pairs) + (
+            np.arange(int(bounds[-1])) - np.repeat(bounds[:-1], n_pairs))
+        return pa.table({
+            id_col: tbl.column(id_col).take(pa.array(doc_idx, pa.int64())),
+            "w1": toks.values.take(pa.array(first, pa.int64())),
+            "w2": toks.values.take(pa.array(first + 1, pa.int64())),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def bigram_lm_perplexity(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    round_to: int | None = 6,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Per-doc statistical-LM quality score (the CCNet/KenLM filtering
+    signal, with the corpus itself as training data): train an add-k
+    smoothed bigram model over ALL docs — P(w2|w1) = (c(w1w2) + k) /
+    (c(w1) + k·V), c(w1) the context count, V the corpus's distinct
+    token count — and score each doc by its mean negative log₂
+    probability (bits per bigram; low = typical text, high = atypical).
+    Docs with fewer than two tokens are absent.
+
+    Plan, all distributed: ONE bigram flat map feeds (a) per-batch
+    count partials → small groupby for the bigram and context tables,
+    (b) the scoring stream, which takes the model back via two bucketed
+    ``hash_join``s (never a driver-side dict — the model can be larger
+    than any one node at 100 TB); V is an exact distinct count
+    (per-batch dedup partials). Per-doc reduction is the mergeable
+    ``grouped_agg``. Output: (id_col, ppl_bits), O(docs)."""
+    from maestro_ray.ops.aggregates import distinct, grouped_agg
+    from maestro_ray.ops.joins import hash_join
+
+    big = _explode_bigrams(ds, id_col, text_col)
+
+    def count_partial(cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.select(cols).group_by(cols).aggregate([([], "count_all")])
+            return g.rename_columns([*cols, "cnt"])
+        return f
+
+    bc = (big.map_batches(count_partial(["w1", "w2"]),
+                          batch_format="pyarrow")
+          .groupby(["w1", "w2"]).sum("cnt")
+          .map_batches(lambda t: t.rename_columns(["w1", "w2", "c2"]),
+                       batch_format="pyarrow"))
+    cc = (big.map_batches(count_partial(["w1"]), batch_format="pyarrow")
+          .groupby("w1").sum("cnt")
+          .map_batches(lambda t: t.rename_columns(["w1", "c1"]),
+                       batch_format="pyarrow"))
+
+    def tok_explode(batch: pa.Table) -> pa.Table:
+        texts = batch.filter(pc.is_valid(batch.column(text_col))) \
+            .column(text_col).combine_chunks()
+        if isinstance(texts, pa.ChunkedArray):
+            texts = (texts.chunk(0) if texts.num_chunks else
+                     pa.array([], pa.string()))
+        toks = pc.split_pattern(texts, " ")
+        return pa.table({"tok": toks.values.unique()})  # batch partial
+
+    vocab = int(distinct(ds.map_batches(tok_explode, batch_format="pyarrow"),
+                         "tok").count())
+
+    joined = hash_join(hash_join(big, bc, keys=["w1", "w2"],
+                                 num_buckets=num_buckets),
+                       cc, keys="w1", num_buckets=num_buckets)
+    kv = float(k)
+
+    def logprob(t: pa.Table) -> pa.Table:
+        c2 = t.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.log((c2 + kv) / (c1 + kv * vocab))
+        return pa.table({
+            id_col: t.column(id_col),
+            "lp": pa.array(lp, pa.float64()),
+        })
+
+    scored = joined.map_batches(logprob, batch_format="pyarrow")
+    agg = grouped_agg(scored, id_col, {"s": ("lp", "sum"),
+                                       "n": (None, "count")})
+    out = agg[[id_col]].copy()
+    out["ppl_bits"] = -(agg["s"] / agg["n"]) / np.log(2.0)
+    if round_to is not None:
+        out["ppl_bits"] = out["ppl_bits"].round(round_to)
+    return out.sort_values(id_col).reset_index(drop=True)

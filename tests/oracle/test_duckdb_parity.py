@@ -97,6 +97,7 @@ ORACLE_NAMES = [
     "skew_kurt_grouped", "grouping_sets", "window_moving_range",
     "ffill", "gap_fill", "mad_grouped", "argmax_grouped", "window_ntile",
     "boilerplate_remove", "blocklist_count",
+    "linreg_grouped", "bitbool_grouped", "perplexity_score",
 ]
 
 

@@ -1,0 +1,114 @@
+"""Unit oracles for grouped_linreg, grouped_bitbool, and the corpus
+bigram-LM perplexity scorer."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from maestro_ray.ops.aggregates import grouped_bitbool, grouped_linreg
+from maestro_ray.ops.corpus import bigram_lm_perplexity
+
+
+def _ds(df, parts=3):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+
+
+def _nullsafe(s):
+    return [None if pd.isna(v) else v for v in s]
+
+
+def test_linreg_edges_match_duckdb(ray_session):
+    """Zero var(x), zero var(y) (r2=1 rule), n=1, one-sided nulls."""
+    import duckdb
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3, 4, 4, 5, 5],
+        "x": [1.0, 1.0, 1.0, 1.0, 2.0, 7.0, 1.0, 2.0, np.nan, 3.0],
+        "y": [1.0, 2.0, 3.0, 5.0, 5.0, 9.0, 1.0, np.nan, 4.0, 2.0],
+    })
+    got = grouped_linreg(_ds(df), "k", "x", "y", round_to=9)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT k, round(regr_slope(y,x),9) AS slope, "
+        "round(regr_intercept(y,x),9) AS intercept, "
+        "round(regr_r2(y,x),9) AS r2, "
+        "CAST(regr_count(y,x) AS BIGINT) AS n FROM t "
+        "GROUP BY k ORDER BY k").df()
+    for c in ("slope", "intercept", "r2", "n"):
+        assert _nullsafe(got[c]) == _nullsafe(want[c]), c
+
+
+def test_linreg_property_partition_invariant(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, 600),
+        "x": rng.normal(10, 3, 600),
+    })
+    df["y"] = 2.5 * df.x + rng.normal(0, 1, 600)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT k, round(regr_slope(y,x),6) s, "
+        "round(regr_intercept(y,x),6) i, round(regr_r2(y,x),6) r "
+        "FROM t GROUP BY k ORDER BY k").df()
+    for parts in (1, 8):
+        got = grouped_linreg(_ds(df, parts), "k", "x", "y", round_to=6)
+        assert got["slope"].tolist() == want["s"].tolist()
+        assert got["intercept"].tolist() == want["i"].tolist()
+        assert got["r2"].tolist() == want["r"].tolist()
+
+
+def test_bitbool_nulls_and_partition_invariance(ray_session):
+    df = pd.DataFrame({
+        "k": [1, 1, 2, 2, 3],
+        "i": pd.array([6, 3, None, None, 5], dtype="Int64"),
+        "b": pd.array([True, None, None, None, False], dtype="boolean"),
+    })
+    for parts in (1, 3):
+        got = grouped_bitbool(_ds(df, parts), "k", int_col="i",
+                              bool_col="b")
+        assert _nullsafe(got["bit_and"]) == [2, None, 5]
+        assert _nullsafe(got["bit_or"]) == [7, None, 5]
+        assert _nullsafe(got["bit_xor"]) == [5, None, 5]
+        assert _nullsafe(got["bool_and"]) == [True, None, False]
+        assert _nullsafe(got["bool_or"]) == [True, None, False]
+    with pytest.raises(ValueError, match="need int_col or bool_col"):
+        grouped_bitbool(_ds(df, 1), "k")
+
+
+def test_bitbool_single_column_modes(ray_session):
+    df = pd.DataFrame({"k": [1, 1], "i": [12, 10], "b": [True, True]})
+    ints = grouped_bitbool(_ds(df, 1), "k", int_col="i")
+    assert list(ints.columns) == ["k", "bit_and", "bit_or", "bit_xor"]
+    assert ints.iloc[0].tolist() == [1, 8, 14, 6]
+    bools = grouped_bitbool(_ds(df, 1), "k", bool_col="b")
+    assert list(bools.columns) == ["k", "bool_and", "bool_or"]
+
+
+def test_perplexity_hand_case_and_outlier(ray_session):
+    # tiny corpus: "a b" twice is the typical pattern; "z q" is atypical
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a b", "a b", "z q", "a"],  # doc 4: <2 tokens
+    })
+    out = bigram_lm_perplexity(_ds(docs, 2), round_to=9)
+    assert out["doc_id"].tolist() == [1, 2, 3]  # doc 4 absent
+    # V=4 {a,b,z,q}; c(ab)=3, c(ba)=1, c(zq)=1; CONTEXT counts are
+    # bigram-first-token counts: c(a·)=3, c(b·)=1, c(z·)=1
+    import math
+    p_ab = (3 + 0.5) / (3 + 0.5 * 4)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 4)
+    p_zq = (1 + 0.5) / (1 + 0.5 * 4)
+    d1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3 / math.log(2)
+    d2 = -math.log(p_ab) / math.log(2)
+    d3 = -math.log(p_zq) / math.log(2)
+    np.testing.assert_allclose(out["ppl_bits"].to_numpy(),
+                               np.round([d1, d2, d3], 9))
+    # the common pattern scores LOWER (more typical) than the rare one
+    assert d2 < d3
