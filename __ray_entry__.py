@@ -2113,6 +2113,91 @@ def _q_perplexity(sf):
     return bigram_lm_perplexity(ds, k=0.5, round_to=6)
 
 
+def _q_warc_import(sf):
+    """S8 webtext source: WARC shard intake (the Common-Crawl layout —
+    shard FILES are the unit of parallelism). Four .warc.gz shards are
+    synthesized once per sf from the documents table (deterministic
+    urls/dates, per-record gzip members), read back with
+    io/readers.py read_warc (tolerant stdlib record parser), payloads
+    decoded to text. Twin: the same url/text/byte-length constructed in
+    SQL — an exact round-trip oracle for the record framing."""
+    from maestro_ray.fixtures import write_warc
+    from maestro_ray.io.readers import read_warc
+
+    warc_dir = ("/tmp/maestro_warc_" +
+                sf.strip("/").replace("/", "_"))
+    marker = os.path.join(warc_dir, "_DONE")
+    if not os.path.exists(marker):
+        import uuid
+
+        tmp = f"{warc_dir}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        # documents is the small dimension table — driver-side shard
+        # synthesis is fixture code, not the read path under test
+        docs = pq.read_table(_t(sf, "documents"),
+                             columns=["doc_id", "text"])
+        ids = docs.column("doc_id").to_pylist()
+        texts = docs.column("text").to_pylist()
+        n_shards = 4
+        for s in range(n_shards):
+            recs = [
+                (f"https://example.com/doc/{i}", "2024-01-01T00:00:00Z",
+                 t.encode("utf-8"))
+                for i, t in zip(ids, texts) if i % n_shards == s
+            ]
+            write_warc(os.path.join(tmp, f"shard-{s}.warc.gz"), recs)
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, warc_dir)  # atomic; loser keeps tmp
+        except OSError:
+            shutil.rmtree(tmp)  # another builder won a complete dir
+    files = sorted(
+        os.path.join(warc_dir, f) for f in os.listdir(warc_dir)
+        if f.endswith(".warc.gz"))
+    ds = read_warc(files, record_types=["response"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "text": t.column("payload").cast(pa.string()),
+            "content_length": t.column("content_length"),
+        })
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def _q_kmeans(sf):
+    """Distributed Lloyd k-means over the embeddings table (k = 10,
+    the synthetic generator's planted blob count) — ops/similarity.py
+    kmeans_fit: deterministic sample init, per-batch mergeable
+    (sum, count) partials per iteration, deterministic partial fold;
+    raw vectors never leave the workers. Iterative + float → rows-only
+    driver check; the pytest oracle asserts planted-blob purity and
+    partition invariance (tests/unit/test_kmeans_semdedup.py)."""
+    from maestro_ray.ops.similarity import kmeans_fit
+
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    assigned, _, _ = kmeans_fit(ds, n_clusters=10, iters=5,
+                                with_inertia=False)
+    return P.project(assigned, columns=["vec_id", "cluster"])
+
+
+def _q_semantic_dedup(sf):
+    """SemDeDup (Abbas et al. 2023) semantic near-dup removal over the
+    embeddings table: k-means clusters bound the O(n²), then a
+    deterministic greedy cosine scan per cluster keeps the lowest id of
+    each duplicate set (ops/similarity.py semantic_dedup — cluster
+    tagging fused into the embedding stream, ONE groupby shuffle).
+    Approximate by construction (cross-cluster dups are accepted
+    misses) → rows-only; pytest plants dup pairs and asserts exact
+    collapse + partition invariance."""
+    from maestro_ray.ops.similarity import semantic_dedup
+
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, n_clusters=10, threshold=0.99, iters=5)
+    return P.project(out, columns=["vec_id", "cluster", "keep", "dup_of"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -2226,6 +2311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linreg_grouped": _q_linreg_grouped,
         "bitbool_grouped": _q_bitbool_grouped,
         "perplexity_score": _q_perplexity,
+        "kmeans_cluster": _q_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
+        "warc_import": _q_warc_import,
     }
 
 
@@ -3037,6 +3125,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN bc USING (w1, w2) JOIN cc USING (w1)) "
             "SELECT doc_id, round(-avg(lp) / ln(2), 6) AS ppl_bits "
             "FROM sc GROUP BY doc_id"
+        ),
+        "warc_import": (
+            "SELECT 'https://example.com/doc/' || CAST(doc_id AS "
+            "VARCHAR) AS url, text, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS "
+            "content_length FROM documents"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

@@ -321,3 +321,37 @@ def write_changelog_fast(log_dir: str, params: ChangelogParams) -> int:
         tbl = pa.Table.from_arrays(cols, schema=schema)
         pq.write_table(tbl, os.path.join(log_dir, f"seg-{lo:012d}.parquet"))
     return p.n_events
+
+
+def write_warc(path: str, records: list[tuple[str, str, bytes]],
+               gzip_members: bool = True) -> int:
+    """Write a WARC 1.0 shard of response records for tests/benchmarks:
+    ``records`` = [(url, iso_date, payload_bytes)]. With
+    ``gzip_members`` each record is its own gzip member (the
+    Common-Crawl .warc.gz convention — members concatenate into one
+    valid gzip stream); otherwise a plain .warc. Returns bytes
+    written. Record ids are deterministic (uuid5 of url + date) so
+    fixture files are byte-stable across runs."""
+    import gzip
+    import uuid
+
+    chunks = []
+    for url, date, payload in records:
+        rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}|{date}")
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("utf-8")
+        rec = hdr + payload + b"\r\n\r\n"
+        chunks.append(gzip.compress(rec, mtime=0) if gzip_members else rec)
+    blob = b"".join(chunks)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return len(blob)

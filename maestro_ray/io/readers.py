@@ -14,6 +14,7 @@ import json
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -301,3 +302,115 @@ class LandingZone:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.registry_path)
+
+
+# ------------------------------------------------------------ WARC intake
+
+#: headers surfaced as columns; everything else is ignored (tolerant
+#: reader — unknown headers must not break intake)
+_WARC_HEADERS = {
+    "warc-type": "warc_type",
+    "warc-target-uri": "url",
+    "warc-date": "warc_date",
+    "warc-record-id": "record_id",
+    "content-type": "content_type",
+}
+
+
+def parse_warc_blob(blob: bytes) -> list[dict]:
+    """Parse one WARC 1.0/1.1 file body (already decompressed) into
+    record dicts — stdlib-only, tolerant: records with a malformed
+    header block or truncated payload stop the scan of THIS blob
+    (quarantine the shard, keep the run alive) rather than raising.
+    Payload bytes are sliced zero-copy via memoryview until the final
+    per-record bytes() materialization."""
+    out: list[dict] = []
+    mv = memoryview(blob)
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and blob[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not blob[pos:pos + 5] == b"WARC/":
+            break  # not a record boundary: stop scanning this shard
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        rec: dict = {v: None for v in _WARC_HEADERS.values()}
+        length = None
+        for line in bytes(mv[pos:hdr_end]).split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            key = k.strip().lower().decode("ascii", "replace")
+            val = v.strip().decode("utf-8", "replace")
+            if key == "content-length":
+                try:
+                    length = int(val)
+                except ValueError:
+                    length = None
+            elif key in _WARC_HEADERS:
+                rec[_WARC_HEADERS[key]] = val
+        if length is None or hdr_end + 4 + length > n:
+            break  # malformed/truncated: quarantine the rest
+        rec["payload"] = bytes(mv[hdr_end + 4:hdr_end + 4 + length])
+        rec["content_length"] = length
+        out.append(rec)
+        pos = hdr_end + 4 + length
+    return out
+
+
+def parse_warc_batch(batch: pa.Table, bytes_col: str = "bytes",
+                     path_col: str = "path") -> pa.Table:
+    """Batch adapter over ``parse_warc_blob`` for ``read_binary``
+    output (one row per WARC shard file). Gzipped shards (.warc.gz —
+    one gzip member per record OR whole-file, both are valid gzip
+    streams) are detected by magic bytes and inflated with stdlib
+    zlib (multi-member aware)."""
+    import gzip as _gzip
+
+    cols = {k: [] for k in ("path", "warc_type", "url", "warc_date",
+                            "record_id", "content_type",
+                            "content_length", "payload")}
+    paths = (batch.column(path_col).to_pylist()
+             if path_col in batch.column_names
+             else [None] * batch.num_rows)
+    for path, blob in zip(paths, batch.column(bytes_col).to_pylist()):
+        if blob[:2] == b"\x1f\x8b":
+            blob = _gzip.decompress(blob)  # handles multi-member
+        for rec in parse_warc_blob(blob):
+            cols["path"].append(path)
+            for k in ("warc_type", "url", "warc_date", "record_id",
+                      "content_type", "content_length", "payload"):
+                cols[k].append(rec[k])
+    return pa.table({
+        "path": pa.array(cols["path"], pa.string()),
+        "warc_type": pa.array(cols["warc_type"], pa.string()),
+        "url": pa.array(cols["url"], pa.string()),
+        "warc_date": pa.array(cols["warc_date"], pa.string()),
+        "record_id": pa.array(cols["record_id"], pa.string()),
+        "content_type": pa.array(cols["content_type"], pa.string()),
+        "content_length": pa.array(cols["content_length"], pa.int64()),
+        "payload": pa.array(cols["payload"], pa.binary()),
+    })
+
+
+def read_warc(paths, record_types: list[str] | None = None,
+              **kw) -> rd.Dataset:
+    """S8 webtext source: WARC shard files → one row per record
+    (path, warc_type, url, warc_date, record_id, content_type,
+    content_length, payload). The shard FILE is the unit of
+    parallelism (the Common-Crawl layout: many ~1 GB shards), so
+    intake scales with the file count; per-record work is the
+    streaming ``parse_warc_batch`` map. ``record_types`` filters (e.g.
+    ["response"]) before anything else touches the payload bytes."""
+    ds = read_binary(paths, include_paths=True, **kw).map_batches(
+        parse_warc_batch, batch_format="pyarrow")
+    if record_types:
+        allowed = list(record_types)
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("warc_type"),
+                                        value_set=pa.array(allowed))),
+            batch_format="pyarrow")
+    return ds

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -627,3 +628,180 @@ def knn_ivf_probe(
     }
     out = _probe_files(index_dir, tasks, q, k, id_col)
     return (out, stats) if with_stats else out
+
+
+# ------------------------------------------------- distributed clustering
+
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    n_clusters: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    sample_size: int = 4096,
+    seed: int = 23,
+    with_inertia: bool = True,
+) -> tuple[rd.Dataset, np.ndarray, float | None]:
+    """Distributed Lloyd k-means on unit-normalized vectors (cosine
+    assignment) over the FULL table — the clustering stage of
+    SemDeDup-style semantic curation. Init = the driver-sample
+    ``_kmeans`` (deterministic seed, the IVF recipe), then each
+    refinement iteration is one streaming pass: centroids broadcast via
+    ``ray.put``, every batch emits k mergeable partial rows
+    (per-centroid vector sum + count from one matmul + np.add.at),
+    the driver folds O(k × batches) partials — the raw vectors are
+    never collected and never shuffled. The (id, embedding) projection
+    is materialized ONCE so iterations re-read object-store blocks
+    instead of re-parsing parquet.
+
+    Returns (assignment Dataset (id_col, cluster, sim), centroids
+    [k × d unit rows], inertia = Σ(1 − cos) over all vectors, or None
+    with ``with_inertia=False`` — the assignment Dataset is LAZY, so
+    skipping inertia skips a whole pass). Empty clusters keep their
+    previous centroid (standard Lloyd rule, matches ``_kmeans``)."""
+    proj = ds.select_columns([id_col, emb_col]).materialize()
+    sample = proj.limit(sample_size)  # no-op beyond the row count
+    # sort the sample by id before init: block arrival order depends on
+    # partitioning/scheduling, and a deterministic fit must not
+    stab = pa.concat_tables(list(sample.iter_batches(
+        batch_size=None, batch_format="pyarrow")))
+    stab = stab.take(pc.sort_indices(stab, sort_keys=[(id_col,
+                                                       "ascending")]))
+    cents = _kmeans(_emb_matrix(stab, emb_col), n_clusters, iters=3,
+                    seed=seed)
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            x = _normalize(_emb_matrix(t, emb_col))
+            a = (x @ c.T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=len(c))
+            live = np.flatnonzero(counts)
+            return pa.table({
+                "cluster": pa.array(live, pa.int32()),
+                "vsum": pa.array(list(sums[live]), pa.list_(pa.float32())),
+                "n": pa.array(counts[live], pa.int64()),
+            })
+
+        parts = proj.map_batches(partial, batch_format="pyarrow") \
+            .to_pandas()
+        # deterministic fold order: partial arrival order depends on
+        # scheduling, and float addition does not commute bit-exactly
+        parts["_k"] = [np.asarray(v, dtype=np.float32).tobytes()
+                       for v in parts["vsum"]]
+        parts = parts.sort_values(["cluster", "n", "_k"])
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for cid, vs, n, _ in parts.itertuples(index=False):
+            sums[cid] += np.asarray(vs, dtype=np.float32)
+            counts[cid] += n
+        live = counts > 0
+        cents[live] = _normalize(sums[live] / counts[live, None])
+
+    c_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        x = _normalize(_emb_matrix(t, emb_col))
+        sims = x @ c.T
+        a = sims.argmax(axis=1)
+        return pa.table({
+            id_col: t.column(id_col),
+            "cluster": pa.array(a, pa.int32()),
+            "sim": pa.array(sims[np.arange(len(a)), a], pa.float32()),
+        })
+
+    assigned = proj.map_batches(assign, batch_format="pyarrow")
+    inertia = float(assigned.map_batches(
+        lambda t: pa.table({"d": [float(np.sum(
+            1.0 - t.column("sim").to_numpy(zero_copy_only=False)))]}),
+        batch_format="pyarrow").sum("d")) if with_inertia else None
+    return assigned, cents, inertia
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+    seed: int = 23,
+    max_cluster: int = 200_000,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal —
+    k-means-cluster the embeddings, then WITHIN each cluster greedily
+    drop any vector whose cosine to an already-kept vector is
+    ``>= threshold`` (scan in ascending ``id_col`` order, so the result
+    is deterministic and partition-invariant: the lowest id of a
+    duplicate set survives). Cross-cluster near-dups are accepted
+    misses — the method's documented recall trade (the clustering
+    bounds the O(n²) to per-cluster work).
+
+    Plan: ``kmeans_fit`` trains the centroids (streaming passes, the
+    driver holds only k × d floats); cluster tagging is then FUSED into
+    the embedding stream (one matmul per batch appending a cluster
+    column — no join: Acero can't carry list<float> payloads, and a
+    shuffle of the vectors is not needed anyway) → ONE
+    ``groupby(cluster)`` co-locates each cluster for the greedy scan.
+    The scan is one numpy row-vs-kept matvec per row over a
+    PREALLOCATED kept matrix — the O(n_c²) flops are BLAS, only the
+    loop counter is Python. Clusters larger than ``max_cluster`` fail
+    loudly (re-run with more clusters) instead of silently OOMing a
+    worker.
+
+    Returns (id_col, cluster, keep, dup_of) for every vector; dup_of
+    is the kept id that shadowed a dropped one (null for kept)."""
+    _, cents, _ = kmeans_fit(ds, n_clusters, emb_col=emb_col,
+                             id_col=id_col, iters=iters, seed=seed,
+                             with_inertia=False)
+    c_ref = ray.put(cents)
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        x = _normalize(_emb_matrix(t, emb_col))
+        a = (x @ c.T).argmax(axis=1)
+        return t.append_column("cluster", pa.array(a, pa.int32()))
+
+    joined = ds.select_columns([id_col, emb_col]).map_batches(
+        tag, batch_format="pyarrow")
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        if g.num_rows > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {g.num_rows} rows exceeds "
+                f"max_cluster={max_cluster}; raise n_clusters")
+        s = g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")]))
+        x = _normalize(_emb_matrix(s, emb_col))
+        ids = s.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        keep = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        kept = np.empty_like(x)  # preallocated: kept rows prefix
+        kept_ids = np.empty(n, dtype=np.int64)
+        nk = 0
+        for i in range(n):
+            if nk:
+                sims = kept[:nk] @ x[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    dup_of[i] = kept_ids[j]
+                    continue
+            keep[i] = True
+            kept[nk] = x[i]
+            kept_ids[nk] = ids[i]
+            nk += 1
+        return pa.table({
+            id_col: s.column(id_col),
+            "cluster": s.column("cluster"),
+            "keep": pa.array(keep),
+            "dup_of": pa.array(dup_of, pa.int64(), mask=dup_of < 0),
+        })
+
+    return joined.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pyarrow")

@@ -147,8 +147,10 @@ def test_rank_window_dense_rank_ties_and_nulls(rd):
 
 
 def test_rank_window_rejects_bad_method(rd):
+    # "rank" graduated to a real method in r3 — reject only unknowns
     with pytest.raises(ValueError, match="method"):
-        rank_window(_points(rd), key="k", order_cols=["ts"], method="rank")
+        rank_window(_points(rd), key="k", order_cols=["ts"],
+                    method="rankle")
 
 
 def test_rollup_agg_levels(rd):
