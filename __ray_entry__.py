@@ -2113,6 +2113,31 @@ def _q_perplexity(sf):
     return bigram_lm_perplexity(ds, k=0.5, round_to=6)
 
 
+def _q_funnel(sf):
+    """Product-analytics funnel view→click→purchase per user, each
+    step STRICTLY after the previous (ops/analytics.py funnel — one
+    groupby shuffle, vectorized mask+min cascade per group; strict >
+    makes ties a non-issue, no tiebreak needed). Timestamps are copied
+    minima — exact compare."""
+    from maestro_ray.ops.analytics import funnel
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_type"])
+    return funnel(ds, key="user_id", ts_col="ts", type_col="event_type",
+                  steps=["view", "click", "purchase"])
+
+
+def _q_cohort_retention(sf):
+    """Cohort retention matrix: users bucketed by first-event 7-day
+    period (epoch-floored, NOT ISO weeks), distinct active users per
+    (cohort, periods-since) — ops/analytics.py cohort_retention:
+    mergeable grouped-min first-touch table, bucketed hash_join back,
+    two-level distinct count. Integer counts — exact compare."""
+    from maestro_ray.ops.analytics import cohort_retention
+
+    ds = _read(sf, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, key="user_id", ts_col="ts", period="1w")
+
+
 def _q_warc_import(sf):
     """S8 webtext source: WARC shard intake (the Common-Crawl layout —
     shard FILES are the unit of parallelism). Four .warc.gz shards are
@@ -2314,6 +2339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_cluster": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,
+        "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
     }
 
 
@@ -3131,6 +3158,32 @@ def oracle_sql() -> dict[str, str]:
             "VARCHAR) AS url, text, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS "
             "content_length FROM documents"
+        ),
+        "funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > s1.t1 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > s2.t2 GROUP BY 1) "
+            "SELECT s1.user_id, CAST(1 + CAST(s2.user_id IS NOT NULL "
+            "AS INT) + CAST(s3.user_id IS NOT NULL AS INT) AS BIGINT) "
+            "AS funnel_depth, s1.t1 AS ts_1, s2.t2 AS ts_2, s3.t3 AS "
+            "ts_3 FROM s1 LEFT JOIN s2 USING (user_id) "
+            "LEFT JOIN s3 USING (user_id)"
+        ),
+        "cohort_retention": (
+            # epoch-floored 7-day buckets (604800000000 µs), the same
+            # rule the engine applies — NOT ISO weeks
+            "WITH e AS (SELECT user_id, epoch_us(ts) - epoch_us(ts) % "
+            "604800000000 AS b FROM events), "
+            "f AS (SELECT user_id, min(b) AS cb FROM e GROUP BY 1) "
+            "SELECT make_timestamp(f.cb) AS cohort, "
+            "(e.b - f.cb) // 604800000000 AS period_index, "
+            "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
+            "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

@@ -1,0 +1,142 @@
+"""Event-analytics pipelines over a (user, ts, event_type) stream:
+ordered funnel progression and cohort retention — the two queries every
+product-analytics workload runs on an events table.
+
+Both are one-shuffle plans: funnel is a per-user group scan (sorted
+searchsorted cascade, no Python over rows), retention is two mergeable
+grouped aggregations glued by a bucketed hash_join (first-touch table
+back onto the stream) — the event stream is never collected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def funnel(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> rd.Dataset:
+    """Ordered funnel: per ``key``, how far through ``steps`` the
+    entity progressed, each step STRICTLY after the previous one
+    (min ts of step i+1 with ts > reached ts of step i — the standard
+    product-analytics cascade). Output one row per key that reached
+    step 1: (key, funnel_depth, ts_1..ts_k nullable timestamps).
+
+    One shuffle (groupby key); inside a group each step is one
+    boolean mask + one min over the masked ts array — vectorized, no
+    per-event Python. Ties at the same timestamp do NOT advance the
+    funnel (strict >), which makes the result deterministic without a
+    tiebreak."""
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+
+    def per_key(g: pa.Table) -> pa.Table:
+        ts = (g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        et = g.column(type_col).to_pylist()
+        et = np.asarray(et, dtype=object)
+        reached: list[float | None] = []
+        cur = -np.inf
+        for s in steps:
+            m = (et == s) & (ts > cur)
+            if not m.any():
+                break
+            cur = int(ts[m].min())
+            reached.append(cur)
+        if not reached:
+            return pa.table({
+                key: pa.array([], g.schema.field(key).type),
+                "funnel_depth": pa.array([], pa.int64()),
+                **{f"ts_{i+1}": pa.array([], pa.timestamp("us"))
+                   for i in range(len(steps))},
+            })
+        vals = reached + [None] * (len(steps) - len(reached))
+        return pa.table({
+            key: g.column(key).slice(0, 1),
+            "funnel_depth": pa.array([len(reached)], pa.int64()),
+            **{f"ts_{i+1}": pa.array([v], pa.int64()).cast(
+                pa.timestamp("us")) for i, v in enumerate(vals)},
+        })
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def cohort_retention(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    period: str = "1w",
+) -> rd.Dataset:
+    """Cohort retention: bucket each entity by its FIRST-event period
+    (the cohort), then count distinct active entities per (cohort,
+    period_index) — period_index = whole periods since the cohort
+    bucket (0 = the cohort period itself). Output: (cohort,
+    period_index, n_active).
+
+    Plan: first-touch table via ONE mergeable grouped-min (per-batch
+    partial mins, small groupby); it rejoins the stream through the
+    bucketed ``hash_join`` (never a driver dict — the user universe is
+    unbounded); the distinct-count is a per-batch (cohort, idx, key)
+    dedup partial before the final count — the standard two-level
+    distinct plan. Period buckets are epoch-floored (``1w`` = 7-day
+    buckets anchored at the unix epoch, NOT ISO weeks — the twin must
+    bucket the same way)."""
+    from maestro_ray.ops.joins import hash_join
+
+    stride_us = np.int64(pd.Timedelta(period).value // 1000)
+    if stride_us <= 0:
+        raise ValueError(f"cohort_retention: bad period {period!r}")
+
+    def bucket(t: pa.Table, out: str) -> pa.Table:
+        ts = (t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        b = ts - ts % stride_us
+        return t.append_column(out, pa.array(b, pa.int64()))
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        t = bucket(t, "b")
+        g = t.select([key, "b"]).group_by(key).aggregate([("b", "min")])
+        return g.rename_columns([key, "cohort_us"])
+
+    first = (ds.map_batches(first_partial, batch_format="pyarrow")
+             .groupby(key).min("cohort_us")
+             .map_batches(lambda t: t.rename_columns([key, "cohort_us"]),
+                          batch_format="pyarrow"))
+
+    events = ds.map_batches(
+        lambda t: bucket(t.select([key, ts_col]), "b").select([key, "b"]),
+        batch_format="pyarrow")
+    joined = hash_join(events, first, keys=key)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        idx = pc.divide(pc.subtract(t.column("b"),
+                                    t.column("cohort_us")),
+                        pa.scalar(int(stride_us), pa.int64()))
+        t = pa.table({
+            "cohort_us": t.column("cohort_us"),
+            "period_index": idx,
+            key: t.column(key),
+        })
+        return t.group_by(["cohort_us", "period_index", key]).aggregate([])
+
+    pairs = joined.map_batches(pair_partial, batch_format="pyarrow")
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": g.column("cohort_us").slice(0, 1).cast(
+                pa.timestamp("us")),
+            "period_index": g.column("period_index").slice(0, 1),
+            "n_active": pa.array(
+                [pc.count_distinct(g.column(key)).as_py()], pa.int64()),
+        })
+
+    return pairs.groupby(["cohort_us", "period_index"]).map_groups(
+        count_distinct, batch_format="pyarrow")

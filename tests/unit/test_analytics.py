@@ -1,0 +1,89 @@
+"""Unit oracles for the event-analytics ops: ordered funnel and cohort
+retention."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from maestro_ray.ops.analytics import cohort_retention, funnel
+
+
+def _ds(df, parts=3):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+
+
+def _ev(rows):
+    return pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]) \
+        .assign(ts=lambda d: pd.to_datetime(d.ts))
+
+
+def test_funnel_strict_order_and_ties(ray_session):
+    df = _ev([
+        # u1: full funnel in order
+        (1, "2026-01-01 00:00", "view"),
+        (1, "2026-01-01 01:00", "click"),
+        (1, "2026-01-01 02:00", "purchase"),
+        # u2: click BEFORE view -> depth 1 (strict after)
+        (2, "2026-01-01 01:00", "click"),
+        (2, "2026-01-01 02:00", "view"),
+        # u3: click at the SAME instant as view -> tie does not advance
+        (3, "2026-01-01 00:00", "view"),
+        (3, "2026-01-01 00:00", "click"),
+        # u4: never viewed -> absent from output
+        (4, "2026-01-01 00:00", "purchase"),
+        # u5: view then a LATER click than an earlier ignored one
+        (5, "2026-01-01 02:00", "view"),
+        (5, "2026-01-01 01:00", "click"),
+        (5, "2026-01-01 03:00", "click"),
+    ])
+    out = funnel(_ds(df), "user_id", "ts", "event_type",
+                 ["view", "click", "purchase"]).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 2, 3, 5]
+    assert out["funnel_depth"].tolist() == [3, 1, 1, 2]
+    assert out.loc[0, "ts_3"] == pd.Timestamp("2026-01-01 02:00")
+    assert pd.isna(out.loc[1, "ts_2"])
+    assert out.loc[3, "ts_2"] == pd.Timestamp("2026-01-01 03:00")
+    with pytest.raises(ValueError, match="2 steps"):
+        funnel(_ds(df), "user_id", "ts", "event_type", ["view"])
+
+
+def test_cohort_retention_hand_case(ray_session):
+    wk = pd.Timedelta("7d")
+    # epoch-aligned base so the hand math is readable
+    base = pd.Timestamp("1970-01-01") + 2800 * wk
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": [base, base + wk, base + 3 * wk,   # u1: w0, w1, w3
+               base, base + wk,                  # u2: w0, w1
+               base + wk],                       # u3 cohorts a week later
+    })
+    out = cohort_retention(_ds(df), "user_id", "ts", period="1w") \
+        .to_pandas().sort_values(["cohort", "period_index"]) \
+        .reset_index(drop=True)
+    got = list(zip(out["cohort"], out["period_index"], out["n_active"]))
+    assert got == [
+        (base, 0, 2), (base, 1, 2), (base, 3, 1),
+        (base + wk, 0, 1),
+    ]
+
+
+def test_analytics_partition_invariance(ray_session):
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, 500),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(rng.integers(0, 40 * 86400, 500), unit="s"),
+        "event_type": rng.choice(["view", "click", "purchase"], 500),
+    })
+    f = [funnel(_ds(df, p), "user_id", "ts", "event_type",
+                ["view", "click", "purchase"]).to_pandas()
+         .sort_values("user_id").reset_index(drop=True) for p in (1, 7)]
+    pd.testing.assert_frame_equal(f[0], f[1])
+    c = [cohort_retention(_ds(df, p), "user_id", "ts").to_pandas()
+         .sort_values(["cohort", "period_index"]).reset_index(drop=True)
+         for p in (1, 7)]
+    pd.testing.assert_frame_equal(c[0], c[1])
