@@ -308,6 +308,7 @@ def bigram_lm_perplexity(
     k: float = 0.5,
     round_to: int | None = 6,
     num_buckets: int = 16,
+    broadcast_below: int = 4_000_000,
 ) -> pd.DataFrame:
     """Per-doc statistical-LM quality score (the CCNet/KenLM filtering
     signal, with the corpus itself as training data): train an add-k
@@ -319,13 +320,19 @@ def bigram_lm_perplexity(
 
     Plan, all distributed: ONE bigram flat map feeds (a) per-batch
     count partials → small groupby for the bigram and context tables,
-    (b) the scoring stream, which takes the model back via two bucketed
-    ``hash_join``s (never a driver-side dict — the model can be larger
-    than any one node at 100 TB); V is an exact distinct count
-    (per-batch dedup partials). Per-doc reduction is the mergeable
-    ``grouped_agg``. Output: (id_col, ppl_bits), O(docs)."""
+    (b) the scoring stream, which takes the model back via joins; V is
+    an exact distinct count (per-batch dedup partials). Per-doc
+    reduction is the mergeable ``grouped_agg``. Output: (id_col,
+    ppl_bits), O(docs).
+
+    Join strategy is picked from the already-computed V: the bigram
+    table is ≤ V², so when V² ≤ ``broadcast_below`` the model is
+    ``ray.put`` ONCE and joined per batch with no shuffle
+    (broadcast_join); above it the model can be larger than any one
+    node and the two bucketed ``hash_join``s apply — never a
+    driver-side Python dict either way."""
     from maestro_ray.ops.aggregates import distinct, grouped_agg
-    from maestro_ray.ops.joins import hash_join
+    from maestro_ray.ops.joins import broadcast_join, hash_join
 
     big = _explode_bigrams(ds, id_col, text_col)
 
@@ -357,9 +364,18 @@ def bigram_lm_perplexity(
     vocab = int(distinct(ds.map_batches(tok_explode, batch_format="pyarrow"),
                          "tok").count())
 
-    joined = hash_join(hash_join(big, bc, keys=["w1", "w2"],
-                                 num_buckets=num_buckets),
-                       cc, keys="w1", num_buckets=num_buckets)
+    if vocab * vocab <= broadcast_below:
+        joined = broadcast_join(
+            broadcast_join(big, pa.concat_tables(list(bc.iter_batches(
+                batch_size=None, batch_format="pyarrow"))),
+                keys=["w1", "w2"]),
+            pa.concat_tables(list(cc.iter_batches(
+                batch_size=None, batch_format="pyarrow"))),
+            keys="w1")
+    else:
+        joined = hash_join(hash_join(big, bc, keys=["w1", "w2"],
+                                     num_buckets=num_buckets),
+                           cc, keys="w1", num_buckets=num_buckets)
     kv = float(k)
 
     def logprob(t: pa.Table) -> pa.Table:
