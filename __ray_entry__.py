@@ -2138,6 +2138,43 @@ def _q_cohort_retention(sf):
     return cohort_retention(ds, key="user_id", ts_col="ts", period="1w")
 
 
+def _q_window_lag_n(sf):
+    """A6 LAG/LEAD with offset and default: 3rd-previous / 3rd-next
+    value per user (ops/aggregates.py lag_lead(offset=3,
+    default=-1.0)) — short partitions fill with the default, SQL
+    LAG(v, 3, -1.0) semantics. Values are copied floats — exact."""
+    from maestro_ray.ops.aggregates import lag_lead
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                      "value"])
+    out = lag_lead(ds, key="user_id", order_cols=["ts", "event_id"],
+                   value_col="value", offset=3, default=-1.0)
+    return P.project(out, columns=["user_id", "event_id", "prev_value",
+                                   "next_value"])
+
+
+def _q_weighted_avg(sf):
+    """A2 composition: quantity-weighted average price per returnflag —
+    NO new operator, just the mergeable grouped_agg partials over a
+    derived product column (sum(x·w)/sum(w) recombined on the driver;
+    the partial-pattern composes). round(6) absorbs sum-order drift."""
+    from maestro_ray.ops.aggregates import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "wx", pc.multiply(t.column("l_extendedprice"),
+                              t.column("l_quantity")))
+
+    ds = _read(sf, "lineitem", columns=["l_returnflag", "l_quantity",
+                                        "l_extendedprice"]
+               ).map_batches(prep, batch_format="pyarrow")
+    agg = grouped_agg(ds, "l_returnflag", {"swx": ("wx", "sum"),
+                                           "sw": ("l_quantity", "sum")})
+    out = agg[["l_returnflag"]].copy()
+    out["wavg_price"] = (agg["swx"] / agg["sw"]).round(6)
+    return out
+
+
 def _q_warc_import(sf):
     """S8 webtext source: WARC shard intake (the Common-Crawl layout —
     shard FILES are the unit of parallelism). Four .warc.gz shards are
@@ -2341,6 +2378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_import": _q_warc_import,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
+        "window_lag_n": _q_window_lag_n,
+        "weighted_avg": _q_weighted_avg,
     }
 
 
@@ -3158,6 +3197,17 @@ def oracle_sql() -> dict[str, str]:
             "VARCHAR) AS url, text, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS "
             "content_length FROM documents"
+        ),
+        "window_lag_n": (
+            "SELECT user_id, event_id, "
+            "lag(value, 3, -1.0) OVER w AS prev_value, "
+            "lead(value, 3, -1.0) OVER w AS next_value FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "weighted_avg": (
+            "SELECT l_returnflag, "
+            "round(sum(l_extendedprice * l_quantity) / sum(l_quantity), "
+            "6) AS wavg_price FROM lineitem GROUP BY l_returnflag"
         ),
         "funnel": (
             "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "

@@ -1010,20 +1010,31 @@ def lag_lead(
     value_col: str,
     out_prev: str = "prev_value",
     out_next: str = "next_value",
+    offset: int = 1,
+    default=None,
 ) -> rd.Dataset:
-    """A6-adjacent: per-key LAG/LEAD — each row gets the previous and
-    next ``value_col`` within its key, ordered by ``order_cols``
-    (include a unique tiebreak for determinism). One shuffle (groupby
-    key), local sort + zero-copy shifted slices per group — the
-    standard CDC "value before/after this change" lookup."""
+    """A6-adjacent: per-key LAG/LEAD — each row gets the ``offset``-th
+    previous and next ``value_col`` within its key, ordered by
+    ``order_cols`` (include a unique tiebreak for determinism). Rows
+    with no such neighbor get ``default`` (SQL's LAG(v, n, default) /
+    LEAD(v, n, default); None = SQL NULL). One shuffle (groupby key),
+    local sort + zero-copy shifted slices per group — the standard CDC
+    "value before/after this change" lookup."""
+    if offset < 1:
+        raise ValueError(f"offset={offset}: need >= 1")
     sort_keys = [(c, "ascending") for c in order_cols]
 
     def per_key(g: pa.Table) -> pa.Table:
         s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
         v = s.column(value_col).combine_chunks()
         n = s.num_rows
-        prev = pa.concat_arrays([pa.nulls(1, v.type), v.slice(0, n - 1)])
-        nxt = pa.concat_arrays([v.slice(1), pa.nulls(1, v.type)])
+        o = min(offset, n)
+        if default is None:
+            fill = pa.nulls(o, v.type)
+        else:
+            fill = pa.array([default] * o, v.type)
+        prev = pa.concat_arrays([fill, v.slice(0, n - o)])
+        nxt = pa.concat_arrays([v.slice(o), fill])
         return s.append_column(out_prev, prev).append_column(out_next, nxt)
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

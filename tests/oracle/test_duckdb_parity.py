@@ -98,7 +98,8 @@ ORACLE_NAMES = [
     "ffill", "gap_fill", "mad_grouped", "argmax_grouped", "window_ntile",
     "boilerplate_remove", "blocklist_count",
     "linreg_grouped", "bitbool_grouped", "perplexity_score",
-    "warc_import", "funnel", "cohort_retention",
+    "warc_import", "funnel", "cohort_retention", "window_lag_n",
+    "weighted_avg",
 ]
 
 

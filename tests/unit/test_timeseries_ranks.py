@@ -224,3 +224,22 @@ def test_blocklist_word_boundaries(ray_session):
     assert out["n_blocked"].tolist() == [2, 1, 0]
     with pytest.raises(ValueError, match="empty term"):
         blocklist_count(_ds(docs, 1), "text", [])
+
+
+def test_lag_lead_offset_and_default(ray_session):
+    from maestro_ray.ops.aggregates import lag_lead
+
+    df = pd.DataFrame({"k": [1, 1, 1, 1, 2],
+                       "o": [1, 2, 3, 4, 1],
+                       "v": [10.0, 20.0, 30.0, 40.0, 99.0]})
+    out = lag_lead(_ds(df, 2), "k", ["o"], "v", offset=2,
+                   default=-1.0).to_pandas().sort_values(["k", "o"])
+    assert out["prev_value"].tolist() == [-1.0, -1.0, 10.0, 20.0, -1.0]
+    assert out["next_value"].tolist() == [30.0, 40.0, -1.0, -1.0, -1.0]
+    # default=None -> SQL NULL fill
+    nul = lag_lead(_ds(df, 2), "k", ["o"], "v", offset=3).to_pandas() \
+        .sort_values(["k", "o"])
+    assert nul["prev_value"].isna().tolist() == [True, True, True,
+                                                 False, True]
+    with pytest.raises(ValueError, match="offset"):
+        lag_lead(_ds(df, 1), "k", ["o"], "v", offset=0)
