@@ -2138,6 +2138,20 @@ def _q_cohort_retention(sf):
     return cohort_retention(ds, key="user_id", ts_col="ts", period="1w")
 
 
+def _q_quantile_sketch(sf):
+    """A2 scale path for continuous quantiles: two-pass mergeable
+    min/max + equi-width histogram sketch over extendedprice
+    (ops/aggregates.py quantile_sketch — O(n_bins) rows ever leave a
+    worker; error bounded by one bin width and REPORTED per row).
+    Approximate by design → rows-only; pytest asserts the error bound
+    against numpy exact quantiles and partition invariance."""
+    from maestro_ray.ops.aggregates import quantile_sketch
+
+    ds = _read(sf, "lineitem", columns=["l_extendedprice"])
+    return quantile_sketch(ds, "l_extendedprice",
+                           [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def _q_window_lag_n(sf):
     """A6 LAG/LEAD with offset and default: 3rd-previous / 3rd-next
     value per user (ops/aggregates.py lag_lead(offset=3,
@@ -2380,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "window_lag_n": _q_window_lag_n,
         "weighted_avg": _q_weighted_avg,
+        "quantile_sketch": _q_quantile_sketch,
     }
 
 

@@ -1734,3 +1734,76 @@ def grouped_arg_extremum(
 
     part = ds.map_batches(partial, batch_format="pyarrow")
     return part.groupby(key).map_groups(best, batch_format="pandas")
+
+
+def quantile_sketch(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    n_bins: int = 4096,
+) -> pd.DataFrame:
+    """Approximate quantiles for CONTINUOUS high-cardinality columns —
+    the scale path the exact plans point at (``quantiles_cont`` /
+    ``grouped_quantiles_disc`` are bounded by O(distinct values); a
+    float measurement column breaks that bound). Two mergeable
+    streaming passes, deterministic:
+
+    1. global (min, max) — per-batch partials, driver fold;
+    2. an equi-width ``n_bins`` histogram over [min, max] — per-batch
+       ``np.bincount`` partials summed on the driver (O(n_bins) rows
+       ever leave a worker).
+
+    The quantile is read off the cumulative histogram with linear
+    interpolation INSIDE the located bin, so the absolute error is
+    bounded by one bin width: (max − min) / n_bins. Nulls/NaNs are
+    ignored (SQL aggregate rule); an all-null column yields NULLs.
+    Returns (q, value, err_bound)."""
+    if not qs:
+        raise ValueError("quantile_sketch: empty quantile list")
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": [float(v.min())], "hi": [float(v.max())]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    if not len(mm):
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": np.nan, "err_bound": np.nan})
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    width = (hi - lo) / n_bins if hi > lo else 0.0
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if width > 0:
+            b = np.minimum(((v - lo) / width).astype(np.int64), n_bins - 1)
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        c = np.bincount(b, minlength=n_bins)
+        return pa.table({"bin": pa.array(np.arange(n_bins), pa.int32()),
+                         "c": pa.array(c, pa.int64())})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("bin")["c"].sum().reindex(
+        range(n_bins), fill_value=0).to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    rows = []
+    for q in qs:
+        if n == 0:
+            rows.append((float(q), np.nan, np.nan))
+            continue
+        target = q * (n - 1) + 1  # 1-based fractional rank (cont rule)
+        b = int(np.searchsorted(cum, np.ceil(target)))
+        prev = cum[b - 1] if b else 0
+        in_bin = counts[b] if counts[b] else 1
+        frac = (target - prev) / in_bin
+        val = lo + width * (b + min(max(frac, 0.0), 1.0))
+        if width == 0.0:
+            val = lo
+        rows.append((float(q), float(val), float(width)))
+    return pd.DataFrame(rows, columns=["q", "value", "err_bound"])

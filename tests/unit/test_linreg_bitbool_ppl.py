@@ -112,3 +112,39 @@ def test_perplexity_hand_case_and_outlier(ray_session):
                                np.round([d1, d2, d3], 9))
     # the common pattern scores LOWER (more typical) than the rare one
     assert d2 < d3
+
+
+def test_quantile_sketch_within_bin_error(ray_session):
+    """Sketch quantiles on a continuous column must sit within the
+    advertised one-bin-width error of the exact answer, and be
+    partition-invariant (bincount partials are integer — exact
+    merge)."""
+    from maestro_ray.ops.aggregates import quantile_sketch
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"v": rng.lognormal(0.0, 1.0, 20000)})
+    qs = [0.1, 0.5, 0.9, 0.99]
+    exact = np.quantile(df["v"], qs)
+    outs = []
+    for parts in (2, 9):
+        got = quantile_sketch(_ds(df, parts), "v", qs, n_bins=2048)
+        for (_, row), ex in zip(got.iterrows(), exact):
+            assert abs(row["value"] - ex) <= row["err_bound"] + 1e-9, \
+                (row["q"], row["value"], ex)
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_quantile_sketch_edges(ray_session):
+    from maestro_ray.ops.aggregates import quantile_sketch
+
+    # constant column: zero width, exact answer
+    const = pd.DataFrame({"v": [3.5] * 100})
+    got = quantile_sketch(_ds(const, 2), "v", [0.0, 0.5, 1.0])
+    assert got["value"].tolist() == [3.5, 3.5, 3.5]
+    # all-null column: NaN quantiles, no crash
+    nul = pd.DataFrame({"v": [np.nan] * 10})
+    got = quantile_sketch(_ds(nul, 2), "v", [0.5])
+    assert np.isnan(got["value"]).all()
+    with pytest.raises(ValueError, match="empty quantile"):
+        quantile_sketch(_ds(const, 1), "v", [])
