@@ -1753,10 +1753,16 @@ def quantile_sketch(
        ``np.bincount`` partials summed on the driver (O(n_bins) rows
        ever leave a worker).
 
-    The quantile is read off the cumulative histogram with linear
-    interpolation INSIDE the located bin, so the absolute error is
-    bounded by one bin width: (max − min) / n_bins. Nulls/NaNs are
-    ignored (SQL aggregate rule); an all-null column yields NULLs.
+    The sketch approximates the DISCRETE quantile — the order
+    statistic at 1-based rank max(1, ⌈q·n⌉), the ``quantiles_disc``
+    rule. That order statistic provably lies inside the located bin,
+    so |value − x₍rank₎| ≤ one bin width = (max − min) / n_bins — a
+    bound that holds on ARBITRARILY sparse/heavy-tailed data (an
+    interpolated CONT target can sit between two far-apart order
+    statistics and admits no such bound; do not compare against it).
+    Within the bin the value is placed by linear rank interpolation —
+    still inside the bin, bound intact. Nulls/NaNs are ignored (SQL
+    aggregate rule); an all-null column yields NULLs.
     Returns (q, value, err_bound)."""
     if not qs:
         raise ValueError("quantile_sketch: empty quantile list")
@@ -1797,8 +1803,8 @@ def quantile_sketch(
         if n == 0:
             rows.append((float(q), np.nan, np.nan))
             continue
-        target = q * (n - 1) + 1  # 1-based fractional rank (cont rule)
-        b = int(np.searchsorted(cum, np.ceil(target)))
+        target = max(1, int(np.ceil(q * n)))  # 1-based rank (disc rule)
+        b = int(np.searchsorted(cum, target))
         prev = cum[b - 1] if b else 0
         in_bin = counts[b] if counts[b] else 1
         frac = (target - prev) / in_bin

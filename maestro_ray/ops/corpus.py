@@ -334,7 +334,16 @@ def bigram_lm_perplexity(
     from maestro_ray.ops.aggregates import distinct, grouped_agg
     from maestro_ray.ops.joins import broadcast_join, hash_join
 
-    big = _explode_bigrams(ds, id_col, text_col)
+    # materialized ONCE: the bigram stream feeds three consumers (bc,
+    # cc, the scoring join) — without this, the read+split+gather
+    # explode re-executes per consumer (same rationale as kmeans_fit's
+    # projection; the object store spills if it must)
+    big = _explode_bigrams(ds, id_col, text_col).materialize()
+    if big.count() == 0:
+        # degenerate corpus (every doc < 2 tokens / all null): an
+        # empty result with the contract schema, never a crash
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "ppl_bits": pd.Series([], dtype="float64")})
 
     def count_partial(cols: list[str]):
         def f(t: pa.Table) -> pa.Table:

@@ -474,14 +474,26 @@ def _probe_files(
 
 def _kmeans(sample: np.ndarray, n_centroids: int, iters: int,
             seed: int) -> np.ndarray:
-    """Plain Lloyd k-means on unit-normalized vectors (cosine = dot),
+    """Lloyd k-means on unit-normalized vectors (cosine = dot),
     deterministic seed. Runs on the DRIVER over a bounded sample only —
-    the classic IVF recipe (train small, assign distributed)."""
+    the classic IVF recipe (train small, assign distributed).
+
+    Seeding is farthest-first traversal (the deterministic k-means++
+    variant): first center from the seeded rng, each next center the
+    sample point least similar to every chosen one — on separated
+    blobs each new center provably lands in an uncovered blob, where
+    uniform seeding can drop two centers into one blob and Lloyd never
+    recovers (r3 review regression)."""
     rng = np.random.default_rng(seed)
     x = _normalize(np.asarray(sample, dtype=np.float32))
     if len(x) < n_centroids:
         raise ValueError(f"sample of {len(x)} < n_centroids={n_centroids}")
-    c = x[rng.choice(len(x), size=n_centroids, replace=False)].copy()
+    c = np.empty((n_centroids, x.shape[1]), dtype=np.float32)
+    c[0] = x[int(rng.integers(len(x)))]
+    best = x @ c[0]  # cos to the nearest chosen center, per point
+    for j in range(1, n_centroids):
+        c[j] = x[int(np.argmin(best))]  # farthest point (ties: first)
+        np.maximum(best, x @ c[j], out=best)
     for _ in range(iters):
         assign = (x @ c.T).argmax(axis=1)
         sums = np.zeros_like(c)
@@ -660,14 +672,31 @@ def kmeans_fit(
     with ``with_inertia=False`` — the assignment Dataset is LAZY, so
     skipping inertia skips a whole pass). Empty clusters keep their
     previous centroid (standard Lloyd rule, matches ``_kmeans``)."""
+    from maestro_ray.ops.hashing import hash_array
+
     proj = ds.select_columns([id_col, emb_col]).materialize()
-    sample = proj.limit(sample_size)  # no-op beyond the row count
-    # sort the sample by id before init: block arrival order depends on
-    # partitioning/scheduling, and a deterministic fit must not
-    stab = pa.concat_tables(list(sample.iter_batches(
-        batch_size=None, batch_format="pyarrow")))
-    stab = stab.take(pc.sort_indices(stab, sort_keys=[(id_col,
-                                                       "ascending")]))
+
+    # deterministic init sample: the sample_size rows with the SMALLEST
+    # (hash(id), id) — a total order on rows, so the selection (and
+    # thus the init, and thus every assignment) is independent of block
+    # count, arrival order and scheduling. limit() would take whatever
+    # blocks came first. Per-batch top-k prefilter keeps the driver at
+    # O(sample_size × batches) rows — the standard topk combiner shape.
+    def _top_by_hash(t: pa.Table) -> pa.Table:
+        h = (t.column("__h").to_numpy(zero_copy_only=False)
+             if "__h" in t.column_names else hash_array(t.column(id_col)))
+        ids_np = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_np, h))[:sample_size]
+        sel = t.take(pa.array(order, pa.int64()))
+        if "__h" not in sel.column_names:
+            sel = sel.append_column("__h", pa.array(h[order], pa.uint64()))
+        return sel
+
+    cands = pa.concat_tables(
+        list(proj.map_batches(_top_by_hash, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default")
+    stab = _top_by_hash(cands).drop_columns(["__h"])
     cents = _kmeans(_emb_matrix(stab, emb_col), n_clusters, iters=3,
                     seed=seed)
 
@@ -778,29 +807,36 @@ def semantic_dedup(
                 f"max_cluster={max_cluster}; raise n_clusters")
         s = g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")]))
         x = _normalize(_emb_matrix(s, emb_col))
-        ids = s.column(id_col).to_numpy(zero_copy_only=False)
-        n = len(ids)
+        n = s.num_rows
         keep = np.zeros(n, dtype=bool)
-        dup_of = np.full(n, -1, dtype=np.int64)
+        # bookkeeping by ROW index, not id value: id_col is generic
+        # (string urls, negative ints, ...) — the shadowing id is
+        # gathered from the Arrow column at the end
+        dup_idx = np.full(n, -1, dtype=np.int64)
         kept = np.empty_like(x)  # preallocated: kept rows prefix
-        kept_ids = np.empty(n, dtype=np.int64)
+        kept_rowidx = np.empty(n, dtype=np.int64)
         nk = 0
         for i in range(n):
             if nk:
                 sims = kept[:nk] @ x[i]
                 j = int(np.argmax(sims))
                 if sims[j] >= threshold:
-                    dup_of[i] = kept_ids[j]
+                    dup_idx[i] = kept_rowidx[j]
                     continue
             keep[i] = True
             kept[nk] = x[i]
-            kept_ids[nk] = ids[i]
+            kept_rowidx[nk] = i
             nk += 1
+        ids = s.column(id_col).combine_chunks()
+        dup_of = pc.if_else(
+            pa.array(dup_idx >= 0),
+            ids.take(pa.array(np.maximum(dup_idx, 0), pa.int64())),
+            pa.nulls(n, ids.type))
         return pa.table({
-            id_col: s.column(id_col),
+            id_col: ids,
             "cluster": s.column("cluster"),
             "keep": pa.array(keep),
-            "dup_of": pa.array(dup_of, pa.int64(), mask=dup_of < 0),
+            "dup_of": dup_of,
         })
 
     return joined.groupby("cluster").map_groups(

@@ -69,6 +69,49 @@ def test_kmeans_partition_invariant(ray_session):
     assert abs(outs[0][2] - outs[1][2]) < 1e-3
 
 
+def test_kmeans_invariant_when_sample_smaller_than_table(ray_session):
+    """Regression (r3 review): with sample_size < n_rows the init
+    sample must be the deterministic min-hash prefix, not whatever
+    blocks limit() saw first — assignments must not move with the
+    partitioning."""
+    rng = np.random.default_rng(29)
+    ids, X, _ = _blobs(rng, n_per=40, k=3)  # 120 rows
+    outs = []
+    for parts in (1, 9):
+        assigned, cents, _ = kmeans_fit(_ds(ids, X, parts), n_clusters=3,
+                                        iters=4, sample_size=40,
+                                        with_inertia=False)
+        outs.append((assigned.to_pandas().sort_values("vec_id")
+                     .reset_index(drop=True), cents))
+    pd.testing.assert_frame_equal(outs[0][0][["vec_id", "cluster"]],
+                                  outs[1][0][["vec_id", "cluster"]])
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+
+
+def test_semdedup_string_ids(ray_session):
+    """Regression (r3 review): id_col is generic — string ids must
+    work and dup_of must carry the shadowing STRING id."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=8)
+    base /= np.linalg.norm(base)
+    X = np.vstack([base, base + 1e-4, rng.normal(size=8)]) \
+        .astype(np.float32)
+    t = pa.table({
+        "url": pa.array(["a.example", "b.example", "c.example"]),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float32())),
+    })
+    out = semantic_dedup(rd.from_arrow(t), n_clusters=1, threshold=0.99,
+                         iters=2, id_col="url").to_pandas() \
+        .set_index("url").sort_index()
+    assert bool(out.loc["a.example", "keep"])
+    assert not bool(out.loc["b.example", "keep"])
+    assert out.loc["b.example", "dup_of"] == "a.example"
+    assert out.loc[out["keep"], "dup_of"].isna().all()
+
+
 def test_semdedup_collapses_planted_pairs(ray_session):
     rng = np.random.default_rng(3)
     ids, X, _ = _blobs(rng, n_per=30, k=3, spread=0.08)

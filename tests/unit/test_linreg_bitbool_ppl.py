@@ -124,7 +124,10 @@ def test_quantile_sketch_within_bin_error(ray_session):
     rng = np.random.default_rng(17)
     df = pd.DataFrame({"v": rng.lognormal(0.0, 1.0, 20000)})
     qs = [0.1, 0.5, 0.9, 0.99]
-    exact = np.quantile(df["v"], qs)
+    # the sketch approximates the DISC order statistic at rank
+    # max(1, ceil(q*n)) — the only target the one-bin bound covers
+    sv = np.sort(df["v"].to_numpy())
+    exact = [sv[max(1, int(np.ceil(q * len(sv)))) - 1] for q in qs]
     outs = []
     for parts in (2, 9):
         got = quantile_sketch(_ds(df, parts), "v", qs, n_bins=2048)
@@ -133,6 +136,27 @@ def test_quantile_sketch_within_bin_error(ray_session):
                 (row["q"], row["value"], ex)
         outs.append(got)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_quantile_sketch_sparse_bins_bound_holds(ray_session):
+    """Regression (r3 review): two far-apart points — the located
+    order statistic must stay within one bin width even though the
+    CONT-interpolated midpoint is half the range away."""
+    from maestro_ray.ops.aggregates import quantile_sketch
+
+    df = pd.DataFrame({"v": [0.0, 100.0]})
+    got = quantile_sketch(_ds(df, 1), "v", [0.5, 1.0], n_bins=4096)
+    # rank max(1, ceil(.5*2)) = 1 -> order stat 0.0; rank 2 -> 100.0
+    assert abs(got.loc[0, "value"] - 0.0) <= got.loc[0, "err_bound"]
+    assert abs(got.loc[1, "value"] - 100.0) <= got.loc[1, "err_bound"]
+    # heavy tail: one outlier far from the mass
+    df2 = pd.DataFrame({"v": [1.0] * 99 + [1e9]})
+    got2 = quantile_sketch(_ds(df2, 3), "v", [0.5, 0.99, 1.0],
+                           n_bins=1024)
+    sv = np.sort(df2["v"].to_numpy())
+    for _, row in got2.iterrows():
+        ex = sv[max(1, int(np.ceil(row["q"] * len(sv)))) - 1]
+        assert abs(row["value"] - ex) <= row["err_bound"] + 1e-6
 
 
 def test_quantile_sketch_edges(ray_session):
