@@ -2113,6 +2113,31 @@ def _q_perplexity(sf):
     return bigram_lm_perplexity(ds, k=0.5, round_to=6)
 
 
+def _q_decontaminate(sf):
+    """Benchmark decontamination (the GPT-3-style n-gram overlap
+    check): per doc, distinct word 5-grams shared with a synthetic
+    eval slice (doc_id % 20 = 7) plus a contaminated flag
+    (ops/corpus.py decontaminate — eval n-grams folded distributed,
+    collected ONCE (small by contract), broadcast via ray.put; the
+    corpus pass is per-batch explode + vectorized pc.is_in, nothing
+    about the corpus shuffles or leaves the workers). Left-join shaped:
+    one row per non-null-text doc, overlap 0 when clean — provably
+    non-empty. n=5 on the synthetic bigram corpus keeps the flagged
+    set non-trivial (29 docs at sf0.01); production would use n=13.
+    Integer counts — exact."""
+    from maestro_ray.ops.corpus import decontaminate
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+
+    def eval_slice(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 7))
+
+    ev = _read(sf, "documents", columns=["doc_id", "text"]) \
+        .map_batches(eval_slice, batch_format="pyarrow")
+    return decontaminate(ds, ev, n=5)
+
+
 def _q_funnel(sf):
     """Product-analytics funnel view→click→purchase per user, each
     step STRICTLY after the previous (ops/analytics.py funnel — one
@@ -2387,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linreg_grouped": _q_linreg_grouped,
         "bitbool_grouped": _q_bitbool_grouped,
         "perplexity_score": _q_perplexity,
+        "decontaminate": _q_decontaminate,
         "kmeans_cluster": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,
@@ -3223,6 +3249,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, "
             "round(sum(l_extendedprice * l_quantity) / sum(l_quantity), "
             "6) AS wavg_price FROM lineitem GROUP BY l_returnflag"
+        ),
+        "decontaminate": (
+            # same single-space 5-gram walk as the engine; eval slice =
+            # doc_id % 20 = 7; distinct shared 5-grams per doc, left
+            # join keeps clean docs at overlap 0
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents WHERE text IS NOT NULL), "
+            "pos AS (SELECT doc_id, l, "
+            "unnest(generate_series(1, len(l) - 4)) AS s FROM toks), "
+            "ng AS (SELECT doc_id, l[s] || ' ' || l[s+1] || ' ' || "
+            "l[s+2] || ' ' || l[s+3] || ' ' || l[s+4] AS g FROM pos), "
+            "ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 7), "
+            "ov AS (SELECT n.doc_id, count(DISTINCT n.g) AS overlap "
+            "FROM ng n JOIN ev USING (g) GROUP BY 1) "
+            "SELECT t.doc_id, coalesce(o.overlap, 0) AS overlap, "
+            "coalesce(o.overlap, 0) >= 1 AS contaminated "
+            "FROM toks t LEFT JOIN ov o USING (doc_id)"
         ),
         "funnel": (
             "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "

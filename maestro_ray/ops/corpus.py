@@ -404,3 +404,109 @@ def bigram_lm_perplexity(
     if round_to is not None:
         out["ppl_bits"] = out["ppl_bits"].round(round_to)
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+# ------------------------------------------------- decontamination
+
+
+def _explode_ngrams(batch: pa.Table, id_col: str, text_col: str,
+                    n: int) -> pa.Table:
+    """(id, g) for every word ``n``-gram of every doc — the n-ary
+    generalization of ``_explode_bigrams``'s offset-gather plan: one
+    ``split_pattern`` per batch, the n token columns are n shifted
+    gathers of the flattened token array, joined with a single space.
+    Docs with fewer than ``n`` tokens emit nothing; null texts emit
+    nothing."""
+    tbl = batch.filter(pc.is_valid(batch.column(text_col)))
+    empty = pa.table({
+        id_col: pa.array([], batch.schema.field(id_col).type),
+        "g": pa.array([], pa.string()),
+    })
+    if tbl.num_rows == 0:
+        return empty
+    texts = tbl.column(text_col).combine_chunks()
+    if isinstance(texts, pa.ChunkedArray):
+        texts = (texts.chunk(0) if texts.num_chunks else
+                 pa.array([], pa.string()))
+    toks = pc.split_pattern(texts, " ")
+    offs = toks.offsets.to_numpy()
+    n_grams = np.maximum(np.diff(offs) - (n - 1), 0)
+    if not n_grams.sum():
+        return empty
+    doc_idx = np.repeat(np.arange(len(n_grams)), n_grams)
+    bounds = np.concatenate(([0], np.cumsum(n_grams)))
+    first = np.repeat(offs[:-1], n_grams) + (
+        np.arange(int(bounds[-1])) - np.repeat(bounds[:-1], n_grams))
+    cols = [toks.values.take(pa.array(first + i, pa.int64()))
+            for i in range(n)]
+    return pa.table({
+        id_col: tbl.column(id_col).take(pa.array(doc_idx, pa.int64())),
+        "g": pc.binary_join_element_wise(*cols, " "),
+    })
+
+
+def decontaminate(
+    ds: rd.Dataset,
+    eval_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> rd.Dataset:
+    """Benchmark decontamination: per document, the number of DISTINCT
+    word ``n``-grams it shares with the evaluation corpus ``eval_ds``
+    (same ``text_col``), plus a ``contaminated`` flag (overlap ≥ 1) —
+    the GPT-3-style 13-gram overlap check re-expressed Ray-Data-first.
+
+    Scale plan: the eval side is SMALL by contract (a benchmark suite —
+    thousands of docs, not the corpus). Its distinct n-grams are folded
+    DISTRIBUTED (explode → groupby distinct), collected once (O(eval
+    n-grams) rows — the only driver materialization), sorted, and
+    broadcast via ``ray.put``. The corpus pass is a per-batch explode +
+    vectorized ``pc.is_in`` hash probe + per-batch distinct fold — docs
+    live wholly inside one input row, so per-batch distinct counts are
+    globally exact and NOTHING about the corpus is ever shuffled or
+    collected. One output row per non-null-text doc (overlap 0 when
+    clean — the relation is left-join shaped, never empty).
+
+    Tokenizer is the module's single-space contract, so the result has
+    an exact SQL twin (string_split + generate_series n-gram walk)."""
+    if n < 1:
+        raise ValueError(f"decontaminate: n={n} must be >= 1")
+
+    ev = (
+        eval_ds.map_batches(
+            lambda t: _explode_ngrams(t, id_col, text_col, n)
+            .select(["g"]),
+            batch_format="pyarrow")
+        .groupby("g")
+        .count()
+    )
+    ev_batches = list(ev.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"))
+    ev_tbl = (pa.concat_tables(ev_batches) if ev_batches
+              else pa.table({"g": pa.array([], pa.string())}))
+    ev_arr = pa.array(
+        np.sort(ev_tbl.column("g").to_numpy(zero_copy_only=False))
+        if ev_tbl.num_rows else [], pa.string())
+    ev_ref = ray.put(ev_arr)
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        eval_grams = ray.get(ev_ref)
+        ids = batch.filter(pc.is_valid(batch.column(text_col))) \
+            .select([id_col])
+        ng = _explode_ngrams(batch, id_col, text_col, n)
+        hit = ng.filter(pc.is_in(ng.column("g"), value_set=eval_grams))
+        per_doc = (
+            hit.group_by([id_col, "g"]).aggregate([])  # distinct pairs
+            .group_by([id_col]).aggregate([([], "count_all")])
+            .rename_columns([id_col, "overlap"])
+        )
+        out = ids.join(per_doc, keys=id_col, join_type="left outer")
+        ov = pc.fill_null(out.column("overlap"), 0)
+        return pa.table({
+            id_col: out.column(id_col),
+            "overlap": ov,
+            "contaminated": pc.greater_equal(ov, pa.scalar(1, pa.int64())),
+        })
+
+    return ds.map_batches(overlap, batch_format="pyarrow")

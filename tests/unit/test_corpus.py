@@ -143,3 +143,47 @@ def test_tfidf_scores_formula(rd):
     # dog: tf=1, idf=ln(2)
     assert out.loc[(0, "dog"), "score"] == round(float(np.log(2.0)), 6)
     assert out.loc[(1, "fish"), "tf"] == 1
+
+
+def test_decontaminate_edges(rd):
+    from maestro_ray.ops.corpus import decontaminate
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps",    # shares a 3-gram with eval
+            "the quick brown fox jumps",    # duplicate: same overlap
+            "quick brown cats sit still",   # no shared 3-gram
+            "a b",                          # < n tokens → overlap 0
+            None,                           # null text → NO row
+        ]),
+    }))
+    ev = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["quick brown fox leaps high quick brown fox"]),
+    }))
+    out = decontaminate(corpus, ev, n=3).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # eval 3-grams: {quick brown fox, brown fox leaps, fox leaps high,
+    #   leaps high quick, high quick brown} — doc0/1 share exactly one
+    assert list(out.index) == [0, 1, 2, 3]
+    assert out.loc[0, "overlap"] == 1 and bool(out.loc[0, "contaminated"])
+    assert out.loc[1, "overlap"] == 1
+    assert out.loc[2, "overlap"] == 0 and not bool(out.loc[2, "contaminated"])
+    assert out.loc[3, "overlap"] == 0
+    # distinctness: repeating the shared 3-gram in one doc counts ONCE
+    rep = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["quick brown fox and quick brown fox"]),
+    }))
+    out2 = decontaminate(rep, ev, n=3).to_pandas()
+    assert int(out2.loc[0, "overlap"]) == 1
+    # empty eval set: everything clean, relation still full
+    empty_ev = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    out3 = decontaminate(corpus, empty_ev, n=3).to_pandas()
+    assert len(out3) == 4 and (out3["overlap"] == 0).all()
+    with pytest.raises(ValueError):
+        decontaminate(corpus, ev, n=0)
