@@ -2138,6 +2138,20 @@ def _q_decontaminate(sf):
     return decontaminate(ds, ev, n=5)
 
 
+def _q_pack_sequences(sf):
+    """Training-shard sequence packing (concat-and-chunk, GPT-style):
+    docs laid end-to-end in doc_id order, cut into 512-token sequences;
+    per doc its start sequence / offset / span (ops/corpus.py
+    pack_sequences over ops/scan.ordered_cumsum — the bucketed
+    three-pass distributed prefix sum: O(n_buckets) driver state, one
+    groupby shuffle, never a driver-side walk). Integer layout —
+    exact."""
+    from maestro_ray.ops.corpus import pack_sequences
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=512)
+
+
 def _q_funnel(sf):
     """Product-analytics funnel view→click→purchase per user, each
     step STRICTLY after the previous (ops/analytics.py funnel — one
@@ -2413,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitbool_grouped": _q_bitbool_grouped,
         "perplexity_score": _q_perplexity,
         "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
         "kmeans_cluster": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,
@@ -3266,6 +3281,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, coalesce(o.overlap, 0) AS overlap, "
             "coalesce(o.overlap, 0) >= 1 AS contaminated "
             "FROM toks t LEFT JOIN ov o USING (doc_id)"
+        ),
+        "pack_sequences": (
+            # same single-space token count; global running sum in
+            # doc_id order; integer division lays out 512-token shards
+            "WITH t AS (SELECT doc_id, CAST(len(string_split(text, "
+            "' ')) AS BIGINT) AS n_tokens FROM documents "
+            "WHERE text IS NOT NULL), "
+            "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER "
+            "(ORDER BY doc_id) - n_tokens AS BIGINT) AS cum_prev "
+            "FROM t) "
+            "SELECT doc_id, n_tokens, cum_prev // 512 AS seq_id, "
+            "cum_prev % 512 AS seq_offset, (cum_prev + n_tokens - 1) "
+            "// 512 - cum_prev // 512 + 1 AS n_seqs FROM c"
         ),
         "funnel": (
             "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "

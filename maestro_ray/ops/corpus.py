@@ -510,3 +510,61 @@ def decontaminate(
         })
 
     return ds.map_batches(overlap, batch_format="pyarrow")
+
+
+# --------------------------------------------------- sequence packing
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+) -> rd.Dataset:
+    """Concat-and-chunk training-shard packing: documents are laid out
+    end-to-end in ``id_col`` order and cut into fixed ``seq_len``-token
+    training sequences (the GPT-style packing rule — no padding, docs
+    may span sequence boundaries). Per doc: its token count, the
+    sequence it STARTS in, the offset within that sequence, and how
+    many sequences it spans — everything a shard writer needs to place
+    every doc without ever materializing the token stream.
+
+    The global token prefix sum is ``ops/scan.ordered_cumsum`` (bucketed
+    three-pass scan: O(n_buckets) driver state, one groupby shuffle) —
+    NOT a driver-side walk. Tokenizer is the module's single-space
+    contract, so the layout has an exact SQL twin
+    (``SUM(n) OVER (ORDER BY id)``). Null texts are skipped; ids must
+    be unique non-null integers (enforced by the scan)."""
+    if seq_len < 1:
+        raise ValueError(f"pack_sequences: seq_len={seq_len}")
+    from maestro_ray.ops.scan import ordered_cumsum
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        tbl = t.filter(pc.is_valid(t.column(text_col)))
+        toks = pc.split_pattern(tbl.column(text_col).combine_chunks(),
+                                " ")
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+        })
+
+    counted = ds.select_columns([id_col, text_col]).map_batches(
+        count_tokens, batch_format="pyarrow")
+    scanned = ordered_cumsum(counted, id_col, "n_tokens",
+                             out_col="__cum_prev")
+
+    def place(t: pa.Table) -> pa.Table:
+        cum = t.column("__cum_prev").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        seq_id = cum // seq_len
+        # split_pattern yields >=1 token per non-null doc, so n >= 1
+        n_seqs = (cum + n - 1) // seq_len - seq_id + 1
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": t.column("n_tokens"),
+            "seq_id": pa.array(seq_id, pa.int64()),
+            "seq_offset": pa.array(cum % seq_len, pa.int64()),
+            "n_seqs": pa.array(n_seqs, pa.int64()),
+        })
+
+    return scanned.map_batches(place, batch_format="pyarrow")

@@ -99,7 +99,7 @@ ORACLE_NAMES = [
     "boilerplate_remove", "blocklist_count",
     "linreg_grouped", "bitbool_grouped", "perplexity_score",
     "warc_import", "funnel", "cohort_retention", "window_lag_n",
-    "weighted_avg", "decontaminate",
+    "weighted_avg", "decontaminate", "pack_sequences",
 ]
 
 

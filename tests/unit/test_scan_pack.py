@@ -1,0 +1,101 @@
+"""ordered_cumsum (distributed prefix sum) and pack_sequences — edge
+cases the DuckDB twin doesn't reach: duplicate/null keys, null values,
+clustered key spaces, float sums, empty input."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from maestro_ray.ops.corpus import pack_sequences
+from maestro_ray.ops.scan import ordered_cumsum
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def _ds(rd, ks, vs, parts=4, vtype=pa.int64()):
+    t = pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, vtype)})
+    return rd.from_arrow(t).repartition(parts)
+
+
+def test_ordered_cumsum_exact_and_invariant(rd):
+    rng = np.random.default_rng(3)
+    ks = rng.permutation(1000)
+    vs = rng.integers(0, 50, 1000)
+    outs = []
+    for parts in (1, 7):
+        o = ordered_cumsum(_ds(rd, ks, vs, parts), "k", "v") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    srt = np.argsort(ks)
+    exp = np.concatenate(([0], np.cumsum(vs[srt])[:-1]))
+    assert (outs[0]["cum_prev"].to_numpy() == exp).all()
+    assert outs[0]["cum_prev"].dtype == np.int64
+
+
+def test_ordered_cumsum_clustered_keys_one_bucket(rd):
+    # all keys inside one equal-width bucket (tight cluster + outlier):
+    # correctness must not depend on spread
+    ks = np.array([10**9] + list(range(100)))
+    vs = np.ones(101, dtype=np.int64)
+    o = ordered_cumsum(_ds(rd, ks, vs, 5), "k", "v", n_buckets=8) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(o["cum_prev"]) == list(range(101))
+
+
+def test_ordered_cumsum_null_value_counts_zero(rd):
+    o = ordered_cumsum(_ds(rd, [3, 1, 2], [5, None, 7], 2), "k", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(o["cum_prev"]) == [0, 0, 7]  # null at k=1 adds nothing
+
+
+def test_ordered_cumsum_float_values(rd):
+    o = ordered_cumsum(_ds(rd, [2, 1], [0.5, 1.25], 1,
+                           vtype=pa.float64()), "k", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(o["cum_prev"]) == [0.0, 1.25]
+
+
+def test_ordered_cumsum_rejects_duplicate_and_null_keys(rd):
+    with pytest.raises(Exception, match="duplicate"):
+        ordered_cumsum(_ds(rd, [1, 1, 2], [1, 1, 1], 1), "k", "v") \
+            .materialize()
+    with pytest.raises(Exception, match="null"):
+        ordered_cumsum(_ds(rd, [1, None, 2], [1, 1, 1], 1), "k", "v") \
+            .materialize()
+    with pytest.raises(ValueError):
+        ordered_cumsum(_ds(rd, [1], [1], 1), "k", "v", n_buckets=0)
+
+
+def test_pack_sequences_layout(rd):
+    # 3 docs of 3/4/2 tokens, seq_len=4: doc0 [0,0..2], doc1 spans
+    # seqs 0-1 (offset 3), doc2 starts seq 1 offset 3 spanning into 2
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c", "d e f g", "h i"]),
+    })).repartition(3)
+    o = pack_sequences(ds, seq_len=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(o["n_tokens"]) == [3, 4, 2]
+    assert list(o["seq_id"]) == [0, 0, 1]
+    assert list(o["seq_offset"]) == [0, 3, 3]
+    assert list(o["n_seqs"]) == [1, 2, 2]
+    with pytest.raises(ValueError):
+        pack_sequences(ds, seq_len=0)
+
+
+def test_pack_sequences_skips_null_text(rd):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b", None, "c"]),
+    }))
+    o = pack_sequences(ds, seq_len=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(o["doc_id"]) == [0, 2]
+    assert list(o["seq_offset"]) == [0, 2]  # null doc occupies nothing
