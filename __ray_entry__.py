@@ -2152,6 +2152,34 @@ def _q_pack_sequences(sf):
     return pack_sequences(ds, seq_len=512)
 
 
+def _q_graph_components(sf):
+    """Connected components over an edge list (ops/graph.py
+    connected_components — iterative edge CONTRACTION with
+    pointer-doubling closure, O(log diameter) rounds, guarded ≤2M-edge
+    driver union-find finish). Edges here: consecutive events of each
+    user ordered by (ts, event_id) — every user's events form one
+    chain, so the component label is provably min(event_id) per user,
+    which is the SQL twin (a window min over users with ≥2 events;
+    the ENGINE never sees user_id, only the edge list)."""
+    from maestro_ray.ops.graph import connected_components
+
+    ds = _read(sf, "events", columns=["user_id", "event_id", "ts"])
+
+    def chain_edges(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+        ev = s.column("event_id").combine_chunks()
+        n = len(ev)
+        if n < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": ev.slice(0, n - 1), "b": ev.slice(1)})
+
+    edges = ds.groupby("user_id").map_groups(chain_edges,
+                                             batch_format="pyarrow")
+    return connected_components(edges)
+
+
 def _q_funnel(sf):
     """Product-analytics funnel view→click→purchase per user, each
     step STRICTLY after the previous (ops/analytics.py funnel — one
@@ -2428,6 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_score": _q_perplexity,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        "graph_components": _q_graph_components,
         "kmeans_cluster": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,
@@ -3281,6 +3310,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, coalesce(o.overlap, 0) AS overlap, "
             "coalesce(o.overlap, 0) >= 1 AS contaminated "
             "FROM toks t LEFT JOIN ov o USING (doc_id)"
+        ),
+        "graph_components": (
+            # the engine sees only the per-user chain EDGES; the twin
+            # exploits the known component structure: label = min
+            # event_id per user, nodes = events of users with >= 2
+            # events (single-event users emit no edge)
+            "WITH c AS (SELECT event_id, "
+            "count(*) OVER (PARTITION BY user_id) AS cnt, "
+            "min(event_id) OVER (PARTITION BY user_id) AS label "
+            "FROM events) "
+            "SELECT event_id AS node, label FROM c WHERE cnt >= 2"
         ),
         "pack_sequences": (
             # same single-space token count; global running sum in

@@ -1,0 +1,89 @@
+"""connected_components: union-find ground truth on random graphs,
+chain diameter via the pointer-doubling closure, both the local-finish
+and distributed-contraction paths, and input edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from maestro_ray.ops.graph import connected_components
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def _edges(rd, pairs, parts=4):
+    t = pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "b": pa.array([p[1] for p in pairs], pa.int64())})
+    return rd.from_arrow(t).repartition(parts)
+
+
+def _uf(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    lab = {}
+    for ms in comp.values():
+        m = min(ms)
+        for x in ms:
+            lab[x] = m
+    return lab
+
+
+def test_components_match_union_find(rd):
+    rng = np.random.default_rng(7)
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 200, (250, 2))]
+    nodes = sorted({x for p in pairs for x in p})
+    exp = _uf(pairs, nodes)
+    out = connected_components(_edges(rd, pairs)).to_pandas()
+    got = dict(zip(out.node.astype(int), out.label.astype(int)))
+    assert got == exp
+
+
+def test_chain_converges_via_local_finish(rd):
+    pairs = [(i, i + 1) for i in range(300)]
+    out = connected_components(_edges(rd, pairs, 5)).to_pandas()
+    assert len(out) == 301 and (out.label == 0).all()
+
+
+def test_distributed_contraction_path(rd):
+    # force distributed rounds with a tiny guard: a 48-chain needs the
+    # pointer-doubling closure (plain contraction shrinks chains by
+    # only one edge per round — the r3 redesign's whole point)
+    pairs = [(i, i + 1) for i in range(48)]
+    out = connected_components(_edges(rd, pairs, 3),
+                               local_edge_threshold=5).to_pandas()
+    assert len(out) == 49 and (out.label == 0).all()
+
+
+def test_edge_cases(rd):
+    t = pa.table({"a": pa.array([1, 2, None, 5], pa.int64()),
+                  "b": pa.array([2, 1, 9, 5], pa.int64())})
+    import ray.data as rdm
+
+    out = connected_components(rdm.from_arrow(t)).to_pandas() \
+        .set_index("node")
+    # parallel edges fold, self-loop keeps its node, null edge drops
+    assert out.loc[1, "label"] == 1 and out.loc[2, "label"] == 1
+    assert out.loc[5, "label"] == 5
+    assert 9 not in out.index
+    with pytest.raises(ValueError, match="integer"):
+        connected_components(
+            rdm.from_arrow(pa.table({"a": ["x"], "b": ["y"]})))
