@@ -95,6 +95,35 @@ def connected_components(
             "connected_components: integer node ids required — hash "
             "string ids first (ops/hashing.hash_array)")
 
+    if e.count() <= local_edge_threshold:
+        # raw edge set already fits the driver guard: skip the
+        # distributed init/relabel joins entirely — union-find the raw
+        # pairs (output is O(nodes) <= 2x the guard, bounded)
+        pairs = e.to_pandas()
+        a = pairs["a"].to_numpy().astype(np.int64)
+        b = pairs["b"].to_numpy().astype(np.int64)
+        parent: dict[int, int] = {}
+
+        def find0(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(a, b):
+            rx, ry = find0(int(x)), find0(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        nodes = np.unique(np.concatenate([a, b]))
+        lab = np.fromiter((find0(int(n)) for n in nodes),
+                          dtype=np.int64, count=len(nodes))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "label": pa.array(lab, pa.int64()),
+        }))
+
     def init_msgs(t: pa.Table) -> pa.Table:
         m = pc.min_element_wise(t.column("a"), t.column("b"))
         return pa.table({
