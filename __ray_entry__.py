@@ -2152,6 +2152,42 @@ def _q_pack_sequences(sf):
     return pack_sequences(ds, seq_len=512)
 
 
+def _q_pipeline_pretrain_pack(sf):
+    """Composed pretraining-prep recipe: decontaminate against the
+    eval slice (5-gram overlap), drop flagged docs, pack the survivors
+    into 512-token training sequences — decontaminate →
+    broadcast-anti-filter → pack_sequences, ONE end-to-end SQL twin.
+    The broadcast side is the CONTAMINATED id set (small by
+    construction — benchmark collisions are rare; the clean side never
+    leaves the workers), the same bounded-side rule as
+    pipeline_corpus_curation's drop set."""
+    from maestro_ray.ops.corpus import decontaminate, pack_sequences
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+
+    def eval_slice(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 7))
+
+    ev = _read(sf, "documents", columns=["doc_id", "text"]) \
+        .map_batches(eval_slice, batch_format="pyarrow")
+    import ray
+
+    decon = decontaminate(ds, ev, n=5)
+    bad = decon.map_batches(
+        lambda t: t.filter(t.column("contaminated")).select(["doc_id"]),
+        batch_format="pyarrow").to_pandas()
+    bad_arr = pa.array(np.sort(bad["doc_id"].to_numpy()), pa.int64())
+    bad_ref = ray.put(bad_arr)
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t.column("doc_id"),
+                                           value_set=ray.get(bad_ref))))
+
+    survivors = ds.map_batches(keep_clean, batch_format="pyarrow")
+    return pack_sequences(survivors, seq_len=512)
+
+
 def _q_graph_components(sf):
     """Connected components over an edge list (ops/graph.py
     connected_components — iterative edge CONTRACTION with
@@ -2457,6 +2493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
         "graph_components": _q_graph_components,
+        "pipeline_pretrain_pack": _q_pipeline_pretrain_pack,
         "kmeans_cluster": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,
@@ -3310,6 +3347,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, coalesce(o.overlap, 0) AS overlap, "
             "coalesce(o.overlap, 0) >= 1 AS contaminated "
             "FROM toks t LEFT JOIN ov o USING (doc_id)"
+        ),
+        "pipeline_pretrain_pack": (
+            # end-to-end twin of the composed recipe: 5-gram decon
+            # against the doc_id % 20 = 7 eval slice, survivors packed
+            # by the same window-sum layout as pack_sequences
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents WHERE text IS NOT NULL), "
+            "pos AS (SELECT doc_id, l, "
+            "unnest(generate_series(1, len(l) - 4)) AS s FROM toks), "
+            "ng AS (SELECT doc_id, l[s] || ' ' || l[s+1] || ' ' || "
+            "l[s+2] || ' ' || l[s+3] || ' ' || l[s+4] AS g FROM pos), "
+            "ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 7), "
+            "bad AS (SELECT DISTINCT n.doc_id FROM ng n "
+            "JOIN ev USING (g)), "
+            "t AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens "
+            "FROM toks WHERE doc_id NOT IN (SELECT doc_id FROM bad)), "
+            "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER "
+            "(ORDER BY doc_id) - n_tokens AS BIGINT) AS cum_prev "
+            "FROM t) "
+            "SELECT doc_id, n_tokens, cum_prev // 512 AS seq_id, "
+            "cum_prev % 512 AS seq_offset, (cum_prev + n_tokens - 1) "
+            "// 512 - cum_prev // 512 + 1 AS n_seqs FROM c"
         ),
         "graph_components": (
             # the engine sees only the per-user chain EDGES; the twin
