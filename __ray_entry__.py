@@ -2152,6 +2152,29 @@ def _q_pack_sequences(sf):
     return pack_sequences(ds, seq_len=512)
 
 
+def _q_window_row_number_global(sf):
+    """Global ROW_NUMBER() OVER (ORDER BY event_id) WITHOUT a global
+    sort (ops/scan.global_row_number — the bucketed three-pass prefix
+    count: O(n_buckets) driver state, one groupby shuffle). Integer
+    ranks — exact."""
+    from maestro_ray.ops.scan import global_row_number
+
+    ds = _read(sf, "events", columns=["event_id", "event_type"])
+    return global_row_number(ds, "event_id")
+
+
+def _q_join_cross(sf):
+    """Cartesian product with a broadcast right side (ops/joins.py
+    cross_join — right relation ray.put once behind a row guard, each
+    left batch expands with two vectorized takes, no shuffle):
+    nation × region, every pair. Copied values — exact."""
+    from maestro_ray.ops.joins import cross_join
+
+    nat = _read(sf, "nation", columns=["n_nationkey", "n_name"])
+    reg = _read(sf, "region", columns=["r_regionkey", "r_name"])
+    return cross_join(nat, reg)
+
+
 def _q_pipeline_pretrain_pack(sf):
     """Composed pretraining-prep recipe: decontaminate against the
     eval slice (5-gram overlap), drop flagged docs, pack the survivors
@@ -2494,6 +2517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "graph_components": _q_graph_components,
         "pipeline_pretrain_pack": _q_pipeline_pretrain_pack,
+        "join_cross": _q_join_cross,
+        "window_row_number_global": _q_window_row_number_global,
         "kmeans_cluster": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,
@@ -3347,6 +3372,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, coalesce(o.overlap, 0) AS overlap, "
             "coalesce(o.overlap, 0) >= 1 AS contaminated "
             "FROM toks t LEFT JOIN ov o USING (doc_id)"
+        ),
+        "join_cross": (
+            "SELECT n_nationkey, n_name, r_regionkey, r_name "
+            "FROM nation CROSS JOIN region"
+        ),
+        "window_row_number_global": (
+            "SELECT event_id, event_type, "
+            "row_number() OVER (ORDER BY event_id) AS rn FROM events"
         ),
         "pipeline_pretrain_pack": (
             # end-to-end twin of the composed recipe: 5-gram decon

@@ -683,3 +683,47 @@ def bloom_semi_join(
 
     rkeys = distinct(right.map_batches(keys_only, batch_format="pyarrow"), key)
     return hash_join(survivors, rkeys, keys=key, num_buckets=num_buckets)
+
+
+def cross_join(
+    left: rd.Dataset, right, suffix: str = "_r", max_right_rows: int = 100_000
+) -> rd.Dataset:
+    """Cartesian product with a BROADCAST right side: the right
+    relation (Dataset or pa.Table) is materialized once, guarded by
+    ``max_right_rows`` (a cross join against a large right side is
+    O(|L|·|R|) output — that is a modeling error, not a join strategy),
+    and shipped via ``ray.put``; each left batch expands independently
+    with two vectorized takes, no shuffle. Overlapping right column
+    names get ``suffix``."""
+    import ray
+
+    r = _as_table(right)
+    if r.num_rows > max_right_rows:
+        raise ValueError(
+            f"cross_join: right side has {r.num_rows} rows > "
+            f"max_right_rows={max_right_rows} — a cartesian product "
+            "this size is almost certainly unintended")
+    lnames = set(left.schema().base_schema.names)
+    r = r.rename_columns([c + suffix if c in lnames else c
+                          for c in r.column_names])
+    r_ref = ray.put(r)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        rt = ray.get(r_ref)
+        nl, nr = batch.num_rows, rt.num_rows
+        if nl == 0 or nr == 0:
+            return pa.table({
+                **{c: pa.array([], batch.schema.field(c).type)
+                   for c in batch.column_names},
+                **{c: pa.array([], rt.schema.field(c).type)
+                   for c in rt.column_names},
+            })
+        li = pa.array(np.repeat(np.arange(nl), nr), pa.int64())
+        ri = pa.array(np.tile(np.arange(nr), nl), pa.int64())
+        lt = batch.take(li)
+        rtk = rt.take(ri)
+        for c in rtk.column_names:
+            lt = lt.append_column(c, rtk.column(c))
+        return lt
+
+    return left.map_batches(expand, batch_format="pyarrow")

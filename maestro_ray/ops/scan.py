@@ -125,3 +125,27 @@ def ordered_cumsum(
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(scan_group, batch_format="pyarrow"))
+
+
+def global_row_number(
+    ds: rd.Dataset, order_col: str, out_col: str = "rn",
+    n_buckets: int = 256,
+) -> rd.Dataset:
+    """``ROW_NUMBER() OVER (ORDER BY order_col)`` without a global
+    sort-and-walk: the ordered scan of a constant 1 (exclusive prefix
+    count + 1). Same contract as ``ordered_cumsum``: unique non-null
+    integer keys, one groupby shuffle, O(n_buckets) driver state."""
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    scanned = ordered_cumsum(
+        ds.map_batches(ones, batch_format="pyarrow"), order_col,
+        "__one", out_col="__rn0", n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        rn = pc.add(t.column("__rn0"), pa.scalar(1, pa.int64()))
+        return t.drop_columns(["__one", "__rn0"]).append_column(out_col, rn)
+
+    return scanned.map_batches(finish, batch_format="pyarrow")

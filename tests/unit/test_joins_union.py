@@ -75,3 +75,33 @@ def test_union_evolved_conflict_rejected(rd):
     d = rd.from_arrow(pa.table({"a": ["x"]}))
     with pytest.raises(SchemaContractError):
         union_evolved([d, d], [s1, s2])
+
+
+def test_cross_join_expansion_suffix_guard(ray_session):
+    import ray.data as rdm
+    from maestro_ray.ops.joins import cross_join
+
+    left = rdm.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "name": pa.array(["a", "b", "c"]),
+    })).repartition(2)
+    right = pa.table({
+        "name": pa.array(["x", "y"]),          # overlaps -> name_r
+        "w": pa.array([10.0, 20.0]),
+    })
+    out = cross_join(left, right).to_pandas() \
+        .sort_values(["k", "name_r"]).reset_index(drop=True)
+    assert len(out) == 6
+    assert list(out.columns) == ["k", "name", "name_r", "w"]
+    assert list(out[out.k == 2]["name_r"]) == ["x", "y"]
+    assert (out[out.name_r == "y"]["w"] == 20.0).all()
+    # guard: oversized right refuses
+    import pytest as _pt
+    big = pa.table({"z": pa.array(range(101), pa.int64())})
+    with _pt.raises(ValueError, match="max_right_rows"):
+        cross_join(left, big, max_right_rows=100)
+    # empty right: empty result, schema intact
+    empty = pa.table({"name": pa.array([], pa.string()),
+                      "w": pa.array([], pa.float64())})
+    out2 = cross_join(left, empty).to_pandas()
+    assert len(out2) == 0

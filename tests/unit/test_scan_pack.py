@@ -99,3 +99,17 @@ def test_pack_sequences_skips_null_text(rd):
         .sort_values("doc_id").reset_index(drop=True)
     assert list(o["doc_id"]) == [0, 2]
     assert list(o["seq_offset"]) == [0, 2]  # null doc occupies nothing
+
+
+def test_global_row_number(rd):
+    from maestro_ray.ops.scan import global_row_number
+
+    rng = np.random.default_rng(9)
+    ks = rng.permutation(400) * 3 + 5  # sparse, shuffled, unique
+    t = pa.table({"k": pa.array(ks, pa.int64()),
+                  "x": pa.array(ks * 2.0, pa.float64())})
+    for parts in (1, 6):
+        o = global_row_number(rd.from_arrow(t).repartition(parts), "k") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(o["rn"]) == list(range(1, 401))
+        assert list(o.columns) == ["k", "x", "rn"]
