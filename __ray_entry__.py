@@ -2163,6 +2163,45 @@ def _q_window_row_number_global(sf):
     return global_row_number(ds, "event_id")
 
 
+def _q_logreg_train(sf):
+    """Distributed full-batch logistic regression (ops/ml.py
+    logreg_fit): label = [mean(embedding) > 0] derived per row, model
+    trained by mergeable per-batch gradient partials (one (d+2)-float
+    row per batch per iteration — vectors never shuffle), then the
+    corpus scored with the fitted weights. Iterative + float →
+    rows-only; pytest owns the oracle (numpy-reference bit-equality on
+    one partition, blob convergence, determinism)."""
+    from maestro_ray.ops.ml import logreg_fit, logreg_predict
+
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+
+    def label(t: pa.Table) -> pa.Table:
+        lst = t.column("embedding").combine_chunks()
+        flat = lst.flatten().to_numpy(zero_copy_only=False)
+        n = len(lst)
+        d = len(flat) // n if n else 1
+        y = (flat.reshape(n, d).mean(axis=1) > 0).astype(np.int64)
+        return t.append_column("label", pa.array(y, pa.int64()))
+
+    labeled = ds.map_batches(label, batch_format="pyarrow")
+    # the label is a linear threshold of the features (separable, but
+    # margins are O(1/d)): lr=4/25 steps reaches 0.91-0.95 train
+    # accuracy here; small-lr fits stall near 0.7
+    w, b, _ = logreg_fit(labeled, "embedding", "label", iters=25, lr=4.0)
+    scored = logreg_predict(labeled, "embedding", w, b)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "label": t.column("label"),
+            "pred": pc.cast(pc.greater(t.column("prob"),
+                                       pa.scalar(0.5, pa.float64())),
+                            pa.int64()),
+        })
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_join_cross(sf):
     """Cartesian product with a broadcast right side (ops/joins.py
     cross_join — right relation ray.put once behind a row guard, each
@@ -2519,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_pretrain_pack": _q_pipeline_pretrain_pack,
         "join_cross": _q_join_cross,
         "window_row_number_global": _q_window_row_number_global,
+        "logreg_train": _q_logreg_train,
         "kmeans_cluster": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,

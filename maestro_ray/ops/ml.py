@@ -1,0 +1,132 @@
+"""Distributed model TRAINING primitives (the scoring side lives in
+``ops/text.py:LinearModelScorer`` / ``ops/similarity.py:kmeans_fit``).
+
+``logreg_fit`` is full-batch gradient descent with MERGEABLE gradient
+partials — the canonical iterative-algorithm shape on Ray Data: the
+weight vector broadcasts into every batch task each iteration, each
+batch emits ONE (d+2)-float partial row (X^T·residual, Σresidual, n),
+and the driver folds O(batches) rows. Feature vectors never shuffle,
+never leave their blocks, and the driver never holds more than the
+d-dim weight vector and the partial rows.
+
+Determinism contract (same as kmeans_fit): partials are folded in
+sorted batch-key order, so a fit is bitwise reproducible for a FIXED
+partitioning; float folds across different partitionings agree to
+rounding only — by construction, not a bug.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def _feature_matrix(t: pa.Table, col: str) -> np.ndarray:
+    lst = t.column(col).combine_chunks()
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.chunk(0) if lst.num_chunks else pa.array([], pa.list_(pa.float32()))
+    flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(lst)
+    if n == 0:
+        return flat.reshape(0, 0)
+    d = len(flat) // n
+    return flat.reshape(n, d)
+
+
+def logreg_fit(
+    ds: rd.Dataset,
+    feature_col: str,
+    label_col: str,
+    iters: int = 25,
+    lr: float = 0.5,
+    l2: float = 0.0,
+) -> tuple[np.ndarray, float, pd.DataFrame]:
+    """Full-batch logistic regression over a ``list<float>`` feature
+    column and a 0/1 integer label column. Returns ``(weights, bias,
+    history)`` where history has one (iter, loss) row per step —
+    loss is the mean log-loss co-computed by the SAME pass that
+    produces the gradient (no extra sweep).
+
+    Gradient exchange is O(batches × d) per iteration; rows with null
+    features or labels are dropped. Raises on empty input (no data to
+    fit) — never returns silent garbage."""
+    if iters < 1:
+        raise ValueError(f"logreg_fit: iters={iters}")
+    proj = ds.select_columns([feature_col, label_col]).materialize()
+
+    def clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t.column(feature_col)),
+                                pc.is_valid(t.column(label_col))))
+
+    proj = proj.map_batches(clean, batch_format="pyarrow").materialize()
+    first = next(iter(proj.iter_batches(batch_size=1,
+                                        batch_format="pyarrow")), None)
+    if first is None or first.num_rows == 0:
+        raise ValueError("logreg_fit: no non-null rows to fit")
+    d = len(first.column(feature_col)[0].as_py())
+    w = np.zeros(d, dtype=np.float64)
+    b = 0.0
+    hist: list[tuple[int, float]] = []
+
+    for it in range(iters):
+        w_c, b_c = w.copy(), b  # captured by value per iteration
+
+        def grad_partial(t: pa.Table) -> pa.Table:
+            x = _feature_matrix(t, feature_col)
+            y = t.column(label_col).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            if x.shape[0] == 0:
+                z = np.zeros(d + 3, dtype=np.float64)
+                return pa.table({"p": pa.array([z.tobytes()], pa.binary())})
+            p = 1.0 / (1.0 + np.exp(-(x @ w_c + b_c)))
+            r = p - y
+            eps = 1e-12
+            loss = -np.sum(y * np.log(p + eps) +
+                           (1 - y) * np.log(1 - p + eps))
+            part = np.concatenate([x.T @ r, [r.sum(), loss,
+                                             float(len(y))]])
+            return pa.table({"p": pa.array([part.tobytes()], pa.binary())})
+
+        parts = proj.map_batches(grad_partial,
+                                 batch_format="pyarrow").to_pandas()
+        # deterministic fold: sort partials by their own bytes (arrival
+        # order depends on scheduling; Python hash() is process-salted
+        # and would NOT be stable)
+        parts = parts.sort_values("p", kind="mergesort") \
+            .reset_index(drop=True)
+        acc = np.zeros(d + 3, dtype=np.float64)
+        for buf in parts["p"]:
+            acc += np.frombuffer(buf, dtype=np.float64)
+        g, gb, loss_sum, n = acc[:d], acc[d], acc[d + 1], acc[d + 2]
+        if n == 0:
+            raise ValueError("logreg_fit: no non-null rows to fit")
+        w -= lr * (g / n + l2 * w)
+        b -= lr * (gb / n)
+        hist.append((it, float(loss_sum / n)))
+
+    history = pd.DataFrame(hist, columns=["iter", "loss"])
+    return w, float(b), history
+
+
+def logreg_predict(
+    ds: rd.Dataset,
+    feature_col: str,
+    weights: np.ndarray,
+    bias: float,
+    out_col: str = "prob",
+) -> rd.Dataset:
+    """Score a Dataset with a fitted model: one vectorized matvec per
+    batch, weights captured in the closure (d floats — smaller than
+    the task metadata; no broadcast machinery needed)."""
+    w = np.asarray(weights, dtype=np.float64)
+
+    def score(t: pa.Table) -> pa.Table:
+        x = _feature_matrix(t, feature_col)
+        p = (1.0 / (1.0 + np.exp(-(x @ w + bias)))
+             if x.shape[0] else np.zeros(0))
+        return t.append_column(out_col, pa.array(p, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
