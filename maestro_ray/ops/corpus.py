@@ -520,6 +520,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     seq_len: int = 512,
+    keep_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Concat-and-chunk training-shard packing: documents are laid out
     end-to-end in ``id_col`` order and cut into fixed ``seq_len``-token
@@ -539,16 +540,22 @@ def pack_sequences(
         raise ValueError(f"pack_sequences: seq_len={seq_len}")
     from maestro_ray.ops.scan import ordered_cumsum
 
+    keep = list(keep_cols or [])
+
     def count_tokens(t: pa.Table) -> pa.Table:
         tbl = t.filter(pc.is_valid(t.column(text_col)))
         toks = pc.split_pattern(tbl.column(text_col).combine_chunks(),
                                 " ")
-        return pa.table({
+        out = pa.table({
             id_col: tbl.column(id_col),
             "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
         })
+        for c in keep:  # payload rides the scan shuffle once
+            out = out.append_column(c, tbl.column(c))
+        return out
 
-    counted = ds.select_columns([id_col, text_col]).map_batches(
+    counted = ds.select_columns(
+        list(dict.fromkeys([id_col, text_col, *keep]))).map_batches(
         count_tokens, batch_format="pyarrow")
     scanned = ordered_cumsum(counted, id_col, "n_tokens",
                              out_col="__cum_prev")
@@ -559,12 +566,98 @@ def pack_sequences(
         seq_id = cum // seq_len
         # split_pattern yields >=1 token per non-null doc, so n >= 1
         n_seqs = (cum + n - 1) // seq_len - seq_id + 1
-        return pa.table({
+        out = pa.table({
             id_col: t.column(id_col),
             "n_tokens": t.column("n_tokens"),
             "seq_id": pa.array(seq_id, pa.int64()),
             "seq_offset": pa.array(cum % seq_len, pa.int64()),
             "n_seqs": pa.array(n_seqs, pa.int64()),
         })
+        for c in keep:
+            out = out.append_column(c, t.column(c))
+        return out
 
     return scanned.map_batches(place, batch_format="pyarrow")
+
+
+def write_packed_shards(
+    ds: rd.Dataset,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    seqs_per_shard: int = 64,
+    resume: bool = True,
+) -> pd.DataFrame:
+    """Materialize the packed-sequence layout to RESUMABLE partitioned
+    parquet: shard ``s`` owns sequences ``[s·seqs_per_shard,
+    (s+1)·seqs_per_shard)``; every doc is written into EVERY shard its
+    token span touches (a boundary doc appears in both shards so each
+    shard is self-contained for training), sorted by id, one file per
+    shard written atomically (tmp + rename). With ``resume=True`` a
+    shard whose file already exists is SKIPPED (never rewritten) — a
+    killed run re-invoked finishes only the missing shards, the lake
+    writer's idempotence story applied to the export side.
+
+    One groupby(shard) shuffle moves each doc's payload once (boundary
+    docs twice). Returns the shard manifest (shard, n_docs, n_tokens,
+    path, written) — O(#shards) rows."""
+    import os
+
+    if seqs_per_shard < 1:
+        raise ValueError(f"write_packed_shards: seqs_per_shard="
+                         f"{seqs_per_shard}")
+    os.makedirs(out_dir, exist_ok=True)
+    placed = pack_sequences(ds, id_col, text_col, seq_len,
+                            keep_cols=[text_col])
+
+    def to_shards(t: pa.Table) -> pa.Table:
+        s0 = t.column("seq_id").to_numpy(zero_copy_only=False) \
+            // seqs_per_shard
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        off = t.column("seq_offset").to_numpy(zero_copy_only=False)
+        last_seq = t.column("seq_id").to_numpy(zero_copy_only=False) \
+            + (off + n - 1) // seq_len
+        s1 = last_seq // seqs_per_shard
+        reps = (s1 - s0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows), reps)
+        bounds = np.concatenate(([0], np.cumsum(reps)))
+        shard = np.repeat(s0, reps) + (
+            np.arange(int(bounds[-1])) - np.repeat(bounds[:-1], reps))
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.append_column("shard", pa.array(shard, pa.int64()))
+
+    sharded = placed.map_batches(to_shards, batch_format="pyarrow")
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        shard = int(g.column("shard")[0].as_py())
+        path = os.path.join(out_dir, f"shard-{shard:06d}.parquet")
+        n_docs = g.num_rows
+        n_tokens = int(pc.sum(g.column("n_tokens")).as_py() or 0)
+        if resume and os.path.exists(path):
+            return pa.table({
+                "shard": pa.array([shard], pa.int64()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_tokens": pa.array([n_tokens], pa.int64()),
+                "path": pa.array([path]),
+                "written": pa.array([False]),
+            })
+        body = g.drop_columns(["shard"])
+        body = body.take(pc.sort_indices(
+            body, sort_keys=[(id_col, "ascending")]))
+        tmp = path + ".tmp"
+        pq.write_table(body, tmp)
+        os.replace(tmp, path)
+        return pa.table({
+            "shard": pa.array([shard], pa.int64()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "path": pa.array([path]),
+            "written": pa.array([True]),
+        })
+
+    manifest = sharded.groupby("shard").map_groups(
+        write_shard, batch_format="pyarrow").to_pandas()
+    return manifest.sort_values("shard").reset_index(drop=True)

@@ -113,3 +113,50 @@ def test_global_row_number(rd):
             .to_pandas().sort_values("k").reset_index(drop=True)
         assert list(o["rn"]) == list(range(1, 401))
         assert list(o.columns) == ["k", "x", "rn"]
+
+
+def test_write_packed_shards_roundtrip_boundary_resume(rd, tmp_path):
+    import os
+    import pyarrow.parquet as pq
+    from maestro_ray.ops.corpus import write_packed_shards
+
+    # 6 docs x 5 tokens, seq_len=4, seqs_per_shard=2 (8 tokens/shard):
+    # 30 tokens -> seqs 0..7 -> shards 0..3; several docs straddle
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["t%d a b c d" % i for i in range(6)]),
+    })
+    out_dir = str(tmp_path / "shards")
+    ds = rd.from_arrow(docs).repartition(3)
+    man = write_packed_shards(ds, out_dir, seq_len=4, seqs_per_shard=2)
+    assert man["written"].all()
+    # every doc recovered exactly once after dedup; boundary docs
+    # appear in BOTH touched shards
+    seen = []
+    total_rows = 0
+    for p in sorted(os.listdir(out_dir)):
+        t = pq.read_table(os.path.join(out_dir, p))
+        seen.extend(t.column("doc_id").to_pylist())
+        total_rows += t.num_rows
+    assert sorted(set(seen)) == list(range(6))
+    assert total_rows > 6  # straddlers duplicated into both shards
+    # doc 1: cum_prev=5 -> seq 1 off 1, spans seqs 1-2, shard 0 and 1
+    s0 = pq.read_table(os.path.join(out_dir, "shard-000000.parquet"))
+    s1 = pq.read_table(os.path.join(out_dir, "shard-000001.parquet"))
+    assert 1 in s0.column("doc_id").to_pylist()
+    assert 1 in s1.column("doc_id").to_pylist()
+    # resume: second run rewrites nothing
+    mtimes = {p: os.path.getmtime(os.path.join(out_dir, p))
+              for p in os.listdir(out_dir)}
+    man2 = write_packed_shards(ds, out_dir, seq_len=4, seqs_per_shard=2)
+    assert not man2["written"].any()
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_dir, p)) == m
+    # kill-and-resume: delete one shard, only it is rewritten
+    victim = sorted(mtimes)[1]
+    os.remove(os.path.join(out_dir, victim))
+    man3 = write_packed_shards(ds, out_dir, seq_len=4, seqs_per_shard=2)
+    assert man3["written"].sum() == 1
+    assert os.path.exists(os.path.join(out_dir, victim))
+    with pytest.raises(ValueError):
+        write_packed_shards(ds, out_dir, seqs_per_shard=0)
