@@ -1489,6 +1489,21 @@ def _q_cdc_incremental_view(sf):
     return view
 
 
+def _q_cdc_dedup_view(sf):
+    """Incremental CORPUS-DUPLICATION view over the replay lake — the
+    cdc_ingest × webtext integration piece: live-copy count per 64-bit
+    content fingerprint of text, maintained per epoch by the SAME
+    partition-diff plan as the group-count view (hash64: virtual group,
+    pipelines/views.py maintain_dedup_view) — the duplication profile
+    stays current as pages upsert/delete WITHOUT rescanning the corpus.
+    Rows-only check; the view≡recompute-at-every-epoch and the
+    duplicate-tracking-through-CDC oracles are pytest
+    (tests/replay/test_dedup_view.py)."""
+    from maestro_ray.pipelines.views import maintain_dedup_view
+
+    return maintain_dedup_view(_cdc_lake(sf))
+
+
 def _q_cdc_change_feed(sf):
     """Change feed (CDC-out) over the replay lake: net row-level
     changes from the MIDDLE committed epoch to the newest — one Ray
@@ -2504,6 +2519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": _q_cdc_replay,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_incremental_view": _q_cdc_incremental_view,
+        "cdc_dedup_view": _q_cdc_dedup_view,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_lineage": _q_cdc_lineage,

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -46,22 +47,46 @@ def _view_path(lake_dir: str, group_col: str, epoch: int) -> str:
                         f"epoch-{epoch:012d}.parquet")
 
 
+#: virtual-group prefix: ``hash64:<col>`` groups by the deterministic
+#: 64-bit content hash of <col> instead of a stored column — the key
+#: for incremental DEDUP views (fingerprint → live copies) without
+#: changing the lake schema.
+HASH_GROUP_PREFIX = "hash64:"
+
+
 def _file_group_counts(path: str, group_col: str) -> dict:
     """One file's per-group live-row counts (narrow read: group + op
     only; tombstones excluded via the shared liveness rule, null group
     kept as its own bucket; a file predating the group column —
-    pre-evolution — counts its rows in the null bucket too)."""
+    pre-evolution — counts its rows in the null bucket too).
+
+    A ``hash64:<col>`` group counts per deterministic content hash of
+    <col> (ops/hashing.hash_array — nulls hash to the fixed null
+    constant), so the view key is uint64."""
     from maestro_ray.io.lake import live_mask
 
+    hashed = group_col.startswith(HASH_GROUP_PREFIX)
+    src = group_col[len(HASH_GROUP_PREFIX):] if hashed else group_col
     names = pq.read_schema(path).names
-    cols = ([group_col] if group_col in names else []) \
+    cols = ([src] if src in names else []) \
         + (["op"] if "op" in names else [])
     t = pq.read_table(path, columns=cols)
     t = t.filter(live_mask(t))
-    if group_col not in t.column_names:
-        t = t.append_column(group_col, pa.nulls(t.num_rows, pa.string()))
-    g = t.select([group_col]).group_by([group_col]) \
-         .aggregate([([], "count_all")])
+    if src not in t.column_names:
+        t = t.append_column(src, pa.nulls(t.num_rows, pa.string()))
+    if hashed:
+        from maestro_ray.ops.hashing import hash_array
+
+        # int64 BIT VIEW of the uint64 hash: the view rides pandas
+        # Series indexes and parquet columns, where raw uint64 values
+        # above 2^63 would overflow the int64 conversion
+        h = hash_array(t.column(src)).view(np.int64)
+        t = pa.table({group_col: pa.array(h, pa.int64())})
+    else:
+        t = t.select([src])
+        if src != group_col:  # pragma: no cover — src == group_col here
+            t = t.rename_columns([group_col])
+    g = t.group_by([group_col]).aggregate([([], "count_all")])
     return dict(zip(g.column(0).to_pylist(), g.column(1).to_pylist()))
 
 
@@ -257,3 +282,33 @@ def maintain_group_counts(
     # return the in-memory state — never a newest-on-disk file that
     # could be a stale epoch outside this lake's history
     return _as_frame(view, group_col)
+
+
+def maintain_dedup_view(
+    lake_dir: str, text_col: str = "text", on_vacuumed: str = "bootstrap"
+) -> pd.DataFrame:
+    """Incrementally-maintained CORPUS-DUPLICATION view over the CDC
+    lake: live-copy count per 64-bit content fingerprint of
+    ``text_col``, kept in sync per epoch by the same partition-diff
+    plan as ``maintain_group_counts`` (the ``hash64:`` virtual group) —
+    O(touched bytes) per epoch, resumable cursor, vacuum re-anchor.
+
+    This is the cdc_ingest × webtext integration piece: as the lake
+    upserts/deletes pages, the duplication profile of the corpus stays
+    current WITHOUT rescanning it — a tombstoned page's fingerprint
+    count decrements, an updated page moves between fingerprints.
+    Returns (fingerprint, n) for every live fingerprint; duplicates are
+    the n ≥ 2 rows (``dedup_view_duplicates``)."""
+    out = maintain_group_counts(lake_dir, HASH_GROUP_PREFIX + text_col,
+                                on_vacuumed=on_vacuumed)
+    return out.rename(columns={HASH_GROUP_PREFIX + text_col:
+                               "fingerprint"})
+
+
+def dedup_view_duplicates(view: pd.DataFrame) -> pd.DataFrame:
+    """The duplicated slice of a dedup view: fingerprints with ≥2 live
+    copies plus the total count of redundant rows."""
+    dup = view[view["n"] >= 2].reset_index(drop=True)
+    dup = dup.copy()
+    dup["redundant"] = dup["n"] - 1
+    return dup
