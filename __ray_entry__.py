@@ -2178,6 +2178,25 @@ def _q_window_row_number_global(sf):
     return global_row_number(ds, "event_id")
 
 
+def _q_bpe_tokenize(sf):
+    """BPE tokenizer trained on the corpus, corpus re-encoded with it
+    (ops/bpe.py): training's corpus-scale half is ONE distributed
+    word-frequency histogram (guarded driver collection — the real
+    sentencepiece/GPT-2 factoring); the merge loop runs over the
+    compressed (word, freq) table; encoding is an actor-pool stage
+    whose rank table builds once per actor with a bounded word cache.
+    No SQL twin exists for BPE → rows-only; pytest owns the oracle
+    (hand-computed Sennrich merges, round-trip, early stop)."""
+    from maestro_ray.ops.bpe import BpeEncode, bpe_train
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=100)
+    out = ds.map_batches(
+        BpeEncode, fn_constructor_kwargs={"merges": merges},
+        concurrency=2, batch_format="pyarrow")
+    return P.project(out, columns=["doc_id", "n_bpe_tokens"])
+
+
 def _q_logreg_train(sf):
     """Distributed full-batch logistic regression (ops/ml.py
     logreg_fit): label = [mean(embedding) > 0] derived per row, model
@@ -2575,6 +2594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cross": _q_join_cross,
         "window_row_number_global": _q_window_row_number_global,
         "logreg_train": _q_logreg_train,
+        "bpe_tokenize": _q_bpe_tokenize,
         "kmeans_cluster": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,
