@@ -34,19 +34,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-
-def _compact(ds: rd.Dataset, min_blocks: int = 8) -> rd.Dataset:
-    """Re-bound a materialized Dataset's block count by BYTES (64 MB
-    target, like io/changelog's read sizing). Iterative join loops
-    NEED this: ``hash_join`` output carries the union of both sides'
-    blocks, so block count DOUBLES per iteration (measured 24→768
-    blocks over 5 iterations on a 16-row table) and task-launch
-    overhead goes exponential. Only repartitions when the count is
-    ≥2× the target — a no-op on well-sized data."""
-    target = max(min_blocks, int(ds.size_bytes() / (64 << 20)))
-    if ds.num_blocks() >= 2 * target:
-        ds = ds.repartition(target).materialize()
-    return ds
+from maestro_ray.ops.partition import compact_blocks as _compact
 
 
 def _lookup_sorted(keys: np.ndarray, vals: np.ndarray,

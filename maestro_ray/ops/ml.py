@@ -61,7 +61,13 @@ def logreg_fit(
         return t.filter(pc.and_(pc.is_valid(t.column(feature_col)),
                                 pc.is_valid(t.column(label_col))))
 
-    proj = proj.map_batches(clean, batch_format="pyarrow").materialize()
+    from maestro_ray.ops.partition import compact_blocks
+
+    # per-iteration cost is one pass over proj's BLOCKS — a read that
+    # shattered into hundreds of tiny blocks pays task-launch per block
+    # per iteration; re-bound by bytes once, iterate many times
+    proj = compact_blocks(
+        proj.map_batches(clean, batch_format="pyarrow").materialize())
     first = next(iter(proj.iter_batches(batch_size=1,
                                         batch_format="pyarrow")), None)
     if first is None or first.num_rows == 0:

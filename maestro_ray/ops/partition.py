@@ -126,3 +126,17 @@ def detect_hot_keys(ds, key: str = "url", threshold: int = 1000,
     pdf = hot_key_counts(ds, key, sample_fraction, seed)
     est = pdf["n"] / max(sample_fraction, 1e-9)
     return set(pdf.loc[est > threshold, key])
+
+
+def compact_blocks(ds, min_blocks: int = 8):
+    """Re-bound a materialized Dataset's block count by BYTES (64 MB
+    target). Iterative plans NEED this: ``hash_join`` output carries
+    the union of both sides' blocks, so block count DOUBLES per
+    iteration (measured 24→768 blocks over 5 rounds on a 16-row table
+    — ops/graph.py), and per-iteration passes over a many-tiny-block
+    Dataset pay task-launch costs per block. No-op when the count is
+    already within 2× of the byte-sized target."""
+    target = max(min_blocks, int(ds.size_bytes() / (64 << 20)))
+    if ds.num_blocks() >= 2 * target:
+        ds = ds.repartition(target).materialize()
+    return ds
