@@ -2273,7 +2273,11 @@ def _q_pipeline_pretrain_pack(sf):
     bad = decon.map_batches(
         lambda t: t.filter(t.column("contaminated")).select(["doc_id"]),
         batch_format="pyarrow").to_pandas()
-    bad_arr = pa.array(np.sort(bad["doc_id"].to_numpy()), pa.int64())
+    # empty-Dataset to_pandas loses its schema (CLAUDE.md hazard): a
+    # corpus with zero contamination must pack everything, not crash
+    bad_ids = (bad["doc_id"].to_numpy() if "doc_id" in bad.columns
+               else np.array([], dtype=np.int64))
+    bad_arr = pa.array(np.sort(bad_ids), pa.int64())
     bad_ref = ray.put(bad_arr)
 
     def keep_clean(t: pa.Table) -> pa.Table:

@@ -46,8 +46,10 @@ def word_frequencies(
         g = flat.group_by(["word"]).aggregate([([], "count_all")])
         return g.rename_columns(["word", "freq"])
 
+    # materialized ONCE: count() (the guard) and to_pandas() both
+    # consume it — lazy, the whole histogram pipeline would run twice
     merged = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("word").sum("freq"))
+              .groupby("word").sum("freq").materialize())
     n = merged.count()
     if n > max_distinct_words:
         raise ValueError(

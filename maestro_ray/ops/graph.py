@@ -37,6 +37,34 @@ import ray.data as rd
 from maestro_ray.ops.partition import compact_blocks as _compact
 
 
+def _driver_union_find(a: np.ndarray, b: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find over int64 edge arrays on the driver (bounded by the
+    caller's guard). Returns (sorted node keys that were UNIONED AWAY
+    from their own root, their roots) — identity for absent keys.
+    Shared by the raw-edge fast path and the contracted local finish
+    (review r3: two copies drifted)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    ks = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    vs = np.fromiter((find(int(k)) for k in ks), dtype=np.int64,
+                     count=len(ks))
+    order = np.argsort(ks)
+    return ks[order], vs[order]
+
+
 def _lookup_sorted(keys: np.ndarray, vals: np.ndarray,
                    probe: np.ndarray) -> np.ndarray:
     """Vectorized dict-free map: probe → vals[keys == probe], identity
@@ -72,41 +100,54 @@ def connected_components(
     (geometric shrink makes 50 astronomically safe)."""
     from maestro_ray.ops.joins import hash_join
 
+    for c in (src, dst):
+        if not pa.types.is_integer(edges.schema().base_schema
+                                   .field(c).type):
+            raise ValueError(
+                "connected_components: integer node ids required — "
+                "hash string ids first (ops/hashing.hash_array; its "
+                "uint64 output is accepted directly)")
+
     def clean(t: pa.Table) -> pa.Table:
         t = t.select([src, dst]).rename_columns(["a", "b"])
-        return t.filter(pc.and_(pc.is_valid(t.column("a")),
-                                pc.is_valid(t.column("b"))))
+        t = t.filter(pc.and_(pc.is_valid(t.column("a")),
+                             pc.is_valid(t.column("b"))))
+        # normalize to int64: uint64 (hash_array output) by BIT VIEW —
+        # a plain cast wraps silently on numpy and raises on Arrow for
+        # values >= 2^63 (review r3, execution-confirmed). The label is
+        # then the minimum of the SIGNED view: a deterministic
+        # component representative, which is the actual contract.
+        cols = {}
+        for c in ("a", "b"):
+            col = t.column(c).combine_chunks()
+            if pa.types.is_unsigned_integer(col.type) and \
+                    col.type.bit_width == 64:
+                v = col.to_numpy(zero_copy_only=False).view(np.int64)
+                cols[c] = pa.array(v, pa.int64())
+            else:
+                cols[c] = col.cast(pa.int64())
+        return pa.table(cols)
 
     e = edges.map_batches(clean, batch_format="pyarrow").materialize()
-    if not pa.types.is_integer(e.schema().base_schema.field("a").type):
-        raise ValueError(
-            "connected_components: integer node ids required — hash "
-            "string ids first (ops/hashing.hash_array)")
 
-    if e.count() <= local_edge_threshold:
+    n_raw = e.count()
+    if n_raw == 0:
+        # all edges null/empty: the connected subgraph is empty (an
+        # empty Ray result would lose its schema — build it directly)
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+        }))
+    if n_raw <= local_edge_threshold:
         # raw edge set already fits the driver guard: skip the
         # distributed init/relabel joins entirely — union-find the raw
         # pairs (output is O(nodes) <= 2x the guard, bounded)
         pairs = e.to_pandas()
-        a = pairs["a"].to_numpy().astype(np.int64)
-        b = pairs["b"].to_numpy().astype(np.int64)
-        parent: dict[int, int] = {}
-
-        def find0(x: int) -> int:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for x, y in zip(a, b):
-            rx, ry = find0(int(x)), find0(int(y))
-            if rx != ry:
-                parent[max(rx, ry)] = min(rx, ry)
+        a = pairs["a"].to_numpy()
+        b = pairs["b"].to_numpy()
+        ks, vs = _driver_union_find(a, b)
         nodes = np.unique(np.concatenate([a, b]))
-        lab = np.fromiter((find0(int(n)) for n in nodes),
-                          dtype=np.int64, count=len(nodes))
+        lab = _lookup_sorted(ks, vs, nodes)
         return rd.from_arrow(pa.table({
             "node": pa.array(nodes, pa.int64()),
             "label": pa.array(lab, pa.int64()),
@@ -158,32 +199,13 @@ def connected_components(
             return labels
         if n_e <= local_edge_threshold:
             pairs = cedges.to_pandas()
-            parent: dict[int, int] = {}
-
-            def find(x: int) -> int:
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:  # path compression
-                    parent[x], x = r, parent[x]
-                return r
-
-            for x, y in zip(pairs["a"].to_numpy(),
-                            pairs["b"].to_numpy()):
-                rx, ry = find(int(x)), find(int(y))
-                if rx != ry:
-                    parent[max(rx, ry)] = min(rx, ry)
-            ks = np.fromiter(parent.keys(), dtype=np.int64,
-                             count=len(parent))
-            vs = np.fromiter((find(int(k)) for k in ks),
-                             dtype=np.int64, count=len(ks))
-            order = np.argsort(ks)
-            mref = ray.put((ks[order], vs[order]))
+            ks, vs = _driver_union_find(pairs["a"].to_numpy(),
+                                        pairs["b"].to_numpy())
+            mref = ray.put((ks, vs))
 
             def finish(t: pa.Table) -> pa.Table:
                 ks_s, vs_s = ray.get(mref)
-                lab = t.column("label").to_numpy(zero_copy_only=False) \
-                    .astype(np.int64)
+                lab = t.column("label").to_numpy(zero_copy_only=False)
                 return pa.table({
                     "node": t.column("node"),
                     "label": pa.array(_lookup_sorted(ks_s, vs_s, lab),

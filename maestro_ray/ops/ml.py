@@ -55,19 +55,21 @@ def logreg_fit(
     fit) — never returns silent garbage."""
     if iters < 1:
         raise ValueError(f"logreg_fit: iters={iters}")
-    proj = ds.select_columns([feature_col, label_col]).materialize()
 
     def clean(t: pa.Table) -> pa.Table:
+        t = t.select([feature_col, label_col])
         return t.filter(pc.and_(pc.is_valid(t.column(feature_col)),
                                 pc.is_valid(t.column(label_col))))
 
     from maestro_ray.ops.partition import compact_blocks
 
-    # per-iteration cost is one pass over proj's BLOCKS — a read that
-    # shattered into hundreds of tiny blocks pays task-launch per block
-    # per iteration; re-bound by bytes once, iterate many times
+    # ONE materialization (select+clean fused — review r3: the earlier
+    # two-step version parked a redundant full feature copy in plasma),
+    # then bound the block count: per-iteration cost is one pass over
+    # proj's BLOCKS, so a read shattered into tiny blocks pays
+    # task-launch per block per GD step
     proj = compact_blocks(
-        proj.map_batches(clean, batch_format="pyarrow").materialize())
+        ds.map_batches(clean, batch_format="pyarrow").materialize())
     first = next(iter(proj.iter_batches(batch_size=1,
                                         batch_format="pyarrow")), None)
     if first is None or first.num_rows == 0:
@@ -126,13 +128,19 @@ def logreg_predict(
 ) -> rd.Dataset:
     """Score a Dataset with a fitted model: one vectorized matvec per
     batch, weights captured in the closure (d floats — smaller than
-    the task metadata; no broadcast machinery needed)."""
+    the task metadata; no broadcast machinery needed). Null feature
+    vectors score to NULL (review r3: ListArray.flatten drops null
+    entries, so an unguarded reshape crashed or misaligned rows)."""
     w = np.asarray(weights, dtype=np.float64)
 
     def score(t: pa.Table) -> pa.Table:
-        x = _feature_matrix(t, feature_col)
-        p = (1.0 / (1.0 + np.exp(-(x @ w + bias)))
-             if x.shape[0] else np.zeros(0))
-        return t.append_column(out_col, pa.array(p, pa.float64()))
+        valid = pc.is_valid(t.column(feature_col))
+        vmask = valid.to_numpy(zero_copy_only=False)
+        x = _feature_matrix(t.filter(valid), feature_col)
+        p = np.full(t.num_rows, np.nan)
+        if x.shape[0]:
+            p[vmask] = 1.0 / (1.0 + np.exp(-(x @ w + bias)))
+        return t.append_column(
+            out_col, pa.array(p, pa.float64(), mask=~vmask))
 
     return ds.map_batches(score, batch_format="pyarrow")

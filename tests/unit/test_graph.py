@@ -87,3 +87,41 @@ def test_edge_cases(rd):
     with pytest.raises(ValueError, match="integer"):
         connected_components(
             rdm.from_arrow(pa.table({"a": ["x"], "b": ["y"]})))
+
+
+def test_uint64_hash_ids_survive(rd):
+    """Regression (r3 review): hash_array output is uint64 — values
+    >= 2^63 must not wrap into corrupt labels or crash the cast."""
+    big = np.array([2**63 + 5, 7, 2**63 + 5, 2**64 - 1],
+                   dtype=np.uint64)
+    t = pa.table({"a": pa.array(big[:2], pa.uint64()),
+                  "b": pa.array(big[2:], pa.uint64())})
+    import ray.data as rdm
+
+    out = connected_components(rdm.from_arrow(t)).to_pandas() \
+        .set_index("node")
+    # bit-view of 2^63+5 is a NEGATIVE int64: both components keyed by
+    # the signed view; edge1 = (2^63+5, 2^63+5) self-loop,
+    # edge2 = (7, 2^64-1)
+    k1 = np.uint64(2**63 + 5).astype(np.int64) if False else \
+        np.array([2**63 + 5], dtype=np.uint64).view(np.int64)[0]
+    k2 = np.array([2**64 - 1], dtype=np.uint64).view(np.int64)[0]
+    assert out.loc[k1, "label"] == k1          # self-loop component
+    assert out.loc[7, "label"] == min(7, k2)   # signed-view minimum
+    assert out.loc[k2, "label"] == min(7, k2)
+
+
+def test_empty_and_all_null_edges(rd):
+    import ray.data as rdm
+
+    t = pa.table({"a": pa.array([None, 3], pa.int64()),
+                  "b": pa.array([5, None], pa.int64())})
+    out_ds = connected_components(rdm.from_arrow(t))
+    # schema asserted on the DATASET (empty to_pandas loses it — the
+    # documented CLAUDE.md hazard)
+    assert out_ds.schema().names == ["node", "label"]
+    assert len(out_ds.to_pandas()) == 0
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    out2 = connected_components(rdm.from_arrow(empty)).to_pandas()
+    assert len(out2) == 0

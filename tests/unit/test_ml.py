@@ -101,3 +101,44 @@ def test_logreg_null_rows_dropped(rd):
     w, b, hist = logreg_fit(rdm.from_arrow(t), "features", "label",
                             iters=5)
     assert np.isfinite(w).all() and np.isfinite(b)
+
+
+def test_logreg_predict_null_features_score_null(rd):
+    """Regression (r3 review): ListArray.flatten drops null entries —
+    predict on a batch WITH null vectors must emit null probs, not
+    crash or misalign rows."""
+    rng = np.random.default_rng(11)
+    X, y = _blobs(rng, n_per=20, d=3)
+    w, b, _ = logreg_fit(_ds(rd, X, y, parts=1), "features", "label",
+                         iters=5)
+    import ray.data as rdm
+
+    t = pa.table({
+        "features": pa.array([X[0].tolist(), None, X[1].tolist()],
+                             pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 0], pa.int64()),
+    })
+    # equal-length lists + a null trip Ray's tensor-extension casting
+    # in from_arrow; parquet-sourced data (the real path) does not
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.enable_tensor_extension_casting
+    ctx.enable_tensor_extension_casting = False
+    try:
+        out = logreg_predict(rdm.from_arrow(t), "features", w, b) \
+            .to_pandas()
+    finally:
+        ctx.enable_tensor_extension_casting = prev
+    assert len(out) == 3
+    assert pd.isna(out.loc[1, "prob"])
+    assert np.isfinite(out.loc[0, "prob"]) and \
+        np.isfinite(out.loc[2, "prob"])
+    # row alignment: the two valid rows score like a null-free batch
+    clean = logreg_predict(rdm.from_arrow(pa.table({
+        "features": pa.array([X[0].tolist(), X[1].tolist()],
+                             pa.list_(pa.float32())),
+        "label": pa.array([0, 0], pa.int64()),
+    })), "features", w, b).to_pandas()
+    assert out.loc[0, "prob"] == clean.loc[0, "prob"]
+    assert out.loc[2, "prob"] == clean.loc[1, "prob"]
