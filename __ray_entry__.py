@@ -1504,6 +1504,38 @@ def _q_cdc_dedup_view(sf):
     return maintain_dedup_view(_cdc_lake(sf))
 
 
+def _q_cdc_replicate(sf):
+    """Incremental lake → RDBMS replication (CDC-out, exactly-once;
+    pipelines/replicate.py): full-load the replica at the MIDDLE epoch,
+    catch up to head via the net change feed, return the final replica
+    contents. The cursor commits in the SAME transaction as the apply —
+    pytest proves replica==lake at both steps and convergence after a
+    simulated pre-commit crash (tests/replay/test_replicate.py).
+    Rows-only (the replica is a side-effecting external system)."""
+    import tempfile
+
+    import duckdb
+
+    from maestro_ray.core.manifest import list_epochs
+    from maestro_ray.pipelines.replicate import replicate_to_rdbms
+
+    lake = _cdc_lake(sf)
+    epochs = list_epochs(lake)
+    with tempfile.TemporaryDirectory(prefix="maestro_repl_") as tmp:
+        db = os.path.join(tmp, "replica.db")
+        stage = os.path.join(tmp, "stage")
+        replicate_to_rdbms(lake, db, "pages", stage,
+                           to_epoch=epochs[len(epochs) // 2])
+        replicate_to_rdbms(lake, db, "pages", stage)
+        con = duckdb.connect(db, read_only=True)
+        try:
+            return con.execute(
+                "SELECT url, warc_ts, lang FROM pages ORDER BY url"
+            ).df()
+        finally:
+            con.close()
+
+
 def _q_cdc_change_feed(sf):
     """Change feed (CDC-out) over the replay lake: net row-level
     changes from the MIDDLE committed epoch to the newest — one Ray
@@ -2543,6 +2575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_incremental_view": _q_cdc_incremental_view,
         "cdc_dedup_view": _q_cdc_dedup_view,
+        "cdc_replicate": _q_cdc_replicate,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_lineage": _q_cdc_lineage,
