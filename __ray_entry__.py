@@ -2210,6 +2210,19 @@ def _q_window_row_number_global(sf):
     return global_row_number(ds, "event_id")
 
 
+def _q_vector_mean_grouped(sf):
+    """Per-label mean embedding (class centroids) in LONG (label, dim,
+    avg_val) format — ops/similarity.py grouped_vector_mean: each batch
+    emits (key, dim, Σ, n) partials (vectors never shuffle), one
+    distributed groupby folds them. Long format is exactly
+    SQL-twinnable; round(6) on a mean of ~50 O(0.1) floats is far
+    inside the float64 associativity slack."""
+    from maestro_ray.ops.similarity import grouped_vector_mean
+
+    ds = _read(sf, "embeddings", columns=["label", "embedding"])
+    return grouped_vector_mean(ds, "label", "embedding")
+
+
 def _q_bpe_tokenize(sf):
     """BPE tokenizer trained on the corpus, corpus re-encoded with it
     (ops/bpe.py): training's corpus-scale half is ONE distributed
@@ -2632,6 +2645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_row_number_global": _q_window_row_number_global,
         "logreg_train": _q_logreg_train,
         "bpe_tokenize": _q_bpe_tokenize,
+        "vector_mean_grouped": _q_vector_mean_grouped,
         "kmeans_cluster": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,
@@ -3493,6 +3507,16 @@ def oracle_sql() -> dict[str, str]:
         "window_row_number_global": (
             "SELECT event_id, event_type, "
             "row_number() OVER (ORDER BY event_id) AS rn FROM events"
+        ),
+        "vector_mean_grouped": (
+            # 1-based dim via generate_series subscripts (DuckDB lacks
+            # WITH ORDINALITY); avg in double on both engines
+            "WITH x AS (SELECT label, embedding AS l, "
+            "unnest(generate_series(1, len(embedding))) AS dim "
+            "FROM embeddings "
+            "WHERE embedding IS NOT NULL AND label IS NOT NULL) "
+            "SELECT label, dim, round(avg(CAST(l[dim] AS DOUBLE)), 6) "
+            "AS avg_val FROM x GROUP BY 1, 2"
         ),
         "pipeline_pretrain_pack": (
             # end-to-end twin of the composed recipe: 5-gram decon

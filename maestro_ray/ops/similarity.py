@@ -841,3 +841,56 @@ def semantic_dedup(
 
     return joined.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pyarrow")
+
+
+def grouped_vector_mean(
+    ds: rd.Dataset,
+    key_col: str,
+    emb_col: str,
+    round_to: int | None = 6,
+) -> pd.DataFrame:
+    """Per-key mean embedding in LONG format (key, dim, avg_val) —
+    class centroids, per-language embedding profiles. Mergeable plan:
+    each batch groups locally and emits (key, dim, Σ, n) partials —
+    O(keys × d) rows per batch, the vectors themselves never shuffle —
+    then ONE distributed groupby(key, dim) sums the partials. Long
+    output is deliberate: it is exactly SQL-twinnable
+    (unnest + generate_series), where a list column would not be.
+    Sums are float64 regardless of input width (dim is 1-BASED, the
+    SQL convention). Null keys and null embeddings are dropped."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column(key_col)),
+                             pc.is_valid(t.column(emb_col))))
+        if t.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], t.schema.field(key_col).type),
+                "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            })
+        x = _emb_matrix(t, emb_col).astype(np.float64)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        k, d = len(uniq), x.shape[1]
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, inv, x)
+        cnt = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            key_col: pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), k), pa.int64()),
+            "s": pa.array(sums.reshape(-1), pa.float64()),
+            "n": pa.array(np.repeat(cnt, d), pa.int64()),
+        })
+
+    from maestro_ray.ops.aggregates import grouped_agg
+
+    agg = grouped_agg(
+        ds.select_columns([key_col, emb_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        [key_col, "dim"], {"s": ("s", "sum"), "n": ("n", "sum")})
+    agg["avg_val"] = agg["s"] / agg["n"]
+    if round_to is not None:
+        agg["avg_val"] = agg["avg_val"].round(round_to)
+    return agg[[key_col, "dim", "avg_val"]].sort_values(
+        [key_col, "dim"]).reset_index(drop=True)

@@ -150,3 +150,31 @@ def test_semdedup_partition_invariant_and_cap(ray_session):
     with pytest.raises(Exception, match="max_cluster"):
         semantic_dedup(_ds(ids, X, 2), n_clusters=1, threshold=0.95,
                        iters=1, max_cluster=10).materialize()
+
+
+def test_grouped_vector_mean_partition_invariant(ray_session):
+    import ray.data as rdm
+    from maestro_ray.ops.similarity import grouped_vector_mean
+
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(60, 4)).astype(np.float32)
+    labels = np.repeat([0, 1, 2], 20)
+    t = pa.table({
+        "label": pa.array(labels, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X] ,
+                              pa.list_(pa.float32())),
+    })
+    outs = []
+    for parts in (1, 7):
+        o = grouped_vector_mean(rdm.from_arrow(t).repartition(parts),
+                                "label", "embedding", round_to=6)
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # exact vs numpy (round 6)
+    for lbl in (0, 1, 2):
+        exp = X[labels == lbl].astype(np.float64).mean(axis=0).round(6)
+        got = outs[0][outs[0].label == lbl].sort_values("dim")["avg_val"] \
+            .to_numpy()
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+    assert list(outs[0].columns) == ["label", "dim", "avg_val"]
+    assert outs[0]["dim"].min() == 1  # 1-based, the SQL convention
