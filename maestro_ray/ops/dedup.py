@@ -106,98 +106,22 @@ def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
 
 
 def _min_label_components(edges: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
-    """Connected components of a (a, b) edge Dataset by distributed
-    min-label propagation; returns the (node, label) DATASET of nodes
-    that appear in any edge (every other node is its own rep). The
-    result stays distributed — O(clustered docs) rows never transit
-    the driver (callers join or, under an explicit size guard,
-    collect it themselves).
+    """Connected components of a (a, b) edge Dataset; returns the
+    (node, label) DATASET of nodes that appear in any edge (every other
+    node is its own rep), label = the component's minimum id.
 
-    Each round: join current labels onto both edge endpoints, send each
-    endpoint the pair's min label, fold with groupby-min, stop when no
-    label changed. Rounds needed = component diameter — near-dup
-    clusters are cliques/stars from LSH buckets, so 1–2 in practice.
-    All joins/groupbys are over the EDGE set (post-LSH small), never
-    the corpus; each round is materialized so lazy re-execution doesn't
-    recompute prior rounds.
+    Since r3 this DELEGATES to ``ops/graph.connected_components`` —
+    edge contraction with pointer-doubling closure and a guarded
+    driver union-find fast path. The previous per-round
+    join-propagation loop here stalled at sf0.1: every round's
+    hash_join DOUBLED the labels' block count (the measured 24→768
+    explosion, see ops/graph.py) and its changed-count was a further
+    join per round — dedup_near went from a 17-minute hang to seconds
+    on the same 7k-pair graph. The RuntimeError-on-no-convergence
+    contract is preserved by the delegate."""
+    from maestro_ray.ops.graph import connected_components
 
-    Raises ``RuntimeError`` if labels have not converged after
-    ``max_rounds`` — returning partially-propagated labels would split
-    one connected component across representatives silently. (Raise
-    ``max_rounds`` for pathological chain-shaped similarity graphs;
-    min-label propagation needs diameter rounds, not log.)
-    """
-    from maestro_ray.ops.joins import hash_join
-
-    def edge_nodes(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays(
-            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
-        )
-        return pa.table({"node": both, "label": both})
-
-    labels = (
-        edges.map_batches(edge_nodes, batch_format="pyarrow")
-        .groupby("node")
-        .min("label")
-        .map_batches(
-            lambda t: t.rename_columns(["node", "label"]),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
-    converged = False
-    for _ in range(max_rounds):
-        la = labels.map_batches(
-            lambda t: t.rename_columns(["a", "la"]), batch_format="pyarrow"
-        )
-        lb = labels.map_batches(
-            lambda t: t.rename_columns(["b", "lb"]), batch_format="pyarrow"
-        )
-        joined = hash_join(hash_join(edges, la, keys="a"), lb, keys="b")
-
-        def msgs(t: pa.Table) -> pa.Table:
-            m = pc.min_element_wise(t.column("la"), t.column("lb"))
-            return pa.table({
-                "node": pa.concat_arrays(
-                    [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
-                ),
-                "label": pa.concat_arrays([m.combine_chunks()] * 2),
-            })
-
-        new_labels = (
-            joined.map_batches(msgs, batch_format="pyarrow")
-            .union(labels)
-            .groupby("node")
-            .min("label")
-            .map_batches(
-                lambda t: t.rename_columns(["node", "label"]),
-                batch_format="pyarrow",
-            )
-            .materialize()
-        )
-        old = labels.map_batches(
-            lambda t: t.rename_columns(["node", "old"]), batch_format="pyarrow"
-        )
-        changed = (
-            hash_join(new_labels, old, keys="node")
-            .map_batches(
-                lambda t: t.filter(
-                    pc.not_equal(t.column("label"), t.column("old"))
-                ),
-                batch_format="pyarrow",
-            )
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"min-label propagation did not converge in {max_rounds} "
-            "rounds — component diameter exceeds max_rounds; raise it"
-        )
-    return labels
+    return connected_components(edges, "a", "b", max_rounds=max_rounds)
 
 
 def dedup_near_minhash(
