@@ -2293,6 +2293,31 @@ def _q_join_cross(sf):
     return cross_join(nat, reg)
 
 
+def _q_join_fuzzy(sf):
+    """Fuzzy string similarity join (ops/joins.py levenshtein_join):
+    supplier-name pairs within edit distance 1 — right side broadcast
+    behind a row guard, per-batch cartesian strips evaluated by the
+    vectorized Wagner-Fischer kernel (min-plus prefix scan folds the
+    sequential insertion recurrence; O(len) numpy steps over all pair
+    lanes). Integer distances — exact vs DuckDB levenshtein()."""
+    from maestro_ray.ops.joins import levenshtein_join
+
+    sup = _read(sf, "supplier", columns=["s_suppkey", "s_name"])
+    rt = pa.table({
+        "k2": _read(sf, "supplier", columns=["s_suppkey"])
+        .to_pandas()["s_suppkey"],
+        "n2": _read(sf, "supplier", columns=["s_name"])
+        .to_pandas()["s_name"],
+    })
+    out = levenshtein_join(sup, rt, "s_name", "n2", max_dist=1)
+
+    def half(t: pa.Table) -> pa.Table:  # dedupe symmetric pairs
+        keep = pc.less(t.column("s_suppkey"), t.column("k2"))
+        return t.filter(keep).select(["s_suppkey", "k2", "dist"])
+
+    return out.map_batches(half, batch_format="pyarrow")
+
+
 def _q_pipeline_pretrain_pack(sf):
     """Composed pretraining-prep recipe: decontaminate against the
     eval slice (5-gram overlap), drop flagged docs, pack the survivors
@@ -2642,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "pipeline_pretrain_pack": _q_pipeline_pretrain_pack,
         "join_cross": _q_join_cross,
+        "join_fuzzy": _q_join_fuzzy,
         "window_row_number_global": _q_window_row_number_global,
         "logreg_train": _q_logreg_train,
         "bpe_tokenize": _q_bpe_tokenize,
@@ -3503,6 +3529,13 @@ def oracle_sql() -> dict[str, str]:
         "join_cross": (
             "SELECT n_nationkey, n_name, r_regionkey, r_name "
             "FROM nation CROSS JOIN region"
+        ),
+        "join_fuzzy": (
+            "SELECT a.s_suppkey, b.s_suppkey AS k2, "
+            "CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist "
+            "FROM supplier a JOIN supplier b "
+            "ON a.s_suppkey < b.s_suppkey "
+            "WHERE levenshtein(a.s_name, b.s_name) <= 1"
         ),
         "window_row_number_global": (
             "SELECT event_id, event_type, "

@@ -727,3 +727,113 @@ def cross_join(
         return lt
 
     return left.map_batches(expand, batch_format="pyarrow")
+
+
+def _levenshtein_pairs(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    """Edit distance for P aligned string pairs, vectorized ACROSS the
+    pair axis: Wagner-Fischer rows iterate over the longest left
+    string only (O(La_max) Python steps), each step a handful of numpy
+    ops over (P, Lb_max) lanes. The sequential insertion recurrence
+    cur[j] = min(cur[j], cur[j-1]+1) is the min-plus prefix scan
+    cur[j] = j + min_accumulate(cur - j) — fully vectorizable."""
+    p = len(a_list)
+    if p == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.fromiter((len(s) for s in a_list), np.int64, p)
+    lb = np.fromiter((len(s) for s in b_list), np.int64, p)
+    ma, mb = int(la.max(initial=0)), int(lb.max(initial=0))
+    # ord-encode with per-side padding sentinels that never match
+    A = np.full((p, max(ma, 1)), -1, dtype=np.int32)
+    B = np.full((p, max(mb, 1)), -2, dtype=np.int32)
+    for i, s in enumerate(a_list):
+        if s:
+            A[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                          np.uint32).astype(np.int32)
+    for i, s in enumerate(b_list):
+        if s:
+            B[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                          np.uint32).astype(np.int32)
+    cols = np.arange(mb + 1, dtype=np.int64)
+    prev = np.broadcast_to(cols, (p, mb + 1)).copy()
+    out = np.where(la == 0, lb, -1)
+    for i in range(1, ma + 1):
+        sub = prev[:, :-1] + (A[:, i - 1:i] != B[:, :mb])
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        cur[:, 1:] = np.minimum(prev[:, 1:] + 1, sub)
+        # min-plus prefix scan folds the insertion recurrence
+        d = np.minimum.accumulate(cur - cols, axis=1)
+        cur = d + cols
+        done = la == i
+        if done.any():
+            out[done] = cur[done, lb[done]]
+        prev = cur
+    return out
+
+
+def levenshtein_join(
+    left: rd.Dataset,
+    right,
+    left_col: str,
+    right_col: str,
+    max_dist: int,
+    max_right_rows: int = 10_000,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """Fuzzy string similarity join: every (left, right) pair whose
+    ``levenshtein(left_col, right_col) <= max_dist``, with the distance
+    as a ``dist`` column. The right relation broadcasts behind a row
+    guard (same modeling rule as ``cross_join`` — an unbounded fuzzy
+    join is quadratic OUTPUT); each left batch evaluates its full
+    cartesian strip with the vectorized pair kernel and keeps matches.
+    Null strings never match (SQL comparison rule). Candidate cost per
+    batch is O(batch × right) DP lanes — fine for dimension-sized
+    right sides; above the guard, block first (e.g. by length band or
+    n-gram prefilter) and join the blocks."""
+    import ray
+
+    if max_dist < 0:
+        raise ValueError(f"levenshtein_join: max_dist={max_dist}")
+    r = _as_table(right)
+    if r.num_rows > max_right_rows:
+        raise ValueError(
+            f"levenshtein_join: right side has {r.num_rows} rows > "
+            f"max_right_rows={max_right_rows} — block/prefilter first")
+    lnames = set(left.schema().base_schema.names)
+    r = r.rename_columns([c + suffix if c in lnames else c
+                          for c in r.column_names])
+    rkey = right_col + suffix if right_col in lnames else right_col
+    r = r.filter(pc.is_valid(r.column(rkey)))
+    r_ref = ray.put(r)
+
+    def match(batch: pa.Table) -> pa.Table:
+        rt = ray.get(r_ref)
+        lt = batch.filter(pc.is_valid(batch.column(left_col)))
+        nl, nr = lt.num_rows, rt.num_rows
+        empty_cols = {
+            **{c: pa.array([], lt.schema.field(c).type)
+               for c in lt.column_names},
+            **{c: pa.array([], rt.schema.field(c).type)
+               for c in rt.column_names},
+            "dist": pa.array([], pa.int64()),
+        }
+        if nl == 0 or nr == 0:
+            return pa.table(empty_cols)
+        ls = lt.column(left_col).to_pylist()
+        rs = rt.column(rkey).to_pylist()
+        a = [s for s in ls for _ in range(nr)]
+        b = rs * nl
+        dist = _levenshtein_pairs(a, b)
+        keep = np.flatnonzero(dist <= max_dist)
+        if not len(keep):
+            return pa.table(empty_cols)
+        li = pa.array(keep // nr, pa.int64())
+        ri = pa.array(keep % nr, pa.int64())
+        out = lt.take(li)
+        rtk = rt.take(ri)
+        for c in rtk.column_names:
+            out = out.append_column(c, rtk.column(c))
+        return out.append_column("dist",
+                                 pa.array(dist[keep], pa.int64()))
+
+    return left.map_batches(match, batch_format="pyarrow")

@@ -101,7 +101,7 @@ ORACLE_NAMES = [
     "warc_import", "funnel", "cohort_retention", "window_lag_n",
     "weighted_avg", "decontaminate", "pack_sequences",
     "graph_components", "pipeline_pretrain_pack", "join_cross",
-    "window_row_number_global", "vector_mean_grouped",
+    "window_row_number_global", "vector_mean_grouped", "join_fuzzy",
 ]
 
 

@@ -105,3 +105,33 @@ def test_cross_join_expansion_suffix_guard(ray_session):
                       "w": pa.array([], pa.float64())})
     out2 = cross_join(left, empty).to_pandas()
     assert len(out2) == 0
+
+
+def test_levenshtein_join_matches_and_guards(ray_session):
+    import numpy as np
+    import ray.data as rdm
+    from maestro_ray.ops.joins import levenshtein_join
+
+    left = rdm.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "name": pa.array(["kitten", "flaw", None, "abc"]),
+    })).repartition(2)
+    right = pa.table({
+        "rid": pa.array([10, 11, 12], pa.int64()),
+        "name": pa.array(["sitting", "lawn", None]),  # overlaps -> name_r
+    })
+    out = levenshtein_join(left, right, "name", "name", max_dist=3) \
+        .to_pandas().sort_values(["id", "rid"]).reset_index(drop=True)
+    # kitten-sitting = 3, flaw-lawn = 2, abc-lawn = 3 (insert l, sub
+    # b→w, sub c→n); nulls never match either side
+    assert list(zip(out["id"], out["rid"], out["dist"])) == \
+        [(1, 10, 3), (2, 11, 2), (4, 11, 3)]
+    assert "name_r" in out.columns
+    with pytest.raises(ValueError, match="max_right_rows"):
+        levenshtein_join(left, right, "name", "name", 1,
+                         max_right_rows=2)
+    with pytest.raises(ValueError, match="max_dist"):
+        levenshtein_join(left, right, "name", "name", -1)
+    # empty match set keeps the schema
+    none = levenshtein_join(left, right, "name", "name", 0).to_pandas()
+    assert len(none) == 0
