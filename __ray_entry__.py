@@ -2293,6 +2293,49 @@ def _q_join_cross(sf):
     return cross_join(nat, reg)
 
 
+def _q_pipeline_quality_gate(sf):
+    """Composed Gopher-style quality gate: repetition signals
+    (ops/web.py repetition_stats) ⋈ blocklist score (blocklist_count)
+    on doc_id, then one vectorized policy flag — keep docs that are
+    not too repetitive (distinct_frac ≥ 0.4), not dominated by one
+    word (top_word_frac ≤ 0.12), blocklist-clean, and ≥ 10 words.
+    Every signal is a ratio/count of exact ints, so the END-TO-END SQL
+    twin compares exactly; the relation keeps ALL docs with their
+    signals + keep flag (provably non-empty)."""
+    from maestro_ray.ops.joins import hash_join
+    from maestro_ray.ops.web import blocklist_count, repetition_stats
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    rep = repetition_stats(ds)
+    blk = blocklist_count(ds, "text", ["slow", "dup"]).map_batches(
+        lambda t: t.select(["doc_id", "n_blocked"]),
+        batch_format="pyarrow")
+    joined = hash_join(rep, blk, keys="doc_id")
+
+    def flag(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t.column("distinct_frac"),
+                                 pa.scalar(0.4)),
+                pc.less_equal(t.column("top_word_frac"),
+                              pa.scalar(0.12))),
+            pc.and_(
+                pc.equal(t.column("n_blocked"),
+                         pa.scalar(0, pa.int64())),
+                pc.greater_equal(t.column("n_words"),
+                                 pa.scalar(10, pa.int64()))))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": t.column("n_words"),
+            "distinct_frac": t.column("distinct_frac"),
+            "top_word_frac": t.column("top_word_frac"),
+            "n_blocked": t.column("n_blocked"),
+            "keep": keep,
+        })
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
 def _q_join_fuzzy(sf):
     """Fuzzy string similarity join (ops/joins.py levenshtein_join):
     supplier-name pairs within edit distance 1 — right side broadcast
@@ -2668,6 +2711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_pretrain_pack": _q_pipeline_pretrain_pack,
         "join_cross": _q_join_cross,
         "join_fuzzy": _q_join_fuzzy,
+        "pipeline_quality_gate": _q_pipeline_quality_gate,
         "window_row_number_global": _q_window_row_number_global,
         "logreg_train": _q_logreg_train,
         "bpe_tokenize": _q_bpe_tokenize,
@@ -3529,6 +3573,29 @@ def oracle_sql() -> dict[str, str]:
         "join_cross": (
             "SELECT n_nationkey, n_name, r_regionkey, r_name "
             "FROM nation CROSS JOIN region"
+        ),
+        "pipeline_quality_gate": (
+            # end-to-end twin of the composed gate: the SAME repetition
+            # CTEs as repetition_stats, blocklist via
+            # regexp_extract_all, one boolean policy expression
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents WHERE text IS NOT NULL), "
+            "w AS (SELECT doc_id, unnest(l) AS w FROM toks), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM w "
+            "GROUP BY 1, 2), "
+            "ws AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS "
+            "top_w, sum(c) AS n_words FROM wc GROUP BY 1), "
+            "blk AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'\\b(slow|dup)\\b')) AS BIGINT) AS n_blocked "
+            "FROM documents WHERE text IS NOT NULL) "
+            "SELECT ws.doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "n_distinct / CAST(n_words AS DOUBLE) AS distinct_frac, "
+            "top_w / CAST(n_words AS DOUBLE) AS top_word_frac, "
+            "n_blocked, "
+            "(n_distinct / CAST(n_words AS DOUBLE) >= 0.4 AND "
+            "top_w / CAST(n_words AS DOUBLE) <= 0.12 AND "
+            "n_blocked = 0 AND n_words >= 10) AS keep "
+            "FROM ws JOIN blk USING (doc_id)"
         ),
         "join_fuzzy": (
             "SELECT a.s_suppkey, b.s_suppkey AS k2, "

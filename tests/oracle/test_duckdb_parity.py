@@ -102,6 +102,7 @@ ORACLE_NAMES = [
     "weighted_avg", "decontaminate", "pack_sequences",
     "graph_components", "pipeline_pretrain_pack", "join_cross",
     "window_row_number_global", "vector_mean_grouped", "join_fuzzy",
+    "pipeline_quality_gate",
 ]
 
 
