@@ -124,6 +124,17 @@ def main(argv: list[str] | None = None) -> int:
     p_cl.add_argument("--epoch", type=int, default=None,
                       help="base epoch (default: newest committed)")
 
+    p_rp = sub.add_parser(
+        "replicate",
+        help="catch an RDBMS replica up to the lake (exactly-once)")
+    p_rp.add_argument("--lake-dir", required=True)
+    p_rp.add_argument("--db", required=True, help="DuckDB file path")
+    p_rp.add_argument("--table", default="pages")
+    p_rp.add_argument("--staging-dir", required=True)
+    p_rp.add_argument("--columns", default="lang",
+                      help="comma-separated payload columns")
+    p_rp.add_argument("--to-epoch", type=int, default=None)
+
     p_st = sub.add_parser("status", help="print newest manifest")
     p_st.add_argument("--lake-dir", required=True)
     p_st.add_argument("--epoch", type=int, default=None,
@@ -243,6 +254,17 @@ def main(argv: list[str] | None = None) -> int:
                 sys.stdout.write(batch.to_json(orient="records",
                                                lines=True,
                                                date_format="iso"))
+            return 0
+        elif args.cmd == "replicate":  # staging write needs the session
+            from maestro_ray.pipelines.replicate import replicate_to_rdbms
+
+            cols = tuple(c.strip() for c in args.columns.split(",")
+                         if c.strip())
+            res = replicate_to_rdbms(args.lake_dir, args.db, args.table,
+                                     args.staging_dir,
+                                     payload_columns=cols,
+                                     to_epoch=args.to_epoch)
+            print(json.dumps(res))
             return 0
         elif args.cmd == "compact":
             from maestro_ray.io.lake import compact_partitions
