@@ -19,10 +19,37 @@ Postgres/MySQL source would use — only the connector line changes.
 
 from __future__ import annotations
 
+import glob as _glob
 import os
+import shutil
+import uuid
 
 import pyarrow as pa
 import ray.data as rd
+
+
+def qident(name: str) -> str:
+    """SQL identifier, double-quote escaped — table/column names are
+    never interpolated raw (a same-named table in another schema or an
+    unusual identifier must not change statement meaning)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def fresh_stage(staging_dir: str) -> str:
+    """New unique attempt dir under ``staging_dir``; reaps dead
+    ``attempt-*`` leftovers first so a long-running export/replication
+    loop cannot leak one staged copy of the data per call.
+
+    Safe because these flows are single-writer by construction (the
+    commit is one exclusive RDBMS write transaction): any pre-existing
+    attempt dir belongs to a call that either committed (rows durably
+    in the database — the staged copy is garbage) or crashed before
+    commit (its dir is never referenced again)."""
+    for d in _glob.glob(os.path.join(staging_dir, "attempt-*")):
+        shutil.rmtree(d, ignore_errors=True)
+    stage = os.path.join(staging_dir, f"attempt-{uuid.uuid4().hex}")
+    os.makedirs(stage)
+    return stage
 
 
 def read_rdbms(
@@ -37,20 +64,23 @@ def read_rdbms(
 
     ``split_col`` must be numeric (sqoop's --split-by); rows where it
     is NULL are picked up by the first partition. ``predicate`` is an
-    optional SQL WHERE fragment pushed down to every range reader.
+    optional SQL WHERE fragment pushed down to every range reader —
+    it is trusted caller-authored SQL (like sqoop's --where), while
+    table/column names are identifier-quoted.
     """
     import duckdb
 
     if num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
-    cols = ", ".join(columns) if columns else "*"
+    cols = ", ".join(qident(c) for c in columns) if columns else "*"
+    qtable, qsplit = qident(table), qident(split_col)
     con = duckdb.connect(db_path, read_only=True)
     try:
         lo, hi = con.execute(
-            f"SELECT min({split_col}), max({split_col}) FROM {table}"
+            f"SELECT min({qsplit}), max({qsplit}) FROM {qtable}"
         ).fetchone()
         empty = con.execute(
-            f"SELECT {cols} FROM {table} LIMIT 0"
+            f"SELECT {cols} FROM {qtable} LIMIT 0"
         ).fetch_arrow_table()  # schema-carrying empty block
     finally:
         con.close()
@@ -83,16 +113,16 @@ def read_rdbms(
             if b_lo is None and b_hi is None:
                 rng = "TRUE"
             elif b_hi is None:
-                rng = f"({split_col} >= {b_lo} OR {split_col} IS NULL)" \
-                    if i == 0 else f"{split_col} >= {b_lo}"
+                rng = f"({qsplit} >= {b_lo} OR {qsplit} IS NULL)" \
+                    if i == 0 else f"{qsplit} >= {b_lo}"
             else:
-                rng = f"{split_col} >= {b_lo} AND {split_col} < {b_hi}"
+                rng = f"{qsplit} >= {b_lo} AND {qsplit} < {b_hi}"
                 if i == 0:
-                    rng = f"({rng} OR {split_col} IS NULL)"
+                    rng = f"({rng} OR {qsplit} IS NULL)"
             c = _duckdb.connect(db_path, read_only=True)
             try:
                 t = c.execute(
-                    f"SELECT {cols} FROM {table} WHERE {rng}{where_extra}"
+                    f"SELECT {cols} FROM {qtable} WHERE {rng}{where_extra}"
                 ).fetch_arrow_table()
             finally:
                 c.close()
@@ -123,49 +153,53 @@ def write_rdbms(
     total). Each call stages into a fresh unique subdirectory of
     ``staging_dir`` — a retry after a pre-commit crash (or a second
     export sharing the dir) can never re-insert the dead attempt's
-    files.
+    files — and dead attempts are reaped on the next call, so a
+    long-running export loop does not leak disk (``fresh_stage``).
     """
-    import uuid
-
     import duckdb
     import pyarrow.parquet as _pq
 
     if mode not in ("append", "overwrite", "create"):
         raise ValueError(f"mode={mode!r}")
-    stage = os.path.join(staging_dir, f"attempt-{uuid.uuid4().hex}")
-    os.makedirs(stage)
+    stage = fresh_stage(staging_dir)
     ds.write_parquet(stage)
     glob = os.path.join(stage, "*.parquet")
-    import glob as _glob
 
     n_staged = sum(
         _pq.ParquetFile(f).metadata.num_rows
         for f in _glob.glob(glob)
     )
+    qtable = qident(table)
     con = duckdb.connect(db_path)
     in_txn = False
     try:
         con.execute("BEGIN")
         in_txn = True
+        # table_schema filter: a same-named table in ANOTHER schema
+        # must not flip the CREATE-vs-INSERT decision for this one
         exists = con.execute(
             "SELECT count(*) FROM information_schema.tables "
-            "WHERE table_name = ?", [table]
+            "WHERE table_name = ? AND table_schema = current_schema()",
+            [table]
         ).fetchone()[0]
         if mode == "create" and exists:
             raise ValueError(f"table {table} already exists")
         if mode == "overwrite":
-            con.execute(f"DROP TABLE IF EXISTS {table}")
+            con.execute(f"DROP TABLE IF EXISTS {qtable}")
             exists = 0
         if not exists:
             con.execute(
-                f"CREATE TABLE {table} AS SELECT * FROM read_parquet('{glob}')"
+                f"CREATE TABLE {qtable} AS "
+                f"SELECT * FROM read_parquet('{glob}')"
             )
         else:
             con.execute(
-                f"INSERT INTO {table} SELECT * FROM read_parquet('{glob}')"
+                f"INSERT INTO {qtable} SELECT * FROM read_parquet('{glob}')"
             )
         con.execute("COMMIT")
         in_txn = False
+        # rows are durable in the RDBMS — the staged copy is garbage
+        shutil.rmtree(stage, ignore_errors=True)
         return int(n_staged)
     except Exception:
         if in_txn:

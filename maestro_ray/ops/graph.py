@@ -222,35 +222,41 @@ def connected_components(
                          batch_format="pyarrow")
             .materialize()
         )
-        # close the pointer forest by doubling: m <- m∘m until the
-        # (monotonically decreasing) target sum stops moving. Each
-        # composition is ONE join over the mapping table and doubles
-        # resolved path length, so chains collapse in log(diameter)
-        # compositions instead of diameter contraction rounds.
-        def _l2_sum(mm: rd.Dataset) -> int:
+        # close the pointer forest by doubling: m <- m∘m until no row's
+        # pointer moves. Convergence is an exact changed-row COUNT (a
+        # value sum over labels from uint64 bit-views could wrap int64
+        # and alias two distinct mappings). Each composition is ONE
+        # join over the mapping table and doubles resolved path length,
+        # so chains collapse in log(diameter) compositions instead of
+        # diameter contraction rounds.
+        def _changed_rows(mm: rd.Dataset) -> int:
             s = mm.map_batches(
-                lambda t: pa.table({"s": pa.array(
-                    [pc.sum(pc.cast(t.column("l2"), pa.int64())).as_py()
+                lambda t: pa.table({"c": pa.array(
+                    [pc.sum(pc.cast(t.column("__chg"), pa.int64())).as_py()
                      or 0], pa.int64())}),
                 batch_format="pyarrow").to_pandas()
-            return int(s["s"].sum())
+            return int(s["c"].sum())
 
-        prev = _l2_sum(m)
         for _ in range(max_rounds):
             hop = m.map_batches(
                 lambda t: t.rename_columns(["l2", "l3"]),
                 batch_format="pyarrow")
-            m = _compact(hash_join(m, hop, keys="l2",
-                                   join_type="left outer").map_batches(
+            stepped = _compact(hash_join(m, hop, keys="l2",
+                                         join_type="left outer").map_batches(
                 lambda t: pa.table({
                     "label": t.column("label"),
                     "l2": pc.if_else(pc.is_valid(t.column("l3")),
                                      t.column("l3"), t.column("l2")),
+                    "__chg": pc.fill_null(
+                        pc.not_equal(t.column("l3"), t.column("l2")),
+                        False),
                 }), batch_format="pyarrow").materialize())
-            cur = _l2_sum(m)
-            if cur == prev:
+            changed = _changed_rows(stepped)
+            m = stepped.map_batches(
+                lambda t: t.drop_columns(["__chg"]),
+                batch_format="pyarrow")
+            if changed == 0:
                 break
-            prev = cur
         relabeled = hash_join(labels, m, keys="label",
                               join_type="left outer")
 

@@ -89,6 +89,7 @@ def cosine_pairs_exact(
     threshold: float,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 1_000_000,
 ) -> rd.Dataset:
     """EXACT cosine-similarity self-join: all (a, b) pairs with
     cosine ≥ threshold, a < b — the exact baseline
@@ -102,6 +103,16 @@ def cosine_pairs_exact(
     use ``embedding_near_dup`` (bucketed LSH) above it; float64 math on
     both engine and oracle sides, so only a pair lying within one ulp
     of the threshold could diverge (measure-zero for real data)."""
+    ds = ds.materialize()  # count() then refs without re-executing
+    n = ds.count()
+    if n > max_rows:
+        raise RuntimeError(
+            f"cosine_pairs_exact collects the corpus matrix on the "
+            f"driver: {n} rows exceeds max_rows={max_rows}. Use the "
+            "bucketed LSH path (embedding_near_dup / lsh_bucket_pairs) "
+            "for corpora above the exact tier, or raise max_rows "
+            "deliberately."
+        )
     tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
     if not tabs:
         return rd.from_arrow(pa.table({

@@ -26,11 +26,12 @@ from __future__ import annotations
 
 import glob as _glob
 import os
-import uuid
+import shutil
 
 import ray.data as rd
 
 from maestro_ray.core.manifest import list_epochs
+from maestro_ray.io.rdbms import fresh_stage
 
 
 def _cursor_table(table: str) -> str:
@@ -83,21 +84,18 @@ def replicate_to_rdbms(
         return {"from_epoch": cursor, "to_epoch": cursor,
                 "applied_rows": 0}
 
+    from maestro_ray.pipelines.changefeed import table_changes
+
     cols = ["url", "warc_ts", *payload_columns]
-    if cursor is None:
-        from maestro_ray.io.lake import read_lake_at
+    # Both paths read via the change feed: from_epoch=None is genesis
+    # (everything live at to_epoch is an insert), and its per-partition
+    # reader null-fills payload columns missing from pre-evolution
+    # files — read_lake_at(columns=...) would crash on those instead.
+    feed = table_changes(lake_dir, cursor, to_epoch,
+                         payload_columns=tuple(payload_columns))
+    full_load = cursor is None
 
-        feed = read_lake_at(lake_dir, to_epoch, columns=cols)
-        full_load = True
-    else:
-        from maestro_ray.pipelines.changefeed import table_changes
-
-        feed = table_changes(lake_dir, cursor, to_epoch,
-                             payload_columns=tuple(payload_columns))
-        full_load = False
-
-    stage = os.path.join(staging_dir, f"attempt-{uuid.uuid4().hex}")
-    os.makedirs(stage)
+    stage = fresh_stage(staging_dir)
     if feed is not None:
         feed.write_parquet(stage)
     files = _glob.glob(os.path.join(stage, "*.parquet"))
@@ -147,5 +145,8 @@ def replicate_to_rdbms(
         raise
     finally:
         con.close()
+    # rows are durable in the replica — the staged copy is garbage
+    # (a replication daemon must not leak one feed copy per catch-up)
+    shutil.rmtree(stage, ignore_errors=True)
     return {"from_epoch": cursor, "to_epoch": to_epoch,
             "applied_rows": int(applied)}

@@ -99,3 +99,54 @@ def test_bad_epoch_rejected(lake, tmp_path):
     with pytest.raises(ValueError, match="never committed"):
         replicate_to_rdbms(lake, str(tmp_path / "r.db"), "pages",
                            str(tmp_path / "s"), to_epoch=10**9)
+
+
+def test_staging_reaped_after_commit(lake, tmp_path):
+    """ADVICE r3 (medium): a replication daemon must not leak one
+    staged feed copy per catch-up call."""
+    import glob
+
+    db = str(tmp_path / "replica.db")
+    stage = str(tmp_path / "stage")
+    epochs = list_epochs(lake)
+    replicate_to_rdbms(lake, db, "pages", stage,
+                       to_epoch=epochs[len(epochs) // 2 - 1])
+    assert glob.glob(os.path.join(stage, "attempt-*")) == []
+    replicate_to_rdbms(lake, db, "pages", stage)  # incremental catch-up
+    assert glob.glob(os.path.join(stage, "attempt-*")) == []
+
+
+def test_full_load_over_pre_evolution_partition(lake, tmp_path):
+    """ADVICE r3: a full load over a lake holding a partition file
+    written BEFORE a payload column existed must null-fill that column
+    (the incremental path already did; the full-load path crashed)."""
+    import pyarrow.parquet as pq
+
+    from maestro_ray.core.manifest import latest_manifest
+
+    head = list_epochs(lake)[-1]
+    live = _lake_state(lake, head)  # snapshot BEFORE the surgery
+
+    # surgically strip `lang` from one live HEAD partition file,
+    # simulating a partition untouched since before the column existed
+    m = latest_manifest(lake)
+    victim = None
+    for p in sorted(m.partitions):
+        if m.partitions[p]["rows"] > 0:
+            f = os.path.join(lake, m.partitions[p]["file"])
+            t = pq.read_table(f)
+            if "lang" in t.column_names and t.num_rows:
+                pq.write_table(t.drop_columns(["lang"]), f)
+                victim = t
+                break
+    assert victim is not None
+
+    db = str(tmp_path / "replica.db")
+    stage = str(tmp_path / "stage")
+    replicate_to_rdbms(lake, db, "pages", stage)  # full load: no crash
+    rep = _replica(db)
+    # stripped partition's urls replicate with NULL lang; totals intact
+    assert len(rep) == len(live)
+    stripped_urls = set(victim.column("url").to_pylist())
+    got_null = rep[rep["url"].isin(stripped_urls)]["lang"]
+    assert len(got_null) > 0 and got_null.isna().all()

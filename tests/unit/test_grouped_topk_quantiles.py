@@ -119,3 +119,21 @@ def test_cosine_pairs_exact_planted(ray_session):
         if sims[i, j] >= 0.99
     }
     assert pairs == ref
+
+
+def test_cosine_pairs_exact_guard_fires(ray_session):
+    """ADVICE r3: the exact tier collects the corpus on the driver —
+    above max_rows it must fail loudly naming the LSH path, not OOM."""
+    import ray.data as rd
+
+    from maestro_ray.ops.similarity import cosine_pairs_exact
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(10), pa.int64()),
+        "embedding": pa.array([[float(i), 1.0] for i in range(10)],
+                              pa.list_(pa.float32())),
+    }))
+    with pytest.raises(RuntimeError, match="embedding_near_dup"):
+        cosine_pairs_exact(ds, threshold=0.5, max_rows=5)
+    # and under the guard it still answers
+    assert cosine_pairs_exact(ds, threshold=0.5, max_rows=10).count() > 0

@@ -91,3 +91,55 @@ def test_write_rdbms_roundtrip_and_modes(ray_session, db, tmp_path):
     # imported back == exported
     back = read_rdbms(out_db, "exported", "k", num_partitions=4).to_pandas()
     assert sorted(back["k"]) == list(range(50))
+
+
+def test_identifiers_quoted_and_schema_scoped(ray_session, tmp_path):
+    """ADVICE r3: unusual identifiers round-trip (quoted, not raw SQL),
+    and the existence probe is scoped to the current schema — a
+    same-named table in another schema must not flip CREATE to INSERT."""
+    import ray.data as rd
+
+    path = str(tmp_path / "q.duckdb")
+    con = duckdb.connect(path)
+    con.execute('CREATE TABLE "odd name" AS SELECT range AS "the key", '
+                "range * 10 AS v FROM range(0, 20)")
+    # decoy with the SAME name in a different schema
+    con.execute("CREATE SCHEMA other")
+    con.execute('CREATE TABLE other."exported odd" (x INT)')
+    con.close()
+
+    ds = read_rdbms(path, "odd name", split_col="the key",
+                    num_partitions=3)
+    assert ds.count() == 20
+
+    stage = str(tmp_path / "stage")
+    out = rd.from_items([{"a": 1}, {"a": 2}])
+    # the decoy exists in schema `other`; mode=append on a fresh main
+    # table must CREATE (not INSERT into nothing / crash)
+    n = write_rdbms(out, path, "exported odd", stage)
+    assert n == 2
+    con = duckdb.connect(path, read_only=True)
+    try:
+        assert con.execute(
+            'SELECT count(*) FROM main."exported odd"').fetchone()[0] == 2
+    finally:
+        con.close()
+
+
+def test_write_rdbms_staging_reaped_after_commit(ray_session, db, tmp_path):
+    """ADVICE r3 (medium): committed attempts must not leak one staged
+    copy of the data per call — the attempt dir is removed after COMMIT
+    and dead leftovers are reaped by the next call."""
+    import glob
+
+    import ray.data as rd
+
+    out_db = str(tmp_path / "out.duckdb")
+    stage = str(tmp_path / "stage")
+    ds = rd.from_items([{"k": i} for i in range(5)])
+    write_rdbms(ds, out_db, "t1", stage)
+    assert glob.glob(os.path.join(stage, "attempt-*")) == []
+    # a dead (crashed pre-commit) attempt left behind is reaped next call
+    os.makedirs(os.path.join(stage, "attempt-deadbeef"))
+    write_rdbms(ds, out_db, "t1", stage, mode="append")
+    assert glob.glob(os.path.join(stage, "attempt-*")) == []
