@@ -52,6 +52,99 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(hash_array(pd.Series(shingles)))
 
 
+def _split_words(col: pa.ChunkedArray | pa.Array
+                 ) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Whitespace word split for a WHOLE string column at once, matching
+    ``_WORD_RE.findall`` per doc (Arrow's split keeps empty boundary
+    tokens — filtered here; nulls count as zero words).
+
+    Returns ``(flat_words, doc_index_per_word, words_per_doc)``.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    split = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    lens = pc.list_value_length(split).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(split)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    d = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        idx = np.flatnonzero(keep)
+        flat = flat.take(pa.array(idx, pa.int64()))
+        d = d[idx]
+    counts = np.bincount(d, minlength=n).astype(np.int64)
+    return flat, d, counts
+
+
+def _batch_shingle_hashes(col: pa.ChunkedArray | pa.Array, k: int = 3
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Word-k-shingle hashes for EVERY doc of a column in one pass.
+
+    Returns ``(hashes, starts)``: each doc's ``_shingle_hashes`` result
+    (sorted UNIQUE hashes, ≥1 entry per doc) concatenated in doc order,
+    and each doc's segment start (int64, one per doc) for
+    ``np.minimum.reduceat``-style per-doc folds. The within-doc dedup
+    is one batch lexsort — it keeps the downstream permutation multiply
+    proportional to unique shingles (repetitive docs would otherwise
+    inflate it arbitrarily).
+
+    This is the r3-VERDICT batch-level rewrite of the per-doc shingle
+    loop: one Arrow whitespace split, one element-wise string join, one
+    ``hash_array`` call per batch — no per-doc pandas Series.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    flat, d, counts = _split_words(col)
+    parts_str: list[pa.Array] = []
+    parts_doc: list[np.ndarray] = []
+    total = len(flat)
+    if total >= k:
+        p = np.arange(total - k + 1, dtype=np.int64)
+        p = p[d[p] == d[p + k - 1]]  # shingle fully inside one doc
+        if len(p):
+            words = [flat.take(pa.array(p + j, pa.int64()))
+                     for j in range(k)]
+            parts_str.append(pc.binary_join_element_wise(*words, " "))
+            parts_doc.append(d[p])
+    rest = np.flatnonzero(counts < k)  # short docs (incl. empty: "")
+    if len(rest):
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        clean = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat)
+        joined = pc.binary_join(clean.take(pa.array(rest, pa.int64())),
+                                " ")
+        parts_str.append(joined)
+        parts_doc.append(rest)
+    arrs = [s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+            for s in parts_str]
+    strs = arrs[0] if len(arrs) == 1 else pa.concat_arrays(arrs)
+    docs = parts_doc[0] if len(parts_doc) == 1 else np.concatenate(parts_doc)
+    order = np.argsort(docs, kind="stable")
+    hashes = hash_array(strs.take(pa.array(order, pa.int64())))
+    seg = np.maximum(counts - k + 1, 1)
+    # per-doc sorted unique (the _shingle_hashes contract), vectorized:
+    # one lexsort over (doc, hash), drop within-doc duplicate runs
+    d_sh = np.repeat(np.arange(n, dtype=np.int64), seg)
+    o2 = np.lexsort((hashes, d_sh))
+    hs, dss = hashes[o2], d_sh[o2]
+    keep2 = np.empty(len(hs), dtype=bool)
+    keep2[0] = True
+    keep2[1:] = (hs[1:] != hs[:-1]) | (dss[1:] != dss[:-1])
+    hashes = hs[keep2]
+    seg = np.bincount(dss[keep2], minlength=n)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(seg[:-1], out=starts[1:])
+    return hashes, starts
+
+
 def _perm_params(n_hashes: int, seed: int = 17) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, (1 << 61) - 1, size=n_hashes, dtype=np.uint64) | np.uint64(1)
@@ -76,23 +169,45 @@ def minhash_batch(
     n_bands: int = 32,
     seed: int = 17,
 ) -> pa.Table:
-    """Per-batch stage: doc → (band_id, band_hash, doc_id) rows."""
+    """Per-batch stage: doc → (band_id, band_hash, doc_id) rows.
+
+    Batch-vectorized (r3 VERDICT #2): one shingle split + one
+    ``hash_array`` for the whole batch, signature mins via
+    ``np.minimum.reduceat`` over per-doc segments (permutation matrix
+    chunked to ~64 MB), band hashes via ONE pandas hash call over the
+    band byte rows. Bit-identical to the former per-doc loop (same
+    shingle strings, same hash, same band bytes)."""
+    n_docs = batch.num_rows
+    if n_docs == 0:
+        return pa.table({
+            "band_id": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+        })
     a, b = _perm_params(n_hashes, seed)
-    rows_band, rows_hash, rows_id = [], [], []
     r = n_hashes // n_bands
-    ids = batch.column(id_col).to_pylist()
-    for i, text in enumerate(batch.column(text_col).to_pylist()):
-        sig = minhash_signature(_shingle_hashes(text, shingle_k), a, b)
-        bands = sig.reshape(n_bands, r)
-        bh = hash_array(pd.Series([bands[j].tobytes() for j in range(n_bands)]))
-        rows_band.extend(range(n_bands))
-        rows_hash.extend(bh.tolist())
-        rows_id.extend([ids[i]] * n_bands)
+    hashes, starts = _batch_shingle_hashes(batch.column(text_col), shingle_k)
+    sh = hashes & _MERSENNE
+    total = len(sh)
+    sigs = np.empty((n_hashes, n_docs), dtype=np.uint64)
+    chunk = max(1, min(n_hashes, int(64_000_000 // max(total * 8, 1))))
+    with np.errstate(over="ignore"):
+        for h0 in range(0, n_hashes, chunk):
+            m = (a[h0:h0 + chunk, None] * sh[None, :]
+                 + b[h0:h0 + chunk, None]) % _MERSENNE
+            sigs[h0:h0 + chunk] = np.minimum.reduceat(m, starts, axis=1)
+    band_rows = np.ascontiguousarray(sigs.T).reshape(n_docs * n_bands, r)
+    buf = band_rows.tobytes()
+    rb = r * 8
+    bh = hash_array(pd.Series(
+        [buf[i * rb:(i + 1) * rb] for i in range(n_docs * n_bands)]))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table(
         {
-            "band_id": pa.array(rows_band, pa.int32()),
-            "band_hash": pa.array(rows_hash, pa.uint64()),
-            "doc_id": pa.array(rows_id, pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(n_bands, dtype=np.int32), n_docs)),
+            "band_hash": pa.array(bh, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
         }
     )
 
@@ -237,13 +352,23 @@ def dedup_near_minhash(
     withtext = hash_join(hash_join(pairs, docs_a, keys="a"), docs_b, keys="b")
 
     def verify(t: pa.Table) -> pa.Table:
-        ta = t.column("__ta").to_pylist()
-        tb = t.column("__tb").to_pylist()
-        keep = [
-            jaccard(ta[i], tb[i], shingle_k) >= threshold
-            for i in range(t.num_rows)
-        ]
-        return t.filter(pa.array(keep, pa.bool_())).select(["a", "b"])
+        if t.num_rows == 0:
+            return t.select(["a", "b"])
+        # batch-level shingling (one split+hash per side; segments come
+        # back sorted unique), per-pair exact Jaccard over the hashed
+        # segments — same math as ``jaccard``
+        ha, sa = _batch_shingle_hashes(t.column("__ta"), shingle_k)
+        hb, sb = _batch_shingle_hashes(t.column("__tb"), shingle_k)
+        ea = np.append(sa[1:], len(ha))
+        eb = np.append(sb[1:], len(hb))
+        keep = np.empty(t.num_rows, dtype=bool)
+        for i in range(t.num_rows):
+            a_set = ha[sa[i]:ea[i]]
+            b_set = hb[sb[i]:eb[i]]
+            inter = np.intersect1d(a_set, b_set, assume_unique=True).size
+            union = a_set.size + b_set.size - inter
+            keep[i] = inter / max(1, union) >= threshold
+        return t.filter(pa.array(keep)).select(["a", "b"])
 
     edges = withtext.map_batches(verify, batch_format="pyarrow").materialize()
     if edges.count() == 0:
@@ -297,18 +422,28 @@ def dedup_near_minhash(
 
 def simhash_batch(batch: pa.Table, text_col: str = "text",
                   out_col: str = "simhash") -> pa.Table:
-    """64-bit SimHash fingerprint per doc (token-count weighted signs)."""
-    out = np.zeros(batch.num_rows, dtype=np.uint64)
-    bits = np.arange(64, dtype=np.uint64)
-    for i, text in enumerate(batch.column(text_col).to_pylist()):
-        words = _WORD_RE.findall(text or "")
-        if not words:
-            continue
-        uniq, counts = np.unique(words, return_counts=True)
-        h = hash_array(pd.Series(uniq))
-        signs = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
-        v = (signs * counts[:, None]).sum(axis=0)
-        out[i] = np.sum((v > 0).astype(np.uint64) << bits, dtype=np.uint64)
+    """64-bit SimHash fingerprint per doc (token-count weighted signs).
+
+    Batch-vectorized (r3 VERDICT #2): one word split + one
+    ``hash_array`` over every token in the batch; bit j of a doc is set
+    iff more than half its tokens have bit j set (Σ±1 > 0 ⟺
+    2·ones > count — weighting by multiplicity is summing over
+    occurrences), folded per doc with 64 ``np.bincount`` passes. Bit-
+    identical to the former per-doc unique-words loop."""
+    n = batch.num_rows
+    out = np.zeros(n, dtype=np.uint64)
+    if n:
+        flat, d, counts = _split_words(batch.column(text_col))
+        if len(d):
+            h = hash_array(flat)
+            c2 = counts.astype(np.float64)
+            for j in range(64):
+                ones = np.bincount(
+                    d,
+                    weights=((h >> np.uint64(j)) & np.uint64(1)
+                             ).astype(np.float64),
+                    minlength=n)
+                out |= (2.0 * ones > c2).astype(np.uint64) << np.uint64(j)
     return batch.append_column(out_col, pa.array(out, pa.uint64()))
 
 

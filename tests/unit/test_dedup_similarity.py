@@ -306,3 +306,73 @@ def test_ngram_jaccard_ids_beyond_31_bits(ray_session):
         (r.a - shift, r.b - shift): r.jaccard for r in out_big.itertuples()
     }
     assert small_pairs == big_pairs and len(small_pairs) > 0
+
+
+def test_batch_shingle_hashes_matches_per_doc():
+    """r4: the batch-vectorized shingle path must reproduce
+    _shingle_hashes per doc exactly (sorted unique segments), incl.
+    empty/short/null/repetitive docs and boundary whitespace."""
+    import numpy as np
+
+    from maestro_ray.ops.dedup import _batch_shingle_hashes
+
+    texts = ["", "   ", None, "one", "one two", "a a a a a",
+             "x y z x y z x y z", "  lead and trail  ",
+             "tab\tsep\nnewline words here"]
+    h, s = _batch_shingle_hashes(pa.array(texts, pa.string()), 3)
+    e = np.append(s[1:], len(h))
+    for i, t in enumerate(texts):
+        seg = h[s[i]:e[i]]
+        ref = _shingle_hashes(t or "", 3)
+        assert np.array_equal(seg, ref), (i, t)
+
+
+def test_minhash_simhash_batch_vectorized_identity():
+    """r4: minhash_batch / simhash_batch (batch-vectorized) must be
+    bit-identical to the per-doc reference computation."""
+    import numpy as np
+
+    from maestro_ray.ops.dedup import (_perm_params, _shingle_hashes,
+                                       minhash_batch)
+    from maestro_ray.ops.hashing import hash_array
+
+    texts = ["the quick brown fox jumps", "the quick brown fox jumps",
+             "", "pasta with oil", "a b", None,
+             "  spaced   out   tokens everywhere again and again  "]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = minhash_batch(batch, n_hashes=64, n_bands=16)
+    a, b = _perm_params(64)
+    import pandas as pd
+    rows_band, rows_hash, rows_id = [], [], []
+    for i, t in enumerate(texts):
+        sig = minhash_signature(_shingle_hashes(t or "", 3), a, b)
+        bands = sig.reshape(16, 4)
+        bh = hash_array(pd.Series([bands[j].tobytes() for j in range(16)]))
+        rows_band.extend(range(16))
+        rows_hash.extend(bh.tolist())
+        rows_id.extend([i] * 16)
+    ref = pa.table({
+        "band_id": pa.array(rows_band, pa.int32()),
+        "band_hash": pa.array(rows_hash, pa.uint64()),
+        "doc_id": pa.array(rows_id, pa.int64()),
+    })
+    assert got.equals(ref)
+
+    sh = simhash_batch(batch).column("simhash").to_numpy()
+    bits = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        import re
+        words = re.findall(r"\S+", t or "")
+        if not words:
+            assert sh[i] == 0
+            continue
+        uniq, counts = np.unique(words, return_counts=True)
+        h = hash_array(pd.Series(uniq))
+        signs = ((h[:, None] >> bits[None, :]) & np.uint64(1)
+                 ).astype(np.int64) * 2 - 1
+        v = (signs * counts[:, None]).sum(axis=0)
+        ref_fp = np.sum((v > 0).astype(np.uint64) << bits, dtype=np.uint64)
+        assert sh[i] == ref_fp, (i, t)
