@@ -24,18 +24,20 @@ from maestro_ray.ops.hashing import hash_array
 _PARTIAL_KINDS = {"sum", "count", "min", "max", "mean", "std"}
 
 
-def grouped_agg(
+def grouped_agg_ds(
     ds: rd.Dataset,
     keys: list[str] | str,
     specs: dict[str, tuple[str | None, str]],
     round_to: int | None = None,
-) -> pd.DataFrame:
-    """A2: grouped aggregation with per-batch partial pre-aggregation.
-
-    Returns a pandas DataFrame (grouped results are small by
-    definition); ``round_to`` rounds float outputs for stable
-    cross-engine comparison (summation order differs between engines).
-    """
+) -> rd.Dataset:
+    """A2: grouped aggregation with per-batch partial pre-aggregation,
+    returning a lazy DATASET — the building block for high-cardinality
+    keys (per-url/per-doc aggregates at 10^10 keys) where the grouped
+    result feeds a join or further stages rather than a report (r3
+    VERDICT #4: nothing lands on the driver here). Finalization
+    (mean/std division, rounding) runs per output batch. Row order is
+    whatever the shuffle produced; use ``grouped_agg`` for the sorted
+    reporting frame."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     for _out, (_col, kind) in specs.items():
         if kind not in _PARTIAL_KINDS:
@@ -105,25 +107,61 @@ def grouped_agg(
             aggs.append(Sum(f"__sum_{name}", alias_name=f"__sum_{name}"))
         if kind == "std":
             aggs.append(Sum(f"__sq_{name}", alias_name=f"__sq_{name}"))
-    merged = partials.groupby(keys).aggregate(*aggs).to_pandas()
-    out = merged[keys].copy()
-    for name, (col, kind) in specs.items():
-        if kind in ("sum", "min", "max"):
-            out[name] = merged[f"__{kind}_{name}"]
-        elif kind == "count":
-            out[name] = merged[f"__cnt_{name}"].astype("int64")
-        elif kind == "mean":
-            out[name] = merged[f"__sum_{name}"] / merged[f"__cnt_{name}"]
-        elif kind == "std":
-            n = merged[f"__cnt_{name}"]
-            mu = merged[f"__sum_{name}"] / n
-            var = (merged[f"__sq_{name}"] / n - mu**2) * (n / (n - 1))
-            out[name] = np.sqrt(var.clip(lower=0))
-    if round_to is not None:
-        for name, (_c, kind) in specs.items():
-            if out[name].dtype.kind == "f":
-                out[name] = out[name].round(round_to)
-    return out.sort_values(keys).reset_index(drop=True)
+    merged = partials.groupby(keys).aggregate(*aggs)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = [t.column(k) for k in keys]
+        names = list(keys)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for name, (_col, kind) in specs.items():
+                if kind in ("sum", "min", "max"):
+                    arr = t.column(f"__{kind}_{name}")
+                elif kind == "count":
+                    arr = pc.cast(t.column(f"__cnt_{name}"), pa.int64())
+                elif kind == "mean":
+                    s = t.column(f"__sum_{name}").to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                    n = t.column(f"__cnt_{name}").to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                    arr = pa.array(s / n, pa.float64())
+                elif kind == "std":
+                    n = t.column(f"__cnt_{name}").to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                    s = t.column(f"__sum_{name}").to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                    sq = t.column(f"__sq_{name}").to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                    mu = s / n
+                    var = (sq / n - mu ** 2) * (n / (n - 1))
+                    arr = pa.array(np.sqrt(np.clip(var, 0, None)),
+                                   pa.float64())
+                if (round_to is not None
+                        and pa.types.is_floating(arr.type)):
+                    arr = pa.array(
+                        np.round(arr.to_numpy(zero_copy_only=False)
+                                 .astype(np.float64), round_to))
+                cols.append(arr)
+                names.append(name)
+        return pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in cols], names=names)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_agg(
+    ds: rd.Dataset,
+    keys: list[str] | str,
+    specs: dict[str, tuple[str | None, str]],
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """A2: grouped aggregation as a sorted pandas reporting frame —
+    ``grouped_agg_ds`` collected. Right for bounded key sets; a
+    high-cardinality grouped result that feeds a join should stay on
+    the ``grouped_agg_ds`` Dataset instead."""
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    out = grouped_agg_ds(ds, keys_l, specs, round_to=round_to).to_pandas()
+    return out.sort_values(keys_l).reset_index(drop=True)
 
 
 def global_agg(ds: rd.Dataset, specs: dict[str, tuple[str | None, str]],
@@ -240,24 +278,44 @@ def grouped_topk(
     return pruned.groupby(keys).map_groups(local, batch_format="pyarrow")
 
 
-def _count_merge(ds: rd.Dataset, cols: list[str]) -> tuple[pd.DataFrame, str]:
+#: driver-materialization bound for the exact distinct-count plans —
+#: the repo's standard 2M guard tier (≈ tens of MB of pairs)
+MAX_DISTINCT_DRIVER = 2_000_000
+
+
+def _count_merge(ds: rd.Dataset, cols: list[str],
+                 max_distinct: int = MAX_DISTINCT_DRIVER
+                 ) -> tuple[pd.DataFrame, str]:
     """Shared distinct-count plan: per-batch count partials (combiner)
     → one groupby over DISTINCT ``cols`` tuples → driver frame plus the
     discovered count-column name. Driver materialization is O(distinct
     tuples) — the right bound for discrete columns (token counts,
-    lengths, scores); for continuous high-cardinality columns bucket
-    first or use a sketch."""
+    lengths, scores). A continuous/high-cardinality column exceeding
+    ``max_distinct`` fails LOUDLY (r3 VERDICT #3) naming the
+    scale-safe path (``quantile_sketch``, mergeable O(n_bins)) instead
+    of silently OOMing the driver at 100-TB scale."""
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
         return t.rename_columns([*cols, "cnt"])
 
-    merged = (
+    grouped = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(cols if len(cols) > 1 else cols[0])
         .sum("cnt")
-        .to_pandas()
+        .materialize()  # count() then to_pandas() without re-executing
     )
+    n_distinct = grouped.count()
+    if n_distinct > max_distinct:
+        raise RuntimeError(
+            f"exact distinct-count plan over {cols} would collect "
+            f"{n_distinct} distinct tuples on the driver "
+            f"(max_distinct={max_distinct}). This tier is for discrete "
+            "columns; for continuous/high-cardinality values use "
+            "quantile_sketch (mergeable O(n_bins) histogram quantiles) "
+            "or bucket/round the column first."
+        )
+    merged = grouped.to_pandas()
     cnt_col = [c for c in merged.columns if c not in cols][0]
     return merged, cnt_col
 

@@ -331,7 +331,7 @@ def bigram_lm_perplexity(
     (broadcast_join); above it the model can be larger than any one
     node and the two bucketed ``hash_join``s apply — never a
     driver-side Python dict either way."""
-    from maestro_ray.ops.aggregates import distinct, grouped_agg
+    from maestro_ray.ops.aggregates import distinct, grouped_agg_ds
     from maestro_ray.ops.joins import broadcast_join, hash_join
 
     # materialized ONCE: the bigram stream feeds three consumers (bc,
@@ -397,12 +397,23 @@ def bigram_lm_perplexity(
         })
 
     scored = joined.map_batches(logprob, batch_format="pyarrow")
-    agg = grouped_agg(scored, id_col, {"s": ("lp", "sum"),
-                                       "n": (None, "count")})
-    out = agg[[id_col]].copy()
-    out["ppl_bits"] = -(agg["s"] / agg["n"]) / np.log(2.0)
-    if round_to is not None:
-        out["ppl_bits"] = out["ppl_bits"].round(round_to)
+    # per-doc reduction on the DATASET variant (r3 VERDICT #4): the
+    # per-doc (sum, count) table is corpus-keyed — it must never park
+    # on the driver as an intermediate; ppl finalization is fused per
+    # output batch and only the final report is collected
+    agg = grouped_agg_ds(scored, id_col, {"s": ("lp", "sum"),
+                                          "n": (None, "count")})
+
+    def ppl(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        v = -(s / n) / np.log(2.0)
+        if round_to is not None:
+            v = np.round(v, round_to)
+        return pa.table({id_col: t.column(id_col),
+                         "ppl_bits": pa.array(v, pa.float64())})
+
+    out = agg.map_batches(ppl, batch_format="pyarrow").to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
 
 
