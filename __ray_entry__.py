@@ -560,6 +560,23 @@ def _q_dedup_near(sf):
     return dedup_near_minhash(ds, threshold=0.8)
 
 
+def _q_dedup_near_clusters(sf):
+    """r3 VERDICT #5: the driver-visible oracle for MinHash-LSH
+    near-dedup. On the deterministic fixture the pipeline's cluster
+    assignment is EXACT: every candidate edge is verified by exact
+    shingle-set Jaccard >= 0.8, banding recall at J>=0.8 with 32x4
+    bands is 1 - (1-J^4)^32 >= 1 - 6e-8 (empirically complete at all
+    three SFs), so the final clusters equal the connected components
+    of the exact n-gram-Jaccard pair graph — which the SQL twin
+    computes directly (the dedup_ngram pair plan + a recursive-CTE
+    min-label closure)."""
+    from maestro_ray.ops.dedup import dedup_near_minhash
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    out = dedup_near_minhash(ds, threshold=0.8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dedup_ngram(sf):
     """Exact n-gram Jaccard similarity join (ops/dedup.py), value-hash
     checked: the inverted-index plan's pair set and similarity values
@@ -2629,6 +2646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checksum": _q_checksum,
         "quality_score": _q_quality_score,
         "dedup_near": _q_dedup_near,
+        "dedup_near_clusters": _q_dedup_near_clusters,
         "dedup_ngram": _q_dedup_ngram,
         "pipeline_corpus_curation": _q_pipeline_corpus_curation,
         "simhash": _q_simhash,
@@ -3002,6 +3020,42 @@ def oracle_sql() -> dict[str, str]:
             "WHERE pr.inter / (na.n + nb.n - pr.inter) >= 0.8) "
             "SELECT doc_id, n_words FROM d1 "
             "WHERE doc_id NOT IN (SELECT b FROM dup) ORDER BY doc_id"
+        ),
+        "dedup_near_clusters": (
+            # the dedup_ngram shingle/pair plan at threshold 0.8, then
+            # connected components via a recursive-CTE min-label
+            # closure (UNION dedups rows -> fixpoint); singletons fill
+            # self. Matches dedup_near_minhash exactly on this fixture
+            # (see _q_dedup_near_clusters for the recall argument).
+            "WITH RECURSIVE w AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\S+') AS ws FROM documents), "
+            "grams AS (SELECT doc_id, CASE WHEN len(ws) < 3 "
+            "THEN array_to_string(ws, ' ') "
+            "ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS s "
+            "FROM w, unnest(generate_series(1, CASE WHEN len(ws) = 0 THEN 0 "
+            "WHEN len(ws) < 3 THEN 1 ELSE len(ws) - 2 END)) t(i)), "
+            "sh AS (SELECT DISTINCT doc_id, list_reduce(list_transform("
+            "generate_series(1, length(s)), "
+            "i -> CAST(unicode(substr(s, i, 1)) AS BIGINT)), "
+            "(a, b) -> (a * 31 + b) % 1000000007) AS sh FROM grams), "
+            "p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter "
+            "FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id "
+            "GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), "
+            "e AS (SELECT p.a, p.b FROM p JOIN sz na ON p.a = na.doc_id "
+            "JOIN sz nb ON p.b = nb.doc_id "
+            "WHERE p.inter / (na.n + nb.n - p.inter) >= 0.8), "
+            "und AS (SELECT a AS x, b AS y FROM e "
+            "UNION ALL SELECT b AS x, a AS y FROM e), "
+            "lab(node, label) AS ("
+            "SELECT DISTINCT x AS node, x AS label FROM und "
+            "UNION "
+            "SELECT u.x, l.label FROM und u JOIN lab l ON u.y = l.node), "
+            "comp AS (SELECT node, MIN(label) AS label FROM lab "
+            "GROUP BY node) "
+            "SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS cluster_rep "
+            "FROM documents d LEFT JOIN comp c ON d.doc_id = c.node "
+            "ORDER BY d.doc_id"
         ),
         "dedup_ngram": (
             "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws "

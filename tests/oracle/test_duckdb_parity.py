@@ -83,7 +83,8 @@ ORACLE_NAMES = [
     "pipeline_topk_revenue", "pipeline_nation_revenue", "model_score",
     "checksum", "approx_distinct", "fingerprint", "approx_distinct_grouped",
     "simhash", "lang_detect", "multimodal_decode", "audio_features",
-    "video_meta", "dedup_ngram", "pipeline_corpus_curation",
+    "video_meta", "dedup_near_clusters", "dedup_ngram",
+    "pipeline_corpus_curation",
     "grouped_topk", "quantiles", "embedding_dup_exact",
     "window_lag", "pivot", "text_normalize", "rdbms_import", "video_frames",
     "join_range", "join_band", "window_rank", "rollup", "string_agg",
