@@ -206,6 +206,78 @@ def write_exchange(
                      "file": pa.array([fname] * len(acks_p), pa.string())})
 
 
+#: packed-exchange row: one zstd-compressed Arrow-IPC blob per
+#: (input batch, partition) — see ``pack_exchange``
+PACKED = pa.schema(
+    [("p", pa.int32()), ("blob", pa.binary()), ("rows", pa.int64())]
+)
+
+
+def pack_exchange(
+    batch: pa.Table,
+    num_partitions: int,
+    codec: str = "zstd",
+    level: int = 1,
+) -> pa.Table:
+    """Compress a prepped batch (CANDIDATE + ``p``) into ONE
+    Arrow-IPC blob per partition present → (p, blob, rows) rows.
+
+    This is the r3-VERDICT #1 bandwidth attack: the merge shuffle's
+    bytes are dominated by the ``html`` payload, and the single-box
+    scaling ceiling is the object store's memcpy bandwidth — so encode
+    the payload ONCE in the fused read stage (zstd level 1: ~GB/s,
+    template-heavy web HTML compresses 5-20x) and move compressed
+    blobs through the exchange; the merge task decodes. On a real
+    cluster the same ratio comes off the network shuffle. The sort
+    shuffle also now sorts ~blocks×P tiny rows instead of one row per
+    event. LWW-safe: blobs carry candidate rows verbatim; the merge
+    concatenates and reduces exactly as it would have unpacked.
+    """
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return PACKED.empty_table()
+    idx = pc.sort_indices(batch, sort_keys=[("p", "ascending")])
+    s = batch.take(idx)
+    pv = s.column("p").to_numpy(zero_copy_only=False)
+    bounds = np.searchsorted(pv, np.arange(num_partitions + 1))
+    opts = pa.ipc.IpcWriteOptions(
+        compression=pa.Codec(codec, compression_level=level)
+    )
+    ps, blobs, rows = [], [], []
+    for p in range(num_partitions):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        if lo == hi:
+            continue
+        sub = s.slice(lo, hi - lo).drop_columns(["p"]).combine_chunks()
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, sub.schema, options=opts) as w:
+            w.write_table(sub)
+        ps.append(p)
+        blobs.append(sink.getvalue().to_pybytes())
+        rows.append(hi - lo)
+    return pa.table({
+        "p": pa.array(ps, pa.int32()),
+        "blob": pa.array(blobs, pa.binary()),
+        "rows": pa.array(rows, pa.int64()),
+    })
+
+
+def unpack_packed_group(group: pa.Table) -> pa.Table:
+    """Inverse of ``pack_exchange`` for one partition's shuffled blob
+    rows: decode + concat into the CANDIDATE-with-``p`` table the
+    normal merge stage expects."""
+    tabs = [
+        pa.ipc.open_stream(b).read_all()
+        for b in group.column("blob").to_pylist()
+    ]
+    t = (pa.concat_tables(tabs, promote_options="default")
+         if tabs else CANDIDATE.empty_table())
+    p = group.column("p")[0].as_py()
+    return t.append_column(
+        "p", pa.array([p] * t.num_rows, pa.int32()))
+
+
 def make_exchange_merge_fn(
     lake_dir: str,
     ex_dir: str,

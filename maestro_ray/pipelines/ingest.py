@@ -78,6 +78,7 @@ def _run_epoch(
     prev: Manifest | None,
     hot_keys: set | None = None,
     prepped: bool = False,
+    packed: bool = False,
 ) -> Manifest:
     prev_files = (
         {p: v["file"] for p, v in prev.partitions.items()} if prev else {}
@@ -104,6 +105,14 @@ def _run_epoch(
             .map_batches(repartition_true, batch_format="pyarrow")
         )
     merge_fn = make_merge_fn(lake_dir, epoch, prev_ref, epoch_watermark)
+    if packed:
+        from maestro_ray.ops.merge import unpack_packed_group
+
+        inner = merge_fn
+
+        def merge_fn(group: pa.Table, _inner=inner):  # decode-then-merge
+            return _inner(unpack_packed_group(group))
+
     lineage_ds = staged.groupby("p").map_groups(merge_fn, batch_format="pyarrow")
     with _push_based_shuffle():
         rows = lineage_ds.take_all()  # O(P) tiny
@@ -363,6 +372,22 @@ def bootstrap(
         acks = pages.map_batches(fused_ex, batch_format="pyarrow", batch_size=None)
         return _run_epoch_files(acks, lake_dir, ex_dir, 0, -1, num_partitions, None)
 
+    if exchange == "packed":
+        from maestro_ray.ops.merge import pack_exchange
+
+        def fused_pk(batch: pa.Table) -> pa.Table:
+            return pack_exchange(
+                add_partition_column(
+                    lww_reduce(pages_to_candidates(batch)), num_partitions
+                ),
+                num_partitions,
+            )
+
+        ds = pages.map_batches(fused_pk, batch_format="pyarrow",
+                               batch_size=None)
+        return _run_epoch(ds, lake_dir, 0, -1, num_partitions, None,
+                          prepped=True, packed=True)
+
     def fused(batch: pa.Table) -> pa.Table:
         return add_partition_column(
             lww_reduce(pages_to_candidates(batch)), num_partitions
@@ -390,6 +415,10 @@ def ingest(
 
     ``exchange``: "shuffle" (default) uses the Ray Data groupby with
     the push-based sort shuffle — measured fastest on this machine;
+    "packed" compresses the payload THROUGH that shuffle (one zstd
+    Arrow-IPC blob per (block, partition), encoded in the fused read
+    stage, decoded in the merge task — ops/merge.py pack_exchange;
+    the r3-VERDICT #1 bandwidth attack, A/B table in BASELINE.md r4);
     "slim" is the two-pass variant that keeps the wide html payload out
     of the shuffle (narrow winner pass + winners-only payload pass, see
     ``_run_epoch_slim``) — wins when payload bytes ≫ key bytes;
@@ -400,10 +429,10 @@ def ingest(
     encode/decode cycle of the exchange loses to plasma here). Salted
     hot-key mode always uses the groupby path.
     """
-    if exchange not in ("shuffle", "files", "slim", "slim_sort"):
+    if exchange not in ("shuffle", "files", "slim", "slim_sort", "packed"):
         raise ValueError(
             f"exchange={exchange!r}: expected 'shuffle', 'slim', "
-            "'slim_sort' or 'files'"
+            "'slim_sort', 'packed' or 'files'"
         )
     os.makedirs(lake_dir, exist_ok=True)
     m = latest_manifest(lake_dir)
@@ -452,6 +481,27 @@ def ingest(
                 log_dir, chunk, lake_dir, epoch, epoch_watermark,
                 num_partitions, m, watermark,
                 payload_exchange="files" if exchange == "slim" else "sort",
+            )
+        elif exchange == "packed":
+            from maestro_ray.ops.merge import pack_exchange
+
+            def fused_packed(batch: pa.Table, _np=num_partitions) -> pa.Table:
+                return pack_exchange(
+                    add_partition_column(
+                        lww_reduce(events_to_candidates(batch)), _np
+                    ),
+                    _np,
+                )
+
+            ds = read_changelog(
+                log_dir, from_offset=watermark, segments=chunk,
+                transform=fused_packed,
+            )
+            if ds is None:
+                continue
+            m = _run_epoch(
+                ds, lake_dir, epoch, epoch_watermark, num_partitions, m,
+                None, prepped=True, packed=True,
             )
         elif exchange == "files":
             ex_dir = _exchange_dir(lake_dir, epoch)

@@ -36,7 +36,7 @@ def _assert_lake_equals(lake_dir, expected):
         assert got.column(col).equals(expected.column(col)), f"column {col} differs"
 
 
-@pytest.mark.parametrize("exchange", ["files", "shuffle", "slim", "slim_sort"])
+@pytest.mark.parametrize("exchange", ["files", "shuffle", "slim", "slim_sort", "packed"])
 def test_full_replay_matches_oracle(ray_session, fixture_dirs, tmp_path, exchange):
     lake = str(tmp_path / f"lake_{exchange}")
     m = ingest(fixture_dirs["log"], lake,
