@@ -1172,6 +1172,72 @@ def _q_video_frames(sf):
     return sampled.map_batches(sizes, batch_format="pyarrow")
 
 
+def _q_video_pixels(sf):
+    """END-TO-END video pixel decode (r3 VERDICT #7): per-doc MP4s
+    carry REAL rawvideo (packed RGB24) tracks — 16x8 frames whose pixel
+    (y, x) of frame k of doc i is R=(i+k+x)%256, G=(3i+5k+y)%256,
+    B=(7i+11k)%256; doc i has 1 + i%5 frames. The pipeline demuxes via
+    the stsz/stsc/stco walker (every 2nd sample), decodes pixels via
+    ops/mp4.decode_frame ('raw ' codec — the one codec decodable
+    without a codec library), and reports per-frame channel SUMS plus
+    the pixel at (y=3, x=5) — layout-sensitive, so a wrong reshape or
+    channel order fails the oracle. The SQL twin recomputes everything
+    from the synthesis formula."""
+    import numpy as np
+
+    from maestro_ray.ops.mp4 import decode_frame, encode_minimal_mp4
+    from maestro_ray.ops.multimodal import FrameSample
+
+    W, H = 16, 8
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        x = np.arange(W, dtype=np.int64)[None, :]
+        y = np.arange(H, dtype=np.int64)[:, None]
+        clips = []
+        for i in ids:
+            frames = []
+            for k in range(1 + i % 5):
+                img = np.empty((H, W, 3), np.uint8)
+                img[:, :, 0] = (i + k + x) % 256
+                img[:, :, 1] = (3 * i + 5 * k + y) % 256
+                img[:, :, 2] = (7 * i + 11 * k) % 256
+                frames.append(img.tobytes())
+            clips.append(encode_minimal_mp4(
+                1.0, tracks=[("vide", "raw ")], frames=frames))
+        return pa.table({
+            "vid_id": batch.column("doc_id"),
+            "video": pa.array(clips, pa.binary()),
+        })
+
+    ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    sampled = ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"every_n": 2, "fake": False},
+        batch_format="pyarrow", concurrency=2, batch_size=256,
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        sums = {c: [] for c in ("sum_r", "sum_g", "sum_b")}
+        px = {c: [] for c in ("px_r", "px_g", "px_b")}
+        for blob in t.column("frame").to_pylist():
+            img = decode_frame(blob, "raw ", W, H).astype(np.int64)
+            for j, c in enumerate(("sum_r", "sum_g", "sum_b")):
+                sums[c].append(int(img[:, :, j].sum()))
+            for j, c in enumerate(("px_r", "px_g", "px_b")):
+                px[c].append(int(img[3, 5, j]))
+        return pa.table({
+            "vid_id": t.column("vid_id"),
+            "frame_idx": t.column("frame_idx"),
+            **{c: pa.array(v, pa.int64()) for c, v in sums.items()},
+            **{c: pa.array(v, pa.int64()) for c, v in px.items()},
+        })
+
+    out = sampled.map_batches(feats, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vid_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_rdbms_import(sf):
     """S10 sqoop analog: range-partitioned parallel import from an
     RDBMS (DuckDB stands in for the JDBC source). The database file is
@@ -2662,6 +2728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "rdbms_import": _q_rdbms_import,
         "video_frames": _q_video_frames,
+        "video_pixels": _q_video_pixels,
         "knn_lsh": _q_knn_lsh,
         "knn_ann_index": _q_knn_ann_index,
         "audio_features": _q_audio_features,
@@ -3329,6 +3396,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d, "
             "LATERAL unnest(range(0, 1 + d.doc_id % 7)) u(f) "
             "WHERE u.f % 2 = 0"
+        ),
+        "video_pixels": (
+            # the synthesis formula, recomputed: frame k of doc i is a
+            # 16x8 RGB24 image with R=(i+k+x)%256, G=(3i+5k+y)%256,
+            # B const (7i+11k)%256; docs have 1 + i%5 frames, every 2nd
+            # sampled; channel sums + the (y=3, x=5) pixel
+            "WITH xs AS (SELECT unnest(generate_series(0, 15)) AS x), "
+            "ys AS (SELECT unnest(generate_series(0, 7)) AS y), "
+            "f AS (SELECT d.doc_id AS vid_id, u.k AS frame_idx "
+            "FROM documents d, "
+            "LATERAL unnest(range(0, 1 + d.doc_id % 5)) u(k) "
+            "WHERE u.k % 2 = 0), "
+            "r AS (SELECT vid_id, frame_idx, "
+            "CAST(8 * SUM((vid_id + frame_idx + x) % 256) AS BIGINT) "
+            "AS sum_r FROM f, xs GROUP BY 1, 2), "
+            "g AS (SELECT vid_id, frame_idx, "
+            "CAST(16 * SUM((3 * vid_id + 5 * frame_idx + y) % 256) "
+            "AS BIGINT) AS sum_g FROM f, ys GROUP BY 1, 2) "
+            "SELECT f.vid_id, f.frame_idx, r.sum_r, g.sum_g, "
+            "CAST(128 * ((7 * f.vid_id + 11 * f.frame_idx) % 256) "
+            "AS BIGINT) AS sum_b, "
+            "CAST((f.vid_id + f.frame_idx + 5) % 256 AS BIGINT) AS px_r, "
+            "CAST((3 * f.vid_id + 5 * f.frame_idx + 3) % 256 AS BIGINT) "
+            "AS px_g, "
+            "CAST((7 * f.vid_id + 11 * f.frame_idx) % 256 AS BIGINT) "
+            "AS px_b "
+            "FROM f JOIN r USING (vid_id, frame_idx) "
+            "JOIN g USING (vid_id, frame_idx) ORDER BY 1, 2"
         ),
         "corr_grouped": (
             "SELECT l_returnflag, "

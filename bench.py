@@ -55,7 +55,9 @@ def _fixture(scale: dict) -> tuple[str, str]:
     )
     import pyarrow.parquet as pq
 
-    key = f"u{scale['n_urls']}_e{scale['n_events']}_s{scale['seg_rows']}"
+    hb = scale.get("html_bytes")
+    key = (f"u{scale['n_urls']}_e{scale['n_events']}_s{scale['seg_rows']}"
+           + (f"_h{hb}" if hb else ""))
     with_pages = scale.get("with_pages", True)
     root = os.path.join(CACHE, key)
     log_dir = os.path.join(root, "log")
@@ -117,8 +119,15 @@ def run_bench(num_cpus: int) -> dict:
     scale = (
         dict(_SCALING_SCALE, with_pages=False)
         if scaling_mode
-        else _SCALES.get(sf_name, _SCALES["sf0.1"])
+        else dict(_SCALES.get(sf_name, _SCALES["sf0.1"]))
     )
+    # payload-size sweep knob (r3 VERDICT #1): html bytes per event.
+    # Default-tier only — the 6M-event scaling fixture at 8 KiB would
+    # exceed the sandbox's object store, and _env_ceiling derives its
+    # fixture key from the unmodified _SCALING_SCALE.
+    hb = os.environ.get("MAESTRO_BENCH_HTML_BYTES")
+    if hb and not scaling_mode:
+        scale["html_bytes"] = int(hb)
     log_dir, pages_path = _fixture(scale)
 
     from maestro_ray.pipelines.ingest import ingest

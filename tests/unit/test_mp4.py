@@ -162,3 +162,46 @@ def test_video_meta_stage():
     assert out.column("n_tracks").to_pylist() == [2, None, None, None]
     assert out.column("video_codec").to_pylist() == ["avc1", None, None, None]
     assert out.column("audio_codec").to_pylist() == ["mp4a", None, None, None]
+
+
+def test_decode_rawvideo_layout_and_gate():
+    """r4: rawvideo RGB24 pixel decode is REAL (layout-sensitive) and
+    the codec gate fails loudly for compressed codecs."""
+    import numpy as np
+    import pytest
+
+    from maestro_ray.ops.mp4 import decode_frame, decode_rawvideo
+
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    out = decode_rawvideo(img.tobytes(), width=4, height=3)
+    assert np.array_equal(out, img)
+    assert out[1, 2, 0] == img[1, 2, 0]  # row-major, interleaved RGB
+    with pytest.raises(ValueError, match="exactly"):
+        decode_rawvideo(img.tobytes()[:-1], width=4, height=3)
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_frame(b"\x00" * 100, "avc1")
+    with pytest.raises(ValueError, match="width and height"):
+        decode_frame(img.tobytes(), "raw ")
+
+
+def test_rawvideo_roundtrip_through_container():
+    """Synthesize → demux → decode: pixels survive the full path."""
+    import numpy as np
+
+    from maestro_ray.ops.mp4 import (
+        decode_frame,
+        encode_minimal_mp4,
+        extract_samples,
+    )
+
+    frames = [
+        (np.arange(16 * 8 * 3, dtype=np.uint8) + k).reshape(8, 16, 3)
+        for k in range(4)
+    ]
+    blob = encode_minimal_mp4(
+        1.0, tracks=[("vide", "raw ")],
+        frames=[f.tobytes() for f in frames])
+    got = extract_samples(blob, every_n=1)
+    assert [i for i, _ in got] == [0, 1, 2, 3]
+    for i, raw in got:
+        assert np.array_equal(decode_frame(raw, "raw ", 16, 8), frames[i])
