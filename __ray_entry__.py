@@ -2641,6 +2641,61 @@ def _q_warc_import(sf):
     return ds.map_batches(decode, batch_format="pyarrow")
 
 
+def _q_avro_import(sf):
+    """S8/S10 source (r4): Avro object-container intake — the landing
+    format the sqoop world exports. Four .avro shards (two deflate, two
+    null codec) are synthesized once per sf from the documents table
+    via the pure-stdlib writer, read back with io/avro.py read_avro
+    (file = parallelism unit, per-blob streaming decode incl. nullable
+    unions + timestamp-micros), twin = the same rows constructed in
+    SQL — an exact round-trip oracle for the varint record framing."""
+    from maestro_ray.io.avro import read_avro, write_avro
+
+    avro_dir = "/tmp/maestro_avro_" + sf.strip("/").replace("/", "_")
+    marker = os.path.join(avro_dir, "_DONE")
+    if not os.path.exists(marker):
+        import uuid
+
+        tmp = f"{avro_dir}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        docs = pq.read_table(_t(sf, "documents"),
+                             columns=["doc_id", "text", "n_chars"])
+        n_shards = 4
+        ids = docs.column("doc_id").to_numpy()
+        for s in range(n_shards):
+            part = docs.filter(pa.array(ids % n_shards == s))
+            shard = pa.table({
+                "doc_id": part.column("doc_id"),
+                # every 5th text null: exercises the ["null", T] union
+                "text": pa.array(
+                    [None if i % 5 == 0 else t for i, t in
+                     zip(part.column("doc_id").to_pylist(),
+                         part.column("text").to_pylist())],
+                    pa.string()),
+                "n_chars": part.column("n_chars"),
+                "ingest_ts": pa.array(
+                    [1_700_000_000_000_000 + int(i)
+                     for i in part.column("doc_id").to_pylist()],
+                    pa.timestamp("us")),
+            })
+            write_avro(os.path.join(tmp, f"shard-{s}.avro"), shard,
+                       codec="deflate" if s % 2 == 0 else "null")
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, avro_dir)  # atomic; loser keeps tmp
+        except OSError:
+            shutil.rmtree(tmp)
+    files = sorted(
+        os.path.join(avro_dir, f) for f in os.listdir(avro_dir)
+        if f.endswith(".avro"))
+    ds = read_avro(files)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "text", "n_chars", "ingest_ts"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _q_kmeans(sf):
     """Distributed Lloyd k-means over the embeddings table (k = 10,
     the synthetic generator's planted blob count) — ops/similarity.py
@@ -2804,6 +2859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_cluster": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,
+        "avro_import": _q_avro_import,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "window_lag_n": _q_window_lag_n,
@@ -3684,6 +3740,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN bc USING (w1, w2) JOIN cc USING (w1)) "
             "SELECT doc_id, round(-avg(lp) / ln(2), 6) AS ppl_bits "
             "FROM sc GROUP BY doc_id"
+        ),
+        "avro_import": (
+            "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL "
+            "ELSE text END AS text, n_chars, "
+            "CAST(to_timestamp((1700000000000000 + doc_id) / 1e6) "
+            "AS TIMESTAMP) AS ingest_ts FROM documents"
         ),
         "warc_import": (
             "SELECT 'https://example.com/doc/' || CAST(doc_id AS "
