@@ -2696,6 +2696,40 @@ def _q_avro_import(sf):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_orc_import(sf):
+    """S8/S10 source (r4): ORC intake via pyarrow's ORC decoder inside
+    the read tasks (io/readers.py read_orc — Ray 2.49 has no native
+    reader). Four shards synthesized once per sf from the documents
+    table; column pruning exercised (lang never decoded). Twin: the
+    same rows straight off the parquet view."""
+    from maestro_ray.io.readers import read_orc
+
+    orc_dir = "/tmp/maestro_orc_" + sf.strip("/").replace("/", "_")
+    marker = os.path.join(orc_dir, "_DONE")
+    if not os.path.exists(marker):
+        import uuid
+
+        import pyarrow.orc as _orc
+
+        tmp = f"{orc_dir}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        docs = pq.read_table(_t(sf, "documents"),
+                             columns=["doc_id", "text", "lang", "n_chars"])
+        ids = docs.column("doc_id").to_numpy()
+        for s in range(4):
+            _orc.write_table(docs.filter(pa.array(ids % 4 == s)),
+                             os.path.join(tmp, f"shard-{s}.orc"))
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, orc_dir)
+        except OSError:
+            shutil.rmtree(tmp)
+    files = sorted(
+        os.path.join(orc_dir, f) for f in os.listdir(orc_dir)
+        if f.endswith(".orc"))
+    return read_orc(files, columns=["doc_id", "text", "n_chars"])
+
+
 def _q_kmeans(sf):
     """Distributed Lloyd k-means over the embeddings table (k = 10,
     the synthetic generator's planted blob count) — ops/similarity.py
@@ -2860,6 +2894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,
         "avro_import": _q_avro_import,
+        "orc_import": _q_orc_import,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
         "window_lag_n": _q_window_lag_n,
@@ -3740,6 +3775,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN bc USING (w1, w2) JOIN cc USING (w1)) "
             "SELECT doc_id, round(-avg(lp) / ln(2), 6) AS ppl_bits "
             "FROM sc GROUP BY doc_id"
+        ),
+        "orc_import": (
+            "SELECT doc_id, text, n_chars FROM documents"
         ),
         "avro_import": (
             "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL "

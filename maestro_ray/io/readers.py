@@ -414,3 +414,28 @@ def read_warc(paths, record_types: list[str] | None = None,
                                         value_set=pa.array(allowed))),
             batch_format="pyarrow")
     return ds
+
+
+def read_orc(paths, columns: list[str] | None = None, **kw) -> rd.Dataset:
+    """S8/S10 source (r4): ORC files → rows, via pyarrow's ORC reader
+    inside the read tasks (Ray 2.49 ships no native read_orc). The
+    FILE is the unit of parallelism — the right grain for the
+    many-files lake layout this engine writes everywhere; ``columns``
+    prunes at the decoder (ORC is columnar — unread columns cost no
+    decode, same contract as read_parquet's pruning)."""
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import io as _io
+
+        import pyarrow.orc as _orc
+
+        outs = []
+        for i in range(batch.num_rows):
+            f = _orc.ORCFile(_io.BytesIO(batch.column("bytes")[i].as_py()))
+            outs.append(f.read(columns=columns))
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    return read_binary(paths, include_paths=True, **kw).map_batches(
+        decode, batch_format="pyarrow")

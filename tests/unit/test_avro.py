@@ -69,3 +69,21 @@ def test_read_avro_distributed(ray_session, tmp_path):
     assert len(df) == 12
     assert sorted(df.columns) == sorted([*t.column_names, "path"])
     assert df["path"].nunique() == 3
+
+
+def test_read_orc_distributed_with_pruning(ray_session, tmp_path):
+    """r4: ORC source — per-file parallel decode, column pruning."""
+    import pyarrow.orc as orc
+
+    from maestro_ray.io.readers import read_orc
+
+    t = pa.table({"k": pa.array(range(20), pa.int64()),
+                  "v": pa.array([f"s{i}" for i in range(20)], pa.string()),
+                  "w": pa.array([float(i) for i in range(20)])})
+    for s in range(2):
+        orc.write_table(t, str(tmp_path / f"p{s}.orc"))
+    ds = read_orc([str(tmp_path / f"p{s}.orc") for s in range(2)],
+                  columns=["k", "w"])
+    df = ds.to_pandas()
+    assert len(df) == 40 and sorted(df.columns) == ["k", "w"]
+    assert df["k"].sum() == 2 * sum(range(20))
