@@ -100,7 +100,8 @@ ORACLE_NAMES = [
     "ffill", "gap_fill", "mad_grouped", "argmax_grouped", "window_ntile",
     "boilerplate_remove", "blocklist_count",
     "linreg_grouped", "bitbool_grouped", "perplexity_score",
-    "warc_import", "avro_import", "orc_import", "funnel",
+    "warc_import", "avro_import", "orc_import", "watermark_late",
+    "funnel",
     "cohort_retention",
     "window_lag_n",
     "weighted_avg", "decontaminate", "pack_sequences",
