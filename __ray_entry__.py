@@ -2763,6 +2763,69 @@ def _q_watermark_late(sf):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_video_mjpeg(sf):
+    """MJPEG end-to-end (r4): per-doc MP4s carry REAL MJPEG tracks —
+    frames are baseline JPEGs (ops/jpeg.py encoder, 24x16 formula
+    gradients, quality 90) — demuxed by the stsz/stsc/stco walker and
+    pixel-decoded by the pure-Python baseline JPEG decoder behind the
+    codec gate (ops/mp4.decode_frame, fourcc 'mjpg'). JPEG is lossy,
+    so the SQL-exact columns are the decode-derived DIMENSIONS (they
+    exist only if the JPEG header+scan actually decode); pixel
+    fidelity is pytest-bounded (tests/unit/test_jpeg.py, max error
+    vs the synthesis formula)."""
+    import numpy as np
+
+    from maestro_ray.ops.jpeg import encode_jpeg
+    from maestro_ray.ops.mp4 import decode_frame, encode_minimal_mp4
+    from maestro_ray.ops.multimodal import FrameSample
+
+    W, H = 24, 16
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        x = np.arange(W, dtype=np.int64)[None, :]
+        y = np.arange(H, dtype=np.int64)[:, None]
+        clips = []
+        for i in ids:
+            frames = []
+            for k in range(1 + i % 3):
+                img = np.empty((H, W, 3), np.uint8)
+                img[:, :, 0] = (i + k + 4 * x) % 256
+                img[:, :, 1] = (2 * i + 3 * k + 4 * y) % 256
+                img[:, :, 2] = (5 * i + 7 * k) % 256
+                frames.append(encode_jpeg(img, quality=90))
+            clips.append(encode_minimal_mp4(
+                1.0, tracks=[("vide", "mjpg")], frames=frames))
+        return pa.table({
+            "vid_id": batch.column("doc_id"),
+            "video": pa.array(clips, pa.binary()),
+        })
+
+    ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    sampled = ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"every_n": 1, "fake": False},
+        batch_format="pyarrow", concurrency=2, batch_size=128,
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        hs, ws = [], []
+        for blob in t.column("frame").to_pylist():
+            img = decode_frame(blob, "mjpg")
+            hs.append(int(img.shape[0]))
+            ws.append(int(img.shape[1]))
+        return pa.table({
+            "vid_id": t.column("vid_id"),
+            "frame_idx": t.column("frame_idx"),
+            "height": pa.array(hs, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+        })
+
+    out = sampled.map_batches(feats, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vid_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_kmeans(sf):
     """Distributed Lloyd k-means over the embeddings table (k = 10,
     the synthetic generator's planted blob count) — ops/similarity.py
@@ -2851,6 +2914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdbms_import": _q_rdbms_import,
         "video_frames": _q_video_frames,
         "video_pixels": _q_video_pixels,
+        "video_mjpeg": _q_video_mjpeg,
         "knn_lsh": _q_knn_lsh,
         "knn_ann_index": _q_knn_ann_index,
         "audio_features": _q_audio_features,
@@ -3521,6 +3585,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d, "
             "LATERAL unnest(range(0, 1 + d.doc_id % 7)) u(f) "
             "WHERE u.f % 2 = 0"
+        ),
+        "video_mjpeg": (
+            "SELECT d.doc_id AS vid_id, u.k AS frame_idx, "
+            "CAST(16 AS BIGINT) AS height, CAST(24 AS BIGINT) AS width "
+            "FROM documents d, "
+            "LATERAL unnest(range(0, 1 + d.doc_id % 3)) u(k) "
+            "ORDER BY 1, 2"
         ),
         "video_pixels": (
             # the synthesis formula, recomputed: frame k of doc i is a

@@ -372,17 +372,24 @@ def decode_frame(sample: bytes, codec: str, width: int | None = None,
     """THE codec gate (r3 VERDICT #7): dispatch a demuxed video sample
     to a native decoder, or fail LOUDLY naming the gated dependency.
 
-    ``raw `` / ``rgb24`` decodes natively (``decode_rawvideo``) —
-    container demux → sample bytes → pixels is end-to-end real for
-    rawvideo tracks. Compressed codecs (avc1/h264, hev1, mjpa …)
-    genuinely need a codec library (pyav), absent from this sandbox.
+    ``raw `` / ``rgb24`` decodes natively (``decode_rawvideo``), and
+    MJPEG fourccs (``mjpg``/``mjpa``/``jpeg``) decode through the
+    pure-Python baseline JPEG decoder (``ops/jpeg.py``) — container
+    demux → sample bytes → pixels is end-to-end real for both.
+    Inter-frame codecs (avc1/h264, hev1 …) genuinely need a codec
+    library (pyav), absent from this sandbox.
     """
     if codec in ("raw ", "raw", "rgb24"):
         if width is None or height is None:
             raise ValueError("rawvideo decode needs width and height")
         return decode_rawvideo(sample, width, height)
+    if codec.lower().strip() in ("mjpg", "mjpa", "mjpb", "jpeg"):
+        from maestro_ray.ops.jpeg import decode_jpeg
+
+        return decode_jpeg(sample)
     raise NotImplementedError(
         f"pixel decode for codec {codec!r} requires a codec library "
-        "(pyav/ffmpeg) that is not available in this environment; only "
-        "'raw ' (rawvideo RGB24) decodes natively"
+        "(pyav/ffmpeg) that is not available in this environment; "
+        "'raw ' (rawvideo RGB24) and MJPEG (mjpg/mjpa/jpeg) decode "
+        "natively"
     )

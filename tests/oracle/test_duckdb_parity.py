@@ -87,7 +87,7 @@ ORACLE_NAMES = [
     "pipeline_corpus_curation",
     "grouped_topk", "quantiles", "embedding_dup_exact",
     "window_lag", "pivot", "text_normalize", "rdbms_import", "video_frames",
-    "video_pixels",
+    "video_pixels", "video_mjpeg",
     "join_range", "join_band", "window_rank", "rollup", "string_agg",
     "quantiles_cont", "join_skew", "grouped_quantiles", "histogram",
     "heavy_hitters", "chunk_documents", "sample_hash", "sample_stratified",
