@@ -742,6 +742,26 @@ def _knn_query_vec(sf) -> np.ndarray:
     return np.asarray(emb.column("embedding")[idx].as_py(), dtype=np.float32)
 
 
+def _q_knn_nsw(sf):
+    """Graph-based ANN (r4 — the HNSW-class point beside LSH and IVF):
+    sharded Navigable-Small-World index (ops/nsw.py) — one NSW graph
+    per hash shard built in one groupby pass, persisted npz per shard;
+    search = one task per shard, multi-entry beam per query, tiny
+    global top-k merge. Rows-only driver check; recall vs knn_brute
+    and the sublinear distance-eval assert are pytest-pinned
+    (tests/unit/test_nsw.py)."""
+    from maestro_ray.ops.nsw import build_nsw_index, knn_nsw_probe
+
+    name = os.path.basename(sf.rstrip("/"))
+    idx = f"/tmp/maestro_nsw_r4_{name}"
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        build_nsw_index(ds, idx, n_shards=4, m=8, ef_build=24)
+    out = knn_nsw_probe(idx, _knn_query_vec(sf)[None, :], k=10,
+                        ef_search=64).to_pandas()
+    return out[["vec_id"]].reset_index(drop=True)
+
+
 def _q_grouped_topk(sf):
     """O2 grouped variant: top-3 orders per priority class by total
     price — per-batch local top-k-per-group combiner, then one grouped
@@ -2956,6 +2976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_analytic": _q_window_analytic,
         "join_bloom": _q_join_bloom,
         "knn_ivf": _q_knn_ivf,
+        "knn_nsw": _q_knn_nsw,
         "url_parse": _q_url_parse,
         "domain_stats": _q_domain_stats,
         "pii_redact": _q_pii_redact,
