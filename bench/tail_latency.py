@@ -113,7 +113,11 @@ def run_one(cadence: int, staged: str, feed_interval: float,
         if commit_t is not None:
             lat.append(commit_t - land[f])
     n_events = int(max(seg_max.values())) + 1
-    last_commit = wm_trace[-1][0] if wm_trace else t0
+    if not wm_trace:
+        raise RuntimeError(
+            "no manifest ever committed — tail ingest made no progress "
+            "(events_per_sec over a non-positive window would be nonsense)")
+    last_commit = wm_trace[-1][0]
     first_land = min(land.values())
     lat_sorted = sorted(lat)
     return {
@@ -130,7 +134,7 @@ def run_one(cadence: int, staged: str, feed_interval: float,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cadences", nargs="*", type=int, default=[1, 2, 4, 8])
+    ap.add_argument("--cadences", nargs="+", type=int, default=[1, 2, 4, 8])
     ap.add_argument("--n-events", type=int, default=500_000)
     ap.add_argument("--seg-rows", type=int, default=31_250)
     ap.add_argument("--n-urls", type=int, default=25_000)

@@ -191,18 +191,19 @@ def parse_avro_blob(blob: bytes) -> pa.Table:
         arrays, schema=pa.schema([(n, t) for n, t, *_ in fields]))
 
 
-def parse_avro_batch(batch: pa.Table) -> pa.Table:
+def parse_avro_batch(batch: pa.Table):
     """(path, bytes) rows → concatenated record rows with a ``path``
-    provenance column."""
+    provenance column. Generator: an empty input batch yields NO block
+    (a path-only table would diverge from sibling blocks' record
+    schema — the repo's documented empty-schema pitfall)."""
     outs = []
     for i in range(batch.num_rows):
         t = parse_avro_blob(batch.column("bytes")[i].as_py())
         outs.append(t.append_column(
             "path", pa.array([batch.column("path")[i].as_py()] * t.num_rows,
                              pa.string())))
-    if not outs:
-        return pa.table({"path": pa.array([], pa.string())})
-    return pa.concat_tables(outs, promote_options="default")
+    if outs:
+        yield pa.concat_tables(outs, promote_options="default")
 
 
 def read_avro(paths, **kw) -> rd.Dataset:

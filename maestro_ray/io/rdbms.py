@@ -22,6 +22,7 @@ from __future__ import annotations
 import glob as _glob
 import os
 import shutil
+import time
 import uuid
 
 import pyarrow as pa
@@ -35,18 +36,27 @@ def qident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
-def fresh_stage(staging_dir: str) -> str:
-    """New unique attempt dir under ``staging_dir``; reaps dead
-    ``attempt-*`` leftovers first so a long-running export/replication
-    loop cannot leak one staged copy of the data per call.
+def fresh_stage(staging_dir: str, reap_after_s: float = 3600.0) -> str:
+    """New unique attempt dir under ``staging_dir``; garbage-collects
+    STALE ``attempt-*`` leftovers first so a long-running export/
+    replication loop cannot leak one staged copy of the data per call.
 
-    Safe because these flows are single-writer by construction (the
-    commit is one exclusive RDBMS write transaction): any pre-existing
-    attempt dir belongs to a call that either committed (rows durably
-    in the database — the staged copy is garbage) or crashed before
-    commit (its dir is never referenced again)."""
+    Successful calls delete their own dir right after COMMIT, so
+    leftovers are only crashed attempts (never referenced again) — but
+    a CONCURRENT in-flight export sharing ``staging_dir`` also matches
+    the glob, so only dirs untouched for ``reap_after_s`` seconds are
+    reaped (an in-flight attempt's mtime advances with every staged
+    file; a crashed one goes quiet and is collected on a later call)."""
+    now = time.time()
     for d in _glob.glob(os.path.join(staging_dir, "attempt-*")):
-        shutil.rmtree(d, ignore_errors=True)
+        try:
+            quiet_since = max(
+                [os.path.getmtime(d)]
+                + [e.stat().st_mtime for e in os.scandir(d)])
+        except OSError:
+            continue
+        if now - quiet_since > reap_after_s:
+            shutil.rmtree(d, ignore_errors=True)
     stage = os.path.join(staging_dir, f"attempt-{uuid.uuid4().hex}")
     os.makedirs(stage)
     return stage

@@ -424,7 +424,7 @@ def read_orc(paths, columns: list[str] | None = None, **kw) -> rd.Dataset:
     prunes at the decoder (ORC is columnar — unread columns cost no
     decode, same contract as read_parquet's pruning)."""
 
-    def decode(batch: pa.Table) -> pa.Table:
+    def decode(batch: pa.Table):
         import io as _io
 
         import pyarrow.orc as _orc
@@ -433,9 +433,11 @@ def read_orc(paths, columns: list[str] | None = None, **kw) -> rd.Dataset:
         for i in range(batch.num_rows):
             f = _orc.ORCFile(_io.BytesIO(batch.column("bytes")[i].as_py()))
             outs.append(f.read(columns=columns))
-        if not outs:
-            return pa.table({})
-        return pa.concat_tables(outs, promote_options="default")
+        # generator: an empty input batch yields NO block (a 0-column
+        # pa.table({}) would diverge from sibling blocks' ORC schema —
+        # the repo's documented empty-schema pitfall)
+        if outs:
+            yield pa.concat_tables(outs, promote_options="default")
 
     return read_binary(paths, include_paths=True, **kw).map_batches(
         decode, batch_format="pyarrow")

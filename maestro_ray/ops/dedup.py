@@ -42,6 +42,19 @@ _WORD_RE = re.compile(r"\S+")
 # ----------------------------------------------------------------- shingles
 
 
+def _ids_int64(arr: pa.ChunkedArray | pa.Array, ctx: str, id_col: str
+               ) -> np.ndarray:
+    """Null-guarded int64 extraction of a doc-id column. astype(int64)
+    on a null-bearing column folds every null onto INT64_MIN via NaN,
+    silently collapsing all null-id docs into one fake id."""
+    if arr.null_count:
+        raise ValueError(
+            f"{ctx}: {arr.null_count} null values in id column "
+            f"{id_col!r}; drop or fill null ids before near-dedup"
+        )
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Hashes of word k-shingles (deterministic, order-sensitive)."""
     words = _WORD_RE.findall(text or "")
@@ -201,7 +214,7 @@ def minhash_batch(
     rb = r * 8
     bh = hash_array(pd.Series(
         [buf[i * rb:(i + 1) * rb] for i in range(n_docs * n_bands)]))
-    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = _ids_int64(batch.column(id_col), "minhash_batch", id_col)
     return pa.table(
         {
             "band_id": pa.array(
@@ -489,7 +502,7 @@ def dedup_near_simhash(
 
     def explode_blocks(t: pa.Table) -> pa.Table:
         sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = _ids_int64(t.column(id_col), "dedup_near_simhash", id_col)
         n = len(ids)
         keys = np.empty(4 * n, dtype=np.int64)
         for blk in range(4):

@@ -205,6 +205,10 @@ def decode_jpeg(data: bytes):
     while pos < n:
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # ITU-T T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+        # a marker code (some camera MJPEG encoders emit them)
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -129,6 +129,18 @@ def build_nsw_index(
     order), builds its graph, writes ``shard-<s>.npz``. Returns
     ``{"n_shards", "n_vectors"}``."""
     os.makedirs(index_dir, exist_ok=True)
+    # Rebuild safety: invalidate FIRST (drop meta.json so a crash
+    # mid-rebuild can't leave old meta declaring a mixed index valid),
+    # then clear stale shard files — an old shard-s.npz whose shard
+    # receives no rows this build would otherwise silently serve
+    # vectors from the previous corpus.
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    for name in os.listdir(index_dir):
+        if name.startswith("shard-") and (
+                name.endswith(".npz") or ".npz.tmp" in name):
+            os.remove(os.path.join(index_dir, name))
 
     def tag(t: pa.Table) -> pa.Table:
         shard = (hash_array(t.column(id_col))
@@ -161,10 +173,10 @@ def build_nsw_index(
             .to_pandas())
     meta = {"n_shards": n_shards, "m": m,
             "n_vectors": int(acks["n"].sum())}
-    tmp = os.path.join(index_dir, "meta.json.tmp")
+    tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+    os.replace(tmp, meta_path)
     return meta
 
 

@@ -32,67 +32,10 @@ TABLES = (
 ).split()
 
 
-def _to_df(obj):
-    import pandas as pd
-    import pyarrow as pa
-
-    if isinstance(obj, pa.Table):
-        return obj.to_pandas()
-    if isinstance(obj, pd.DataFrame):
-        return obj.copy()
-    return obj.to_pandas()  # ray Dataset
-
-
-def _kinds(df) -> dict:
-    return {c: df[c].dtype.kind for c in df.columns}
-
-
-def _normalize(df):
-    """The driver's comparison shape: columns sorted by name, dtypes
-    canonicalized, rows sorted by every column (order-insensitive) —
-    same rules as tests/oracle/test_duckdb_parity.py."""
-    import pandas as pd
-
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[ns]")
-        elif df[c].dtype == "float32":
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_unsigned_integer_dtype(df[c]):
-            df[c] = df[c].astype(str)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns),
-                          kind="mergesort").reset_index(drop=True)
-
-
-def _compare(got_raw, exp_raw) -> dict:
-    import pandas as pd
-
-    rec: dict = {"rows_match": False, "schema_match": False,
-                 "hash_match": False,
-                 "spark_rows": int(len(got_raw)),
-                 "oracle_rows": int(len(exp_raw)), "err": None}
-    rec["rows_match"] = len(got_raw) == len(exp_raw)
-    rec["schema_match"] = (
-        sorted(got_raw.columns) == sorted(exp_raw.columns)
-        and _kinds(_normalize(got_raw)) == _kinds(_normalize(exp_raw))
-    )
-    if rec["rows_match"] and rec["schema_match"]:
-        got, exp = _normalize(got_raw), _normalize(exp_raw)
-        try:
-            pd.testing.assert_frame_equal(got, exp, check_exact=True)
-            rec["hash_match"] = True
-        except AssertionError:
-            rec["hash_match"] = False
-    return rec
-
-
 def run(sf_dir: str, only: list[str] | None = None) -> dict:
     import duckdb
+
+    from maestro_ray.oracle_compare import compare, to_df
 
     sys.path.insert(0, os.getcwd())
     import __ray_entry__ as entry_mod
@@ -108,10 +51,10 @@ def run(sf_dir: str, only: list[str] | None = None) -> dict:
     for i, name in enumerate(names):
         t0 = time.time()
         try:
-            got_raw = _to_df(queries[name](sf_dir))
+            got_raw = to_df(queries[name](sf_dir))
             if name in oracles:
                 exp_raw = con.execute(oracles[name]).fetch_df()
-                rec = _compare(got_raw, exp_raw)
+                rec = compare(got_raw, exp_raw)
                 rec["oracle"] = "duckdb"
             else:
                 rec = {"rows_match": None, "schema_match": None,

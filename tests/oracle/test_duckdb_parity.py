@@ -32,37 +32,9 @@ def con(sf_dir):
     return con
 
 
-def to_df(obj) -> pd.DataFrame:
-    if isinstance(obj, pa.Table):
-        return obj.to_pandas()
-    if isinstance(obj, pd.DataFrame):
-        return obj.copy()
-    return obj.to_pandas()  # ray Dataset
-
-
-def kinds(df: pd.DataFrame) -> dict:
-    """Pre-normalization dtype KINDS (i/u/f/M/O/b) per column — asserted
-    equal between engine and oracle so silent numeric-type drift (e.g.
-    the r1 join_asof int64→float64 pandas coercion) fails loudly here,
-    the way the driver's type-sensitive value hash fails."""
-    return {c: df[c].dtype.kind for c in df.columns}
-
-
-def normalize(obj) -> pd.DataFrame:
-    df = to_df(obj)
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[ns]")
-        elif df[c].dtype == "float32":
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_unsigned_integer_dtype(df[c]):
-            df[c] = df[c].astype(str)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+# THE comparison helpers — shared with maestro_ray.validate (the
+# full-contract CLI) so pytest and CLI verdicts can never drift.
+from maestro_ray.oracle_compare import kinds, normalize, to_df  # noqa: E402
 
 
 def _all_names(entry_mod):

@@ -376,3 +376,20 @@ def test_minhash_simhash_batch_vectorized_identity():
         v = (signs * counts[:, None]).sum(axis=0)
         ref_fp = np.sum((v > 0).astype(np.uint64) << bits, dtype=np.uint64)
         assert sh[i] == ref_fp, (i, t)
+
+
+def test_minhash_null_doc_id_raises():
+    """astype(int64) on a null-bearing id column would fold every null
+    onto INT64_MIN, collapsing null-id docs into one fake doc with
+    spurious band collisions — the stage must fail loudly instead."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from maestro_ray.ops.dedup import minhash_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, None, 3], pa.int64()),
+        "text": pa.array(["a b c d", "a b c d", "x y z w"]),
+    })
+    with _pytest.raises(ValueError, match="null"):
+        minhash_batch(t)

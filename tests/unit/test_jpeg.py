@@ -102,3 +102,24 @@ def test_mjpeg_through_mp4_container():
         assert img.shape == (16, 24, 3)
         assert np.abs(img.astype(int)
                       - frames[i].astype(int)).max() <= 4
+
+
+def test_fill_bytes_before_markers_accepted():
+    """ITU-T T.81 B.1.1.2: 0xFF fill bytes may precede any marker —
+    some camera MJPEG encoders emit them; the decoder must skip them."""
+    rgb = np.full((16, 16, 3), 128, np.uint8)
+    data = encode_jpeg(rgb, quality=90)
+    # inject fill bytes before every marker after SOI (split on FF
+    # followed by a real marker code, excluding stuffed FF00 and RSTn)
+    out = bytearray(data[:2])
+    i = 2
+    while i < len(data):
+        if (data[i] == 0xFF and i + 1 < len(data)
+                and data[i + 1] not in (0x00,)
+                and not (0xD0 <= data[i + 1] <= 0xD7)):
+            out += b"\xff\xff\xff"  # three fill bytes
+        out.append(data[i])
+        i += 1
+    got = decode_jpeg(bytes(out))
+    ref = decode_jpeg(data)
+    assert np.array_equal(got, ref)

@@ -82,3 +82,30 @@ def test_multi_entry_rescues_clustered_insertion():
     q = V[perm][700]  # a far-cluster member
     found = [n for _s, n in _beam_search(V[perm], nbrs, q, 32)]
     assert 700 in found[:3]
+
+
+def test_rebuild_clears_stale_shards(ray_session, tmp_path):
+    """Rebuilding into an existing index_dir must not serve vectors
+    from the previous corpus: a shard that receives no rows on the new
+    (smaller) corpus must lose its old shard file, and old ids must
+    never appear in probe results."""
+    X = _blobs(n_per=50, k=4, dim=16, seed=7)
+
+    def make_ds(ids, vecs):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        })).repartition(2)
+
+    idx = str(tmp_path / "idx")
+    build_nsw_index(make_ds(np.arange(len(X)), X), idx,
+                    n_shards=8, m=4, ef_build=8)
+    # rebuild over a DIFFERENT corpus: 3 vectors with huge ids
+    small = X[:3]
+    new_ids = np.array([10_001, 10_002, 10_003], dtype=np.int64)
+    meta = build_nsw_index(make_ds(new_ids, small), idx,
+                           n_shards=8, m=4, ef_build=8)
+    assert meta["n_vectors"] == 3
+    res = knn_nsw_probe(idx, X[:2], k=5, ef_search=16).to_pandas()
+    assert set(res["vec_id"]) <= set(new_ids.tolist())

@@ -139,7 +139,12 @@ def test_write_rdbms_staging_reaped_after_commit(ray_session, db, tmp_path):
     ds = rd.from_items([{"k": i} for i in range(5)])
     write_rdbms(ds, out_db, "t1", stage)
     assert glob.glob(os.path.join(stage, "attempt-*")) == []
-    # a dead (crashed pre-commit) attempt left behind is reaped next call
-    os.makedirs(os.path.join(stage, "attempt-deadbeef"))
+    # a dead (crashed pre-commit) attempt is reaped once it goes quiet,
+    # but a RECENT (possibly in-flight, concurrent) attempt survives
+    dead = os.path.join(stage, "attempt-deadbeef")
+    os.makedirs(dead)
+    os.utime(dead, (0, 0))  # quiet for decades
+    live = os.path.join(stage, "attempt-c0ffee")
+    os.makedirs(live)  # fresh mtime = concurrent in-flight export
     write_rdbms(ds, out_db, "t1", stage, mode="append")
-    assert glob.glob(os.path.join(stage, "attempt-*")) == []
+    assert glob.glob(os.path.join(stage, "attempt-*")) == [live]
