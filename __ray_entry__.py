@@ -2878,6 +2878,59 @@ def _q_semantic_dedup(sf):
     return P.project(out, columns=["vec_id", "cluster", "keep", "dup_of"])
 
 
+def _q_grouped_quantiles_cont(sf):
+    """Per-key exact INTERPOLATED quantiles of event value per event
+    type (ops/aggregates.py grouped_quantiles_cont — keyed value-count
+    partials + the quantile_cont interpolation rule per key). Same
+    h = q·(n−1) linear interpolation DuckDB uses, so floats twin
+    exactly (the global quantiles_cont key established the precedent)."""
+    from maestro_ray.ops.aggregates import grouped_quantiles_cont
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+    return grouped_quantiles_cont(ds, "event_type", "value",
+                                  [0.25, 0.5, 0.9])
+
+
+def _q_intersect_all(sf):
+    """Bag-semantics INTERSECT ALL of customer vs supplier nation keys
+    (ops/setops.py — distinct-tuple count partials per side, one
+    groupby, min-count emit; Dataset-returning, no driver walk). Each
+    nationkey appears min(#customers, #suppliers) times — a real
+    multiset result the set-semantics `intersect` key cannot express."""
+    from maestro_ray.ops.setops import intersect_all
+
+    c = P.project(_read(sf, "customer", columns=["c_nationkey"]),
+                  columns=["nationkey"], rename={"c_nationkey": "nationkey"})
+    s = P.project(_read(sf, "supplier", columns=["s_nationkey"]),
+                  columns=["nationkey"], rename={"s_nationkey": "nationkey"})
+    return intersect_all(c, s, ["nationkey"])
+
+
+def _q_except_all(sf):
+    """Bag-semantics EXCEPT ALL: customer nation keys minus supplier
+    nation keys, multiplicity-aware (max(count_a − count_b, 0) copies
+    per key — ops/setops.py except_all)."""
+    from maestro_ray.ops.setops import except_all
+
+    c = P.project(_read(sf, "customer", columns=["c_nationkey"]),
+                  columns=["nationkey"], rename={"c_nationkey": "nationkey"})
+    s = P.project(_read(sf, "supplier", columns=["s_nationkey"]),
+                  columns=["nationkey"], rename={"s_nationkey": "nationkey"})
+    return except_all(c, s, ["nationkey"])
+
+
+def _q_sample_exact_k(sf):
+    """Deterministic EXACT-k uniform sample of documents: the k=100
+    rows with the globally smallest multiplicative key hash
+    (ops/corpus.py sample_exact_k — local top-k combiner, no shuffle).
+    Complements sample_hash (deterministic RATE) with a deterministic
+    SIZE — the "exactly 10k eval docs" ask."""
+    from maestro_ray.ops.corpus import sample_exact_k
+
+    ds = _read(sf, "documents", columns=["doc_id", "n_chars"])
+    return sample_exact_k(ds, "doc_id", 100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -2963,6 +3016,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cont": _q_quantiles_cont,
         "join_skew": _q_join_skew,
         "grouped_quantiles": _q_grouped_quantiles,
+        "grouped_quantiles_cont": _q_grouped_quantiles_cont,
+        "intersect_all": _q_intersect_all,
+        "except_all": _q_except_all,
+        "sample_exact_k": _q_sample_exact_k,
         "histogram": _q_histogram,
         "heavy_hitters": _q_heavy_hitters,
         "chunk_documents": _q_chunk_documents,
@@ -3503,6 +3560,27 @@ def oracle_sql() -> dict[str, str]:
             "[0.5, 0.9]) AS l FROM events GROUP BY event_type) "
             "SELECT event_type, unnest([0.5, 0.9]) AS q, "
             "unnest(l) AS value FROM t"
+        ),
+        "grouped_quantiles_cont": (
+            "WITH t AS (SELECT event_type, quantile_cont(value, "
+            "[0.25, 0.5, 0.9]) AS l FROM events GROUP BY event_type) "
+            "SELECT event_type, unnest([0.25, 0.5, 0.9]) AS q, "
+            "unnest(l) AS value FROM t"
+        ),
+        "intersect_all": (
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "INTERSECT ALL "
+            "SELECT s_nationkey AS nationkey FROM supplier"
+        ),
+        "except_all": (
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "EXCEPT ALL "
+            "SELECT s_nationkey AS nationkey FROM supplier"
+        ),
+        "sample_exact_k": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY (CAST(doc_id % 4294967296 AS HUGEINT) "
+            "* 2654435761) % 4294967296, doc_id LIMIT 100"
         ),
         "histogram": (
             "SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, "

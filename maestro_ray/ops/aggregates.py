@@ -379,7 +379,11 @@ def quantiles_cont(
         h = q * (n - 1)
         lo, hi = int(np.floor(h)), int(np.ceil(h))
         v_lo = value_at(lo)
-        out_v.append(v_lo if hi == lo else v_lo + (h - lo) * (value_at(hi) - v_lo))
+        # DuckDB's lerp form lo·(1−f) + hi·f — NOT lo + f·(hi−lo);
+        # the two differ by an ulp on some inputs and the twin compares
+        # check_exact
+        out_v.append(v_lo if hi == lo
+                     else v_lo * (1 - (h - lo)) + value_at(hi) * (h - lo))
     return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"),
                          "value": pd.Series(out_v, dtype="float64")})
 
@@ -406,6 +410,38 @@ def grouped_quantiles_disc(
             (kval, float(q), _disc_pick(g[col], cum, q)) for q in qs
         )
     return pd.DataFrame(rows, columns=[key, "q", "value"])
+
+
+def grouped_quantiles_cont(
+    ds: rd.Dataset, key: str, col: str, qs: list[float]
+) -> pd.DataFrame:
+    """Per-key exact continuous (interpolated) quantiles — the keyed
+    ``_count_merge`` plan with the ``quantiles_cont`` interpolation
+    rule per key (DuckDB ``quantile_cont ... GROUP BY``: linear
+    interpolation at 0-based rank h = q·(n−1); nulls ignored). Same
+    driver bound as ``grouped_quantiles_disc``: O(distinct
+    (key, value)), guarded by ``_count_merge``."""
+    merged, cnt_col = _count_merge(ds, [key, col])
+    merged = merged[merged[col].notna()]
+    merged = merged.sort_values([key, col]).reset_index(drop=True)
+    rows = []
+    for kval, g in merged.groupby(key, dropna=False, sort=True):
+        cum = g[cnt_col].cumsum().to_numpy()
+        vals = g[col].to_numpy(dtype="float64")
+        n = int(cum[-1])
+        for q in qs:
+            h = q * (n - 1)
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            v_lo = float(vals[int(np.searchsorted(cum, lo + 1))])
+            if hi == lo:
+                v = v_lo
+            else:
+                v_hi = float(vals[int(np.searchsorted(cum, hi + 1))])
+                # DuckDB's lerp form (see quantiles_cont)
+                v = v_lo * (1 - (h - lo)) + v_hi * (h - lo)
+            rows.append((kval, float(q), v))
+    out = pd.DataFrame(rows, columns=[key, "q", "value"])
+    return out.astype({"q": "float64", "value": "float64"})
 
 
 def histogram(

@@ -169,6 +169,39 @@ def stratified_sample_hash(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def sample_exact_k(ds: rd.Dataset, key_col: str, k: int) -> pd.DataFrame:
+    """Deterministic uniform-without-replacement sample of EXACTLY k
+    rows: the k rows with the globally smallest multiplicative hash of
+    ``key_col`` (ties broken by the key itself). ``sample_hash`` gives
+    a deterministic RATE; this gives a deterministic SIZE — the "give
+    me exactly 10k eval docs" ask — while keeping the same properties
+    (reproducible across runs/cluster sizes, consistent across tables
+    sharing the key). Plan: one derived hash column + the local-top-k
+    combiner (no global sort, no shuffle; ≤ k·num_batches survivors on
+    the driver — k is small by contract).
+
+    SQL twin: ``ORDER BY (CAST(key % 2^32 AS HUGEINT) * 2654435761)
+    % 2^32, key LIMIT k`` — exact on both engines. Null keys are
+    dropped (they hash nowhere; SQL NULLS LAST + non-null k-prefix
+    matches only if k ≤ non-null count, so we pin the drop rule)."""
+    from maestro_ray.ops.aggregates import topk
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        tbl = batch.filter(pc.is_valid(batch.column(key_col)))
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        if len(keys) and keys.min() < 0:
+            raise ValueError(
+                "sample_exact_k requires non-negative integer keys "
+                "(negative keys diverge between uint64 wrap and SQL %)")
+        h = (keys.astype(np.uint64) % _HASH_MOD
+             * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
+        return tbl.append_column("__h", pa.array(h.astype(np.int64)))
+
+    out = topk(ds.map_batches(add_h, batch_format="pyarrow"),
+               "__h", k, descending=False, tie_break=[key_col])
+    return out.drop(columns="__h")
+
+
 # ------------------------------------------------------ term statistics
 
 

@@ -62,6 +62,8 @@ ORACLE_NAMES = [
     "video_pixels", "video_mjpeg",
     "join_range", "join_band", "window_rank", "rollup", "string_agg",
     "quantiles_cont", "join_skew", "grouped_quantiles", "histogram",
+    "grouped_quantiles_cont", "intersect_all", "except_all",
+    "sample_exact_k",
     "heavy_hitters", "chunk_documents", "sample_hash", "sample_stratified",
     "term_stats", "tfidf", "window_moving",
     "corr_grouped", "mode_grouped", "cube", "window_analytic",
