@@ -2919,6 +2919,64 @@ def _q_except_all(sf):
     return except_all(c, s, ["nationkey"])
 
 
+def _q_count_distinct_grouped(sf):
+    """EXACT per-type distinct-user count over events — the two-phase
+    distinct-pair plan (ops/aggregates.py count_distinct_grouped):
+    per-batch (type, user) dedup partials, one pair groupby, then a
+    grouped count over the already-unique pairs. The exact complement
+    to approx_distinct_grouped's HLL sketch."""
+    from maestro_ray.ops.aggregates import count_distinct_grouped
+
+    ds = _read(sf, "events", columns=["event_type", "user_id"])
+    return count_distinct_grouped(ds, "event_type", "user_id")
+
+
+def _q_window_distinct(sf):
+    """Windowed cardinality: distinct active users per tumbling DAY —
+    the per-row day-floor bucket column composed with the exact
+    distinct-pair plan. The bucketing rule (timestamp floor to day) is
+    pinned identically in both engines (r3 cohort_retention lesson)."""
+    from maestro_ray.ops.aggregates import count_distinct_grouped
+
+    ds = _read(sf, "events", columns=["ts", "user_id"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        win = t.column("ts").to_pandas().dt.floor("1D")
+        return pa.table({
+            "window_start": pa.array(win, pa.timestamp("us")),
+            "user_id": t.column("user_id").combine_chunks(),
+        })
+
+    return count_distinct_grouped(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        "window_start", "user_id")
+
+
+def _q_pivot_sum(sf):
+    """Pivot with a measure: SUM(l_quantity) per return flag x line
+    status (ops/aggregates.py pivot_sum — masked-value columns +
+    partial pre-agg, the CASE-WHEN-sum twin shape). Quantities are
+    small integers stored as double, so the float sums twin exactly."""
+    from maestro_ray.ops.aggregates import pivot_sum
+
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return pivot_sum(ds, "l_returnflag", "l_linestatus", ["O", "F"],
+                     "l_quantity")
+
+
+def _q_distinct_on(sf):
+    """SQL DISTINCT ON: the full highest-value event row per event
+    type, ties broken by event_id (ops/aggregates.py distinct_on —
+    one-survivor-per-key-per-batch candidate reduction, every column
+    carried, one grouped shuffle)."""
+    from maestro_ray.ops.aggregates import distinct_on
+
+    ds = _read(sf, "events")
+    return distinct_on(ds, "event_type", "value", descending=True,
+                       tie_break=["event_id"])
+
+
 def _q_sample_exact_k(sf):
     """Deterministic EXACT-k uniform sample of documents: the k=100
     rows with the globally smallest multiplicative key hash
@@ -3020,6 +3078,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_all": _q_intersect_all,
         "except_all": _q_except_all,
         "sample_exact_k": _q_sample_exact_k,
+        "count_distinct_grouped": _q_count_distinct_grouped,
+        "window_distinct": _q_window_distinct,
+        "pivot_sum": _q_pivot_sum,
+        "distinct_on": _q_distinct_on,
         "histogram": _q_histogram,
         "heavy_hitters": _q_heavy_hitters,
         "chunk_documents": _q_chunk_documents,
@@ -3581,6 +3643,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY (CAST(doc_id % 4294967296 AS HUGEINT) "
             "* 2654435761) % 4294967296, doc_id LIMIT 100"
+        ),
+        "count_distinct_grouped": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct FROM events GROUP BY event_type"
+        ),
+        "window_distinct": (
+            "SELECT date_trunc('day', ts) AS window_start, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events GROUP BY 1"
+        ),
+        "pivot_sum": (
+            "SELECT l_returnflag, "
+            "sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)"
+            " AS sum_O, "
+            "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)"
+            " AS sum_F FROM lineitem GROUP BY l_returnflag"
+        ),
+        "distinct_on": (
+            "SELECT * FROM events QUALIFY row_number() OVER "
+            "(PARTITION BY event_type ORDER BY value DESC NULLS LAST, "
+            "event_id) = 1"
         ),
         "histogram": (
             "SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, "

@@ -190,6 +190,53 @@ def distinct(ds: rd.Dataset, cols: list[str] | str) -> rd.Dataset:
     )
 
 
+def count_distinct_grouped(ds: rd.Dataset, key: str, col: str,
+                           out_col: str = "n_distinct") -> pd.DataFrame:
+    """EXACT per-key COUNT(DISTINCT col) — the two-phase plan: per-batch
+    distinct (key, col) partials collapse duplicates before anything
+    shuffles, one groupby makes the pairs globally unique, then the
+    per-key count is a second grouped pass over the already-shrunk
+    pairs. Nulls ignored (SQL COUNT(DISTINCT) rule). Exchange volume is
+    O(distinct pairs), exact at any value cardinality — the sketch path
+    (``approx_ndistinct_grouped``) is the cheaper alternative when
+    ±1.6% suffices."""
+    pairs = distinct(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column(col))),
+            batch_format="pyarrow"),
+        [key, col])
+    return grouped_agg(pairs, key, {out_col: (col, "count")})
+
+
+def distinct_on(ds: rd.Dataset, keys: list[str] | str, order_by: str,
+                descending: bool = False,
+                tie_break: list[str] | None = None) -> rd.Dataset:
+    """SQL ``DISTINCT ON (keys) ... ORDER BY order_by``: the FULL first
+    row per key under the given order (Postgres DISTINCT ON / the
+    QUALIFY row_number() = 1 idiom). Per-batch candidate reduction —
+    ONE survivor row per key per batch crosses the exchange (the
+    ``grouped_arg_extremum`` shape, but carrying every column) — then
+    the same pick per group after one grouped shuffle. Nulls in
+    ``order_by`` sort last (DuckDB's default NULLS LAST, both
+    directions); pass ``tie_break`` columns (ascending) to make the
+    winner deterministic when ``order_by`` has duplicates per key."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sort_keys = ([(k, "ascending") for k in keys]
+                 + [(order_by, "descending" if descending else "ascending")]
+                 + [(t, "ascending") for t in (tie_break or [])])
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        s = t.take(pc.sort_indices(t, sort_keys=sort_keys,
+                                   null_placement="at_end"))
+        return s.filter(pa.array(_adjacent_change(s, keys)))
+
+    local = ds.map_batches(pick, batch_format="pyarrow")
+    return local.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
+        pick, batch_format="pyarrow")
+
+
 def topk(ds: rd.Dataset, key: str, k: int, descending: bool = True,
          tie_break: list[str] | None = None) -> pd.DataFrame:
     """O2: global top-k WITHOUT a global sort — per-batch local top-k
@@ -1553,6 +1600,36 @@ def pivot_count(
     specs = {f"n_{v}": (f"n_{v}", "sum") for v in values}
     return grouped_agg(
         ds.map_batches(indicators, batch_format="pyarrow"), key, specs
+    )
+
+
+def pivot_sum(
+    ds: rd.Dataset,
+    key: str,
+    pivot_col: str,
+    values: list[str],
+    value_col: str,
+) -> pd.DataFrame:
+    """Pivot with a real measure: one SUM(value_col) column per
+    ``pivot_col`` value, grouped by ``key`` — the ``pivot_count`` plan
+    with masked-value columns instead of indicators. Twin semantics:
+    ``SUM(CASE WHEN pivot = v THEN x ELSE 0 END)`` (null x contributes
+    nothing either way; a key with no matching rows sums the zeros to
+    0, same as the CASE's ELSE branch)."""
+
+    def masked(batch: pa.Table) -> pa.Table:
+        col = batch.column(pivot_col).combine_chunks()
+        x = batch.column(value_col).combine_chunks()
+        out = batch.select([key])
+        for v in values:
+            eq = pc.fill_null(pc.equal(col, pa.scalar(v)), False)
+            out = out.append_column(
+                f"sum_{v}", pc.if_else(eq, x, pa.scalar(0, x.type)))
+        return out
+
+    specs = {f"sum_{v}": (f"sum_{v}", "sum") for v in values}
+    return grouped_agg(
+        ds.map_batches(masked, batch_format="pyarrow"), key, specs
     )
 
 

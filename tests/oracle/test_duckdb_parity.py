@@ -63,7 +63,8 @@ ORACLE_NAMES = [
     "join_range", "join_band", "window_rank", "rollup", "string_agg",
     "quantiles_cont", "join_skew", "grouped_quantiles", "histogram",
     "grouped_quantiles_cont", "intersect_all", "except_all",
-    "sample_exact_k",
+    "sample_exact_k", "count_distinct_grouped", "window_distinct",
+    "pivot_sum", "distinct_on",
     "heavy_hitters", "chunk_documents", "sample_hash", "sample_stratified",
     "term_stats", "tfidf", "window_moving",
     "corr_grouped", "mode_grouped", "cube", "window_analytic",
