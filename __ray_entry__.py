@@ -2989,6 +2989,22 @@ def _q_sample_exact_k(sf):
     return sample_exact_k(ds, "doc_id", 100)
 
 
+def _q_scd2_history(sf):
+    """SCD Type 2 version history from a change stream (ops/scd.py
+    scd2_history): one row per version with valid_from/valid_to
+    intervals (lead of ts within key, event_id tiebreak) and an
+    is_current flag — the history-keeping complement of the U3 LWW
+    upsert. One groupby(user_id) shuffle, zero-copy lead per group.
+    Deletes and no-op-update compression are pytest-covered
+    (tests/unit/test_scd.py); this key is the delete-free exact twin."""
+    from maestro_ray.ops.scd import scd2_history
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                      "event_type", "value"])
+    return scd2_history(ds, key="user_id", ts_col="ts",
+                        attrs=["event_type", "value"], seq_col="event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3138,6 +3154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_lag_n": _q_window_lag_n,
         "weighted_avg": _q_weighted_avg,
         "quantile_sketch": _q_quantile_sketch,
+        "scd2_history": _q_scd2_history,
     }
 
 
@@ -4236,6 +4253,12 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "scd2_history": (
+            "SELECT user_id, event_type, value, ts AS valid_from, "
+            "lead(ts) OVER w AS valid_to, "
+            "lead(ts) OVER w IS NULL AS is_current FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,
