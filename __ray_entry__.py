@@ -3005,6 +3005,19 @@ def _q_scd2_history(sf):
                         attrs=["event_type", "value"], seq_col="event_id")
 
 
+def _q_bm25_search(sf):
+    """Okapi BM25 retrieval over the corpus for a fixed 3-term query
+    (ops/corpus.py bm25_scores): Lucene idf, k1=1.2, b=0.75. Two tiny
+    broadcast aggregates (per-query-term df, global avgdl), then a
+    single batch-local scoring pass — (doc, term) pairs never shuffle.
+    Per-doc fold in sorted-term order, rounded at 6dp (float policy)."""
+    from maestro_ray.ops.corpus import bm25_scores
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return bm25_scores(ds, "doc_id", "text",
+                       query_terms=["merge", "scan", "window"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3155,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_avg": _q_weighted_avg,
         "quantile_sketch": _q_quantile_sketch,
         "scd2_history": _q_scd2_history,
+        "bm25_search": _q_bm25_search,
     }
 
 
@@ -4253,6 +4267,26 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "bm25_search": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents WHERE text IS NOT NULL), "
+            "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl "
+            "FROM toks GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "a AS (SELECT avg(dl) AS avgdl FROM dl), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+            "WHERE term IN ('merge', 'scan', 'window') GROUP BY 1), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks WHERE term IN ('merge', 'scan', 'window') "
+            "GROUP BY 1, 2) "
+            "SELECT tf.doc_id, round(sum("
+            "ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* tf.tf * (1.2 + 1.0) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / a.avgdl))"
+            "), 6) AS bm25 "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n, a "
+            "GROUP BY tf.doc_id"
         ),
         "scd2_history": (
             "SELECT user_id, event_type, value, ts AS valid_from, "

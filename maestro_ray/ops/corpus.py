@@ -292,6 +292,112 @@ def tfidf_scores(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def bm25_scores(
+    ds: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Okapi BM25 retrieval score of every document against a fixed
+    term query — the classic lexical ranking for corpus search and
+    RAG-style retrieval. score(d) = Σ_t idf(t) · tf·(k1+1) / (tf +
+    k1·(1−b+b·dl/avgdl)) with the Lucene idf = ln(1 + (N−df+0.5)/
+    (df+0.5)); docs with no query-term hit are omitted.
+
+    Plan: corpus stats need TWO tiny aggregates — df per QUERY term
+    (term_doc_stats filtered to the query vocabulary; |query| rows) and
+    (Σ dl, N_dl) for avgdl (one mergeable partial per batch) — both
+    broadcast via ``ray.put``. The scoring pass is then per-batch only:
+    each doc lives wholly inside one input row, so tf, dl and the
+    per-doc sum are batch-local. No shuffle ever touches (doc, term)
+    pairs; the corpus streams once for stats and once for scores.
+
+    Per-doc term contributions are summed in sorted-term order
+    (deterministic fold) and rounded to ``round_to`` dp (cross-engine
+    float policy, __ray_entry__ docstring). Tokenizer is the module's
+    single-space split — exact SQL twin semantics.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if n_docs is None:
+        n_docs = ds.count()
+    qt = np.array(sorted(set(query_terms)))
+
+    stats = term_doc_stats(ds, id_col, text_col).to_pandas()
+    stats = stats[stats["term"].isin(qt)].sort_values("term")
+    df_by_term = np.zeros(len(qt), dtype=np.float64)
+    pos = np.searchsorted(qt, stats["term"].to_numpy())
+    df_by_term[pos] = stats["df"].to_numpy()
+    idf = np.log(1.0 + (n_docs - df_by_term + 0.5) / (df_by_term + 0.5))
+
+    def dl_partial(batch: pa.Table) -> pa.Table:
+        tbl = batch.filter(pc.is_valid(batch.column(text_col)))
+        toks = pc.split_pattern(tbl.column(text_col).combine_chunks(), " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        return pa.table({"dl_sum": pa.array([int(n.sum())], pa.int64()),
+                         "n": pa.array([len(n)], pa.int64())})
+
+    tot = ds.map_batches(dl_partial, batch_format="pyarrow") \
+        .sum(["dl_sum", "n"])
+    avgdl = tot["sum(dl_sum)"] / tot["sum(n)"]
+
+    qt_ref = ray.put(qt)
+    idf_ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_sorted = ray.get(qt_ref)
+        idf_v = ray.get(idf_ref)
+        tbl = batch.filter(pc.is_valid(batch.column(text_col)))
+        if tbl.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "bm25": pa.array([], pa.float64()),
+            })
+        toks = pc.split_pattern(tbl.column(text_col).combine_chunks(), " ")
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cnt = _explode_term_counts(tbl, id_col, text_col, [id_col, "term"])
+        terms = np.asarray(cnt.column("term").to_pylist())
+        p = np.searchsorted(terms_sorted, terms)
+        hit = (p < len(terms_sorted)) & (terms_sorted[np.minimum(
+            p, len(terms_sorted) - 1)] == terms)
+        cnt = cnt.filter(pa.array(hit))
+        if cnt.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "bm25": pa.array([], pa.float64()),
+            })
+        p = p[hit]
+        # dl lookup: position of each hit's doc within this batch
+        ids_np = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_np, kind="stable")
+        doc_pos = order[np.searchsorted(
+            ids_np[order],
+            cnt.column(id_col).to_numpy(zero_copy_only=False))]
+        tf = cnt.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl[doc_pos] / avgdl)
+        contrib = idf_v[p] * tf * (k1 + 1.0) / denom
+        # deterministic per-doc fold: sort by (doc, term), reduceat
+        key = np.lexsort((terms[hit], doc_pos))
+        doc_sorted = doc_pos[key]
+        starts = np.flatnonzero(
+            np.r_[True, doc_sorted[1:] != doc_sorted[:-1]])
+        sums = np.add.reduceat(contrib[key], starts)
+        out_ids = tbl.column(id_col).take(
+            pa.array(doc_sorted[starts], pa.int64()))
+        return pa.table({
+            id_col: out_ids,
+            "bm25": pa.array(np.round(sums, round_to), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # ----------------------------------------------------- bigram LM scoring
 
 
