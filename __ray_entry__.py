@@ -3018,6 +3018,44 @@ def _q_bm25_search(sf):
                        query_terms=["merge", "scan", "window"])
 
 
+def _q_covariance_matrix(sf):
+    """Population covariance of the 64 embedding dims in long format
+    (ops/similarity.py covariance_matrix): one streaming pass of
+    mergeable (n, Σx, XᵀX) partials, sorted driver fold, cov = XᵀX/n −
+    μμᵀ at 6dp. Only O(blocks·d²) floats ever leave a worker."""
+    from maestro_ray.ops.similarity import covariance_matrix
+
+    ds = _read(sf, "embeddings", columns=["embedding"])
+    return covariance_matrix(ds, "embedding")
+
+
+def _q_pca_project(sf):
+    """PCA fit + projection (ops/similarity.py pca_fit/pca_project):
+    eigendecomposition of the streamed d×d covariance on the driver
+    (model-width, never corpus-sized), then a per-batch matmul against
+    the broadcast component matrix. Eigenvector direction is
+    sign-canonicalized but numerically engine-specific → rows-only;
+    pytest (tests/unit/test_pca.py) owns the oracle: orthonormality,
+    variance ordering, exact match vs numpy PCA on the collected
+    corpus, projection invariance across partitionings."""
+    from maestro_ray.ops.similarity import pca_fit, pca_project
+
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    model = pca_fit(ds, "embedding", k=8)
+    out = pca_project(ds, "embedding", model, id_col="vec_id")
+
+    def widen(t: pa.Table) -> pa.Table:
+        flat = t.column("pc").combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False)
+        pcs = flat.reshape(t.num_rows, -1)
+        cols = {"vec_id": t.column("vec_id")}
+        cols["pc1"] = pa.array(np.round(pcs[:, 0], 6), pa.float64())
+        cols["pc2"] = pa.array(np.round(pcs[:, 1], 6), pa.float64())
+        return pa.table(cols)
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3169,6 +3207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": _q_quantile_sketch,
         "scd2_history": _q_scd2_history,
         "bm25_search": _q_bm25_search,
+        "covariance_matrix": _q_covariance_matrix,
+        "pca_project": _q_pca_project,
     }
 
 
@@ -4267,6 +4307,15 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "covariance_matrix": (
+            "WITH x AS (SELECT embedding AS l FROM embeddings "
+            "WHERE embedding IS NOT NULL), "
+            "d AS (SELECT unnest(generate_series(1, 64)) AS i) "
+            "SELECT d1.i AS dim_i, d2.i AS dim_j, "
+            "round(covar_pop(CAST(x.l[d1.i] AS DOUBLE), "
+            "CAST(x.l[d2.i] AS DOUBLE)), 6) AS cov "
+            "FROM x, d d1, d d2 GROUP BY 1, 2"
         ),
         "bm25_search": (
             "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "

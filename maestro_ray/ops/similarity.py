@@ -905,3 +905,116 @@ def grouped_vector_mean(
         agg["avg_val"] = agg["avg_val"].round(round_to)
     return agg[[key_col, "dim", "avg_val"]].sort_values(
         [key_col, "dim"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- covariance / PCA
+
+
+def _moment_partials(ds: rd.Dataset, emb_col: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """Shared mergeable second-moment pass: per-batch (n, Σx, XᵀX)
+    partials — O(d²) floats per BLOCK leave a worker, the vectors
+    themselves never move. Partials are folded on the driver in
+    lexicographic order (the repo's sorted-fold idiom, cf. kmeans /
+    logreg) so the result is independent of block arrival order."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(emb_col)))
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.list_(pa.float64()))})
+        x = _emb_matrix(t, emb_col).astype(np.float64)
+        row = np.concatenate([x.sum(axis=0), (x.T @ x).reshape(-1)])
+        return pa.table({"n": pa.array([x.shape[0]], pa.int64()),
+                         "payload": pa.array([row.tolist()],
+                                             pa.list_(pa.float64()))})
+
+    parts = ds.select_columns([emb_col]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        raise ValueError(f"no non-null {emb_col!r} vectors")
+    rows = np.stack([np.asarray(p, dtype=np.float64)
+                     for p in parts["payload"]])
+    order = np.lexsort(rows.T[::-1])
+    folded = rows[order].sum(axis=0)
+    n = int(parts["n"].sum())
+    # solve d from len = d + d²
+    d = int((-1 + np.sqrt(1 + 4 * len(folded))) / 2)
+    return n, folded[:d], folded[d:].reshape(d, d)
+
+
+def covariance_matrix(
+    ds: rd.Dataset,
+    emb_col: str,
+    round_to: int | None = 6,
+) -> pd.DataFrame:
+    """Population covariance matrix of the embedding dimensions in LONG
+    format (dim_i, dim_j, cov; 1-based dims, the SQL convention) —
+    cov = XᵀX/n − μμᵀ from one streaming pass of mergeable partials.
+    Output is d² rows (d is model width, never corpus-sized); at 100 TB
+    the corpus streams once and only O(blocks · d²) floats travel."""
+    n, s, ss = _moment_partials(ds, emb_col)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    d = len(mu)
+    i, j = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                       indexing="ij")
+    vals = cov.reshape(-1)
+    if round_to is not None:
+        vals = np.round(vals, round_to)
+    return pd.DataFrame({"dim_i": i.reshape(-1), "dim_j": j.reshape(-1),
+                         "cov": vals})
+
+
+def pca_fit(ds: rd.Dataset, emb_col: str, k: int) -> dict:
+    """Fit a k-component PCA from the same streaming moment pass:
+    eigendecomposition of the d×d covariance happens on the DRIVER
+    (d is model width — 64..4096 — never corpus-sized). Component
+    signs are canonicalized (largest-|loading| coordinate positive) so
+    the fit is deterministic. Returns {components (k,d), mean,
+    explained_variance, explained_variance_ratio}."""
+    n, s, ss = _moment_partials(ds, emb_col)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    d = len(mu)
+    if not 1 <= k <= d:
+        raise ValueError(f"k={k}: need 1..{d}")
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    w, v = w[::-1][:k], v[:, ::-1][:, :k]
+    flip = np.sign(v[np.abs(v).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    comps = (v * flip).T                # (k, d)
+    total = max(np.trace(cov), 1e-300)
+    return {"components": comps, "mean": mu, "explained_variance": w,
+            "explained_variance_ratio": w / total, "n": n}
+
+
+def pca_project(
+    ds: rd.Dataset,
+    emb_col: str,
+    model: dict,
+    id_col: str,
+    out_col: str = "pc",
+) -> rd.Dataset:
+    """Project every embedding onto the fitted components — a pure
+    per-batch matmul against the broadcast (k, d) component matrix;
+    output rows are (id, out_col list<double> of length k). Null
+    embeddings are dropped."""
+    comps_ref = ray.put(model["components"])
+    mean_ref = ray.put(model["mean"])
+
+    def project(t: pa.Table) -> pa.Table:
+        comps = ray.get(comps_ref)
+        mu = ray.get(mean_ref)
+        t = t.filter(pc.is_valid(t.column(emb_col)))
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], t.schema.field(id_col).type),
+                out_col: pa.array([], pa.list_(pa.float64()))})
+        x = _emb_matrix(t, emb_col).astype(np.float64)
+        proj = (x - mu) @ comps.T
+        return pa.table({
+            id_col: t.column(id_col),
+            out_col: pa.array(proj.tolist(), pa.list_(pa.float64()))})
+
+    return ds.select_columns([id_col, emb_col]) \
+        .map_batches(project, batch_format="pyarrow")
