@@ -3056,6 +3056,19 @@ def _q_pca_project(sf):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+def _q_mixture_sample(sf):
+    """Deterministic training-mix assembly (ops/corpus.py
+    mixture_sample): fixed per-source quotas (src0:20, src1:10,
+    src5:5), smallest-hash selection within each stratum — exact-size,
+    reproducible across partitionings. Per-batch quota combiner →
+    one groupby(source); the exchange never carries the corpus."""
+    from maestro_ray.ops.corpus import mixture_sample
+
+    ds = _read(sf, "documents", columns=["doc_id", "source", "n_chars"])
+    return mixture_sample(ds, key_col="doc_id", strata_col="source",
+                          counts={"src0": 20, "src1": 10, "src5": 5})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3209,6 +3222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "covariance_matrix": _q_covariance_matrix,
         "pca_project": _q_pca_project,
+        "mixture_sample": _q_mixture_sample,
     }
 
 
@@ -4307,6 +4321,16 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "mixture_sample": (
+            "WITH r AS (SELECT doc_id, source, n_chars, "
+            "row_number() OVER (PARTITION BY source ORDER BY "
+            "(CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) "
+            "% 4294967296, doc_id) AS rn FROM documents "
+            "WHERE source IN ('src0', 'src1', 'src5')) "
+            "SELECT doc_id, source, n_chars FROM r "
+            "WHERE rn <= CASE source WHEN 'src0' THEN 20 "
+            "WHEN 'src1' THEN 10 ELSE 5 END"
         ),
         "covariance_matrix": (
             "WITH x AS (SELECT embedding AS l FROM embeddings "

@@ -202,6 +202,67 @@ def sample_exact_k(ds: rd.Dataset, key_col: str, k: int) -> pd.DataFrame:
     return out.drop(columns="__h")
 
 
+def mixture_sample(
+    ds: rd.Dataset, key_col: str, strata_col: str, counts: dict[str, int]
+) -> rd.Dataset:
+    """Deterministic corpus MIXING: exactly ``counts[s]`` rows from
+    stratum ``s`` (fewer only if the stratum is smaller), selected as
+    the smallest-multiplicative-hash keys within the stratum — the
+    "assemble a training mix with fixed per-source quotas" operator.
+    Strata not in ``counts`` are excluded.
+
+    Same hash, same determinism guarantees as ``sample_exact_k``
+    (reproducible across runs, cluster sizes and partitionings). Plan:
+    per-batch combiner keeps at most ``counts[s]`` rows per stratum per
+    batch (sort + run-rank kernel, no Python loop), then ONE
+    groupby(strata) re-applies the same kernel — the exchange carries
+    ≤ Σ counts per input block, never the corpus.
+
+    SQL twin: ``row_number() OVER (PARTITION BY strata ORDER BY hash,
+    key) <= counts[strata]``.
+    """
+    from maestro_ray.ops.aggregates import _rank_in_key_runs
+
+    if not counts or any(k < 0 for k in counts.values()):
+        raise ValueError("counts must be a non-empty {stratum: n>=0} map")
+    strata_sorted = np.array(sorted(counts))
+    k_by_stratum = np.array([counts[s] for s in strata_sorted],
+                            dtype=np.int64)
+    sort_keys = [(strata_col, "ascending"), ("__h", "ascending"),
+                 (key_col, "ascending")]
+
+    def local(batch: pa.Table) -> pa.Table:
+        tbl = batch
+        if "__h" not in tbl.column_names:
+            tbl = tbl.filter(
+                pc.and_(pc.is_valid(tbl.column(key_col)),
+                        pc.is_in(tbl.column(strata_col),
+                                 value_set=pa.array(strata_sorted))))
+            if tbl.num_rows == 0:
+                return tbl.append_column(
+                    "__h", pa.array([], pa.int64()))
+            keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+            if keys.min() < 0:
+                raise ValueError(
+                    "mixture_sample requires non-negative integer keys")
+            h = (keys.astype(np.uint64) % _HASH_MOD
+                 * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
+            tbl = tbl.append_column("__h", pa.array(h.astype(np.int64)))
+        if tbl.num_rows == 0:
+            return tbl
+        s = tbl.take(pc.sort_indices(tbl, sort_keys=sort_keys))
+        rank = _rank_in_key_runs(s, [strata_col])
+        pos = np.searchsorted(
+            strata_sorted,
+            np.asarray(s.column(strata_col).to_pylist()))
+        return s.filter(pa.array(rank < k_by_stratum[pos]))
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    out = pruned.groupby(strata_col).map_groups(
+        local, batch_format="pyarrow")
+    return out.drop_columns(["__h"])
+
+
 # ------------------------------------------------------ term statistics
 
 

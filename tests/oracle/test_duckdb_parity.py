@@ -83,7 +83,7 @@ ORACLE_NAMES = [
     "graph_components", "pipeline_pretrain_pack", "join_cross",
     "window_row_number_global", "vector_mean_grouped", "join_fuzzy",
     "pipeline_quality_gate",
-    "scd2_history", "bm25_search", "covariance_matrix",
+    "scd2_history", "bm25_search", "covariance_matrix", "mixture_sample",
 ]
 
 
