@@ -3069,6 +3069,26 @@ def _q_mixture_sample(sf):
                           counts={"src0": 20, "src1": 10, "src5": 5})
 
 
+def _q_join_asof_near(sf):
+    """J3 nearest-direction as-of join with a 2-day tolerance
+    (ops/joins.py asof_join(direction="nearest", tolerance=2D)): each
+    event matched to its CLOSEST signup for the user, equidistant ties
+    going backward (pinned semantics), out-of-range left rows kept with
+    null. Same bucketed one-shuffle plan as the backward key."""
+    import pandas as _pd
+
+    left = _read(sf, "events", columns=["event_id", "user_id", "ts"])
+    right = P.filter_rows(
+        _read(sf, "events", columns=["user_id", "ts", "event_type"]),
+        lambda t: pc.equal(t.column("event_type"), pa.scalar("signup")),
+    )
+    right = P.project(right, columns=["user_id", "ts"])
+    out = asof_join(left, right, by="user_id", on="ts",
+                    direction="nearest", tolerance=_pd.Timedelta("2D"))
+    return P.project(out, columns=["event_id", "user_id", "ts", "signup_ts"],
+                     rename={"ts_r": "signup_ts"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3223,6 +3243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covariance_matrix": _q_covariance_matrix,
         "pca_project": _q_pca_project,
         "mixture_sample": _q_mixture_sample,
+        "join_asof_near": _q_join_asof_near,
     }
 
 
@@ -4321,6 +4342,20 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "join_asof_near": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events), "
+            "r AS (SELECT user_id, ts AS rts FROM events "
+            "WHERE event_type = 'signup'), "
+            "c AS (SELECT l.event_id, r.rts, "
+            "abs(epoch_us(l.ts) - epoch_us(r.rts)) AS d "
+            "FROM l JOIN r USING (user_id) "
+            "WHERE abs(epoch_us(l.ts) - epoch_us(r.rts)) "
+            "<= 172800000000), "
+            "p AS (SELECT event_id, rts, row_number() OVER "
+            "(PARTITION BY event_id ORDER BY d, rts) AS rn FROM c) "
+            "SELECT l.event_id, l.user_id, l.ts, p.rts AS signup_ts "
+            "FROM l LEFT JOIN p ON l.event_id = p.event_id AND p.rn = 1"
         ),
         "mixture_sample": (
             "WITH r AS (SELECT doc_id, source, n_chars, "

@@ -175,11 +175,16 @@ def asof_join(
     num_buckets: int = 32,
     suffix: str = "_r",
     direction: str = "backward",
+    tolerance=None,
 ) -> rd.Dataset:
     """J3: as-of join — for each left row, the matching right row within
     the same ``by`` key: ``direction="backward"`` (default) takes the
     greatest right ``on`` ≤ left's (CDC latest-state-at-time lookup),
-    ``"forward"`` the least ≥, ``"nearest"`` the closest.
+    ``"forward"`` the least ≥, ``"nearest"`` the closest (equidistant
+    ties go BACKWARD — pinned by tests, the rule the SQL twin encodes).
+    ``tolerance`` (a ``pd.Timedelta`` for timestamp ``on``, a number
+    otherwise) discards matches farther than the bound — left rows with
+    no in-range match keep nulls, as in ``pd.merge_asof``.
 
     Both sides are bucketed on ``by`` (one shuffle) and matched with
     ``pd.merge_asof`` per bucket after a local sort — never a global
@@ -253,7 +258,7 @@ def asof_join(
         r = rt.to_pandas().sort_values(ron, kind="mergesort")
         out = pd.merge_asof(
             l, r, left_on=on, right_on=ron, by=by, allow_exact_matches=True,
-            direction=direction,
+            direction=direction, tolerance=tolerance,
         )
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 

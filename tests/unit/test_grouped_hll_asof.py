@@ -58,3 +58,26 @@ def test_asof_directions_match_duckdb(ray_session, sf_dir):
             f"ON e.user_id = p.user_id AND {cmp}"
         ).df().sort_values("event_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False, obj=direction)
+
+
+def test_asof_tolerance_and_nearest_tie(ray_session):
+    """Tolerance bounds the match window; equidistant nearest ties go
+    BACKWARD (the rule the join_asof_near SQL twin encodes)."""
+    import pandas as pd_
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maestro_ray.ops.joins import asof_join
+
+    t = pd_.Timestamp
+    left = rd.from_arrow(pa.table({
+        "k": [1, 1], "ts": [t("2024-01-02"), t("2024-01-10")]}))
+    right = rd.from_arrow(pa.table({
+        "k": [1, 1], "ts": [t("2024-01-01"), t("2024-01-03")],
+        "v": ["back", "fwd"]}))
+    out = asof_join(left, right, by="k", on="ts", right_cols=["v"],
+                    direction="nearest",
+                    tolerance=pd_.Timedelta("2D")) \
+        .to_pandas().sort_values("ts").reset_index(drop=True)
+    assert out.v.iloc[0] == "back"      # equidistant -> backward wins
+    assert pd_.isna(out.v.iloc[1])      # beyond tolerance -> null
