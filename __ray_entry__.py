@@ -3089,6 +3089,22 @@ def _q_join_asof_near(sf):
                      rename={"ts_r": "signup_ts"})
 
 
+def _q_window_ewma(sf):
+    """Per-user EWMA of event value, α=0.25 (ops/aggregates.py ewma):
+    adjust=False recursion, bit-identical to the SQL recursive-CTE twin
+    (float contract in the op docstring) — NO rounding needed. Nulls
+    filtered on both sides (recursion-over-null is engine-specific)."""
+    from maestro_ray.ops.aggregates import ewma
+
+    ds = P.filter_rows(
+        _read(sf, "events", columns=["user_id", "ts", "event_id", "value"]),
+        lambda t: pc.is_valid(t.column("value")),
+    )
+    out = ewma(ds, key="user_id", order_cols=["ts", "event_id"],
+               value_col="value", alpha=0.25)
+    return P.project(out, columns=["user_id", "event_id", "value", "ewma"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3244,6 +3260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _q_pca_project,
         "mixture_sample": _q_mixture_sample,
         "join_asof_near": _q_join_asof_near,
+        "window_ewma": _q_window_ewma,
     }
 
 
@@ -4342,6 +4359,17 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "window_ewma": (
+            "WITH RECURSIVE e AS (SELECT user_id, event_id, value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id) AS rn FROM events WHERE value IS NOT NULL), "
+            "w AS (SELECT user_id, event_id, value, rn, value AS ewma "
+            "FROM e WHERE rn = 1 "
+            "UNION ALL SELECT e.user_id, e.event_id, e.value, e.rn, "
+            "0.75 * w.ewma + 0.25 * e.value FROM e "
+            "JOIN w ON e.user_id = w.user_id AND e.rn = w.rn + 1) "
+            "SELECT user_id, event_id, value, ewma FROM w"
         ),
         "join_asof_near": (
             "WITH l AS (SELECT event_id, user_id, ts FROM events), "

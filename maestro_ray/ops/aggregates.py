@@ -1984,3 +1984,38 @@ def quantile_sketch(
             val = lo
         rows.append((float(q), float(val), float(width)))
     return pd.DataFrame(rows, columns=["q", "value", "err_bound"])
+
+
+def ewma(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> rd.Dataset:
+    """A6-adjacent exponentially-weighted moving average per key:
+    y_t = (1−α)·y_{t−1} + α·x_t with y_0 = x_0 (the ``adjust=False``
+    recursion), ordered by ``order_cols`` (include a unique tiebreak).
+    One shuffle (groupby key); the recursion runs in pandas' C ewm
+    kernel per group — inherently sequential PER KEY, but keys are
+    independent and a key's history is bounded by its own change count,
+    so the stage parallelizes across keys at any corpus size.
+
+    Float contract (verified bitwise in tests): with α exactly
+    representable in binary (0.25, 0.5, 0.125, …) the recursion is
+    bit-identical across pandas, a manual fold, and a SQL recursive
+    CTE computing ``(1−α)*y + α*x`` — so the oracle needs NO rounding.
+    Null values are the caller's concern (filter first; pandas ewm
+    would carry the previous state over NaNs, which a SQL twin does
+    not express)."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha={alpha}: need 0 < alpha <= 1")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        g[out_col] = g[value_col].astype(np.float64) \
+            .ewm(alpha=alpha, adjust=False).mean()
+        return g
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -59,3 +59,40 @@ def test_rejects_unknown_mode(ray_session):
     with pytest.raises(ValueError, match="how="):
         moving_agg(rd.from_pandas(df), key="k", order_cols=["o"],
                    value_col="v", window=2, how="median")
+
+
+def test_ewma_bitwise_matches_manual_recursion(ray_session):
+    """The float contract the SQL twin relies on: pandas ewm
+    (adjust=False) == the (1-α)y + αx fold, BITWISE, for binary-exact
+    α."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maestro_ray.ops.aggregates import ewma
+
+    rng = np.random.default_rng(3)
+    n = 300
+    keys = rng.integers(0, 7, n)
+    x = rng.uniform(0, 10000, n)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "o": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(x, pa.float64()),
+    })).repartition(5)
+    got = ewma(ds, key="k", order_cols=["o"], value_col="v", alpha=0.25) \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    import pandas as pd_
+    df = pd_.DataFrame({"k": keys, "o": np.arange(n), "v": x}) \
+        .sort_values(["k", "o"])
+    want = []
+    for _, g in df.groupby("k"):
+        y = None
+        for v in g.v:
+            y = v if y is None else 0.75 * y + 0.25 * v
+            want.append(y)
+    assert (got.ewma.to_numpy() == np.array(want)).all()
+
+    import pytest as pt
+    with pt.raises(ValueError):
+        ewma(ds, key="k", order_cols=["o"], value_col="v", alpha=0.0)
