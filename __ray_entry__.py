@@ -1552,6 +1552,48 @@ def _cdc_lake(sf) -> str:
     return lake
 
 
+def _q_cdc_multi_table(sf):
+    """Multi-table TRANSACTIONAL ingest (pipelines/multi.py): two
+    changelogs tailed in lockstep joint epochs, each committed
+    atomically under one journal record (stage both → one txn-<e>.json
+    → idempotent per-table publish). Returns both converged tables
+    tagged by name. Rows-only check; the atomicity/crash/recovery
+    oracle is pytest (tests/replay/test_multi_table.py)."""
+    from maestro_ray.fixtures import ChangelogParams, write_changelog
+    from maestro_ray.io.lake import read_lake
+    from maestro_ray.pipelines.multi import ingest_multi, table_dir
+
+    name = os.path.basename(sf.rstrip("/"))
+    scale = dict(_CDC_SCALES.get(name, _CDC_SCALES["sf0.01"]))
+    scale["n_events"] = max(200, scale["n_events"] // 4)
+    work = f"/tmp/maestro_cdc_multi_r4_{name}"
+    root = os.path.join(work, "root")
+    done = os.path.join(work, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        logs = {}
+        for t, seed in (("pages_a", 101), ("pages_b", 202)):
+            log = os.path.join(work, f"log_{t}")
+            write_changelog(log, ChangelogParams(**{**scale, "seed": seed}))
+            logs[t] = log
+        ingest_multi(root, logs, num_partitions=8, segments_per_epoch=2)
+        open(done, "w").close()
+
+    def tag(name_):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "table_name", pa.array([name_] * b.num_rows))
+        return f
+
+    a = read_lake(table_dir(root, "pages_a"),
+                  columns=["url", "warc_ts"]).map_batches(
+        tag("pages_a"), batch_format="pyarrow")
+    b = read_lake(table_dir(root, "pages_b"),
+                  columns=["url", "warc_ts"]).map_batches(
+        tag("pages_b"), batch_format="pyarrow")
+    return a.union(b)
+
+
 def _q_cdc_replay(sf):
     """The engine itself as a driver check: replay a deterministic
     changelog (tombstones, dups, evolution, skew) and return the
@@ -3105,6 +3147,41 @@ def _q_window_ewma(sf):
     return P.project(out, columns=["user_id", "event_id", "value", "ewma"])
 
 
+def _q_merge_into(sf):
+    """Generic SQL MERGE INTO (ops/joins.py merge_into): price updates
+    for large parts replace their target rows, fabricated new keys
+    insert, everything else survives — one bucketed shuffle, vectorized
+    is_in actions, source-cardinality guard. The CDC-specific LWW merge
+    is ops/merge.py; this is the user-facing whole-row variant."""
+    from maestro_ray.ops.joins import merge_into
+
+    cols = ["p_partkey", "p_name", "p_retailprice"]
+    target = _read(sf, "part", columns=cols)
+
+    def upd(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("p_size"), pa.scalar(40)))
+        return pa.table({
+            "p_partkey": t.column("p_partkey"),
+            "p_name": t.column("p_name"),
+            "p_retailprice": pc.add(t.column("p_retailprice"),
+                                    pa.scalar(100.0)),
+        })
+
+    def ins(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": pc.add(t.column("p_partkey"),
+                                pa.scalar(1_000_000, pa.int64())),
+            "p_name": pa.array(["NEW"] * t.num_rows),
+            "p_retailprice": pa.array([1.0] * t.num_rows, pa.float64()),
+        })
+
+    source = _read(sf, "part", columns=cols + ["p_size"]) \
+        .map_batches(upd, batch_format="pyarrow") \
+        .union(_read(sf, "part", columns=["p_partkey"])
+               .map_batches(ins, batch_format="pyarrow"))
+    return merge_into(target, source, key="p_partkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3261,6 +3338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "join_asof_near": _q_join_asof_near,
         "window_ewma": _q_window_ewma,
+        "cdc_multi_table": _q_cdc_multi_table,
+        "merge_into": _q_merge_into,
     }
 
 
@@ -4359,6 +4438,17 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "merge_into": (
+            "WITH t AS (SELECT p_partkey, p_name, p_retailprice "
+            "FROM part), "
+            "s AS (SELECT p_partkey, p_name, "
+            "p_retailprice + 100.0 AS p_retailprice FROM part "
+            "WHERE p_size > 40 "
+            "UNION ALL SELECT p_partkey + 1000000, 'NEW', 1.0 FROM part) "
+            "SELECT * FROM s UNION ALL "
+            "SELECT t.* FROM t WHERE NOT EXISTS "
+            "(SELECT 1 FROM s WHERE s.p_partkey = t.p_partkey)"
         ),
         "window_ewma": (
             "WITH RECURSIVE e AS (SELECT user_id, event_id, value, "

@@ -842,3 +842,69 @@ def levenshtein_join(
                                  pa.array(dist[keep], pa.int64()))
 
     return left.map_batches(match, batch_format="pyarrow")
+
+
+def merge_into(
+    target: rd.Dataset,
+    source: rd.Dataset,
+    key: str,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """SQL MERGE INTO with whole-row actions — the generic lakehouse
+    upsert (the CDC-specific LWW path is ops/merge.py): target rows
+    matched by a source key are replaced (``"update"``), removed
+    (``"delete"``) or kept (``"keep"``); unmatched source rows are
+    inserted (``"insert"``) or dropped (``"ignore"``); unmatched target
+    rows always survive.
+
+    Plan: both sides share the schema, so one tag+bucket union and ONE
+    shuffle co-locates each key's rows; per-bucket actions are
+    vectorized ``is_in`` masks. Duplicate source keys raise (SQL MERGE
+    cardinality rule) — and since equal keys land in the same bucket,
+    the per-bucket check IS the global check. Null source keys raise
+    (they can never match and would poison ``is_in`` semantics)."""
+    if when_matched not in ("update", "delete", "keep"):
+        raise ValueError(f"when_matched={when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched={when_not_matched!r}")
+    tschema = target.schema().base_schema
+    if set(source.schema().base_schema.names) != set(tschema.names):
+        raise ValueError(
+            "merge_into requires identical column sets; got "
+            f"{source.schema().base_schema.names} vs {tschema.names}"
+        )
+    out_cols = list(tschema.names)
+
+    both = target.map_batches(
+        _tag_and_bucket([key], 0, num_buckets), batch_format="pyarrow"
+    ).union(source.map_batches(
+        _tag_and_bucket([key], 1, num_buckets), batch_format="pyarrow"))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        smask = pc.equal(group.column(_SIDE), pa.scalar(1, pa.int8()))
+        t = group.filter(pc.invert(smask)).select(out_cols)
+        s = group.filter(smask).select(out_cols)
+        skey = s.column(key)
+        if s.num_rows:
+            if skey.null_count:
+                raise ValueError("merge_into: null key in source")
+            if len(pc.unique(skey.combine_chunks())) != s.num_rows:
+                raise ValueError(
+                    "merge_into: duplicate source keys (SQL MERGE "
+                    "cardinality violation)")
+        tkey = t.column(key)
+        t_in_s = pc.fill_null(pc.is_in(tkey, value_set=skey), False)
+        s_in_t = pc.fill_null(pc.is_in(skey, value_set=tkey), False)
+        parts = [t.filter(pc.invert(t_in_s))]
+        if when_matched == "update":
+            parts.append(s.filter(s_in_t))
+        elif when_matched == "keep":
+            parts.append(t.filter(t_in_s))
+        if when_not_matched == "insert":
+            parts.append(s.filter(pc.invert(s_in_t)))
+        return pa.concat_tables(parts)
+
+    return both.groupby(_BUCKET).map_groups(
+        merge_bucket, batch_format="pyarrow")

@@ -69,7 +69,7 @@ def _push_based_shuffle():
         ctx.shuffle_strategy = old
 
 
-def _run_epoch(
+def _stage_epoch(
     ds: rd.Dataset,
     lake_dir: str,
     epoch: int,
@@ -79,7 +79,12 @@ def _run_epoch(
     hot_keys: set | None = None,
     prepped: bool = False,
     packed: bool = False,
-) -> Manifest:
+) -> tuple[list[dict], dict]:
+    """Run the epoch's distributed work (shuffle + merge + staged
+    partition files) WITHOUT publishing: returns the lineage rows and
+    counters a caller commits via ``publish_epoch``. The seam exists so
+    a multi-table transaction (pipelines/multi.py) can stage several
+    tables and commit them under one journal record."""
     prev_files = (
         {p: v["file"] for p, v in prev.partitions.items()} if prev else {}
     )
@@ -124,6 +129,24 @@ def _run_epoch(
         "rows_final": sum(r.get("live_rows", r["row_count"]) for r in rows),
         "rows_physical": sum(r["row_count"] for r in rows),
     }
+    return rows, counters
+
+
+def _run_epoch(
+    ds: rd.Dataset,
+    lake_dir: str,
+    epoch: int,
+    epoch_watermark: int,
+    num_partitions: int,
+    prev: Manifest | None,
+    hot_keys: set | None = None,
+    prepped: bool = False,
+    packed: bool = False,
+) -> Manifest:
+    rows, counters = _stage_epoch(
+        ds, lake_dir, epoch, epoch_watermark, num_partitions, prev,
+        hot_keys, prepped, packed,
+    )
     m = publish_epoch(lake_dir, epoch, epoch_watermark, rows, prev, counters,
                       num_partitions=num_partitions)
     write_lineage(lake_dir, epoch, rows)

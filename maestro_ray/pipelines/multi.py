@@ -1,0 +1,212 @@
+"""Multi-table transactional ingest: N changelogs → N lakes, committed
+ATOMICALLY per epoch under one journal record.
+
+Why a journal above the per-table manifests: each table's lake keeps
+its own manifest sequence (core/manifest.py) so every single-table
+reader, view, and tool keeps working — but a cross-table transaction
+needs one commit point. The layout is
+
+    root/
+      tables/<name>/            one ordinary lake per table
+      _txn/txn-<epoch>.json     THE commit point for joint epoch e
+
+and the protocol per joint epoch:
+
+1. STAGE every table (``_stage_epoch`` — shuffle + merge + staged
+   partition files; nothing visible yet).
+2. Write ``txn-<e>.json`` atomically (tmp+fsync+rename). The record
+   carries each table's full publish payload (lineage rows, watermark,
+   counters) — it alone makes the epoch durable.
+3. APPLY: ``publish_epoch`` each table from the recorded payload.
+
+Crash matrix (tests/replay/test_multi_table.py):
+- crash in 1 → staging is garbage, nothing visible; rerun reconverges
+  (staged paths are deterministic, retries overwrite same bytes).
+- crash in 2 before the rename → same as 1.
+- crash in 3 after some tables published → the txn record exists;
+  ``recover`` (run on every open) re-applies the remaining tables from
+  the recorded payloads — `publish_epoch` is idempotent and tolerates
+  already-renamed staged files. No interleaving exposes table A at
+  epoch e with table B at e−1 to a reader that honors the journal
+  (``committed_epoch`` / ``read_table``).
+
+Scale: tables stage sequentially (each staging is itself a fully
+distributed pipeline saturating the cluster); the journal record is
+O(total partitions) JSON on the driver — the same order as one
+manifest. Nothing here adds a shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from maestro_ray.core.manifest import (
+    Manifest,
+    latest_manifest,
+    manifest_path,
+    publish_epoch,
+)
+from maestro_ray.io.changelog import (
+    check_contiguity,
+    read_changelog,
+    segments_after,
+)
+from maestro_ray.io.lake import write_lineage
+from maestro_ray.ops.merge import events_to_candidates
+from maestro_ray.ops.partition import add_partition_column, lww_reduce
+from maestro_ray.pipelines.ingest import _stage_epoch
+
+TXN_DIR = "_txn"
+
+
+def _txn_path(root: str, epoch: int) -> str:
+    return os.path.join(root, TXN_DIR, f"txn-{epoch:012d}.json")
+
+
+def table_dir(root: str, name: str) -> str:
+    return os.path.join(root, "tables", name)
+
+
+def _write_txn_atomic(path: str, payload: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def committed_epochs(root: str) -> list[int]:
+    """Joint epochs with a durable txn record, ascending."""
+    d = os.path.join(root, TXN_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("txn-") and f.endswith(".json"):
+            out.append(int(f[4:-5]))
+    return sorted(out)
+
+
+def _apply_txn(root: str, epoch: int) -> None:
+    """Idempotently publish every table named in txn-<epoch> — the
+    recovery half of the protocol (and the normal apply path)."""
+    with open(_txn_path(root, epoch)) as f:
+        rec = json.load(f)
+    for name, t in sorted(rec["tables"].items()):
+        lake = table_dir(root, name)
+        prev = (
+            Manifest.from_json(json.dumps(t["prev"]))
+            if t["prev"] is not None else None
+        )
+        if os.path.exists(manifest_path(lake, epoch)):
+            continue  # this table already applied
+        m = publish_epoch(
+            lake, epoch, t["watermark"], t["rows"], prev, t["counters"],
+            num_partitions=t["num_partitions"],
+        )
+        write_lineage(lake, epoch, t["rows"])
+        assert m.epoch == epoch
+
+
+def recover(root: str) -> int:
+    """Re-apply any txn whose per-table manifests are incomplete (crash
+    between journal write and publish). Returns the count of txns
+    touched. Safe to run always — apply is idempotent."""
+    n = 0
+    for e in committed_epochs(root):
+        with open(_txn_path(root, e)) as f:
+            rec = json.load(f)
+        missing = [
+            name for name in rec["tables"]
+            if not os.path.exists(manifest_path(table_dir(root, name), e))
+        ]
+        if missing:
+            _apply_txn(root, e)
+            n += 1
+    return n
+
+
+def ingest_multi(
+    root: str,
+    logs: dict[str, str],
+    *,
+    num_partitions: int = 8,
+    segments_per_epoch: int | None = None,
+    max_epochs: int | None = None,
+) -> dict[str, Manifest | None]:
+    """Tail every table's changelog in LOCKSTEP joint epochs, each
+    committed atomically across tables. ``logs`` maps table name →
+    changelog dir. Resumes from the journal; crashed runs recover
+    first. Returns the final manifest per table."""
+    if not logs:
+        raise ValueError("logs must map at least one table to its log dir")
+    os.makedirs(root, exist_ok=True)
+    recover(root)
+
+    state: dict[str, dict] = {}
+    for name, log_dir in sorted(logs.items()):
+        lake = table_dir(root, name)
+        os.makedirs(lake, exist_ok=True)
+        m = latest_manifest(lake)
+        if m is not None and m.num_partitions not in (None, num_partitions):
+            raise ValueError(
+                f"table {name}: lake built with num_partitions="
+                f"{m.num_partitions}, got {num_partitions}"
+            )
+        wm = m.watermark if m else -1
+        segs = segments_after(log_dir, wm)
+        seg_max = check_contiguity(segs, wm) if segs else {}
+        chunk = segments_per_epoch or (len(segs) or 1)
+        state[name] = {
+            "log": log_dir, "lake": lake, "m": m, "wm": wm,
+            "chunks": [segs[i:i + chunk] for i in range(0, len(segs), chunk)],
+            "seg_max": seg_max,
+        }
+
+    done = committed_epochs(root)
+    epoch = (done[-1] + 1) if done else 1
+    n_rounds = max(len(s["chunks"]) for s in state.values())
+    if max_epochs is not None:
+        n_rounds = min(n_rounds, max_epochs)
+
+    for i in range(n_rounds):
+        staged: dict[str, dict] = {}
+        for name, s in sorted(state.items()):
+            if i >= len(s["chunks"]):
+                continue  # this table has no new segments this round
+            chunk = s["chunks"][i]
+            ewm = max(s["seg_max"][path] for _first, path in chunk)
+            if ewm <= s["wm"]:
+                continue  # already fully committed (trailing rerun)
+            ds = read_changelog(
+                s["log"], from_offset=s["wm"], segments=chunk,
+                transform=lambda b, _np=num_partitions: add_partition_column(
+                    lww_reduce(events_to_candidates(b)), _np),
+            )
+            if ds is None:
+                continue
+            rows, counters = _stage_epoch(
+                ds, s["lake"], epoch, ewm, num_partitions, s["m"],
+                prepped=True,
+            )
+            staged[name] = {
+                "rows": rows, "counters": counters, "watermark": ewm,
+                "num_partitions": num_partitions,
+                "prev": json.loads(s["m"].to_json()) if s["m"] else None,
+            }
+        if not staged:
+            epoch += 1
+            continue
+        _write_txn_atomic(_txn_path(root, epoch),
+                          {"epoch": epoch, "tables": staged})
+        _apply_txn(root, epoch)
+        for name in staged:
+            s = state[name]
+            s["m"] = latest_manifest(s["lake"])
+            s["wm"] = s["m"].watermark
+        epoch += 1
+
+    return {name: s["m"] for name, s in state.items()}
