@@ -3182,6 +3182,23 @@ def _q_merge_into(sf):
     return merge_into(target, source, key="p_partkey")
 
 
+def _q_explode_pos(sf):
+    """P11 posexplode: one row per list element WITH its 0-based
+    position (ops/functions.py explode_list(with_pos=True) — Arrow
+    list_flatten + parent-index repeat, no Python loop)."""
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+    out = explode_list(ds, "embedding", keep=["vec_id"], with_pos=True)
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "pos": t.column("pos"),
+            "value": pc.cast(t.column("value"), pa.float64()),
+        })
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3340,6 +3357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_ewma": _q_window_ewma,
         "cdc_multi_table": _q_cdc_multi_table,
         "merge_into": _q_merge_into,
+        "explode_pos": _q_explode_pos,
     }
 
 
@@ -4438,6 +4456,13 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "explode_pos": (
+            "WITH x AS (SELECT vec_id, embedding AS l, "
+            "unnest(generate_series(1, len(embedding))) AS s "
+            "FROM embeddings WHERE embedding IS NOT NULL) "
+            "SELECT vec_id, s - 1 AS pos, "
+            "CAST(l[s] AS DOUBLE) AS value FROM x"
         ),
         "merge_into": (
             "WITH t AS (SELECT p_partkey, p_name, p_retailprice "

@@ -84,7 +84,7 @@ ORACLE_NAMES = [
     "window_row_number_global", "vector_mean_grouped", "join_fuzzy",
     "pipeline_quality_gate",
     "scd2_history", "bm25_search", "covariance_matrix", "mixture_sample",
-    "join_asof_near", "window_ewma", "merge_into",
+    "join_asof_near", "window_ewma", "merge_into", "explode_pos",
 ]
 
 
