@@ -3199,6 +3199,16 @@ def _q_explode_pos(sf):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+def _q_edit_distance(sf):
+    """Scalar Levenshtein between two string columns (ops/joins.py
+    edit_distance — the join_fuzzy min-plus DP kernel run once per
+    batch). SQL twin: levenshtein(p_name, p_brand)."""
+    from maestro_ray.ops.joins import edit_distance
+
+    ds = _read(sf, "part", columns=["p_partkey", "p_name", "p_brand"])
+    return edit_distance(ds, "p_name", "p_brand")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3358,6 +3368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multi_table": _q_cdc_multi_table,
         "merge_into": _q_merge_into,
         "explode_pos": _q_explode_pos,
+        "edit_distance": _q_edit_distance,
     }
 
 
@@ -4456,6 +4467,11 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "edit_distance": (
+            "SELECT p_partkey, p_name, p_brand, "
+            "CAST(levenshtein(p_name, p_brand) AS BIGINT) AS dist "
+            "FROM part"
         ),
         "explode_pos": (
             "WITH x AS (SELECT vec_id, embedding AS l, "

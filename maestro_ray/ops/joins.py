@@ -908,3 +908,30 @@ def merge_into(
 
     return both.groupby(_BUCKET).map_groups(
         merge_bucket, batch_format="pyarrow")
+
+
+def edit_distance(
+    ds: rd.Dataset, col_a: str, col_b: str, out_col: str = "dist"
+) -> rd.Dataset:
+    """Scalar per-row Levenshtein distance between two string columns
+    (SQL ``levenshtein(a, b)``), using the same vectorized min-plus DP
+    kernel as ``levenshtein_join`` — one batched evaluation per block,
+    no per-row Python DP. Rows where either side is null get null."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a)
+        b = batch.column(col_b)
+        valid = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        idx = np.flatnonzero(valid.combine_chunks().to_numpy(
+            zero_copy_only=False))
+        dist = np.full(batch.num_rows, -1, dtype=np.int64)
+        if len(idx):
+            take = pa.array(idx, pa.int64())
+            la = a.take(take).to_pylist()
+            lb = b.take(take).to_pylist()
+            dist[idx] = _levenshtein_pairs(la, lb)
+        arr = pa.array(dist, pa.int64())
+        arr = pc.if_else(valid, arr, pa.nulls(batch.num_rows, pa.int64()))
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(f, batch_format="pyarrow")
