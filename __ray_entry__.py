@@ -1296,6 +1296,21 @@ def _q_knn_brute(sf):
     return out[["vec_id"]].reset_index(drop=True)
 
 
+def _q_knn_filtered(sf):
+    """Metadata-FILTERED vector search: exact top-10 cosine among
+    label=1 vectors only — the filter is pushed BEFORE the scan's
+    matmul (predicate-then-search, the standard filtered-ANN shape),
+    so non-matching vectors never enter the kernel."""
+    from maestro_ray.ops.similarity import knn_brute
+
+    ds = _read(sf, "embeddings", columns=["vec_id", "embedding", "label"])
+    ds = P.filter_rows(
+        ds, lambda t: pc.equal(t.column("label"), pa.scalar(1, pa.int32())))
+    out = knn_brute(P.project(ds, columns=["vec_id", "embedding"]),
+                    _knn_query_vec(sf), k=10)
+    return out[["vec_id"]].reset_index(drop=True)
+
+
 def _q_knn_lsh(sf):
     from maestro_ray.ops.similarity import knn_lsh
 
@@ -3369,6 +3384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_into": _q_merge_into,
         "explode_pos": _q_explode_pos,
         "edit_distance": _q_edit_distance,
+        "knn_filtered": _q_knn_filtered,
     }
 
 
@@ -4467,6 +4483,13 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "knn_filtered": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT e.vec_id FROM embeddings e, q WHERE e.label = 1 "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, "
+            "e.vec_id LIMIT 10"
         ),
         "edit_distance": (
             "SELECT p_partkey, p_name, p_brand, "
