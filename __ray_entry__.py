@@ -1649,6 +1649,20 @@ def _q_cdc_incremental_view(sf):
     return view
 
 
+def _q_cdc_sum_view(sf):
+    """Incremental grouped-SUM view over the replay lake: live text
+    BYTES per lang (the ``len:text`` virtual measure), maintained by
+    the same partition-diff plan as the count view — corpus volume
+    tracking that stays current as pages upsert/delete. Rows-only
+    check; the view≡recompute-at-every-epoch oracle is pytest
+    (tests/replay/test_views.py::test_sum_view...)."""
+    from maestro_ray.pipelines.views import maintain_group_sums
+
+    view = maintain_group_sums(_cdc_lake(sf), "lang", "len:text")
+    view["lang"] = view["lang"].fillna("∅")
+    return view
+
+
 def _q_cdc_dedup_view(sf):
     """Incremental CORPUS-DUPLICATION view over the replay lake — the
     cdc_ingest × webtext integration piece: live-copy count per 64-bit
@@ -3385,6 +3399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_pos": _q_explode_pos,
         "edit_distance": _q_edit_distance,
         "knn_filtered": _q_knn_filtered,
+        "cdc_sum_view": _q_cdc_sum_view,
     }
 
 

@@ -105,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
         "view", help="maintain/print an incremental per-group count view")
     p_vw.add_argument("--lake-dir", required=True)
     p_vw.add_argument("--group-col", default="lang")
+    p_vw.add_argument("--sum", default=None, metavar="MEASURE",
+                      help="maintain a grouped SUM view instead of the "
+                      "count view: a stored int column, or len:<col> "
+                      "for live utf8 bytes of <col>")
 
     p_ch = sub.add_parser(
         "changes",
@@ -170,9 +174,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "view":  # no Ray session: thread-pool file counts
-        from maestro_ray.pipelines.views import maintain_group_counts
+        from maestro_ray.pipelines.views import (
+            maintain_group_counts,
+            maintain_group_sums,
+        )
 
-        out = maintain_group_counts(args.lake_dir, args.group_col)
+        if args.sum:
+            out = maintain_group_sums(args.lake_dir, args.group_col,
+                                      args.sum)
+        else:
+            out = maintain_group_counts(args.lake_dir, args.group_col)
         print(out.to_json(orient="records"))
         return 0
 

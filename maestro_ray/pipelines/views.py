@@ -54,11 +54,23 @@ def _view_path(lake_dir: str, group_col: str, epoch: int) -> str:
 HASH_GROUP_PREFIX = "hash64:"
 
 
-def _file_group_counts(path: str, group_col: str) -> dict:
-    """One file's per-group live-row counts (narrow read: group + op
-    only; tombstones excluded via the shared liveness rule, null group
-    kept as its own bucket; a file predating the group column —
-    pre-evolution — counts its rows in the null bucket too).
+#: virtual-measure prefix: ``len:<col>`` sums utf8 lengths of <col>
+#: instead of a stored numeric column — "live text bytes per group"
+#: without changing the lake schema.
+LEN_MEASURE_PREFIX = "len:"
+
+
+def _file_group_counts(path: str, group_col: str,
+                       measure: str | None = None) -> dict:
+    """One file's per-group live aggregate (narrow read: group + op
+    [+ measure] only; tombstones excluded via the shared liveness rule,
+    null group kept as its own bucket; a file predating the group
+    column — pre-evolution — counts its rows in the null bucket too).
+
+    ``measure=None`` counts live rows; ``"<col>"`` sums a stored int
+    column; ``"len:<col>"`` sums utf8 lengths (nulls add 0). Any
+    GROUP-ADDITIVE integer measure keeps the partition-diff algebra
+    exact — the view is a signed sum of per-file aggregates.
 
     A ``hash64:<col>`` group counts per deterministic content hash of
     <col> (ops/hashing.hash_array — nulls hash to the fixed null
@@ -67,13 +79,29 @@ def _file_group_counts(path: str, group_col: str) -> dict:
 
     hashed = group_col.startswith(HASH_GROUP_PREFIX)
     src = group_col[len(HASH_GROUP_PREFIX):] if hashed else group_col
+    mcol = None
+    if measure is not None:
+        mcol = (measure[len(LEN_MEASURE_PREFIX):]
+                if measure.startswith(LEN_MEASURE_PREFIX) else measure)
     names = pq.read_schema(path).names
     cols = ([src] if src in names else []) \
-        + (["op"] if "op" in names else [])
+        + (["op"] if "op" in names else []) \
+        + ([mcol] if mcol is not None and mcol in names
+           and mcol not in (src, "op") else [])
     t = pq.read_table(path, columns=cols)
     t = t.filter(live_mask(t))
     if src not in t.column_names:
         t = t.append_column(src, pa.nulls(t.num_rows, pa.string()))
+    if measure is None:
+        mvals = None
+    else:
+        if mcol in t.column_names:
+            raw = t.column(mcol)
+        else:  # pre-evolution file: measure column absent → zeros
+            raw = pa.nulls(t.num_rows, pa.string())
+        if measure.startswith(LEN_MEASURE_PREFIX):
+            raw = pc.utf8_length(pc.cast(raw, pa.string()))
+        mvals = pc.cast(pc.fill_null(raw, 0), pa.int64())
     if hashed:
         from maestro_ray.ops.hashing import hash_array
 
@@ -86,7 +114,11 @@ def _file_group_counts(path: str, group_col: str) -> dict:
         t = t.select([src])
         if src != group_col:  # pragma: no cover — src == group_col here
             t = t.rename_columns([group_col])
-    g = t.group_by([group_col]).aggregate([([], "count_all")])
+    if mvals is None:
+        g = t.group_by([group_col]).aggregate([([], "count_all")])
+    else:
+        t = t.append_column("__m", mvals)
+        g = t.group_by([group_col]).aggregate([("__m", "sum")])
     return dict(zip(g.column(0).to_pylist(), g.column(1).to_pylist()))
 
 
@@ -105,7 +137,8 @@ def _get_counts_task():
     return _counts_task
 
 
-def _live_group_counts(paths: list[str], group_col: str) -> pd.Series:
+def _live_group_counts(paths: list[str], group_col: str,
+                       measure: str | None = None) -> pd.Series:
     """Per-group live-row counts over lake files. The per-file counting
     is embarrassingly parallel and only its TINY (group → n) results
     reach the driver: Ray tasks when a session exists (the queries()
@@ -119,13 +152,15 @@ def _live_group_counts(paths: list[str], group_col: str) -> pd.Series:
 
     if ray.is_initialized() and len(paths) > 1:
         task = _get_counts_task()
-        counts = ray.get([task.remote(p, group_col) for p in paths])
+        counts = ray.get(
+            [task.remote(p, group_col, measure) for p in paths])
     else:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
             counts = list(ex.map(
-                lambda p: _file_group_counts(p, group_col), paths))
+                lambda p: _file_group_counts(p, group_col, measure),
+                paths))
     total: dict = {}
     for c in counts:
         for k, n in c.items():
@@ -181,13 +216,14 @@ def _as_frame(view: pd.Series, group_col: str) -> pd.DataFrame:
     return out.sort_values(group_col).reset_index(drop=True)
 
 
-def _persist(view: pd.Series, lake_dir: str, group_col: str, epoch: int) -> None:
-    vdir = os.path.join(lake_dir, VIEWS_DIR, group_col)
+def _persist(view: pd.Series, lake_dir: str, view_id: str, group_col: str,
+             epoch: int) -> None:
+    vdir = os.path.join(lake_dir, VIEWS_DIR, view_id)
     os.makedirs(vdir, exist_ok=True)
     out = _as_frame(view, group_col)
-    tmp = _view_path(lake_dir, group_col, epoch) + ".tmp"
+    tmp = _view_path(lake_dir, view_id, epoch) + ".tmp"
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
-    os.replace(tmp, _view_path(lake_dir, group_col, epoch))
+    os.replace(tmp, _view_path(lake_dir, view_id, epoch))
 
 
 def _newest_readable(lake_dir: str, epochs: list[int]) -> tuple[int, Manifest]:
@@ -217,16 +253,45 @@ def maintain_group_counts(
     at the newest fully-readable epoch and diffs forward from there —
     history views below the anchor stay unmaterialized;
     ``on_vacuumed="error"`` raises instead."""
+    return _maintain(lake_dir, group_col, group_col, None, on_vacuumed)
+
+
+def sum_view_name(group_col: str, measure: str) -> str:
+    """Filesystem identity of a grouped-SUM view (also what
+    ``read_view`` takes to read it back)."""
+    return f"{group_col}__sum__{measure.replace(':', '_')}"
+
+
+def maintain_group_sums(
+    lake_dir: str, group_col: str, measure: str,
+    on_vacuumed: str = "bootstrap",
+) -> pd.DataFrame:
+    """Incrementally-maintained per-group live SUM over the lake —
+    same partition-diff plan, cursor, and vacuum re-anchor as
+    ``maintain_group_counts``, for any group-additive integer measure:
+    a stored numeric column (``measure="warc_ts_us"``) or the virtual
+    ``"len:<col>"`` (live utf8 bytes of <col> per group, e.g. corpus
+    text volume per language). Correct by the same algebra: sums add
+    and subtract across the epoch's changed partition files."""
+    return _maintain(lake_dir, group_col,
+                     sum_view_name(group_col, measure), measure,
+                     on_vacuumed)
+
+
+def _maintain(
+    lake_dir: str, group_col: str, view_id: str, measure: str | None,
+    on_vacuumed: str,
+) -> pd.DataFrame:
     if on_vacuumed not in ("bootstrap", "error"):
         raise ValueError(f"on_vacuumed={on_vacuumed!r}")
     epochs = list_epochs(lake_dir)
     if not epochs:
         return pd.DataFrame({group_col: pd.Series(dtype=object),
                              "n": pd.Series(dtype="int64")})
-    vdir = os.path.join(lake_dir, VIEWS_DIR, group_col)
+    vdir = os.path.join(lake_dir, VIEWS_DIR, view_id)
     done = [e for e in _view_epochs(vdir) if e in set(epochs)]
     cursor = done[-1] if done else None
-    view = (read_view(lake_dir, group_col, cursor)
+    view = (read_view(lake_dir, view_id, cursor)
             .set_index(group_col)["n"] if cursor is not None
             else pd.Series(dtype="int64"))
     prev_m = manifest_at(lake_dir, cursor) if cursor is not None else None
@@ -243,7 +308,7 @@ def maintain_group_counts(
         if missing:
             if on_vacuumed == "error":
                 raise ValueError(
-                    f"cannot maintain view {group_col!r} through epoch "
+                    f"cannot maintain view {view_id!r} through epoch "
                     f"{e}: {missing[0]} was vacuumed before maintenance "
                     "ran (pass on_vacuumed='bootstrap' to re-anchor at "
                     "the newest readable epoch)"
@@ -256,27 +321,30 @@ def maintain_group_counts(
                 # also lost files (e.g. vacuum kept a non-head manifest)
                 # — loop forever without this guard, so fail loudly
                 raise ValueError(
-                    f"cannot maintain view {group_col!r}: epoch {e} "
+                    f"cannot maintain view {view_id!r}: epoch {e} "
                     f"references vacuumed files ({missing[0]}) and the "
                     f"newest fully-readable epoch {b} does not get past "
                     "it; the lake's history is not maintainable"
                 )
             last_anchor = b
-            view = _live_group_counts(lake_files(lake_dir, mb), group_col)
-            _persist(view, lake_dir, group_col, b)
+            view = _live_group_counts(lake_files(lake_dir, mb), group_col,
+                                      measure)
+            _persist(view, lake_dir, view_id, group_col, b)
             prev_m = mb
             pending = [x for x in epochs if x > b]
             continue
         delta = (
             _live_group_counts(
-                [os.path.join(lake_dir, f) for f in new_files], group_col)
+                [os.path.join(lake_dir, f) for f in new_files], group_col,
+                measure)
             .sub(_live_group_counts(
-                [os.path.join(lake_dir, f) for f in old_files], group_col),
+                [os.path.join(lake_dir, f) for f in old_files], group_col,
+                measure),
                  fill_value=0)
         )
         view = view.add(delta, fill_value=0).astype("int64")
         view = view[view != 0]
-        _persist(view, lake_dir, group_col, e)
+        _persist(view, lake_dir, view_id, group_col, e)
         prev_m = m
         pending = pending[1:]
     # return the in-memory state — never a newest-on-disk file that

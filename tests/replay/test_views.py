@@ -141,3 +141,35 @@ def test_latest_manifest_ignores_tmp_leftovers(lake):
         assert lm(lake).epoch == le(lake)[-1]
     finally:
         os.remove(junk)
+
+
+def test_sum_view_matches_recompute_at_every_epoch(lake):
+    """Grouped-SUM views (len:text — live text bytes per lang) ride the
+    same partition-diff algebra; must equal a full recompute at EVERY
+    epoch and resume idempotently."""
+    from maestro_ray.pipelines.views import (
+        maintain_group_sums,
+        sum_view_name,
+    )
+
+    name = sum_view_name("lang", "len:text")
+    final = maintain_group_sums(lake, "lang", "len:text")
+
+    def recompute(epoch):
+        pdf = read_lake_at(lake, epoch,
+                           columns=["url", "lang", "text"]).to_pandas()
+        pdf["b"] = pdf["text"].fillna("").str.len()
+        vc = pdf.groupby("lang", dropna=False)["b"].sum()
+        return {k if pd.notna(k) else None: int(v)
+                for k, v in vc.items() if v != 0}
+
+    for e in list_epochs(lake):
+        view = read_view(lake, name, e)
+        assert view is not None
+        assert _as_dict(view) == recompute(e), f"epoch {e}"
+    # idempotent rerun
+    again = maintain_group_sums(lake, "lang", "len:text")
+    assert _as_dict(again) == _as_dict(final)
+    # count view and sum view coexist under distinct identities
+    counts = maintain_group_counts(lake, "lang")
+    assert set(counts.columns) == {"lang", "n"}
