@@ -3238,6 +3238,26 @@ def _q_edit_distance(sf):
     return edit_distance(ds, "p_name", "p_brand")
 
 
+def _q_window_running(sf):
+    """Cumulative per-user window aggregates (ops/aggregates.py
+    running_agg): running count / sum / min / max of value, ordered by
+    (ts, event_id) — SQL ROWS UNBOUNDED PRECEDING. Sum rounded at 4dp
+    (float policy: cumulative magnitudes reach ~1e6 here; DuckDB's
+    windowed sum may fold tree-shaped, so bit-equality is not
+    guaranteed the way EWMA's recursion is)."""
+    from maestro_ray.ops.aggregates import running_agg
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                      "value"])
+    out = running_agg(ds, key="user_id", order_cols=["ts", "event_id"],
+                      value_col="value",
+                      hows={"run_n": "count", "run_sum": "sum",
+                            "run_min": "min", "run_max": "max"},
+                      round_sum_to=4)
+    return P.project(out, columns=["user_id", "event_id", "run_n",
+                                   "run_sum", "run_min", "run_max"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3400,6 +3420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance": _q_edit_distance,
         "knn_filtered": _q_knn_filtered,
         "cdc_sum_view": _q_cdc_sum_view,
+        "window_running": _q_window_running,
     }
 
 
@@ -4498,6 +4519,15 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "window_running": (
+            "SELECT user_id, event_id, "
+            "count(value) OVER w AS run_n, "
+            "round(sum(value) OVER w, 4) AS run_sum, "
+            "min(value) OVER w AS run_min, "
+            "max(value) OVER w AS run_max FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
         "knn_filtered": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings "

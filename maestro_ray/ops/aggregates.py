@@ -2019,3 +2019,56 @@ def ewma(
         return g
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def running_agg(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    hows: dict[str, str],
+    round_sum_to: int | None = None,
+) -> rd.Dataset:
+    """A6-adjacent CUMULATIVE window aggregates per key — SQL ``f(v)
+    OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW)`` for ``hows`` = {out_col: sum|min|max|
+    count|avg}. One shuffle (groupby key), numpy cumulative kernels per
+    group (cumsum/accumulate — O(n), no per-row loop). Nulls contribute
+    nothing (SQL window-aggregate rule: count skips them, a leading
+    null frame yields null min/max/avg). ``round_sum_to`` applies the
+    cross-engine float policy to sum/avg outputs."""
+    bad = {h for h in hows.values()} - {"sum", "min", "max", "count", "avg"}
+    if bad:
+        raise ValueError(f"running_agg: unsupported {sorted(bad)}")
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        v = s.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        isnan = np.isnan(v)
+        v0 = np.where(isnan, 0.0, v)
+        cnt = np.cumsum(~isnan)
+        none_yet = cnt == 0
+        for out, how in hows.items():
+            if how == "count":
+                res = pa.array(cnt.astype(np.int64), pa.int64())
+            elif how == "sum" or how == "avg":
+                c = np.cumsum(v0)
+                if how == "avg":
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        c = c / cnt
+                if round_sum_to is not None:
+                    c = np.round(c, round_sum_to)
+                res = pa.array(np.where(none_yet, np.nan, c), pa.float64(),
+                               from_pandas=True)
+            else:
+                fill = np.inf if how == "min" else -np.inf
+                op = np.minimum if how == "min" else np.maximum
+                c = op.accumulate(np.where(isnan, fill, v))
+                res = pa.array(np.where(none_yet, np.nan, c), pa.float64(),
+                               from_pandas=True)
+            s = s.append_column(out, res)
+        return s
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

@@ -85,7 +85,7 @@ ORACLE_NAMES = [
     "pipeline_quality_gate",
     "scd2_history", "bm25_search", "covariance_matrix", "mixture_sample",
     "join_asof_near", "window_ewma", "merge_into", "explode_pos",
-    "edit_distance", "knn_filtered",
+    "edit_distance", "knn_filtered", "window_running",
 ]
 
 

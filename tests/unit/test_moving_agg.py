@@ -96,3 +96,35 @@ def test_ewma_bitwise_matches_manual_recursion(ray_session):
     import pytest as pt
     with pt.raises(ValueError):
         ewma(ds, key="k", order_cols=["o"], value_col="v", alpha=0.0)
+
+
+def test_running_agg_null_handling(ray_session):
+    """Leading nulls → null sum/min/max/avg and count 0; nulls never
+    contribute (SQL window-aggregate rule)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maestro_ray.ops.aggregates import running_agg
+
+    ds = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 1],
+        "o": [1, 2, 3, 4],
+        "v": pa.array([None, 2.0, None, 5.0], pa.float64()),
+    }))
+    out = running_agg(ds, "k", ["o"], "v",
+                      {"n": "count", "s": "sum", "mn": "min",
+                       "mx": "max", "a": "avg"}) \
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    assert list(out.n) == [0, 1, 1, 2]
+    import pandas as pd_
+    assert pd_.isna(out.s.iloc[0]) and pd_.isna(out.mn.iloc[0]) \
+        and pd_.isna(out.a.iloc[0])
+    assert list(out.s)[1:] == [2.0, 2.0, 7.0]
+    assert list(out.mn)[1:] == [2.0, 2.0, 2.0]
+    assert list(out.mx)[1:] == [2.0, 2.0, 5.0]
+    assert list(out.a)[1:] == [2.0, 2.0, 3.5]
+
+    import pytest as pt
+    with pt.raises(ValueError):
+        running_agg(ds, "k", ["o"], "v", {"x": "median"})
