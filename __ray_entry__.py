@@ -3261,6 +3261,19 @@ def _q_window_running(sf):
                                    "run_sum", "run_min", "run_max"])
 
 
+def _q_window_moving_median(sf):
+    """Moving MEDIAN per user over a 3-row frame (ops/aggregates.py
+    moving_median — strided NaN-padded frame view + np.nanmedian,
+    quantile_cont interpolation on even frames, 6dp float policy)."""
+    from maestro_ray.ops.aggregates import moving_median
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                      "value"])
+    out = moving_median(ds, key="user_id", order_cols=["ts", "event_id"],
+                        value_col="value", window=3)
+    return P.project(out, columns=["user_id", "event_id", "mov_median"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3424,6 +3437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered": _q_knn_filtered,
         "cdc_sum_view": _q_cdc_sum_view,
         "window_running": _q_window_running,
+        "window_moving_median": _q_window_moving_median,
     }
 
 
@@ -4522,6 +4536,12 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "window_moving_median": (
+            "SELECT user_id, event_id, "
+            "round(median(value) OVER (PARTITION BY user_id ORDER BY "
+            "ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) "
+            "AS mov_median FROM events"
         ),
         "window_running": (
             "SELECT user_id, event_id, "

@@ -909,6 +909,9 @@ def grouped_vector_mean(
 
 # ------------------------------------------------- covariance / PCA
 
+#: moment-partial width bound: d=2048 → 32 MB per block partial
+_MAX_MOMENT_DIM = 2048
+
 
 def _moment_partials(ds: rd.Dataset, emb_col: str) -> tuple[int, np.ndarray, np.ndarray]:
     """Shared mergeable second-moment pass: per-batch (n, Σx, XᵀX)
@@ -923,6 +926,14 @@ def _moment_partials(ds: rd.Dataset, emb_col: str) -> tuple[int, np.ndarray, np.
             return pa.table({"n": pa.array([], pa.int64()),
                              "payload": pa.array([], pa.list_(pa.float64()))})
         x = _emb_matrix(t, emb_col).astype(np.float64)
+        if x.shape[1] > _MAX_MOMENT_DIM:
+            # d² floats per BLOCK partial: 4096 → 134 MB each — the
+            # driver fold would then hold blocks × that. Fail loudly
+            # (the repo's guard idiom) instead of OOMing silently.
+            raise ValueError(
+                f"covariance/PCA moment pass: d={x.shape[1]} > "
+                f"{_MAX_MOMENT_DIM} — reduce dimensionality first "
+                "(e.g. pca_project on a column subset) or sample")
         row = np.concatenate([x.sum(axis=0), (x.T @ x).reshape(-1)])
         return pa.table({"n": pa.array([x.shape[0]], pa.int64()),
                          "payload": pa.array([row.tolist()],

@@ -128,3 +128,28 @@ def test_running_agg_null_handling(ray_session):
     import pytest as pt
     with pt.raises(ValueError):
         running_agg(ds, "k", ["o"], "v", {"x": "median"})
+
+
+def test_moving_median_nulls_and_guard(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maestro_ray.ops.aggregates import moving_median
+
+    ds = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 1],
+        "o": [1, 2, 3, 4],
+        "v": pa.array([None, 4.0, 2.0, None], pa.float64()),
+    }))
+    out = moving_median(ds, "k", ["o"], "v", window=2) \
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    import pandas as pd_
+    assert pd_.isna(out.mov_median.iloc[0])       # all-null frame
+    assert out.mov_median.iloc[1] == 4.0          # (null,4) -> 4
+    assert out.mov_median.iloc[2] == 3.0          # (4,2) -> interpolated
+    assert out.mov_median.iloc[3] == 2.0          # (2,null) -> 2
+
+    import pytest as pt
+    with pt.raises(ValueError):
+        moving_median(ds, "k", ["o"], "v", window=0)

@@ -82,3 +82,15 @@ def test_pca_k_guard_and_null_vectors():
     out = pca_project(rd.from_arrow(t), "embedding", model,
                       id_col="vec_id").to_pandas()
     assert list(out.vec_id) == [2]
+
+
+def test_moment_dim_guard_fires():
+    import maestro_ray.ops.similarity as S
+
+    wide = pa.table({
+        "vec_id": pa.array([1], pa.int64()),
+        "embedding": pa.array([[0.0] * (S._MAX_MOMENT_DIM + 1)],
+                              pa.list_(pa.float32())),
+    })
+    with pytest.raises(Exception, match="reduce dimensionality"):
+        covariance_matrix(rd.from_arrow(wide), "embedding")
