@@ -2642,6 +2642,20 @@ def _q_quantile_sketch(sf):
                            [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def _q_grouped_quantile_sketch(sf):
+    """Per-key scale path for continuous quantiles: grouped equi-width
+    histogram sketch (ops/aggregates.py grouped_quantile_sketch —
+    per-key min/max fold + one sparse combined bincount per batch;
+    O(keys·nonzero-bins) ever leaves a worker, max_keys guard).
+    Approximate by design → rows-only; pytest asserts the per-key
+    error bound and partition invariance."""
+    from maestro_ray.ops.aggregates import grouped_quantile_sketch
+
+    ds = _read(sf, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return grouped_quantile_sketch(ds, "l_returnflag", "l_extendedprice",
+                                   [0.1, 0.5, 0.9, 0.99])
+
+
 def _q_window_lag_n(sf):
     """A6 LAG/LEAD with offset and default: 3rd-previous / 3rd-next
     value per user (ops/aggregates.py lag_lead(offset=3,
@@ -3438,6 +3452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_sum_view": _q_cdc_sum_view,
         "window_running": _q_window_running,
         "window_moving_median": _q_window_moving_median,
+        "grouped_quantile_sketch": _q_grouped_quantile_sketch,
     }
 
 

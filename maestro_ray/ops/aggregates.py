@@ -2113,3 +2113,107 @@ def moving_median(
             out, pa.array(med, pa.float64(), from_pandas=True))
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def grouped_quantile_sketch(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    n_bins: int = 1024,
+    max_keys: int = 100_000,
+) -> pd.DataFrame:
+    """PER-KEY approximate quantiles for continuous columns — the scale
+    path the exact grouped plans point at (``grouped_quantiles_disc``
+    is bounded by O(distinct (key, value)); a float measure breaks
+    that). Same two mergeable passes as ``quantile_sketch``, keyed:
+
+    1. per-key (min, max) — per-batch grouped partials, driver fold,
+       guarded at ``max_keys`` (the result itself is O(keys));
+    2. per-(key, bin) SPARSE histogram partials (one combined bincount
+       per batch — no per-key loop), folded on the driver.
+
+    Same guarantee per key: the located disc-rank order statistic lies
+    inside the bin, so err ≤ (max_k − min_k)/n_bins. Nulls ignored;
+    returns (key, q, value, err_bound) sorted by (key, q)."""
+    if not qs:
+        raise ValueError("grouped_quantile_sketch: empty quantile list")
+
+    def minmax(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column(key)),
+                             pc.is_valid(t.column(col))))
+        g = t.group_by([key]).aggregate([(col, "min"), (col, "max")])
+        return g.rename_columns([key, "lo", "hi"])
+
+    mm = ds.select_columns([key, col]) \
+        .map_batches(minmax, batch_format="pyarrow").to_pandas()
+    if mm.empty:
+        return pd.DataFrame(columns=[key, "q", "value", "err_bound"])
+    folded = mm.groupby(key).agg(lo=("lo", "min"), hi=("hi", "max"))
+    if len(folded) > max_keys:
+        raise ValueError(
+            f"grouped_quantile_sketch: {len(folded)} keys > "
+            f"max_keys={max_keys} — the per-key result itself is the "
+            "scale bound; pre-aggregate or raise the guard explicitly")
+    import ray
+
+    keys_sorted = folded.index.to_numpy()
+    lo = folded["lo"].to_numpy(dtype=np.float64)
+    hi = folded["hi"].to_numpy(dtype=np.float64)
+    width = np.where(hi > lo, (hi - lo) / n_bins, 0.0)
+    keys_ref = ray.put(keys_sorted)
+    lo_ref = ray.put(lo)
+    w_ref = ray.put(width)
+
+    def hist(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        los = ray.get(lo_ref)
+        ws = ray.get(w_ref)
+        t = t.filter(pc.and_(pc.is_valid(t.column(key)),
+                             pc.is_valid(t.column(col))))
+        if t.num_rows == 0:
+            return pa.table({"ki": pa.array([], pa.int64()),
+                             "bin": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        ki = np.searchsorted(ks, kv)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        w = ws[ki]
+        b = np.zeros(len(v), dtype=np.int64)
+        nz = w > 0
+        b[nz] = np.minimum(((v[nz] - los[ki[nz]]) / w[nz]).astype(np.int64),
+                           n_bins - 1)
+        combined = ki * n_bins + b
+        cnt = np.bincount(combined)
+        idx = np.flatnonzero(cnt)
+        return pa.table({
+            "ki": pa.array(idx // n_bins, pa.int64()),
+            "bin": pa.array(idx % n_bins, pa.int64()),
+            "c": pa.array(cnt[idx], pa.int64())})
+
+    parts = ds.select_columns([key, col]) \
+        .map_batches(hist, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["ki", "bin"])["c"].sum()
+    rows = []
+    for kpos, kval in enumerate(keys_sorted):
+        sub = agg.loc[kpos] if kpos in agg.index.get_level_values(0) else None
+        counts = np.zeros(n_bins, dtype=np.int64)
+        if sub is not None:
+            counts[sub.index.to_numpy()] = sub.to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        for q in qs:
+            if n == 0:
+                rows.append((kval, float(q), np.nan, np.nan))
+                continue
+            target = max(1, int(np.ceil(q * n)))
+            b = int(np.searchsorted(cum, target))
+            prev = cum[b - 1] if b else 0
+            in_bin = counts[b] if counts[b] else 1
+            frac = (target - prev) / in_bin
+            val = lo[kpos] + width[kpos] * (b + min(max(frac, 0.0), 1.0))
+            if width[kpos] == 0.0:
+                val = lo[kpos]
+            rows.append((kval, float(q), float(val), float(width[kpos])))
+    return pd.DataFrame(rows, columns=[key, "q", "value", "err_bound"]) \
+        .sort_values([key, "q"]).reset_index(drop=True)
