@@ -1596,8 +1596,10 @@ def _q_cdc_multi_table(sf):
 
     def tag(name_):
         def f(b: pa.Table) -> pa.Table:
+            # explicit type: pa.array([]) infers NULL on empty batches
+            # (all-tombstone partitions) and poisons the union schema
             return b.append_column(
-                "table_name", pa.array([name_] * b.num_rows))
+                "table_name", pa.array([name_] * b.num_rows, pa.string()))
         return f
 
     a = read_lake(table_dir(root, "pages_a"),
@@ -3130,6 +3132,11 @@ def _q_pca_project(sf):
     out = pca_project(ds, "embedding", model, id_col="vec_id")
 
     def widen(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # reshape(0, -1) is a numpy ValueError
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "pc1": pa.array([], pa.float64()),
+                "pc2": pa.array([], pa.float64())})
         flat = t.column("pc").combine_chunks().flatten() \
             .to_numpy(zero_copy_only=False)
         pcs = flat.reshape(t.num_rows, -1)

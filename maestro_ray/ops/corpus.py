@@ -99,19 +99,27 @@ _HASH_MULT = 2654435761
 _HASH_MOD = 2**32
 
 
-def _bucket100(keys: np.ndarray) -> np.ndarray:
-    """Deterministic 0-99 bucket per integer key, overflow-safe.
+def _mult_hash(keys: np.ndarray, op_name: str) -> np.ndarray:
+    """THE multiplicative key hash — the cross-engine contract every
+    sampling twin pins (``(key % 2^32 * 2654435761) % 2^32``), defined
+    ONCE so the operators sharing it can never desynchronize from their
+    oracles independently.
 
     Keys must be NON-NEGATIVE: SQL ``%`` yields negative remainders for
     negative operands while uint64 arithmetic wraps, so the engine and
     the oracle twin would silently disagree — fail loudly instead."""
     if len(keys) and keys.min() < 0:
         raise ValueError(
-            "sample_hash requires non-negative integer keys (negative "
+            f"{op_name} requires non-negative integer keys (negative "
             "keys diverge between uint64 wrap and SQL % semantics)"
         )
     k = keys.astype(np.uint64) % _HASH_MOD
-    return ((k * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)) % np.uint64(100)
+    return (k * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
+
+
+def _bucket100(keys: np.ndarray) -> np.ndarray:
+    """Deterministic 0-99 bucket per integer key, overflow-safe."""
+    return _mult_hash(keys, "sample_hash") % np.uint64(100)
 
 
 def sample_hash(ds: rd.Dataset, key_col: str, pct: int) -> rd.Dataset:
@@ -189,12 +197,7 @@ def sample_exact_k(ds: rd.Dataset, key_col: str, k: int) -> pd.DataFrame:
     def add_h(batch: pa.Table) -> pa.Table:
         tbl = batch.filter(pc.is_valid(batch.column(key_col)))
         keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
-        if len(keys) and keys.min() < 0:
-            raise ValueError(
-                "sample_exact_k requires non-negative integer keys "
-                "(negative keys diverge between uint64 wrap and SQL %)")
-        h = (keys.astype(np.uint64) % _HASH_MOD
-             * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
+        h = _mult_hash(keys, "sample_exact_k")
         return tbl.append_column("__h", pa.array(h.astype(np.int64)))
 
     out = topk(ds.map_batches(add_h, batch_format="pyarrow"),
@@ -242,11 +245,7 @@ def mixture_sample(
                 return tbl.append_column(
                     "__h", pa.array([], pa.int64()))
             keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
-            if keys.min() < 0:
-                raise ValueError(
-                    "mixture_sample requires non-negative integer keys")
-            h = (keys.astype(np.uint64) % _HASH_MOD
-                 * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
+            h = _mult_hash(keys, "mixture_sample")
             tbl = tbl.append_column("__h", pa.array(h.astype(np.int64)))
         if tbl.num_rows == 0:
             return tbl
@@ -384,27 +383,56 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    if n_docs is None:
-        n_docs = ds.count()
     qt = np.array(sorted(set(query_terms)))
+    qt_set_ref = ray.put(qt)
 
-    stats = term_doc_stats(ds, id_col, text_col).to_pandas()
-    stats = stats[stats["term"].isin(qt)].sort_values("term")
-    df_by_term = np.zeros(len(qt), dtype=np.float64)
-    pos = np.searchsorted(qt, stats["term"].to_numpy())
-    df_by_term[pos] = stats["df"].to_numpy()
-    idf = np.log(1.0 + (n_docs - df_by_term + 0.5) / (df_by_term + 0.5))
-
-    def dl_partial(batch: pa.Table) -> pa.Table:
+    # ONE stats pass over the corpus: per-batch (rows, non-null rows,
+    # Σdl) plus per-QUERY-term df — tokens are filtered to the
+    # broadcast query vocabulary BEFORE any aggregation, so neither
+    # the exchange nor the driver ever sees the corpus vocabulary
+    # (a full term_doc_stats here would shuffle every distinct
+    # (term, doc) pair to compute |query| numbers).
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        terms_sorted = ray.get(qt_set_ref)
         tbl = batch.filter(pc.is_valid(batch.column(text_col)))
         toks = pc.split_pattern(tbl.column(text_col).combine_chunks(), " ")
         n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        return pa.table({"dl_sum": pa.array([int(n.sum())], pa.int64()),
-                         "n": pa.array([len(n)], pa.int64())})
+        flat = toks.flatten()
+        hit = pc.is_in(flat, value_set=pa.array(terms_sorted))
+        doc_of = np.repeat(np.arange(len(n)), n)
+        hidx = hit.to_numpy(zero_copy_only=False)
+        # distinct (term, doc-in-batch) pairs → df contribution
+        ht = np.asarray(flat.filter(pa.array(hidx)).to_pylist())
+        hd = doc_of[hidx]
+        if len(ht):
+            tpos = np.searchsorted(terms_sorted, ht).astype(np.int64)
+            # distinct (term, doc) pairs, then count docs per term
+            pair = np.unique(tpos * (len(n) + 1) + hd)
+            dfc = np.bincount(pair // (len(n) + 1),
+                              minlength=len(terms_sorted))
+        else:
+            dfc = np.zeros(len(terms_sorted), dtype=np.int64)
+        return pa.table({
+            "kind": pa.array(
+                ["dl"] + [f"df:{i}" for i in range(len(terms_sorted))]),
+            "v1": pa.array([int(batch.num_rows)]
+                           + dfc.astype(np.int64).tolist(), pa.int64()),
+            "v2": pa.array([int(n.sum())] + [0] * len(terms_sorted),
+                           pa.int64()),
+            "v3": pa.array([len(n)] + [0] * len(terms_sorted), pa.int64()),
+        })
 
-    tot = ds.map_batches(dl_partial, batch_format="pyarrow") \
-        .sum(["dl_sum", "n"])
-    avgdl = tot["sum(dl_sum)"] / tot["sum(n)"]
+    agg = ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("kind").sum()
+    if n_docs is None:
+        n_docs = int(agg["v1"].get("dl", 0))
+    df_by_term = np.array([int(agg["v1"].get(f"df:{i}", 0))
+                           for i in range(len(qt))], dtype=np.float64)
+    n_dl = int(agg["v3"].get("dl", 0))
+    if n_dl == 0:
+        raise ValueError("bm25_scores: no non-null documents")
+    avgdl = int(agg["v2"].get("dl", 0)) / n_dl
+    idf = np.log(1.0 + (n_docs - df_by_term + 0.5) / (df_by_term + 0.5))
 
     qt_ref = ray.put(qt)
     idf_ref = ray.put(idf)

@@ -65,7 +65,9 @@ def explode_list(ds: rd.Dataset, list_col: str, keep: list[str],
         if with_pos:
             lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
             lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
-            pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) if len(lens) else np.array([], np.int64)
+            # vectorized ragged arange: global index minus each row's start
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            pos = np.arange(int(lens.sum()), dtype=np.int64) - starts
             out_cols.append(pa.array(pos, pa.int64()))
             names.append("pos")
         out_cols.append(flat)

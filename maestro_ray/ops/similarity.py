@@ -22,11 +22,12 @@ import ray
 import ray.data as rd
 
 
-def _emb_matrix(t: pa.Table, emb_col: str) -> np.ndarray:
+def _emb_matrix(t: pa.Table, emb_col: str,
+                dtype=np.float32) -> np.ndarray:
     col = t.column(emb_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype)
     n = len(col)
     return flat.reshape(n, -1)
 
@@ -913,19 +914,29 @@ def grouped_vector_mean(
 _MAX_MOMENT_DIM = 2048
 
 
-def _moment_partials(ds: rd.Dataset, emb_col: str) -> tuple[int, np.ndarray, np.ndarray]:
-    """Shared mergeable second-moment pass: per-batch (n, Σx, XᵀX)
-    partials — O(d²) floats per BLOCK leave a worker, the vectors
-    themselves never move. Partials are folded on the driver in
-    lexicographic order (the repo's sorted-fold idiom, cf. kmeans /
-    logreg) so the result is independent of block arrival order."""
+def _fold_payload_rows(parts: pd.DataFrame) -> np.ndarray:
+    """Driver fold of per-block payload vectors in lexicographic order
+    (the repo's sorted-fold idiom, cf. kmeans / logreg) so the result
+    is independent of block arrival order."""
+    rows = np.stack([np.asarray(p, dtype=np.float64)
+                     for p in parts["payload"]])
+    order = np.lexsort(rows.T[::-1])
+    return rows[order].sum(axis=0)
 
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column(emb_col)))
-        if t.num_rows == 0:
-            return pa.table({"n": pa.array([], pa.int64()),
-                             "payload": pa.array([], pa.list_(pa.float64()))})
-        x = _emb_matrix(t, emb_col).astype(np.float64)
+
+def _moment_partials(
+    ds: rd.Dataset, emb_col: str
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Shared streaming covariance pass — TWO-PASS for numerical
+    stability: pass 1 folds (n, Σx) partials into the mean; pass 2
+    folds CENTERED second moments Σ(x−μ)ᵀ(x−μ) against the broadcast
+    mean. The textbook one-pass XᵀX/n − μμᵀ cancels catastrophically
+    when |μ| ≫ σ (error ~1e-16·|μ|² swamps a 6dp oracle for means
+    ≥1e3); the centered form matches DuckDB's stable covar_pop on
+    arbitrary offsets. O(d²) floats per BLOCK leave a worker, the
+    vectors themselves never move. Returns (n, μ, population cov)."""
+
+    def guard(x: np.ndarray) -> None:
         if x.shape[1] > _MAX_MOMENT_DIM:
             # d² floats per BLOCK partial: 4096 → 134 MB each — the
             # driver fold would then hold blocks × that. Fail loudly
@@ -934,23 +945,44 @@ def _moment_partials(ds: rd.Dataset, emb_col: str) -> tuple[int, np.ndarray, np.
                 f"covariance/PCA moment pass: d={x.shape[1]} > "
                 f"{_MAX_MOMENT_DIM} — reduce dimensionality first "
                 "(e.g. pca_project on a column subset) or sample")
-        row = np.concatenate([x.sum(axis=0), (x.T @ x).reshape(-1)])
+
+    def mean_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(emb_col)))
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.list_(pa.float64()))})
+        # float64 EXTRACTION (not a post-hoc cast): a float32 hop
+        # destroys large-offset inputs' low digits before centering
+        x = _emb_matrix(t, emb_col, dtype=np.float64)
+        guard(x)
         return pa.table({"n": pa.array([x.shape[0]], pa.int64()),
-                         "payload": pa.array([row.tolist()],
+                         "payload": pa.array([x.sum(axis=0).tolist()],
                                              pa.list_(pa.float64()))})
 
-    parts = ds.select_columns([emb_col]) \
-        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    narrow = ds.select_columns([emb_col])
+    parts = narrow.map_batches(mean_partial, batch_format="pyarrow") \
+        .to_pandas()
     if parts.empty:
         raise ValueError(f"no non-null {emb_col!r} vectors")
-    rows = np.stack([np.asarray(p, dtype=np.float64)
-                     for p in parts["payload"]])
-    order = np.lexsort(rows.T[::-1])
-    folded = rows[order].sum(axis=0)
     n = int(parts["n"].sum())
-    # solve d from len = d + d²
-    d = int((-1 + np.sqrt(1 + 4 * len(folded))) / 2)
-    return n, folded[:d], folded[d:].reshape(d, d)
+    mu = _fold_payload_rows(parts) / n
+
+    mu_ref = ray.put(mu)
+
+    def centered_partial(t: pa.Table) -> pa.Table:
+        m = ray.get(mu_ref)
+        t = t.filter(pc.is_valid(t.column(emb_col)))
+        if t.num_rows == 0:
+            return pa.table({"payload": pa.array([], pa.list_(pa.float64()))})
+        x = _emb_matrix(t, emb_col, dtype=np.float64) - m
+        return pa.table({"payload": pa.array([(x.T @ x).reshape(-1).tolist()],
+                                             pa.list_(pa.float64()))})
+
+    parts2 = narrow.map_batches(centered_partial, batch_format="pyarrow") \
+        .to_pandas()
+    d = len(mu)
+    cov = _fold_payload_rows(parts2).reshape(d, d) / n
+    return n, mu, cov
 
 
 def covariance_matrix(
@@ -959,13 +991,11 @@ def covariance_matrix(
     round_to: int | None = 6,
 ) -> pd.DataFrame:
     """Population covariance matrix of the embedding dimensions in LONG
-    format (dim_i, dim_j, cov; 1-based dims, the SQL convention) —
-    cov = XᵀX/n − μμᵀ from one streaming pass of mergeable partials.
+    format (dim_i, dim_j, cov; 1-based dims, the SQL convention) — the
+    stable two-pass centered-moment plan (see _moment_partials).
     Output is d² rows (d is model width, never corpus-sized); at 100 TB
-    the corpus streams once and only O(blocks · d²) floats travel."""
-    n, s, ss = _moment_partials(ds, emb_col)
-    mu = s / n
-    cov = ss / n - np.outer(mu, mu)
+    the corpus streams twice and only O(blocks · d²) floats travel."""
+    n, mu, cov = _moment_partials(ds, emb_col)
     d = len(mu)
     i, j = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
                        indexing="ij")
@@ -983,9 +1013,7 @@ def pca_fit(ds: rd.Dataset, emb_col: str, k: int) -> dict:
     signs are canonicalized (largest-|loading| coordinate positive) so
     the fit is deterministic. Returns {components (k,d), mean,
     explained_variance, explained_variance_ratio}."""
-    n, s, ss = _moment_partials(ds, emb_col)
-    mu = s / n
-    cov = ss / n - np.outer(mu, mu)
+    n, mu, cov = _moment_partials(ds, emb_col)
     d = len(mu)
     if not 1 <= k <= d:
         raise ValueError(f"k={k}: need 1..{d}")

@@ -101,8 +101,12 @@ def _apply_txn(root: str, epoch: int) -> None:
             Manifest.from_json(json.dumps(t["prev"]))
             if t["prev"] is not None else None
         )
-        if os.path.exists(manifest_path(lake, epoch)):
-            continue  # this table already applied
+        # no existence short-circuit: a crash BETWEEN publish_epoch and
+        # write_lineage would otherwise lose the lineage forever (the
+        # manifest exists, so a skip-if-applied check never retries the
+        # lineage write). Both calls are idempotent — publish_epoch
+        # no-ops on an identical manifest, write_lineage rewrites the
+        # same deterministic rows — so always re-applying is safe.
         m = publish_epoch(
             lake, epoch, t["watermark"], t["rows"], prev, t["counters"],
             num_partitions=t["num_partitions"],
@@ -111,10 +115,18 @@ def _apply_txn(root: str, epoch: int) -> None:
         assert m.epoch == epoch
 
 
+def _lineage_path(lake: str, epoch: int) -> str:
+    from maestro_ray.core.manifest import LINEAGE_DIR
+
+    return os.path.join(lake, LINEAGE_DIR, f"epoch-{epoch:012d}.parquet")
+
+
 def recover(root: str) -> int:
-    """Re-apply any txn whose per-table manifests are incomplete (crash
-    between journal write and publish). Returns the count of txns
-    touched. Safe to run always — apply is idempotent."""
+    """Re-apply any txn whose per-table manifests OR lineage files are
+    incomplete (a crash between journal write and publish, or between
+    publish_epoch and write_lineage — both writes must land for the
+    txn to count as applied). Returns the count of txns touched. Safe
+    to run always — apply is idempotent."""
     n = 0
     for e in committed_epochs(root):
         with open(_txn_path(root, e)) as f:
@@ -122,6 +134,7 @@ def recover(root: str) -> int:
         missing = [
             name for name in rec["tables"]
             if not os.path.exists(manifest_path(table_dir(root, name), e))
+            or not os.path.exists(_lineage_path(table_dir(root, name), e))
         ]
         if missing:
             _apply_txn(root, e)

@@ -94,13 +94,18 @@ def _file_group_counts(path: str, group_col: str,
         t = t.append_column(src, pa.nulls(t.num_rows, pa.string()))
     if measure is None:
         mvals = None
+    elif measure.startswith(LEN_MEASURE_PREFIX):
+        raw = (t.column(mcol) if mcol in t.column_names
+               # pre-evolution file: measure column absent → zeros
+               else pa.nulls(t.num_rows, pa.string()))
+        # BYTES, as documented — binary_length after a zero-copy cast
+        # (utf8_length would count characters, 3× off on CJK text)
+        raw = pc.binary_length(pc.cast(pc.cast(raw, pa.string()),
+                                       pa.binary()))
+        mvals = pc.cast(pc.fill_null(raw, 0), pa.int64())
     else:
-        if mcol in t.column_names:
-            raw = t.column(mcol)
-        else:  # pre-evolution file: measure column absent → zeros
-            raw = pa.nulls(t.num_rows, pa.string())
-        if measure.startswith(LEN_MEASURE_PREFIX):
-            raw = pc.utf8_length(pc.cast(raw, pa.string()))
+        raw = (t.column(mcol) if mcol in t.column_names
+               else pa.nulls(t.num_rows, pa.int64()))
         mvals = pc.cast(pc.fill_null(raw, 0), pa.int64())
     if hashed:
         from maestro_ray.ops.hashing import hash_array
@@ -270,9 +275,15 @@ def maintain_group_sums(
     same partition-diff plan, cursor, and vacuum re-anchor as
     ``maintain_group_counts``, for any group-additive integer measure:
     a stored numeric column (``measure="warc_ts_us"``) or the virtual
-    ``"len:<col>"`` (live utf8 bytes of <col> per group, e.g. corpus
+    ``"len:<col>"`` (live utf8 BYTES of <col> per group, e.g. corpus
     text volume per language). Correct by the same algebra: sums add
-    and subtract across the epoch's changed partition files."""
+    and subtract across the epoch's changed partition files.
+
+    Semantics note: the view stores NON-ZERO sums — a group whose live
+    measure sums to exactly 0 is absent (indistinguishable, by sum
+    alone, from a group with no live rows; both maintenance paths
+    apply the same rule, so the view is self-consistent). Track the
+    count view alongside if zero-sum-but-live groups matter."""
     return _maintain(lake_dir, group_col,
                      sum_view_name(group_col, measure), measure,
                      on_vacuumed)
@@ -329,6 +340,9 @@ def _maintain(
             last_anchor = b
             view = _live_group_counts(lake_files(lake_dir, mb), group_col,
                                       measure)
+            # same compaction rule as the incremental step — the anchor
+            # and the next diff'd epoch must agree on zero-valued groups
+            view = view[view != 0]
             _persist(view, lake_dir, view_id, group_col, b)
             prev_m = mb
             pending = [x for x in epochs if x > b]

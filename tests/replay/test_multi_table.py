@@ -116,3 +116,35 @@ def test_uneven_tables_one_finishes_early(ray_session, tmp_path):
     last = committed_epochs(root)[-1]
     rec = json.load(open(multi._txn_path(root, last)))
     assert set(rec["tables"]) == {"a"}  # b long since done
+
+
+def test_crash_between_publish_and_lineage_recovers(ray_session, logs,
+                                                    tmp_path):
+    """r4 review finding: manifest landed but lineage didn't — recover
+    must re-apply (both writes are the txn's applied condition)."""
+    root = str(tmp_path / "root")
+    ingest_multi(root, logs, num_partitions=4)
+    e = committed_epochs(root)[0]
+    lp = multi._lineage_path(table_dir(root, "b"), e)
+    assert os.path.exists(lp)
+    os.remove(lp)  # simulate the torn state
+    assert recover(root) == 1
+    assert os.path.exists(lp)
+
+
+def test_file_group_counts_stored_measure_pre_evolution(tmp_path):
+    """r4 review finding: a stored-column SUM measure over a file
+    missing that column must yield zeros, not ArrowTypeError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from maestro_ray.pipelines.views import _file_group_counts
+
+    p = str(tmp_path / "old.parquet")
+    pq.write_table(pa.table({"lang": ["en", "en", "de"],
+                             "op": ["insert"] * 3}), p)
+    got = _file_group_counts(p, "lang", "n_chars")
+    assert got == {"en": 0, "de": 0}
+    # len: measure over the same pre-evolution file also yields zeros
+    got2 = _file_group_counts(p, "lang", "len:text")
+    assert got2 == {"en": 0, "de": 0}

@@ -158,7 +158,7 @@ def test_sum_view_matches_recompute_at_every_epoch(lake):
     def recompute(epoch):
         pdf = read_lake_at(lake, epoch,
                            columns=["url", "lang", "text"]).to_pandas()
-        pdf["b"] = pdf["text"].fillna("").str.len()
+        pdf["b"] = pdf["text"].fillna("").str.encode("utf-8").str.len()
         vc = pdf.groupby("lang", dropna=False)["b"].sum()
         return {k if pd.notna(k) else None: int(v)
                 for k, v in vc.items() if v != 0}

@@ -94,3 +94,21 @@ def test_moment_dim_guard_fires():
     })
     with pytest.raises(Exception, match="reduce dimensionality"):
         covariance_matrix(rd.from_arrow(wide), "embedding")
+
+
+def test_covariance_stable_under_large_mean_offset():
+    """The r4 review finding: the one-pass XᵀX/n − μμᵀ form loses ~1e-4
+    absolute accuracy at |μ|~1e6; the two-pass centered plan must stay
+    6dp-exact vs numpy's stable np.cov."""
+    off = X + 1.0e6
+    t = pa.table({
+        "vec_id": pa.array(np.arange(N), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in off],
+                              pa.list_(pa.float64())),
+    })
+    got = covariance_matrix(rd.from_arrow(t).repartition(5), "embedding",
+                            round_to=None)
+    m = np.zeros((D, D))
+    m[got.dim_i - 1, got.dim_j - 1] = got["cov"]
+    want = np.cov(off, rowvar=False, bias=True)
+    assert np.abs(m - want).max() < 1e-7
