@@ -1651,6 +1651,26 @@ def _q_cdc_incremental_view(sf):
     return view
 
 
+def _q_cdc_repartition(sf):
+    """Online partition-count migration (io/lake.py repartition_lake):
+    zero-copy CLONE the replay lake (hardlinked epochs), migrate the
+    clone 16 → 5 partitions, and return its live state — which must
+    equal the source lake's exactly (content checksum asserted
+    internally; byte/equality oracle is pytest
+    tests/replay/test_repartition.py). Rows-only check."""
+    from maestro_ray.io.lake import clone_lake, read_lake, repartition_lake
+
+    src = _cdc_lake(sf)
+    dst = src + "_rp5"
+    done = dst + "._DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(dst, ignore_errors=True)
+        clone_lake(src, dst)
+        repartition_lake(dst, 5)
+        open(done, "w").close()
+    return read_lake(dst, columns=["url", "warc_ts", "lang"])
+
+
 def _q_cdc_sum_view(sf):
     """Incremental grouped-SUM view over the replay lake: live text
     BYTES per lang (the ``len:text`` virtual measure), maintained by
@@ -3460,6 +3480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_running": _q_window_running,
         "window_moving_median": _q_window_moving_median,
         "grouped_quantile_sketch": _q_grouped_quantile_sketch,
+        "cdc_repartition": _q_cdc_repartition,
     }
 
 

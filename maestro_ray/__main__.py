@@ -110,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
                       "count view: a stored int column, or len:<col> "
                       "for live utf8 bytes of <col>")
 
+    p_rp = sub.add_parser(
+        "repartition",
+        help="migrate the lake to a new partition count (new epoch, "
+        "checksum-invariant; resume ingest with the new value)")
+    p_rp.add_argument("--lake-dir", required=True)
+    p_rp.add_argument("--num-partitions", type=int, required=True)
+
     p_ch = sub.add_parser(
         "changes",
         help="print the net change feed over an epoch range (CDC-out)")
@@ -277,6 +284,10 @@ def main(argv: list[str] | None = None) -> int:
                                      to_epoch=args.to_epoch)
             print(json.dumps(res))
             return 0
+        elif args.cmd == "repartition":
+            from maestro_ray.io.lake import repartition_lake
+
+            m = repartition_lake(args.lake_dir, args.num_partitions)
         elif args.cmd == "compact":
             from maestro_ray.io.lake import compact_partitions
 

@@ -465,3 +465,106 @@ def read_lineage(lake_dir: str) -> pa.Table | None:
         return None
     files = sorted(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
     return pa.concat_tables([pq.read_table(f) for f in files]) if files else None
+
+
+def repartition_lake(lake_dir: str, new_num_partitions: int) -> Manifest:
+    """Online partition-count MIGRATION: rewrite the lake's current
+    state (live rows AND tombstones — the LWW memory must move too)
+    under ``p = hash64(url) % new_P``, committed as one new manifest
+    epoch whose partition map REPLACES the old one (no carry-forward —
+    old and new partition ids overlap numerically).
+
+    This closes the operational gap behind the ingest guard ("lake was
+    built with num_partitions=P"): grow P as the corpus grows, then
+    resume ``ingest(..., num_partitions=new_P)``. History stays
+    addressable — older manifests keep the old partitioning until
+    vacuum, and time travel reads them unchanged.
+
+    Plan: one streaming pass over the current files (Dataset read →
+    route → ONE shuffle → per-new-partition sort-by-url + staged write,
+    the merge stage's determinism rules), then the standard atomic
+    publish. The multiset of rows is untouched, so the mergeable
+    content checksum (sum of row hashes mod 2^64) over all partitions
+    is INVARIANT — asserted before publish.
+    """
+    import ray
+    import ray.data as rd
+
+    from maestro_ray.core.manifest import publish_epoch
+    from maestro_ray.core.schema import LAKE_V2
+    from maestro_ray.ops.hashing import checksum as _checksum
+    from maestro_ray.ops.merge import ts_max_us
+    from maestro_ray.ops.partition import partition_ids
+
+    if new_num_partitions < 1:
+        raise ValueError(f"new_num_partitions={new_num_partitions}")
+    m = latest_manifest(lake_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {lake_dir}")
+    require_readable(lake_dir, m, "repartition")
+    if m.num_partitions == new_num_partitions:
+        return m
+    epoch = m.epoch + 1
+    old_total = sum(int(v["checksum"]) for v in m.partitions.values()) \
+        % (2 ** 64)
+    lake_cols = [f.name for f in LAKE_V2]
+
+    def route(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # conform older files to LAKE_V2 (null op = live insert)
+        cols = []
+        for f in LAKE_V2:
+            i = t.schema.get_field_index(f.name)
+            if i >= 0:
+                cols.append(pc.cast(t.column(i), f.type))
+            elif f.name == "op":
+                cols.append(pa.array(["insert"] * t.num_rows, pa.string()))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        t = pa.Table.from_arrays(cols, schema=LAKE_V2)
+        p = partition_ids(t.column("url"), new_num_partitions)
+        return t.append_column("p", pa.array(p, pa.int32()))
+
+    def write_part(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = group.column("p")[0].as_py()
+        out = group.drop_columns(["p"])
+        out = out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
+        out = out.cast(LAKE_V2)
+        rel = os.path.join("_staging", f"epoch-{epoch:012d}", f"p={p}.parquet")
+        path = os.path.join(lake_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(out, path)
+        live = out.filter(live_mask(out)).num_rows
+        return pa.table({
+            "partition": pa.array([p], pa.int32()),
+            "row_count": pa.array([out.num_rows], pa.int64()),
+            "live_rows": pa.array([live], pa.int64()),
+            "checksum": pa.array([_checksum(out)], pa.uint64()),
+            "watermark_offset": pa.array([m.watermark], pa.int64()),
+            "ts_max": pa.array([ts_max_us(out)], pa.int64()),
+        })
+
+    files = lake_files(lake_dir, m)
+    if not files:
+        raise ValueError(f"{lake_dir}: manifest has no data files")
+    ds = rd.read_parquet(files).map_batches(route, batch_format="pyarrow")
+    rows = ds.groupby("p").map_groups(
+        write_part, batch_format="pyarrow").take_all()
+    new_total = sum(int(r["checksum"]) for r in rows) % (2 ** 64)
+    assert new_total == old_total, (
+        f"repartition content drift: checksum {old_total} -> {new_total}")
+    counters = {
+        "repartitioned_from": m.num_partitions or -1,
+        "repartitioned_to": new_num_partitions,
+        "rows_physical": sum(r["row_count"] for r in rows),
+    }
+    # prev=None: the new partition map REPLACES the old ids entirely
+    out_m = publish_epoch(lake_dir, epoch, m.watermark, rows, None,
+                          counters, num_partitions=new_num_partitions)
+    write_lineage(lake_dir, epoch, [
+        {**r, "epoch": epoch} for r in rows
+    ])
+    return out_m
