@@ -3315,6 +3315,36 @@ def _q_window_moving_median(sf):
     return P.project(out, columns=["user_id", "event_id", "mov_median"])
 
 
+def _q_standardize(sf):
+    """Per-group z-score feature prep (ops/mlprep.py standardize):
+    (value − μ_type)/σ_type with population std — one mergeable moment
+    pass broadcast, batch-local scoring, 6dp float policy."""
+    from maestro_ray.ops.mlprep import standardize
+
+    ds = _read(sf, "events", columns=["event_id", "event_type", "value"])
+    return standardize(ds, key="event_type", col="value")
+
+
+def _q_one_hot(sf):
+    """One-hot encoding (ops/mlprep.py one_hot) with a FROZEN category
+    list (the stable-feature-space contract) — pure per-batch Arrow
+    equality masks, no shuffle."""
+    from maestro_ray.ops.mlprep import one_hot
+
+    ds = _read(sf, "events", columns=["event_id", "event_type"])
+    return one_hot(ds, "event_type", categories=sorted(EVENT_TYPES))
+
+
+def _q_categorical_encode(sf):
+    """Dense categorical ids (ops/mlprep.py categorical_encode):
+    1-based rank in the sorted vocabulary, SQL dense_rank() semantics —
+    vocabulary folds once and broadcasts."""
+    from maestro_ray.ops.mlprep import categorical_encode
+
+    ds = _read(sf, "events", columns=["event_id", "event_type"])
+    return categorical_encode(ds, "event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3481,6 +3511,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_moving_median": _q_window_moving_median,
         "grouped_quantile_sketch": _q_grouped_quantile_sketch,
         "cdc_repartition": _q_cdc_repartition,
+        "standardize": _q_standardize,
+        "one_hot": _q_one_hot,
+        "categorical_encode": _q_categorical_encode,
     }
 
 
@@ -4579,6 +4612,24 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "standardize": (
+            "SELECT event_id, event_type, value, "
+            "round((value - avg(value) OVER w) / "
+            "NULLIF(stddev_pop(value) OVER w, 0), 6) AS z FROM events "
+            "WINDOW w AS (PARTITION BY event_type)"
+        ),
+        "one_hot": (
+            "SELECT event_id, event_type, "
+            + ", ".join(
+                f"CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END "
+                f"AS event_type_{t}" for t in sorted(EVENT_TYPES))
+            + " FROM events"
+        ),
+        "categorical_encode": (
+            "SELECT event_id, event_type, "
+            "CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) "
+            "AS code FROM events"
         ),
         "window_moving_median": (
             "SELECT user_id, event_id, "

@@ -1,0 +1,147 @@
+"""Feature-preparation operators for training pipelines: per-group
+z-score standardization, one-hot encoding, dense categorical ids.
+
+All follow the broadcast-small-side shape: the statistics / category
+vocabulary are tiny grouped aggregates folded once, broadcast via
+``ray.put``, and applied in a single vectorized per-batch pass — the
+corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _group_moments(ds: rd.Dataset, key: str, col: str) -> pd.DataFrame:
+    """Mergeable per-key (n, Σx, Σx²) partials → driver fold. O(keys)
+    rows per batch ever leave a worker."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column(key)),
+                             pc.is_valid(t.column(col))))
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = t.column(key)
+        tt = pa.table({key: keys,
+                       "n": pa.array(np.ones(len(v), np.int64)),
+                       "s": pa.array(v, pa.float64()),
+                       "ss": pa.array(v * v, pa.float64())})
+        g = tt.group_by([key]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns([key, "n", "s", "ss"])
+
+    parts = ds.select_columns([key, col]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby(key, sort=True).sum()
+
+
+def standardize(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    out_col: str = "z",
+    round_to: int | None = 6,
+) -> rd.Dataset:
+    """Per-group z-score: (x − μ_k) / σ_k with the POPULATION std
+    (SQL ``(v − avg(v) OVER w) / stddev_pop(v) OVER w``). Stats come
+    from one mergeable moment pass and broadcast; the scoring pass is
+    batch-local. A zero-variance group yields null (SQL div-by-zero →
+    the twin NULLIFs it); null key/value rows pass through with null z.
+
+    σ is computed CENTERED on the driver fold (Σ(x)²-free on the group
+    scale: σ² = Σx²/n − μ² is fine here because μ and x share magnitude
+    inside one group's stats — for covariance-scale cancellation see
+    ops/similarity._moment_partials)."""
+    stats = _group_moments(ds, key, col)
+    mu = (stats["s"] / stats["n"]).to_numpy()
+    var = stats["ss"].to_numpy() / stats["n"].to_numpy() - mu * mu
+    sd = np.sqrt(np.maximum(var, 0.0))
+    keys_sorted = stats.index.to_numpy()
+    ref = ray.put((keys_sorted, mu, sd))
+
+    def score(t: pa.Table) -> pa.Table:
+        ks, mus, sds = ray.get(ref)
+        kv = t.column(key).to_pandas().to_numpy(dtype=object)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = pd.notna(kv)
+        pos = np.zeros(len(kv), dtype=np.int64)
+        pos[valid] = np.minimum(np.searchsorted(ks, kv[valid]),
+                                len(ks) - 1)
+        hit = np.zeros(len(kv), dtype=bool)
+        hit[valid] = ks[pos[valid]] == kv[valid]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(hit & (sds[pos] > 0.0),
+                         (v - mus[pos]) / sds[pos], np.nan)
+        if round_to is not None:
+            z = np.round(z, round_to)
+        return t.append_column(
+            out_col, pa.array(z, pa.float64(), from_pandas=True))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def one_hot(
+    ds: rd.Dataset,
+    col: str,
+    categories: list[str] | None = None,
+    prefix: str | None = None,
+) -> rd.Dataset:
+    """One-hot encode a categorical column: one int64 0/1 column per
+    category (sorted order; nulls encode all-zero). ``categories=None``
+    folds the distinct set first (small grouped aggregate) — pass the
+    list explicitly in pipelines that need a frozen feature space."""
+    if categories is None:
+        def dist(t: pa.Table) -> pa.Table:
+            u = pc.unique(t.column(col).combine_chunks())
+            return pa.table({col: u.filter(pc.is_valid(u))})
+
+        cats = ds.select_columns([col]) \
+            .map_batches(dist, batch_format="pyarrow").to_pandas()
+        categories = sorted(cats[col].unique())
+    pre = prefix if prefix is not None else col
+    cats = list(categories)
+
+    def encode(t: pa.Table) -> pa.Table:
+        v = t.column(col)
+        for c in cats:
+            m = pc.cast(pc.fill_null(pc.equal(v, pa.scalar(c)), False),
+                        pa.int64())
+            t = t.append_column(f"{pre}_{c}", m)
+        return t
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def categorical_encode(
+    ds: rd.Dataset,
+    col: str,
+    out_col: str = "code",
+) -> rd.Dataset:
+    """Dense integer ids for a categorical column: 1-based rank in the
+    SORTED distinct vocabulary (SQL ``dense_rank() OVER (ORDER BY
+    col)`` semantics), null → null. Vocabulary folds once, broadcasts,
+    and the mapping is one searchsorted per batch."""
+    def dist(t: pa.Table) -> pa.Table:
+        u = pc.unique(t.column(col).combine_chunks())
+        return pa.table({col: u.filter(pc.is_valid(u))})
+
+    vocab = ds.select_columns([col]) \
+        .map_batches(dist, batch_format="pyarrow").to_pandas()
+    vs = np.sort(vocab[col].unique())
+    ref = ray.put(vs)
+
+    def encode(t: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        col_np = t.column(col).to_pandas().to_numpy(dtype=object)
+        valid = pd.notna(col_np)
+        code = np.zeros(len(col_np), dtype=np.float64)
+        code[valid] = np.searchsorted(v, col_np[valid]) + 1
+        code[~valid] = np.nan
+        return t.append_column(
+            out_col, pa.array(code, pa.float64(), from_pandas=True)
+            .cast(pa.int64()))
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -86,7 +86,7 @@ ORACLE_NAMES = [
     "scd2_history", "bm25_search", "covariance_matrix", "mixture_sample",
     "join_asof_near", "window_ewma", "merge_into", "explode_pos",
     "edit_distance", "knn_filtered", "window_running",
-    "window_moving_median",
+    "window_moving_median", "standardize", "one_hot", "categorical_encode",
 ]
 
 
