@@ -3345,6 +3345,45 @@ def _q_categorical_encode(sf):
     return categorical_encode(ds, "event_type")
 
 
+def _q_ohlc(sf):
+    """Per-user daily OHLC downsample (ops/analytics.py ohlc):
+    open/high/low/close of value per epoch-floored 1-day bucket,
+    (ts, event_id)-ordered first/last — one shuffle, O(n) reduceat
+    slices per group. The SQL twin pins the SAME epoch-floor bucket
+    rule (NOT calendar days with timezones)."""
+    from maestro_ray.ops.analytics import ohlc
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                      "value"])
+    return ohlc(ds, key="user_id", ts_col="ts", value_col="value",
+                bucket="1D", seq_col="event_id")
+
+
+def _q_interp_fill(sf):
+    """Per-user linear time-weighted interpolation
+    (ops/aggregates.py interp_fill): 'error' rows' values are nulled
+    deterministically, then filled between nearest non-null neighbors;
+    edges stay null, passthrough values are gathered bit-exact. Both
+    directions use the ffill maximum-accumulate index trick."""
+    from maestro_ray.ops.aggregates import interp_fill
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                      "event_type", "value"])
+
+    def nullify(t: pa.Table) -> pa.Table:
+        v = pc.if_else(pc.equal(t.column("event_type"),
+                                pa.scalar("error")),
+                       pa.nulls(t.num_rows, pa.float64()),
+                       t.column("value"))
+        return t.set_column(t.schema.get_field_index("value"),
+                            "value", v)
+
+    out = interp_fill(ds.map_batches(nullify, batch_format="pyarrow"),
+                      key="user_id", ts_col="ts", value_col="value",
+                      order_tiebreak=["event_id"])
+    return P.project(out, columns=["user_id", "event_id", "value_interp"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3514,6 +3553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "standardize": _q_standardize,
         "one_hot": _q_one_hot,
         "categorical_encode": _q_categorical_encode,
+        "ohlc": _q_ohlc,
+        "interp_fill": _q_interp_fill,
     }
 
 
@@ -4612,6 +4653,42 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "interp_fill": (
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN event_type = 'error' THEN NULL ELSE value END "
+            "AS v FROM events), "
+            "f AS (SELECT user_id, event_id, ts, v, "
+            "last_value(v IGNORE NULLS) OVER wp AS pv, "
+            "last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END "
+            "IGNORE NULLS) OVER wp AS pt, "
+            "first_value(v IGNORE NULLS) OVER wf AS nv, "
+            "first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END "
+            "IGNORE NULLS) OVER wf AS nt FROM e WINDOW "
+            "wp AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "wf AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) "
+            "SELECT user_id, event_id, CASE WHEN v IS NOT NULL THEN v "
+            "WHEN pv IS NULL OR nv IS NULL THEN NULL "
+            "ELSE round(pv + (nv - pv) * (epoch_us(ts) - pt) / "
+            "(nt - pt), 6) END AS value_interp FROM f"
+        ),
+        "ohlc": (
+            "WITH e AS (SELECT user_id, value, "
+            "make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) "
+            "AS bucket_ts, "
+            "row_number() OVER (PARTITION BY user_id, epoch_us(ts) - "
+            "epoch_us(ts) % 86400000000 ORDER BY ts, event_id) AS ra, "
+            "row_number() OVER (PARTITION BY user_id, epoch_us(ts) - "
+            "epoch_us(ts) % 86400000000 ORDER BY ts DESC, event_id "
+            "DESC) AS rd FROM events WHERE value IS NOT NULL) "
+            "SELECT user_id, bucket_ts, "
+            "max(CASE WHEN ra = 1 THEN value END) AS open, "
+            "max(value) AS high, min(value) AS low, "
+            "max(CASE WHEN rd = 1 THEN value END) AS close, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM e GROUP BY 1, 2"
         ),
         "standardize": (
             "SELECT event_id, event_type, value, "

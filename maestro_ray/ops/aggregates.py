@@ -2217,3 +2217,54 @@ def grouped_quantile_sketch(
             rows.append((kval, float(q), float(val), float(width[kpos])))
     return pd.DataFrame(rows, columns=[key, "q", "value", "err_bound"]) \
         .sort_values([key, "q"]).reset_index(drop=True)
+
+
+def interp_fill(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: list[str] | None = None,
+    out: str = "value_interp",
+    round_to: int | None = 6,
+) -> rd.Dataset:
+    """Per-key LINEAR time-weighted interpolation of null values:
+    v = v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev)
+    between each null row's nearest non-null neighbors in (ts,
+    tiebreak) order. Leading/trailing nulls stay null (no
+    extrapolation); non-null values pass through bit-exact. Completes
+    the time-series fill set (ffill = LOCF, gap_fill = grid).
+
+    One shuffle (groupby key); the neighbor search is the same
+    maximum-accumulate index trick as ffill run in both directions —
+    no per-row loop. Interpolated values are rounded at ``round_to``
+    (float policy; the passthrough values are NOT rounded — they are
+    gathered, not recomputed)."""
+    sort_keys = [(ts_col, "ascending")] + [
+        (c, "ascending") for c in (order_tiebreak or [])]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        n = s.num_rows
+        v = s.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        t = s.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64).astype(np.float64)
+        valid = ~np.isnan(v)
+        prev = np.maximum.accumulate(
+            np.where(valid, np.arange(n, dtype=np.int64), -1))
+        # next valid index at-or-after each row; n when none follows
+        nxt = np.minimum.accumulate(
+            np.where(valid, np.arange(n, dtype=np.int64), n)[::-1])[::-1]
+        out_v = v.copy()
+        fill = ~valid & (prev >= 0) & (nxt < n)
+        if fill.any():
+            p, q = prev[fill], nxt[fill]
+            interp = v[p] + (v[q] - v[p]) * (t[fill] - t[p]) / (t[q] - t[p])
+            if round_to is not None:
+                interp = np.round(interp, round_to)
+            out_v[fill] = interp
+        return s.append_column(
+            out, pa.array(out_v, pa.float64(), from_pandas=True))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

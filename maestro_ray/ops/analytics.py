@@ -140,3 +140,58 @@ def cohort_retention(
 
     return pairs.groupby(["cohort_us", "period_index"]).map_groups(
         count_distinct, batch_format="pyarrow")
+
+
+def ohlc(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str,
+    seq_col: str | None = None,
+) -> rd.Dataset:
+    """Per-key OHLC downsampling: open/high/low/close of ``value_col``
+    per ``bucket`` (pandas offset alias, epoch-floored — the same
+    bucket rule as tumbling_window/cohort: pin it in any SQL twin, NOT
+    calendar weeks). Open/close are the first/last values in (ts, seq)
+    order — pass ``seq_col`` when timestamps can collide. One shuffle
+    (groupby key), vectorized per-group bucketing: sort once, slice
+    boundaries via run detection, O(n) per group. Null values are
+    dropped first (SQL aggregate rule)."""
+    ns = int(pd.Timedelta(bucket).value)
+    us = ns // 1000
+    sort_keys = [(ts_col, "ascending")] + (
+        [(seq_col, "ascending")] if seq_col else [])
+
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.is_valid(g.column(value_col)))
+        if g.num_rows == 0:
+            return pa.table({
+                key: pa.array([], g.schema.field(key).type),
+                "bucket_ts": pa.array([], pa.timestamp("us")),
+                "open": pa.array([], pa.float64()),
+                "high": pa.array([], pa.float64()),
+                "low": pa.array([], pa.float64()),
+                "close": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            })
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        ts = s.column(ts_col).to_numpy(zero_copy_only=False)
+        tus = ts.astype("datetime64[us]").astype(np.int64)
+        b = tus - (tus % us)
+        v = s.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], len(b)]
+        return pa.table({
+            key: s.column(key).take(pa.array(starts, pa.int64())),
+            "bucket_ts": pa.array(
+                b[starts].astype("datetime64[us]"), pa.timestamp("us")),
+            "open": pa.array(v[starts], pa.float64()),
+            "high": pa.array(np.maximum.reduceat(v, starts), pa.float64()),
+            "low": pa.array(np.minimum.reduceat(v, starts), pa.float64()),
+            "close": pa.array(v[ends - 1], pa.float64()),
+            "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+        })
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

@@ -87,3 +87,52 @@ def test_analytics_partition_invariance(ray_session):
          .sort_values(["cohort", "period_index"]).reset_index(drop=True)
          for p in (1, 7)]
     pd.testing.assert_frame_equal(c[0], c[1])
+
+
+def test_interp_fill_edges_and_weights(ray_session):
+    import numpy as np
+    import pandas as pd_
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maestro_ray.ops.aggregates import interp_fill
+
+    t = pd_.Timestamp
+    ds = rd.from_arrow(pa.table({
+        "k": [1] * 5,
+        "ts": [t("2024-01-01"), t("2024-01-02"), t("2024-01-04"),
+               t("2024-01-05"), t("2024-01-06")],
+        "v": pa.array([None, 10.0, None, 40.0, None], pa.float64()),
+    }))
+    out = interp_fill(ds, key="k", ts_col="ts", value_col="v") \
+        .to_pandas().sort_values("ts").reset_index(drop=True)
+    vi = out.value_interp
+    assert pd_.isna(vi.iloc[0]) and pd_.isna(vi.iloc[4])  # no extrapolation
+    assert vi.iloc[1] == 10.0 and vi.iloc[3] == 40.0      # passthrough
+    # Jan 4 is 2/3 of the way from Jan 2 to Jan 5: 10 + 30*(2/3) = 30
+    assert abs(vi.iloc[2] - 30.0) < 1e-9
+
+
+def test_ohlc_buckets(ray_session):
+    import pandas as pd_
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maestro_ray.ops.analytics import ohlc
+
+    t = pd_.Timestamp
+    ds = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 1],
+        "ts": [t("2024-01-01 01:00"), t("2024-01-01 09:00"),
+               t("2024-01-02 03:00"), t("2024-01-01 05:00")],
+        "seq": [1, 2, 3, 4],
+        "v": pa.array([5.0, 2.0, 7.0, None], pa.float64()),
+    }))
+    out = ohlc(ds, key="k", ts_col="ts", value_col="v", bucket="1D",
+               seq_col="seq").to_pandas().sort_values("bucket_ts") \
+        .reset_index(drop=True)
+    assert len(out) == 2
+    d1 = out.iloc[0]
+    assert (d1.open, d1.high, d1.low, d1.close, d1.n) == (5.0, 5.0, 2.0, 2.0, 2)
+    d2 = out.iloc[1]
+    assert (d2.open, d2.close, d2.n) == (7.0, 7.0, 1)
