@@ -3384,6 +3384,20 @@ def _q_interp_fill(sf):
     return P.project(out, columns=["user_id", "event_id", "value_interp"])
 
 
+def _q_tfidf_topk(sf):
+    """Composed keyword extraction: top-3 TF-IDF terms per document
+    (ops/corpus.tfidf_scores → ops/aggregates.grouped_topk, ties by
+    term) — the per-doc keyword list every corpus-exploration pipeline
+    derives. Broadcast df + one grouped top-k shuffle."""
+    from maestro_ray.ops.aggregates import grouped_topk
+    from maestro_ray.ops.corpus import tfidf_scores
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    scored = tfidf_scores(ds, "doc_id", "text")
+    return grouped_topk(scored, "doc_id", "score", 3, descending=True,
+                        tie_break=["term"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3555,6 +3569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "categorical_encode": _q_categorical_encode,
         "ohlc": _q_ohlc,
         "interp_fill": _q_interp_fill,
+        "tfidf_topk": _q_tfidf_topk,
     }
 
 
@@ -4653,6 +4668,22 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "tfidf_topk": (
+            "WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents WHERE text IS NOT NULL), "
+            "tfs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM e GROUP BY 1, 2), "
+            "dfs AS (SELECT term, count(DISTINCT doc_id) AS df "
+            "FROM e GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT t.doc_id, t.term, t.tf, "
+            "round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS score, "
+            "row_number() OVER (PARTITION BY t.doc_id ORDER BY "
+            "round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) DESC, "
+            "t.term) AS rn "
+            "FROM tfs t JOIN dfs d USING (term), n) "
+            "SELECT doc_id, term, tf, score FROM s WHERE rn <= 3"
         ),
         "interp_fill": (
             "WITH e AS (SELECT user_id, ts, event_id, "

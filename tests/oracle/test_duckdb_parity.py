@@ -87,7 +87,7 @@ ORACLE_NAMES = [
     "join_asof_near", "window_ewma", "merge_into", "explode_pos",
     "edit_distance", "knn_filtered", "window_running",
     "window_moving_median", "standardize", "one_hot", "categorical_encode",
-    "ohlc", "interp_fill",
+    "ohlc", "interp_fill", "tfidf_topk",
 ]
 
 
