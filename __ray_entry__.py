@@ -2625,6 +2625,35 @@ def _q_graph_components(sf):
     return connected_components(edges)
 
 
+def _q_pagerank(sf):
+    """Distributed PageRank (ops/graph.py pagerank — fixed 20-round
+    power iteration, edges stream per round with per-batch sparse
+    bincount partials, O(nodes) broadcast state behind a loud guard)
+    over the same per-user event-chain edges as graph_components.
+    Iterative float fixpoint → rows-only; pytest owns the oracle
+    (numpy power-iteration reference at 1e-9, closed-form star graph,
+    dangling handling, partition invariance)."""
+    from maestro_ray.ops.graph import pagerank
+
+    ds = _read(sf, "events", columns=["user_id", "event_id", "ts"])
+
+    def chain_edges(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+        ev = s.column("event_id").combine_chunks()
+        n = len(ev)
+        if n < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": ev.slice(0, n - 1), "b": ev.slice(1)})
+
+    edges = ds.groupby("user_id").map_groups(chain_edges,
+                                             batch_format="pyarrow")
+    out = pagerank(edges)
+    out["rank"] = out["rank"].round(9)
+    return out
+
+
 def _q_funnel(sf):
     """Product-analytics funnel view→click→purchase per user, each
     step STRICTLY after the previous (ops/analytics.py funnel — one
@@ -3570,6 +3599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc": _q_ohlc,
         "interp_fill": _q_interp_fill,
         "tfidf_topk": _q_tfidf_topk,
+        "pagerank": _q_pagerank,
     }
 
 

@@ -29,6 +29,7 @@ Labels only ever decrease, so contraction cannot oscillate.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -274,3 +275,113 @@ def connected_components(
     raise RuntimeError(
         f"connected_components: no convergence in {max_rounds} "
         "contraction rounds — degenerate input? raise max_rounds")
+
+
+def pagerank(
+    edges: rd.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    damping: float = 0.85,
+    iterations: int = 20,
+    max_broadcast_nodes: int = 5_000_000,
+) -> pd.DataFrame:
+    """PageRank over a directed edge list: the standard power
+    iteration r' = (1−d)/N + d·(Σ_{u→v} r_u/deg_u + dangling/N), fixed
+    ``iterations`` rounds (deterministic stopping — the repo rule for
+    float-iterative ops). Returns (node, rank) for every node that
+    appears in any edge; ranks sum to 1.
+
+    Plan: the EDGES stream every round (one map_batches; contributions
+    pre-reduced per batch to sparse (dst, partial) via bincount → one
+    small driver fold); the O(nodes) rank/degree state is broadcast
+    once per round via ``ray.put`` (sorted arrays, ~16 B/node — 5M
+    nodes ≈ 80 MB). Node counts above ``max_broadcast_nodes`` fail
+    LOUDLY (the repo's guard idiom) naming the remedies: raise the
+    guard on a big-memory driver, or pre-contract the graph. (A
+    rank-as-Dataset hash_join round would remove the bound but pays a
+    per-round shuffle of the edge list AND the r3 block-doubling trap —
+    not built until a workload needs it.) Dangling mass is one array
+    reduction per round.
+
+    Per-node float sums fold per batch then per groupby — the last ulp
+    depends on partitioning (inherent to distributed float addition);
+    tests compare against a numpy reference at 1e-9."""
+    import ray
+
+    if not 0 < damping < 1:
+        raise ValueError(f"damping={damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations={iterations}")
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.select([src, dst]).rename_columns(["a", "b"])
+        t = t.filter(pc.and_(pc.is_valid(t.column("a")),
+                             pc.is_valid(t.column("b"))))
+        cols = [pc.cast(t.column(c), pa.int64()) for c in ("a", "b")]
+        return pa.table({"a": cols[0], "b": cols[1]})
+
+    # materialize once: the cleaned edge set is re-scanned EVERY round
+    # (a lazy plan would re-run the caller's whole upstream pipeline —
+    # e.g. a groupby — per iteration), and compact to bytes-sized
+    # blocks so 20 scans don't pay tiny-block overhead 20 times
+    from maestro_ray.ops.partition import compact_blocks
+
+    e = compact_blocks(
+        edges.map_batches(clean, batch_format="pyarrow").materialize())
+
+    # node universe + out-degree: two tiny grouped folds, O(nodes)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "deg"])
+
+    deg = e.map_batches(deg_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("node")["deg"].sum()
+
+    def dst_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t.column("b").combine_chunks())
+        return pa.table({"node": u})
+
+    dsts = e.map_batches(dst_partial, batch_format="pyarrow") \
+        .to_pandas()["node"].unique()
+    nodes = np.union1d(deg.index.to_numpy(), dsts)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="float64")})
+    if n > max_broadcast_nodes:
+        raise ValueError(
+            f"pagerank: {n} nodes > max_broadcast_nodes="
+            f"{max_broadcast_nodes}; raise the guard explicitly (the "
+            "rank/degree tables are ~16 B/node of broadcast state) or "
+            "pre-contract the graph (ops/graph.connected_components)")
+    degs = np.zeros(n, dtype=np.float64)
+    degs[np.searchsorted(nodes, deg.index.to_numpy())] = \
+        deg.to_numpy(dtype=np.float64)
+    dangling = degs == 0.0
+    ranks = np.full(n, 1.0 / n)
+    nodes_ref = ray.put(nodes)
+
+    for _ in range(iterations):
+        state_ref = ray.put(ranks / np.maximum(degs, 1.0))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            ns = ray.get(nodes_ref)
+            share = ray.get(state_ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            vals = share[np.searchsorted(ns, a)]
+            pos = np.searchsorted(ns, b)
+            acc = np.bincount(pos, weights=vals, minlength=len(ns))
+            nz = np.flatnonzero(acc)
+            return pa.table({"dst": pa.array(ns[nz], pa.int64()),
+                             "c": pa.array(acc[nz], pa.float64())})
+
+        parts = e.map_batches(contrib, batch_format="pyarrow") \
+            .to_pandas().groupby("dst", sort=True)["c"].sum()
+        inflow = np.zeros(n, dtype=np.float64)
+        inflow[np.searchsorted(nodes, parts.index.to_numpy())] = \
+            parts.to_numpy()
+        d_mass = float(ranks[dangling].sum())
+        ranks = (1.0 - damping) / n + damping * (inflow + d_mass / n)
+
+    return pd.DataFrame({"node": nodes.astype(np.int64), "rank": ranks})
