@@ -3427,6 +3427,90 @@ def _q_tfidf_topk(sf):
                         tie_break=["term"])
 
 
+def _q_window_moving_std(sf):
+    """Moving population stddev per user over a 5-row frame
+    (ops/aggregates.py moving_std — strided frames, per-frame two-pass,
+    4dp float policy for windowed co-moment drift)."""
+    from maestro_ray.ops.aggregates import moving_std
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                      "value"])
+    out = moving_std(ds, key="user_id", order_cols=["ts", "event_id"],
+                     value_col="value", window=5)
+    return P.project(out, columns=["user_id", "event_id", "mov_std"])
+
+
+def _q_outlier_iqr(sf):
+    """IQR outlier filter: keep lineitem rows whose extendedprice lies
+    inside [q1 − 1.5·IQR, q3 + 1.5·IQR] of their returnflag group —
+    quartiles from the exact grouped continuous-quantile plan
+    (broadcast), filter is batch-local. The quantiles twin DuckDB's
+    lerp BIT-exactly (grouped_quantiles_cont precedent) and the bound
+    arithmetic uses the same association on both engines — no rounding
+    anywhere."""
+    from maestro_ray.ops.aggregates import grouped_quantiles_cont
+
+    qdf = grouped_quantiles_cont(
+        _read(sf, "lineitem", columns=["l_returnflag", "l_extendedprice"]),
+        "l_returnflag", "l_extendedprice", [0.25, 0.75])
+    piv = qdf.pivot(index="l_returnflag", columns="q",
+                    values="value")
+    lo = piv[0.25] - 1.5 * (piv[0.75] - piv[0.25])
+    hi = piv[0.75] + 1.5 * (piv[0.75] - piv[0.25])
+    keys = np.array(sorted(piv.index))
+    lo_v = lo.loc[keys].to_numpy()
+    hi_v = hi.loc[keys].to_numpy()
+    import ray as _ray
+
+    ref = _ray.put((keys, lo_v, hi_v))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ks, los, his = _ray.get(ref)
+        g = np.asarray(t.column("l_returnflag").to_pylist())
+        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, g)
+        m = (v >= los[pos]) & (v <= his[pos])
+        return t.filter(pa.array(m))
+
+    ds = _read(sf, "lineitem", columns=["l_orderkey", "l_linenumber",
+                                        "l_returnflag", "l_extendedprice"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _q_agg_filtered(sf):
+    """SQL FILTER-clause aggregates: per user, count/sum over the
+    'click' subset plus the overall count, in ONE mergeable grouped
+    pass (masked partials — no second scan)."""
+    ds = _read(sf, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        click = pc.equal(t.column("event_type"), pa.scalar("click"))
+        click = pc.fill_null(click, False)
+        v = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cm = click.to_numpy(zero_copy_only=False)
+        vm = np.where(cm & ~np.isnan(v), v, 0.0)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "n_all": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_click": pa.array(cm.astype(np.int64)),
+            "sum_click": pa.array(vm, pa.float64()),
+        }).group_by(["user_id"]).aggregate(
+            [("n_all", "sum"), ("n_click", "sum"), ("sum_click", "sum")]
+        ).rename_columns(["user_id", "n_all", "n_click", "sum_click"])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").sum(["n_all", "n_click", "sum_click"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["user_id", "n_all", "n_click", "sum_click"])
+        s = np.round(t.column("sum_click").to_numpy(zero_copy_only=False)
+                     .astype(np.float64), 6)
+        return t.set_column(3, "sum_click", pa.array(s, pa.float64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3600,6 +3684,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interp_fill": _q_interp_fill,
         "tfidf_topk": _q_tfidf_topk,
         "pagerank": _q_pagerank,
+        "window_moving_std": _q_window_moving_std,
+        "outlier_iqr": _q_outlier_iqr,
+        "agg_filtered": _q_agg_filtered,
     }
 
 
@@ -4698,6 +4785,30 @@ def oracle_sql() -> dict[str, str]:
             "(e.b - f.cb) // 604800000000 AS period_index, "
             "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
             "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "window_moving_std": (
+            "SELECT user_id, event_id, "
+            "round(stddev_pop(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND "
+            "CURRENT ROW), 4) AS mov_std FROM events"
+        ),
+        "outlier_iqr": (
+            "WITH b AS (SELECT l_returnflag, "
+            "quantile_cont(l_extendedprice, 0.25) AS q1, "
+            "quantile_cont(l_extendedprice, 0.75) AS q3 "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, "
+            "l.l_extendedprice FROM lineitem l JOIN b USING "
+            "(l_returnflag) WHERE l.l_extendedprice >= "
+            "b.q1 - 1.5 * (b.q3 - b.q1) AND l.l_extendedprice <= "
+            "b.q3 + 1.5 * (b.q3 - b.q1)"
+        ),
+        "agg_filtered": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_all, "
+            "CAST(count(*) FILTER (WHERE event_type = 'click') "
+            "AS BIGINT) AS n_click, "
+            "round(coalesce(sum(value) FILTER (WHERE event_type = "
+            "'click'), 0.0), 6) AS sum_click FROM events GROUP BY 1"
         ),
         "tfidf_topk": (
             "WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) "

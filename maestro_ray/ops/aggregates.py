@@ -2268,3 +2268,46 @@ def interp_fill(
             out, pa.array(out_v, pa.float64(), from_pandas=True))
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def moving_std(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out: str = "mov_std",
+    round_to: int | None = 4,
+) -> rd.Dataset:
+    """ROWS-frame moving POPULATION standard deviation per key (SQL
+    ``stddev_pop(v) OVER (ROWS window−1 PRECEDING AND CURRENT ROW)``).
+    Same strided NaN-padded frame plan as ``moving_median``; per-frame
+    two-pass (mean then Σ(x−μ)²/n) — numerically stable, no per-row
+    loop. Frames with zero non-null values are null; single-value
+    frames are 0. Rounded at ``round_to`` (4dp default: windowed
+    stddev differs from an engine's incremental co-moments in the last
+    few ulps)."""
+    if window < 1:
+        raise ValueError(f"moving_std: window={window}")
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        v = s.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pad = np.concatenate([np.full(window - 1, np.nan), v])
+        fr = np.lib.stride_tricks.sliding_window_view(pad, window)
+        ok = ~np.isnan(fr)
+        cnt = ok.sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = np.where(ok, fr, 0.0).sum(axis=1) / cnt
+            dev = np.where(ok, fr - mu[:, None], 0.0)
+            var = (dev * dev).sum(axis=1) / cnt
+            std = np.sqrt(var)
+        std = np.where(cnt > 0, std, np.nan)
+        if round_to is not None:
+            std = np.round(std, round_to)
+        return s.append_column(
+            out, pa.array(std, pa.float64(), from_pandas=True))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

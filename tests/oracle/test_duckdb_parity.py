@@ -88,6 +88,7 @@ ORACLE_NAMES = [
     "edit_distance", "knn_filtered", "window_running",
     "window_moving_median", "standardize", "one_hot", "categorical_encode",
     "ohlc", "interp_fill", "tfidf_topk",
+    "window_moving_std", "outlier_iqr", "agg_filtered",
 ]
 
 
