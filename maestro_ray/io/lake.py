@@ -173,6 +173,38 @@ def read_lake_at(lake_dir: str, epoch: int,
     return read_lake(lake_dir, columns=columns, manifest=m)
 
 
+def read_lake_at_offset(lake_dir: str, offset: int,
+                        columns: list[str] | None = None
+                        ) -> rd.Dataset | None:
+    """Time travel by CHANGELOG POSITION: the lake state after applying
+    every change event with offset ≤ ``offset`` and nothing beyond —
+    i.e. the newest committed epoch whose watermark ≤ offset. This is
+    the replay-semantics cousin of ``read_lake_at`` (epochs are an
+    implementation detail; offsets are the changelog's own coordinate
+    system, what a debugging "what did row X look like before event N"
+    session actually has in hand).
+
+    Exactness caveat, stated loudly: epochs are the commit granularity,
+    so an ``offset`` strictly inside an epoch's range resolves to the
+    epoch BELOW it (the last state that provably contains no event past
+    ``offset``). Raises if even the genesis epoch is newer."""
+    from maestro_ray.core.manifest import list_epochs, manifest_at
+
+    best = None
+    for e in list_epochs(lake_dir):
+        m = manifest_at(lake_dir, e)
+        if m.watermark <= offset:
+            best = m
+    if best is None:
+        raise ValueError(
+            f"no committed epoch of {lake_dir} has watermark <= "
+            f"{offset} (earliest epoch is already past it)")
+    require_readable(lake_dir, best,
+                     f"offset {offset} (epoch {best.epoch}) of "
+                     f"{lake_dir} is no longer readable")
+    return read_lake(lake_dir, columns=columns, manifest=best)
+
+
 def lookup_urls(lake_dir: str, urls: list[str],
                 columns: list[str] | None = None,
                 manifest: Manifest | None = None) -> pa.Table:

@@ -63,6 +63,36 @@ def test_unknown_epoch_lists_history(lake):
         read_lake_at(lake["dir"], 999)
 
 
+def test_offset_travel_resolves_to_covering_epoch(lake):
+    """read_lake_at_offset: an exact epoch watermark resolves to that
+    epoch; an offset INSIDE an epoch's range resolves to the epoch
+    below; pre-genesis offsets raise."""
+    from maestro_ray.io.lake import read_lake_at_offset
+
+    d = lake["dir"]
+    epochs = list_epochs(d)
+    wms = [manifest_at(d, e).watermark for e in epochs]
+
+    # exact watermark → that epoch's state
+    for e, wm in zip(epochs, wms):
+        got = _sorted_by_url(read_lake_at_offset(d, wm))
+        want = _sorted_by_url(read_lake_at(d, e))
+        assert got.equals(want), f"offset {wm}"
+
+    # mid-epoch offset → the epoch BELOW (documented granularity)
+    mid = wms[0] + 1
+    assert mid < wms[1]
+    got = _sorted_by_url(read_lake_at_offset(d, mid))
+    assert got.equals(_sorted_by_url(read_lake_at(d, epochs[0])))
+
+    # far-future offset → newest epoch
+    got = _sorted_by_url(read_lake_at_offset(d, 10**12))
+    assert got.equals(_sorted_by_url(read_lake_at(d, epochs[-1])))
+
+    with pytest.raises(ValueError, match="watermark"):
+        read_lake_at_offset(d, -5)
+
+
 def test_vacuum_invalidates_history_loudly(lake):
     # vacuum keeps only the latest manifest's files; epoch 1 rewrote
     # every partition in later epochs, so its files are reclaimed
