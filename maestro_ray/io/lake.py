@@ -190,11 +190,14 @@ def read_lake_at_offset(lake_dir: str, offset: int,
     ``offset``). Raises if even the genesis epoch is newer."""
     from maestro_ray.core.manifest import list_epochs, manifest_at
 
+    # watermarks are monotone across epochs: scan newest-first and stop
+    # at the first hit — O(epochs past the offset), not O(history)
     best = None
-    for e in list_epochs(lake_dir):
+    for e in reversed(list_epochs(lake_dir)):
         m = manifest_at(lake_dir, e)
         if m.watermark <= offset:
             best = m
+            break
     if best is None:
         raise ValueError(
             f"no committed epoch of {lake_dir} has watermark <= "
@@ -582,7 +585,13 @@ def repartition_lake(lake_dir: str, new_num_partitions: int) -> Manifest:
     files = lake_files(lake_dir, m)
     if not files:
         raise ValueError(f"{lake_dir}: manifest has no data files")
-    ds = rd.read_parquet(files).map_batches(route, batch_format="pyarrow")
+    from maestro_ray.io.changelog import _num_read_blocks
+
+    # byte-sized read blocks: the very next operation is a sort shuffle
+    # and Ray's default ~200-block floor pays O(blocks²) fetches there
+    ds = rd.read_parquet(
+        files, override_num_blocks=_num_read_blocks(files)
+    ).map_batches(route, batch_format="pyarrow")
     rows = ds.groupby("p").map_groups(
         write_part, batch_format="pyarrow").take_all()
     new_total = sum(int(r["checksum"]) for r in rows) % (2 ** 64)

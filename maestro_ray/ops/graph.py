@@ -328,6 +328,11 @@ def pagerank(
 
     e = compact_blocks(
         edges.map_batches(clean, batch_format="pyarrow").materialize())
+    if e.count() == 0:
+        # all edges empty/null: an empty Ray collection loses its
+        # schema in to_pandas (repo-documented class) — return directly
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="float64")})
 
     # node universe + out-degree: two tiny grouped folds, O(nodes)
     def deg_partial(t: pa.Table) -> pa.Table:

@@ -36,6 +36,8 @@ def _group_moments(ds: rd.Dataset, key: str, col: str) -> pd.DataFrame:
 
     parts = ds.select_columns([key, col]) \
         .map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # all rows null: empty collect loses its schema
+        return pd.DataFrame(columns=[key, "n", "s", "ss"]).set_index(key)
     return parts.groupby(key, sort=True).sum()
 
 
@@ -65,6 +67,9 @@ def standardize(
 
     def score(t: pa.Table) -> pa.Table:
         ks, mus, sds = ray.get(ref)
+        if len(ks) == 0:  # no stats at all: every z is null
+            return t.append_column(
+                out_col, pa.nulls(t.num_rows, pa.float64()))
         kv = t.column(key).to_pandas().to_numpy(dtype=object)
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
         valid = pd.notna(kv)
@@ -101,7 +106,7 @@ def one_hot(
 
         cats = ds.select_columns([col]) \
             .map_batches(dist, batch_format="pyarrow").to_pandas()
-        categories = sorted(cats[col].unique())
+        categories = sorted(cats[col].unique()) if not cats.empty else []
     pre = prefix if prefix is not None else col
     cats = list(categories)
 
@@ -131,11 +136,15 @@ def categorical_encode(
 
     vocab = ds.select_columns([col]) \
         .map_batches(dist, batch_format="pyarrow").to_pandas()
-    vs = np.sort(vocab[col].unique())
+    vs = (np.sort(vocab[col].unique()) if not vocab.empty
+          else np.array([], dtype=object))
     ref = ray.put(vs)
 
     def encode(t: pa.Table) -> pa.Table:
         v = ray.get(ref)
+        if len(v) == 0:  # all-null vocabulary: every code is null
+            return t.append_column(
+                out_col, pa.nulls(t.num_rows, pa.int64()))
         col_np = t.column(col).to_pandas().to_numpy(dtype=object)
         valid = pd.notna(col_np)
         code = np.zeros(len(col_np), dtype=np.float64)

@@ -107,8 +107,14 @@ def _diff_partition(new: pa.Table, old: pa.Table,
     ln = pc.fill_null(j.column("__ln"), False)
     lo = pc.fill_null(j.column("__lo"), False)
     ins = pc.and_(ln, pc.invert(lo))
-    upd = pc.and_(pc.and_(ln, lo),
-                  pc.not_equal(j.column("__vn"), j.column("__vo")))
+    # null-safe version compare: for an old-only row __vn is null and
+    # non-Kleene and_(False, null) is NULL, which used to poison the
+    # op cascade and silently drop the row's DELETE (r4 review,
+    # execution-confirmed — reachable once repartition_lake can remove
+    # live urls from a partition)
+    neq = pc.fill_null(pc.not_equal(j.column("__vn"), j.column("__vo")),
+                       False)
+    upd = pc.and_(pc.and_(ln, lo), neq)
     del_ = pc.and_(lo, pc.invert(ln))
     op = pc.if_else(ins, pa.scalar("insert"),
                     pc.if_else(upd, pa.scalar("update"),

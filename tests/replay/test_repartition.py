@@ -80,3 +80,95 @@ def test_repartition_noop_and_guards(ray_session, tmp_path):
         repartition_lake(lake, 0)
     with pytest.raises(FileNotFoundError):
         repartition_lake(str(tmp_path / "nope"), 2)
+
+
+def test_change_feed_across_migration_is_applyable(ray_session, tmp_path):
+    """r4 review finding: a migration epoch moves live urls between
+    partitions; the feed must emit PAIRED delete@old + insert@new (the
+    old-only join rows used to be silently dropped by non-Kleene null
+    propagation), so delete-then-insert appliers converge and nothing
+    is a phantom."""
+    import pandas as pd
+
+    from maestro_ray.pipelines.changefeed import table_changes
+
+    log = str(tmp_path / "log")
+    write_changelog(log, ChangelogParams(n_urls=30, n_events=200,
+                                         seg_rows=100, seed=8))
+    lake = str(tmp_path / "lake")
+    m = ingest(log, lake, num_partitions=8)
+    m2 = repartition_lake(lake, 3)
+
+    feed = table_changes(lake, m.epoch, m2.epoch).to_pandas()
+    ins = feed[feed.change_op == "insert"]
+    dels = feed[feed.change_op == "delete"]
+    assert len(feed) == len(ins) + len(dels)      # no spurious updates
+    # every moved url appears exactly once on each side — a net no-op
+    assert sorted(ins.url) == sorted(dels.url)
+    assert len(ins) > 0                           # 8->3 moves something
+    # delete-then-insert application over the pre-migration state is a
+    # no-op on the url set
+    before = set(read_lake_table(lake).column("url").to_pylist())
+    applied = (before - set(dels.url)) | set(ins.url)
+    assert applied == before
+
+
+def test_empty_edge_pagerank_and_mlprep_guards(ray_session):
+    """r4 review finding: maybe-empty driver collections (the
+    documented schema-loss class) must not KeyError."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maestro_ray.ops.graph import pagerank
+    from maestro_ray.ops.mlprep import (
+        categorical_encode,
+        one_hot,
+        standardize,
+    )
+
+    empty_edges = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+    assert len(pagerank(empty_edges)) == 0
+    nulls = rd.from_arrow(pa.table({
+        "a": pa.array([None], pa.int64()), "b": pa.array([1], pa.int64())}))
+    assert len(pagerank(nulls)) == 0  # the only edge is null -> empty
+
+    allnull = rd.from_arrow(pa.table({
+        "k": pa.array([None, None], pa.string()),
+        "v": pa.array([None, None], pa.float64()),
+        "c": pa.array([None, None], pa.string()),
+    }))
+    z = standardize(allnull, "k", "v").to_pandas()
+    assert z.z.isna().all()
+    oh = one_hot(allnull, "c").to_pandas()
+    assert len(oh) == 2                       # no category columns added
+    ce = categorical_encode(allnull, "c").to_pandas()
+    assert ce.code.isna().all()
+
+
+def test_replicate_across_migration_converges(ray_session, tmp_path):
+    """End-to-end: a replica synced before a repartition must converge
+    to the identical table after applying the migration epoch's feed
+    (the paired delete+insert moves)."""
+    import duckdb
+
+    from maestro_ray.pipelines.replicate import replicate_to_rdbms
+
+    log = str(tmp_path / "log")
+    write_changelog(log, ChangelogParams(n_urls=25, n_events=160,
+                                         seg_rows=80, seed=13))
+    lake = str(tmp_path / "lake")
+    ingest(log, lake, num_partitions=6)
+    db = str(tmp_path / "replica.db")
+    stage = str(tmp_path / "stage")
+    replicate_to_rdbms(lake, db, "pages", stage)
+    repartition_lake(lake, 2)
+    replicate_to_rdbms(lake, db, "pages", stage)
+
+    con = duckdb.connect(db)
+    got = con.execute(
+        "SELECT url, warc_ts FROM pages ORDER BY url").fetch_df()
+    want = read_lake_table(lake).select(["url", "warc_ts"]) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
