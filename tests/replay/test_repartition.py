@@ -172,3 +172,28 @@ def test_replicate_across_migration_converges(ray_session, tmp_path):
         .to_pandas().sort_values("url").reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_incremental_views_net_zero_across_migration(ray_session,
+                                                     tmp_path):
+    """A migration epoch rewrites every file but changes no content —
+    the partition-diff view algebra (incl. the vanished-partition walk
+    in changed_partitions) must fold it to a zero delta."""
+    from maestro_ray.pipelines.views import (
+        maintain_group_counts,
+        maintain_group_sums,
+    )
+
+    log = str(tmp_path / "log")
+    write_changelog(log, ChangelogParams(n_urls=30, n_events=200,
+                                         seg_rows=100, seed=21))
+    lake = str(tmp_path / "lake")
+    ingest(log, lake, num_partitions=6)
+    before_c = maintain_group_counts(lake, "lang")
+    before_s = maintain_group_sums(lake, "lang", "len:text")
+    repartition_lake(lake, 2)
+    after_c = maintain_group_counts(lake, "lang")
+    after_s = maintain_group_sums(lake, "lang", "len:text")
+    import pandas as pd
+    pd.testing.assert_frame_equal(before_c, after_c)
+    pd.testing.assert_frame_equal(before_s, after_s)
