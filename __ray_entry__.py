@@ -3450,8 +3450,14 @@ def _q_outlier_iqr(sf):
     anywhere."""
     from maestro_ray.ops.aggregates import grouped_quantiles_cont
 
+    # extendedprice is continuous: the exact plan's distinct-pair
+    # exchange carries ~594k pairs at sf0.1 (inside the 2M guard; the
+    # scale path is grouped_quantile_sketch). 32 read blocks measured
+    # best (7.8 s vs 10.4 default vs 18.8 at 8 — the shuffle wants
+    # sort parallelism here, not fewer blocks)
     qdf = grouped_quantiles_cont(
-        _read(sf, "lineitem", columns=["l_returnflag", "l_extendedprice"]),
+        _read(sf, "lineitem", columns=["l_returnflag", "l_extendedprice"],
+              override_num_blocks=32),
         "l_returnflag", "l_extendedprice", [0.25, 0.75])
     piv = qdf.pivot(index="l_returnflag", columns="q",
                     values="value")
