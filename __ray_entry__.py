@@ -2009,6 +2009,19 @@ _SYNTH_URL_SQL = (
 )
 
 
+def _q_url_canonical(sf):
+    """URL canonicalization for keying/dedup (ops/web.py
+    canonicalize_urls): lowercase scheme+host, default ports stripped,
+    query/fragment dropped, trailing slashes collapsed — one RE2
+    extract+rebuild per batch over the shared synthetic URLs."""
+    from maestro_ray.ops.web import canonicalize_urls
+
+    ds = _read(sf, "documents", columns=["doc_id", "lang"]).map_batches(
+        _with_synth_urls, batch_format="pyarrow")
+    out = canonicalize_urls(ds, "url")
+    return P.project(out, columns=["doc_id", "url", "url_canonical"])
+
+
 def _q_url_parse(sf):
     """Webtext URL structure parse: scheme/host/registrable-domain/path
     from one vectorized RE2 extract per batch (ops/web.py parse_urls —
@@ -3517,6 +3530,17 @@ def _q_agg_filtered(sf):
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_heavy_hitters_grouped(sf):
+    """Per-group exact frequent values (ops/aggregates.py
+    heavy_hitters_grouped): quantities holding ≥2.1% of their
+    returnflag group — distinct-pair partials, group totals folded
+    from the same pass, loud high-cardinality guard."""
+    from maestro_ray.ops.aggregates import heavy_hitters_grouped
+
+    ds = _read(sf, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return heavy_hitters_grouped(ds, "l_returnflag", "l_quantity", 0.021)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -3693,6 +3717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_moving_std": _q_window_moving_std,
         "outlier_iqr": _q_outlier_iqr,
         "agg_filtered": _q_agg_filtered,
+        "heavy_hitters_grouped": _q_heavy_hitters_grouped,
+        "url_canonical": _q_url_canonical,
     }
 
 
@@ -4808,6 +4834,33 @@ def oracle_sql() -> dict[str, str]:
             "(l_returnflag) WHERE l.l_extendedprice >= "
             "b.q1 - 1.5 * (b.q3 - b.q1) AND l.l_extendedprice <= "
             "b.q3 + 1.5 * (b.q3 - b.q1)"
+        ),
+        "url_canonical": (
+            "WITH u AS (SELECT doc_id, " + _SYNTH_URL_SQL + " AS url "
+            "FROM documents), "
+            "p AS (SELECT doc_id, url, "
+            r"lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)"
+            r"://([^/?#]+)([^?#]*)', 1)) AS scheme, "
+            r"lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)"
+            r"://([^/?#]+)([^?#]*)', 2)) AS host0, "
+            r"regexp_replace(regexp_extract(url, "
+            r"'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)', 3), "
+            r"'/+$', '') AS path0 FROM u) "
+            "SELECT doc_id, url, scheme || '://' || "
+            "CASE WHEN scheme = 'http' THEN "
+            r"regexp_replace(host0, ':80$', '') "
+            "WHEN scheme = 'https' THEN "
+            r"regexp_replace(host0, ':443$', '') ELSE host0 END || "
+            "CASE WHEN path0 = '' THEN '/' ELSE path0 END "
+            "AS url_canonical FROM p"
+        ),
+        "heavy_hitters_grouped": (
+            "WITH c AS (SELECT l_returnflag, l_quantity, "
+            "CAST(count(*) AS BIGINT) AS n FROM lineitem "
+            "WHERE l_quantity IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT l_returnflag, sum(n) AS tot FROM c GROUP BY 1) "
+            "SELECT c.l_returnflag, c.l_quantity, c.n FROM c "
+            "JOIN t USING (l_returnflag) WHERE c.n >= 0.021 * t.tot"
         ),
         "agg_filtered": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_all, "

@@ -2311,3 +2311,29 @@ def moving_std(
             out, pa.array(std, pa.float64(), from_pandas=True))
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def heavy_hitters_grouped(
+    ds: rd.Dataset, key: str, col: str, min_fraction: float,
+    max_distinct: int = MAX_DISTINCT_DRIVER,
+) -> pd.DataFrame:
+    """EXACT per-group frequent values: every (key, value) whose count
+    ≥ min_fraction of ITS GROUP's rows (SQL HAVING against a windowed
+    group total) — 'dominant event types per user', 'top quantities
+    per flag'. Plan: distinct (key, value) count partials → ONE
+    groupby — the ``_count_merge`` discrete tier with its loud
+    high-cardinality guard; group totals fold from the same partials
+    (no second pass). Null values are excluded (SQL frequency-of-value
+    semantics); null keys form their own group."""
+    if not 0 < min_fraction < 1:
+        raise ValueError(f"min_fraction={min_fraction}: need (0, 1)")
+    merged, cnt_col = _count_merge(
+        ds.select_columns([key, col]), [key, col],
+        max_distinct=max_distinct)
+    merged = merged[merged[col].notna()]
+    totals = merged.groupby(key, dropna=False)[cnt_col].transform("sum")
+    out = merged[merged[cnt_col] >= min_fraction * totals]
+    out = out.rename(columns={cnt_col: "n"}) \
+        .sort_values([key, col]).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out[[key, col, "n"]]

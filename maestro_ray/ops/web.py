@@ -351,3 +351,43 @@ def blocklist_count(
         return t.append_column(out, n.cast(pa.int64()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+_CANON_URL_RE = (r"^(?P<cscheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+                 r"(?P<chost>[^/?#]+)(?P<cpath>[^?#]*)")
+
+
+def canonicalize_urls(
+    ds: rd.Dataset, url_col: str = "url", out_col: str = "url_canonical"
+) -> rd.Dataset:
+    """Canonical content URL for keying/dedup: lowercase scheme+host,
+    default port stripped (:80 for http, :443 for https), query and
+    fragment DROPPED (the content-identity rule — tracking params can
+    never split a key), trailing slashes collapsed (empty path → '/').
+    One vectorized RE2 extract + rebuild per batch — the identical
+    engine DuckDB embeds, so the SQL twin is the same pattern.
+    Unparseable/null URLs yield null (quarantine-not-crash)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        parts = pc.extract_regex(urls, _CANON_URL_RE)
+        ok = pc.is_valid(parts)
+        scheme = pc.utf8_lower(pc.struct_field(parts, "cscheme"))
+        host = pc.utf8_lower(pc.struct_field(parts, "chost"))
+        host = pc.if_else(
+            pc.equal(scheme, pa.scalar("http")),
+            pc.replace_substring_regex(host, r":80$", ""), host)
+        host = pc.if_else(
+            pc.equal(scheme, pa.scalar("https")),
+            pc.replace_substring_regex(host, r":443$", ""), host)
+        path = pc.replace_substring_regex(
+            pc.struct_field(parts, "cpath"), r"/+$", "")
+        path = pc.if_else(pc.equal(path, pa.scalar("")),
+                          pa.scalar("/"), path)
+        canon = pc.binary_join_element_wise(scheme, "://", host, path, "")
+        canon = pc.if_else(ok, canon, pa.nulls(len(urls), pa.string()))
+        return batch.append_column(out_col, canon)
+
+    return ds.map_batches(f, batch_format="pyarrow")

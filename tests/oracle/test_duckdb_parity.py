@@ -89,6 +89,7 @@ ORACLE_NAMES = [
     "window_moving_median", "standardize", "one_hot", "categorical_encode",
     "ohlc", "interp_fill", "tfidf_topk",
     "window_moving_std", "outlier_iqr", "agg_filtered",
+    "heavy_hitters_grouped", "url_canonical",
 ]
 
 

@@ -200,3 +200,28 @@ def test_dedup_chunks_global_id_packing_guard(ray_session):
     with pytest.raises(Exception, match="uint31"):
         dedup_chunks_global(_ds(ray_session, t, parts=1), "doc_id",
                             "text", chunk_tokens=2).materialize()
+
+
+def test_canonicalize_urls_rules(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maestro_ray.ops.web import canonicalize_urls
+
+    cases = {
+        "HTTPS://WWW.Ex.COM:443/A/B/?utm=x#frag": "https://www.ex.com/A/B",
+        "http://ex.com:80/": "http://ex.com/",
+        "http://ex.com:8080/p": "http://ex.com:8080/p",  # non-default kept
+        "https://ex.com": "https://ex.com/",             # empty path -> /
+        "notaurl": None,
+        None: None,
+    }
+    ds = rd.from_arrow(pa.table({"url": list(cases)}))
+    out = canonicalize_urls(ds, "url").to_pandas()
+    got = dict(zip(out.url, out.url_canonical))
+    for k, v in cases.items():
+        if v is None:
+            import pandas as pd_
+            assert pd_.isna(got.get(k)), k
+        else:
+            assert got[k] == v, (k, got[k])
