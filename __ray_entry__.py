@@ -590,6 +590,21 @@ def _q_dedup_ngram(sf):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_dedup_substring(sf):
+    """Exact duplicated-SUBSTRING statistics (ops/substr.py — the Lee
+    et al. suffix-array-style training-data dedup at character level):
+    per document, total characters covered by corpus-duplicated
+    25-grams after interval merge, plus the merged span count. The
+    whole distributed plan (rolling-hash detect pass → broadcast set →
+    gaps-and-islands mark pass) is deterministic and exact, so it gets
+    a full DuckDB twin (gram self-join + window-function island merge).
+    One row per document (0/0 when clean) — provably non-empty."""
+    from maestro_ray.ops.substr import duplicated_span_stats
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return duplicated_span_stats(ds, L=25)
+
+
 def _q_pipeline_corpus_curation(sf):
     """Flagship composed TRAINING-DATA CURATION pipeline, end-to-end
     oracle-checked: language filter (actor-pool lang-ID, keep 'en') →
@@ -3582,6 +3597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near": _q_dedup_near,
         "dedup_near_clusters": _q_dedup_near_clusters,
         "dedup_ngram": _q_dedup_ngram,
+        "dedup_substring": _q_dedup_substring,
         "pipeline_corpus_curation": _q_pipeline_corpus_curation,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
@@ -4055,6 +4071,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN sz na ON p.a = na.doc_id "
             "JOIN sz nb ON p.b = nb.doc_id "
             "WHERE p.inter / (na.n + nb.n - p.inter) >= 0.5 ORDER BY 1, 2"
+        ),
+        "dedup_substring": (
+            # char-level duplicated 25-gram spans, merged per doc via
+            # gaps-and-islands; Ray side joins on a 64-bit rolling hash
+            # of the SAME grams — equal grams ⇒ equal hashes, so the
+            # stats are identical absent a 2^-64 collision
+            "WITH pos AS (SELECT doc_id, text, "
+            "unnest(generate_series(1, length(text) - 25 + 1)) AS i "
+            "FROM documents), "
+            "g AS (SELECT doc_id, i, substring(text, i, 25) AS gram "
+            "FROM pos), "
+            "dup AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING count(*) > 1), "
+            "hits AS (SELECT doc_id, i FROM g JOIN dup USING (gram)), "
+            "isl AS (SELECT doc_id, i, "
+            "sum(CASE WHEN prev IS NULL OR i > prev + 25 THEN 1 ELSE 0 "
+            "END) OVER (PARTITION BY doc_id ORDER BY i) AS island "
+            "FROM (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id "
+            "ORDER BY i) AS prev FROM hits)), "
+            "spans AS (SELECT doc_id, island, min(i) AS s, "
+            "max(i) + 25 AS e FROM isl GROUP BY doc_id, island) "
+            "SELECT d.doc_id, "
+            "coalesce(sum(e - s), 0)::BIGINT AS dup_chars, "
+            "count(s)::BIGINT AS n_spans "
+            "FROM documents d LEFT JOIN spans USING (doc_id) "
+            "GROUP BY d.doc_id"
         ),
         "simhash": (
             "WITH w AS (SELECT doc_id, "

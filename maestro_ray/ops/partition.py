@@ -19,6 +19,8 @@ north_rule: "partitioning / shuffle / skew handled explicitly"):
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -140,3 +142,26 @@ def compact_blocks(ds, min_blocks: int = 8):
     if ds.num_blocks() >= 2 * target:
         ds = ds.repartition(target).materialize()
     return ds
+
+
+@contextlib.contextmanager
+def push_based_shuffle():
+    """Use Ray's push-based sort shuffle while executing a plan.
+
+    Measured on the bench epoch (1M events, 64 partitions): pull-based
+    sort was 7–9s and did not improve with CPUs; push-based was 5.4–6.6s
+    and scaled; on the substring-dedup gram aggregate (1.36M keys,
+    sf0.1) push-based cut the groupby 14.5s → 10.7s. (HASH_SHUFFLE
+    deadlocks in local mode with map_groups — do not use it.) Wrap the
+    EXECUTION (materialize / iter_batches / to_pandas), not just plan
+    construction — the strategy is read when the shuffle runs."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    old = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = old

@@ -40,33 +40,14 @@ from maestro_ray.ops.partition import (
     add_partition_column,
     detect_hot_keys,
     lww_reduce,
+    push_based_shuffle,
 )
 
 
 
 
-import contextlib
-
-
-@contextlib.contextmanager
-def _push_based_shuffle():
-    """Use Ray's push-based sort shuffle for the merge exchange.
-
-    Measured on the bench epoch (1M events, 64 partitions): pull-based
-    sort was 7–9s and did not improve with CPUs; push-based was 5.4–6.6s
-    and scaled. (HASH_SHUFFLE deadlocks in local mode with map_groups —
-    do not use it here.)
-    """
-    from ray.data import DataContext
-    from ray.data.context import ShuffleStrategy
-
-    ctx = DataContext.get_current()
-    old = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-    try:
-        yield
-    finally:
-        ctx.shuffle_strategy = old
+# shared with ops that run their own wide aggregate (ops/partition.py)
+_push_based_shuffle = push_based_shuffle
 
 
 def _stage_epoch(
