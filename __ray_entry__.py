@@ -605,6 +605,43 @@ def _q_dedup_substring(sf):
     return duplicated_span_stats(ds, L=25)
 
 
+def _q_zorder_key(sf):
+    """Morton/Z-order key (ops/zorder.py): 21-bit interleave of
+    (l_orderkey, l_partkey) — the exact layout key behind
+    ``zorder_cluster``, value-hash checked against the identical
+    parallel-prefix bit-spread written in SQL."""
+    from maestro_ray.ops.zorder import add_morton_column
+
+    ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return add_morton_column(ds, ["l_orderkey", "l_partkey"], bits=21)
+
+
+def _q_zorder_cluster(sf):
+    """END-TO-END Z-order clustering + zone-map pruned scan
+    (ops/zorder.py): cluster lineitem by (l_orderkey, l_partkey) into
+    shard files with per-file min/max zones, then answer a 2-D box
+    query opening ONLY intersecting shards (the pruning is asserted at
+    FS level in tests/unit/test_zorder.py). The box is scale-invariant
+    ([max//10, max//4] × [max//10, max//2]) so the twin is one WHERE
+    clause at any sf."""
+    import tempfile
+
+    from maestro_ray.ops.zorder import cluster_write, read_clustered
+
+    ds = _read(sf, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_quantity"])
+    ok_max = int(ds.max("l_orderkey"))
+    pk_max = int(ds.max("l_partkey"))
+    out = tempfile.mkdtemp(prefix="maestro_zorder_")
+    try:
+        cluster_write(ds, ["l_orderkey", "l_partkey"], out, num_files=16)
+        box = {"l_orderkey": (ok_max // 10, ok_max // 4),
+               "l_partkey": (pk_max // 10, pk_max // 2)}
+        return read_clustered(out, box).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_pipeline_corpus_curation(sf):
     """Flagship composed TRAINING-DATA CURATION pipeline, end-to-end
     oracle-checked: language filter (actor-pool lang-ID, keep 'en') →
@@ -3598,6 +3635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_clusters": _q_dedup_near_clusters,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_substring": _q_dedup_substring,
+        "zorder_key": _q_zorder_key,
+        "zorder_cluster": _q_zorder_cluster,
         "pipeline_corpus_curation": _q_pipeline_corpus_curation,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
@@ -3736,6 +3775,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_grouped": _q_heavy_hitters_grouped,
         "url_canonical": _q_url_canonical,
     }
+
+
+def _zspread_sql(col: str) -> str:
+    """SQL for ops/zorder._spread2 of ``col % 2**21`` — the same
+    parallel-prefix masks, verified bit-exact vs the numpy kernel."""
+    s = f"({col} % 2097152)"
+    for sh, m in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                  (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                  (1, 0x5555555555555555)):
+        s = f"((({s} | ({s} << {sh})) & {m}))"
+    return s
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4071,6 +4121,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN sz na ON p.a = na.doc_id "
             "JOIN sz nb ON p.b = nb.doc_id "
             "WHERE p.inter / (na.n + nb.n - p.inter) >= 0.5 ORDER BY 1, 2"
+        ),
+        "zorder_key": (
+            "SELECT l_orderkey, l_partkey, "
+            f"({_zspread_sql('l_orderkey')} | "
+            f"({_zspread_sql('l_partkey')} << 1)) AS zkey FROM lineitem"
+        ),
+        "zorder_cluster": (
+            # the pruned clustered scan must equal the plain box filter
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
+            "WHERE l_orderkey BETWEEN "
+            "(SELECT max(l_orderkey) // 10 FROM lineitem) AND "
+            "(SELECT max(l_orderkey) // 4 FROM lineitem) "
+            "AND l_partkey BETWEEN "
+            "(SELECT max(l_partkey) // 10 FROM lineitem) AND "
+            "(SELECT max(l_partkey) // 2 FROM lineitem)"
         ),
         "dedup_substring": (
             # char-level duplicated 25-gram spans, merged per doc via
