@@ -2862,6 +2862,47 @@ def _q_warc_import(sf):
     return ds.map_batches(decode, batch_format="pyarrow")
 
 
+def _q_xml_import(sf):
+    """S8 source: XML record-export intake (sitemap/feed layout). Four
+    .xml shards are synthesized once per sf from the documents table
+    (fixtures.write_xml — ElementTree serialization, so &/</> escaping
+    round-trips exactly), read back with io/readers.read_xml (streaming
+    iterparse, shard file = parallelism unit, typed casts), twin = the
+    same rows straight off documents — an exact round-trip oracle for
+    the record framing and entity escaping."""
+    from maestro_ray.fixtures import write_xml
+    from maestro_ray.io.readers import read_xml
+
+    xml_dir = "/tmp/maestro_xml_" + sf.strip("/").replace("/", "_")
+    marker = os.path.join(xml_dir, "_DONE")
+    if not os.path.exists(marker):
+        import uuid
+
+        tmp = f"{xml_dir}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        docs = pq.read_table(_t(sf, "documents"),
+                             columns=["doc_id", "lang", "text"])
+        rows = docs.to_pylist()
+        n_shards = 4
+        for s in range(n_shards):
+            write_xml(os.path.join(tmp, f"shard-{s}.xml"),
+                      [r for r in rows if r["doc_id"] % n_shards == s])
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, xml_dir)  # atomic; loser keeps tmp
+        except OSError:
+            shutil.rmtree(tmp)
+    files = sorted(
+        os.path.join(xml_dir, f) for f in os.listdir(xml_dir)
+        if f.endswith(".xml"))
+    ds = read_xml(files, "doc", {"doc_id": pa.int64(),
+                                 "lang": pa.string(),
+                                 "text": pa.string()})
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "lang", "text"]),
+        batch_format="pyarrow")
+
+
 def _q_avro_import(sf):
     """S8/S10 source (r4): Avro object-container intake — the landing
     format the sqoop world exports. Four .avro shards (two deflate, two
@@ -3737,6 +3778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_cluster": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "warc_import": _q_warc_import,
+        "xml_import": _q_xml_import,
         "avro_import": _q_avro_import,
         "orc_import": _q_orc_import,
         "watermark_late": _q_watermark_late,
@@ -4771,6 +4813,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(to_timestamp((1700000000000000 + doc_id) / 1e6) "
             "AS TIMESTAMP) AS ingest_ts FROM documents"
         ),
+        "xml_import": "SELECT doc_id, lang, text FROM documents",
         "warc_import": (
             "SELECT 'https://example.com/doc/' || CAST(doc_id AS "
             "VARCHAR) AS url, text, "

@@ -355,3 +355,29 @@ def write_warc(path: str, records: list[tuple[str, str, bytes]],
         f.write(blob)
     os.replace(tmp, path)
     return len(blob)
+
+
+def write_xml(path: str, records: list[dict], record_tag: str = "doc",
+              root_tag: str = "docs") -> int:
+    """Write an XML record-export shard for tests/benchmarks: each
+    record dict becomes one ``<record_tag>`` element whose dict keys
+    are child elements (None values → omitted child). Serialization is
+    ElementTree's, so escaping of &/</> round-trips exactly through
+    ``io.readers.read_xml``. Byte-stable across runs (no timestamps).
+    Returns bytes written."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element(root_tag)
+    for rec in records:
+        el = ET.SubElement(root, record_tag)
+        for k, v in rec.items():
+            if v is None:
+                continue
+            child = ET.SubElement(el, k)
+            child.text = str(v)
+    blob = ET.tostring(root, encoding="utf-8", xml_declaration=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return len(blob)

@@ -441,3 +441,71 @@ def read_orc(paths, columns: list[str] | None = None, **kw) -> rd.Dataset:
 
     return read_binary(paths, include_paths=True, **kw).map_batches(
         decode, batch_format="pyarrow")
+
+
+def parse_xml_blob(blob: bytes, record_tag: str,
+                   fields: list[str]) -> list[dict]:
+    """Stream-parse one XML shard into record dicts — stdlib
+    ``iterparse`` (bounded memory: each record element is cleared after
+    extraction, the DOM never holds the whole shard), tolerant: a
+    malformed document stops the scan of THIS blob after the records
+    already parsed (quarantine the shard, keep the run alive), same
+    stance as ``parse_warc_blob``. Each record is one ``<record_tag>``
+    element; ``fields`` name its child elements (missing child → null;
+    element text is the value, entity-unescaped by the parser — an
+    exact round-trip of ``fixtures.write_xml``)."""
+    import io as _io
+    import xml.etree.ElementTree as ET
+
+    out: list[dict] = []
+    try:
+        for _ev, el in ET.iterparse(_io.BytesIO(blob), events=("end",)):
+            if el.tag != record_tag:
+                continue
+            rec = {}
+            for f in fields:
+                child = el.find(f)
+                rec[f] = None if child is None else (child.text or "")
+            out.append(rec)
+            el.clear()
+    except ET.ParseError:
+        pass  # truncated/malformed shard: keep what parsed, stop here
+    return out
+
+
+def parse_xml_batch(batch: pa.Table, record_tag: str,
+                    fields: dict[str, pa.DataType]):
+    """Decode a (path, bytes) batch of XML shards into typed rows.
+    ``fields`` maps child-element name → Arrow type (values are parsed
+    from element text; non-string types via pyarrow cast — a bad
+    literal fails loudly). Generator: empty batches yield no block
+    (the repo's documented empty-schema pitfall)."""
+    names = list(fields)
+    cols: dict[str, list] = {f: [] for f in names}
+    paths: list[str] = []
+    for i in range(batch.num_rows):
+        blob = batch.column("bytes")[i].as_py()
+        path = batch.column("path")[i].as_py() \
+            if "path" in batch.column_names else None
+        for rec in parse_xml_blob(blob, record_tag, names):
+            paths.append(path)
+            for f in names:
+                cols[f].append(rec[f])
+    if paths:
+        arrays = {"path": pa.array(paths, pa.string())}
+        for f, typ in fields.items():
+            a = pa.array(cols[f], pa.string())
+            arrays[f] = a if pa.types.is_string(typ) else a.cast(typ)
+        yield pa.table(arrays)
+
+
+def read_xml(paths, record_tag: str,
+             fields: dict[str, pa.DataType], **kw) -> rd.Dataset:
+    """S8 source: XML shard files (sitemap/feed/record-export layout)
+    → one row per ``<record_tag>`` element with typed columns. The
+    shard FILE is the unit of parallelism, per-record work is the
+    streaming ``iterparse`` map — intake scales with file count, no
+    whole-DOM materialization."""
+    return read_binary(paths, include_paths=True, **kw).map_batches(
+        lambda t: parse_xml_batch(t, record_tag, fields),
+        batch_format="pyarrow")
