@@ -3260,6 +3260,30 @@ def _q_bm25_search(sf):
                        query_terms=["merge", "scan", "window"])
 
 
+def _q_search_index(sf):
+    """Persisted inverted-index retrieval (ops/searchidx.py): build the
+    (term → postings) shard layout ONCE per sf (cached dir), then
+    answer a 3-term BM25 top-20 by opening ONLY the query terms' shard
+    files (3 of 16 — FS-level proof in tests/unit/test_searchidx.py).
+    Probe scoring folds exactly like bm25_scores (pytest pins frame
+    equality), so the twin is the brute SQL with ORDER BY + LIMIT."""
+    from maestro_ray.ops.searchidx import build_text_index, search_text_index
+
+    idx_dir = "/tmp/maestro_searchidx_" + sf.strip("/").replace("/", "_")
+    marker = os.path.join(idx_dir, "_meta.json")
+    if not os.path.exists(marker):
+        import uuid
+
+        tmp = f"{idx_dir}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        build_text_index(ds, tmp, n_shards=16)
+        try:
+            os.rename(tmp, idx_dir)  # atomic; loser keeps tmp
+        except OSError:
+            shutil.rmtree(tmp)
+    return search_text_index(idx_dir, ["stream", "batch", "query"], k=20)
+
+
 def _q_covariance_matrix(sf):
     """Population covariance of the 64 embedding dims in long format
     (ops/similarity.py covariance_matrix): one streaming pass of
@@ -3789,6 +3813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": _q_quantile_sketch,
         "scd2_history": _q_scd2_history,
         "bm25_search": _q_bm25_search,
+        "search_index": _q_search_index,
         "covariance_matrix": _q_covariance_matrix,
         "pca_project": _q_pca_project,
         "mixture_sample": _q_mixture_sample,
@@ -5197,6 +5222,31 @@ def oracle_sql() -> dict[str, str]:
             "), 6) AS bm25 "
             "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n, a "
             "GROUP BY tf.doc_id"
+        ),
+        "search_index": (
+            # same pinned BM25 as bm25_search, different query terms,
+            # top-20 by (rounded score desc, doc_id) — the index path's
+            # probe must equal the brute ranking
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents WHERE text IS NOT NULL), "
+            "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl "
+            "FROM toks GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "a AS (SELECT avg(dl) AS avgdl FROM dl), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+            "WHERE term IN ('stream', 'batch', 'query') GROUP BY 1), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks WHERE term IN ('stream', 'batch', 'query') "
+            "GROUP BY 1, 2) "
+            "SELECT doc_id, bm25 FROM ("
+            "SELECT tf.doc_id, round(sum("
+            "ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* tf.tf * (1.2 + 1.0) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / a.avgdl))"
+            "), 6) AS bm25 "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n, a "
+            "GROUP BY tf.doc_id) "
+            "ORDER BY bm25 DESC, doc_id LIMIT 20"
         ),
         "scd2_history": (
             "SELECT user_id, event_type, value, ts AS valid_from, "
