@@ -1752,6 +1752,35 @@ def _q_cdc_dedup_view(sf):
     return maintain_dedup_view(_cdc_lake(sf))
 
 
+def _q_cdc_search_index(sf):
+    """INCREMENTAL full-text index over the replay lake — the second
+    cdc_ingest × webtext integration piece (pipelines/search.py,
+    Lucene-segment model): bootstrap one segment from the lake's live
+    state, then maintain per epoch from the change feed in O(churn)
+    (new segment per round + tombstone rounds masking older segments);
+    probes open only (segments × query-term shards). Here: bootstrap
+    over the cached lake, one no-op maintenance round, then a BM25
+    top-20. Rows-only check; the incremental≡full-rebuild-at-every-
+    epoch oracle (insert/update/delete/re-insert chain, exact stats,
+    probe proof, compaction) is pytest
+    (tests/replay/test_search_index_cdc.py)."""
+    from maestro_ray.pipelines.search import (
+        bootstrap_text_index,
+        search_lake_index,
+        update_text_index,
+    )
+
+    lake = _cdc_lake(sf)
+    idx = os.path.join(os.path.dirname(lake), "search_index")
+    if not os.path.exists(os.path.join(idx, "_index_meta.json")):
+        bootstrap_text_index(idx, lake, n_shards=16)
+    update_text_index(idx, lake)  # idempotent no-op at head
+    out = search_lake_index(idx, ["the", "a", "of"], k=20)
+    if len(out) < 5:  # synthetic vocab fallback: probe common tokens
+        out = search_lake_index(idx, ["scan", "merge", "stream"], k=20)
+    return out
+
+
 def _q_cdc_replicate(sf):
     """Incremental lake → RDBMS replication (CDC-out, exactly-once;
     pipelines/replicate.py): full-load the replica at the MIDDLE epoch,
@@ -3730,6 +3759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_incremental_view": _q_cdc_incremental_view,
         "cdc_dedup_view": _q_cdc_dedup_view,
+        "cdc_search_index": _q_cdc_search_index,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_point_lookup": _q_cdc_point_lookup,

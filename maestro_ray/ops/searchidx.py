@@ -200,29 +200,40 @@ def search_text_index(
         return pd.DataFrame({id_col: pd.Series(dtype="int64"),
                              "bm25": pd.Series(dtype="float64")})
     post = pa.concat_tables(parts)
-    n_docs = meta["n_docs"]
     if meta["n_docs_text"] == 0:
         raise ValueError("search_text_index: empty index")
     avgdl = meta["sum_dl"] / meta["n_docs_text"]
+    out = bm25_fold(post, id_col, meta["n_docs"], avgdl,
+                    k1=k1, b=b, round_to=round_to)
+    return out if k is None else out.head(k).reset_index(drop=True)
+
+
+def bm25_fold(post: pa.Table, id_col: str, n_docs: int, avgdl: float,
+              k1: float = 1.2, b: float = 0.75,
+              round_to: int = 6) -> pd.DataFrame:
+    """Score a LIVE postings table (one row per distinct (term, doc):
+    term, id, tf, dl) with the pinned Lucene-idf BM25 and the
+    deterministic per-doc fold (sorted by (doc, term), reduceat, round
+    at ``round_to``) — the same float ops as ``bm25_scores``, so both
+    probe paths and the brute scan agree EXACTLY. df per term is the
+    posting row count (callers must pass only live, de-superseded
+    rows). Returns (id_col, bm25) sorted by (score desc, id asc)."""
     terms = np.asarray(post.column("term").to_pylist())
     ids = post.column(id_col).to_numpy(zero_copy_only=False)
     tf = post.column("tf").to_numpy(zero_copy_only=False) \
         .astype(np.float64)
     dl = post.column("dl").to_numpy(zero_copy_only=False) \
         .astype(np.float64)
-    # df per term = posting rows per term (one row per (term, doc))
     ut, inv, df_cnt = np.unique(terms, return_inverse=True,
                                 return_counts=True)
     df = df_cnt.astype(np.float64)[inv]
     idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
     contrib = idf * tf * (k1 + 1.0) / (
         tf + k1 * (1.0 - b + b * dl / avgdl))
-    # deterministic fold: sorted by (doc, term) — bm25_scores' order
     key = np.lexsort((terms, ids))
     ids_s = ids[key]
     starts = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
     sums = np.round(np.add.reduceat(contrib[key], starts), round_to)
     out = pd.DataFrame({id_col: ids_s[starts], "bm25": sums})
-    out = out.sort_values(["bm25", id_col], ascending=[False, True],
-                          kind="mergesort").reset_index(drop=True)
-    return out if k is None else out.head(k).reset_index(drop=True)
+    return out.sort_values(["bm25", id_col], ascending=[False, True],
+                           kind="mergesort").reset_index(drop=True)
