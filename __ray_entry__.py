@@ -1771,9 +1771,20 @@ def _q_cdc_search_index(sf):
     )
 
     lake = _cdc_lake(sf)
-    idx = os.path.join(os.path.dirname(lake), "search_index")
+    # version-keyed like the lake cache itself, and built tmp+rename
+    # atomic: a future semantic change to pipelines/search.py must not
+    # serve a stale index, and a killed build must not leave a partial
+    # dir that later runs treat as valid (r4 review finding)
+    idx = os.path.join(os.path.dirname(lake), "search_index_v1")
     if not os.path.exists(os.path.join(idx, "_index_meta.json")):
-        bootstrap_text_index(idx, lake, n_shards=16)
+        import uuid
+
+        tmp = f"{idx}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
+        bootstrap_text_index(tmp, lake, n_shards=16)
+        try:
+            os.rename(tmp, idx)  # atomic; loser keeps tmp
+        except OSError:
+            shutil.rmtree(tmp)
     update_text_index(idx, lake)  # idempotent no-op at head
     out = search_lake_index(idx, ["the", "a", "of"], k=20)
     if len(out) < 5:  # synthetic vocab fallback: probe common tokens

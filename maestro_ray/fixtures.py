@@ -365,16 +365,29 @@ def write_xml(path: str, records: list[dict], record_tag: str = "doc",
     ElementTree's, so escaping of &/</> round-trips exactly through
     ``io.readers.read_xml``. Byte-stable across runs (no timestamps).
     Returns bytes written."""
+    import re
     import xml.etree.ElementTree as ET
 
+    # XML 1.0 cannot carry C0 controls (except \t \n \r), and parsers
+    # NORMALIZE \r to \n on read — both would silently break the exact
+    # round-trip this writer promises, so reject them loudly
+    bad = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\r]")
     root = ET.Element(root_tag)
     for rec in records:
         el = ET.SubElement(root, record_tag)
         for k, v in rec.items():
             if v is None:
                 continue
+            s = str(v)
+            m = bad.search(s)
+            if m:
+                raise ValueError(
+                    f"write_xml: field {k!r} contains "
+                    f"{m.group()!r} — not round-trippable through "
+                    "XML 1.0 (C0 controls are illegal; \\r is "
+                    "normalized to \\n by every conforming parser)")
             child = ET.SubElement(el, k)
-            child.text = str(v)
+            child.text = s
     blob = ET.tostring(root, encoding="utf-8", xml_declaration=True)
     tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as f:

@@ -47,6 +47,44 @@ def _term_shards(terms: np.ndarray, n_shards: int) -> np.ndarray:
         .astype(np.int64)
 
 
+def explode_postings(batch: pa.Table, id_col: str, text_col: str,
+                     n_shards: int) -> pa.Table:
+    """One batch → distinct (term, doc) postings rows with tf and dl,
+    routed by ``hash64(term) % n_shards`` (one tokenize + one lexsort
+    per batch). Shared by the standalone index build and the lake
+    index's segment builds so the two layouts can never drift."""
+    tbl = batch.filter(pc.is_valid(batch.column(text_col)))
+    if tbl.num_rows == 0:
+        return pa.table({
+            "shard": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            id_col: pa.array([], batch.schema.field(id_col).type),
+            "tf": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64()),
+        })
+    toks = pc.split_pattern(tbl.column(text_col).combine_chunks(), " ")
+    dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = toks.flatten()
+    doc_of = np.repeat(np.arange(len(dl)), dl)
+    # distinct (term, doc) with counts — one lexsort per batch
+    terms = np.asarray(flat.to_pylist())
+    order = np.lexsort((doc_of, terms))
+    ts, ds_ = terms[order], doc_of[order]
+    new = np.r_[True, (ts[1:] != ts[:-1]) | (ds_[1:] != ds_[:-1])]
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.r_[starts, len(ts)]).astype(np.int64)
+    ut, ud = ts[starts], ds_[starts]
+    ids = tbl.column(id_col).take(pa.array(ud, pa.int64()))
+    return pa.table({
+        "shard": pa.array(_term_shards(ut, n_shards), pa.int64()),
+        "term": pa.array(ut, pa.string()),
+        id_col: ids,
+        "tf": pa.array(tf, pa.int64()),
+        "dl": pa.array(dl[ud], pa.int64()),
+    })
+
+
 def build_text_index(
     ds: rd.Dataset,
     index_dir: str,
@@ -62,37 +100,7 @@ def build_text_index(
     os.makedirs(index_dir, exist_ok=True)
 
     def postings(batch: pa.Table) -> pa.Table:
-        tbl = batch.filter(pc.is_valid(batch.column(text_col)))
-        if tbl.num_rows == 0:
-            return pa.table({
-                "shard": pa.array([], pa.int64()),
-                "term": pa.array([], pa.string()),
-                id_col: pa.array([], batch.schema.field(id_col).type),
-                "tf": pa.array([], pa.int64()),
-                "dl": pa.array([], pa.int64()),
-            })
-        toks = pc.split_pattern(tbl.column(text_col).combine_chunks(),
-                                " ")
-        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        flat = toks.flatten()
-        doc_of = np.repeat(np.arange(len(dl)), dl)
-        # distinct (term, doc) with counts — one lexsort per batch
-        terms = np.asarray(flat.to_pylist())
-        order = np.lexsort((doc_of, terms))
-        ts, ds_ = terms[order], doc_of[order]
-        new = np.r_[True, (ts[1:] != ts[:-1]) | (ds_[1:] != ds_[:-1])]
-        starts = np.flatnonzero(new)
-        tf = np.diff(np.r_[starts, len(ts)]).astype(np.int64)
-        ut, ud = ts[starts], ds_[starts]
-        ids = tbl.column(id_col).take(pa.array(ud, pa.int64()))
-        return pa.table({
-            "shard": pa.array(_term_shards(ut, n_shards), pa.int64()),
-            "term": pa.array(ut, pa.string()),
-            id_col: ids,
-            "tf": pa.array(tf, pa.int64()),
-            "dl": pa.array(dl[ud], pa.int64()),
-        })
+        return explode_postings(batch, id_col, text_col, n_shards)
 
     def write_shard(g: pa.Table) -> pa.Table:
         s = g.column("shard")[0].as_py()
@@ -135,12 +143,23 @@ def build_text_index(
 
     agg = ds.map_batches(corpus_partial, batch_format="pyarrow") \
         .to_pandas().sum()
+    # a zero-block input (generator sources on empty data) loses its
+    # schema in to_pandas — the documented empty-Dataset pitfall; an
+    # empty corpus must still build a valid (empty) index
+    empty = "n_rows" not in agg
+    try:
+        t = ds.schema().base_schema.field(id_col).type
+        id_kind = "string" if (pa.types.is_string(t)
+                               or pa.types.is_large_string(t)) else "int64"
+    except Exception:  # zero-block generator source: schema unknowable
+        id_kind = "string"
     meta = {
         "n_shards": n_shards,
         "id_col": id_col,
-        "n_docs": int(agg["n_rows"]),
-        "n_docs_text": int(agg["n_docs_text"]),
-        "sum_dl": int(agg["sum_dl"]),
+        "id_kind": id_kind,
+        "n_docs": 0 if empty else int(agg["n_rows"]),
+        "n_docs_text": 0 if empty else int(agg["n_docs_text"]),
+        "sum_dl": 0 if empty else int(agg["sum_dl"]),
         "shards": sorted(
             ({"shard": int(r["shard"]), "file": r["file"],
               "rows": int(r["rows"])} for r in rows),
@@ -197,7 +216,10 @@ def search_text_index(
                 "that list on the driver would not be sublinear.")
         parts.append(t)
     if not parts or total == 0:
-        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+        # typed to the INDEX's id kind (a url index's empty probe must
+        # still carry an object column — r4 review finding)
+        id_dtype = "object" if meta.get("id_kind") == "string" else "int64"
+        return pd.DataFrame({id_col: pd.Series(dtype=id_dtype),
                              "bm25": pd.Series(dtype="float64")})
     post = pa.concat_tables(parts)
     if meta["n_docs_text"] == 0:

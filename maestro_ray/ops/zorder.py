@@ -129,18 +129,42 @@ def cluster_write(ds: rd.Dataset, cols: list[str], out_dir: str,
         if num_files is not None:
             srt = srt.repartition(num_files)
         srt.write_parquet(out_dir)
-    zones = []
-    files = sorted(f for f in os.listdir(out_dir)
-                   if f.endswith(".parquet"))
     import pyarrow.parquet as pq
 
+    files = sorted(f for f in os.listdir(out_dir)
+                   if f.endswith(".parquet"))
+    if not files:
+        # empty input: Ray writes no files, but the layout must stay
+        # readable — persist one typed empty shard so reads keep the
+        # schema (the repo's empty-Dataset pitfall, r4 review finding)
+        empty = pa.table({f.name: pa.array([], f.type)
+                          for f in ds.schema().base_schema})
+        path = os.path.join(out_dir, "files-empty.parquet")
+        pq.write_table(empty, path)
+        files = ["files-empty.parquet"]
+    zones = []
     for f in files:
-        t = pq.read_table(os.path.join(out_dir, f), columns=cols)
-        zone = {"file": f, "rows": t.num_rows}
+        path = os.path.join(out_dir, f)
+        md = pq.ParquetFile(path).metadata
+        name_to_idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}
+        zone: dict = {"file": f, "rows": md.num_rows}
         for c in cols:
-            a = t.column(c)
-            zone[c] = [int(pc.min(a).as_py()), int(pc.max(a).as_py())] \
-                if t.num_rows else [None, None]
+            lo = hi = None
+            ci = name_to_idx[c]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None  # stats disabled: fall back to data
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if md.num_rows and (lo is None or hi is None):
+                # metadata-only failed (writer without stats): one read
+                a = pq.read_table(path, columns=[c]).column(c)
+                lo, hi = pc.min(a).as_py(), pc.max(a).as_py()
+            zone[c] = ([int(lo), int(hi)] if md.num_rows
+                       else [None, None])
         zones.append(zone)
     meta = {"cols": cols, "bits": bits, "zones": zones}
     tmp = os.path.join(out_dir, "_zones.json.tmp")

@@ -7,11 +7,13 @@ A full index rebuild per epoch is O(corpus); this maintains the
 inverted index in O(churn):
 
 - *Bootstrap* (``bootstrap_text_index``): one full build of the live
-  lake state as ``segment-<epoch>/`` — an ordinary
-  ``ops/searchidx.build_text_index`` layout (term-sharded postings)
-  plus a ``docs-<shard>.parquet`` forward sidecar (url, dl) sharded by
+  lake state as ``segment-<epoch>/`` — the ``ops/searchidx`` postings
+  layout (term-sharded, via the shared ``explode_postings``) plus a
+  ``docs-<shard>.parquet`` forward sidecar (url, dl) sharded by
   ``hash64(url) % n_shards`` so later rounds can look up the OLD
-  document length of a deleted url by opening only its shard.
+  document length of a deleted url by opening only its shard. One
+  tokenize pass, one shuffle — postings and sidecars ride the same
+  exchange tagged by kind.
 - *Maintain* (``update_text_index``): per round, the net change feed
   over ``(indexed_epoch, to_epoch]`` (``changefeed.table_changes`` —
   one task per changed partition, no corpus rescan) splits into
@@ -55,7 +57,7 @@ import ray.data as rd
 from maestro_ray.ops.searchidx import (
     _term_shards,
     bm25_fold,
-    build_text_index,
+    explode_postings,
 )
 
 _META = "_index_meta.json"
@@ -80,43 +82,103 @@ def _url_shards(urls: np.ndarray, n_shards: int) -> np.ndarray:
 
 
 def _build_segment(ds: rd.Dataset, seg_dir: str, n_shards: int) -> dict:
-    """Postings layout + (url, dl) forward sidecars for one segment."""
-    seg_meta = build_text_index(ds, seg_dir, id_col="url",
-                                text_col="text", n_shards=n_shards)
+    """Postings layout + (url, dl) forward sidecars for one segment —
+    ONE tokenize pass and ONE shuffle total (r4 review finding: the
+    build_text_index + sidecar composition tokenized the corpus three
+    times and shuffled twice). Each batch emits postings rows (kind 0,
+    routed by term hash) and doc rows (kind 1, routed by url hash)
+    into the same exchange; the grouped writer emits both file types
+    plus the (rows, Σdl) stats the meta needs.
 
-    def doc_rows(batch: pa.Table) -> pa.Table:
-        tbl = batch.filter(pc.is_valid(batch.column("text")))
-        if tbl.num_rows == 0:
-            return pa.table({"shard": pa.array([], pa.int64()),
+    Live lake rows must carry non-null text (extract_text is total —
+    '' for null html); a null here would silently skew avgdl and later
+    make delete lookups miss, so it fails LOUDLY instead."""
+    os.makedirs(seg_dir, exist_ok=True)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        if batch.column("text").null_count:
+            raise ValueError(
+                "_build_segment: null text in live lake rows — the "
+                "lake index requires total text (extract_text yields "
+                "'' for null html); fix the producer")
+        post = explode_postings(batch, "url", "text", n_shards)
+        if batch.num_rows == 0:
+            docs = pa.table({"shard": pa.array([], pa.int64()),
                              "url": pa.array([], pa.string()),
                              "dl": pa.array([], pa.int64())})
-        toks = pc.split_pattern(tbl.column("text").combine_chunks(), " ")
-        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        urls = np.asarray(tbl.column("url").to_pylist())
-        return pa.table({
-            "shard": pa.array(_url_shards(urls, n_shards), pa.int64()),
-            "url": pa.array(urls, pa.string()),
-            "dl": pa.array(dl, pa.int64()),
+        else:
+            # doc rows: dl already computed inside explode_postings is
+            # per-posting; recover per-doc dl from the batch directly
+            # (one extra list_value_length, no second tokenize-and-sort)
+            toks = pc.split_pattern(
+                batch.column("text").combine_chunks(), " ")
+            dl = pc.list_value_length(toks) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            urls = np.asarray(batch.column("url").to_pylist())
+            docs = pa.table({
+                "shard": pa.array(_url_shards(urls, n_shards),
+                                  pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "dl": pa.array(dl, pa.int64()),
+            })
+        post = pa.table({
+            "kind": pa.array(np.zeros(post.num_rows, np.int8)),
+            "shard": post.column("shard"),
+            "term": post.column("term"),
+            "url": post.column("url"),
+            "tf": post.column("tf"),
+            "dl": post.column("dl"),
         })
+        docs = pa.table({
+            "kind": pa.array(np.ones(docs.num_rows, np.int8)),
+            "shard": docs.column("shard"),
+            "term": pa.nulls(docs.num_rows, pa.string()),
+            "url": docs.column("url"),
+            "tf": pa.nulls(docs.num_rows, pa.int64()),
+            "dl": docs.column("dl"),
+        })
+        return pa.concat_tables([post, docs])
 
-    def write_docs(g: pa.Table) -> pa.Table:
+    def write_group(g: pa.Table) -> pa.Table:
+        kind = g.column("kind")[0].as_py()
         s = g.column("shard")[0].as_py()
-        out = g.drop_columns(["shard"])
-        out = out.take(pc.sort_indices(out,
-                                       sort_keys=[("url", "ascending")]))
-        path = os.path.join(seg_dir, f"docs-{s:05d}.parquet")
+        if kind == 0:
+            out = g.select(["term", "url", "tf", "dl"])
+            out = out.take(pc.sort_indices(
+                out, sort_keys=[("term", "ascending"),
+                                ("url", "ascending")]))
+            name = f"shard-{s:05d}.parquet"
+        else:
+            out = g.select(["url", "dl"])
+            out = out.take(pc.sort_indices(
+                out, sort_keys=[("url", "ascending")]))
+            name = f"docs-{s:05d}.parquet"
+        path = os.path.join(seg_dir, name)
         tmp = path + ".tmp"
         pq.write_table(out, tmp)
-        os.replace(tmp, path)
-        return pa.table({"shard": pa.array([s], pa.int64()),
-                         "rows": pa.array([out.num_rows], pa.int64())})
+        os.replace(tmp, path)  # idempotent on task retry
+        n_docs = out.num_rows if kind == 1 else 0
+        sum_dl = (int(np.sum(out.column("dl")
+                             .to_numpy(zero_copy_only=False)))
+                  if kind == 1 else 0)
+        return pa.table({
+            "kind": pa.array([kind], pa.int8()),
+            "shard": pa.array([s], pa.int64()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "sum_dl": pa.array([sum_dl], pa.int64()),
+        })
 
-    (ds.map_batches(doc_rows, batch_format="pyarrow")
-       .groupby("shard")
-       .map_groups(write_docs, batch_format="pyarrow")
-       .take_all())  # O(n_shards) rows
-    return seg_meta
+    from maestro_ray.ops.partition import push_based_shuffle
+
+    with push_based_shuffle():
+        stats = (ds.map_batches(rows, batch_format="pyarrow")
+                 .groupby(["kind", "shard"])
+                 .map_groups(write_group, batch_format="pyarrow")
+                 .take_all())  # O(2 · n_shards) manifest rows
+    return {
+        "n_docs": sum(r["n_docs"] for r in stats),
+        "sum_dl": sum(r["sum_dl"] for r in stats),
+    }
 
 
 def bootstrap_text_index(index_dir: str, lake_dir: str,
@@ -301,31 +363,44 @@ def search_lake_index(
         raise ValueError("query_terms must be non-empty")
     meta = _read_meta(index_dir)
     qt = sorted(set(query_terms))
-    # url -> newest tombstone round epoch
-    kill: dict[str, int] = {}
-    tomb_dir = os.path.join(index_dir, _TOMB)
-    for r in meta["tombstone_rounds"]:
-        t = pq.read_table(os.path.join(
-            tomb_dir, f"round-{r['epoch']:012d}.parquet"))
-        for u in t.column("url").to_pylist():
-            kill[u] = max(kill.get(u, -1), r["epoch"])
-    parts = []
+    parts: list[tuple[int, pa.Table]] = []
     total = 0
     for seg_epoch, path in lake_probe_files(index_dir, qt):
         t = pq.read_table(path, filters=[("term", "in", qt)])
         if t.num_rows == 0:
             continue
-        if kill:
-            urls = t.column("url").to_pylist()
-            alive = pa.array(
-                [kill.get(u, -1) <= seg_epoch for u in urls])
-            t = t.filter(alive)
         total += t.num_rows
         if total > max_postings:
             raise RuntimeError(
                 "search_lake_index: query postings exceed "
                 f"max_postings={max_postings}")
-        parts.append(t)
+        parts.append((seg_epoch, t))
+    # tombstone mask, restricted to the PROBED urls (reading whole
+    # rounds into a driver dict made every probe O(total deletions
+    # ever) — r4 review finding); the url filter pushes into the
+    # url-sorted round files, bounded by max_postings above
+    hit_urls = sorted({u for _e, t in parts
+                       for u in t.column("url").to_pylist()})
+    kill: dict[str, int] = {}
+    if hit_urls and meta["tombstone_rounds"]:
+        tomb_dir = os.path.join(index_dir, _TOMB)
+        for r in meta["tombstone_rounds"]:
+            t = pq.read_table(
+                os.path.join(tomb_dir,
+                             f"round-{r['epoch']:012d}.parquet"),
+                filters=[("url", "in", hit_urls)])
+            for u in t.column("url").to_pylist():
+                kill[u] = max(kill.get(u, -1), r["epoch"])
+    if kill:
+        masked = []
+        for seg_epoch, t in parts:
+            urls = t.column("url").to_pylist()
+            alive = pa.array(
+                [kill.get(u, -1) <= seg_epoch for u in urls])
+            masked.append((seg_epoch, t.filter(alive)))
+        parts = masked
+    total = sum(t.num_rows for _e, t in parts)
+    parts = [t for _e, t in parts if t.num_rows]
     if not parts or total == 0:
         return pd.DataFrame({"url": pd.Series(dtype=object),
                              "bm25": pd.Series(dtype="float64")})
@@ -333,6 +408,9 @@ def search_lake_index(
     if meta["n_docs"] <= 0:
         return pd.DataFrame({"url": pd.Series(dtype=object),
                              "bm25": pd.Series(dtype="float64")})
+    # n_docs == docs-with-text here: _build_segment REJECTS null text
+    # loudly, so this denominator cannot silently drift from the
+    # full-rebuild reference (sum_dl / n_docs_text)
     avgdl = meta["sum_dl"] / meta["n_docs"]
     out = bm25_fold(post, "url", meta["n_docs"], avgdl,
                     k1=k1, b=b, round_to=round_to)

@@ -149,3 +149,17 @@ def test_stepped_chain_with_reinsert(ray_session, tmp_path):
     assert len(cmeta["segments"]) == 1 and not cmeta["tombstone_rounds"]
     pd.testing.assert_frame_equal(
         search_lake_index(idx, terms, k=None), final, check_exact=True)
+
+
+def test_null_text_fails_loudly(ray_session, tmp_path):
+    # the lake index pins total text; a null must raise, not skew avgdl
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from maestro_ray.pipelines.search import _build_segment
+
+    tbl = pa.table({"url": pa.array(["https://a", "https://b"]),
+                    "text": pa.array(["ok text", None])})
+    with pytest.raises(Exception, match="null text"):
+        _build_segment(rd.from_arrow(tbl), str(tmp_path / "seg"), 4)

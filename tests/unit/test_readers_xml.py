@@ -82,3 +82,11 @@ def test_nested_record_tags_only_match_exact(ray_session, tmp_path):
                 b"<other><doc_id>9</doc_id></other></docs>")
     out = read_xml([p], "doc", FIELDS).to_pandas()
     assert out["doc_id"].tolist() == [1]
+
+
+def test_writer_rejects_non_roundtrippable_chars(tmp_path):
+    p = str(tmp_path / "bad.xml")
+    with pytest.raises(ValueError, match="normalized"):
+        write_xml(p, [{"doc_id": 1, "text": "line1\rline2"}])
+    with pytest.raises(ValueError, match="not round-trippable"):
+        write_xml(p, [{"doc_id": 1, "text": "ctrl\x01char"}])

@@ -108,3 +108,24 @@ def test_rebuild_is_idempotent(ray_session, tmp_path):
     assert m1 == m2
     out = search_text_index(idx, ["beta"], k=None)
     assert set(out["doc_id"]) == {1, 2}
+
+
+def test_empty_corpus_builds_valid_index(ray_session, tmp_path):
+    # zero-block generator sources lose their schema in to_pandas —
+    # the build must still produce a valid (empty) index (r4 review)
+    tbl = pa.table({"doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string())})
+    idx = str(tmp_path / "emptyidx")
+    meta = build_text_index(rd.from_arrow(tbl), idx, n_shards=4)
+    assert meta["n_docs"] == 0 and meta["sum_dl"] == 0
+    out = search_text_index(idx, ["anything"], k=None)
+    assert len(out) == 0
+
+
+def test_empty_probe_respects_string_id_kind(ray_session, tmp_path):
+    tbl = pa.table({"url": pa.array(["https://a", "https://b"]),
+                    "text": pa.array(["alpha beta", "beta gamma"])})
+    idx = str(tmp_path / "urlidx")
+    build_text_index(rd.from_arrow(tbl), idx, id_col="url", n_shards=4)
+    out = search_text_index(idx, ["zzzznotaword"], k=None)
+    assert len(out) == 0 and out["url"].dtype == object

@@ -130,3 +130,18 @@ def test_add_morton_null_guard(ray_session):
                     "y": pa.array([3, 4], pa.int64())})
     with pytest.raises(Exception, match="nulls"):
         add_morton_column(rd.from_arrow(tbl), ["x", "y"]).to_pandas()
+
+
+def test_cluster_write_empty_input_stays_readable(ray_session):
+    # empty input writes a typed empty shard + zone map; reads keep
+    # the schema instead of IndexError (r4 review finding)
+    tbl = pa.table({"x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64())})
+    out = tempfile.mkdtemp(prefix="zorder_test_")
+    try:
+        meta = cluster_write(rd.from_arrow(tbl), ["x", "y"], out)
+        assert len(meta["zones"]) == 1 and meta["zones"][0]["rows"] == 0
+        got = read_clustered(out, {"x": (0, 10)}).to_pandas()
+        assert len(got) == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
