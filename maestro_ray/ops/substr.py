@@ -145,8 +145,13 @@ def _dup_hash_set(ds: rd.Dataset, text_col: str, L: int,
         return pa.table({"h": pa.array(u, pa.int64()),
                          "cnt": pa.array(c.astype(np.int64), pa.int64())})
 
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("h").sum("cnt"))
+    from maestro_ray.ops.aggregates import bucketed_sum
+
+    # bucketed exchange beats Ray's native range-sorted groupby 11x on
+    # millions of distinct gram hashes (measured: 18.0 s -> 1.6 s at
+    # sf0.1 under push_based_shuffle) -- see bucketed_sum docstring.
+    counts = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), "h", "cnt")
 
     def only_dups(batch: pa.Table) -> pa.Table:
         cname = [c for c in batch.column_names if c != "h"][0]

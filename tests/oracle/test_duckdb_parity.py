@@ -90,6 +90,8 @@ ORACLE_NAMES = [
     "ohlc", "interp_fill", "tfidf_topk",
     "window_moving_std", "outlier_iqr", "agg_filtered",
     "heavy_hitters_grouped", "url_canonical",
+    "dedup_substring", "zorder_key", "zorder_cluster", "xml_import",
+    "search_index",
 ]
 
 

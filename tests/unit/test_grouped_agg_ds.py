@@ -58,3 +58,38 @@ def test_grouped_agg_ds_feeds_a_join_without_driver(ray_session):
     # per-key deviations sum to ~0 by construction of the mean
     s = df.groupby("k")["dev"].sum()
     assert np.allclose(s.to_numpy(), 0.0, atol=1e-8)
+
+
+def test_bucketed_sum_matches_native_groupby(ray_session):
+    from maestro_ray.ops.aggregates import bucketed_sum
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    # force repeats so sums actually merge across buckets' partials
+    keys = np.concatenate([keys, keys[:1234]])
+    vals = rng.integers(-100, 100, size=keys.size).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"h": keys, "cnt": vals})) \
+        .repartition(7)
+    got = bucketed_sum(ds, "h", "cnt", n_buckets=5).to_pandas()
+    exp = (pd.DataFrame({"h": keys, "cnt": vals})
+           .groupby("h", as_index=False)["cnt"].sum())
+    got = got.sort_values("h").reset_index(drop=True)
+    exp = exp.sort_values("h").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_bucketed_sum_nulls_and_empty(ray_session):
+    from maestro_ray.ops.aggregates import bucketed_sum
+
+    t = pa.table({"h": pa.array([1, None, None, 2], pa.int64()),
+                  "cnt": pa.array([3, 4, 5, 6], pa.int64())})
+    got = bucketed_sum(rd.from_arrow(t), "h", "cnt").to_pandas()
+    got = got.sort_values("h", na_position="first") \
+        .reset_index(drop=True)
+    assert got["cnt"].tolist() == [9, 3, 6]  # nulls co-bucket + merge
+    assert got["h"].isna().tolist() == [True, False, False]
+
+    empty = pa.table({"h": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    out = bucketed_sum(rd.from_arrow(empty), "h", "cnt").to_pandas()
+    assert len(out) == 0
