@@ -24,37 +24,75 @@ from maestro_ray.ops.hashing import hash_array
 _PARTIAL_KINDS = {"sum", "count", "min", "max", "mean", "std"}
 
 
-def bucketed_sum(ds, key_col: str, val_col: str,
-                 n_buckets: int = 32):
-    """High-cardinality grouped SUM via an explicit bucket exchange:
-    route rows by ``hash64(key) % n_buckets`` and reduce each bucket
-    with ONE Arrow C++ hash-aggregate in ``map_groups``.
+def bucketed_agg(ds, keys, aggs, n_buckets: int = 32):
+    """High-cardinality grouped aggregation via an explicit bucket
+    exchange: route rows by ``hash64(key tuple) % n_buckets`` and
+    reduce each bucket with ONE Arrow C++ hash-aggregate in
+    ``map_groups``.
 
-    Ray's native ``groupby(key).sum`` range-sorts the full key space
+    Ray's native ``groupby(key).agg`` range-sorts the full key space
     and pays a per-key merge path that collapses on millions of
     distinct keys — measured on the substring-dedup gram aggregate
     (1.36 M distinct int64 keys, sf0.1, 32 CPUs): native 27.1 s /
     push-based 18.0 s vs THIS plan 5.0 s / 1.6 s push-based — 11×.
-    Same exchange volume, same exactness (bucketing only co-locates;
-    the reduce groups by the TRUE key, so hash collisions cannot merge
-    keys; nulls co-bucket via hash_array's fixed null hash). Returns a
-    lazy Dataset of (key_col, val_col); wrap consumption in
-    ``ops.partition.push_based_shuffle`` for the fast exchange."""
+    Same exchange volume, same exactness: bucketing only CO-LOCATES
+    rows, the reduce groups by the TRUE key, so hash collisions cannot
+    merge keys and — because every true key lives wholly in one bucket
+    — even NON-mergeable aggregates (count_distinct, list) are exact
+    here, unlike a partial/combiner plan. Nulls co-bucket via
+    hash_array's fixed null hash.
+
+    ``keys``: str or list[str]. ``aggs``: list of ``(col, fn, out)``
+    with ``fn`` any pyarrow group_by aggregate ("sum", "count_all",
+    "count", "min", "max", "mean", "count_distinct", ...); ``col`` is
+    ignored for "count_all". Returns a lazy Dataset of keys + outs;
+    wrap consumption in ``ops.partition.push_based_shuffle`` for the
+    fast exchange."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
 
     def addb(t: pa.Table) -> pa.Table:
-        b = (hash_array(t.column(key_col)) % np.uint64(n_buckets)) \
-            .astype(np.int64)
+        h = hash_array(t.column(keys[0]))
+        for k in keys[1:]:
+            # order-sensitive tuple combine (multiply-xor), vectorized
+            h = h * np.uint64(0x9E3779B97F4A7C15) ^ hash_array(t.column(k))
+        b = (h % np.uint64(n_buckets)).astype(np.int64)
         return t.append_column("__b", pa.array(b, pa.int64()))
 
+    agg_spec = [(col, fn) for col, fn, _ in aggs]
+    out_names = keys + [out for _, _, out in aggs]
+
     def red(g: pa.Table) -> pa.Table:
+        # options built HERE: pyarrow *Options objects don't pickle
         sum0 = pc.ScalarAggregateOptions(min_count=0)
-        t = g.drop_columns(["__b"]).group_by([key_col]) \
-            .aggregate([(val_col, "sum", sum0)])
-        return t.rename_columns([key_col, val_col])
+        specs = [([] if fn == "count_all" else col,
+                  fn,
+                  sum0 if fn == "sum" else None)
+                 for col, fn in agg_spec]
+        t = g.drop_columns(["__b"]).group_by(keys).aggregate(specs)
+        return t.rename_columns(out_names)
 
     return (ds.map_batches(addb, batch_format="pyarrow")
             .groupby("__b")
             .map_groups(red, batch_format="pyarrow"))
+
+
+def bucketed_sum(ds, key_col: str, val_col: str,
+                 n_buckets: int = 32):
+    """Grouped SUM through :func:`bucketed_agg` (see its scale notes)."""
+    return bucketed_agg(ds, key_col, [(val_col, "sum", val_col)],
+                        n_buckets=n_buckets)
+
+
+def bucketed_distinct(ds, keys, n_buckets: int = 32):
+    """DISTINCT key tuples through :func:`bucketed_agg` — one Arrow
+    hash-aggregate per bucket instead of Ray's range-sorted groupby +
+    one Python ``map_groups`` call PER DISTINCT TUPLE (which collapses
+    on millions of tuples, e.g. LSH candidate-pair dedup)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out = bucketed_agg(ds, keys, [(None, "count_all", "__c")],
+                       n_buckets=n_buckets)
+    return out.map_batches(lambda t: t.drop_columns(["__c"]),
+                           batch_format="pyarrow")
 
 
 def grouped_agg_ds(

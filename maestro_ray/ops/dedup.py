@@ -331,13 +331,13 @@ def dedup_near_minhash(
                     b_out.append(ids[j])
         return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
 
-    pairs = (
+    from maestro_ray.ops.aggregates import bucketed_distinct
+
+    pairs = bucketed_distinct(  # pairs recur per band; distinct them
         bands.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])  # distributed distinct (pairs recur per band)
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .materialize()
-    )
+        .map_groups(bucket_pairs, batch_format="pyarrow"),
+        ["a", "b"],
+    ).materialize()
 
     def self_map(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -549,12 +549,13 @@ def dedup_near_simhash(
             "b": pa.array(ids[jj[keep]], pa.int64()),
         })
 
-    return (
+    from maestro_ray.ops.aggregates import bucketed_distinct
+
+    return bucketed_distinct(  # pairs recur per block; distinct them
         fp.map_batches(explode_blocks, batch_format="pyarrow")
         .groupby(["block", "key"])
-        .map_groups(block_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])  # distributed distinct (pairs recur per block)
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .map_groups(block_pairs, batch_format="pyarrow"),
+        ["a", "b"],
     )
 
 
@@ -797,25 +798,21 @@ def dedup_ngram_jaccard(
         keep = pc.less(a, b)
         return pa.table({"a": a.filter(keep), "b": b.filter(keep)})
 
+    # pair cardinality is O(co-occurring doc pairs) — 1.1M at sf0.1 —
+    # which collapses Ray's range-sorted groupby; the bucketed exchange
+    # cut this stage 8.7 s -> ~1 s (see bucketed_agg's scale notes)
+    from maestro_ray.ops.aggregates import bucketed_agg
+
     joined_pairs = _hj(sh_a, sh_b, keys="sh")
     if packable:
-        inter = (
-            joined_pairs.map_batches(pack_pairs, batch_format="pyarrow")
-            .groupby("pk").count()
-            .map_batches(
-                lambda t: t.rename_columns(["pk", "inter"]),
-                batch_format="pyarrow",
-            )
-            .map_batches(unpack, batch_format="pyarrow")
-        )
+        inter = bucketed_agg(
+            joined_pairs.map_batches(pack_pairs, batch_format="pyarrow"),
+            "pk", [(None, "count_all", "inter")],
+        ).map_batches(unpack, batch_format="pyarrow")
     else:
-        inter = (
-            joined_pairs.map_batches(pair_cols, batch_format="pyarrow")
-            .groupby(["a", "b"]).count()
-            .map_batches(
-                lambda t: t.rename_columns(["a", "b", "inter"]),
-                batch_format="pyarrow",
-            )
+        inter = bucketed_agg(
+            joined_pairs.map_batches(pair_cols, batch_format="pyarrow"),
+            ["a", "b"], [(None, "count_all", "inter")],
         )
 
     # Jaccard needs |A| and |B| per pair. `sizes` is one int per DOC —
