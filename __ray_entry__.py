@@ -1663,6 +1663,46 @@ def _q_cdc_multi_table(sf):
     return a.union(b)
 
 
+def _q_cdc_join_view(sf):
+    """Incrementally-maintained materialized JOIN view across two CDC
+    tables (pipelines/joinview.py): because both lakes route rows by
+    hash64(url) % P, url u of the left table can only meet url u of the
+    right table in the SAME partition — the join is PARTITION-LOCAL
+    (one Arrow join per partition, NO shuffle at any scale) and per
+    epoch only partitions changed in EITHER lake are recomputed;
+    untouched partitions carry their view file forward by reference.
+    Rows-only check; the view≡full-recompute-at-every-joint-epoch,
+    delete-propagation, carry-forward, and co-partitioning-guard
+    oracles are pytest (tests/replay/test_join_view.py)."""
+    from maestro_ray.fixtures import ChangelogParams, write_changelog
+    from maestro_ray.pipelines.joinview import (
+        maintain_join_view,
+        read_join_view,
+    )
+    from maestro_ray.pipelines.multi import ingest_multi
+
+    name = os.path.basename(sf.rstrip("/"))
+    scale = dict(_CDC_SCALES.get(name, _CDC_SCALES["sf0.01"]))
+    scale["n_events"] = max(200, scale["n_events"] // 4)
+    work = f"/tmp/maestro_cdc_joinview_r4_{name}"
+    root = os.path.join(work, "root")
+    done = os.path.join(work, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        logs = {}
+        # distinct seeds → each table has its own update/delete history,
+        # but the url universes overlap (shared deterministic id space)
+        for t, seed in (("pages_a", 101), ("pages_b", 202)):
+            log = os.path.join(work, f"log_{t}")
+            write_changelog(log, ChangelogParams(**{**scale, "seed": seed}))
+            logs[t] = log
+        ingest_multi(root, logs, num_partitions=8, segments_per_epoch=2)
+        open(done, "w").close()
+    maintain_join_view(root, "pages_a", "pages_b",
+                       left_cols=("lang",), right_cols=("lang",))
+    return read_join_view(root, "pages_a", "pages_b")
+
+
 def _q_cdc_replay(sf):
     """The engine itself as a driver check: replay a deterministic
     changelog (tombstones, dups, evolution, skew) and return the
@@ -3861,6 +3901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_asof_near": _q_join_asof_near,
         "window_ewma": _q_window_ewma,
         "cdc_multi_table": _q_cdc_multi_table,
+        "cdc_join_view": _q_cdc_join_view,
         "merge_into": _q_merge_into,
         "explode_pos": _q_explode_pos,
         "edit_distance": _q_edit_distance,
