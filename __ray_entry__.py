@@ -2812,6 +2812,58 @@ def _q_funnel(sf):
                   steps=["view", "click", "purchase"])
 
 
+def _q_markov_transitions(sf):
+    """First-order Markov transition matrix over per-user event
+    sequences (ops/analytics.py markov_transitions): one groupby(user)
+    shuffle + zero-copy shifted slices emit (cur, next) pairs, a
+    distributed count reduces to the |states|² matrix; P(next|cur) is
+    an int/int division — bit-exact across engines, no rounding."""
+    from maestro_ray.ops.analytics import markov_transitions
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                      "event_type"])
+    return markov_transitions(ds, key="user_id",
+                              order_cols=["ts", "event_id"],
+                              state_col="event_type")
+
+
+def _q_sequence_gaps(sf):
+    """Gaps-and-islands over per-user event-id sequences
+    (ops/analytics.py sequence_gaps): one row per interior run of
+    missing ids — the CDC shape of changelog offset-gap detection. One
+    groupby shuffle, vectorized diff per group. Exact integers."""
+    from maestro_ray.ops.analytics import sequence_gaps
+
+    ds = _read(sf, "events", columns=["user_id", "event_id"])
+    return sequence_gaps(ds, key="user_id", id_col="event_id")
+
+
+def _q_token_explode(sf):
+    """Positional tokenization (ops/corpus.py explode_tokens): one row
+    per token with its 1-based position — Arrow split_pattern +
+    list_flatten + parent-index repeat, no Python loop, no shuffle.
+    The base relation for positional n-gram work; exact strings."""
+    from maestro_ray.ops.corpus import explode_tokens
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return explode_tokens(ds, text_col="text", id_col="doc_id")
+
+
+def _q_user_rfm(sf):
+    """RFM user profile: recency (max ts), frequency (count), monetary
+    (sum value) per user via the mergeable grouped_agg partials. Float
+    policy: per-user sums are ~1e3 magnitude with ~1e-12 cross-engine
+    accumulation drift — round(4) is nine orders of margin."""
+    ds = _read(sf, "events", columns=["user_id", "ts", "value"])
+    agg = grouped_agg(ds, ["user_id"], {
+        "frequency": (None, "count"),
+        "recency": ("ts", "max"),
+        "monetary": ("value", "sum"),
+    })
+    agg["monetary"] = agg["monetary"].round(4)
+    return agg[["user_id", "recency", "frequency", "monetary"]]
+
+
 def _q_cohort_retention(sf):
     """Cohort retention matrix: users bucketed by first-event 7-day
     period (epoch-floored, NOT ISO weeks), distinct active users per
@@ -3888,6 +3940,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_import": _q_orc_import,
         "watermark_late": _q_watermark_late,
         "funnel": _q_funnel,
+        "markov_transitions": _q_markov_transitions,
+        "sequence_gaps": _q_sequence_gaps,
+        "token_explode": _q_token_explode,
+        "user_rfm": _q_user_rfm,
         "cohort_retention": _q_cohort_retention,
         "window_lag_n": _q_window_lag_n,
         "weighted_avg": _q_weighted_avg,
@@ -5048,6 +5104,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, cum_prev // 512 AS seq_id, "
             "cum_prev % 512 AS seq_offset, (cum_prev + n_tokens - 1) "
             "// 512 - cum_prev // 512 + 1 AS n_seqs FROM c"
+        ),
+        "markov_transitions": (
+            "WITH nxt AS (SELECT event_type AS cur_state, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS next_state FROM events) "
+            "SELECT cur_state, next_state, count(*) AS n, "
+            "count(*) / sum(count(*)) OVER (PARTITION BY cur_state) "
+            "AS p FROM nxt WHERE next_state IS NOT NULL "
+            "GROUP BY cur_state, next_state"
+        ),
+        "sequence_gaps": (
+            "WITH s AS (SELECT user_id, event_id, lead(event_id) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS nxt "
+            "FROM events) "
+            "SELECT user_id, event_id + 1 AS gap_start, "
+            "nxt - 1 AS gap_end FROM s WHERE nxt > event_id + 1"
+        ),
+        "token_explode": (
+            "SELECT doc_id, "
+            "generate_subscripts(str_split(text, ' '), 1) AS tidx, "
+            "unnest(str_split(text, ' ')) AS token FROM documents"
+        ),
+        "user_rfm": (
+            "SELECT user_id, max(ts) AS recency, "
+            "count(*) AS frequency, "
+            "round(sum(value), 4) AS monetary "
+            "FROM events GROUP BY user_id"
         ),
         "funnel": (
             "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "

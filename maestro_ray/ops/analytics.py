@@ -195,3 +195,83 @@ def ohlc(
         })
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def markov_transitions(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    state_col: str,
+) -> "pd.DataFrame":
+    """First-order Markov transition matrix over per-key event
+    sequences: for every observed (cur_state → next_state) pair, its
+    count and conditional probability P(next | cur).
+
+    Plan: one groupby(key) shuffle; inside each group a sort + two
+    zero-copy shifted slices emit the (cur, next) pairs; a distributed
+    count reduces them to the |states|² matrix, which is tiny by
+    construction — the final probability normalization runs on the
+    driver over that matrix only (never over events). Probabilities
+    are int/int divisions, bit-exact across engines."""
+    import pandas as pd
+
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        v = s.column(state_col).combine_chunks()
+        n = s.num_rows
+        return pa.table({
+            "cur_state": v.slice(0, n - 1),
+            "next_state": v.slice(1),
+        })
+
+    pairs = ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["cur_state", "next_state"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["cur_state", "next_state", "n"])
+
+    counts = (pairs.map_batches(partial, batch_format="pyarrow")
+              .groupby(["cur_state", "next_state"]).sum("n")
+              .to_pandas())
+    if counts.empty:  # empty Datasets drop their schema in to_pandas
+        return pd.DataFrame({"cur_state": pd.Series(dtype=object),
+                             "next_state": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64"),
+                             "p": pd.Series(dtype="float64")})
+    counts.columns = ["cur_state", "next_state", "n"]
+    counts["n"] = counts["n"].astype("int64")
+    totals = counts.groupby("cur_state")["n"].transform("sum")
+    counts["p"] = counts["n"] / totals  # exact: int / int
+    return counts.sort_values(["cur_state", "next_state"]) \
+        .reset_index(drop=True)
+
+
+def sequence_gaps(
+    ds: rd.Dataset,
+    key: str,
+    id_col: str,
+) -> rd.Dataset:
+    """Gaps-and-islands over per-key integer id sequences: one row per
+    INTERIOR gap — (key, gap_start, gap_end) where gap_start..gap_end
+    are the missing ids between two consecutive present ids. The CDC
+    shape of this is offset-gap detection in a partitioned changelog.
+    One groupby(key) shuffle; per group a sort + one vectorized diff.
+    Exact integers end-to-end."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column(id_col).to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        nxt = ids[1:]
+        cur = ids[:-1]
+        m = nxt > cur + 1
+        k = g.column(key).combine_chunks()
+        return pa.table({
+            key: k.take(pa.array(np.zeros(int(m.sum()), np.int64))),
+            "gap_start": pa.array(cur[m] + 1, pa.int64()),
+            "gap_end": pa.array(nxt[m] - 1, pa.int64()),
+        })
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

@@ -900,3 +900,40 @@ def write_packed_shards(
     manifest = sharded.groupby("shard").map_groups(
         write_shard, batch_format="pyarrow").to_pandas()
     return manifest.sort_values("shard").reset_index(drop=True)
+
+
+def explode_tokens(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = " ",
+) -> rd.Dataset:
+    """Positional tokenization: one row per token with its 1-based
+    position — (id, tidx, token). Plain-substring split (Arrow
+    ``split_pattern``; identical semantics to SQL ``str_split``),
+    flattened via list_flatten + parent-index repeat — no Python loop,
+    no shuffle (embarrassingly parallel per batch). The base relation
+    for positional n-gram work."""
+    from maestro_ray.ops.functions import explode_list
+
+    def split(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({
+            id_col: t.column(id_col),
+            "__toks": pc.split_pattern(col, pattern=delim),
+        })
+
+    out = explode_list(ds.map_batches(split, batch_format="pyarrow"),
+                       "__toks", keep=[id_col], with_pos=True,
+                       out_col="token")
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "tidx": pc.add(t.column("pos"), 1),  # SQL subscripts: 1-based
+            "token": t.column("token"),
+        })
+
+    return out.map_batches(widen, batch_format="pyarrow")

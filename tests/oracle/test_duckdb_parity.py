@@ -92,6 +92,7 @@ ORACLE_NAMES = [
     "heavy_hitters_grouped", "url_canonical",
     "dedup_substring", "zorder_key", "zorder_cluster", "xml_import",
     "search_index",
+    "markov_transitions", "sequence_gaps", "token_explode", "user_rfm",
 ]
 
 
