@@ -1792,6 +1792,22 @@ def _q_cdc_dedup_view(sf):
     return maintain_dedup_view(_cdc_lake(sf))
 
 
+def _q_cdc_distinct_view(sf):
+    """Incremental grouped DISTINCT-count view over the replay lake:
+    unique live content per language, maintained per epoch by the
+    partition-diff algebra ONE LEVEL DOWN — state is the live-copy
+    count per composite (lang, hash64(text)) pair (distinct counts
+    don't add across files; pair counts do), distinct = surviving
+    pairs per group (pipelines/views.py maintain_group_distinct).
+    Updates that move content between languages, deletes of the last
+    copy, and re-inserts all stay exact. Rows-only check; the
+    view≡recompute-at-every-epoch and group-move oracles are pytest
+    (tests/replay/test_distinct_view.py)."""
+    from maestro_ray.pipelines.views import maintain_group_distinct
+
+    return maintain_group_distinct(_cdc_lake(sf), "lang", "text")
+
+
 def _q_cdc_search_index(sf):
     """INCREMENTAL full-text index over the replay lake — the second
     cdc_ingest × webtext integration piece (pipelines/search.py,
@@ -3862,6 +3878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_incremental_view": _q_cdc_incremental_view,
         "cdc_dedup_view": _q_cdc_dedup_view,
+        "cdc_distinct_view": _q_cdc_distinct_view,
         "cdc_search_index": _q_cdc_search_index,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_change_feed": _q_cdc_change_feed,

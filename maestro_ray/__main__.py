@@ -109,6 +109,10 @@ def main(argv: list[str] | None = None) -> int:
                       help="maintain a grouped SUM view instead of the "
                       "count view: a stored int column, or len:<col> "
                       "for live utf8 bytes of <col>")
+    p_vw.add_argument("--distinct", default=None, metavar="OF_COL",
+                      help="maintain a grouped DISTINCT-count view of "
+                      "this column instead of the count view "
+                      "(mutually exclusive with --sum)")
 
     p_rp = sub.add_parser(
         "repartition",
@@ -183,10 +187,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "view":  # no Ray session: thread-pool file counts
         from maestro_ray.pipelines.views import (
             maintain_group_counts,
+            maintain_group_distinct,
             maintain_group_sums,
         )
 
-        if args.sum:
+        if args.sum and args.distinct:
+            print("--sum and --distinct are mutually exclusive",
+                  file=sys.stderr)
+            return 2
+        if args.distinct:
+            out = maintain_group_distinct(args.lake_dir, args.group_col,
+                                          args.distinct)
+        elif args.sum:
             out = maintain_group_sums(args.lake_dir, args.group_col,
                                       args.sum)
         else:

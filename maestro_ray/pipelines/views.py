@@ -60,7 +60,32 @@ HASH_GROUP_PREFIX = "hash64:"
 LEN_MEASURE_PREFIX = "len:"
 
 
-def _file_group_counts(path: str, group_col: str,
+def _group_key_table(t: pa.Table, group_col) -> pa.Table:
+    """The grouping key column(s) for one live-filtered file table.
+    ``group_col`` may be a single spec or a tuple of specs; each spec is
+    a stored column name or ``hash64:<col>`` (int64 bit view of the
+    deterministic content hash — see ``HASH_GROUP_PREFIX``)."""
+    from maestro_ray.ops.hashing import hash_array
+
+    specs = group_col if isinstance(group_col, tuple) else (group_col,)
+    cols = {}
+    for spec in specs:
+        hashed = spec.startswith(HASH_GROUP_PREFIX)
+        src = spec[len(HASH_GROUP_PREFIX):] if hashed else spec
+        raw = (t.column(src) if src in t.column_names
+               else pa.nulls(t.num_rows, pa.string()))
+        if hashed:
+            # int64 BIT VIEW of the uint64 hash: the view rides pandas
+            # indexes and parquet columns, where raw uint64 values
+            # above 2^63 would overflow the int64 conversion
+            cols[spec] = pa.array(hash_array(raw).view(np.int64),
+                                  pa.int64())
+        else:
+            cols[spec] = raw
+    return pa.table(cols)
+
+
+def _file_group_counts(path: str, group_col,
                        measure: str | None = None) -> dict:
     """One file's per-group live aggregate (narrow read: group + op
     [+ measure] only; tombstones excluded via the shared liveness rule,
@@ -77,21 +102,20 @@ def _file_group_counts(path: str, group_col: str,
     constant), so the view key is uint64."""
     from maestro_ray.io.lake import live_mask
 
-    hashed = group_col.startswith(HASH_GROUP_PREFIX)
-    src = group_col[len(HASH_GROUP_PREFIX):] if hashed else group_col
+    specs = group_col if isinstance(group_col, tuple) else (group_col,)
+    srcs = [s[len(HASH_GROUP_PREFIX):] if s.startswith(HASH_GROUP_PREFIX)
+            else s for s in specs]
     mcol = None
     if measure is not None:
         mcol = (measure[len(LEN_MEASURE_PREFIX):]
                 if measure.startswith(LEN_MEASURE_PREFIX) else measure)
     names = pq.read_schema(path).names
-    cols = ([src] if src in names else []) \
+    cols = [c for c in dict.fromkeys(srcs) if c in names] \
         + (["op"] if "op" in names else []) \
         + ([mcol] if mcol is not None and mcol in names
-           and mcol not in (src, "op") else [])
+           and mcol not in (*srcs, "op") else [])
     t = pq.read_table(path, columns=cols)
     t = t.filter(live_mask(t))
-    if src not in t.column_names:
-        t = t.append_column(src, pa.nulls(t.num_rows, pa.string()))
     if measure is None:
         mvals = None
     elif measure.startswith(LEN_MEASURE_PREFIX):
@@ -107,24 +131,17 @@ def _file_group_counts(path: str, group_col: str,
         raw = (t.column(mcol) if mcol in t.column_names
                else pa.nulls(t.num_rows, pa.int64()))
         mvals = pc.cast(pc.fill_null(raw, 0), pa.int64())
-    if hashed:
-        from maestro_ray.ops.hashing import hash_array
-
-        # int64 BIT VIEW of the uint64 hash: the view rides pandas
-        # Series indexes and parquet columns, where raw uint64 values
-        # above 2^63 would overflow the int64 conversion
-        h = hash_array(t.column(src)).view(np.int64)
-        t = pa.table({group_col: pa.array(h, pa.int64())})
-    else:
-        t = t.select([src])
-        if src != group_col:  # pragma: no cover — src == group_col here
-            t = t.rename_columns([group_col])
+    kt = _group_key_table(t, group_col)  # null-fills missing sources
     if mvals is None:
-        g = t.group_by([group_col]).aggregate([([], "count_all")])
+        g = kt.group_by(list(specs)).aggregate([([], "count_all")])
     else:
-        t = t.append_column("__m", mvals)
-        g = t.group_by([group_col]).aggregate([("__m", "sum")])
-    return dict(zip(g.column(0).to_pylist(), g.column(1).to_pylist()))
+        kt = kt.append_column("__m", mvals)
+        g = kt.group_by(list(specs)).aggregate([("__m", "sum")])
+    vals = g.column(len(specs)).to_pylist()
+    if len(specs) == 1:
+        return dict(zip(g.column(0).to_pylist(), vals))
+    keys = zip(*[g.column(s).to_pylist() for s in specs])
+    return dict(zip(keys, vals))
 
 
 _counts_task = None
@@ -142,7 +159,27 @@ def _get_counts_task():
     return _counts_task
 
 
-def _live_group_counts(paths: list[str], group_col: str,
+def _empty_state(group_col) -> pd.Series:
+    """Typed empty view state — MultiIndexed for composite keys so
+    signed add/sub alignment works from the first epoch."""
+    s = pd.Series(dtype="int64")
+    if isinstance(group_col, tuple):
+        s.index = pd.MultiIndex.from_arrays(
+            [[] for _ in group_col], names=list(group_col))
+    return s
+
+
+def _with_key_index(s: pd.Series, group_col) -> pd.Series:
+    if isinstance(group_col, tuple):
+        if len(s):
+            s.index = pd.MultiIndex.from_tuples(
+                list(s.index), names=list(group_col))
+        else:
+            return _empty_state(group_col)
+    return s
+
+
+def _live_group_counts(paths: list[str], group_col,
                        measure: str | None = None) -> pd.Series:
     """Per-group live-row counts over lake files. The per-file counting
     is embarrassingly parallel and only its TINY (group → n) results
@@ -152,7 +189,7 @@ def _live_group_counts(paths: list[str], group_col: str,
     module docstring — merge tasks emitting count deltas with their
     lineage — removes even this re-read."""
     if not paths:
-        return pd.Series(dtype="int64")
+        return _empty_state(group_col)
     import ray
 
     if ray.is_initialized() and len(paths) > 1:
@@ -170,7 +207,7 @@ def _live_group_counts(paths: list[str], group_col: str,
     for c in counts:
         for k, n in c.items():
             total[k] = total.get(k, 0) + n
-    return pd.Series(total, dtype="int64")
+    return _with_key_index(pd.Series(total, dtype="int64"), group_col)
 
 
 def _changed_files(
@@ -213,12 +250,16 @@ def _view_epochs(vdir: str) -> list[int]:
     )
 
 
-def _as_frame(view: pd.Series, group_col: str) -> pd.DataFrame:
+def _as_frame(view: pd.Series, group_col) -> pd.DataFrame:
+    keys = list(group_col) if isinstance(group_col, tuple) \
+        else [group_col]
+    if isinstance(group_col, tuple):
+        view = _with_key_index(view, group_col)
     out = view.reset_index()
-    out.columns = [group_col, "n"]
+    out.columns = [*keys, "n"]
     # sort_values (not sort_index): a null group sorts as missing
     # instead of raising on None-vs-str comparison
-    return out.sort_values(group_col).reset_index(drop=True)
+    return out.sort_values(keys).reset_index(drop=True)
 
 
 def _persist(view: pd.Series, lake_dir: str, view_id: str, group_col: str,
@@ -289,22 +330,64 @@ def maintain_group_sums(
                      on_vacuumed)
 
 
+def distinct_view_name(group_col: str, of_col: str) -> str:
+    """Filesystem identity of a grouped DISTINCT-count view."""
+    return f"{group_col}__distinct__{of_col.replace(':', '_')}"
+
+
+def maintain_group_distinct(
+    lake_dir: str, group_col: str, of_col: str,
+    on_vacuumed: str = "bootstrap", to_epoch: int | None = None,
+) -> pd.DataFrame:
+    """Incrementally-maintained per-group count of DISTINCT live
+    ``of_col`` values (e.g. unique corpus content per language).
+
+    Distinct counts don't add across files, so the partition-diff
+    algebra runs one level down: the persisted state is the live-copy
+    count per COMPOSITE key (group, hash64(of_col)) — exact under the
+    same signed add/sub as every other view — and the distinct count
+    is simply the number of surviving (non-zero) pairs per group. An
+    update that moves a value between groups decrements one pair and
+    increments another; a delete that removes the last copy drops the
+    pair. State is O(live distinct pairs), the same order as the dedup
+    view. Same cursor/resume/vacuum-re-anchor contract as
+    ``maintain_group_counts``.
+
+    ``to_epoch`` reads the HISTORY view at that epoch after catching
+    maintenance up to head (per-epoch states are persisted)."""
+    composite = (group_col, HASH_GROUP_PREFIX + of_col)
+    vid = distinct_view_name(group_col, of_col)
+    head_pairs = _maintain(lake_dir, composite, vid, None, on_vacuumed)
+    if to_epoch is None:
+        pairs = head_pairs
+    else:
+        pairs = read_view(lake_dir, vid, to_epoch)
+        if pairs is None:
+            raise ValueError(
+                f"distinct view {vid!r} has no persisted epoch "
+                f"{to_epoch} (a vacuum re-anchor may have skipped it)")
+    out = (pairs.groupby(group_col, dropna=False).size()
+           .reset_index(name="n_distinct"))
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 def _maintain(
-    lake_dir: str, group_col: str, view_id: str, measure: str | None,
+    lake_dir: str, group_col, view_id: str, measure: str | None,
     on_vacuumed: str,
 ) -> pd.DataFrame:
     if on_vacuumed not in ("bootstrap", "error"):
         raise ValueError(f"on_vacuumed={on_vacuumed!r}")
+    key_cols = list(group_col) if isinstance(group_col, tuple) \
+        else [group_col]
     epochs = list_epochs(lake_dir)
     if not epochs:
-        return pd.DataFrame({group_col: pd.Series(dtype=object),
-                             "n": pd.Series(dtype="int64")})
+        return _as_frame(_empty_state(group_col), group_col)
     vdir = os.path.join(lake_dir, VIEWS_DIR, view_id)
     done = [e for e in _view_epochs(vdir) if e in set(epochs)]
     cursor = done[-1] if done else None
     view = (read_view(lake_dir, view_id, cursor)
-            .set_index(group_col)["n"] if cursor is not None
-            else pd.Series(dtype="int64"))
+            .set_index(key_cols)["n"] if cursor is not None
+            else _empty_state(group_col))
     prev_m = manifest_at(lake_dir, cursor) if cursor is not None else None
     pending = [x for x in epochs if cursor is None or x > cursor]
     last_anchor: int | None = None
