@@ -2828,6 +2828,40 @@ def _q_funnel(sf):
                   steps=["view", "click", "purchase"])
 
 
+def _q_table_diff(sf):
+    """Keyed reconciliation (ops/diff.py diff_tables): classify every
+    key as insert/delete/update between two states — drift detection /
+    anti-entropy between replicas. One bucketed full-outer hash join;
+    vectorized null-safe payload comparison; equal rows never leave the
+    join tasks (output is O(drift), not O(table)). The 'to' state here
+    is a deterministic mutation of orders: keys %5==0 deleted, %3==0
+    repriced (+1), and a shifted-key insert block."""
+    from maestro_ray.ops.diff import diff_tables
+
+    left = _read(sf, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        keep = (k % 5) != 0
+        k2, v2 = k[keep], v[keep].copy()
+        v2[(k2 % 3) == 0] += 1.0
+        survivors = pa.table({
+            "o_orderkey": pa.array(k2, pa.int64()),
+            "o_totalprice": pa.array(v2, pa.float64()),
+        })
+        inserts = pa.table({
+            "o_orderkey": pa.array(k + 100_000_000, pa.int64()),
+            "o_totalprice": pa.array(np.full(len(k), 0.5), pa.float64()),
+        })
+        return pa.concat_tables([survivors, inserts])
+
+    right = _read(sf, "orders", columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(mutate, batch_format="pyarrow")
+    return diff_tables(left, right, key="o_orderkey",
+                       cols=["o_totalprice"])
+
+
 def _q_markov_transitions(sf):
     """First-order Markov transition matrix over per-user event
     sequences (ops/analytics.py markov_transitions): one groupby(user)
@@ -3957,6 +3991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_import": _q_orc_import,
         "watermark_late": _q_watermark_late,
         "funnel": _q_funnel,
+        "table_diff": _q_table_diff,
         "markov_transitions": _q_markov_transitions,
         "sequence_gaps": _q_sequence_gaps,
         "token_explode": _q_token_explode,
@@ -5121,6 +5156,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, cum_prev // 512 AS seq_id, "
             "cum_prev % 512 AS seq_offset, (cum_prev + n_tokens - 1) "
             "// 512 - cum_prev // 512 + 1 AS n_seqs FROM c"
+        ),
+        "table_diff": (
+            "WITH l AS (SELECT o_orderkey AS k, o_totalprice AS v "
+            "FROM orders), "
+            "r AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 3 = 0 "
+            "THEN o_totalprice + 1 ELSE o_totalprice END AS v "
+            "FROM orders WHERE o_orderkey % 5 <> 0 "
+            "UNION ALL SELECT o_orderkey + 100000000, 0.5 FROM orders), "
+            "j AS (SELECT coalesce(l.k, r.k) AS o_orderkey, l.v AS lv, "
+            "r.v AS rv, l.k IS NOT NULL AS pl, r.k IS NOT NULL AS pr "
+            "FROM l FULL OUTER JOIN r ON l.k = r.k) "
+            "SELECT o_orderkey, CASE WHEN NOT pl THEN 'insert' "
+            "WHEN NOT pr THEN 'delete' ELSE 'update' END AS diff_op "
+            "FROM j WHERE (NOT pl) OR (NOT pr) OR lv IS DISTINCT FROM rv"
         ),
         "markov_transitions": (
             "WITH nxt AS (SELECT event_type AS cur_state, "

@@ -1,0 +1,56 @@
+"""Keyed reconciliation (ops/diff.py diff_tables): insert/delete/update
+classification with null-safe payload comparison."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from maestro_ray.ops.diff import diff_tables
+
+
+def _t(keys, vals):
+    return rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals, pa.float64()),
+    }))
+
+
+def test_classification_and_equal_rows_dropped(ray_session):
+    left = _t([1, 2, 3, 4], [10.0, 20.0, 30.0, 40.0])
+    right = _t([2, 3, 4, 5], [20.0, 31.0, 40.0, 50.0])
+    out = diff_tables(left, right, key="k", cols=["v"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    got = list(zip(out["k"], out["diff_op"]))
+    # 2 and 4 are equal → never emitted
+    assert got == [(1, "delete"), (3, "update"), (5, "insert")]
+
+
+def test_null_payloads_are_null_safe(ray_session):
+    left = _t([1, 2, 3], [None, 5.0, None])
+    right = _t([1, 2, 3], [None, None, 7.0])
+    out = diff_tables(left, right, key="k", cols=["v"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    got = list(zip(out["k"], out["diff_op"]))
+    # null == null → equal (dropped); null vs value → update both ways
+    assert got == [(2, "update"), (3, "update")]
+
+
+def test_multi_column_any_difference_updates(ray_session):
+    def t2(keys, a, b):
+        return rd.from_arrow(pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "a": pa.array(a, pa.float64()),
+            "b": pa.array(b, pa.string()),
+        }))
+
+    left = t2([1, 2], [1.0, 2.0], ["x", "y"])
+    right = t2([1, 2], [1.0, 2.0], ["x", "z"])
+    out = diff_tables(left, right, key="k", cols=["a", "b"]) \
+        .to_pandas()
+    assert list(zip(out["k"], out["diff_op"])) == [(2, "update")]
+
+
+def test_all_equal_yields_empty(ray_session):
+    left = _t([1, 2], [1.0, 2.0])
+    out = diff_tables(left, _t([1, 2], [1.0, 2.0]), key="k",
+                      cols=["v"]).to_pandas()
+    assert len(out) == 0
