@@ -1674,11 +1674,22 @@ def _q_cdc_join_view(sf):
     Rows-only check; the view≡full-recompute-at-every-joint-epoch,
     delete-propagation, carry-forward, and co-partitioning-guard
     oracles are pytest (tests/replay/test_join_view.py)."""
-    from maestro_ray.fixtures import ChangelogParams, write_changelog
     from maestro_ray.pipelines.joinview import (
         maintain_join_view,
         read_join_view,
     )
+
+    root = _cdc_joinview_root(sf)
+    maintain_join_view(root, "pages_a", "pages_b",
+                       left_cols=("lang",), right_cols=("lang",))
+    return read_join_view(root, "pages_a", "pages_b")
+
+
+def _cdc_joinview_root(sf) -> str:
+    """Two CDC tables ingested in lockstep joint epochs (cached per sf):
+    distinct seeds → each table has its own update/delete history, but
+    the url universes overlap (shared deterministic id space)."""
+    from maestro_ray.fixtures import ChangelogParams, write_changelog
     from maestro_ray.pipelines.multi import ingest_multi
 
     name = os.path.basename(sf.rstrip("/"))
@@ -1690,17 +1701,33 @@ def _q_cdc_join_view(sf):
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
         logs = {}
-        # distinct seeds → each table has its own update/delete history,
-        # but the url universes overlap (shared deterministic id space)
         for t, seed in (("pages_a", 101), ("pages_b", 202)):
             log = os.path.join(work, f"log_{t}")
             write_changelog(log, ChangelogParams(**{**scale, "seed": seed}))
             logs[t] = log
         ingest_multi(root, logs, num_partitions=8, segments_per_epoch=2)
         open(done, "w").close()
+    return root
+
+
+def _q_cdc_antijoin_view(sf):
+    """Incrementally-maintained ANTI-join view — live referential-
+    integrity monitoring over two CDC tables: pages of A with no live
+    counterpart in B (orphans), kept current per joint epoch by the
+    same partition-local plan as cdc_join_view (how='anti'; right
+    columns omitted). A right-side insert REMOVES an orphan; a
+    right-side delete CREATES one — both land in exactly one rewritten
+    partition. Rows-only check; the orphans≡recompute-at-every-epoch
+    oracle is pytest (tests/replay/test_join_view.py)."""
+    from maestro_ray.pipelines.joinview import (
+        maintain_join_view,
+        read_join_view,
+    )
+
+    root = _cdc_joinview_root(sf)
     maintain_join_view(root, "pages_a", "pages_b",
-                       left_cols=("lang",), right_cols=("lang",))
-    return read_join_view(root, "pages_a", "pages_b")
+                       left_cols=("lang",), how="anti")
+    return read_join_view(root, "pages_a", "pages_b", how="anti")
 
 
 def _q_cdc_replay(sf):
@@ -4010,6 +4037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_ewma": _q_window_ewma,
         "cdc_multi_table": _q_cdc_multi_table,
         "cdc_join_view": _q_cdc_join_view,
+        "cdc_antijoin_view": _q_cdc_antijoin_view,
         "merge_into": _q_merge_into,
         "explode_pos": _q_explode_pos,
         "edit_distance": _q_edit_distance,

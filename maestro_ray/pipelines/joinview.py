@@ -45,9 +45,20 @@ from maestro_ray.pipelines.multi import committed_epochs, table_dir
 JOIN_VIEWS_DIR = "_join_views"
 
 
-def join_view_name(left: str, right: str) -> str:
+#: supported join modes → (pyarrow join_type, right side in output?)
+_HOW = {
+    "inner": ("inner", True),
+    "left": ("left outer", True),
+    # anti = referential-integrity monitoring: left live rows with NO
+    # live right counterpart (orphans), kept current per epoch
+    "anti": ("left anti", False),
+}
+
+
+def join_view_name(left: str, right: str, how: str = "inner") -> str:
     """Filesystem identity of the view (also what reads take)."""
-    return f"{left}__join__{right}"
+    mid = "join" if how == "inner" else f"{how}join"
+    return f"{left}__{mid}__{right}"
 
 
 def _view_dir(root: str, name: str) -> str:
@@ -76,10 +87,12 @@ def _m_at_or_before(lake: str, epoch: int) -> Manifest | None:
 
 
 def _out_cols(left: str, right: str,
-              left_cols: tuple, right_cols: tuple) -> list[str]:
-    return (["url"]
-            + [f"{left}__{c}" for c in ("warc_ts", *left_cols)]
-            + [f"{right}__{c}" for c in ("warc_ts", *right_cols)])
+              left_cols: tuple, right_cols: tuple,
+              how: str = "inner") -> list[str]:
+    out = ["url"] + [f"{left}__{c}" for c in ("warc_ts", *left_cols)]
+    if _HOW[how][1]:
+        out += [f"{right}__{c}" for c in ("warc_ts", *right_cols)]
+    return out
 
 
 def _join_partition(
@@ -87,6 +100,7 @@ def _join_partition(
     left: str, right: str,
     left_cols: tuple, right_cols: tuple,
     out_path: str,
+    how: str = "inner",
 ) -> int:
     """Join ONE co-partition's live rows and persist the result
     (tmp+rename). Pure function of its file arguments — safe as a Ray
@@ -101,10 +115,13 @@ def _join_partition(
 
     lt = side(left_path, left_cols, left)
     rt = side(right_path, right_cols, right)
-    j = lt.join(rt, keys="url", join_type="inner")
+    join_type, keep_right = _HOW[how]
+    if not keep_right:
+        rt = rt.select(["url"])
+    j = lt.join(rt, keys="url", join_type=join_type)
     # url is unique per lake (LWW-merged) → unique in the join → a url
     # sort is a total order, making the file bytes deterministic
-    j = j.select(_out_cols(left, right, left_cols, right_cols))
+    j = j.select(_out_cols(left, right, left_cols, right_cols, how))
     j = j.sort_by("url")
     tmp = out_path + ".tmp"
     pq.write_table(j, tmp)
@@ -161,19 +178,25 @@ def maintain_join_view(
     left_cols: tuple[str, ...] = ("text",),
     right_cols: tuple[str, ...] = ("lang",),
     on_vacuumed: str = "bootstrap",
+    how: str = "inner",
 ) -> dict:
-    """Catch the materialized inner-join view of two tables in a
-    multi-table root up to the newest committed JOINT epoch (module
-    docstring has the plan and cost model). Returns the final view
-    manifest dict. Idempotent: no new epochs → reads the cursor and
-    returns immediately.
+    """Catch the materialized join view of two tables in a multi-table
+    root up to the newest committed JOINT epoch (module docstring has
+    the plan and cost model). Returns the final view manifest dict.
+    Idempotent: no new epochs → reads the cursor and returns
+    immediately.
 
-    Output columns: ``url``, then ``<table>__warc_ts`` +
-    ``<table>__<col>`` per side — collision-free by construction.
+    ``how``: "inner" | "left" | "anti" — anti is live referential-
+    integrity monitoring (left rows with no live right counterpart;
+    right columns omitted from the output). Output columns: ``url``,
+    then ``<table>__warc_ts`` + ``<table>__<col>`` per (kept) side —
+    collision-free by construction.
     """
     if on_vacuumed not in ("bootstrap", "error"):
         raise ValueError(f"on_vacuumed={on_vacuumed!r}")
-    name = join_view_name(left, right)
+    if how not in _HOW:
+        raise ValueError(f"how={how!r}: {sorted(_HOW)}")
+    name = join_view_name(left, right, how)
     vdir = _view_dir(root, name)
     os.makedirs(vdir, exist_ok=True)
     epochs = committed_epochs(root)
@@ -249,20 +272,23 @@ def maintain_join_view(
                   if lf is not None and lf["rows"] > 0 else None)
             rp = (os.path.join(rlake, rf["file"])
                   if rf is not None and rf["rows"] > 0 else None)
-            if lp is None or rp is None:  # inner join: one empty side
+            # an empty LEFT side is empty under every mode; an empty
+            # RIGHT side zeroes only the inner join (left/anti still
+            # emit the left rows — _read_side(None) is a typed empty)
+            if lp is None or (rp is None and how == "inner"):
                 parts[p] = {"file": None, "rows": 0}
                 continue
             rel = os.path.join("parts", f"part-{p:05d}-epoch-{e:012d}.parquet")
             os.makedirs(os.path.join(vdir, "parts"), exist_ok=True)
             jobs.append((lp, rp, left, right, tuple(left_cols),
-                         tuple(right_cols), os.path.join(vdir, rel)))
+                         tuple(right_cols), os.path.join(vdir, rel), how))
             job_ps.append((p, rel))
         rows = _run_joins(jobs)
         for (p, rel), n in zip(job_ps, rows):
             parts[p] = {"file": rel, "rows": int(n)}
         payload = {
             "epoch": e,
-            "left": left, "right": right,
+            "left": left, "right": right, "how": how,
             "left_cols": list(left_cols), "right_cols": list(right_cols),
             "parts": {str(p): v for p, v in sorted(parts.items())},
         }
@@ -291,12 +317,13 @@ def _changed(cur: Manifest | None, prev: Manifest | None):
 
 def read_join_view(
     root: str, left: str, right: str, epoch: int | None = None,
+    how: str = "inner",
 ):
     """The persisted join view at ``epoch`` (default: newest
     maintained) as a lazy Ray Dataset. Raises if never maintained."""
     import ray.data as rd
 
-    name = join_view_name(left, right)
+    name = join_view_name(left, right, how)
     vdir = _view_dir(root, name)
     epochs = _view_epochs(vdir)
     if not epochs:
@@ -316,8 +343,10 @@ def read_join_view(
         from maestro_ray.pipelines.changefeed import _payload_type
 
         fields = [("url", pa.string())]
-        for side, cols in ((vm["left"], vm["left_cols"]),
-                           (vm["right"], vm["right_cols"])):
+        sides = [(vm["left"], vm["left_cols"])]
+        if _HOW[vm.get("how", "inner")][1]:
+            sides.append((vm["right"], vm["right_cols"]))
+        for side, cols in sides:
             fields.append((f"{side}__warc_ts", pa.timestamp("us")))
             fields += [(f"{side}__{c}", _payload_type(c)) for c in cols]
         return rd.from_arrow(pa.schema(fields).empty_table())

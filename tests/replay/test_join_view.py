@@ -222,3 +222,56 @@ def test_partition_count_mismatch_fails_loudly(ray_session, tmp_path,
     monkeypatch.setattr(jv, "_m_at_or_before", forged)
     with pytest.raises(ValueError, match="co-partitioned"):
         maintain_join_view(root, "a", "b")
+
+
+def _oracle_anti(root, epoch):
+    """Ground truth: live left rows with no live right url."""
+    frames = {}
+    for name, cols in (("a", ["text"]), ("b", [])):
+        lake = table_dir(root, name)
+        m = _m_at_or_before(lake, epoch)
+        parts = []
+        if m is not None:
+            for ent in m.partitions.values():
+                if ent["rows"] == 0:
+                    continue
+                t = pq.read_table(os.path.join(lake, ent["file"]))
+                t = t.filter(live_mask(t))
+                parts.append(t.select(["url", "warc_ts", *cols]).to_pandas())
+        frames[name] = (pd.concat(parts, ignore_index=True) if parts
+                        else pd.DataFrame(columns=["url", "warc_ts", *cols]))
+    a = frames["a"].rename(columns={"warc_ts": "a__warc_ts",
+                                    "text": "a__text"})
+    orphans = a[~a["url"].isin(set(frames["b"]["url"]))]
+    return orphans.sort_values("url").reset_index(drop=True)
+
+
+def test_anti_join_view_tracks_orphans(ray_session, root):
+    """how='anti' = live referential-integrity monitoring: left rows
+    with no live right counterpart, exact at every joint epoch."""
+    maintain_join_view(root, "a", "b", left_cols=("text",), how="anti")
+    checked = 0
+    for e in committed_epochs(root):
+        got = read_join_view(root, "a", "b", epoch=e, how="anti") \
+            .to_pandas()
+        exp = _oracle_anti(root, e)
+        assert len(got) == len(exp)
+        if len(got):
+            got = got.sort_values("url").reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[["url", "a__warc_ts", "a__text"]],
+                exp[["url", "a__warc_ts", "a__text"]], check_dtype=False)
+            checked += 1
+    assert checked > 0  # P_A has 40 urls vs P_B's 30 — orphans exist
+
+
+def test_left_join_view_keeps_unmatched_left(ray_session, root):
+    maintain_join_view(root, "a", "b", left_cols=("text",),
+                       right_cols=("lang",), how="left")
+    e = committed_epochs(root)[-1]
+    got = read_join_view(root, "a", "b", epoch=e, how="left").to_pandas()
+    inner = _oracle_join(root, e)
+    anti = _oracle_anti(root, e)
+    assert len(got) == len(inner) + len(anti)
+    unmatched = got[got["b__warc_ts"].isna()]
+    assert set(unmatched["url"]) == set(anti["url"])
