@@ -346,23 +346,57 @@ def dedup_near_minhash(
         })
 
     ids_ds = ds.select_columns([id_col])
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ids_ds.map_batches(self_map, batch_format="pyarrow")
 
     # verification: texts reach their pairs via two bucketed hash joins
     # (pairs ⋈ corpus on a, then on b) — the corpus streams through the
-    # join exchange, never onto the driver
+    # join exchange, never onto the driver. When the candidate set is
+    # SMALL (the common case: LSH prunes hard), broadcast its endpoint
+    # ids and FILTER the corpus before the joins — a map instead of a
+    # corpus-wide exchange (measured 2x on the whole sf0.1 pipeline);
+    # at 100 TB this is the difference between shuffling the corpus
+    # twice and touching only the candidate docs. The broadcast is
+    # guarded: past the limit, fall back to the full joins.
     from maestro_ray.ops.joins import hash_join
+    from maestro_ray.ops.partition import compact_blocks
 
-    docs_a = ds.map_batches(
+    docs = ds
+    nb = 32
+    if n_pairs <= assign_broadcast_limit:
+        endpoints: set = set()
+        for t in ray.get(pairs.to_arrow_refs()):
+            if t.num_rows == 0:
+                continue
+            endpoints.update(t.column("a").to_pylist())
+            endpoints.update(t.column("b").to_pylist())
+        ep_ref = ray.put(
+            pa.array(sorted(endpoints), pa.int64()))
+
+        def only_candidates(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column(id_col),
+                                     value_set=ray.get(ep_ref)))
+
+        # materialize + rebound blocks: the filter leaves one shard of
+        # near-empty blocks per corpus block, and the chained lazy
+        # joins re-derive the filter plan per schema probe — measured
+        # 6.2 s -> 2.9 s on the sf0.1 verify stage
+        docs = compact_blocks(
+            ds.map_batches(only_candidates,
+                           batch_format="pyarrow").materialize())
+        nb = 4  # tiny sides: fewer buckets, less per-bucket overhead
+
+    docs_a = docs.map_batches(
         lambda t: t.select([id_col, text_col]).rename_columns(["a", "__ta"]),
         batch_format="pyarrow",
     )
-    docs_b = ds.map_batches(
+    docs_b = docs.map_batches(
         lambda t: t.select([id_col, text_col]).rename_columns(["b", "__tb"]),
         batch_format="pyarrow",
     )
-    withtext = hash_join(hash_join(pairs, docs_a, keys="a"), docs_b, keys="b")
+    withtext = hash_join(hash_join(pairs, docs_a, keys="a", num_buckets=nb),
+                         docs_b, keys="b", num_buckets=nb)
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
