@@ -315,6 +315,46 @@ def _changed(cur: Manifest | None, prev: Manifest | None):
     return changed_partitions(cur, prev)
 
 
+def vacuum_join_view(
+    root: str, left: str, right: str, how: str = "inner",
+    keep_epochs: int = 1,
+) -> dict:
+    """Reclaim join-view storage: drop view manifests older than the
+    newest ``keep_epochs`` and delete every part file no kept manifest
+    references (carried-forward files written at OLD epochs but still
+    referenced by a kept manifest survive — reference-counted, like
+    the lake vacuum). History below the kept window becomes unreadable
+    and reads of it fail loudly (``read_join_view`` raises on a missing
+    epoch). Crash-leftover ``.tmp`` files are reaped too."""
+    if keep_epochs < 1:
+        raise ValueError(f"keep_epochs={keep_epochs}: need >= 1")
+    name = join_view_name(left, right, how)
+    vdir = _view_dir(root, name)
+    epochs = _view_epochs(vdir)
+    if not epochs:
+        raise ValueError(f"join view {name!r} was never maintained")
+    kept = epochs[-keep_epochs:]
+    referenced: set[str] = set()
+    for e in kept:
+        with open(_vm_path(vdir, e)) as f:
+            vm = json.load(f)
+        referenced.update(
+            v["file"] for v in vm["parts"].values()
+            if v["file"] is not None)
+    removed = 0
+    for e in epochs[:-keep_epochs]:
+        os.remove(_vm_path(vdir, e))
+    pdir = os.path.join(vdir, "parts")
+    if os.path.isdir(pdir):
+        for fn in os.listdir(pdir):
+            rel = os.path.join("parts", fn)
+            if rel not in referenced:
+                os.remove(os.path.join(pdir, fn))
+                removed += 1
+    return {"kept_epochs": kept, "removed_files": removed,
+            "dropped_manifests": len(epochs) - len(kept)}
+
+
 def read_join_view(
     root: str, left: str, right: str, epoch: int | None = None,
     how: str = "inner",

@@ -275,3 +275,39 @@ def test_left_join_view_keeps_unmatched_left(ray_session, root):
     assert len(got) == len(inner) + len(anti)
     unmatched = got[got["b__warc_ts"].isna()]
     assert set(unmatched["url"]) == set(anti["url"])
+
+
+def test_vacuum_join_view(ray_session, tmp_path):
+    base = str(tmp_path)
+    many = [_ev(i, "insert", f"u{i}", 1_000_000 + i, b"x%d" % i)
+            for i in range(16)]
+    segs_a = [many, [_ev(16, "update", "u0", 9_000_000, b"x0v2")],
+              [_ev(17, "update", "u1", 9_100_000, b"x1v2")]]
+    segs_b = [[_ev(i, "insert", f"u{i}", 1_500_000 + i, b"y%d" % i)
+               for i in range(16)]]
+    logs = {}
+    for name, segs in (("a", segs_a), ("b", segs_b)):
+        d = os.path.join(base, f"log_{name}")
+        _write_segments(d, segs)
+        logs[name] = d
+    root = os.path.join(base, "root")
+    ingest_multi(root, logs, num_partitions=4, segments_per_epoch=1)
+    maintain_join_view(root, "a", "b")
+    from maestro_ray.pipelines.joinview import vacuum_join_view
+
+    head_before = _view_df(root)
+    epochs = committed_epochs(root)
+    vdir = os.path.join(root, "_join_views", join_view_name("a", "b"))
+    # leave a crash-leftover tmp to reap
+    open(os.path.join(vdir, "parts", "part-junk.parquet.tmp"), "w").close()
+    out = vacuum_join_view(root, "a", "b", keep_epochs=1)
+    assert out["removed_files"] > 0
+    assert out["dropped_manifests"] == len(epochs) - 1
+    # the head survives byte-identically, incl. carried-forward files
+    pd.testing.assert_frame_equal(head_before, _view_df(root))
+    # vacuumed history fails loudly
+    with pytest.raises(ValueError, match="no epoch"):
+        read_join_view(root, "a", "b", epoch=epochs[0])
+    # maintenance still resumes cleanly after the vacuum (idempotent)
+    maintain_join_view(root, "a", "b")
+    pd.testing.assert_frame_equal(head_before, _view_df(root))
