@@ -2889,6 +2889,22 @@ def _q_table_diff(sf):
                        cols=["o_totalprice"])
 
 
+def _q_attribution(sf):
+    """Last-touch attribution (ops/analytics.py
+    last_touch_attribution): every purchase gets the id of the most
+    recent strictly-preceding view in the user's timeline (null when
+    none) — one groupby shuffle, cumulative-max index fold per group.
+    Exact integers and nulls."""
+    from maestro_ray.ops.analytics import last_touch_attribution
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                      "event_type"])
+    return last_touch_attribution(ds, key="user_id",
+                                  order_cols=["ts", "event_id"],
+                                  type_col="event_type",
+                                  id_col="event_id")
+
+
 def _q_markov_transitions(sf):
     """First-order Markov transition matrix over per-user event
     sequences (ops/analytics.py markov_transitions): one groupby(user)
@@ -4019,6 +4035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_late": _q_watermark_late,
         "funnel": _q_funnel,
         "table_diff": _q_table_diff,
+        "attribution": _q_attribution,
         "markov_transitions": _q_markov_transitions,
         "sequence_gaps": _q_sequence_gaps,
         "token_explode": _q_token_explode,
@@ -5198,6 +5215,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, CASE WHEN NOT pl THEN 'insert' "
             "WHEN NOT pr THEN 'delete' ELSE 'update' END AS diff_op "
             "FROM j WHERE (NOT pl) OR (NOT pr) OR lv IS DISTINCT FROM rv"
+        ),
+        "attribution": (
+            "WITH w AS (SELECT user_id, event_id, event_type, "
+            "last_value(CASE WHEN event_type = 'view' THEN event_id "
+            "END IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING) AS touch_event_id FROM events) "
+            "SELECT user_id, event_id AS conv_event_id, touch_event_id "
+            "FROM w WHERE event_type = 'purchase'"
         ),
         "markov_transitions": (
             "WITH nxt AS (SELECT event_type AS cur_state, "

@@ -275,3 +275,46 @@ def sequence_gaps(
         })
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def last_touch_attribution(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    type_col: str,
+    id_col: str,
+    touch_type: str = "view",
+    conv_type: str = "purchase",
+) -> rd.Dataset:
+    """Last-touch attribution: for every conversion event, the id of
+    the most recent STRICTLY-preceding touch event in the same key's
+    timeline (null when the conversion had no prior touch) — SQL's
+    ``last_value(touch IGNORE NULLS) OVER (... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` gated to conversions. One groupby(key)
+    shuffle; per group a sort + one cumulative-max index fold — no
+    Python loop. Exact integers and nulls."""
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        n = s.num_rows
+        types = s.column(type_col).to_numpy(zero_copy_only=False)
+        ids = s.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        is_touch = types == touch_type
+        pos = np.where(is_touch, np.arange(n, dtype=np.int64), -1)
+        last = np.maximum.accumulate(pos)
+        prev_last = np.concatenate(([np.int64(-1)], last[:-1]))
+        conv = np.flatnonzero(types == conv_type)
+        take = prev_last[conv]
+        touch = ids[np.maximum(take, 0)]
+        k = s.column(key).combine_chunks()
+        return pa.table({
+            key: k.take(pa.array(conv, pa.int64())),
+            "conv_event_id": pa.array(ids[conv], pa.int64()),
+            "touch_event_id": pa.array(
+                np.where(take >= 0, touch, 0), pa.int64(),
+                mask=(take < 0)),
+        })
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

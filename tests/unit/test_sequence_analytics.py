@@ -81,3 +81,23 @@ def test_explode_tokens_positions_and_empties(ray_session):
     assert out[out.doc_id == 1]["token"].tolist() == ["a", "b", "", "c"]
     assert out[out.doc_id == 1]["tidx"].tolist() == [1, 2, 3, 4]
     assert out[out.doc_id == 2]["token"].tolist() == ["x"]
+
+
+def test_last_touch_attribution_edges(ray_session):
+    from maestro_ray.ops.analytics import last_touch_attribution
+
+    rows = [  # user 1: purchase BEFORE any view -> null; then view, purchase
+        (1, 10, 1, "purchase"), (1, 20, 2, "view"), (1, 30, 3, "purchase"),
+        # user 2: two views then purchase -> LAST view wins; same-ts
+        # tiebreak by event_id keeps the view strictly before
+        (2, 10, 4, "view"), (2, 20, 5, "view"), (2, 20, 6, "purchase"),
+    ]
+    ds = _events(rows)
+    out = last_touch_attribution(
+        ds, key="user_id", order_cols=["ts", "event_id"],
+        type_col="event_type", id_col="event_id") \
+        .to_pandas().sort_values("conv_event_id").reset_index(drop=True)
+    assert out["conv_event_id"].tolist() == [1, 3, 6]
+    assert pd.isna(out["touch_event_id"].iloc[0])
+    assert out["touch_event_id"].iloc[1] == 2
+    assert out["touch_event_id"].iloc[2] == 5
