@@ -60,6 +60,11 @@ def bucketed_agg(ds, keys, aggs, n_buckets: int = 32):
 
     agg_spec = [(col, fn) for col, fn, _ in aggs]
     out_names = keys + [out for _, _, out in aggs]
+    # pyarrow's group_by output names, selected BY NAME below — blind
+    # positional renaming would silently swap key/value columns if a
+    # pyarrow upgrade reorders group_by output (it has across majors)
+    arrow_names = keys + [
+        fn if fn == "count_all" else f"{col}_{fn}" for col, fn in agg_spec]
 
     def red(g: pa.Table) -> pa.Table:
         # options built HERE: pyarrow *Options objects don't pickle
@@ -69,7 +74,7 @@ def bucketed_agg(ds, keys, aggs, n_buckets: int = 32):
                   sum0 if fn == "sum" else None)
                  for col, fn in agg_spec]
         t = g.drop_columns(["__b"]).group_by(keys).aggregate(specs)
-        return t.rename_columns(out_names)
+        return t.select(arrow_names).rename_columns(out_names)
 
     return (ds.map_batches(addb, batch_format="pyarrow")
             .groupby("__b")

@@ -262,8 +262,13 @@ def sequence_gaps(
     Exact integers end-to-end."""
 
     def per_key(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column(id_col).to_numpy(zero_copy_only=False)
-                      .astype(np.int64))
+        from maestro_ray.ops.dedup import _ids_int64
+
+        # null-guarded: astype(int64) folds nulls onto INT64_MIN and
+        # would emit a garbage quintillion-wide gap (the SQL twin's
+        # lead() simply skips the null) — same guard as near-dedup
+        ids = np.sort(_ids_int64(g.column(id_col), "sequence_gaps",
+                                 id_col))
         nxt = ids[1:]
         cur = ids[:-1]
         m = nxt > cur + 1
@@ -296,11 +301,15 @@ def last_touch_attribution(
     sort_keys = [(c, "ascending") for c in order_cols]
 
     def per_key(g: pa.Table) -> pa.Table:
+        from maestro_ray.ops.dedup import _ids_int64
+
         s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
         n = s.num_rows
         types = s.column(type_col).to_numpy(zero_copy_only=False)
-        ids = s.column(id_col).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        # null-guarded: a null id would silently become INT64_MIN in
+        # conv/touch ids where the SQL twin propagates NULL
+        ids = _ids_int64(s.column(id_col), "last_touch_attribution",
+                         id_col)
         is_touch = types == touch_type
         pos = np.where(is_touch, np.arange(n, dtype=np.int64), -1)
         last = np.maximum.accumulate(pos)

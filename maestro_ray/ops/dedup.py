@@ -365,14 +365,18 @@ def dedup_near_minhash(
     docs = ds
     nb = 32
     if n_pairs <= assign_broadcast_limit:
-        endpoints: set = set()
-        for t in ray.get(pairs.to_arrow_refs()):
-            if t.num_rows == 0:
-                continue
-            endpoints.update(t.column("a").to_pylist())
-            endpoints.update(t.column("b").to_pylist())
-        ep_ref = ray.put(
-            pa.array(sorted(endpoints), pa.int64()))
+        # vectorized endpoint dedup: pc.unique in C++ over the
+        # concatenated a/b columns — a Python set would box up to
+        # 2·limit ints on the driver (hundreds of MB transient at the
+        # 2M guard) for the same result
+        cols = [c for t in ray.get(pairs.to_arrow_refs())
+                if t.num_rows
+                for c in (t.column("a"), t.column("b"))]
+        endpoints = pc.unique(pa.chunked_array(
+            [chunk for col in cols for chunk in
+             (col.chunks if isinstance(col, pa.ChunkedArray) else [col])]
+        ))
+        ep_ref = ray.put(pc.cast(endpoints, pa.int64()))
 
         def only_candidates(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t.column(id_col),

@@ -16,6 +16,7 @@ replicas is tiny even though the exchange streams both.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -45,12 +46,15 @@ def diff_tables(
     column IS DISTINCT FROM its counterpart). Keys must be unique per
     side (reconciliation semantics — LWW-merged states, primary-keyed
     replicas). Equal rows never leave the join tasks."""
+    if not cols:
+        raise ValueError("diff_tables: need at least one payload column")
 
     def prep(present_col: str):
         def fn(t: pa.Table) -> pa.Table:
             t = t.select([key, *cols])
             return t.append_column(
-                present_col, pa.array([True] * t.num_rows, pa.bool_()))
+                present_col,
+                pa.array(np.ones(t.num_rows, dtype=bool)))
         return fn
 
     lp = left.map_batches(prep(_PL), batch_format="pyarrow")
@@ -60,13 +64,14 @@ def diff_tables(
 
     def classify(t: pa.Table) -> pa.Table:
         pl = pc.fill_null(t.column(_PL), False)
-        pr = pc.fill_null(t.column(_PR + "_r")
-                          if _PR + "_r" in t.column_names
-                          else t.column(_PR), False)
+        # __pr exists only on the right side — hash_join never renames
+        # it (suffixing applies to OVERLAPPING non-key columns only)
+        pr = pc.fill_null(t.column(_PR), False)
         ins = pc.and_(pr, pc.invert(pl))
         del_ = pc.and_(pl, pc.invert(pr))
-        changed = pa.array([False] * t.num_rows, pa.bool_())
-        for c in cols:
+        changed = _is_distinct(t.column(cols[0]),
+                               t.column(cols[0] + "_r"))
+        for c in cols[1:]:
             changed = pc.or_(changed,
                              _is_distinct(t.column(c), t.column(c + "_r")))
         upd = pc.and_(pc.and_(pl, pr), changed)

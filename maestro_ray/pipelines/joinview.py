@@ -207,8 +207,22 @@ def maintain_join_view(
     prev_parts: dict[int, dict] = {}
     if cursor is not None:
         with open(_vm_path(vdir, cursor)) as f:
-            prev_parts = {int(k): v
-                          for k, v in json.load(f)["parts"].items()}
+            prev_vm = json.load(f)
+        # the view's identity on disk is (left, right, how) — the
+        # column specs are recorded per manifest, and resuming with
+        # DIFFERENT specs must fail loudly: silently serving the old
+        # columns (no new epochs) or mixing schemas between recomputed
+        # and carried-forward partitions are both corruption
+        recorded = (prev_vm.get("left_cols"), prev_vm.get("right_cols"))
+        if recorded != (list(left_cols), list(right_cols)):
+            raise ValueError(
+                f"join view {name!r} was maintained with "
+                f"left_cols={recorded[0]}, right_cols={recorded[1]} "
+                f"but this call asks for {list(left_cols)}/"
+                f"{list(right_cols)}; delete {vdir} (or vacuum and "
+                "re-bootstrap) to change a view's columns"
+            )
+        prev_parts = {int(k): v for k, v in prev_vm["parts"].items()}
     llake, rlake = table_dir(root, left), table_dir(root, right)
     prev_lm = _m_at_or_before(llake, cursor) if cursor is not None else None
     prev_rm = _m_at_or_before(rlake, cursor) if cursor is not None else None
@@ -379,15 +393,21 @@ def read_join_view(
     files = [os.path.join(vdir, v["file"])
              for v in vm["parts"].values()
              if v["file"] is not None and v["rows"] > 0]
-    if not files:
-        from maestro_ray.pipelines.changefeed import _payload_type
+    if files:
+        from maestro_ray.io.changelog import _num_read_blocks
 
-        fields = [("url", pa.string())]
-        sides = [(vm["left"], vm["left_cols"])]
-        if _HOW[vm.get("how", "inner")][1]:
-            sides.append((vm["right"], vm["right_cols"]))
-        for side, cols in sides:
-            fields.append((f"{side}__warc_ts", pa.timestamp("us")))
-            fields += [(f"{side}__{c}", _payload_type(c)) for c in cols]
-        return rd.from_arrow(pa.schema(fields).empty_table())
-    return rd.read_parquet(files)
+        # byte-sized read blocks: Ray's ~200-block floor shatters a
+        # KB-scale view and taxes every downstream consumer (the
+        # measured merge_into 8s -> 1s class)
+        return rd.read_parquet(
+            files, override_num_blocks=_num_read_blocks(files))
+    from maestro_ray.pipelines.changefeed import _payload_type
+
+    fields = [("url", pa.string())]
+    sides = [(vm["left"], vm["left_cols"])]
+    if _HOW[vm.get("how", "inner")][1]:
+        sides.append((vm["right"], vm["right_cols"]))
+    for side, cols in sides:
+        fields.append((f"{side}__warc_ts", pa.timestamp("us")))
+        fields += [(f"{side}__{c}", _payload_type(c)) for c in cols]
+    return rd.from_arrow(pa.schema(fields).empty_table())

@@ -311,3 +311,16 @@ def test_vacuum_join_view(ray_session, tmp_path):
     # maintenance still resumes cleanly after the vacuum (idempotent)
     maintain_join_view(root, "a", "b")
     pd.testing.assert_frame_equal(head_before, _view_df(root))
+
+
+def test_changed_column_specs_fail_loudly(ray_session, root):
+    """The view identity on disk is (left, right, how); resuming with
+    different column specs must refuse — silently serving old columns
+    or mixing schemas across carried-forward partitions is corruption
+    (r4 s4 review finding)."""
+    maintain_join_view(root, "a", "b",
+                       left_cols=("text",), right_cols=("lang",))
+    with pytest.raises(ValueError, match="left_cols"):
+        maintain_join_view(root, "a", "b",
+                           left_cols=("text",),
+                           right_cols=("lang", "text"))

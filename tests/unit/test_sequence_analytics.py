@@ -101,3 +101,28 @@ def test_last_touch_attribution_edges(ray_session):
     assert pd.isna(out["touch_event_id"].iloc[0])
     assert out["touch_event_id"].iloc[1] == 2
     assert out["touch_event_id"].iloc[2] == 5
+
+
+def test_null_ids_fail_loudly(ray_session):
+    """astype(int64) folds null ids onto INT64_MIN — both sequence ops
+    must refuse instead of emitting garbage (r4 s4 review finding)."""
+    import pytest
+    from maestro_ray.ops.analytics import last_touch_attribution
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_id": pa.array([1, None, 9], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="null"):
+        sequence_gaps(ds, key="user_id", id_col="event_id").to_pandas()
+
+    ds2 = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([10, 20], pa.timestamp("us")),
+        "event_id": pa.array([None, 2], pa.int64()),
+        "event_type": pa.array(["view", "purchase"], pa.string()),
+    }))
+    with pytest.raises(Exception, match="null"):
+        last_touch_attribution(
+            ds2, key="user_id", order_cols=["ts", "event_id"],
+            type_col="event_type", id_col="event_id").to_pandas()
