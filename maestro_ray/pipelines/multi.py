@@ -90,6 +90,57 @@ def committed_epochs(root: str) -> list[int]:
     return sorted(out)
 
 
+def committed_epoch(root: str) -> int | None:
+    """The newest joint epoch whose txn is FULLY APPLIED — the
+    snapshot boundary readers must honor. A txn record alone makes an
+    epoch durable, but a crash can leave it half-published; this
+    returns the newest epoch at which every table named by every txn
+    ≤ it has its manifest and lineage on disk (run ``recover`` to
+    close the gap)."""
+    best: int | None = None
+    for e in committed_epochs(root):
+        with open(_txn_path(root, e)) as f:
+            rec = json.load(f)
+        applied = all(
+            os.path.exists(manifest_path(table_dir(root, n), e))
+            and os.path.exists(_lineage_path(table_dir(root, n), e))
+            for n in rec["tables"]
+        )
+        if not applied:
+            break  # a torn txn gates everything after it
+        best = e
+    return best
+
+
+def read_table(root: str, name: str, epoch: int | None = None,
+               columns: list[str] | None = None):
+    """Journal-gated snapshot read of one table in a multi-table root:
+    the table's state at joint ``epoch`` (default: newest FULLY-applied
+    txn — ``committed_epoch``). Because the gate is the journal, a
+    reader can never observe table A at epoch e alongside table B at
+    e−1: read both tables at the same ``epoch`` and the pair is the
+    atomically-committed cross-table snapshot. A table that staged
+    nothing at ``epoch`` serves its newest older manifest."""
+    from maestro_ray.core.manifest import list_epochs
+    from maestro_ray.io.lake import read_lake_at
+
+    if epoch is None:
+        epoch = committed_epoch(root)
+        if epoch is None:
+            raise ValueError(f"no fully-applied joint epoch in {root}")
+    elif epoch not in committed_epochs(root):
+        raise ValueError(
+            f"joint epoch {epoch} was never committed to {root}; "
+            f"available: {committed_epochs(root)}")
+    lake = table_dir(root, name)
+    older = [e for e in list_epochs(lake) if e <= epoch]
+    if not older:
+        raise ValueError(
+            f"table {name!r} has no state at or before joint epoch "
+            f"{epoch} in {root}")
+    return read_lake_at(lake, older[-1], columns=columns)
+
+
 def _apply_txn(root: str, epoch: int) -> None:
     """Idempotently publish every table named in txn-<epoch> — the
     recovery half of the protocol (and the normal apply path)."""

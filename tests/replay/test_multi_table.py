@@ -4,6 +4,7 @@ epochs, atomic cross-table commit, crash recovery, idempotent rerun."""
 import json
 import os
 
+import pandas as pd
 import pytest
 
 from maestro_ray.core.manifest import latest_manifest, manifest_path
@@ -148,3 +149,50 @@ def test_file_group_counts_stored_measure_pre_evolution(tmp_path):
     # len: measure over the same pre-evolution file also yields zeros
     got2 = _file_group_counts(p, "lang", "len:text")
     assert got2 == {"en": 0, "de": 0}
+
+
+def test_journal_gated_snapshot_reads(ray_session, logs, tmp_path,
+                                      monkeypatch):
+    """read_table honors the JOURNAL: a torn txn (applied for table a,
+    not b) gates committed_epoch below it, so a reader can never pair
+    table a at epoch e with table b at e-1 (r4 s4)."""
+    from maestro_ray.pipelines.multi import committed_epoch, read_table
+
+    root = str(tmp_path / "root")
+    orig = multi.publish_epoch
+    calls = {"n": 0}
+
+    def crashing(lake, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-apply")
+        return orig(lake, *a, **kw)
+
+    monkeypatch.setattr(multi, "publish_epoch", crashing)
+    with pytest.raises(RuntimeError):
+        ingest_multi(root, logs, num_partitions=4)
+    monkeypatch.setattr(multi, "publish_epoch", orig)
+
+    # torn first txn: journal record exists, only table 'a' applied
+    e = committed_epochs(root)[0]
+    assert committed_epoch(root) is None  # gated below the torn txn
+    with pytest.raises(ValueError, match="no fully-applied"):
+        read_table(root, "a")
+
+    recover(root)
+    assert committed_epoch(root) == e
+    a = read_table(root, "a").to_pandas()
+    b = read_table(root, "b").to_pandas()
+    assert len(a) > 0 and len(b) > 0
+
+    # continue to head; snapshot pair at an EXPLICIT old epoch stays
+    # consistent and the head gate advances
+    ingest_multi(root, logs, num_partitions=4)
+    head = committed_epoch(root)
+    assert head == committed_epochs(root)[-1]
+    old_a = read_table(root, "a", epoch=e).to_pandas()
+    pd.testing.assert_frame_equal(
+        old_a.sort_values("url").reset_index(drop=True),
+        a.sort_values("url").reset_index(drop=True))
+    with pytest.raises(ValueError, match="never committed"):
+        read_table(root, "a", epoch=10_000)
