@@ -2159,6 +2159,26 @@ def _q_knn_ivf(sf):
     return out[["vec_id"]].reset_index(drop=True)
 
 
+def _q_knn_pq(sf):
+    """Persisted PRODUCT-QUANTIZATION ANN index (ops/similarity.py
+    build_pq_index/knn_pq_probe) — the compressed-scan path beside LSH
+    / IVF / NSW: vectors stored as m uint8 codebook ids (32× smaller
+    than raw floats at d=64, m=16), probes score codes against
+    per-query ADC lookup tables and never read the raw vectors.
+    Rows-only driver check; recall-vs-brute, blob-level correctness,
+    self-retrieval, compression, and determinism oracles are pytest
+    (tests/unit/test_pq_index.py)."""
+    from maestro_ray.ops.similarity import build_pq_index, knn_pq_probe
+
+    name = os.path.basename(sf.rstrip("/"))
+    idx = f"/tmp/maestro_pq_r4_{name}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        build_pq_index(ds, idx, m=16, n_codes=64, sample_size=2048)
+    out = knn_pq_probe(idx, _knn_query_vec(sf), k=10)
+    return out[["query_idx", "id", "rank"]].reset_index(drop=True)
+
+
 #: Deterministic URL synthesizer for the web ops' oracle pairs — the
 #: documents table has no URL column, so BOTH sides construct the same
 #: url string from (doc_id, lang) and the op under test is the PARSE,
@@ -3994,6 +4014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_analytic": _q_window_analytic,
         "join_bloom": _q_join_bloom,
         "knn_ivf": _q_knn_ivf,
+        "knn_pq": _q_knn_pq,
         "knn_nsw": _q_knn_nsw,
         "url_parse": _q_url_parse,
         "domain_stats": _q_domain_stats,
