@@ -1835,6 +1835,37 @@ def _q_cdc_distinct_view(sf):
     return maintain_group_distinct(_cdc_lake(sf), "lang", "text")
 
 
+def _q_cdc_vector_index(sf):
+    """Incremental VECTOR index over the replay lake — the embedding
+    analog of cdc_search_index (pipelines/vectorindex.py): a sharded
+    url→embedding store maintained in O(churn) per epoch from the net
+    change feed (one rewrite task per touched shard; idempotent
+    drop-then-insert apply, meta written last), searched by cosine
+    with a distributed shard scan. Embeddings are the deterministic
+    hashed-n-gram featurizer (ops/embed.py — the documented model
+    stand-in; the plumbing is the product). Rows-only check; the
+    incremental≡re-encode-at-every-epoch, crash-recovery and planted
+    self-retrieval oracles are pytest
+    (tests/replay/test_vector_index.py)."""
+    from maestro_ray.pipelines import vectorindex as vx
+
+    lake = _cdc_lake(sf)
+    idx = os.path.join(os.path.dirname(lake), "vector_index_v1")
+    if not os.path.exists(os.path.join(idx, vx.META)):
+        import uuid
+
+        tmp = idx + f".build-{uuid.uuid4().hex[:8]}"
+        vx.bootstrap_vector_index(lake, tmp, dim=64, n_shards=8)
+        try:
+            os.replace(tmp, idx)  # atomic: no partial dir ever served
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    vx.update_vector_index(lake, idx)  # no-op at head — the real API
+    out = vx.search_vector_index(
+        idx, ["merge part window small hash scan join order"], k=20)
+    return out[["query_idx", "url", "rank"]]
+
+
 def _q_cdc_search_index(sf):
     """INCREMENTAL full-text index over the replay lake — the second
     cdc_ingest × webtext integration piece (pipelines/search.py,
@@ -3976,6 +4007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_view": _q_cdc_incremental_view,
         "cdc_dedup_view": _q_cdc_dedup_view,
         "cdc_distinct_view": _q_cdc_distinct_view,
+        "cdc_vector_index": _q_cdc_vector_index,
         "cdc_search_index": _q_cdc_search_index,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_change_feed": _q_cdc_change_feed,
