@@ -1130,6 +1130,36 @@ def _q_histogram(sf):
     return histogram(ds, "value", 0.0, 500.0, 10)
 
 
+def _q_chi2_independence(sf):
+    """Chi-squared independence cells for event_type × value-bucket:
+    observed counts from one mergeable grouped pass, expected counts
+    and per-cell contributions computed from the tiny contingency
+    matrix on the driver. Every number is a function of exact integer
+    counts (e = row_tot·col_tot/N, contrib = (o−e)²/e — IEEE-identical
+    across engines; no float accumulation anywhere), so the twin needs
+    no rounding."""
+    ds = _read(sf, "events", columns=["event_type", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.minimum((v // 100.0).astype(np.int64), 4)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "bucket": pa.array(b, pa.int64()),
+        })
+
+    obs = grouped_agg(ds.map_batches(bucketize, batch_format="pyarrow"),
+                      ["event_type", "bucket"],
+                      {"o": (None, "count")})
+    n = obs["o"].sum()
+    rt = obs.groupby("event_type")["o"].transform("sum")
+    ct = obs.groupby("bucket")["o"].transform("sum")
+    obs["e"] = (rt * ct) / n
+    d = obs["o"] - obs["e"]
+    obs["contrib"] = d * d / obs["e"]  # d*d, not **2: match SQL's x*x
+    return obs[["event_type", "bucket", "o", "e", "contrib"]]
+
+
 def _q_heavy_hitters(sf):
     """EXACT frequent items ≥12% of events by type — Misra-Gries
     candidate pass (≤ ⌈1/0.12⌉ = 9 summary entries per batch cross the
@@ -4089,6 +4119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "table_diff": _q_table_diff,
         "attribution": _q_attribution,
+        "chi2_independence": _q_chi2_independence,
         "markov_transitions": _q_markov_transitions,
         "sequence_gaps": _q_sequence_gaps,
         "token_explode": _q_token_explode,
@@ -5268,6 +5299,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, CASE WHEN NOT pl THEN 'insert' "
             "WHEN NOT pr THEN 'delete' ELSE 'update' END AS diff_op "
             "FROM j WHERE (NOT pl) OR (NOT pr) OR lv IS DISTINCT FROM rv"
+        ),
+        "chi2_independence": (
+            "WITH b AS (SELECT event_type, least(CAST(floor(value / "
+            "100) AS BIGINT), 4) AS bucket FROM events), "
+            "o AS (SELECT event_type, bucket, count(*) AS o FROM b "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT event_type, bucket, o, "
+            "sum(o) OVER (PARTITION BY event_type) AS rt, "
+            "sum(o) OVER (PARTITION BY bucket) AS ct, "
+            "sum(o) OVER () AS n FROM o), "
+            "u AS (SELECT event_type, bucket, o, "
+            "CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS e FROM t) "
+            "SELECT event_type, bucket, o, e, "
+            "(o - e) * (o - e) / e AS contrib FROM u"
         ),
         "attribution": (
             "WITH w AS (SELECT user_id, event_id, event_type, "
