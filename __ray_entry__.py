@@ -1865,6 +1865,19 @@ def _q_cdc_distinct_view(sf):
     return maintain_group_distinct(_cdc_lake(sf), "lang", "text")
 
 
+def _q_cdc_topk_view(sf):
+    """Incrementally-maintained TOP-K view: the k most-duplicated
+    content fingerprints per language, served from the SAME persisted
+    composite (lang, hash64(text)) pair state the distinct view
+    maintains (pipelines/views.py topk_view — one shared cursor, one
+    partition-diff walk; top-k is a read-time reduce). Rows-only
+    check; the topk≡recompute oracle is pytest
+    (tests/replay/test_distinct_view.py)."""
+    from maestro_ray.pipelines.views import topk_view
+
+    return topk_view(_cdc_lake(sf), "lang", "text", k=5)
+
+
 def _q_cdc_vector_index(sf):
     """Incremental VECTOR index over the replay lake — the embedding
     analog of cdc_search_index (pipelines/vectorindex.py): a sharded
@@ -4038,6 +4051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_view": _q_cdc_dedup_view,
         "cdc_distinct_view": _q_cdc_distinct_view,
         "cdc_vector_index": _q_cdc_vector_index,
+        "cdc_topk_view": _q_cdc_topk_view,
         "cdc_search_index": _q_cdc_search_index,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_change_feed": _q_cdc_change_feed,

@@ -371,6 +371,28 @@ def maintain_group_distinct(
     return out.sort_values(group_col).reset_index(drop=True)
 
 
+def topk_view(
+    lake_dir: str, group_col: str, of_col: str, k: int = 10,
+    on_vacuumed: str = "bootstrap",
+) -> pd.DataFrame:
+    """Top-k values per group BY LIVE COPY COUNT, served from the same
+    incrementally-maintained composite (group, hash64(of_col)) state
+    the distinct view uses — maintenance is shared (one cursor, one
+    partition-diff walk), the top-k is a read-time reduce over the
+    persisted pair counts. Returns (group, fingerprint, n, rank);
+    ties break by fingerprint for determinism."""
+    composite = (group_col, HASH_GROUP_PREFIX + of_col)
+    vid = distinct_view_name(group_col, of_col)
+    pairs = _maintain(lake_dir, composite, vid, None, on_vacuumed)
+    fp = HASH_GROUP_PREFIX + of_col
+    out = pairs.sort_values([group_col, "n", fp],
+                            ascending=[True, False, True])
+    out = out.groupby(group_col, dropna=False).head(k).copy()
+    out["rank"] = out.groupby(group_col, dropna=False).cumcount() + 1
+    out = out.rename(columns={fp: "fingerprint"})
+    return out.reset_index(drop=True)
+
+
 def _maintain(
     lake_dir: str, group_col, view_id: str, measure: str | None,
     on_vacuumed: str,

@@ -99,3 +99,42 @@ def test_value_moving_between_groups(ray_session, tmp_path):
         check_dtype=False)
     # and the move is visible: each body has at least one distinct url
     assert set(v2["n_distinct"]) <= {1, 2}
+
+
+def test_topk_view_matches_recompute(ray_session, lake):
+    from maestro_ray.pipelines.views import topk_view
+
+    got = topk_view(lake, "lang", "text", k=3)
+    # ground truth: live copy counts per (lang, text) at head
+    from maestro_ray.core.manifest import latest_manifest
+    from maestro_ray.ops.hashing import hash_array
+    import numpy as np
+    import pyarrow as pa
+
+    m = latest_manifest(lake)
+    frames = []
+    for ent in m.partitions.values():
+        if ent["rows"] == 0:
+            continue
+        t = pq.read_table(os.path.join(lake, ent["file"]))
+        t = t.filter(live_mask(t))
+        frames.append(t.select(["lang", "text"]).to_pandas())
+    df = pd.concat(frames, ignore_index=True)
+    df["fingerprint"] = hash_array(
+        pa.array(df["text"].tolist(), pa.string())).view(np.int64)
+    exp = (df.groupby(["lang", "fingerprint"], dropna=False)
+           .size().reset_index(name="n"))
+    exp = exp.sort_values(["lang", "n", "fingerprint"],
+                          ascending=[True, False, True])
+    exp = exp.groupby("lang", dropna=False).head(3).copy()
+    exp["rank"] = exp.groupby("lang", dropna=False).cumcount() + 1
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp.reset_index(drop=True)[got.columns.tolist()],
+        check_dtype=False)
+    # the shared-state claim: the distinct view and the topk view use
+    # ONE persisted cursor (no second maintenance walk)
+    from maestro_ray.pipelines.views import distinct_view_name
+
+    vdir = os.path.join(lake, "_views", distinct_view_name("lang", "text"))
+    assert os.path.isdir(vdir)
