@@ -2253,6 +2253,29 @@ def _q_knn_pq(sf):
     return out[["query_idx", "id", "rank"]].reset_index(drop=True)
 
 
+def _q_knn_ivfpq(sf):
+    """IVF-PQ ANN — the production composite (FAISS IVFPQ shape):
+    coarse centroids prune the scan to n_probes cells, residual PQ
+    codes compress each cell 4-32x, and probes read ONLY the probed
+    cells' code files (ops/similarity.py build_ivfpq_index/
+    knn_ivfpq_probe). Rows-only driver check; recall-vs-brute,
+    residual-beats-flat-PQ, per-query sublinear-I/O and determinism
+    oracles are pytest (tests/unit/test_pq_index.py)."""
+    from maestro_ray.ops.similarity import (
+        build_ivfpq_index,
+        knn_ivfpq_probe,
+    )
+
+    name = os.path.basename(sf.rstrip("/"))
+    idx = f"/tmp/maestro_ivfpq_r4_{name}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        build_ivfpq_index(ds, idx, n_centroids=16, m=32, n_codes=64,
+                          sample_size=2048)
+    out = knn_ivfpq_probe(idx, _knn_query_vec(sf), k=10, n_probes=6)
+    return out[["query_idx", "id", "rank"]].reset_index(drop=True)
+
+
 #: Deterministic URL synthesizer for the web ops' oracle pairs — the
 #: documents table has no URL column, so BOTH sides construct the same
 #: url string from (doc_id, lang) and the op under test is the PARSE,
@@ -4091,6 +4114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_bloom": _q_join_bloom,
         "knn_ivf": _q_knn_ivf,
         "knn_pq": _q_knn_pq,
+        "knn_ivfpq": _q_knn_ivfpq,
         "knn_nsw": _q_knn_nsw,
         "url_parse": _q_url_parse,
         "domain_stats": _q_domain_stats,

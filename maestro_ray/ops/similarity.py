@@ -1277,3 +1277,198 @@ def knn_pq_probe(
         }
         return out, stats
     return out
+
+
+def build_ivfpq_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 31,
+) -> dict:
+    """IVF-PQ — the production composite of the two scale paths
+    (FAISS's IVFPQ shape): coarse k-means centroids PRUNE the scan to
+    ``n_probes`` cells, and within each cell vectors are stored as
+    ``m`` uint8 codes of their RESIDUAL (x − centroid) — residual
+    coding preserves intra-cell structure that whole-vector PQ
+    collapses into code ties. Probes therefore read only the probed
+    cells' CODE files: sublinear I/O × 32× compression, and the raw
+    vectors never exist on disk at all.
+
+    Training (driver, bounded sample — the IVF recipe): centroids via
+    cosine k-means, then ONE shared set of per-subspace L2 codebooks
+    over the sample residuals. Encode is one distributed pass."""
+    import json
+    import os
+
+    sample = ds.limit(sample_size)
+    smat = _normalize(np.vstack([
+        _emb_matrix(b, emb_col)
+        for b in sample.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]))
+    d = smat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n_codes > 256:
+        raise ValueError(f"n_codes={n_codes}: uint8 codes cap at 256")
+    cents = _kmeans(smat, n_centroids, iters, seed)
+    resid = smat - cents[(smat @ cents.T).argmax(axis=1)]
+    sub = d // m
+    books = np.stack([
+        _kmeans_l2(resid[:, j * sub:(j + 1) * sub], n_codes, iters,
+                   seed + 1 + j)
+        for j in range(m)
+    ])
+    state = ray.put((cents, books))
+
+    def encode(t: pa.Table) -> pa.Table:
+        c, bks = ray.get(state)
+        emb = _normalize(_emb_matrix(t, emb_col))
+        cid = (emb @ c.T).argmax(axis=1).astype(np.int32)
+        codes = _pq_encode(emb - c[cid], bks)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "centroid": pa.array(cid, pa.int32()),
+            "id": pa.array(ids, pa.int64()),
+            "code": pa.array([x.tobytes() for x in codes], pa.binary()),
+        })
+
+    def write_cell(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        cid = g.column("centroid")[0].as_py()
+        rel = f"c{cid:05d}.parquet"
+        path = os.path.join(index_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        out = g.select(["id", "code"]).sort_by("id")
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+        return pa.table({
+            "centroid": pa.array([cid], pa.int32()),
+            "file": pa.array([rel], pa.string()),
+            "rows": pa.array([out.num_rows], pa.int64()),
+            "bytes": pa.array([os.path.getsize(path)], pa.int64()),
+        })
+
+    rows = (ds.map_batches(encode, batch_format="pyarrow")
+            .groupby("centroid")
+            .map_groups(write_cell, batch_format="pyarrow")
+            .take_all())
+    manifest = {
+        "kind": "ivfpq",
+        "n_centroids": n_centroids, "m": m, "n_codes": n_codes,
+        "dim": d, "id_col": id_col,
+        "centroids": cents.astype(float).tolist(),
+        "codebooks": books.astype(float).tolist(),
+        "partitions": [
+            {k: (int(v) if k in ("centroid", "rows", "bytes") else v)
+             for k, v in r.items()}
+            for r in sorted(rows, key=lambda r: r["centroid"])
+        ],
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    return manifest
+
+
+def knn_ivfpq_probe(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probes: int = 4,
+    with_stats: bool = False,
+):
+    """ADC top-k against a ``build_ivfpq_index`` layout: per query,
+    score(x) ≈ q·centroid + Σ_j T[j, code_j] with ONE shared lookup
+    table (codebooks are global, residual-based) — only the probed
+    cells' code files are read."""
+    import json
+    import os
+
+    import pandas as pd
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    cents = np.asarray(man["centroids"], dtype=np.float32)
+    books = np.asarray(man["codebooks"], dtype=np.float32)
+    m, n_codes, sub = books.shape
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    q = _normalize(q)
+    nq = q.shape[0]
+    tables = np.einsum("qjs,jks->qjk",
+                       q.reshape(nq, m, sub), books).astype(np.float32)
+    qc = q @ cents.T  # (nq, n_centroids): the per-cell constant term
+    n_probes = min(n_probes, len(cents))
+    near = np.argpartition(-qc, n_probes - 1, axis=1)[:, :n_probes]
+    by_cid = {p["centroid"]: p for p in man["partitions"]}
+    jobs: dict[int, list[int]] = {}
+    for qi in range(nq):
+        for cid in near[qi]:
+            if int(cid) in by_cid:
+                jobs.setdefault(int(cid), []).append(qi)
+    stats = {
+        "files_probed": len(jobs),
+        "files_total": len(man["partitions"]),
+        "bytes_probed": sum(by_cid[c]["bytes"] for c in jobs),
+        "bytes_total": sum(p["bytes"] for p in man["partitions"]),
+        "bytes_raw_equiv": sum(p["rows"] for p in man["partitions"])
+        * man["dim"] * 4,
+    }
+    t_ref = ray.put((tables, qc))
+
+    def scan_cell(item: dict) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tabs, qc_ = ray.get(t_ref)
+        t = pq.read_table(os.path.join(index_dir, item["file"]))
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        codes = np.frombuffer(
+            b"".join(t.column("code").to_pylist()), dtype=np.uint8
+        ).reshape(len(ids), tabs.shape[1])
+        qs, os_, ss = [], [], []
+        for qi in item["qis"]:
+            sc = tabs[qi][np.arange(tabs.shape[1]), codes].sum(axis=1) \
+                + qc_[qi, item["cid"]]
+            kk = min(k, len(ids))
+            top = np.argpartition(-sc, kk - 1)[:kk]
+            qs.append(np.full(kk, qi, dtype=np.int64))
+            os_.append(ids[top].astype(np.int64))
+            ss.append(sc[top].astype(np.float64))
+        return pa.table({
+            "query_idx": pa.array(np.concatenate(qs), pa.int64()),
+            "id": pa.array(np.concatenate(os_), pa.int64()),
+            "score": pa.array(np.concatenate(ss), pa.float64()),
+        })
+
+    import ray.data as rd_
+
+    items = [{"cid": c, "file": by_cid[c]["file"], "qis": qis}
+             for c, qis in sorted(jobs.items())]
+    if not items:
+        out = pd.DataFrame({"query_idx": [], "id": [], "score": [],
+                            "rank": []})
+        return (out, stats) if with_stats else out
+    parts = rd_.from_items(items).map_batches(
+        lambda b: pa.concat_tables(
+            [scan_cell(dict(zip(b.column_names,
+                                [c[i].as_py() for c in b.columns])))
+             for i in range(b.num_rows)]),
+        batch_size=1, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["query_idx", "score", "id"], ascending=[True, False, True])
+    out = parts.groupby("query_idx", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("query_idx").cumcount() + 1
+    out = out.reset_index(drop=True)
+    return (out, stats) if with_stats else out
