@@ -1130,6 +1130,21 @@ def _q_histogram(sf):
     return histogram(ds, "value", 0.0, 500.0, 10)
 
 
+def _q_profile_table(sf):
+    """Per-column data-quality profile (ops/profile.py
+    profile_columns): row/null/distinct counts for four events columns
+    in TWO passes — per-batch count partials, plus ONE bucketed
+    (column, hash64) distinct exchange shared by all columns (not a
+    count-distinct shuffle per column). Nulls excluded from distinct
+    (SQL count(DISTINCT) semantics)."""
+    from maestro_ray.ops.profile import profile_columns
+
+    ds = _read(sf, "events", columns=["user_id", "event_type", "value",
+                                      "props"])
+    return profile_columns(ds, ["user_id", "event_type", "value",
+                                "props"])
+
+
 def _q_chi2_independence(sf):
     """Chi-squared independence cells for event_type × value-bucket:
     observed counts from one mergeable grouped pass, expected counts
@@ -4158,6 +4173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_diff": _q_table_diff,
         "attribution": _q_attribution,
         "chi2_independence": _q_chi2_independence,
+        "profile_table": _q_profile_table,
         "markov_transitions": _q_markov_transitions,
         "sequence_gaps": _q_sequence_gaps,
         "token_explode": _q_token_explode,
@@ -5337,6 +5353,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, CASE WHEN NOT pl THEN 'insert' "
             "WHEN NOT pr THEN 'delete' ELSE 'update' END AS diff_op "
             "FROM j WHERE (NOT pl) OR (NOT pr) OR lv IS DISTINCT FROM rv"
+        ),
+        "profile_table": (
+            "SELECT 'event_type' AS \"column\", count(*) AS n_rows, "
+            "count(*) - count(event_type) AS n_nulls, "
+            "count(DISTINCT event_type) AS n_distinct FROM events "
+            "UNION ALL SELECT 'props', count(*), "
+            "count(*) - count(props), count(DISTINCT props) FROM events "
+            "UNION ALL SELECT 'user_id', count(*), "
+            "count(*) - count(user_id), count(DISTINCT user_id) "
+            "FROM events "
+            "UNION ALL SELECT 'value', count(*), "
+            "count(*) - count(value), count(DISTINCT value) FROM events"
         ),
         "chi2_independence": (
             "WITH b AS (SELECT event_type, least(CAST(floor(value / "

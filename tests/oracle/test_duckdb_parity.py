@@ -93,7 +93,7 @@ ORACLE_NAMES = [
     "dedup_substring", "zorder_key", "zorder_cluster", "xml_import",
     "search_index",
     "markov_transitions", "sequence_gaps", "token_explode", "user_rfm",
-    "table_diff", "attribution", "chi2_independence",
+    "table_diff", "attribution", "chi2_independence", "profile_table",
 ]
 
 

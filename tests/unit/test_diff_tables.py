@@ -54,3 +54,21 @@ def test_all_equal_yields_empty(ray_session):
     out = diff_tables(left, _t([1, 2], [1.0, 2.0]), key="k",
                       cols=["v"]).to_pandas()
     assert len(out) == 0
+
+
+def test_profile_columns_nulls_and_empty(ray_session):
+    """profile_columns (ops/profile.py): null exclusion from distinct,
+    all-null columns, empty input."""
+    from maestro_ray.ops.profile import profile_columns
+
+    t = pa.table({
+        "a": pa.array([1, 1, 2, None], pa.int64()),
+        "b": pa.array([None, None, None, None], pa.string()),
+    })
+    out = profile_columns(rd.from_arrow(t), ["a", "b"])
+    assert out[out.column == "a"].iloc[0].tolist() == ["a", 4, 1, 2]
+    assert out[out.column == "b"].iloc[0].tolist() == ["b", 4, 4, 0]
+
+    empty = pa.table({"a": pa.array([], pa.int64())})
+    out2 = profile_columns(rd.from_arrow(empty), ["a"])
+    assert out2.iloc[0].tolist() == ["a", 0, 0, 0]
