@@ -150,6 +150,16 @@ def main(argv: list[str] | None = None) -> int:
                       help="comma-separated payload columns")
     p_rp.add_argument("--to-epoch", type=int, default=None)
 
+    p_ex = sub.add_parser(
+        "export", help="export the lake's live rows to csv/jsonl "
+        "(one file per partition, resumable)")
+    p_ex.add_argument("--lake-dir", required=True)
+    p_ex.add_argument("--out-dir", required=True)
+    p_ex.add_argument("--format", choices=["jsonl", "csv"],
+                      default="jsonl")
+    p_ex.add_argument("--columns", default=None,
+                      help="comma-separated; default: all non-binary")
+
     p_st = sub.add_parser("status", help="print newest manifest")
     p_st.add_argument("--lake-dir", required=True)
     p_st.add_argument("--epoch", type=int, default=None,
@@ -295,6 +305,14 @@ def main(argv: list[str] | None = None) -> int:
                                      payload_columns=cols,
                                      to_epoch=args.to_epoch)
             print(json.dumps(res))
+            return 0
+        elif args.cmd == "export":  # per-partition tasks use the session
+            from maestro_ray.io.lake import export_lake
+
+            cols = (args.columns.split(",") if args.columns else None)
+            out = export_lake(args.lake_dir, args.out_dir,
+                              fmt=args.format, columns=cols)
+            print(json.dumps(out))
             return 0
         elif args.cmd == "repartition":
             from maestro_ray.io.lake import repartition_lake

@@ -609,3 +609,77 @@ def repartition_lake(lake_dir: str, new_num_partitions: int) -> Manifest:
         {**r, "epoch": epoch} for r in rows
     ])
     return out_m
+
+
+def export_lake(
+    lake_dir: str,
+    out_dir: str,
+    fmt: str = "jsonl",
+    columns: list[str] | None = None,
+) -> dict:
+    """Export the lake's LIVE rows to a directory of csv/jsonl files —
+    one file per lake partition, so the export parallelizes like the
+    lake and RESUMES: a part file that already exists is skipped, a
+    crashed run redoes only the missing parts (tmp+rename keeps
+    partials invisible). Binary columns (html) are excluded by default
+    and rejected loudly if requested — neither format round-trips raw
+    bytes. Rows are url-sorted within a part for deterministic files.
+    Returns {files, rows, skipped}."""
+    import ray
+
+    if fmt not in ("jsonl", "csv"):
+        raise ValueError(f"fmt={fmt!r}: jsonl|csv")
+    m = latest_manifest(lake_dir)
+    if m is None:
+        raise ValueError(f"no committed epochs in {lake_dir}")
+    require_readable(lake_dir, m, "export")
+    from maestro_ray.core.schema import LAKE_V2
+
+    if columns is not None:
+        bad = [c for c in columns
+               if LAKE_V2.get_field_index(c) >= 0
+               and pa.types.is_binary(
+                   LAKE_V2.field(LAKE_V2.get_field_index(c)).type)]
+        if bad:
+            raise ValueError(
+                f"binary column(s) {bad} cannot be exported to {fmt}; "
+                "export them as parquet or drop them")
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "jsonl" if fmt == "jsonl" else "csv"
+
+    def export_one(p: int, rel: str) -> dict:
+        out_path = os.path.join(out_dir, f"part-{p:05d}.{ext}")
+        if os.path.exists(out_path):
+            return {"p": p, "rows": -1, "skipped": True}
+        t = pq.read_table(os.path.join(lake_dir, rel))
+        t = t.filter(live_mask(t))
+        if columns is None:
+            keep = [f.name for f in t.schema
+                    if not pa.types.is_binary(f.type) and f.name != "op"]
+        else:
+            keep = [c for c in columns if c in t.column_names]
+        t = t.select(keep).sort_by("url" if "url" in keep else keep[0])
+        tmp = out_path + ".tmp"
+        if fmt == "csv":
+            import pyarrow.csv as pacsv
+
+            pacsv.write_csv(t, tmp)
+        else:
+            t.to_pandas().to_json(tmp, orient="records", lines=True,
+                                  date_format="iso", date_unit="us")
+        os.replace(tmp, out_path)
+        return {"p": p, "rows": t.num_rows, "skipped": False}
+
+    jobs = [(p, ent["file"]) for p, ent in sorted(m.partitions.items())
+            if ent["rows"] > 0]
+    if ray.is_initialized() and len(jobs) > 1:
+        task = ray.remote(num_cpus=1)(export_one)
+        results = ray.get([task.remote(p, rel) for p, rel in jobs])
+    else:
+        results = [export_one(p, rel) for p, rel in jobs]
+    return {
+        "files": sum(1 for r in results if not r["skipped"]),
+        "rows": sum(r["rows"] for r in results if not r["skipped"]),
+        "skipped": sum(1 for r in results if r["skipped"]),
+        "epoch": m.epoch,
+    }
