@@ -1755,6 +1755,27 @@ def _cdc_joinview_root(sf) -> str:
     return root
 
 
+def _q_cdc_join_agg_view(sf):
+    """CHAINED incremental views: a per-group live count maintained
+    over the JOIN VIEW's own manifests (pipelines/joinview.py
+    maintain_join_group_counts) — the join view rewrites only
+    churn-touched partitions per joint epoch and this count's
+    partition diff sees exactly those files, so the whole chain
+    (two lakes → join view → group counts) is O(churn) per epoch end
+    to end. Rows-only check; the counts≡recompute-at-every-epoch
+    oracle is pytest (tests/replay/test_join_view.py)."""
+    from maestro_ray.pipelines.joinview import (
+        maintain_join_group_counts,
+        maintain_join_view,
+    )
+
+    root = _cdc_joinview_root(sf)
+    maintain_join_view(root, "pages_a", "pages_b",
+                       left_cols=("lang",), right_cols=("lang",))
+    return maintain_join_group_counts(root, "pages_a", "pages_b",
+                                      "pages_b__lang")
+
+
 def _q_cdc_antijoin_view(sf):
     """Incrementally-maintained ANTI-join view — live referential-
     integrity monitoring over two CDC tables: pages of A with no live
@@ -4193,6 +4214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multi_table": _q_cdc_multi_table,
         "cdc_join_view": _q_cdc_join_view,
         "cdc_antijoin_view": _q_cdc_antijoin_view,
+        "cdc_join_agg_view": _q_cdc_join_agg_view,
         "merge_into": _q_merge_into,
         "explode_pos": _q_explode_pos,
         "edit_distance": _q_edit_distance,

@@ -411,3 +411,75 @@ def read_join_view(
         fields.append((f"{side}__warc_ts", pa.timestamp("us")))
         fields += [(f"{side}__{c}", _payload_type(c)) for c in cols]
     return rd.from_arrow(pa.schema(fields).empty_table())
+
+
+def maintain_join_group_counts(
+    root: str, left: str, right: str, group_col: str,
+    how: str = "inner",
+) -> "pd.DataFrame":
+    """CHAINED incrementality: a per-group live-row count maintained
+    over the JOIN VIEW's own manifests — view over view. The join view
+    already rewrites only churn-touched partitions per joint epoch, so
+    this count's partition diff sees exactly those files: the whole
+    chain (two lakes → join view → group counts) is O(churn) per epoch
+    end to end. ``group_col`` is a join-view OUTPUT column (e.g.
+    ``"<right>__lang"``). State persists per epoch under the view's
+    ``_agg/`` dir; cursor/resume semantics mirror pipelines/views.py
+    (the per-file counting and frame shaping are imported from there —
+    one algebra, two manifest walks)."""
+    import pandas as pd
+
+    from maestro_ray.pipelines.views import _as_frame, _live_group_counts
+
+    name = join_view_name(left, right, how)
+    vdir = _view_dir(root, name)
+    epochs = _view_epochs(vdir)
+    if not epochs:
+        raise ValueError(f"join view {name!r} was never maintained")
+    adir = os.path.join(vdir, "_agg", group_col.replace(":", "_"))
+    os.makedirs(adir, exist_ok=True)
+
+    def agg_path(e: int) -> str:
+        return os.path.join(adir, f"epoch-{e:012d}.parquet")
+
+    done = sorted(
+        int(n[len("epoch-"):-len(".parquet")])
+        for n in os.listdir(adir)
+        if n.startswith("epoch-") and n.endswith(".parquet")
+        and int(n[len("epoch-"):-len(".parquet")]) in set(epochs)
+    )
+    cursor = done[-1] if done else None
+    if cursor is not None:
+        state = pq.read_table(agg_path(cursor)).to_pandas() \
+            .set_index(group_col)["n"]
+        with open(_vm_path(vdir, cursor)) as f:
+            prev_parts = json.load(f)["parts"]
+    else:
+        state = pd.Series(dtype="int64")
+        prev_parts = {}
+
+    def files_of(parts: dict, only: set[str] | None = None) -> list[str]:
+        return [os.path.join(vdir, v["file"]) for k, v in parts.items()
+                if v["file"] is not None and v["rows"] > 0
+                and (only is None or k in only)]
+
+    for e in [x for x in epochs if cursor is None or x > cursor]:
+        with open(_vm_path(vdir, e)) as f:
+            parts = json.load(f)["parts"]
+        changed = {
+            k for k in set(parts) | set(prev_parts)
+            if (parts.get(k) or {}).get("file")
+            != (prev_parts.get(k) or {}).get("file")
+        }
+        delta = (_live_group_counts(files_of(parts, changed), group_col)
+                 .sub(_live_group_counts(files_of(prev_parts, changed),
+                                         group_col), fill_value=0))
+        state = state.add(delta, fill_value=0).astype("int64")
+        state = state[state != 0]
+        out = _as_frame(state, group_col)
+        tmp = agg_path(e) + ".tmp"
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       tmp)
+        os.replace(tmp, agg_path(e))
+        prev_parts = parts
+    return _as_frame(state, group_col)

@@ -324,3 +324,33 @@ def test_changed_column_specs_fail_loudly(ray_session, root):
         maintain_join_view(root, "a", "b",
                            left_cols=("text",),
                            right_cols=("lang", "text"))
+
+
+def test_chained_group_counts_over_join_view(ray_session, root):
+    """View over view: a per-group count maintained from the JOIN
+    VIEW's manifests — the whole chain (lakes → join → counts) is
+    O(churn) per epoch. Pinned vs recompute at every persisted epoch,
+    plus cursor-hit idempotence."""
+    from maestro_ray.pipelines.joinview import (
+        _view_dir,
+        _view_epochs,
+        maintain_join_group_counts,
+    )
+
+    maintain_join_view(root, "a", "b",
+                       left_cols=("text",), right_cols=("lang",))
+    head = maintain_join_group_counts(root, "a", "b", "b__lang")
+    vdir = _view_dir(root, join_view_name("a", "b"))
+    epochs = _view_epochs(vdir)
+    assert len(epochs) >= 3
+    for e in epochs:
+        persisted = pq.read_table(os.path.join(
+            vdir, "_agg", "b__lang", f"epoch-{e:012d}.parquet")
+        ).to_pandas().sort_values("b__lang").reset_index(drop=True)
+        exp = (read_join_view(root, "a", "b", epoch=e).to_pandas()
+               .groupby("b__lang", dropna=False).size()
+               .reset_index(name="n")
+               .sort_values("b__lang").reset_index(drop=True))
+        pd.testing.assert_frame_equal(persisted, exp, check_dtype=False)
+    again = maintain_join_group_counts(root, "a", "b", "b__lang")
+    pd.testing.assert_frame_equal(head, again)
