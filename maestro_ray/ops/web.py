@@ -182,6 +182,45 @@ def repetition_stats(ds: rd.Dataset, id_col: str = "doc_id",
 # ----------------------------------------------- corpus-wide chunk dedup
 
 
+
+def _reassemble_docs(survivors, id_col: str, out_name: str):
+    """Rebuild documents from surviving chunks — ONE vectorized pass
+    per HASH BUCKET of docs instead of one Python map_groups call per
+    document: sort the bucket by (doc, chunk_id), detect doc runs,
+    build a single ListArray over the run offsets, and one
+    ``binary_join`` emits every doc's text at once."""
+    import numpy as np
+
+    from maestro_ray.ops.hashing import hash_array
+
+    def route(t: pa.Table) -> pa.Table:
+        b = (hash_array(t.column(id_col)) % np.uint64(32)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, pa.int64()))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(
+            g, sort_keys=[(id_col, "ascending"),
+                          ("chunk_id", "ascending")]))
+        ids = s.column(id_col).to_numpy(zero_copy_only=False)
+        txt = s.column("chunk_text").combine_chunks()
+        if isinstance(txt, pa.ChunkedArray):
+            txt = (txt.chunk(0) if txt.num_chunks
+                   else pa.array([], pa.string()))
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]]) \
+            if len(ids) else np.empty(0, np.int64)
+        offs = np.r_[starts, len(ids)].astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), txt)
+        return pa.table({
+            id_col: s.column(id_col).take(pa.array(starts, pa.int64())),
+            out_name: pc.binary_join(lst, " "),
+            "n_chunks_kept": pa.array(np.diff(offs).astype(np.int64),
+                                      pa.int64()),
+        })
+
+    return (survivors.map_batches(route, batch_format="pyarrow")
+            .groupby("__b").map_groups(rebuild, batch_format="pyarrow"))
+
+
 def dedup_chunks_global(
     ds: rd.Dataset,
     id_col: str = "doc_id",
@@ -226,8 +265,15 @@ def dedup_chunks_global(
         packed = ids.astype(np.int64) * np.int64(2**32) + cid
         return t.append_column("packed", pa.array(packed, pa.int64()))
 
+    from maestro_ray.ops.aggregates import bucketed_agg
+
     packed = chunks.map_batches(pack, batch_format="pyarrow")
-    winners = packed.groupby("chunk_text").min("packed")  # one shuffle
+    # distinct chunk_text is O(corpus chunks) — the bucketed exchange,
+    # not Ray's range-sorted groupby (see bucketed_agg's scale notes)
+    winners = bucketed_agg(packed.map_batches(
+        lambda t: t.select(["chunk_text", "packed"]),
+        batch_format="pyarrow"),
+        "chunk_text", [("packed", "min", "min(packed)")])
     joined = hash_join(packed, winners, keys="chunk_text",
                        num_buckets=num_buckets)
     survivors = joined.map_batches(
@@ -236,21 +282,7 @@ def dedup_chunks_global(
         batch_format="pyarrow",
     )
 
-    def reassemble(g: pa.Table) -> pa.Table:
-        s = g.take(pc.sort_indices(g, sort_keys=[("chunk_id", "ascending")]))
-        txt = s.column("chunk_text").combine_chunks()
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.chunk(0) if txt.num_chunks else pa.array([], pa.string())
-        lst = pa.ListArray.from_arrays(
-            pa.array([0, len(txt)], pa.int32()), txt)
-        return pa.table({
-            id_col: s.column(id_col).slice(0, 1),
-            "text_dedup": pc.binary_join(lst, " "),
-            "n_chunks_kept": pa.array([s.num_rows], pa.int64()),
-        })
-
-    return survivors.groupby(id_col).map_groups(
-        reassemble, batch_format="pyarrow")
+    return _reassemble_docs(survivors, id_col, "text_dedup")
 
 
 # ----------------------------------------------------- boilerplate removal
@@ -290,15 +322,16 @@ def boilerplate_chunks(
     chunks = chunk_documents(ds, id_col, text_col, chunk_tokens,
                              overlap_tokens=0)
 
-    def doc_freq(g: pa.Table) -> pa.Table:
-        return pa.table({
-            "chunk_text": g.column("chunk_text").slice(0, 1),
-            "nd": pa.array(
-                [pc.count_distinct(g.column(id_col)).as_py()], pa.int64()),
-        })
+    from maestro_ray.ops.aggregates import bucketed_agg
 
-    freq = chunks.groupby("chunk_text").map_groups(
-        doc_freq, batch_format="pyarrow")
+    # count_distinct is NON-mergeable — exactly what the bucketed
+    # exchange enables exactly (a chunk's rows co-locate wholly in one
+    # bucket); the old groupby+map_groups paid one Python call per
+    # DISTINCT CHUNK
+    freq = bucketed_agg(chunks.map_batches(
+        lambda t: t.select(["chunk_text", id_col]),
+        batch_format="pyarrow"),
+        "chunk_text", [(id_col, "count_distinct", "nd")])
     joined = hash_join(chunks, freq, keys="chunk_text",
                        num_buckets=num_buckets)
     survivors = joined.map_batches(
@@ -306,21 +339,7 @@ def boilerplate_chunks(
         batch_format="pyarrow",
     )
 
-    def reassemble(g: pa.Table) -> pa.Table:
-        s = g.take(pc.sort_indices(g, sort_keys=[("chunk_id", "ascending")]))
-        txt = s.column("chunk_text").combine_chunks()
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.chunk(0) if txt.num_chunks else pa.array([], pa.string())
-        lst = pa.ListArray.from_arrays(
-            pa.array([0, len(txt)], pa.int32()), txt)
-        return pa.table({
-            id_col: s.column(id_col).slice(0, 1),
-            "text_clean": pc.binary_join(lst, " "),
-            "n_chunks_kept": pa.array([s.num_rows], pa.int64()),
-        })
-
-    return survivors.groupby(id_col).map_groups(
-        reassemble, batch_format="pyarrow")
+    return _reassemble_docs(survivors, id_col, "text_clean")
 
 
 # ------------------------------------------------------- blocklist scoring
