@@ -1130,6 +1130,18 @@ def _q_histogram(sf):
     return histogram(ds, "value", 0.0, 500.0, 10)
 
 
+def _q_sample_weighted(sf):
+    """Weighted sampling without replacement (ops/corpus.py
+    sample_weighted — Efraimidis–Spirakis exponential keys on the
+    shared cross-engine hash): longer documents proportionally more
+    likely; per-batch top-k partials, O(batches·k) on the driver.
+    The twin computes the identical u and e expressions."""
+    from maestro_ray.ops.corpus import sample_weighted
+
+    ds = _read(sf, "documents", columns=["doc_id", "n_chars"])
+    return sample_weighted(ds, "doc_id", "n_chars", k=50)
+
+
 def _q_profile_table(sf):
     """Per-column data-quality profile (ops/profile.py
     profile_columns): row/null/distinct counts for four events columns
@@ -4195,6 +4207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": _q_attribution,
         "chi2_independence": _q_chi2_independence,
         "profile_table": _q_profile_table,
+        "sample_weighted": _q_sample_weighted,
         "markov_transitions": _q_markov_transitions,
         "sequence_gaps": _q_sequence_gaps,
         "token_explode": _q_token_explode,
@@ -5375,6 +5388,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, CASE WHEN NOT pl THEN 'insert' "
             "WHEN NOT pr THEN 'delete' ELSE 'update' END AS diff_op "
             "FROM j WHERE (NOT pl) OR (NOT pr) OR lv IS DISTINCT FROM rv"
+        ),
+        "sample_weighted": (
+            "SELECT doc_id FROM ("
+            "SELECT doc_id, -ln(((CAST(doc_id % 4294967296 AS HUGEINT) "
+            "* 2654435761) % 4294967296 + 1) / 4294967297.0) "
+            "/ n_chars AS e FROM documents "
+            "ORDER BY e, doc_id LIMIT 50) ORDER BY doc_id"
         ),
         "profile_table": (
             "SELECT 'event_type' AS \"column\", count(*) AS n_rows, "

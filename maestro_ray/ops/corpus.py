@@ -937,3 +937,44 @@ def explode_tokens(
         })
 
     return out.map_batches(widen, batch_format="pyarrow")
+
+
+def sample_weighted(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> "pd.DataFrame":
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ExpJ form): every row draws the deterministic uniform
+    ``u = (mult_hash(key)+1) / (2³²+1)`` and the exponential key
+    ``e = −ln(u) / w``; the k SMALLEST e are the sample — inclusion
+    probability proportional to weight, reproducible across engines
+    because u is the shared cross-engine hash contract and e is two
+    IEEE ops. Distributed as per-batch top-k partials (O(batches·k)
+    ever reaches the driver). Non-positive weights fail loudly.
+    Returns the selected keys sorted."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if len(w) and (np.isnan(w).any() or (w <= 0).any()):
+            raise ValueError(
+                "sample_weighted: weights must be positive and non-null")
+        h = _mult_hash(keys, "sample_weighted")
+        u = (h.astype(np.float64) + 1.0) / float(int(_HASH_MOD) + 1)
+        e = -np.log(u) / w
+        kk = min(k, len(e))
+        idx = np.argpartition(e, kk - 1)[:kk] if kk else \
+            np.empty(0, np.int64)
+        return pa.table({key_col: pa.array(keys[idx], pa.int64()),
+                         "__e": pa.array(e[idx], pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({key_col: pd.Series(dtype="int64")})
+    top = parts.sort_values(["__e", key_col]).head(k)
+    return top[[key_col]].sort_values(key_col).reset_index(drop=True)

@@ -72,3 +72,34 @@ def test_profile_columns_nulls_and_empty(ray_session):
     empty = pa.table({"a": pa.array([], pa.int64())})
     out2 = profile_columns(rd.from_arrow(empty), ["a"])
     assert out2.iloc[0].tolist() == ["a", 0, 0, 0]
+
+
+def test_sample_weighted_bias_and_guards(ray_session):
+    """sample_weighted (ops/corpus.py): heavier keys are sampled more
+    often; non-positive weights fail loudly; k > n returns all."""
+    import numpy as np
+    import pytest
+    from maestro_ray.ops.corpus import sample_weighted
+
+    n = 2000
+    keys = np.arange(n, dtype=np.int64)
+    # half the keys carry 20x the weight
+    w = np.where(keys % 2 == 0, 20.0, 1.0)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "w": pa.array(w, pa.float64()),
+    })).repartition(5)
+    out = sample_weighted(ds, "k", "w", k=200)
+    assert len(out) == 200 and out["k"].is_unique
+    heavy_frac = (out["k"] % 2 == 0).mean()
+    assert heavy_frac > 0.8  # E ≈ 20/21 ≈ 0.95
+
+    small = sample_weighted(ds.limit(3), "k", "w", k=10)
+    assert len(small) == 3  # k > n returns everything
+
+    bad = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "w": pa.array([1.0, 0.0], pa.float64()),
+    }))
+    with pytest.raises(Exception, match="positive"):
+        sample_weighted(bad, "k", "w", k=1)
