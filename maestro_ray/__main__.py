@@ -309,7 +309,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "export":  # per-partition tasks use the session
             from maestro_ray.io.lake import export_lake
 
-            cols = (args.columns.split(",") if args.columns else None)
+            cols = ([c.strip() for c in args.columns.split(",")
+                     if c.strip()] if args.columns else None)
             out = export_lake(args.lake_dir, args.out_dir,
                               fmt=args.format, columns=cols)
             print(json.dumps(out))

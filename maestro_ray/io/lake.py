@@ -10,6 +10,7 @@ until publish).
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyarrow as pa
@@ -644,8 +645,45 @@ def export_lake(
             raise ValueError(
                 f"binary column(s) {bad} cannot be exported to {fmt}; "
                 "export them as parquet or drop them")
+        # unknown columns fail LOUDLY (neither in the lake schema nor
+        # in any live partition file) — silently dropping a typo'd
+        # column is the r3 'silent column typos' class
+        part_names: set[str] = set()
+        for ent in m.partitions.values():
+            if ent["rows"] > 0:
+                part_names.update(pq.read_schema(
+                    os.path.join(lake_dir, ent["file"])).names)
+        unknown = [c for c in columns
+                   if LAKE_V2.get_field_index(c) < 0
+                   and c not in part_names]
+        if unknown:
+            raise ValueError(
+                f"export_lake: unknown column(s) {unknown}; lake "
+                f"columns: {sorted(part_names)}")
     os.makedirs(out_dir, exist_ok=True)
     ext = "jsonl" if fmt == "jsonl" else "csv"
+    # resume identity: a part file may only be reused for THE SAME
+    # (epoch, fmt, columns) run — resuming over an older export would
+    # silently mix lake epochs (r4 s4 review finding)
+    ident = {"epoch": m.epoch, "fmt": fmt,
+             "columns": list(columns) if columns is not None else None}
+    marker = os.path.join(out_dir, "_export_meta.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = json.load(f)
+        if prev != ident:
+            raise ValueError(
+                f"out_dir {out_dir} holds an export of {prev}; this "
+                f"run is {ident} — use a fresh directory (or clear it)")
+    else:
+        if any(n.startswith("part-") for n in os.listdir(out_dir)):
+            raise ValueError(
+                f"out_dir {out_dir} has part files but no export "
+                "marker; refusing to mix with unknown prior output")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ident, f)
+        os.replace(tmp, marker)
 
     def export_one(p: int, rel: str) -> dict:
         out_path = os.path.join(out_dir, f"part-{p:05d}.{ext}")
@@ -657,7 +695,15 @@ def export_lake(
             keep = [f.name for f in t.schema
                     if not pa.types.is_binary(f.type) and f.name != "op"]
         else:
-            keep = [c for c in columns if c in t.column_names]
+            # pre-evolution files may lack a (validated) column:
+            # null-fill so every part carries the SAME columns
+            from maestro_ray.pipelines.changefeed import _payload_type
+
+            keep = list(columns)
+            for c in keep:
+                if c not in t.column_names:
+                    t = t.append_column(
+                        c, pa.nulls(t.num_rows, _payload_type(c)))
         t = t.select(keep).sort_by("url" if "url" in keep else keep[0])
         tmp = out_path + ".tmp"
         if fmt == "csv":

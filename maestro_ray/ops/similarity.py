@@ -1061,6 +1061,22 @@ def pca_project(
 
 # ------------------------------------------------ product quantization (PQ)
 
+def _invalidate_index_dir(index_dir: str) -> None:
+    """Remove a persisted index's manifest FIRST, then its data files —
+    no reader can ever pair fresh data with a stale manifest (or vice
+    versa) across a rebuild crash."""
+    import os
+
+    man = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(man):
+        os.remove(man)
+    if os.path.isdir(index_dir):
+        for fn in os.listdir(index_dir):
+            if fn.endswith(".parquet") or fn.endswith(".tmp"):
+                os.remove(os.path.join(index_dir, fn))
+
+
+
 
 def _kmeans_l2(sample: np.ndarray, k: int, iters: int,
                seed: int) -> np.ndarray:
@@ -1102,6 +1118,18 @@ def _pq_encode(emb: np.ndarray, books: np.ndarray) -> np.ndarray:
     return codes
 
 
+
+def _topk_frame(parts, k: int, id_col: str = "id"):
+    """Global top-k finalize shared by the ADC probes (and the vector
+    index): (score desc, id asc) order, head(k) per query, 1-based
+    rank."""
+    parts = parts.sort_values(["query_idx", "score", id_col],
+                              ascending=[True, False, True])
+    out = parts.groupby("query_idx", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("query_idx").cumcount() + 1
+    return out.reset_index(drop=True)
+
+
 def build_pq_index(
     ds: rd.Dataset,
     index_dir: str,
@@ -1131,6 +1159,11 @@ def build_pq_index(
     import json
     import os
 
+    # rebuild safety (the NSW r4 lesson): a rebuild must invalidate the
+    # OLD manifest first and clear old shard files — otherwise a crash
+    # mid-rebuild (or a concurrent probe) pairs new codes with old
+    # codebooks, silently wrong neighbors
+    _invalidate_index_dir(index_dir)
     sample = ds.limit(sample_size)
     smat = _normalize(np.vstack([
         _emb_matrix(b, emb_col)
@@ -1247,12 +1280,21 @@ def knn_pq_probe(
         codes = np.frombuffer(
             b"".join(t.column("code").to_pylist()), dtype=np.uint8
         ).reshape(len(ids), tabs.shape[1])
+        if len(ids) and not (ids[1:] >= ids[:-1]).all():
+            # a read batch can CONCATENATE several id-sorted shard
+            # files; re-establish id order so the stable sort below
+            # yields exact (score desc, id asc) tie-breaks
+            order = np.argsort(ids, kind="stable")
+            ids, codes = ids[order], codes[order]
         qs, os_, ss = [], [], []
         for qi in range(tabs.shape[0]):
             # gather per subspace then sum — O(n·m) byte lookups
             sc = tabs[qi][np.arange(tabs.shape[1]), codes].sum(axis=1)
             kk = min(k, len(ids))
-            top = np.argpartition(-sc, kk - 1)[:kk]
+            # STABLE sort + id-sorted shard files = (score desc, id
+            # asc) even through code ties — argpartition broke ties by
+            # shard layout (r4 s4 review finding)
+            top = np.argsort(-sc, kind="stable")[:kk]
             qs.append(np.full(kk, qi, dtype=np.int64))
             os_.append(ids[top].astype(np.int64))
             ss.append(sc[top].astype(np.float64))
@@ -1262,13 +1304,12 @@ def knn_pq_probe(
             "score": pa.array(np.concatenate(ss), pa.float64()),
         })
 
-    parts = rd_.read_parquet(files).map_batches(
-        scan, batch_format="pyarrow").to_pandas()
-    parts = parts.sort_values(
-        ["query_idx", "score", "id"], ascending=[True, False, True])
-    out = parts.groupby("query_idx", as_index=False).head(k).copy()
-    out["rank"] = out.groupby("query_idx").cumcount() + 1
-    out = out.reset_index(drop=True)
+    from maestro_ray.io.changelog import _num_read_blocks
+
+    parts = rd_.read_parquet(
+        files, override_num_blocks=_num_read_blocks(files)
+    ).map_batches(scan, batch_format="pyarrow").to_pandas()
+    out = _topk_frame(parts, k)
     if with_stats:
         stats = {
             "bytes_codes": sum(p["bytes"] for p in man["partitions"]),
@@ -1306,6 +1347,11 @@ def build_ivfpq_index(
     import json
     import os
 
+    # rebuild safety (the NSW r4 lesson): a rebuild must invalidate the
+    # OLD manifest first and clear old shard files — otherwise a crash
+    # mid-rebuild (or a concurrent probe) pairs new codes with old
+    # codebooks, silently wrong neighbors
+    _invalidate_index_dir(index_dir)
     sample = ds.limit(sample_size)
     smat = _normalize(np.vstack([
         _emb_matrix(b, emb_col)
@@ -1442,7 +1488,7 @@ def knn_ivfpq_probe(
             sc = tabs[qi][np.arange(tabs.shape[1]), codes].sum(axis=1) \
                 + qc_[qi, item["cid"]]
             kk = min(k, len(ids))
-            top = np.argpartition(-sc, kk - 1)[:kk]
+            top = np.argsort(-sc, kind="stable")[:kk]  # id-asc ties
             qs.append(np.full(kk, qi, dtype=np.int64))
             os_.append(ids[top].astype(np.int64))
             ss.append(sc[top].astype(np.float64))
@@ -1466,9 +1512,5 @@ def knn_ivfpq_probe(
                                 [c[i].as_py() for c in b.columns])))
              for i in range(b.num_rows)]),
         batch_size=1, batch_format="pyarrow").to_pandas()
-    parts = parts.sort_values(
-        ["query_idx", "score", "id"], ascending=[True, False, True])
-    out = parts.groupby("query_idx", as_index=False).head(k).copy()
-    out["rank"] = out.groupby("query_idx").cumcount() + 1
-    out = out.reset_index(drop=True)
+    out = _topk_frame(parts, k)
     return (out, stats) if with_stats else out

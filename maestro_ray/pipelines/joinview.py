@@ -436,6 +436,20 @@ def maintain_join_group_counts(
     epochs = _view_epochs(vdir)
     if not epochs:
         raise ValueError(f"join view {name!r} was never maintained")
+    # a join view's output columns are FIXED by its spec — a missing
+    # group_col here is always caller error, and the lake reader's
+    # pre-evolution tolerance would otherwise count every row under
+    # the null group (r4 s4 review finding)
+    with open(_vm_path(vdir, epochs[-1])) as f:
+        head_vm = json.load(f)
+    allowed = _out_cols(head_vm["left"], head_vm["right"],
+                        tuple(head_vm["left_cols"]),
+                        tuple(head_vm["right_cols"]),
+                        head_vm.get("how", "inner"))
+    if group_col not in allowed:
+        raise ValueError(
+            f"group_col {group_col!r} is not a column of join view "
+            f"{name!r}; columns: {allowed}")
     adir = os.path.join(vdir, "_agg", group_col.replace(":", "_"))
     os.makedirs(adir, exist_ok=True)
 

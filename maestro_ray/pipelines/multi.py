@@ -124,14 +124,22 @@ def read_table(root: str, name: str, epoch: int | None = None,
     from maestro_ray.core.manifest import list_epochs
     from maestro_ray.io.lake import read_lake_at
 
+    applied = committed_epoch(root)
     if epoch is None:
-        epoch = committed_epoch(root)
+        epoch = applied
         if epoch is None:
             raise ValueError(f"no fully-applied joint epoch in {root}")
     elif epoch not in committed_epochs(root):
         raise ValueError(
             f"joint epoch {epoch} was never committed to {root}; "
             f"available: {committed_epochs(root)}")
+    elif applied is None or epoch > applied:
+        # journaled but not fully applied: serving it could pair table
+        # A at e with table B at e-1 — the torn snapshot this API
+        # exists to prevent (r4 s4 review finding)
+        raise ValueError(
+            f"joint epoch {epoch} is journaled but not fully applied "
+            f"(newest applied: {applied}); run recover() first")
     lake = table_dir(root, name)
     older = [e for e in list_epochs(lake) if e <= epoch]
     if not older:

@@ -196,12 +196,19 @@ def search_vector_index(
         vecs = np.frombuffer(
             b"".join(t.column("vec").to_pylist()), dtype=np.float32
         ).reshape(t.num_rows, dim)
-        scores = qm @ vecs.T  # (nq, n)
         urls = t.column("url").to_numpy(zero_copy_only=False)
+        if len(urls) > 1 and not all(
+                urls[i] <= urls[i + 1] for i in range(len(urls) - 1)):
+            # batch spans several url-sorted shard files: re-sort so
+            # the stable top-k below breaks ties url-ascending
+            order = np.argsort(urls, kind="stable")
+            urls, vecs = urls[order], vecs[order]
+        scores = qm @ vecs.T  # (nq, n)
         qs, us, ss = [], [], []
         for qi in range(qm.shape[0]):
             kk = min(k, t.num_rows)
-            top = np.argpartition(-scores[qi], kk - 1)[:kk]
+            # stable sort over url-sorted shards = url-asc within ties
+            top = np.argsort(-scores[qi], kind="stable")[:kk]
             qs.append(np.full(kk, qi, dtype=np.int64))
             us.append(urls[top])
             ss.append(scores[qi][top].astype(np.float64))
@@ -216,8 +223,6 @@ def search_vector_index(
     parts = rd.read_parquet(
         files, override_num_blocks=_num_read_blocks(files)
     ).map_batches(scan, batch_format="pyarrow").to_pandas()
-    parts = parts.sort_values(["query_idx", "score", "url"],
-                              ascending=[True, False, True])
-    out = parts.groupby("query_idx", as_index=False).head(k).copy()
-    out["rank"] = out.groupby("query_idx").cumcount() + 1
-    return out.reset_index(drop=True)
+    from maestro_ray.ops.similarity import _topk_frame
+
+    return _topk_frame(parts, k, id_col="url")

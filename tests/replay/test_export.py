@@ -57,7 +57,8 @@ def test_resume_skips_existing_parts(ray_session, lake, tmp_path):
     first = export_lake(lake, out_dir, fmt="jsonl",
                         columns=["url", "lang"])
     # wipe ONE part; the rerun redoes only it
-    victims = sorted(os.listdir(out_dir))
+    victims = sorted(n for n in os.listdir(out_dir)
+                     if n.startswith("part-"))
     os.remove(os.path.join(out_dir, victims[0]))
     again = export_lake(lake, out_dir, fmt="jsonl",
                         columns=["url", "lang"])
@@ -75,3 +76,24 @@ def test_binary_column_rejected(ray_session, lake, tmp_path):
     with pytest.raises(ValueError, match="binary"):
         export_lake(lake, str(tmp_path / "b"), fmt="jsonl",
                     columns=["url", "html"])
+
+
+def test_resume_identity_guard(ray_session, lake, tmp_path):
+    """A part dir from a DIFFERENT run identity (older epoch / other
+    columns / other format) must be refused, not silently mixed."""
+    out_dir = str(tmp_path / "ident")
+    export_lake(lake, out_dir, fmt="jsonl", columns=["url", "lang"])
+    with pytest.raises(ValueError, match="fresh directory"):
+        export_lake(lake, out_dir, fmt="jsonl", columns=["url"])
+    with pytest.raises(ValueError, match="fresh directory"):
+        export_lake(lake, out_dir, fmt="csv", columns=["url", "lang"])
+    # markerless dirs with part files are refused too
+    os.remove(os.path.join(out_dir, "_export_meta.json"))
+    with pytest.raises(ValueError, match="no export marker"):
+        export_lake(lake, out_dir, fmt="jsonl", columns=["url", "lang"])
+
+
+def test_unknown_column_fails_loudly(ray_session, lake, tmp_path):
+    with pytest.raises(ValueError, match="unknown column"):
+        export_lake(lake, str(tmp_path / "u"), fmt="jsonl",
+                    columns=["url", "langg"])

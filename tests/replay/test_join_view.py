@@ -354,3 +354,12 @@ def test_chained_group_counts_over_join_view(ray_session, root):
         pd.testing.assert_frame_equal(persisted, exp, check_dtype=False)
     again = maintain_join_group_counts(root, "a", "b", "b__lang")
     pd.testing.assert_frame_equal(head, again)
+
+
+def test_join_group_counts_bad_column_fails(ray_session, root):
+    from maestro_ray.pipelines.joinview import maintain_join_group_counts
+
+    maintain_join_view(root, "a", "b",
+                       left_cols=("text",), right_cols=("lang",))
+    with pytest.raises(ValueError, match="not a column"):
+        maintain_join_group_counts(root, "a", "b", "b__langg")

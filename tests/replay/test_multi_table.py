@@ -196,3 +196,30 @@ def test_journal_gated_snapshot_reads(ray_session, logs, tmp_path,
         a.sort_values("url").reset_index(drop=True))
     with pytest.raises(ValueError, match="never committed"):
         read_table(root, "a", epoch=10_000)
+
+
+def test_explicit_epoch_read_rejects_torn_txn(ray_session, logs,
+                                              tmp_path, monkeypatch):
+    """read_table(epoch=e) on a journaled-but-torn txn must refuse —
+    it could pair table a@e with table b@e-1 (r4 s4 review)."""
+    from maestro_ray.pipelines.multi import read_table
+
+    root = str(tmp_path / "root")
+    orig = multi.publish_epoch
+    calls = {"n": 0}
+
+    def crashing(lake, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        return orig(lake, *a, **kw)
+
+    monkeypatch.setattr(multi, "publish_epoch", crashing)
+    with pytest.raises(RuntimeError):
+        ingest_multi(root, logs, num_partitions=4)
+    monkeypatch.setattr(multi, "publish_epoch", orig)
+    e = committed_epochs(root)[0]
+    with pytest.raises(ValueError, match="not fully applied"):
+        read_table(root, "a", epoch=e)
+    recover(root)
+    assert len(read_table(root, "a", epoch=e).to_pandas()) > 0
