@@ -1130,6 +1130,23 @@ def _q_histogram(sf):
     return histogram(ds, "value", 0.0, 500.0, 10)
 
 
+def _q_quantile_exact_big(sf):
+    """EXACT quantiles at any scale (ops/aggregates.py
+    quantile_exact_scalable — sketch-guided selection): each round
+    histograms the current value window in one distributed scan and
+    narrows to the bin holding the target rank; the final ≤-limit
+    window is collected exactly. O(n_bins) driver memory — removes
+    the O(distinct values) bound of the exact quantile family. The
+    returned values are actual data elements, so the compare is
+    float-exact with no rounding."""
+    from maestro_ray.ops.aggregates import quantile_exact_scalable
+
+    ds = _read(sf, "lineitem", columns=["l_extendedprice"])
+    return quantile_exact_scalable(ds, "l_extendedprice",
+                                   [0.1, 0.5, 0.9, 0.99],
+                                   window_limit=5_000)
+
+
 def _q_sample_weighted(sf):
     """Weighted sampling without replacement (ops/corpus.py
     sample_weighted — Efraimidis–Spirakis exponential keys on the
@@ -4208,6 +4225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_independence": _q_chi2_independence,
         "profile_table": _q_profile_table,
         "sample_weighted": _q_sample_weighted,
+        "quantile_exact_big": _q_quantile_exact_big,
         "markov_transitions": _q_markov_transitions,
         "sequence_gaps": _q_sequence_gaps,
         "token_explode": _q_token_explode,
@@ -5388,6 +5406,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, CASE WHEN NOT pl THEN 'insert' "
             "WHEN NOT pr THEN 'delete' ELSE 'update' END AS diff_op "
             "FROM j WHERE (NOT pl) OR (NOT pr) OR lv IS DISTINCT FROM rv"
+        ),
+        "quantile_exact_big": (
+            "SELECT 0.1 AS q, quantile_disc(l_extendedprice, 0.1) AS "
+            "value FROM lineitem UNION ALL "
+            "SELECT 0.5, quantile_disc(l_extendedprice, 0.5) "
+            "FROM lineitem UNION ALL "
+            "SELECT 0.9, quantile_disc(l_extendedprice, 0.9) "
+            "FROM lineitem UNION ALL "
+            "SELECT 0.99, quantile_disc(l_extendedprice, 0.99) "
+            "FROM lineitem"
         ),
         "sample_weighted": (
             "SELECT doc_id FROM ("

@@ -2413,3 +2413,113 @@ def heavy_hitters_grouped(
         .sort_values([key, col]).reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     return out[[key, col, "n"]]
+
+
+def quantile_exact_scalable(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    n_bins: int = 2048,
+    window_limit: int = 200_000,
+    max_rounds: int = 64,
+) -> pd.DataFrame:
+    """EXACT discrete quantiles at ANY scale — the order statistic at
+    1-based rank max(1, ⌈q·n⌉) (the quantiles_disc / SQL quantile_disc
+    rule) with O(n_bins) driver memory: sketch-guided selection.
+
+    Each round histograms the current value window in one distributed
+    scan, locates the bin containing the target rank, and narrows the
+    window to it (width ÷ n_bins per round → ≤ ~6 rounds for float64);
+    once the window holds ≤ ``window_limit`` values they are collected
+    EXACTLY and the order statistic is read off. This removes the
+    O(distinct values)-on-the-driver bound of the exact quantile
+    family — the scale-caveat the sketch path only approximated.
+    Duplicate-heavy windows that never drop under the limit shrink to
+    zero width instead (all remaining candidates equal → that value is
+    exact). Nulls/NaNs ignored (SQL aggregate rule)."""
+    if not qs:
+        raise ValueError("quantile_exact_scalable: empty quantile list")
+
+    def stats(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"n": [len(v)], "lo": [float(v.min())],
+                         "hi": [float(v.max())]})
+
+    st = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    if not len(st):
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": np.nan})
+    n_total = int(st["n"].sum())
+    glo, ghi = float(st["lo"].min()), float(st["hi"].max())
+
+    def window_hist(wlo: float, whi: float) -> np.ndarray:
+        width = (whi - wlo) / n_bins
+
+        def hist(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            v = v[~np.isnan(v)]
+            v = v[(v >= wlo) & (v <= whi)]
+            b = np.minimum(((v - wlo) / width).astype(np.int64),
+                           n_bins - 1)
+            c = np.bincount(b, minlength=n_bins)
+            nz = np.flatnonzero(c)
+            return pa.table({"bin": pa.array(nz, pa.int32()),
+                             "c": pa.array(c[nz], pa.int64())})
+
+        parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+        counts = np.zeros(n_bins, np.int64)
+        if len(parts):
+            np.add.at(counts, parts["bin"].to_numpy(),
+                      parts["c"].to_numpy())
+        return counts
+
+    def collect_window(wlo: float, whi: float) -> np.ndarray:
+        def keep(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            v = v[~np.isnan(v)]
+            v = v[(v >= wlo) & (v <= whi)]
+            return pa.table({"v": pa.array(v, pa.float64())})
+
+        got = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+        vals = (got["v"].to_numpy() if len(got)
+                else np.empty(0, np.float64))
+        return np.sort(vals)
+
+    out = []
+    for q in qs:
+        k = max(1, int(np.ceil(q * n_total)))  # 1-based target rank
+        wlo, whi, below = glo, ghi, 0
+        value = None
+        for _ in range(max_rounds):
+            if whi <= wlo:
+                value = wlo  # window collapsed: all candidates equal
+                break
+            counts = window_hist(wlo, whi)
+            wcount = int(counts.sum())
+            if wcount <= window_limit:
+                vals = collect_window(wlo, whi)
+                value = float(vals[k - below - 1])
+                break
+            cum = below + np.cumsum(counts)
+            j = int(np.searchsorted(cum, k, side="left"))
+            width = (whi - wlo) / n_bins
+            new_lo = wlo + j * width
+            new_hi = whi if j == n_bins - 1 else wlo + (j + 1) * width
+            new_below = below if j == 0 else int(cum[j - 1])
+            if (new_lo, new_hi) == (wlo, whi):
+                value = wlo  # width underflow: remaining mass is equal
+                break
+            wlo, whi, below = new_lo, new_hi, new_below
+        if value is None:
+            raise RuntimeError(
+                f"quantile_exact_scalable: no convergence in "
+                f"{max_rounds} rounds for q={q} (window [{wlo}, {whi}])")
+        out.append({"q": q, "value": value})
+    return pd.DataFrame(out)

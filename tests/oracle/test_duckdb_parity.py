@@ -94,7 +94,7 @@ ORACLE_NAMES = [
     "search_index",
     "markov_transitions", "sequence_gaps", "token_explode", "user_rfm",
     "table_diff", "attribution", "chi2_independence", "profile_table",
-    "sample_weighted",
+    "sample_weighted", "quantile_exact_big",
 ]
 
 
