@@ -1943,6 +1943,37 @@ def _q_cdc_topk_view(sf):
     return topk_view(_cdc_lake(sf), "lang", "text", k=5)
 
 
+def _q_cdc_neardup_index(sf):
+    """Incremental NEAR-DUP (MinHash band) index over the replay lake
+    (pipelines/neardup.py): the expensive signature/band table is kept
+    current in O(churn) per epoch from the net change feed (per-url
+    band rows co-locate by hash(url)%S; drop-then-insert per touched
+    shard, meta-last commit), so candidate queries skip re-shingling
+    the corpus and run as one band groupby over the index. Rows-only
+    check; incremental≡rebuild-per-epoch, planted-near-dup-through-CDC
+    and crash-recovery oracles are pytest
+    (tests/replay/test_neardup_index.py)."""
+    from maestro_ray.pipelines import neardup as nd
+
+    lake = _cdc_lake(sf)
+    idx = os.path.join(os.path.dirname(lake), "neardup_index_v1")
+    if not os.path.exists(os.path.join(idx, nd.META)):
+        import uuid
+
+        tmp = idx + f".build-{uuid.uuid4().hex[:8]}"
+        nd.bootstrap_neardup_index(lake, tmp, n_shards=8)
+        try:
+            os.replace(tmp, idx)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    nd.update_neardup_index(lake, idx)  # no-op at head — the real API
+    out = nd.neardup_candidates(idx).to_pandas()
+    if out.empty:  # no candidates: empty Datasets drop their schema
+        return pd.DataFrame({"a": pd.Series(dtype=object),
+                             "b": pd.Series(dtype=object)})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_cdc_vector_index(sf):
     """Incremental VECTOR index over the replay lake — the embedding
     analog of cdc_search_index (pipelines/vectorindex.py): a sharded
@@ -4139,6 +4170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_view": _q_cdc_dedup_view,
         "cdc_distinct_view": _q_cdc_distinct_view,
         "cdc_vector_index": _q_cdc_vector_index,
+        "cdc_neardup_index": _q_cdc_neardup_index,
         "cdc_topk_view": _q_cdc_topk_view,
         "cdc_search_index": _q_cdc_search_index,
         "cdc_replicate": _q_cdc_replicate,
