@@ -33,7 +33,6 @@ import pyarrow.parquet as pq
 
 from maestro_ray.core.manifest import list_epochs
 from maestro_ray.ops.dedup import minhash_batch
-from maestro_ray.ops.hashing import hash_array
 
 META = "_neardup_meta.json"
 
@@ -73,17 +72,14 @@ def _band_rows(urls, texts, meta: dict) -> pa.Table:
     })
 
 
-def _write_shard(index_dir: str, k: int, t: pa.Table) -> int:
-    t = t.sort_by([("url", "ascending"), ("band_id", "ascending")])
-    path = _shard_path(index_dir, k)
-    tmp = path + ".tmp"
-    pq.write_table(t, tmp)
-    os.replace(tmp, path)
-    return t.num_rows
-
-
-def _shard_of(urls, n_shards: int) -> np.ndarray:
-    return (hash_array(urls) % np.uint64(n_shards)).astype(np.int32)
+#: the shardstore spec (pipelines/shardstore.py)
+_SPEC = {
+    "encode": _band_rows,
+    "sort_keys": [("url", "ascending"), ("band_id", "ascending")],
+    "empty": lambda: pa.table({"url": pa.array([], pa.string()),
+                               "band_id": pa.array([], pa.int32()),
+                               "band_hash": pa.array([], pa.int64())}),
+}
 
 
 def bootstrap_neardup_index(
@@ -92,101 +88,32 @@ def bootstrap_neardup_index(
     n_shards: int = 8,
 ) -> dict:
     """One signing pass over the lake's live state → sharded band
-    table. Meta (with the epoch cursor) is written LAST."""
-    from maestro_ray.io.lake import read_lake
+    table. Meta (with the epoch cursor) is written LAST. Plumbing
+    shared with every incremental shard store
+    (pipelines/shardstore.py)."""
+    from maestro_ray.pipelines import shardstore as ss
 
-    os.makedirs(index_dir, exist_ok=True)
-    head = list_epochs(lake_dir)[-1]
-    meta = {"kind": "neardup", "n_hashes": n_hashes, "n_bands": n_bands,
-            "shingle_k": shingle_k, "n_shards": n_shards, "epoch": head}
-
-    def sign(t: pa.Table) -> pa.Table:
-        out = _band_rows(t.column("url"), t.column("text"), meta)
-        return out.append_column(
-            "shard", pa.array(_shard_of(out.column("url"), n_shards),
-                              pa.int32()))
-
-    def write(g: pa.Table) -> pa.Table:
-        k = g.column("shard")[0].as_py()
-        n = _write_shard(index_dir, k,
-                         g.select(["url", "band_id", "band_hash"]))
-        return pa.table({"shard": pa.array([k], pa.int32()),
-                         "rows": pa.array([n], pa.int64())})
-
-    rows = (read_lake(lake_dir, columns=["url", "text"])
-            .map_batches(sign, batch_format="pyarrow")
-            .groupby("shard").map_groups(write, batch_format="pyarrow")
-            .take_all())
-    written = {int(r["shard"]) for r in rows}
-    for k in range(n_shards):
-        if k not in written:
-            _write_shard(index_dir, k, pa.table({
-                "url": pa.array([], pa.string()),
-                "band_id": pa.array([], pa.int32()),
-                "band_hash": pa.array([], pa.int64())}))
-    tmp = _meta_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _meta_path(index_dir))
-    return meta
+    return ss.bootstrap_store(
+        lake_dir, index_dir,
+        {"kind": "neardup", "n_hashes": n_hashes, "n_bands": n_bands,
+         "shingle_k": shingle_k, "n_shards": n_shards},
+        _SPEC, META)
 
 
 def update_neardup_index(lake_dir: str, index_dir: str) -> dict:
     """Catch the band table up to the lake head from the net change
-    feed — one rewrite task per TOUCHED shard (module docstring)."""
-    from maestro_ray.pipelines.changefeed import table_changes
+    feed — one rewrite task per TOUCHED shard (module docstring;
+    pipelines/shardstore.py)."""
+    from maestro_ray.pipelines import shardstore as ss
 
-    with open(_meta_path(index_dir)) as f:
-        meta = json.load(f)
-    head = list_epochs(lake_dir)[-1]
-    if head == meta["epoch"]:
-        return meta
-    n_shards = meta["n_shards"]
-    changes = table_changes(lake_dir, from_epoch=meta["epoch"],
-                            to_epoch=head, payload_columns=("text",))
-
-    def route(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "shard", pa.array(_shard_of(t.column("url"), n_shards),
-                              pa.int32()))
-
-    def apply_shard(g: pa.Table) -> pa.Table:
-        k = g.column("shard")[0].as_py()
-        old = pq.read_table(_shard_path(index_dir, k))
-        mentioned = pc.unique(
-            pc.cast(g.column("url"), pa.string()).combine_chunks())
-        keep = pc.invert(pc.is_in(old.column("url"),
-                                  value_set=mentioned))
-        survivors = old.filter(keep)
-        live = g.filter(pc.is_in(g.column("change_op"),
-                                 value_set=pa.array(
-                                     ["insert", "update"])))
-        fresh = _band_rows(live.column("url"), live.column("text"),
-                           meta)
-        n = _write_shard(index_dir, k,
-                         pa.concat_tables([survivors, fresh]))
-        return pa.table({"shard": pa.array([k], pa.int32()),
-                         "rows": pa.array([n], pa.int64())})
-
-    (changes.map_batches(route, batch_format="pyarrow")
-     .groupby("shard").map_groups(apply_shard, batch_format="pyarrow")
-     .take_all())
-    meta["epoch"] = head
-    tmp = _meta_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _meta_path(index_dir))  # THE commit point
-    return meta
+    return ss.update_store(lake_dir, index_dir, _SPEC, META)
 
 
 def read_neardup_index(index_dir: str) -> pd.DataFrame:
     """The full band table — test/diagnostic surface."""
-    with open(_meta_path(index_dir)) as f:
-        meta = json.load(f)
-    parts = [pq.read_table(_shard_path(index_dir, k)).to_pandas()
-             for k in range(meta["n_shards"])]
-    out = pd.concat(parts, ignore_index=True)
-    return out.sort_values(["url", "band_id"]).reset_index(drop=True)
+    from maestro_ray.pipelines import shardstore as ss
+
+    return ss.read_store(index_dir, META, ["url", "band_id"])
 
 
 def neardup_candidates(index_dir: str, max_bucket: int = 64):

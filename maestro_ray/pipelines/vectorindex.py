@@ -35,7 +35,6 @@ import pyarrow.parquet as pq
 
 from maestro_ray.core.manifest import list_epochs
 from maestro_ray.ops.embed import embed_batch
-from maestro_ray.ops.hashing import hash_array
 
 META = "_vector_meta.json"
 
@@ -48,11 +47,6 @@ def _shard_path(index_dir: str, k: int) -> str:
     return os.path.join(index_dir, f"s{k:05d}.parquet")
 
 
-def _shard_of(urls: pa.ChunkedArray | pa.Array, n_shards: int
-              ) -> np.ndarray:
-    return (hash_array(urls) % np.uint64(n_shards)).astype(np.int32)
-
-
 def _encode_rows(urls: pa.Array, texts: pa.Array, dim: int) -> pa.Table:
     vecs = embed_batch(texts, dim=dim)
     return pa.table({
@@ -61,113 +55,49 @@ def _encode_rows(urls: pa.Array, texts: pa.Array, dim: int) -> pa.Table:
     })
 
 
-def _write_shard(index_dir: str, k: int, t: pa.Table) -> dict:
-    t = t.sort_by("url")  # deterministic bytes
-    path = _shard_path(index_dir, k)
-    tmp = path + ".tmp"
-    pq.write_table(t, tmp)
-    os.replace(tmp, path)
-    return {"rows": t.num_rows, "bytes": os.path.getsize(path)}
+#: the shardstore spec: encode must take (urls, texts, meta)
+_SPEC = {
+    "encode": lambda urls, texts, meta: _encode_rows(
+        urls if not isinstance(urls, pa.ChunkedArray)
+        else urls.combine_chunks(),
+        texts if not isinstance(texts, pa.ChunkedArray)
+        else texts.combine_chunks(),
+        meta["dim"]),
+    "sort_keys": [("url", "ascending")],
+    "empty": lambda: pa.table({"url": pa.array([], pa.string()),
+                               "vec": pa.array([], pa.binary())}),
+}
 
 
 def bootstrap_vector_index(
     lake_dir: str, index_dir: str, dim: int = 64, n_shards: int = 8,
 ) -> dict:
     """One full encode pass over the lake's live state → sharded
-    url→vec store. Meta (with the epoch cursor) is written LAST."""
-    from maestro_ray.io.lake import read_lake
+    url→vec store. Meta (with the epoch cursor) is written LAST.
+    Plumbing shared with every incremental shard store
+    (pipelines/shardstore.py)."""
+    from maestro_ray.pipelines import shardstore as ss
 
-    os.makedirs(index_dir, exist_ok=True)
-    head = list_epochs(lake_dir)[-1]
-
-    def enc(t: pa.Table) -> pa.Table:
-        out = _encode_rows(t.column("url"), t.column("text"), dim)
-        return out.append_column(
-            "shard", pa.array(_shard_of(out.column("url"), n_shards),
-                              pa.int32()))
-
-    def write(g: pa.Table) -> pa.Table:
-        k = g.column("shard")[0].as_py()
-        info = _write_shard(index_dir, k, g.select(["url", "vec"]))
-        return pa.table({"shard": pa.array([k], pa.int32()),
-                         "rows": pa.array([info["rows"]], pa.int64())})
-
-    rows = (read_lake(lake_dir, columns=["url", "text"])
-            .map_batches(enc, batch_format="pyarrow")
-            .groupby("shard").map_groups(write, batch_format="pyarrow")
-            .take_all())  # O(shards) rows
-    written = {int(r["shard"]) for r in rows}
-    for k in range(n_shards):  # empty shards still need a typed file
-        if k not in written:
-            _write_shard(index_dir, k, pa.table({
-                "url": pa.array([], pa.string()),
-                "vec": pa.array([], pa.binary())}))
-    meta = {"kind": "vector", "dim": dim, "n_shards": n_shards,
-            "epoch": head}
-    tmp = _meta_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _meta_path(index_dir))
-    return meta
+    return ss.bootstrap_store(
+        lake_dir, index_dir,
+        {"kind": "vector", "dim": dim, "n_shards": n_shards},
+        _SPEC, META)
 
 
 def update_vector_index(lake_dir: str, index_dir: str) -> dict:
     """Catch the store up to the lake head from the net change feed —
     one rewrite task per TOUCHED shard, O(churn + touched shard
-    bytes). Idempotent (module docstring)."""
-    from maestro_ray.pipelines.changefeed import table_changes
+    bytes). Idempotent (module docstring; pipelines/shardstore.py)."""
+    from maestro_ray.pipelines import shardstore as ss
 
-    with open(_meta_path(index_dir)) as f:
-        meta = json.load(f)
-    head = list_epochs(lake_dir)[-1]
-    if head == meta["epoch"]:
-        return meta
-    dim, n_shards = meta["dim"], meta["n_shards"]
-    changes = table_changes(lake_dir, from_epoch=meta["epoch"],
-                            to_epoch=head, payload_columns=("text",))
-
-    def route(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "shard", pa.array(_shard_of(t.column("url"), n_shards),
-                              pa.int32()))
-
-    def apply_shard(g: pa.Table) -> pa.Table:
-        k = g.column("shard")[0].as_py()
-        old = pq.read_table(_shard_path(index_dir, k))
-        mentioned = pc.cast(g.column("url"), pa.string())
-        keep = pc.invert(pc.is_in(old.column("url"),
-                                  value_set=pc.unique(
-                                      mentioned.combine_chunks())))
-        survivors = old.filter(keep)
-        live = g.filter(pc.is_in(g.column("change_op"),
-                                 value_set=pa.array(
-                                     ["insert", "update"])))
-        fresh = _encode_rows(live.column("url").combine_chunks(),
-                             live.column("text").combine_chunks(), dim)
-        info = _write_shard(index_dir, k,
-                            pa.concat_tables([survivors, fresh]))
-        return pa.table({"shard": pa.array([k], pa.int32()),
-                         "rows": pa.array([info["rows"]], pa.int64())})
-
-    (changes.map_batches(route, batch_format="pyarrow")
-     .groupby("shard").map_groups(apply_shard, batch_format="pyarrow")
-     .take_all())  # O(touched shards) rows
-    meta["epoch"] = head
-    tmp = _meta_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _meta_path(index_dir))  # THE commit point
-    return meta
+    return ss.update_store(lake_dir, index_dir, _SPEC, META)
 
 
 def read_vector_index(index_dir: str) -> pd.DataFrame:
     """The full (url, vec bytes) store — test/diagnostic surface."""
-    with open(_meta_path(index_dir)) as f:
-        meta = json.load(f)
-    parts = [pq.read_table(_shard_path(index_dir, k)).to_pandas()
-             for k in range(meta["n_shards"])]
-    out = pd.concat(parts, ignore_index=True)
-    return out.sort_values("url").reset_index(drop=True)
+    from maestro_ray.pipelines import shardstore as ss
+
+    return ss.read_store(index_dir, META, ["url"])
 
 
 def search_vector_index(
