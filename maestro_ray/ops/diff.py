@@ -59,6 +59,31 @@ def diff_tables(
 
     lp = left.map_batches(prep(_PL), batch_format="pyarrow")
     rp = right.map_batches(prep(_PR), batch_format="pyarrow")
+    # an EMPTY side yields a schema-less Dataset that the join cannot
+    # plan (hypothesis-found): classify the other side directly — all
+    # inserts / all deletes — and type the fully-empty result off the
+    # original schema
+
+    def tag_all(op: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                key: t.column(key),
+                "diff_op": pa.array([op] * t.num_rows, pa.string()),
+            })
+        return fn
+
+    lps, rps = lp.schema(), rp.schema()
+    if lps is None and rps is None:
+        key_t = left.schema().base_schema.field(key).type
+        return rd.from_arrow(pa.table({
+            key: pa.array([], key_t),
+            "diff_op": pa.array([], pa.string())}))
+    if lps is None:
+        return right.map_batches(tag_all("insert"),
+                                 batch_format="pyarrow")
+    if rps is None:
+        return left.map_batches(tag_all("delete"),
+                                batch_format="pyarrow")
     j = hash_join(lp, rp, keys=key, num_buckets=num_buckets,
                   join_type="full outer", suffix="_r")
 
