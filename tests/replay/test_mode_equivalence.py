@@ -25,3 +25,33 @@ def test_tail_and_replay_produce_identical_partitions(ray_session, tmp_path):
         vt = mt.partitions[part]
         assert vr["rows"] == vt["rows"], f"partition {part} row count"
         assert vr["checksum"] == vt["checksum"], f"partition {part} checksum"
+
+
+def test_incremental_views_agree_across_modes(ray_session, tmp_path):
+    """The lakehouse layer (views, distinct view, dedup view, join-able
+    reads) is mode-agnostic: maintained over a TAIL-built lake it must
+    equal the same views over the replay-built lake — the cross-mode
+    invariant extended from partition bytes to derived state."""
+    import pandas as pd
+
+    from maestro_ray.pipelines.views import (
+        maintain_dedup_view,
+        maintain_group_counts,
+        maintain_group_distinct,
+    )
+
+    p = ChangelogParams(seed=29, n_urls=40, n_events=400, seg_rows=100,
+                        p_delete=0.15, p_ooo=0.2, p_dup=0.08)
+    log = str(tmp_path / "log")
+    write_changelog(log, p)
+    lake_r = str(tmp_path / "lake_replay")
+    lake_t = str(tmp_path / "lake_tail")
+    ingest(log, lake_r, num_partitions=4, segments_per_epoch=2)
+    tail_ingest(log, lake_t, num_partitions=4, checkpoint_every=2)
+    for fn in (lambda lk: maintain_group_counts(lk, "lang"),
+               lambda lk: maintain_group_distinct(lk, "lang", "text"),
+               lambda lk: maintain_dedup_view(lk)):
+        vr = fn(lake_r).reset_index(drop=True)
+        vt = fn(lake_t).reset_index(drop=True)
+        pd.testing.assert_frame_equal(vr, vt)
+        assert len(vr) > 0
