@@ -2427,22 +2427,29 @@ def quantile_exact_scalable(
     1-based rank max(1, ⌈q·n⌉) (the quantiles_disc / SQL quantile_disc
     rule) with O(n_bins) driver memory: sketch-guided selection.
 
-    Each round histograms the current value window in one distributed
-    scan, locates the bin containing the target rank, and narrows the
-    window to it (width ÷ n_bins per round → ≤ ~6 rounds for float64);
-    once the window holds ≤ ``window_limit`` values they are collected
-    EXACTLY and the order statistic is read off. This removes the
-    O(distinct values)-on-the-driver bound of the exact quantile
-    family — the scale-caveat the sketch path only approximated.
-    Duplicate-heavy windows that never drop under the limit shrink to
-    zero width instead (all remaining candidates equal → that value is
-    exact). Nulls/NaNs ignored (SQL aggregate rule)."""
+    Each round histograms the current HALF-OPEN value window [lo, hi)
+    in one distributed scan, locates the bin containing the target
+    rank, and narrows the window to it (width ÷ n_bins per round → ≤
+    ~6 rounds for float64); once the window holds ≤ ``window_limit``
+    values they are collected EXACTLY and the order statistic read
+    off. Binning and window cuts share ONE edge array
+    (``np.searchsorted``) so boundary rounding can never lose a value
+    between rounds, and each scan RE-COUNTS the below-window mass
+    instead of trusting the previous round's arithmetic. This removes
+    the O(distinct values)-on-the-driver bound of the exact quantile
+    family. Duplicate-heavy windows that never drop under the limit
+    collapse to zero width instead (all remaining candidates equal →
+    exact). Nulls/NaNs/±inf are ignored (and the sketch brackets
+    cannot be built from them); the input is materialized once so the
+    refinement rounds never re-run the caller's upstream pipeline, and
+    per-window histograms are memoized so the first round is computed
+    once for ALL requested quantiles."""
     if not qs:
         raise ValueError("quantile_exact_scalable: empty quantile list")
 
     def stats(t: pa.Table) -> pa.Table:
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[~np.isnan(v)]
+        v = v[np.isfinite(v)]
         if not len(v):
             return pa.table({"n": pa.array([], pa.int64()),
                              "lo": pa.array([], pa.float64()),
@@ -2450,41 +2457,55 @@ def quantile_exact_scalable(
         return pa.table({"n": [len(v)], "lo": [float(v.min())],
                          "hi": [float(v.max())]})
 
+    ds = ds.materialize()  # rounds must not re-run upstream pipelines
     st = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
     if not len(st):
         return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
                              "value": np.nan})
     n_total = int(st["n"].sum())
-    glo, ghi = float(st["lo"].min()), float(st["hi"].max())
+    glo = float(st["lo"].min())
+    ghi = float(np.nextafter(st["hi"].max(), np.inf))  # half-open top
 
-    def window_hist(wlo: float, whi: float) -> np.ndarray:
-        width = (whi - wlo) / n_bins
+    hist_cache: dict = {}
+
+    def window_hist(wlo: float, whi: float):
+        """(counts per bin, below_count) for the HALF-OPEN window
+        [wlo, whi) — binning via ONE shared edge array."""
+        key = (wlo, whi)
+        if key in hist_cache:
+            return hist_cache[key]
+        edges = wlo + (whi - wlo) * np.arange(n_bins + 1) / n_bins
+        edges[0], edges[-1] = wlo, whi  # exact ends
 
         def hist(t: pa.Table) -> pa.Table:
             v = t.column(col).to_numpy(zero_copy_only=False) \
                 .astype(np.float64)
-            v = v[~np.isnan(v)]
-            v = v[(v >= wlo) & (v <= whi)]
-            b = np.minimum(((v - wlo) / width).astype(np.int64),
-                           n_bins - 1)
+            v = v[np.isfinite(v)]
+            below = int((v < wlo).sum())
+            v = v[(v >= wlo) & (v < whi)]
+            b = np.searchsorted(edges, v, side="right") - 1
             c = np.bincount(b, minlength=n_bins)
             nz = np.flatnonzero(c)
-            return pa.table({"bin": pa.array(nz, pa.int32()),
-                             "c": pa.array(c[nz], pa.int64())})
+            return pa.table({
+                "bin": pa.array(np.r_[nz, [-1]], pa.int32()),
+                "c": pa.array(np.r_[c[nz], [below]], pa.int64()),
+            })
 
         parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
-        counts = np.zeros(n_bins, np.int64)
+        counts = np.zeros(n_bins + 1, np.int64)  # [-1] slot = below
         if len(parts):
             np.add.at(counts, parts["bin"].to_numpy(),
                       parts["c"].to_numpy())
-        return counts
+        out = (counts[:n_bins], int(counts[-1]), edges)
+        hist_cache[key] = out
+        return out
 
     def collect_window(wlo: float, whi: float) -> np.ndarray:
         def keep(t: pa.Table) -> pa.Table:
             v = t.column(col).to_numpy(zero_copy_only=False) \
                 .astype(np.float64)
-            v = v[~np.isnan(v)]
-            v = v[(v >= wlo) & (v <= whi)]
+            v = v[np.isfinite(v)]
+            v = v[(v >= wlo) & (v < whi)]
             return pa.table({"v": pa.array(v, pa.float64())})
 
         got = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
@@ -2495,13 +2516,13 @@ def quantile_exact_scalable(
     out = []
     for q in qs:
         k = max(1, int(np.ceil(q * n_total)))  # 1-based target rank
-        wlo, whi, below = glo, ghi, 0
+        wlo, whi = glo, ghi
         value = None
         for _ in range(max_rounds):
-            if whi <= wlo:
+            if whi <= wlo or not np.isfinite(whi - wlo):
                 value = wlo  # window collapsed: all candidates equal
                 break
-            counts = window_hist(wlo, whi)
+            counts, below, edges = window_hist(wlo, whi)
             wcount = int(counts.sum())
             if wcount <= window_limit:
                 vals = collect_window(wlo, whi)
@@ -2509,14 +2530,11 @@ def quantile_exact_scalable(
                 break
             cum = below + np.cumsum(counts)
             j = int(np.searchsorted(cum, k, side="left"))
-            width = (whi - wlo) / n_bins
-            new_lo = wlo + j * width
-            new_hi = whi if j == n_bins - 1 else wlo + (j + 1) * width
-            new_below = below if j == 0 else int(cum[j - 1])
+            new_lo, new_hi = float(edges[j]), float(edges[j + 1])
             if (new_lo, new_hi) == (wlo, whi):
                 value = wlo  # width underflow: remaining mass is equal
                 break
-            wlo, whi, below = new_lo, new_hi, new_below
+            wlo, whi = new_lo, new_hi
         if value is None:
             raise RuntimeError(
                 f"quantile_exact_scalable: no convergence in "

@@ -74,7 +74,13 @@ def diff_tables(
 
     lps, rps = lp.schema(), rp.schema()
     if lps is None and rps is None:
-        key_t = left.schema().base_schema.field(key).type
+        src_schema = left.schema() or right.schema()
+        if src_schema is None:
+            raise ValueError(
+                "diff_tables: both inputs are schema-less empty "
+                "Datasets; cannot type the (empty) result — pass at "
+                "least one input with a schema")
+        key_t = src_schema.base_schema.field(key).type
         return rd.from_arrow(pa.table({
             key: pa.array([], key_t),
             "diff_op": pa.array([], pa.string())}))

@@ -65,11 +65,26 @@ def _commit_meta(index_dir: str, meta_name: str, meta: dict) -> None:
     os.replace(tmp, _meta_path(index_dir, meta_name))  # commit point
 
 
+def _invalidate_store(index_dir: str, meta_name: str) -> None:
+    """Remove the meta FIRST, then stale shard files — a re-bootstrap
+    crash can never leave the OLD meta pointing at a mix of old and new
+    shards (the NSW r4 rebuild lesson, and a shrink of n_shards can't
+    orphan high-numbered shard files)."""
+    meta = _meta_path(index_dir, meta_name)
+    if os.path.exists(meta):
+        os.remove(meta)
+    if os.path.isdir(index_dir):
+        for fn in os.listdir(index_dir):
+            if fn.endswith(".parquet") or fn.endswith(".tmp"):
+                os.remove(os.path.join(index_dir, fn))
+
+
 def bootstrap_store(lake_dir: str, index_dir: str, meta: dict,
                     spec: dict, meta_name: str) -> dict:
     from maestro_ray.io.lake import read_lake
 
     os.makedirs(index_dir, exist_ok=True)
+    _invalidate_store(index_dir, meta_name)
     n_shards = meta["n_shards"]
     meta = {**meta, "epoch": list_epochs(lake_dir)[-1]}
     encode, sort_keys = spec["encode"], spec["sort_keys"]
@@ -87,9 +102,13 @@ def bootstrap_store(lake_dir: str, index_dir: str, meta: dict,
         return pa.table({"shard": pa.array([k], pa.int32()),
                          "rows": pa.array([n], pa.int64())})
 
-    rows = (read_lake(lake_dir, columns=["url", "text"])
-            .map_batches(enc, batch_format="pyarrow")
-            .groupby("shard").map_groups(write, batch_format="pyarrow")
+    # encode fused INTO the read stage (never post-union — the
+    # measured fusion rule); an all-tombstone lake reads as None and
+    # bootstraps to typed empty shards
+    src = read_lake(lake_dir, columns=["url", "text"], transform=enc)
+    rows = ([] if src is None else
+            src.groupby("shard")
+            .map_groups(write, batch_format="pyarrow")
             .take_all())  # O(shards) rows
     written = {int(r["shard"]) for r in rows}
     for k in range(n_shards):  # empty shards still need a typed file

@@ -31,9 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
-from maestro_ray.core.manifest import list_epochs
 from maestro_ray.ops.embed import embed_batch
 
 META = "_vector_meta.json"

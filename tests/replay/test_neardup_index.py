@@ -119,3 +119,41 @@ def test_crash_before_meta_recovers(ray_session, tmp_path, monkeypatch):
     pd.testing.assert_frame_equal(
         nd.read_neardup_index(idx),
         _rebuild_df(lake, str(tmp_path / "fresh")))
+
+
+def test_rebootstrap_invalidate_first_and_empty_live_lake(
+        ray_session, tmp_path):
+    """Re-bootstrap clears stale shards (no orphans when n_shards
+    shrinks; a crash can't pair old meta with new shards), and a lake
+    whose live set is EMPTY bootstraps to typed empty shards."""
+    from tests.replay.test_join_view import _ev, _write_segments
+
+    log = str(tmp_path / "log")
+    _write_segments(log, [
+        [_ev(0, "insert", "u1", 1_000_000, b"alpha beta gamma"),
+         _ev(1, "insert", "u2", 1_000_001, b"delta epsilon zeta")],
+        [_ev(2, "delete", "u1", 2_000_000),
+         _ev(3, "delete", "u2", 2_000_001)],
+    ])
+    lake = str(tmp_path / "lake")
+    ingest(log, lake, num_partitions=2, segments_per_epoch=1,
+           max_epochs=1)
+    idx = str(tmp_path / "idx")
+    nd.bootstrap_neardup_index(lake, idx, n_shards=8)
+    assert len([f for f in os.listdir(idx)
+                if f.endswith(".parquet")]) == 8
+    # re-bootstrap with FEWER shards: no orphan high-numbered files
+    nd.bootstrap_neardup_index(lake, idx, n_shards=4)
+    shard_files = sorted(f for f in os.listdir(idx)
+                         if f.endswith(".parquet"))
+    assert len(shard_files) == 4
+    assert nd.read_neardup_index(idx)["url"].nunique() == 2
+
+    # advance to the delete-all epoch; the live set is empty
+    ingest(log, lake, num_partitions=2, segments_per_epoch=1)
+    idx2 = str(tmp_path / "idx2")
+    nd.bootstrap_neardup_index(lake, idx2, n_shards=4)
+    assert len(nd.read_neardup_index(idx2)) == 0
+    # and maintenance from the populated cursor converges to empty too
+    nd.update_neardup_index(lake, idx)
+    assert len(nd.read_neardup_index(idx)) == 0

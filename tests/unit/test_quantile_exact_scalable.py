@@ -68,3 +68,19 @@ def test_matches_duckdb_quantile_disc(ray_session):
         got = quantile_exact_scalable(_ds(vals.tolist()), "v", [q],
                                       n_bins=64, window_limit=50)
         assert got["value"].iloc[0] == exp
+
+
+def test_infinities_ignored(ray_session):
+    vals = [float("inf"), 1.0, 2.0, 3.0, float("-inf"), None]
+    out = quantile_exact_scalable(_ds(vals), "v", [0.5])
+    assert out["value"].iloc[0] == 2.0
+
+
+def test_boundary_rank_with_tiny_bins(ray_session):
+    """Edge ranks at bin boundaries with adversarial bin counts — the
+    shared-edge-array property (binning and cuts can't disagree)."""
+    vals = [float(x) for x in range(1, 101)]
+    for q in (0.01, 0.02, 0.5, 0.99, 1.0):
+        out = quantile_exact_scalable(_ds(vals), "v", [q], n_bins=3,
+                                      window_limit=2)
+        assert out["value"].iloc[0] == _expected(vals, q), q
