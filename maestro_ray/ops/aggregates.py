@@ -2513,11 +2513,27 @@ def quantile_exact_scalable(
                 else np.empty(0, np.float64))
         return np.sort(vals)
 
+    def window_minmax(wlo: float, whi: float):
+        def mm(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            v = v[np.isfinite(v)]
+            v = v[(v >= wlo) & (v < whi)]
+            if not len(v):
+                return pa.table({"lo": pa.array([], pa.float64()),
+                                 "hi": pa.array([], pa.float64())})
+            return pa.table({"lo": [float(v.min())],
+                             "hi": [float(v.max())]})
+
+        got = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+        return float(got["lo"].min()), float(got["hi"].max())
+
     out = []
     for q in qs:
         k = max(1, int(np.ceil(q * n_total)))  # 1-based target rank
         wlo, whi = glo, ghi
         value = None
+        prev_count = None
         for _ in range(max_rounds):
             if whi <= wlo or not np.isfinite(whi - wlo):
                 value = wlo  # window collapsed: all candidates equal
@@ -2528,6 +2544,20 @@ def quantile_exact_scalable(
                 vals = collect_window(wlo, whi)
                 value = float(vals[k - below - 1])
                 break
+            if wcount == prev_count:
+                # stuck window (e.g. a duplicate mass hugging the lower
+                # edge: equal-width halving would take ~log2(range/ulp)
+                # rounds to resolve a denormal gap) — RE-ANCHOR to the
+                # in-window min/max: equal values terminate now,
+                # distinct values land in opposite bins next round
+                vmin, vmax = window_minmax(wlo, whi)
+                if vmin == vmax:
+                    value = vmin
+                    break
+                wlo, whi = vmin, float(np.nextafter(vmax, np.inf))
+                prev_count = None
+                continue
+            prev_count = wcount
             cum = below + np.cumsum(counts)
             j = int(np.searchsorted(cum, k, side="left"))
             new_lo, new_hi = float(edges[j]), float(edges[j + 1])

@@ -84,3 +84,15 @@ def test_boundary_rank_with_tiny_bins(ray_session):
         out = quantile_exact_scalable(_ds(vals), "v", [q], n_bins=3,
                                       window_limit=2)
         assert out["value"].iloc[0] == _expected(vals, q), q
+
+
+def test_duplicate_mass_at_zero_with_denormal_tail(ray_session):
+    """The hypothesis-found stall: a large duplicate mass at exactly
+    0.0 hugging the window's lower edge — equal-width halving alone
+    would need hundreds of rounds; the min/max re-anchor resolves it."""
+    vals = [0.0] * 500 + [5e-324, 1.0]
+    out = quantile_exact_scalable(_ds(vals), "v",
+                                  [0.1, 0.5, 0.999], n_bins=8,
+                                  window_limit=4)
+    for q, v in zip(out["q"], out["value"]):
+        assert v == _expected(vals, q), (q, v)
