@@ -100,6 +100,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p_vac = sub.add_parser("vacuum", help="delete unreferenced files")
     p_vac.add_argument("--lake-dir", required=True)
+    p_vac.add_argument("--keep-last", type=int, default=None,
+                       help="snapshot expiration: drop all but the newest "
+                            "N epochs' manifests+lineage, then GC files no "
+                            "retained manifest references (time travel "
+                            "keeps working inside the retention window). "
+                            "Default: keep full history, GC only files "
+                            "outside the newest manifest")
 
     p_vw = sub.add_parser(
         "view", help="maintain/print an incremental per-group count view")
@@ -327,8 +334,12 @@ def main(argv: list[str] | None = None) -> int:
                 vacuum_tombstones_ts=args.vacuum_tombstones_ts,
             )
         elif args.cmd == "vacuum":
-            from maestro_ray.core.manifest import vacuum
+            from maestro_ray.core.manifest import expire_epochs, vacuum
 
+            if args.keep_last is not None:
+                print(json.dumps(
+                    expire_epochs(args.lake_dir, args.keep_last)))
+                return 0
             m = latest_manifest(args.lake_dir)
             if m is None:
                 print(json.dumps({"removed": 0}))

@@ -206,14 +206,60 @@ def write_manifest_atomic(path: str, m: Manifest) -> None:
     os.replace(tmp, path)
 
 
-def vacuum(lake_dir: str, keep_manifest: Manifest) -> int:
-    """Delete partition files not referenced by ``keep_manifest`` and any
-    leftover staging dirs. Returns number of files removed. Safe to run
-    any time after publish — readers only follow the manifest."""
+def expire_epochs(lake_dir: str, keep_last: int) -> dict:
+    """Snapshot expiration with retention (the Iceberg
+    ``expire_snapshots`` analog): drop the manifests (and lineage
+    records) of all but the newest ``keep_last`` epochs, then delete
+    every partition file referenced by NO retained manifest.
+
+    Time travel (``read_lake_at``) keeps working for every retained
+    epoch — the live-file set is the UNION over retained manifests, not
+    just the head — and fails loudly (unknown epoch) for expired ones.
+    Hardlinked clones (``clone_lake``) are unaffected: deleting a path
+    here unlinks only this lake's name for the shared inode.
+
+    Incremental consumers (views/changefeed/indexes) must have caught
+    up past the expiration point before it runs; their own no-progress
+    guards fail loudly if the old diff side is gone. Idempotent — a
+    re-run after a crash finishes the remaining deletions.
+
+    Returns ``{"epochs_removed": n, "files_removed": n,
+    "epochs_kept": [..]}``.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    epochs = list_epochs(lake_dir)
+    if not epochs:
+        return {"epochs_removed": 0, "files_removed": 0,
+                "epochs_kept": []}
+    kept, expired = epochs[-keep_last:], epochs[:-keep_last]
     live = {
         os.path.normpath(os.path.join(lake_dir, v["file"]))
-        for v in keep_manifest.partitions.values()
+        for e in kept
+        for v in manifest_at(lake_dir, e).partitions.values()
     }
+    # Manifests first: once a manifest is gone its epoch is
+    # unaddressable, so a crash between the two phases leaves only
+    # harmless unreferenced files (re-run reclaims them); the reverse
+    # order could leave an addressable epoch with missing files.
+    for e in expired:
+        os.remove(manifest_path(lake_dir, e))
+        lin = os.path.join(lake_dir, LINEAGE_DIR,
+                           f"epoch-{e:012d}.parquet")
+        if os.path.exists(lin):
+            os.remove(lin)
+    files_removed = _remove_unreferenced(lake_dir, live)
+    return {"epochs_removed": len(expired),
+            "files_removed": files_removed, "epochs_kept": kept}
+
+
+def _remove_unreferenced(lake_dir: str, live: set[str]) -> int:
+    """Delete lake parquet files outside ``live`` — the one GC walk
+    shared by ``vacuum`` and ``expire_epochs``. Metadata dirs
+    (manifests / lineage / views) are never touched, and non-parquet
+    metadata (the multi-table ``_txn`` journal) passes the suffix
+    filter; staged parquet IS reclaimed — unpublished staging is crash
+    garbage by protocol."""
     removed = 0
     for root, _dirs, files in os.walk(lake_dir):
         if (MANIFEST_DIR in root or LINEAGE_DIR in root
@@ -225,3 +271,14 @@ def vacuum(lake_dir: str, keep_manifest: Manifest) -> int:
                 os.remove(path)
                 removed += 1
     return removed
+
+
+def vacuum(lake_dir: str, keep_manifest: Manifest) -> int:
+    """Delete partition files not referenced by ``keep_manifest`` and any
+    leftover staging dirs. Returns number of files removed. Safe to run
+    any time after publish — readers only follow the manifest."""
+    live = {
+        os.path.normpath(os.path.join(lake_dir, v["file"]))
+        for v in keep_manifest.partitions.values()
+    }
+    return _remove_unreferenced(lake_dir, live)
