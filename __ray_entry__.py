@@ -1899,6 +1899,43 @@ def _q_cdc_sum_view(sf):
     return view
 
 
+def _q_cdc_window_view(sf):
+    """Incremental EVENT-TIME tumbling-window view over the replay
+    lake: live page count per 1-hour warc_ts window (the
+    ``bucket:<col>:<width>`` virtual group, pipelines/views.py) —
+    windowed analytics that stay current as out-of-order events
+    upsert/delete, with no watermark machinery: the partition-diff
+    algebra moves a late event's window bucket like any other group.
+    Rows-only check; the view≡recompute-at-every-epoch oracle is
+    pytest (tests/replay/test_views.py::test_window_view...)."""
+    from maestro_ray.pipelines.views import maintain_group_counts
+
+    spec = "bucket:warc_ts:3600000000"
+    view = maintain_group_counts(_cdc_lake(sf), spec)
+    return view.rename(columns={spec: "window_hour"})
+
+
+def _q_cdc_expire(sf):
+    """Snapshot expiration with retention (core/manifest.py
+    expire_epochs): CLONE the replay lake, expire all but the newest 2
+    epochs on the clone, and return its live state — which must equal
+    the source's exactly (head state is untouched by expiration; the
+    time-travel/GC/clone-safety oracles are pytest
+    tests/replay/test_expire.py). Rows-only check."""
+    from maestro_ray.core.manifest import expire_epochs
+    from maestro_ray.io.lake import clone_lake, read_lake
+
+    src = _cdc_lake(sf)
+    dst = src + "_exp2"
+    done = dst + "._DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(dst, ignore_errors=True)
+        clone_lake(src, dst)
+        expire_epochs(dst, keep_last=2)
+        open(done, "w").close()
+    return read_lake(dst, columns=["url", "warc_ts", "lang"])
+
+
 def _q_cdc_dedup_view(sf):
     """Incremental CORPUS-DUPLICATION view over the replay lake — the
     cdc_ingest × webtext integration piece: live-copy count per 64-bit
@@ -4283,6 +4320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance": _q_edit_distance,
         "knn_filtered": _q_knn_filtered,
         "cdc_sum_view": _q_cdc_sum_view,
+        "cdc_window_view": _q_cdc_window_view,
+        "cdc_expire": _q_cdc_expire,
         "window_running": _q_window_running,
         "window_moving_median": _q_window_moving_median,
         "grouped_quantile_sketch": _q_grouped_quantile_sketch,

@@ -60,6 +60,38 @@ HASH_GROUP_PREFIX = "hash64:"
 LEN_MEASURE_PREFIX = "len:"
 
 
+#: virtual-group prefix: ``bucket:<col>:<width>`` groups by
+#: floor(col / width) of an integer column — the key for incremental
+#: EVENT-TIME WINDOW views (tumbling windows over e.g. ``warc_ts_us``
+#: with a width in µs) with no watermark machinery needed: a late or
+#: out-of-order event lands in whatever partition file its url routes
+#: to, and the partition-diff algebra moves its window bucket's count
+#: exactly like any other group. Floor (not truncate) division, so
+#: pre-epoch negative timestamps bucket consistently.
+BUCKET_GROUP_PREFIX = "bucket:"
+
+
+def _spec_src(spec: str) -> str:
+    """The stored column a group spec reads (identity for plain
+    columns; strips the ``hash64:`` / ``bucket:<col>:<width>``
+    virtual-group wrappers)."""
+    if spec.startswith(HASH_GROUP_PREFIX):
+        return spec[len(HASH_GROUP_PREFIX):]
+    if spec.startswith(BUCKET_GROUP_PREFIX):
+        return _parse_bucket_spec(spec)[0]
+    return spec
+
+
+def _parse_bucket_spec(spec: str) -> tuple[str, int]:
+    body = spec[len(BUCKET_GROUP_PREFIX):]
+    col, _, width_s = body.rpartition(":")
+    if not col or not width_s.isdigit() or int(width_s) < 1:
+        raise ValueError(
+            f"bad bucket group spec {spec!r}: want "
+            f"'bucket:<col>:<positive int width>'")
+    return col, int(width_s)
+
+
 def _group_key_table(t: pa.Table, group_col) -> pa.Table:
     """The grouping key column(s) for one live-filtered file table.
     ``group_col`` may be a single spec or a tuple of specs; each spec is
@@ -71,7 +103,8 @@ def _group_key_table(t: pa.Table, group_col) -> pa.Table:
     cols = {}
     for spec in specs:
         hashed = spec.startswith(HASH_GROUP_PREFIX)
-        src = spec[len(HASH_GROUP_PREFIX):] if hashed else spec
+        bucketed = spec.startswith(BUCKET_GROUP_PREFIX)
+        src = _spec_src(spec)
         raw = (t.column(src) if src in t.column_names
                else pa.nulls(t.num_rows, pa.string()))
         if hashed:
@@ -80,6 +113,23 @@ def _group_key_table(t: pa.Table, group_col) -> pa.Table:
             # above 2^63 would overflow the int64 conversion
             cols[spec] = pa.array(hash_array(raw).view(np.int64),
                                   pa.int64())
+        elif bucketed:
+            _, width = _parse_bucket_spec(spec)
+            if src not in t.column_names:  # pre-evolution file
+                ints = pa.nulls(t.num_rows, pa.int64())
+            else:
+                # raises loudly on a non-castable (e.g. string) column
+                ints = pc.cast(raw, pa.int64())
+            vals = ints.combine_chunks() if isinstance(
+                ints, pa.ChunkedArray) else ints
+            nulls = pc.is_null(vals)
+            # numpy floor_divide (Arrow's divide truncates toward zero)
+            buck = np.floor_divide(
+                pc.fill_null(vals, 0).to_numpy(zero_copy_only=False),
+                width)
+            cols[spec] = pa.array(buck, pa.int64(),
+                                  mask=nulls.to_numpy(
+                                      zero_copy_only=False))
         else:
             cols[spec] = raw
     return pa.table(cols)
@@ -103,8 +153,7 @@ def _file_group_counts(path: str, group_col,
     from maestro_ray.io.lake import live_mask
 
     specs = group_col if isinstance(group_col, tuple) else (group_col,)
-    srcs = [s[len(HASH_GROUP_PREFIX):] if s.startswith(HASH_GROUP_PREFIX)
-            else s for s in specs]
+    srcs = [_spec_src(s) for s in specs]
     mcol = None
     if measure is not None:
         mcol = (measure[len(LEN_MEASURE_PREFIX):]

@@ -173,3 +173,52 @@ def test_sum_view_matches_recompute_at_every_epoch(lake):
     # count view and sum view coexist under distinct identities
     counts = maintain_group_counts(lake, "lang")
     assert set(counts.columns) == {"lang", "n"}
+
+
+WIDTH_US = 3_600_000_000  # 1h tumbling windows over warc_ts
+
+
+def _recompute_windows(lake_dir, epoch):
+    ds = read_lake_at(lake_dir, epoch, columns=["url", "warc_ts"])
+    pdf = ds.to_pandas()
+    buckets = pdf["warc_ts"].astype("int64") // WIDTH_US
+    vc = buckets.value_counts()
+    return {int(k): int(v) for k, v in vc.items()}
+
+
+def test_window_view_matches_recompute_at_every_epoch(lake):
+    """bucket:<col>:<width> virtual group = incremental event-time
+    tumbling-window counts; out-of-order events need no watermark —
+    the partition diff moves their bucket like any other group."""
+    spec = f"bucket:warc_ts:{WIDTH_US}"
+    final = maintain_group_counts(lake, spec)
+    for e in list_epochs(lake):
+        view = read_view(lake, spec, e)
+        assert view is not None
+        assert _as_dict(view) == _recompute_windows(lake, e), f"epoch {e}"
+    got = _as_dict(final)
+    assert got == _recompute_windows(lake, list_epochs(lake)[-1])
+    assert len(got) >= 2  # fixture must actually span several windows
+
+
+def test_window_sum_view(lake):
+    """Windowed SUM (live text bytes per hour window) through the same
+    partition-diff algebra."""
+    from maestro_ray.pipelines.views import maintain_group_sums
+
+    spec = f"bucket:warc_ts:{WIDTH_US}"
+    view = maintain_group_sums(lake, spec, "len:text")
+    last = list_epochs(lake)[-1]
+    pdf = read_lake_at(lake, last, columns=["warc_ts", "text"]).to_pandas()
+    buckets = pdf["warc_ts"].astype("int64") // WIDTH_US
+    nbytes = pdf["text"].fillna("").str.encode("utf-8").str.len()
+    want = {int(k): int(v)
+            for k, v in nbytes.groupby(buckets).sum().items() if v != 0}
+    assert _as_dict(view) == want
+
+
+def test_bucket_spec_validation(lake):
+    with pytest.raises(ValueError, match="bucket"):
+        maintain_group_counts(lake, "bucket:warc_ts")  # no width
+    with pytest.raises(ValueError, match="bucket"):
+        maintain_group_counts(lake, "bucket:warc_ts:0")  # zero width
