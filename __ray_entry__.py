@@ -4133,6 +4133,60 @@ def _q_heavy_hitters_grouped(sf):
     return heavy_hitters_grouped(ds, "l_returnflag", "l_quantity", 0.021)
 
 
+def _q_spearman_corr(sf):
+    """Per-group Spearman rank correlation (ops/aggregates.py
+    spearman_grouped): average-tie ranks within the group, Pearson on
+    the ranks — one groupby shuffle, only (key, rho) driver rows.
+    Twin: row_number → AVG over peer partitions → corr, rounded 6dp
+    (the grouped_corr cross-engine policy)."""
+    from maestro_ray.ops.aggregates import spearman_grouped
+
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return spearman_grouped(ds, "l_returnflag", "l_quantity",
+                            "l_extendedprice", round_to=6)
+
+
+def _q_grouped_topk_ties(sf):
+    """Top-k per group with SQL RANK tie semantics (QUALIFY rank()<=k):
+    threshold-filter plan — grouped_topk finds the per-key cutoff,
+    one broadcast filter qualifies rows, ranks assigned within the
+    qualifying set (ops/aggregates.py grouped_topk_ties)."""
+    from maestro_ray.ops.aggregates import grouped_topk_ties
+
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_orderkey",
+                        "l_linenumber", "l_quantity"])
+    return grouped_topk_ties(
+        ds, ["l_returnflag", "l_linestatus"], "l_quantity", 2)
+
+
+def _q_ratio_to_report(sf):
+    """Per-row share of its group total — v / SUM(v) OVER (PARTITION
+    BY g) with broadcast totals, no row shuffle (ops/aggregates.py
+    ratio_to_report). Bit-exact cross-engine: l_quantity is
+    integer-valued, so the group sums are order-independent."""
+    from maestro_ray.ops.aggregates import ratio_to_report
+
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_orderkey", "l_linenumber",
+                        "l_quantity"])
+    return ratio_to_report(ds, "l_returnflag", "l_quantity")
+
+
+def _q_dedup_consecutive(sf):
+    """Consecutive-repeat compaction per user ordered by (ts,
+    event_id): keep rows where event_type IS DISTINCT FROM the
+    previous row's (ops/aggregates.py dedup_consecutive) — the
+    signal-change / status-stream dedup shape."""
+    from maestro_ray.ops.aggregates import dedup_consecutive
+
+    ds = _read(sf, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return dedup_consecutive(ds, "user_id", ["ts", "event_id"],
+                             "event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4322,6 +4376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_sum_view": _q_cdc_sum_view,
         "cdc_window_view": _q_cdc_window_view,
         "cdc_expire": _q_cdc_expire,
+        "spearman_corr": _q_spearman_corr,
+        "grouped_topk_ties": _q_grouped_topk_ties,
+        "ratio_to_report": _q_ratio_to_report,
+        "dedup_consecutive": _q_dedup_consecutive,
         "window_running": _q_window_running,
         "window_moving_median": _q_window_moving_median,
         "grouped_quantile_sketch": _q_grouped_quantile_sketch,
@@ -5061,6 +5119,46 @@ def oracle_sql() -> dict[str, str]:
             "AS covar_samp, "
             "round(corr(l_quantity, l_extendedprice), 6) AS corr "
             "FROM lineitem GROUP BY 1"
+        ),
+        "spearman_corr": (
+            # avg-tie ranks = AVG(row_number) over the peer partition;
+            # Pearson on the ranks = Spearman. 6dp, the corr policy.
+            "SELECT l_returnflag, round(corr(rx, ry), 6) AS spearman "
+            "FROM ("
+            "SELECT l_returnflag, "
+            "avg(rnx) OVER (PARTITION BY l_returnflag, l_quantity) "
+            "AS rx, "
+            "avg(rny) OVER (PARTITION BY l_returnflag, l_extendedprice) "
+            "AS ry FROM ("
+            "SELECT l_returnflag, l_quantity, l_extendedprice, "
+            "CAST(row_number() OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_quantity) AS DOUBLE) AS rnx, "
+            "CAST(row_number() OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_extendedprice) AS DOUBLE) AS rny "
+            "FROM lineitem)) GROUP BY 1"
+        ),
+        "grouped_topk_ties": (
+            "SELECT l_returnflag, l_linestatus, l_orderkey, "
+            "l_linenumber, l_quantity, rank FROM ("
+            "SELECT l_returnflag, l_linestatus, l_orderkey, "
+            "l_linenumber, l_quantity, "
+            "CAST(rank() OVER (PARTITION BY l_returnflag, l_linestatus "
+            "ORDER BY l_quantity DESC) AS BIGINT) AS rank "
+            "FROM lineitem) WHERE rank <= 2"
+        ),
+        "ratio_to_report": (
+            # bit-exact: l_quantity is integer-valued, group sums are
+            # summation-order-independent in float64
+            "SELECT l_returnflag, l_orderkey, l_linenumber, "
+            "l_quantity, l_quantity / sum(l_quantity) OVER "
+            "(PARTITION BY l_returnflag) AS ratio FROM lineitem"
+        ),
+        "dedup_consecutive": (
+            "SELECT user_id, ts, event_id, event_type FROM ("
+            "SELECT user_id, ts, event_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events) "
+            "WHERE event_type IS DISTINCT FROM prev"
         ),
         "mode_grouped": (
             # bare mode() leaves ties engine-defined; the engine's

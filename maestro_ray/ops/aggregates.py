@@ -1406,8 +1406,8 @@ def moving_agg_range(
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
-_RANK_METHODS = ("row_number", "dense_rank", "rank", "percent_rank",
-                 "cume_dist", "ntile")
+_RANK_METHODS = ("row_number", "dense_rank", "rank", "avg_rank",
+                 "percent_rank", "cume_dist", "ntile")
 
 
 def rank_window(
@@ -1463,6 +1463,12 @@ def rank_window(
                 v = pa.array(np.cumsum(change.astype(np.int64)), pa.int64())
             elif m == "rank":
                 v = pa.array(run_start + 1, pa.int64())
+            elif m == "avg_rank":
+                # fractional/average tie rank (the Spearman rank):
+                # mean of the peer run's 1-based positions — SQL's
+                # AVG(row_number) OVER (PARTITION BY key, value)
+                v = pa.array((run_start + run_end) / 2.0 + 1.0,
+                             pa.float64())
             elif m == "percent_rank":
                 pr = run_start / (n - 1) if n > 1 else np.zeros(n)
                 v = pa.array(pr, pa.float64())
@@ -2571,3 +2577,165 @@ def quantile_exact_scalable(
                 f"{max_rounds} rounds for q={q} (window [{wlo}, {whi}])")
         out.append({"q": q, "value": value})
     return pd.DataFrame(out)
+
+
+def spearman_grouped(
+    ds: rd.Dataset,
+    key: str,
+    x: str,
+    y: str,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """Per-key Spearman rank correlation: average-tie ranks of ``x``
+    and ``y`` within each key (the ``avg_rank`` window semantics),
+    Pearson on the ranks.
+
+    Ranking is inherently a per-key global ordering, so the plan is ONE
+    ``groupby(key)`` shuffle with vectorized per-group ranking and an
+    exact moment fold — only (key, rho) rows reach the driver. Rows
+    with a null in EITHER column are excluded up front (the SQL
+    ``corr`` both-non-null rule applied before ranking, so ranks are
+    over the compared rows only). Keys with n < 2 or zero rank
+    variance (a constant column) yield NULL. ``round_to`` stabilizes
+    the cross-engine compare, as with ``grouped_corr``."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].iloc[0]
+        g = g.dropna(subset=[x, y])  # SQL corr both-non-null rule
+        if g.empty:
+            # no comparable rows: the group vanishes (we filter before
+            # grouping in spirit; SQL's corr-over-GROUP BY would emit
+            # a NULL row — documented divergence for all-null groups).
+            # TYPED empty frame — the untyped-empty schema-loss class.
+            return pd.DataFrame({
+                key: pd.Series([], dtype=g[key].dtype),
+                "spearman": pd.Series([], dtype="float64")})
+        rx = g[x].rank(method="average").to_numpy()
+        ry = g[y].rank(method="average").to_numpy()
+        n = float(len(rx))
+        sx, sy = rx.sum(), ry.sum()
+        cov = (rx * ry).sum() - sx * sy / n
+        vx = (rx * rx).sum() - sx * sx / n
+        vy = (ry * ry).sum() - sy * sy / n
+        rho = (cov / np.sqrt(vx * vy)
+               if n >= 2 and vx > 0 and vy > 0 else np.nan)
+        return pd.DataFrame({key: [k], "spearman": [rho]})
+
+    out = (
+        ds.groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+        .to_pandas()
+    )
+    if round_to is not None:
+        out["spearman"] = out["spearman"].round(round_to)
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def grouped_topk_ties(
+    ds: rd.Dataset,
+    keys: list[str] | str,
+    sort_col: str,
+    k: int,
+    descending: bool = True,
+    out: str = "rank",
+) -> rd.Dataset:
+    """O2 with SQL RANK semantics — ``QUALIFY rank() OVER (PARTITION BY
+    keys ORDER BY sort_col) <= k``: every row tying into the top k
+    survives (no arbitrary tiebreak drop).
+
+    Plan: ``grouped_topk`` finds k rows per key (combiner plan, never a
+    global sort); the per-key THRESHOLD t (worst value among those k —
+    the key's extremum when the group has < k rows) makes ``rank <= k``
+    equivalent to ``v >= t`` (desc), so one broadcast-join filter
+    selects the qualifying rows. Ranks are then exact within the
+    qualifying set alone, because every strictly-better value also
+    qualifies. Driver holds O(keys) threshold rows (the reporting
+    bound); null sort values never qualify (they compare unknown
+    against t) — SQL would rank nulls last, which only diverges when a
+    group has fewer than k non-null rows."""
+    from maestro_ray.ops.joins import broadcast_join
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if k < 1:
+        raise ValueError(f"k={k}: need >= 1")
+    top = grouped_topk(ds, keys, sort_col, k, descending=descending)
+    thr = grouped_agg(
+        top, keys,
+        {"__thr": (sort_col, "min" if descending else "max")})
+    joined = broadcast_join(ds, thr, keys)
+    cmp_fn = pc.greater_equal if descending else pc.less_equal
+
+    def qualify(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(cmp_fn(t.column(sort_col), t.column("__thr")),
+                         False)
+        return t.filter(m).drop_columns(["__thr"])
+
+    qual = joined.map_batches(qualify, batch_format="pyarrow")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g[out] = (g[sort_col].rank(method="min",
+                                   ascending=not descending)
+                  .astype("int64"))
+        return g
+
+    grp = keys[0] if len(keys) == 1 else keys
+    return qual.groupby(grp).map_groups(per_key, batch_format="pandas")
+
+
+def ratio_to_report(
+    ds: rd.Dataset,
+    keys: list[str] | str,
+    value_col: str,
+    out: str = "ratio",
+) -> rd.Dataset:
+    """Per-row share of its key's total — SQL's ``v / SUM(v) OVER
+    (PARTITION BY keys)`` (Oracle's RATIO_TO_REPORT).
+
+    Group totals come from the mergeable partial-sum plan
+    (``grouped_agg``, O(keys) driver rows) and are BROADCAST back
+    through a per-batch join — the rows themselves never shuffle.
+    Cross-engine exactness: bit-exact when ``value_col`` is
+    integer-valued (sums are order-independent then); true floats make
+    the total's last ulps depend on summation order — round downstream
+    for comparisons. Null values get a null ratio; a key whose total
+    is 0 divides to ±inf/nan exactly as SQL does."""
+    from maestro_ray.ops.joins import broadcast_join
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    totals = grouped_agg(ds, keys, {"__tot": (value_col, "sum")})
+    joined = broadcast_join(ds, totals, keys, "left outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.float64())
+        r = pc.divide(v, pc.cast(t.column("__tot"), pa.float64()))
+        return t.drop_columns(["__tot"]).append_column(out, r)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_consecutive(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+) -> rd.Dataset:
+    """Collapse consecutive repeats per key: keep a row iff
+    ``value_col IS DISTINCT FROM`` the previous row's value in
+    ``order_cols`` order — the signal-change compaction shape (sensor
+    readings, status streams). One ``groupby(key)`` shuffle, vectorized
+    shift-compare per group.
+
+    Null semantics follow the SQL twin ``value IS DISTINCT FROM
+    lag(value)`` exactly, including its one quirk: a FIRST row with a
+    null value compares not-distinct against lag's null and is
+    dropped."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(order_cols)
+        v = s[value_col]
+        prev = v.shift()
+        same = (v == prev) | (v.isna() & prev.isna())
+        return s[~same]
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

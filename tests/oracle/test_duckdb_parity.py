@@ -95,6 +95,8 @@ ORACLE_NAMES = [
     "markov_transitions", "sequence_gaps", "token_explode", "user_rfm",
     "table_diff", "attribution", "chi2_independence", "profile_table",
     "sample_weighted", "quantile_exact_big",
+    "spearman_corr", "grouped_topk_ties", "ratio_to_report",
+    "dedup_consecutive",
 ]
 
 

@@ -1,0 +1,134 @@
+"""Edge cases for the r4-s5 aggregate batch: avg_rank window ties,
+grouped_topk_ties tie/short-group behavior, ratio_to_report nulls,
+dedup_consecutive null runs, spearman vs a pandas reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from maestro_ray.ops.aggregates import (
+    dedup_consecutive,
+    grouped_topk_ties,
+    rank_window,
+    ratio_to_report,
+    spearman_grouped,
+)
+
+
+def _ds(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_avg_rank_ties_average_the_run():
+    ds = _ds([
+        {"g": "a", "v": 10}, {"g": "a", "v": 20}, {"g": "a", "v": 20},
+        {"g": "a", "v": 30}, {"g": "b", "v": 5},
+    ])
+    out = rank_window(ds, "g", ["v"], out="r", method="avg_rank") \
+        .to_pandas().sort_values(["g", "v"]).reset_index(drop=True)
+    # the two 20s share rank (2+3)/2 = 2.5
+    assert list(out["r"]) == [1.0, 2.5, 2.5, 4.0, 1.0]
+    # cross-check against pandas' average rank
+    pdf = ds.to_pandas()
+    want = pdf.groupby("g")["v"].rank(method="average")
+    got = rank_window(ds, "g", ["v"], out="r", method="avg_rank") \
+        .to_pandas()
+    merged = got.merge(pdf.assign(want=want), on=["g", "v"]) \
+        .drop_duplicates()
+    assert (merged["r"] == merged["want"]).all()
+
+
+def test_grouped_topk_ties_includes_all_peers():
+    ds = _ds([
+        {"g": "a", "v": 9, "id": 1}, {"g": "a", "v": 9, "id": 2},
+        {"g": "a", "v": 9, "id": 3}, {"g": "a", "v": 7, "id": 4},
+        {"g": "a", "v": 5, "id": 5},
+        # short group: fewer rows than k → everything qualifies
+        {"g": "b", "v": 1, "id": 6},
+    ])
+    out = grouped_topk_ties(ds, "g", "v", 2).to_pandas() \
+        .sort_values(["g", "id"]).reset_index(drop=True)
+    a = out[out["g"] == "a"]
+    # k=2 but three 9s tie at rank 1 → all three survive; 7 has rank 4
+    # (> 2) and is excluded — SQL RANK, not row_number
+    assert sorted(a["id"]) == [1, 2, 3]
+    assert set(a["rank"]) == {1}
+    b = out[out["g"] == "b"]
+    assert list(b["id"]) == [6] and list(b["rank"]) == [1]
+
+
+def test_grouped_topk_ties_rank_past_tie_run():
+    ds = _ds([
+        {"g": "a", "v": 9, "id": 1}, {"g": "a", "v": 8, "id": 2},
+        {"g": "a", "v": 8, "id": 3}, {"g": "a", "v": 7, "id": 4},
+    ])
+    out = grouped_topk_ties(ds, "g", "v", 3).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    # ranks 1, 2, 2 qualify; 7 has rank 4 > 3 — dropped by tie gap
+    assert list(out["id"]) == [1, 2, 3]
+    assert list(out["rank"]) == [1, 2, 2]
+
+
+def test_ratio_to_report_nulls_and_exactness():
+    ds = _ds([
+        {"g": "a", "v": 1.0}, {"g": "a", "v": 3.0},
+        {"g": "a", "v": None}, {"g": "b", "v": 2.0},
+    ])
+    out = ratio_to_report(ds, "g", "v").to_pandas() \
+        .sort_values(["g", "v"]).reset_index(drop=True)
+    vals = out[out["g"] == "a"]["ratio"].tolist()
+    assert vals[0] == 0.25 and vals[1] == 0.75  # bit-exact on ints
+    assert np.isnan(vals[2])  # null value → null ratio
+    assert out[out["g"] == "b"]["ratio"].tolist() == [1.0]
+
+
+def test_dedup_consecutive_matches_sql_lag_semantics():
+    rows = [
+        {"k": 1, "t": 1, "v": "x"}, {"k": 1, "t": 2, "v": "x"},
+        {"k": 1, "t": 3, "v": "y"}, {"k": 1, "t": 4, "v": None},
+        {"k": 1, "t": 5, "v": None}, {"k": 1, "t": 6, "v": "x"},
+        # first row null: SQL lag yields null, IS DISTINCT FROM is
+        # false → dropped (the documented quirk)
+        {"k": 2, "t": 1, "v": None}, {"k": 2, "t": 2, "v": "z"},
+    ]
+    out = dedup_consecutive(_ds(rows), "k", ["t"], "v").to_pandas() \
+        .sort_values(["k", "t"]).reset_index(drop=True)
+    assert list(zip(out["k"], out["t"])) == [
+        (1, 1), (1, 3), (1, 4), (1, 6), (2, 2)]
+
+
+def test_spearman_matches_pandas_reference():
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 200),
+        "x": np.concatenate([rng.integers(0, 20, 200),
+                             rng.normal(size=200)]),
+    })
+    # monotone-ish with noise + heavy ties in group a
+    pdf["y"] = pdf["x"] * 2 + rng.normal(scale=3.0, size=400)
+    got = spearman_grouped(rd.from_pandas(pdf), "g", "x", "y")
+    for g in ["a", "b"]:
+        sub = pdf[pdf["g"] == g]
+        want = sub["x"].rank(method="average").corr(
+            sub["y"].rank(method="average"))
+        have = float(got[got["g"] == g]["spearman"].iloc[0])
+        assert have == pytest.approx(want, abs=1e-12), g
+
+
+def test_spearman_degenerate_groups_null():
+    ds = _ds([
+        {"g": "one", "x": 1.0, "y": 2.0},          # n = 1
+        {"g": "const", "x": 5.0, "y": 1.0},        # zero x-variance
+        {"g": "const", "x": 5.0, "y": 2.0},
+        {"g": "nulls", "x": None, "y": 1.0},       # no both-valid pair
+        {"g": "nulls", "x": 1.0, "y": None},
+    ])
+    out = spearman_grouped(ds, "g", "x", "y")
+    present = dict(zip(out["g"], out["spearman"]))
+    assert np.isnan(present["one"]) and np.isnan(present["const"])
+    # the nulls group has zero comparable rows → no output row at all
+    # (matches SQL: corr over an empty set inside GROUP BY still emits
+    # the group; we filter first, so the group vanishes — documented)
+    assert "nulls" not in present
