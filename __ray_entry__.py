@@ -1936,6 +1936,22 @@ def _q_cdc_expire(sf):
     return read_lake(dst, columns=["url", "warc_ts", "lang"])
 
 
+def _q_cdc_scd2_view(sf):
+    """Incremental SCD Type-2 history view over the replay lake
+    (pipelines/scd2view.py): full version history per url (valid_from /
+    valid_to / is_current), maintained O(churn)/epoch from the
+    partition-local change feed — no shuffle, meta-last commit.
+    Rows-only check; the incremental≡batch-scd2-over-feeds oracle and
+    the crash/expiration matrix are pytest
+    (tests/replay/test_scd2_view.py)."""
+    from maestro_ray.pipelines.scd2view import maintain_scd2, read_scd2
+
+    src = _cdc_lake(sf)
+    out = src + "_scd2"
+    maintain_scd2(src, out)
+    return read_scd2(out)
+
+
 def _q_cdc_dedup_view(sf):
     """Incremental CORPUS-DUPLICATION view over the replay lake — the
     cdc_ingest × webtext integration piece: live-copy count per 64-bit
@@ -4376,6 +4392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_sum_view": _q_cdc_sum_view,
         "cdc_window_view": _q_cdc_window_view,
         "cdc_expire": _q_cdc_expire,
+        "cdc_scd2_view": _q_cdc_scd2_view,
         "spearman_corr": _q_spearman_corr,
         "grouped_topk_ties": _q_grouped_topk_ties,
         "ratio_to_report": _q_ratio_to_report,

@@ -108,6 +108,13 @@ def main(argv: list[str] | None = None) -> int:
                             "Default: keep full history, GC only files "
                             "outside the newest manifest")
 
+    p_s2 = sub.add_parser(
+        "scd2", help="maintain the incremental SCD2 history view")
+    p_s2.add_argument("--lake-dir", required=True)
+    p_s2.add_argument("--out-dir", required=True)
+    p_s2.add_argument("--attrs", default="lang",
+                      help="comma-separated tracked payload columns")
+
     p_vw = sub.add_parser(
         "view", help="maintain/print an incremental per-group count view")
     p_vw.add_argument("--lake-dir", required=True)
@@ -199,6 +206,14 @@ def main(argv: list[str] | None = None) -> int:
         m = clone_lake(args.src, args.dst, args.epoch)
         print(json.dumps({"cloned_epoch": m.epoch,
                           "partitions": len(m.partitions)}))
+        return 0
+
+    if args.cmd == "scd2":  # partition applies run serial without Ray
+        from maestro_ray.pipelines.scd2view import maintain_scd2
+
+        res = maintain_scd2(args.lake_dir, args.out_dir,
+                            attrs=tuple(args.attrs.split(",")))
+        print(json.dumps(res))
         return 0
 
     if args.cmd == "view":  # no Ray session: thread-pool file counts
