@@ -4203,6 +4203,47 @@ def _q_dedup_consecutive(sf):
                              "event_type")
 
 
+def _q_ab_test(sf):
+    """Welch's unequal-variance t-test between the click and view
+    cohorts (ops/aggregates.py welch_ttest): one mergeable-moment
+    pass, driver algebra for t and the Welch–Satterthwaite df.
+    Twin computes the same algebra from avg/var_samp; 6dp policy."""
+    from maestro_ray.ops.aggregates import welch_ttest
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+    return welch_ttest(ds, "event_type", "value", "click", "view",
+                       round_to=6)
+
+
+def _q_power_means(sf):
+    """Per-group geometric + harmonic means over positive values
+    (ops/aggregates.py power_means_grouped): ln(x) and 1/x ride one
+    shared moment pass; exp/div on the driver. 6dp policy (ln/exp
+    summation order)."""
+    from maestro_ray.ops.aggregates import power_means_grouped
+
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    return power_means_grouped(ds, "l_returnflag", "l_extendedprice",
+                               round_to=6)
+
+
+def _q_weighted_median(sf):
+    """Per-group lower weighted median — smallest value whose running
+    weight reaches half the group total (ops/aggregates.py
+    weighted_median_grouped): one bucketed (key, value) weight
+    aggregate, guarded driver cumsum. Bit-exact: l_quantity weights
+    are integer-valued. The RANGE-frame SQL twin picks the same value
+    even through tie runs (crossing value is frame-invariant)."""
+    from maestro_ray.ops.aggregates import weighted_median_grouped
+
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_extendedprice",
+                        "l_quantity"])
+    return weighted_median_grouped(ds, "l_returnflag",
+                                   "l_extendedprice", "l_quantity")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4394,6 +4435,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_expire": _q_cdc_expire,
         "cdc_scd2_view": _q_cdc_scd2_view,
         "spearman_corr": _q_spearman_corr,
+        "ab_test": _q_ab_test,
+        "power_means": _q_power_means,
+        "weighted_median": _q_weighted_median,
         "grouped_topk_ties": _q_grouped_topk_ties,
         "ratio_to_report": _q_ratio_to_report,
         "dedup_consecutive": _q_dedup_consecutive,
@@ -5136,6 +5180,39 @@ def oracle_sql() -> dict[str, str]:
             "AS covar_samp, "
             "round(corr(l_quantity, l_extendedprice), 6) AS corr "
             "FROM lineitem GROUP BY 1"
+        ),
+
+        "ab_test": (
+            "WITH s AS (SELECT event_type, "
+            "CAST(count(*) AS DOUBLE) AS n, avg(value) AS m, "
+            "var_samp(value) AS v FROM events "
+            "WHERE event_type IN ('click', 'view') GROUP BY 1) "
+            "SELECT round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b, "
+            "round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 6) "
+            "AS t_stat, "
+            "round(pow(a.v/a.n + b.v/b.n, 2) / "
+            "(pow(a.v/a.n, 2)/(a.n-1) + pow(b.v/b.n, 2)/(b.n-1)), 6) "
+            "AS df FROM s a, s b "
+            "WHERE a.event_type = 'click' AND b.event_type = 'view'"
+        ),
+        "power_means": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_pos, "
+            "round(exp(avg(ln(l_extendedprice))), 6) AS geomean, "
+            "round(count(*) / sum(1/l_extendedprice), 6) AS harmonic "
+            "FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1"
+        ),
+        "weighted_median": (
+            # RANGE-frame running weight: the crossing VALUE is
+            # frame-invariant through tie runs, so min() here equals
+            # the engine's row-order cumsum pick
+            "SELECT l_returnflag, min(v) AS weighted_median FROM ("
+            "SELECT l_returnflag, l_extendedprice AS v, "
+            "sum(l_quantity) OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_extendedprice) AS cw, "
+            "sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+            "AND l_quantity IS NOT NULL) "
+            "WHERE cw >= 0.5 * tw GROUP BY 1"
         ),
         "spearman_corr": (
             # avg-tie ranks = AVG(row_number) over the peer partition;

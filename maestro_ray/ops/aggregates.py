@@ -2739,3 +2739,137 @@ def dedup_consecutive(
         return s[~same]
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def welch_ttest(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """Welch's unequal-variance two-sample t-test between two groups of
+    ``group_col`` — the A/B-experiment readout. One mergeable-moment
+    pass (``_bivariate_moments`` with y = x, so n/Σx/Σx² ride the
+    shared partial plan); the t statistic and Welch–Satterthwaite
+    degrees of freedom are driver algebra over two moment rows.
+    Returns one row: (mean_a, mean_b, t_stat, df). ``round_to``
+    stabilizes the cross-engine compare (a SQL twin's var_samp uses a
+    different updating formula)."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column(group_col),
+                     value_set=pa.array([group_a, group_b]))
+        return t.filter(m)
+
+    m = _bivariate_moments(ds.map_batches(pick, batch_format="pyarrow"),
+                           [group_col], value_col, value_col)
+    m = m.set_index(group_col)
+    if group_a not in m.index or group_b not in m.index:
+        raise ValueError(
+            f"welch_ttest: group(s) missing from data: "
+            f"{[g for g in (group_a, group_b) if g not in m.index]}")
+
+    def stats(row):
+        n = float(row["n"])
+        mean = row["sx"] / n
+        var = (row["sxx"] - row["sx"] ** 2 / n) / (n - 1)
+        return n, mean, var
+
+    na, ma, va = stats(m.loc[group_a])
+    nb, mb, vb = stats(m.loc[group_b])
+    se2 = va / na + vb / nb
+    t_stat = (ma - mb) / np.sqrt(se2)
+    df = se2 ** 2 / ((va / na) ** 2 / (na - 1)
+                     + (vb / nb) ** 2 / (nb - 1))
+    out = pd.DataFrame({"mean_a": [ma], "mean_b": [mb],
+                        "t_stat": [t_stat], "df": [df]})
+    if round_to is not None:
+        out = out.round(round_to)
+    return out
+
+
+def power_means_grouped(
+    ds: rd.Dataset,
+    key: str,
+    x: str,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """Per-key geometric and harmonic means over the STRICTLY POSITIVE
+    values of ``x`` (both means are undefined at 0/negatives — rows
+    outside the domain are excluded, the SQL-twin convention ``WHERE x
+    > 0``). One mergeable-moment pass: ln(x) and 1/x ride the shared
+    bivariate partials, so geomean = exp(Σln/n) and harmonic = n/Σinv
+    are driver algebra over O(keys) rows."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        xa = pc.cast(t.column(x), pa.float64())
+        pos = pc.fill_null(pc.greater(xa, 0.0), False)
+        kept = pa.table({key: t.column(key), "__x": xa}).filter(pos)
+        return pa.table({
+            key: kept.column(key),
+            "__ln": pc.ln(kept.column("__x")),
+            "__inv": pc.divide(pa.scalar(1.0), kept.column("__x")),
+        })
+
+    m = _bivariate_moments(
+        ds.map_batches(prep, batch_format="pyarrow"), [key],
+        "__ln", "__inv")
+    n = m["n"].astype("float64")
+    out = m[[key]].copy()
+    out["n_pos"] = m["n"].astype("int64")
+    out["geomean"] = np.exp(m["sx"] / n)
+    out["harmonic"] = n / m["sy"]
+    if round_to is not None:
+        out["geomean"] = out["geomean"].round(round_to)
+        out["harmonic"] = out["harmonic"].round(round_to)
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def weighted_median_grouped(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    weight_col: str,
+    max_distinct: int = MAX_DISTINCT_DRIVER,
+) -> pd.DataFrame:
+    """Per-key LOWER weighted median: the smallest value whose running
+    weight (ascending value order) reaches half the key's total weight
+    — exact, and bit-stable cross-engine when weights are
+    integer-valued (cumulative sums are then order-independent).
+
+    Plan: one bucketed aggregate over (key, value) summing weights
+    (``bucketed_agg`` — exact at millions of distinct pairs), then a
+    driver cumsum over the O(distinct pairs) frame, guarded by the
+    repo's standard loud ``max_distinct`` bound (the exact-quantile
+    family's driver tier; use ``quantile_sketch`` beyond it). Rows
+    with a null value or null weight are excluded (SQL twin: WHERE
+    both non-null)."""
+
+    def clean(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(value_col)),
+                     pc.is_valid(t.column(weight_col)))
+        return t.select([key, value_col, weight_col]).filter(ok)
+
+    pairs_ds = bucketed_agg(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        [key, value_col], [(weight_col, "sum", "__w")])
+    n_pairs = pairs_ds.count()
+    if n_pairs > max_distinct:
+        raise RuntimeError(
+            f"weighted_median_grouped: {n_pairs} distinct (key, value) "
+            f"pairs exceed the driver bound {max_distinct}; use "
+            "quantile_sketch for continuous columns at this scale")
+    pairs = pairs_ds.to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({key: pd.Series([], dtype="object"),
+                             "weighted_median": pd.Series(
+                                 [], dtype="float64")})
+    pairs = pairs.sort_values([key, value_col], kind="stable")
+    cw = pairs.groupby(key, dropna=False)["__w"].cumsum()
+    tw = pairs.groupby(key, dropna=False)["__w"].transform("sum")
+    hit = pairs[cw >= 0.5 * tw]
+    out = hit.groupby(key, dropna=False, as_index=False)[value_col] \
+        .first().rename(columns={value_col: "weighted_median"})
+    return out.sort_values(key).reset_index(drop=True)

@@ -286,3 +286,27 @@ def read_scd2(out_dir: str) -> rd.Dataset:
         return rd.from_arrow(_state_schema(meta["attrs"]).empty_table())
     # partitioning=None: p=<k>/ is placement, not data (io/lake.py rule)
     return rd.read_parquet(files, partitioning=None)
+
+
+def scd2_snapshot(out_dir: str, ts) -> rd.Dataset:
+    """EVENT-TIME time travel through the history table: the version of
+    every url live at instant ``ts`` (a datetime or µs int) — rows with
+    ``valid_from <= ts < valid_to`` (open versions have null valid_to).
+    A read-time filter over the maintained state: finer-grained than
+    epoch time travel (``read_lake_at``), which can only address commit
+    points."""
+    import pyarrow.compute as pc
+
+    if not hasattr(ts, "year"):  # µs int convenience
+        import datetime as _dt
+
+        ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(ts))
+    ds = read_scd2(out_dir)
+
+    def live_at(t: pa.Table) -> pa.Table:
+        scalar = pa.scalar(ts, pa.timestamp("us"))
+        lo = pc.less_equal(t.column("valid_from"), scalar)
+        hi = pc.fill_null(pc.greater(t.column("valid_to"), scalar), True)
+        return t.filter(pc.and_(lo, hi))
+
+    return ds.map_batches(live_at, batch_format="pyarrow")

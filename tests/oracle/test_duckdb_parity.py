@@ -96,7 +96,7 @@ ORACLE_NAMES = [
     "table_diff", "attribution", "chi2_independence", "profile_table",
     "sample_weighted", "quantile_exact_big",
     "spearman_corr", "grouped_topk_ties", "ratio_to_report",
-    "dedup_consecutive",
+    "dedup_consecutive", "ab_test", "power_means", "weighted_median",
 ]
 
 

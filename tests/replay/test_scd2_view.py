@@ -135,3 +135,26 @@ def test_attr_set_is_view_identity(lake, tmp_path):
     maintain_scd2(lake, out_dir, attrs=("lang",))
     with pytest.raises(ValueError, match="attr"):
         maintain_scd2(lake, out_dir, attrs=("lang", "text"))
+
+
+def test_snapshot_as_of_event_time(lake, tmp_path):
+    """scd2_snapshot(ts) must equal the batch oracle's interval filter
+    at several probe instants, including exact version boundaries
+    (valid_from inclusive, valid_to exclusive)."""
+    from maestro_ray.pipelines.scd2view import scd2_snapshot
+
+    out_dir = str(tmp_path / "scd2")
+    maintain_scd2(lake, out_dir)
+    hist = _batch_oracle(lake)
+    probes = sorted(hist["valid_from"].unique())
+    picks = [probes[0], probes[len(probes) // 2], probes[-1]]
+    for ts in picks:
+        got = scd2_snapshot(out_dir, ts).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        want = hist[(hist["valid_from"] <= ts)
+                    & (hist["valid_to"].isna() | (hist["valid_to"] > ts))] \
+            .sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["url", "lang"]], want[["url", "lang"]]), ts
+        # at most one version per url can be live at an instant
+        assert got["url"].is_unique

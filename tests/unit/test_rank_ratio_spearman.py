@@ -132,3 +132,62 @@ def test_spearman_degenerate_groups_null():
     # (matches SQL: corr over an empty set inside GROUP BY still emits
     # the group; we filter first, so the group vanishes — documented)
     assert "nulls" not in present
+
+
+def test_welch_matches_numpy_reference():
+    rng = np.random.default_rng(11)
+    a = rng.normal(10, 2, 300)
+    b = rng.normal(9.5, 4, 150)
+    pdf = pd.DataFrame({
+        "g": ["a"] * 300 + ["b"] * 150,
+        "v": np.concatenate([a, b]),
+    })
+    from maestro_ray.ops.aggregates import welch_ttest
+
+    out = welch_ttest(rd.from_pandas(pdf), "g", "v", "a", "b")
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / 300 + vb / 150
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    df = se2 ** 2 / ((va / 300) ** 2 / 299 + (vb / 150) ** 2 / 149)
+    assert out["t_stat"].iloc[0] == pytest.approx(t, rel=1e-9)
+    assert out["df"].iloc[0] == pytest.approx(df, rel=1e-9)
+    with pytest.raises(ValueError, match="missing"):
+        welch_ttest(rd.from_pandas(pdf), "g", "v", "a", "zzz")
+
+
+def test_power_means_domain_and_values():
+    from maestro_ray.ops.aggregates import power_means_grouped
+
+    ds = _ds([
+        {"g": "a", "x": 2.0}, {"g": "a", "x": 8.0},
+        {"g": "a", "x": 0.0},    # excluded: not > 0
+        {"g": "a", "x": -3.0},   # excluded
+        {"g": "a", "x": None},   # excluded
+        {"g": "b", "x": 5.0},
+    ])
+    out = power_means_grouped(ds, "g", "x")
+    a = out[out["g"] == "a"].iloc[0]
+    assert a["n_pos"] == 2
+    assert a["geomean"] == pytest.approx(4.0)          # sqrt(2*8)
+    assert a["harmonic"] == pytest.approx(3.2)         # 2/(1/2+1/8)
+    b = out[out["g"] == "b"].iloc[0]
+    assert b["geomean"] == pytest.approx(5.0)
+    assert b["harmonic"] == pytest.approx(5.0)
+
+
+def test_weighted_median_tie_crossing_and_guard():
+    from maestro_ray.ops.aggregates import weighted_median_grouped
+
+    ds = _ds([
+        # total weight 10; half = 5; cum at v=1 is 4, the tie run at
+        # v=2 (weights 1+2) crosses mid-run → median is 2 either way
+        {"g": "a", "v": 1.0, "w": 4}, {"g": "a", "v": 2.0, "w": 1},
+        {"g": "a", "v": 2.0, "w": 2}, {"g": "a", "v": 3.0, "w": 3},
+        # exact half boundary: cw == 0.5*tw qualifies (lower median)
+        {"g": "b", "v": 10.0, "w": 1}, {"g": "b", "v": 20.0, "w": 1},
+    ])
+    out = weighted_median_grouped(ds, "g", "v", "w")
+    got = dict(zip(out["g"], out["weighted_median"]))
+    assert got == {"a": 2.0, "b": 10.0}
+    with pytest.raises(RuntimeError, match="quantile_sketch"):
+        weighted_median_grouped(ds, "g", "v", "w", max_distinct=2)
