@@ -4244,6 +4244,26 @@ def _q_weighted_median(sf):
                                    "l_extendedprice", "l_quantity")
 
 
+def _q_running_distinct(sf):
+    """Cumulative distinct users by day (ops/aggregates.py
+    running_distinct): exact via the first-occurrence identity — one
+    bucketed grouped-min over user ids (never on the driver), a tiny
+    per-day count, driver cumsum. The shape COUNT(DISTINCT) OVER
+    makes quadratic."""
+    import pyarrow.compute as _pc
+
+    from maestro_ray.ops.aggregates import running_distinct
+
+    ds = _read(sf, "events", columns=["user_id", "ts"])
+
+    def day(t):
+        return t.append_column(
+            "day", _pc.floor_temporal(t.column("ts"), unit="day"))
+
+    return running_distinct(
+        ds.map_batches(day, batch_format="pyarrow"), "user_id", "day")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4438,6 +4458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test": _q_ab_test,
         "power_means": _q_power_means,
         "weighted_median": _q_weighted_median,
+        "running_distinct": _q_running_distinct,
         "grouped_topk_ties": _q_grouped_topk_ties,
         "ratio_to_report": _q_ratio_to_report,
         "dedup_consecutive": _q_dedup_consecutive,
@@ -5200,6 +5221,16 @@ def oracle_sql() -> dict[str, str]:
             "round(exp(avg(ln(l_extendedprice))), 6) AS geomean, "
             "round(count(*) / sum(1/l_extendedprice), 6) AS harmonic "
             "FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1"
+        ),
+        "running_distinct": (
+            # first-occurrence identity: an id counts from its min
+            # bucket onward — exact integers end to end
+            "SELECT day, CAST(count(*) AS BIGINT) AS new_ids, "
+            "CAST(sum(count(*)) OVER (ORDER BY day) AS BIGINT) "
+            "AS cum_distinct FROM ("
+            "SELECT user_id, min(date_trunc('day', ts)) AS day "
+            "FROM events WHERE user_id IS NOT NULL "
+            "AND ts IS NOT NULL GROUP BY 1) GROUP BY day"
         ),
         "weighted_median": (
             # RANGE-frame running weight: the crossing VALUE is

@@ -108,6 +108,13 @@ def main(argv: list[str] | None = None) -> int:
                             "Default: keep full history, GC only files "
                             "outside the newest manifest")
 
+    p_fs = sub.add_parser(
+        "fsck", help="lake integrity audit (referenced files, rows, "
+                     "checksums, strays)")
+    p_fs.add_argument("--lake-dir", required=True)
+    p_fs.add_argument("--deep", action="store_true",
+                      help="recompute content checksums (full read)")
+
     p_s2 = sub.add_parser(
         "scd2", help="maintain the incremental SCD2 history view")
     p_s2.add_argument("--lake-dir", required=True)
@@ -207,6 +214,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cloned_epoch": m.epoch,
                           "partitions": len(m.partitions)}))
         return 0
+
+    if args.cmd == "fsck":  # thread-pool file checks, no Ray session
+        from maestro_ray.io.lake import fsck_lake
+
+        rep = fsck_lake(args.lake_dir, deep=args.deep)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
 
     if args.cmd == "scd2":  # partition applies run serial without Ray
         from maestro_ray.pipelines.scd2view import maintain_scd2

@@ -729,3 +729,112 @@ def export_lake(
         "skipped": sum(1 for r in results if r["skipped"]),
         "epoch": m.epoch,
     }
+
+
+def fsck_lake(lake_dir: str, deep: bool = False) -> dict:
+    """Lake integrity audit (the fsck / Iceberg-verify analog) — cheap
+    enough to run after every publish, exhaustive with ``deep``:
+
+    - every file referenced by any RETAINED manifest exists and its
+      parquet row count matches the manifest entry;
+    - ``deep=True`` additionally recomputes each referenced file's
+      order-insensitive content checksum against the manifest (full
+      read — parallel Ray tasks when a session exists);
+    - watermarks must be monotone over the epoch history;
+    - stray parquet files no retained manifest references, leftover
+      staging dirs, and orphaned ``*.tmp`` files are reported as
+      warnings (vacuum/expire candidates or crash garbage — harmless
+      by protocol, listed for the operator).
+
+    Returns a report dict; ``ok`` is True when nothing REFERENCED is
+    missing or corrupt (warnings don't fail the check)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from maestro_ray.core.manifest import (
+        LINEAGE_DIR,
+        MANIFEST_DIR,
+        STAGING_DIR,
+        VIEWS_DIR,
+        list_epochs,
+        manifest_at,
+    )
+    from maestro_ray.ops.hashing import checksum as _checksum
+
+    epochs = list_epochs(lake_dir)
+    report: dict = {
+        "epochs": epochs, "missing": [], "row_mismatch": [],
+        "checksum_mismatch": [], "watermark_regression": [],
+        "stray_files": [], "staging_leftovers": [], "tmp_files": [],
+    }
+    if not epochs:
+        report["ok"] = True
+        return report
+
+    manifests = [manifest_at(lake_dir, e) for e in epochs]
+    for prev, cur in zip(manifests, manifests[1:]):
+        if cur.watermark < prev.watermark:
+            report["watermark_regression"].append(
+                {"epoch": cur.epoch, "watermark": cur.watermark,
+                 "prev_epoch": prev.epoch,
+                 "prev_watermark": prev.watermark})
+
+    # (rel, rows, checksum) for every referenced file, newest wins the
+    # metadata row (identical by construction — files are immutable)
+    refs: dict[str, dict] = {}
+    for m in manifests:
+        for v in m.partitions.values():
+            if v["rows"] > 0:
+                refs[v["file"]] = v
+
+    def check_one(rel: str) -> dict | None:
+        path = os.path.join(lake_dir, rel)
+        if not os.path.exists(path):
+            return {"kind": "missing", "file": rel}
+        meta_rows = pq.read_metadata(path).num_rows
+        want = refs[rel]
+        if meta_rows != want["rows"]:
+            return {"kind": "row_mismatch", "file": rel,
+                    "manifest_rows": want["rows"],
+                    "parquet_rows": meta_rows}
+        if deep:
+            got = _checksum(pq.read_table(path))
+            if got != want["checksum"]:
+                return {"kind": "checksum_mismatch", "file": rel,
+                        "manifest_checksum": want["checksum"],
+                        "file_checksum": got}
+        return None
+
+    import ray
+
+    rels = sorted(refs)
+    if deep and ray.is_initialized() and len(rels) > 1:
+        task = ray.remote(num_cpus=1)(check_one)
+        findings = ray.get([task.remote(r) for r in rels])
+    else:
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(rels)))) \
+                as ex:
+            findings = list(ex.map(check_one, rels))
+    for f in findings:
+        if f is not None:
+            report[f.pop("kind")].append(f)
+
+    live = {os.path.normpath(os.path.join(lake_dir, r)) for r in refs}
+    for root, _dirs, files in os.walk(lake_dir):
+        in_meta = any(d in root for d in
+                      (MANIFEST_DIR, LINEAGE_DIR, VIEWS_DIR))
+        in_staging = STAGING_DIR in root
+        for name in files:
+            path = os.path.normpath(os.path.join(root, name))
+            rel = os.path.relpath(path, lake_dir)
+            if name.endswith(".tmp"):
+                report["tmp_files"].append(rel)
+            elif in_staging and name.endswith(".parquet"):
+                report["staging_leftovers"].append(rel)
+            elif (not in_meta and name.endswith(".parquet")
+                    and path not in live):
+                report["stray_files"].append(rel)
+
+    report["ok"] = not (report["missing"] or report["row_mismatch"]
+                        or report["checksum_mismatch"]
+                        or report["watermark_regression"])
+    return report

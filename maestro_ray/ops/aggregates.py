@@ -2873,3 +2873,38 @@ def weighted_median_grouped(
     out = hit.groupby(key, dropna=False, as_index=False)[value_col] \
         .first().rename(columns={value_col: "weighted_median"})
     return out.sort_values(key).reset_index(drop=True)
+
+
+def running_distinct(
+    ds: rd.Dataset,
+    id_col: str,
+    bucket_col: str,
+) -> pd.DataFrame:
+    """Cumulative distinct-id count per ordered bucket (e.g. unique
+    users ever seen, by day) — the growth-curve shape that naive
+    ``COUNT(DISTINCT) OVER`` makes quadratic.
+
+    Exact via the first-occurrence identity: an id contributes to the
+    running distinct count from its MINIMUM bucket onward, so
+    cum_distinct(b) = Σ_{b' <= b} |{ids whose min bucket = b'}|. Plan:
+    one high-cardinality grouped min (``bucketed_agg`` — ids never
+    land on the driver), one tiny per-bucket count, a driver cumsum
+    over O(buckets) rows. Null ids and null buckets are excluded
+    (SQL COUNT DISTINCT semantics; an id's min over only-null buckets
+    is undefined). Returns (bucket_col, new_ids, cum_distinct)."""
+
+    def clean(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(id_col)),
+                     pc.is_valid(t.column(bucket_col)))
+        return t.select([id_col, bucket_col]).filter(ok)
+
+    firsts = bucketed_agg(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        [id_col], [(bucket_col, "min", "__first")])
+    per_bucket = bucketed_agg(
+        firsts, ["__first"], [(None, "count_all", "new_ids")]
+    ).to_pandas().rename(columns={"__first": bucket_col})
+    out = per_bucket.sort_values(bucket_col).reset_index(drop=True)
+    out["new_ids"] = out["new_ids"].astype("int64")
+    out["cum_distinct"] = out["new_ids"].cumsum()
+    return out
