@@ -739,7 +739,11 @@ def fsck_lake(lake_dir: str, deep: bool = False) -> dict:
       parquet row count matches the manifest entry;
     - ``deep=True`` additionally recomputes each referenced file's
       order-insensitive content checksum against the manifest (full
-      read — parallel Ray tasks when a session exists);
+      read — parallel Ray tasks when a session exists) and verifies
+      the lake's two structural invariants per HEAD partition file:
+      at most one row per url (the LWW merge contract) and
+      hash(url) % P routing (catches mis-routed rows after a botched
+      repartition);
     - watermarks must be monotone over the epoch history;
     - stray parquet files no retained manifest references, leftover
       staging dirs, and orphaned ``*.tmp`` files are reported as
@@ -785,24 +789,53 @@ def fsck_lake(lake_dir: str, deep: bool = False) -> dict:
         for v in m.partitions.values():
             if v["rows"] > 0:
                 refs[v["file"]] = v
+    head = manifests[-1]
+    head_parts = {v["file"]: p for p, v in head.partitions.items()
+                  if v["rows"] > 0}
+    head_P = head.num_partitions
+    report["duplicate_urls"] = []
+    report["misrouted"] = []
 
-    def check_one(rel: str) -> dict | None:
+    def check_one(rel: str) -> list[dict]:
         path = os.path.join(lake_dir, rel)
         if not os.path.exists(path):
-            return {"kind": "missing", "file": rel}
+            return [{"kind": "missing", "file": rel}]
         meta_rows = pq.read_metadata(path).num_rows
         want = refs[rel]
         if meta_rows != want["rows"]:
-            return {"kind": "row_mismatch", "file": rel,
-                    "manifest_rows": want["rows"],
-                    "parquet_rows": meta_rows}
-        if deep:
-            got = _checksum(pq.read_table(path))
-            if got != want["checksum"]:
-                return {"kind": "checksum_mismatch", "file": rel,
+            return [{"kind": "row_mismatch", "file": rel,
+                     "manifest_rows": want["rows"],
+                     "parquet_rows": meta_rows}]
+        if not deep:
+            return []
+        out = []
+        t = pq.read_table(path)
+        got = _checksum(t)
+        if got != want["checksum"]:
+            out.append({"kind": "checksum_mismatch", "file": rel,
                         "manifest_checksum": want["checksum"],
-                        "file_checksum": got}
-        return None
+                        "file_checksum": got})
+        if rel in head_parts:
+            # structural invariants hold on HEAD files (history files
+            # under an old partition map are exempt by design)
+            import pyarrow.compute as pc
+
+            from maestro_ray.ops.hashing import partition_ids
+
+            urls = t.column("url")
+            n_urls = len(urls)
+            n_distinct = len(pc.unique(urls.combine_chunks()))
+            if n_distinct != n_urls:
+                out.append({"kind": "duplicate_urls", "file": rel,
+                            "rows": n_urls, "distinct": n_distinct})
+            if head_P:
+                pid = partition_ids(urls, head_P)
+                bad = int((pid != head_parts[rel]).sum())
+                if bad:
+                    out.append({"kind": "misrouted", "file": rel,
+                                "rows": bad,
+                                "expected_partition": head_parts[rel]})
+        return out
 
     import ray
 
@@ -814,8 +847,8 @@ def fsck_lake(lake_dir: str, deep: bool = False) -> dict:
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(rels)))) \
                 as ex:
             findings = list(ex.map(check_one, rels))
-    for f in findings:
-        if f is not None:
+    for fs in findings:
+        for f in fs:
             report[f.pop("kind")].append(f)
 
     live = {os.path.normpath(os.path.join(lake_dir, r)) for r in refs}
@@ -836,5 +869,7 @@ def fsck_lake(lake_dir: str, deep: bool = False) -> dict:
 
     report["ok"] = not (report["missing"] or report["row_mismatch"]
                         or report["checksum_mismatch"]
-                        or report["watermark_regression"])
+                        or report["watermark_regression"]
+                        or report["duplicate_urls"]
+                        or report["misrouted"])
     return report

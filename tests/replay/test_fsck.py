@@ -39,7 +39,7 @@ def test_healthy_lake_is_clean(lake):
     assert rep["ok"], rep
     for k in ("missing", "row_mismatch", "checksum_mismatch",
               "watermark_regression", "stray_files", "tmp_files",
-              "staging_leftovers"):
+              "staging_leftovers", "duplicate_urls", "misrouted"):
         assert rep[k] == [], k
     # surviving after expiration too
     expire_epochs(lake, keep_last=2)
@@ -108,3 +108,34 @@ def test_cli_exit_code(lake, capsys, monkeypatch):
     assert main(["fsck", "--lake-dir", lake]) == 1
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["missing"]
+
+
+def test_deep_detects_duplicate_and_misrouted_urls(lake):
+    """The two structural invariants of the LWW lake: one row per url
+    per head file, and hash(url)%P routing."""
+    import pyarrow as pa
+
+    path, _v = _head_file(lake)
+    t = pq.read_table(path)
+    assert t.num_rows >= 2
+    # same row count, but every url collapsed onto one that routes to
+    # a DIFFERENT partition — breaks uniqueness AND routing
+    import itertools
+
+    from maestro_ray.core.manifest import latest_manifest
+    from maestro_ray.ops.hashing import partition_ids
+
+    P = latest_manifest(lake).num_partitions
+    assert P
+    own = int(os.path.basename(os.path.dirname(path))[len("p="):])
+    foreign = next(
+        u for u in (f"https://foreign.example/{k}" for k in
+                    itertools.count())
+        if int(partition_ids(pa.array([u]), P)[0]) != own)
+    i = t.column_names.index("url")
+    t = t.set_column(i, "url", pa.array([foreign] * t.num_rows))
+    pq.write_table(t, path)
+    rep = fsck_lake(lake, deep=True)
+    assert not rep["ok"]
+    assert rep["duplicate_urls"], rep
+    assert rep["misrouted"], rep

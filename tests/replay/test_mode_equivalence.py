@@ -50,8 +50,26 @@ def test_incremental_views_agree_across_modes(ray_session, tmp_path):
     tail_ingest(log, lake_t, num_partitions=4, checkpoint_every=2)
     for fn in (lambda lk: maintain_group_counts(lk, "lang"),
                lambda lk: maintain_group_distinct(lk, "lang", "text"),
-               lambda lk: maintain_dedup_view(lk)):
+               lambda lk: maintain_dedup_view(lk),
+               # event-time window view (r4 s5): same algebra, same
+               # cross-mode invariant
+               lambda lk: maintain_group_counts(
+                   lk, "bucket:warc_ts:3600000000")):
         vr = fn(lake_r).reset_index(drop=True)
         vt = fn(lake_t).reset_index(drop=True)
         pd.testing.assert_frame_equal(vr, vt)
         assert len(vr) > 0
+
+    # SCD2 history (r4 s5): byte-identical partitions + aligned epochs
+    # ⇒ identical version history
+    from maestro_ray.pipelines.scd2view import maintain_scd2, read_scd2
+
+    def hist(lk, out):
+        maintain_scd2(lk, out)
+        return read_scd2(out).to_pandas().sort_values(
+            ["url", "valid_from"]).reset_index(drop=True)
+
+    hr = hist(lake_r, str(tmp_path / "scd2_r"))
+    ht = hist(lake_t, str(tmp_path / "scd2_t"))
+    pd.testing.assert_frame_equal(hr, ht)
+    assert len(hr) > 0
