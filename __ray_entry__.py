@@ -4264,6 +4264,18 @@ def _q_running_distinct(sf):
         ds.map_batches(day, batch_format="pyarrow"), "user_id", "day")
 
 
+def _q_autocorr(sf):
+    """Per-user lag-1 autocorrelation of event values (ops/aggregates
+    autocorr_grouped): SQL corr(v, lag(v)) semantics — one groupby
+    shuffle, exact moment fold per group, 6dp policy."""
+    from maestro_ray.ops.aggregates import autocorr_grouped
+
+    ds = _read(sf, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    return autocorr_grouped(ds, "user_id", ["ts", "event_id"],
+                            "value", lag=1, round_to=6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4459,6 +4471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "power_means": _q_power_means,
         "weighted_median": _q_weighted_median,
         "running_distinct": _q_running_distinct,
+        "autocorr": _q_autocorr,
         "grouped_topk_ties": _q_grouped_topk_ties,
         "ratio_to_report": _q_ratio_to_report,
         "dedup_consecutive": _q_dedup_consecutive,
@@ -5221,6 +5234,14 @@ def oracle_sql() -> dict[str, str]:
             "round(exp(avg(ln(l_extendedprice))), 6) AS geomean, "
             "round(count(*) / sum(1/l_extendedprice), 6) AS harmonic "
             "FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1"
+        ),
+        "autocorr": (
+            "SELECT user_id, round(corr(value, prev), 6) AS autocorr, "
+            "CAST(count(*) FILTER (WHERE value IS NOT NULL "
+            "AND prev IS NOT NULL) AS BIGINT) AS n_pairs FROM ("
+            "SELECT user_id, value, lag(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) GROUP BY 1"
         ),
         "running_distinct": (
             # first-occurrence identity: an id counts from its min

@@ -2908,3 +2908,50 @@ def running_distinct(
     out["new_ids"] = out["new_ids"].astype("int64")
     out["cum_distinct"] = out["new_ids"].cumsum()
     return out
+
+
+def autocorr_grouped(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    lag: int = 1,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """Per-key lag-``lag`` autocorrelation of ``value_col`` in
+    ``order_cols`` order — Pearson over the (v_t, v_{t-lag}) pairs,
+    the seasonality/persistence probe for per-entity time series.
+
+    Semantics match SQL ``corr(v, lag(v, lag) OVER (...))`` exactly:
+    the first ``lag`` rows of each key pair with NULL and drop out, a
+    null value voids both pairs it appears in, keys with < 2 pairs or
+    zero variance on either side yield NULL. One ``groupby(key)``
+    shuffle, vectorized shift + exact moment fold per group; only
+    (key, autocorr, n_pairs) rows reach the driver."""
+    if lag < 1:
+        raise ValueError(f"lag={lag}: need >= 1")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].iloc[0]
+        s = g.sort_values(order_cols)[value_col]
+        x, y = s, s.shift(lag)
+        ok = x.notna() & y.notna()
+        xv = x[ok].to_numpy(dtype="float64")
+        yv = y[ok].to_numpy(dtype="float64")
+        n = float(len(xv))
+        rho = np.nan
+        if n >= 2:
+            sx, sy = xv.sum(), yv.sum()
+            cov = (xv * yv).sum() - sx * sy / n
+            vx = (xv * xv).sum() - sx * sx / n
+            vy = (yv * yv).sum() - sy * sy / n
+            if vx > 0 and vy > 0:
+                rho = cov / np.sqrt(vx * vy)
+        return pd.DataFrame({key: [k], "autocorr": [rho],
+                             "n_pairs": [int(n)]})
+
+    out = (ds.groupby(key)
+           .map_groups(per_key, batch_format="pandas").to_pandas())
+    if round_to is not None:
+        out["autocorr"] = out["autocorr"].round(round_to)
+    return out.sort_values(key).reset_index(drop=True)

@@ -191,3 +191,49 @@ def test_weighted_median_tie_crossing_and_guard():
     assert got == {"a": 2.0, "b": 10.0}
     with pytest.raises(RuntimeError, match="quantile_sketch"):
         weighted_median_grouped(ds, "g", "v", "w", max_distinct=2)
+
+
+def test_autocorr_matches_pandas_reference():
+    from maestro_ray.ops.aggregates import autocorr_grouped
+
+    rng = np.random.default_rng(3)
+    n = 120
+    pdf = pd.DataFrame({
+        "k": np.repeat(["a", "b"], n),
+        "t": np.tile(np.arange(n), 2),
+        "v": np.concatenate([
+            np.sin(np.arange(n) / 3) + rng.normal(scale=0.1, size=n),
+            rng.normal(size=n),
+        ]),
+    })
+    out = autocorr_grouped(rd.from_pandas(pdf), "k", ["t"], "v", lag=2)
+    for k in ["a", "b"]:
+        s = pdf[pdf["k"] == k].sort_values("t")["v"].reset_index(drop=True)
+        x, y = s[2:].to_numpy(), s[:-2].to_numpy()
+        want = np.corrcoef(x, y)[0, 1]
+        have = float(out[out["k"] == k]["autocorr"].iloc[0])
+        assert have == pytest.approx(want, abs=1e-10), k
+        assert int(out[out["k"] == k]["n_pairs"].iloc[0]) == n - 2
+
+
+def test_autocorr_null_and_short_groups():
+    from maestro_ray.ops.aggregates import autocorr_grouped
+
+    ds = _ds([
+        {"k": "one", "t": 1, "v": 5.0},                  # 0 pairs
+        {"k": "gap", "t": 1, "v": 1.0},                  # null voids
+        {"k": "gap", "t": 2, "v": None},                 # both pairs
+        {"k": "gap", "t": 3, "v": 2.0},
+        {"k": "const", "t": 1, "v": 7.0},                # zero variance
+        {"k": "const", "t": 2, "v": 7.0},
+        {"k": "const", "t": 3, "v": 7.0},
+    ])
+    out = autocorr_grouped(ds, "k", ["t"], "v")
+    got = out.set_index("k")
+    assert np.isnan(got.loc["one", "autocorr"])
+    assert got.loc["one", "n_pairs"] == 0
+    assert got.loc["gap", "n_pairs"] == 0  # both pairs voided by null
+    assert np.isnan(got.loc["const", "autocorr"])  # n=2 pairs, var 0
+    assert got.loc["const", "n_pairs"] == 2
+    with pytest.raises(ValueError, match="lag"):
+        autocorr_grouped(ds, "k", ["t"], "v", lag=0)
