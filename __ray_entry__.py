@@ -5217,8 +5217,10 @@ def oracle_sql() -> dict[str, str]:
         ),
 
         "ab_test": (
+            # count(value), not count(*): the engine's moments count
+            # only non-null values, as avg/var_samp do
             "WITH s AS (SELECT event_type, "
-            "CAST(count(*) AS DOUBLE) AS n, avg(value) AS m, "
+            "CAST(count(value) AS DOUBLE) AS n, avg(value) AS m, "
             "var_samp(value) AS v FROM events "
             "WHERE event_type IN ('click', 'view') GROUP BY 1) "
             "SELECT round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b, "

@@ -748,7 +748,13 @@ def fsck_lake(lake_dir: str, deep: bool = False) -> dict:
     - stray parquet files no retained manifest references, leftover
       staging dirs, and orphaned ``*.tmp`` files are reported as
       warnings (vacuum/expire candidates or crash garbage — harmless
-      by protocol, listed for the operator).
+      by protocol, listed for the operator);
+    - a file referenced ONLY by non-head manifests that is gone is a
+      ``missing_history`` warning, not corruption: plain ``vacuum``
+      legitimately reclaims history files while their manifests remain
+      addressable (time travel to those epochs fails loudly at read
+      time — already the documented contract). Missing HEAD files are
+      always errors.
 
     Returns a report dict; ``ok`` is True when nothing REFERENCED is
     missing or corrupt (warnings don't fail the check)."""
@@ -795,11 +801,15 @@ def fsck_lake(lake_dir: str, deep: bool = False) -> dict:
     head_P = head.num_partitions
     report["duplicate_urls"] = []
     report["misrouted"] = []
+    report["missing_history"] = []
 
     def check_one(rel: str) -> list[dict]:
         path = os.path.join(lake_dir, rel)
         if not os.path.exists(path):
-            return [{"kind": "missing", "file": rel}]
+            # vacuum legitimately reclaims history files while their
+            # manifests remain; only a missing HEAD file is corruption
+            kind = "missing" if rel in head_parts else "missing_history"
+            return [{"kind": kind, "file": rel}]
         meta_rows = pq.read_metadata(path).num_rows
         want = refs[rel]
         if meta_rows != want["rows"]:

@@ -237,6 +237,13 @@ def grouped_agg(
     the ``grouped_agg_ds`` Dataset instead."""
     keys_l = [keys] if isinstance(keys, str) else list(keys)
     out = grouped_agg_ds(ds, keys_l, specs, round_to=round_to).to_pandas()
+    if out.empty and not set(keys_l) <= set(out.columns):
+        # empty Dataset loses its schema in to_pandas (the 10x class):
+        # rebuild the expected frame so callers can sort/filter it
+        out = pd.DataFrame({c: pd.Series([], dtype="object")
+                            for c in keys_l}
+                           | {o: pd.Series([], dtype="float64")
+                              for o in specs})
     return out.sort_values(keys_l).reset_index(drop=True)
 
 
@@ -2579,6 +2586,23 @@ def quantile_exact_scalable(
     return pd.DataFrame(out)
 
 
+def _pearson_arrays(xv: np.ndarray, yv: np.ndarray) -> float:
+    """THE per-group Pearson kernel (exact moment fold + the shared
+    degenerate rule: NULL when n < 2 or either variance is 0) — one
+    definition for spearman_grouped and autocorr_grouped so the null
+    semantics can never diverge."""
+    n = float(len(xv))
+    if n < 2:
+        return float("nan")
+    sx, sy = xv.sum(), yv.sum()
+    cov = (xv * yv).sum() - sx * sy / n
+    vx = (xv * xv).sum() - sx * sx / n
+    vy = (yv * yv).sum() - sy * sy / n
+    if vx <= 0 or vy <= 0:
+        return float("nan")
+    return float(cov / np.sqrt(vx * vy))
+
+
 def spearman_grouped(
     ds: rd.Dataset,
     key: str,
@@ -2612,23 +2636,36 @@ def spearman_grouped(
                 "spearman": pd.Series([], dtype="float64")})
         rx = g[x].rank(method="average").to_numpy()
         ry = g[y].rank(method="average").to_numpy()
-        n = float(len(rx))
-        sx, sy = rx.sum(), ry.sum()
-        cov = (rx * ry).sum() - sx * sy / n
-        vx = (rx * rx).sum() - sx * sx / n
-        vy = (ry * ry).sum() - sy * sy / n
-        rho = (cov / np.sqrt(vx * vy)
-               if n >= 2 and vx > 0 and vy > 0 else np.nan)
-        return pd.DataFrame({key: [k], "spearman": [rho]})
+        return pd.DataFrame({key: [k],
+                             "spearman": [_pearson_arrays(rx, ry)]})
 
     out = (
         ds.groupby(key)
         .map_groups(per_key, batch_format="pandas")
         .to_pandas()
     )
+    if out.empty:  # empty Dataset loses its schema in to_pandas
+        return pd.DataFrame({key: pd.Series([], dtype="object"),
+                             "spearman": pd.Series([], dtype="float64")})
     if round_to is not None:
         out["spearman"] = out["spearman"].round(round_to)
     return out.sort_values(key).reset_index(drop=True)
+
+
+def _denull_cols(ds: rd.Dataset, types: dict[str, pa.DataType]
+                 ) -> rd.Dataset:
+    """Cast null-typed columns (all-None input inference) to their
+    intended types so sorts/joins downstream don't crash — values are
+    all null either way, only the TYPE changes."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        for c, ty in types.items():
+            i = t.schema.get_field_index(c)
+            if i >= 0 and pa.types.is_null(t.column(i).type):
+                t = t.set_column(i, c, pc.cast(t.column(i), ty))
+        return t
+
+    return ds.map_batches(prep, batch_format="pyarrow")
 
 
 def grouped_topk_ties(
@@ -2658,10 +2695,22 @@ def grouped_topk_ties(
     keys = [keys] if isinstance(keys, str) else list(keys)
     if k < 1:
         raise ValueError(f"k={k}: need >= 1")
+    ds = _denull_cols(ds, {sort_col: pa.float64(),
+                           **{c: pa.string() for c in keys}})
     top = grouped_topk(ds, keys, sort_col, k, descending=descending)
     thr = grouped_agg(
         top, keys,
         {"__thr": (sort_col, "min" if descending else "max")})
+    # an all-null group has a null threshold and can never qualify
+    # (the documented null-sort-value rule) — dropping it also keeps
+    # null-typed key columns out of the Acero join
+    thr = thr.dropna(subset=["__thr"])
+    if thr.empty:  # empty input: nothing qualifies, keep the schema
+        def empty_out(t: pa.Table) -> pa.Table:
+            return t.slice(0, 0).append_column(
+                out, pa.array([], pa.int64()))
+
+        return ds.map_batches(empty_out, batch_format="pyarrow")
     joined = broadcast_join(ds, thr, keys)
     cmp_fn = pc.greater_equal if descending else pc.less_equal
 
@@ -2703,7 +2752,14 @@ def ratio_to_report(
     from maestro_ray.ops.joins import broadcast_join
 
     keys = [keys] if isinstance(keys, str) else list(keys)
+    ds = _denull_cols(ds, {value_col: pa.float64(),
+                           **{c: pa.string() for c in keys}})
     totals = grouped_agg(ds, keys, {"__tot": (value_col, "sum")})
+    if totals.empty:  # empty input: preserve schema + the ratio col
+        return ds.map_batches(
+            lambda t: t.append_column(
+                out, pa.nulls(t.num_rows, pa.float64())),
+            batch_format="pyarrow")
     joined = broadcast_join(ds, totals, keys, "left outer")
 
     def finish(t: pa.Table) -> pa.Table:
@@ -2759,12 +2815,20 @@ def welch_ttest(
     different updating formula)."""
 
     def pick(t: pa.Table) -> pa.Table:
-        m = pc.is_in(t.column(group_col),
-                     value_set=pa.array([group_a, group_b]))
+        col = t.column(group_col)
+        if pa.types.is_null(col.type):  # all-null column: no groups
+            return t.slice(0, 0)
+        m = pc.is_in(col, value_set=pa.array([group_a, group_b]))
         return t.filter(m)
 
     m = _bivariate_moments(ds.map_batches(pick, batch_format="pyarrow"),
                            [group_col], value_col, value_col)
+    if m.empty or group_col not in m.columns:
+        # empty moments lose their schema — fall through to the same
+        # loud missing-group failure instead of a KeyError
+        raise ValueError(
+            f"welch_ttest: group(s) missing from data: "
+            f"{[group_a, group_b]}")
     m = m.set_index(group_col)
     if group_a not in m.index or group_b not in m.index:
         raise ValueError(
@@ -2816,6 +2880,12 @@ def power_means_grouped(
     m = _bivariate_moments(
         ds.map_batches(prep, batch_format="pyarrow"), [key],
         "__ln", "__inv")
+    if m.empty or key not in m.columns:  # schema-lost empty moments
+        return pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n_pos": pd.Series([], dtype="int64"),
+            "geomean": pd.Series([], dtype="float64"),
+            "harmonic": pd.Series([], dtype="float64")})
     n = m["n"].astype("float64")
     out = m[[key]].copy()
     out["n_pos"] = m["n"].astype("int64")
@@ -2854,7 +2924,8 @@ def weighted_median_grouped(
 
     pairs_ds = bucketed_agg(
         ds.map_batches(clean, batch_format="pyarrow"),
-        [key, value_col], [(weight_col, "sum", "__w")])
+        [key, value_col], [(weight_col, "sum", "__w")]
+    ).materialize()  # count() then to_pandas() without re-executing
     n_pairs = pairs_ds.count()
     if n_pairs > max_distinct:
         raise RuntimeError(
@@ -2903,7 +2974,13 @@ def running_distinct(
         [id_col], [(bucket_col, "min", "__first")])
     per_bucket = bucketed_agg(
         firsts, ["__first"], [(None, "count_all", "new_ids")]
-    ).to_pandas().rename(columns={"__first": bucket_col})
+    ).to_pandas()
+    if per_bucket.empty:  # schema-lost empty collection
+        return pd.DataFrame({
+            bucket_col: pd.Series([], dtype="object"),
+            "new_ids": pd.Series([], dtype="int64"),
+            "cum_distinct": pd.Series([], dtype="int64")})
+    per_bucket = per_bucket.rename(columns={"__first": bucket_col})
     out = per_bucket.sort_values(bucket_col).reset_index(drop=True)
     out["new_ids"] = out["new_ids"].astype("int64")
     out["cum_distinct"] = out["new_ids"].cumsum()
@@ -2938,20 +3015,17 @@ def autocorr_grouped(
         ok = x.notna() & y.notna()
         xv = x[ok].to_numpy(dtype="float64")
         yv = y[ok].to_numpy(dtype="float64")
-        n = float(len(xv))
-        rho = np.nan
-        if n >= 2:
-            sx, sy = xv.sum(), yv.sum()
-            cov = (xv * yv).sum() - sx * sy / n
-            vx = (xv * xv).sum() - sx * sx / n
-            vy = (yv * yv).sum() - sy * sy / n
-            if vx > 0 and vy > 0:
-                rho = cov / np.sqrt(vx * vy)
-        return pd.DataFrame({key: [k], "autocorr": [rho],
-                             "n_pairs": [int(n)]})
+        return pd.DataFrame({key: [k],
+                             "autocorr": [_pearson_arrays(xv, yv)],
+                             "n_pairs": [len(xv)]})
 
     out = (ds.groupby(key)
            .map_groups(per_key, batch_format="pandas").to_pandas())
+    if out.empty:  # empty Dataset loses its schema in to_pandas
+        return pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "autocorr": pd.Series([], dtype="float64"),
+            "n_pairs": pd.Series([], dtype="int64")})
     if round_to is not None:
         out["autocorr"] = out["autocorr"].round(round_to)
     return out.sort_values(key).reset_index(drop=True)

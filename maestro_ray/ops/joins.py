@@ -62,8 +62,25 @@ def broadcast_join(
     keys = [keys] if isinstance(keys, str) else list(keys)
     ref = ray.put(_as_table(small))
 
+    def denull(t: pa.Table, other: pa.Table) -> pa.Table:
+        # Acero rejects null-typed fields in a join (an all-None
+        # pandas/pylist column infers as type null) — cast each to the
+        # OTHER side's type for shared columns, string otherwise; the
+        # values are all null either way, only the TYPE changes
+        for i, name in enumerate(t.column_names):
+            if not pa.types.is_null(t.column(i).type):
+                continue
+            j = other.schema.get_field_index(name)
+            ty = (other.column(j).type
+                  if j >= 0 and not pa.types.is_null(other.column(j).type)
+                  else pa.string())
+            t = t.set_column(i, name, t.column(i).cast(ty))
+        return t
+
     def join_batch(batch: pa.Table) -> pa.Table:
         right = ray.get(ref)
+        batch = denull(batch, right)
+        right = denull(right, batch)
         out = batch.join(right, keys=keys, join_type=join_type)
         return out.combine_chunks()
 

@@ -72,12 +72,12 @@ def _read_meta(out_dir: str) -> dict | None:
 
 
 def _commit_meta(out_dir: str, meta: dict) -> None:
-    tmp = _meta_path(out_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _meta_path(out_dir))
+    # the shared atomic-commit ritual (one definition repo-wide)
+    from maestro_ray.pipelines.shardstore import (
+        _commit_meta as _shared_commit,
+    )
+
+    _shared_commit(out_dir, META, meta)
 
 
 def _part_dir(out_dir: str, p: int) -> str:
@@ -129,7 +129,13 @@ def _apply_partition(lake_dir: str, out_dir: str, p: int,
                    attrs),
         attrs,
     )
-    prev_path = _newest_state(_part_dir(out_dir, p), prev_epoch)
+    # prev_epoch=None means NO committed state exists (genesis or a
+    # crash before the first meta commit) — any state files on disk are
+    # torn applies and must be ignored, or the first epoch's feed gets
+    # applied on top of itself (re-closing/re-opening every version:
+    # execution-confirmed history corruption in review)
+    prev_path = (None if prev_epoch is None
+                 else _newest_state(_part_dir(out_dir, p), prev_epoch))
     state = (pq.read_table(prev_path).to_pandas()
              if prev_path is not None
              else schema.empty_table().to_pandas())

@@ -59,9 +59,14 @@ def _write_shard(index_dir: str, k: int, t: pa.Table,
 
 
 def _commit_meta(index_dir: str, meta_name: str, meta: dict) -> None:
+    """THE atomic JSON meta commit (tmp + fsync + rename) — shared by
+    every incremental store (vector/near-dup via this module, the SCD2
+    view via import) so the durability ritual exists once."""
     tmp = _meta_path(index_dir, meta_name) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, _meta_path(index_dir, meta_name))  # commit point
 
 

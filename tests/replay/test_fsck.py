@@ -139,3 +139,17 @@ def test_deep_detects_duplicate_and_misrouted_urls(lake):
     assert not rep["ok"]
     assert rep["duplicate_urls"], rep
     assert rep["misrouted"], rep
+
+
+def test_plain_vacuum_is_not_corruption(lake):
+    """Plain vacuum reclaims history files while their manifests stay
+    addressable — fsck must report missing_history warnings, NOT fail
+    (review finding: healthy lake flagged corrupt, CLI exit 1)."""
+    from maestro_ray.core.manifest import latest_manifest, vacuum
+
+    n = vacuum(lake, latest_manifest(lake))
+    assert n > 0
+    rep = fsck_lake(lake, deep=True)
+    assert rep["ok"], rep
+    assert rep["missing"] == []
+    assert rep["missing_history"], "vacuumed history should be listed"

@@ -158,3 +158,25 @@ def test_snapshot_as_of_event_time(lake, tmp_path):
             got[["url", "lang"]], want[["url", "lang"]]), ts
         # at most one version per url can be live at an instant
         assert got["url"].is_unique
+
+
+def test_genesis_crash_recovers(lake, tmp_path, monkeypatch):
+    """Crash BEFORE the first meta commit: the torn epoch files must be
+    ignored on re-run (prev state is 'none', not the torn file) — or
+    the first feed gets applied on top of itself (review finding,
+    execution-confirmed corruption: 119 rows vs the 94-row oracle)."""
+    out_dir = str(tmp_path / "scd2")
+    import maestro_ray.pipelines.scd2view as sv
+
+    real = sv._commit_meta
+
+    def bomb(out, meta):
+        raise RuntimeError("simulated genesis crash")
+
+    monkeypatch.setattr(sv, "_commit_meta", bomb)
+    with pytest.raises(RuntimeError, match="genesis crash"):
+        maintain_scd2(lake, out_dir)
+    monkeypatch.setattr(sv, "_commit_meta", real)
+    maintain_scd2(lake, out_dir)
+    pd.testing.assert_frame_equal(
+        _norm(read_scd2(out_dir).to_pandas()), _batch_oracle(lake))

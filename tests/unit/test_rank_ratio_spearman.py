@@ -237,3 +237,48 @@ def test_autocorr_null_and_short_groups():
     assert got.loc["const", "n_pairs"] == 2
     with pytest.raises(ValueError, match="lag"):
         autocorr_grouped(ds, "k", ["t"], "v", lag=0)
+
+
+def test_empty_inputs_keep_schema_everywhere():
+    """The empty-Dataset schema-loss class (CLAUDE.md: bitten 10x):
+    every new aggregate must survive empty / all-null-filtered input
+    with a typed result instead of a KeyError."""
+    from maestro_ray.ops.aggregates import (
+        autocorr_grouped,
+        power_means_grouped,
+        running_distinct,
+        weighted_median_grouped,
+        welch_ttest,
+    )
+
+    empty = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.string()), "t": pa.array([], pa.int64()),
+        "v": pa.array([], pa.float64()), "w": pa.array([], pa.int64()),
+    }))
+    allnull = _ds([{"g": None, "t": None, "v": None, "w": None}])
+
+    for ds in (empty, allnull):
+        out = running_distinct(ds, "g", "t")
+        assert list(out.columns) == ["t", "new_ids", "cum_distinct"]
+        assert len(out) == 0
+        out = spearman_grouped(ds, "g", "v", "w")
+        assert list(out.columns) == ["g", "spearman"]
+        out = autocorr_grouped(ds, "g", ["t"], "v")
+        assert list(out.columns) == ["g", "autocorr", "n_pairs"]
+        out = power_means_grouped(ds, "g", "v")
+        assert list(out.columns) == ["g", "n_pos", "geomean",
+                                     "harmonic"]
+        out = weighted_median_grouped(ds, "g", "v", "w")
+        assert list(out.columns) == ["g", "weighted_median"]
+        with pytest.raises(ValueError, match="missing"):
+            welch_ttest(ds, "g", "v", "a", "b")
+
+    # Dataset-returning ops: no crash, zero rows (an empty Dataset's
+    # to_pandas loses schema — Ray's documented wart, tolerated here)
+    assert len(ratio_to_report(empty, "g", "v").to_pandas()) == 0
+    assert len(grouped_topk_ties(empty, "g", "v", 2).to_pandas()) == 0
+    assert len(grouped_topk_ties(allnull, "g", "v", 2).to_pandas()) == 0
+    # all-null input with a row: ratio column rides along, value null
+    got = ratio_to_report(allnull, "g", "v").to_pandas()
+    assert "ratio" in got.columns and len(got) == 1
+    assert got["ratio"].isna().all()
