@@ -4276,6 +4276,17 @@ def _q_autocorr(sf):
                             "value", lag=1, round_to=6)
 
 
+def _q_sample_group_k(sf):
+    """Exact-k per-group deterministic sample (ops/corpus.py
+    sample_group_k): 5 event_ids per event_type by smallest shared-
+    contract hash — the grouped_topk combiner plan, nothing
+    group-sized on the driver."""
+    from maestro_ray.ops.corpus import sample_group_k
+
+    ds = _read(sf, "events", columns=["event_type", "event_id"])
+    return sample_group_k(ds, "event_type", "event_id", 5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4472,6 +4483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": _q_weighted_median,
         "running_distinct": _q_running_distinct,
         "autocorr": _q_autocorr,
+        "sample_group_k": _q_sample_group_k,
         "grouped_topk_ties": _q_grouped_topk_ties,
         "ratio_to_report": _q_ratio_to_report,
         "dedup_consecutive": _q_dedup_consecutive,
@@ -5236,6 +5248,16 @@ def oracle_sql() -> dict[str, str]:
             "round(exp(avg(ln(l_extendedprice))), 6) AS geomean, "
             "round(count(*) / sum(1/l_extendedprice), 6) AS harmonic "
             "FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1"
+        ),
+        "sample_group_k": (
+            # the shared mult-hash contract, spelled in SQL exactly as
+            # sample_hash/sample_weighted pin it
+            "SELECT event_type, event_id FROM ("
+            "SELECT event_type, event_id, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY "
+            "(CAST(event_id % 4294967296 AS HUGEINT) * 2654435761) "
+            "% 4294967296, event_id) AS rn FROM events) "
+            "WHERE rn <= 5"
         ),
         "autocorr": (
             "SELECT user_id, round(corr(value, prev), 6) AS autocorr, "

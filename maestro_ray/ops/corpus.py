@@ -978,3 +978,39 @@ def sample_weighted(
         return pd.DataFrame({key_col: pd.Series(dtype="int64")})
     top = parts.sort_values(["__e", key_col]).head(k)
     return top[[key_col]].sort_values(key_col).reset_index(drop=True)
+
+
+def sample_group_k(
+    ds: rd.Dataset,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> rd.Dataset:
+    """Deterministic EXACT-k per-group sample: the k smallest
+    mult-hash values of ``key_col`` per group (hash ties broken by the
+    key) — the stratified-sampling shape where every stratum needs
+    exactly k rows (per-language eval sets, per-domain spot checks),
+    reproducible across engines because the hash is the shared
+    cross-engine contract (``_mult_hash``).
+
+    Plan: the ``grouped_topk`` combiner (at most k rows per group
+    survive each batch — never a full sort, nothing group-sized on the
+    driver). Groups with fewer than k rows return all their rows.
+    Keys must be non-negative integers (the contract's documented
+    domain — fails loudly otherwise)."""
+    if k < 1:
+        raise ValueError(f"k={k}: need >= 1")
+    from maestro_ray.ops.aggregates import grouped_topk
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = _mult_hash(keys, "sample_group_k")
+        return t.append_column("__h", pa.array(h.astype(np.int64),
+                                               pa.int64()))
+
+    pruned = grouped_topk(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        [group_col], "__h", k, descending=False, tie_break=[key_col])
+    return pruned.map_batches(
+        lambda t: t.drop_columns(["__h"]), batch_format="pyarrow")

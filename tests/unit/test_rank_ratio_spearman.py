@@ -282,3 +282,24 @@ def test_empty_inputs_keep_schema_everywhere():
     got = ratio_to_report(allnull, "g", "v").to_pandas()
     assert "ratio" in got.columns and len(got) == 1
     assert got["ratio"].isna().all()
+
+
+def test_sample_group_k_exact_k_and_determinism():
+    from maestro_ray.ops.corpus import sample_group_k
+
+    rows = [{"g": "a", "id": i} for i in range(40)] \
+        + [{"g": "b", "id": i} for i in range(100, 103)]  # short group
+    out = sample_group_k(_ds(rows), "g", "id", 5).to_pandas()
+    a = sorted(out[out["g"] == "a"]["id"])
+    b = sorted(out[out["g"] == "b"]["id"])
+    assert len(a) == 5 and len(set(a)) == 5
+    assert b == [100, 101, 102]  # fewer than k: all rows
+    # deterministic: a second run picks the identical sample
+    again = sample_group_k(_ds(rows), "g", "id", 5).to_pandas()
+    assert sorted(again[again["g"] == "a"]["id"]) == a
+    # the loud hash-domain guard surfaces wrapped in RayTaskError
+    with pytest.raises(Exception, match="non-negative"):
+        sample_group_k(_ds([{"g": "a", "id": -1}]), "g", "id", 2) \
+            .to_pandas()
+    with pytest.raises(ValueError, match="k="):
+        sample_group_k(_ds(rows), "g", "id", 0)
