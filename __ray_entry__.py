@@ -1952,6 +1952,43 @@ def _q_cdc_scd2_view(sf):
     return read_scd2(out)
 
 
+def _q_cdc_branch_merge(sf):
+    """Branch-merge round trip (pipelines/branch.py): clone the replay
+    lake twice (src + branch), diverge the branch with extra change
+    events, fold them back into src — LWW by warc_ts, ties → branch,
+    O(branch churn). Returns src's merged live state. Rows-only; the
+    three-way LWW-fold oracle, tombstone interaction, idempotence and
+    fsck are pytest (tests/replay/test_branch_merge.py)."""
+    from maestro_ray.core.manifest import latest_manifest
+    from maestro_ray.fixtures import ChangelogParams, write_changelog
+    from maestro_ray.io.lake import clone_lake, read_lake
+    from maestro_ray.pipelines.branch import merge_branch
+    from maestro_ray.pipelines.ingest import ingest
+
+    base = _cdc_lake(sf)
+    root = base + "_bm"
+    src, branch = root + "/src", root + "/branch"
+    done = root + "/_DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        clone_lake(base, src)
+        fork = latest_manifest(src).epoch
+        clone_lake(src, branch)
+        wm = latest_manifest(src).watermark
+        log = os.path.join(root, "log")
+        # offsets must exceed the watermark or replay dedup drops them
+        name = os.path.basename(sf.rstrip("/"))
+        scale = dict(_CDC_SCALES.get(name, _CDC_SCALES["sf0.01"]))
+        scale["n_events"] = wm + 1 + max(200, (wm + 1) // 4)
+        scale["seed"] = scale.get("seed", 0) + 71
+        write_changelog(log, ChangelogParams(**scale))
+        ingest(log, branch, num_partitions=16, segments_per_epoch=2)
+        merge_branch(src, branch, fork_epoch=fork)
+        open(done, "w").close()
+    return read_lake(src, columns=["url", "warc_ts", "lang"])
+
+
 def _q_cdc_dedup_view(sf):
     """Incremental CORPUS-DUPLICATION view over the replay lake — the
     cdc_ingest × webtext integration piece: live-copy count per 64-bit
@@ -4477,6 +4514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_window_view": _q_cdc_window_view,
         "cdc_expire": _q_cdc_expire,
         "cdc_scd2_view": _q_cdc_scd2_view,
+        "cdc_branch_merge": _q_cdc_branch_merge,
         "spearman_corr": _q_spearman_corr,
         "ab_test": _q_ab_test,
         "power_means": _q_power_means,

@@ -108,6 +108,14 @@ def main(argv: list[str] | None = None) -> int:
                             "Default: keep full history, GC only files "
                             "outside the newest manifest")
 
+    p_mb = sub.add_parser(
+        "merge-branch",
+        help="fold a clone's net changes since the fork back into the "
+             "source lake (LWW by warc_ts, ties -> branch)")
+    p_mb.add_argument("--src", required=True)
+    p_mb.add_argument("--branch", required=True)
+    p_mb.add_argument("--fork-epoch", type=int, required=True)
+
     p_fs = sub.add_parser(
         "fsck", help="lake integrity audit (referenced files, rows, "
                      "checksums, strays)")
@@ -271,6 +279,13 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     try:
+        if args.cmd == "merge-branch":
+            from maestro_ray.pipelines.branch import merge_branch
+
+            m = merge_branch(args.src, args.branch, args.fork_epoch)
+            print(json.dumps({"epoch": m.epoch,
+                              "watermark": m.watermark}))
+            return 0
         if args.cmd == "ingest":
             from maestro_ray.pipelines.ingest import ingest
 
