@@ -24,6 +24,11 @@ re-extraction), preserving the byte-identity contract for branch-won
 rows. The result is published through the ordinary exactly-once
 manifest commit — a crash mid-merge leaves staged garbage the next
 attempt overwrites.
+
+Limitation: the feed carries the CANDIDATE payload set (html / text /
+lang). A branch that EVOLVED its schema with additional payload
+columns merges the shared set only — extend ``_PAYLOADS`` together
+with the candidate schema when the lake schema grows.
 """
 
 from __future__ import annotations
