@@ -1989,6 +1989,27 @@ def _q_cdc_branch_merge(sf):
     return read_lake(src, columns=["url", "warc_ts", "lang"])
 
 
+def _q_cdc_quantile_view(sf):
+    """Incremental per-group QUANTILE SKETCH view over the replay lake
+    (pipelines/views.py maintain_quantile_sketch_view): live-row count
+    per (lang, 1h-bucket of warc_ts) — the sparse bincount sketch is
+    signed-additive, so the partition-diff algebra maintains it
+    exactly under upserts/deletes; the per-lang median event time is
+    answered at read time to ±1h from O(bins) state. Rows-only; the
+    view≡recompute and the error-bound oracles are pytest
+    (tests/replay/test_views.py)."""
+    from maestro_ray.pipelines.views import (
+        maintain_quantile_sketch_view,
+        quantile_from_sketch,
+    )
+
+    pairs = maintain_quantile_sketch_view(
+        _cdc_lake(sf), "lang", "warc_ts", 3_600_000_000)
+    out = quantile_from_sketch(pairs, "lang", 0.5, 3_600_000_000)
+    out["lang"] = out["lang"].fillna("∅")
+    return out.rename(columns={"estimate": "median_ts_us_lo"})
+
+
 def _q_cdc_dedup_view(sf):
     """Incremental CORPUS-DUPLICATION view over the replay lake — the
     cdc_ingest × webtext integration piece: live-copy count per 64-bit
@@ -4515,6 +4536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_expire": _q_cdc_expire,
         "cdc_scd2_view": _q_cdc_scd2_view,
         "cdc_branch_merge": _q_cdc_branch_merge,
+        "cdc_quantile_view": _q_cdc_quantile_view,
         "spearman_corr": _q_spearman_corr,
         "ab_test": _q_ab_test,
         "power_means": _q_power_means,

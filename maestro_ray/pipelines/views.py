@@ -548,3 +548,52 @@ def dedup_view_duplicates(view: pd.DataFrame) -> pd.DataFrame:
     dup = dup.copy()
     dup["redundant"] = dup["n"] - 1
     return dup
+
+
+def quantile_view_name(group_col: str, measure_col: str,
+                       bin_width: int) -> str:
+    """Filesystem identity of a grouped quantile-sketch view."""
+    return f"{group_col}__qsketch__{measure_col}_{bin_width}"
+
+
+def maintain_quantile_sketch_view(
+    lake_dir: str, group_col: str, measure_col: str, bin_width: int,
+    on_vacuumed: str = "bootstrap",
+) -> pd.DataFrame:
+    """Incrementally-maintained per-group QUANTILE SKETCH over the
+    lake: state = live-row count per (group, floor(measure/bin_width))
+    — a sparse bincount sketch, which is SIGNED-ADDITIVE, so the same
+    partition-diff algebra that maintains sums maintains it exactly
+    (deletes decrement bins, updates move rows between bins). Any
+    quantile is answered at read time to within ``bin_width`` from
+    O(live bins) state — the retractable analog of the batch
+    ``quantile_sketch``. Returns the pair frame (group, bin, n)."""
+    composite = (group_col,
+                 f"{BUCKET_GROUP_PREFIX}{measure_col}:{bin_width}")
+    vid = quantile_view_name(group_col, measure_col, bin_width)
+    return _maintain(lake_dir, composite, vid, None, on_vacuumed)
+
+
+def quantile_from_sketch(pairs: pd.DataFrame, group_col: str,
+                         q: float, bin_width: int) -> pd.DataFrame:
+    """Per-group lower q-quantile estimate from a sketch-view pair
+    frame: the LOWER EDGE of the first bin whose cumulative live count
+    reaches q·total — the true quantile lies in [estimate, estimate +
+    bin_width). Null-measure rows (null bin) are excluded, matching
+    SQL quantile semantics."""
+    if not 0 < q <= 1:
+        raise ValueError(f"q={q}: need 0 < q <= 1")
+    bin_col = [c for c in pairs.columns
+               if c.startswith(BUCKET_GROUP_PREFIX)][0]
+    p = pairs.dropna(subset=[bin_col]).sort_values([group_col, bin_col])
+    if p.empty:
+        return pd.DataFrame({group_col: pd.Series([], dtype="object"),
+                             "estimate": pd.Series([], dtype="int64")})
+    cw = p.groupby(group_col, dropna=False)["n"].cumsum()
+    tw = p.groupby(group_col, dropna=False)["n"].transform("sum")
+    hit = p[cw >= q * tw]
+    out = hit.groupby(group_col, dropna=False, as_index=False)[bin_col] \
+        .first()
+    out["estimate"] = (out[bin_col] * bin_width).astype("int64")
+    return out[[group_col, "estimate"]] \
+        .sort_values(group_col).reset_index(drop=True)

@@ -222,3 +222,37 @@ def test_bucket_spec_validation(lake):
         maintain_group_counts(lake, "bucket:warc_ts")  # no width
     with pytest.raises(ValueError, match="bucket"):
         maintain_group_counts(lake, "bucket:warc_ts:0")  # zero width
+
+
+def test_quantile_sketch_view(lake):
+    """Incremental quantile-sketch view: pairs ≡ recompute at head;
+    the per-group median estimate brackets the exact median within one
+    bin; incremental catch-up ≡ fresh rebuild."""
+    from maestro_ray.pipelines.views import (
+        maintain_quantile_sketch_view,
+        quantile_from_sketch,
+    )
+
+    W = 3_600_000_000
+    pairs = maintain_quantile_sketch_view(lake, "lang", "warc_ts", W)
+    last = list_epochs(lake)[-1]
+    pdf = read_lake_at(lake, last, columns=["lang", "warc_ts"]) \
+        .to_pandas()
+    pdf["bin"] = pdf["warc_ts"].astype("int64") // W
+    want = pdf.groupby(["lang", "bin"], dropna=False).size()
+    got = {(r.iloc[0], r.iloc[1]): r["n"]
+           for _i, r in pairs.iterrows()}
+    for (g, b), n in want.items():
+        key = (g if pd.notna(g) else None, b)
+        assert got.get(key) == n, (key, n)
+    assert len(got) == len(want)
+
+    est = quantile_from_sketch(pairs, "lang", 0.5, W)
+    for _i, row in est.iterrows():
+        g = row.iloc[0]
+        sub = pdf[pdf["lang"] == g] if pd.notna(g) else \
+            pdf[pdf["lang"].isna()]
+        exact = sub["warc_ts"].astype("int64").quantile(
+            0.5, interpolation="lower")
+        lo = row["estimate"]
+        assert lo <= exact < lo + W, (g, lo, exact)
