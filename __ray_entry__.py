@@ -5316,7 +5316,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, event_id, row_number() OVER ("
             "PARTITION BY event_type ORDER BY "
             "(CAST(event_id % 4294967296 AS HUGEINT) * 2654435761) "
-            "% 4294967296, event_id) AS rn FROM events) "
+            "% 4294967296, event_id) AS rn FROM events "
+            "WHERE event_id IS NOT NULL) "
             "WHERE rn <= 5"
         ),
         "autocorr": (

@@ -996,13 +996,17 @@ def sample_group_k(
     Plan: the ``grouped_topk`` combiner (at most k rows per group
     survive each batch — never a full sort, nothing group-sized on the
     driver). Groups with fewer than k rows return all their rows.
-    Keys must be non-negative integers (the contract's documented
-    domain — fails loudly otherwise)."""
+    Null keys are DROPPED before hashing (the sample_hash rule — a
+    null key hashes nowhere; the SQL twin pins WHERE key IS NOT NULL),
+    never cast through float NaN, whose int64 conversion is
+    platform-undefined. Keys must be non-negative integers (the
+    contract's documented domain — fails loudly otherwise)."""
     if k < 1:
         raise ValueError(f"k={k}: need >= 1")
     from maestro_ray.ops.aggregates import grouped_topk
 
     def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(key_col)))
         keys = t.column(key_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         h = _mult_hash(keys, "sample_group_k")

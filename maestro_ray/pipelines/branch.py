@@ -9,10 +9,13 @@ Semantics (three-way, by url, LWW):
   source's partition merge as candidates carrying their own
   ``warc_ts`` — a url changed on BOTH sides resolves by event time,
   newest wins;
-- on an exact ``warc_ts`` tie the BRANCH wins: every branch candidate
-  is assigned the synthetic offset ``src_watermark + 1`` (above any
-  remembered source offset), which is also what makes the merge
-  deterministic;
+- on an exact ``warc_ts`` tie the BRANCH wins: branch candidates carry
+  synthetic offsets above any remembered source offset (deletes at
+  ``wm+1``, upserts at ``wm+2`` so a repartitioned branch's paired
+  move rows resolve to the insert), which is also what makes the
+  merge deterministic; the offsets never persist and the source's
+  changelog watermark is NOT advanced (merge rows are not changelog
+  events);
 - branch deletes re-enter as delete candidates and tombstone the
   source row (subject to the same LWW race);
 - urls untouched on the branch never appear in the feed — untouched
@@ -67,19 +70,31 @@ def merge_branch(
             "cannot route merge candidates")
     feed = table_changes(branch_dir, from_epoch=fork_epoch,
                          payload_columns=_PAYLOADS)
-    synthetic_offset = head.watermark + 1
+    # Two synthetic offsets, both above any remembered source offset
+    # (lake rows re-enter merges with offset=-1, so any >= 0 wins the
+    # tie against an equal-ts source row). Upserts sit ABOVE deletes:
+    # a branch that was repartitioned emits paired delete@old-partition
+    # + insert@new-partition with IDENTICAL (url, warc_ts) for every
+    # moved-but-unchanged url — lww_reduce must resolve that tie to
+    # the insert deterministically, or live rows get tombstoned by
+    # concatenation order (review finding, blocking).
+    del_offset = head.watermark + 1
+    ups_offset = head.watermark + 2
 
     def to_candidates(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        # insert/update both upsert; delete tombstones — ties against
-        # equal-ts source rows resolve to the branch via the offset
-        op = pc.if_else(
-            pc.equal(t.column("change_op"), pa.scalar("delete")),
-            pa.scalar("delete"), pa.scalar("update"))
+        is_del = pc.equal(t.column("change_op"), pa.scalar("delete"))
+        op = pc.if_else(is_del, pa.scalar("delete"),
+                        pa.scalar("update"))
+        off = pc.if_else(is_del, pa.scalar(del_offset, pa.int64()),
+                         pa.scalar(ups_offset, pa.int64()))
+
+        def chunked(a):
+            return a.combine_chunks() if isinstance(
+                a, pa.ChunkedArray) else a
+
         cols = {
-            "offset": pa.array([synthetic_offset] * n, pa.int64()),
-            "op": op.combine_chunks() if isinstance(
-                op, pa.ChunkedArray) else op,
+            "offset": chunked(off),
+            "op": chunked(op),
             "url": t.column("url"),
             "warc_ts": t.column("warc_ts"),
             "html": t.column("html"),
@@ -95,10 +110,15 @@ def merge_branch(
         to_candidates, batch_format="pyarrow").materialize()
     if cands.count() == 0:
         return head  # nothing diverged — no empty epoch
+    # epoch_watermark stays at the source's: merge candidates are NOT
+    # changelog events, and advancing the watermark would make the
+    # next ingest() silently drop the REAL event at that offset
+    # (review finding, blocking). Synthetic offsets never persist —
+    # they exist only inside this merge's LWW.
     return _run_epoch(
         cands, src_dir,
         epoch=head.epoch + 1,
-        epoch_watermark=synthetic_offset,
+        epoch_watermark=head.watermark,
         num_partitions=head.num_partitions,
         prev=head,
     )

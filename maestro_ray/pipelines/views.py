@@ -577,23 +577,43 @@ def maintain_quantile_sketch_view(
 def quantile_from_sketch(pairs: pd.DataFrame, group_col: str,
                          q: float, bin_width: int) -> pd.DataFrame:
     """Per-group lower q-quantile estimate from a sketch-view pair
-    frame: the LOWER EDGE of the first bin whose cumulative live count
-    reaches q·total — the true quantile lies in [estimate, estimate +
-    bin_width). Null-measure rows (null bin) are excluded, matching
-    SQL quantile semantics."""
+    frame: the LOWER EDGE of the bin holding the ceil(q·n)-th order
+    statistic over non-null measures — the true quantile_disc value
+    lies in [estimate, estimate + bin_width). The rank is computed as
+    an INTEGER (ceil with a relative epsilon), never compared against
+    the raw float product, whose IEEE round-up would overshoot by one
+    order statistic (e.g. 0.55·20 == 11.000000000000002). A group
+    whose live measures are ALL null gets a NULL estimate (matching
+    SQL's quantile-over-nulls), not a missing row."""
     if not 0 < q <= 1:
         raise ValueError(f"q={q}: need 0 < q <= 1")
     bin_col = [c for c in pairs.columns
                if c.startswith(BUCKET_GROUP_PREFIX)][0]
+    all_groups = pd.Series(
+        sorted(pairs[group_col].dropna().unique().tolist())
+        + ([None] if pairs[group_col].isna().any() else []),
+        dtype="object")
     p = pairs.dropna(subset=[bin_col]).sort_values([group_col, bin_col])
     if p.empty:
-        return pd.DataFrame({group_col: pd.Series([], dtype="object"),
-                             "estimate": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            group_col: all_groups,
+            "estimate": pd.Series([pd.NA] * len(all_groups),
+                                  dtype="Int64")})
     cw = p.groupby(group_col, dropna=False)["n"].cumsum()
     tw = p.groupby(group_col, dropna=False)["n"].transform("sum")
-    hit = p[cw >= q * tw]
+    target = np.ceil(q * tw - 1e-9 * tw)  # integer rank, FP-robust
+    hit = p[cw >= target]
     out = hit.groupby(group_col, dropna=False, as_index=False)[bin_col] \
         .first()
-    out["estimate"] = (out[bin_col] * bin_width).astype("int64")
-    return out[[group_col, "estimate"]] \
-        .sort_values(group_col).reset_index(drop=True)
+    out["estimate"] = (out[bin_col] * bin_width).astype("Int64")
+    out = out[[group_col, "estimate"]]
+    covered = set(out[group_col].fillna("\0N"))
+    missing = [g for g in all_groups
+               if (g if g is not None else "\0N") not in covered]
+    if missing:  # all-null-measure groups: NULL estimate, present row
+        out = pd.concat([out, pd.DataFrame({
+            group_col: missing,
+            "estimate": pd.Series([pd.NA] * len(missing),
+                                  dtype="Int64")})], ignore_index=True)
+    return out.sort_values(group_col, na_position="last") \
+        .reset_index(drop=True)

@@ -129,3 +129,38 @@ def test_zero_divergence_publishes_nothing(ray_session, tmp_path):
     clone_lake(src, branch, epoch=fork)
     m = merge_branch(src, branch, fork_epoch=fork)
     assert m.epoch == fork  # no empty epoch published
+
+
+def test_repartitioned_branch_merges_as_noop(ray_session, tmp_path):
+    """A branch that was only REPARTITIONED emits paired delete@old +
+    insert@new with identical (url, warc_ts) for every moved url —
+    the merge must resolve those ties to the insert (upserts carry a
+    higher synthetic offset than deletes), not tombstone live rows by
+    concatenation order (review finding, blocking)."""
+    from maestro_ray.io.lake import repartition_lake
+
+    log = str(tmp_path / "log")
+    write_changelog(log, ChangelogParams(
+        seed=11, n_urls=40, n_events=300, seg_rows=50,
+        p_delete=0.1, evolution=False))
+    src = str(tmp_path / "src")
+    ingest(log, src, num_partitions=4, segments_per_epoch=2)
+    fork = latest_manifest(src).epoch
+    branch = str(tmp_path / "branch")
+    clone_lake(src, branch, epoch=fork)
+    repartition_lake(branch, 7)  # moves urls, changes no data
+    before = _live(src)
+    merge_branch(src, branch, fork_epoch=fork)
+    pd.testing.assert_frame_equal(_live(src), before)
+
+
+def test_merge_never_advances_changelog_watermark(forked):
+    """Merge candidates are not changelog events: the watermark must
+    stay put, or the next ingest silently drops the real event at the
+    stolen offset (review finding, blocking)."""
+    src, branch, fork = forked["src"], forked["branch"], forked["fork"]
+    wm_before = latest_manifest(src).watermark
+    merge_branch(src, branch, fork_epoch=fork)
+    assert latest_manifest(src).watermark == wm_before
+    merge_branch(src, branch, fork_epoch=fork)
+    assert latest_manifest(src).watermark == wm_before

@@ -256,3 +256,30 @@ def test_quantile_sketch_view(lake):
             0.5, interpolation="lower")
         lo = row["estimate"]
         assert lo <= exact < lo + W, (g, lo, exact)
+
+
+def test_quantile_from_sketch_rank_robust_and_null_groups():
+    """Unit-level: the rank is an integer (0.55·20 must pick the 11th
+    order statistic, not the 12th via IEEE round-up), and an all-null-
+    measure group yields a NULL-estimate row, not a missing row."""
+    import pandas as pd
+
+    from maestro_ray.pipelines.views import quantile_from_sketch
+
+    W = 10
+    pairs = pd.DataFrame({
+        "g": ["a"] * 2 + ["b"],
+        "bucket:v:10": pd.array([0, 1, None], dtype="Int64"),
+        "n": [11, 9, 4],
+    })
+    # group a: 20 rows, ranks 1..11 in bin 0, 12..20 in bin 1.
+    # q=0.55 → rank ceil(11.000000000000002 - eps) = 11 → bin 0
+    out = quantile_from_sketch(pairs, "g", 0.55, W)
+    a = out[out["g"] == "a"]["estimate"].iloc[0]
+    assert a == 0, out
+    # q=0.551 → rank 12 → bin 1
+    out2 = quantile_from_sketch(pairs, "g", 0.551, W)
+    assert out2[out2["g"] == "a"]["estimate"].iloc[0] == 10
+    # group b: only null-measure rows → present with NULL estimate
+    b = out[out["g"] == "b"]["estimate"]
+    assert len(b) == 1 and pd.isna(b.iloc[0])

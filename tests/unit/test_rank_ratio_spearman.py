@@ -303,3 +303,14 @@ def test_sample_group_k_exact_k_and_determinism():
             .to_pandas()
     with pytest.raises(ValueError, match="k="):
         sample_group_k(_ds(rows), "g", "id", 0)
+
+
+def test_sample_group_k_drops_null_keys():
+    from maestro_ray.ops.corpus import sample_group_k
+
+    rows = [{"g": "a", "id": 1}, {"g": "a", "id": None},
+            {"g": "a", "id": 2}, {"g": "b", "id": None}]
+    out = sample_group_k(_ds(rows), "g", "id", 3).to_pandas()
+    a = out[out["g"] == "a"] if "g" in out.columns else out
+    assert sorted(a["id"]) == [1, 2]  # nulls never sampled
+    assert "b" not in set(out.get("g", []))  # all-null group vanishes
