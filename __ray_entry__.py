@@ -4345,6 +4345,32 @@ def _q_sample_group_k(sf):
     return sample_group_k(ds, "event_type", "event_id", 5)
 
 
+def _q_pct_change(sf):
+    """Per-user period-over-period change of event values
+    (ops/aggregates.py pct_change_grouped): (v − lag(v)) / lag(v) —
+    bit-exact cross-engine (identical IEEE ops on identical doubles),
+    no rounding."""
+    from maestro_ray.ops.aggregates import pct_change_grouped
+
+    ds = _read(sf, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    return pct_change_grouped(ds, "user_id", ["ts", "event_id"],
+                              "value")
+
+
+def _q_group_rank(sf):
+    """Rank groups by their aggregate (ops/aggregates.py
+    rank_groups_by_agg): (returnflag, linestatus) ranked by total
+    quantity — one mergeable grouped sum, RANK with SQL tie gaps.
+    Bit-exact: integer-valued sums."""
+    from maestro_ray.ops.aggregates import rank_groups_by_agg
+
+    ds = _read(sf, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rank_groups_by_agg(ds, ["l_returnflag", "l_linestatus"],
+                              "l_quantity", "sum")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4544,6 +4570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "autocorr": _q_autocorr,
         "sample_group_k": _q_sample_group_k,
+        "pct_change": _q_pct_change,
+        "group_rank": _q_group_rank,
         "grouped_topk_ties": _q_grouped_topk_ties,
         "ratio_to_report": _q_ratio_to_report,
         "dedup_consecutive": _q_dedup_consecutive,
@@ -5308,6 +5336,20 @@ def oracle_sql() -> dict[str, str]:
             "round(exp(avg(ln(l_extendedprice))), 6) AS geomean, "
             "round(count(*) / sum(1/l_extendedprice), 6) AS harmonic "
             "FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1"
+        ),
+        "pct_change": (
+            # bit-exact: identical IEEE subtract/divide on identical
+            # doubles — no rounding
+            "SELECT user_id, ts, event_id, value, "
+            "(value - lag(value) OVER w) / lag(value) OVER w "
+            "AS pct_change FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "group_rank": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(l_quantity) AS agg_value, "
+            "CAST(rank() OVER (ORDER BY sum(l_quantity) DESC) "
+            "AS BIGINT) AS rank FROM lineitem GROUP BY 1, 2"
         ),
         "sample_group_k": (
             # the shared mult-hash contract, spelled in SQL exactly as

@@ -3029,3 +3029,48 @@ def autocorr_grouped(
     if round_to is not None:
         out["autocorr"] = out["autocorr"].round(round_to)
     return out.sort_values(key).reset_index(drop=True)
+
+
+def pct_change_grouped(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "pct_change",
+    round_to: int | None = None,
+) -> rd.Dataset:
+    """Per-key period-over-period relative change: (v − lag(v)) /
+    lag(v) in ``order_cols`` order — the growth-rate window. First row
+    per key (and any row following a null) gets NULL; a zero previous
+    value divides to ±inf exactly as SQL does. One groupby shuffle,
+    vectorized shift per group."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(order_cols).copy()
+        prev = s[value_col].shift()
+        s[out] = (s[value_col] - prev) / prev
+        if round_to is not None:
+            s[out] = s[out].round(round_to)
+        return s
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def rank_groups_by_agg(
+    ds: rd.Dataset,
+    keys: list[str] | str,
+    value_col: str,
+    agg: str = "sum",
+    descending: bool = True,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """Rank the GROUPS by their aggregate (the 'top markets by
+    revenue' reporting shape): one mergeable grouped aggregate
+    (O(keys) driver rows), then SQL RANK over the aggregate — ties
+    share a rank with gaps. Returns (keys..., agg_value, rank)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    m = grouped_agg(ds, keys, {"agg_value": (value_col, agg)},
+                    round_to=round_to)
+    m["rank"] = m["agg_value"].rank(
+        method="min", ascending=not descending).astype("int64")
+    return m.sort_values(["rank", *keys]).reset_index(drop=True)

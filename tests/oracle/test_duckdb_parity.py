@@ -97,7 +97,8 @@ ORACLE_NAMES = [
     "sample_weighted", "quantile_exact_big",
     "spearman_corr", "grouped_topk_ties", "ratio_to_report",
     "dedup_consecutive", "ab_test", "power_means", "weighted_median",
-    "running_distinct", "autocorr", "sample_group_k",
+    "running_distinct", "autocorr", "sample_group_k", "pct_change",
+    "group_rank",
 ]
 
 
