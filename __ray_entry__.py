@@ -4371,6 +4371,60 @@ def _q_group_rank(sf):
                               "l_quantity", "sum")
 
 
+def _q_gini(sf):
+    """Per-key Gini coefficient of the quantity distribution
+    (ops/aggregates.py gini_grouped): rank-weighted formula on
+    value-count partials, run-prefix rank sums — never an expanded
+    multiset. Twin = row_number spelling (tie-run frame-invariant);
+    round(6) for summation order."""
+    from maestro_ray.ops.aggregates import gini_grouped
+
+    ds = _read(sf, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return gini_grouped(ds, "l_returnflag", "l_quantity", round_to=6)
+
+
+def _q_trimmed_mean(sf):
+    """Per-key 10%-trimmed mean (ops/aggregates.py
+    trimmed_mean_grouped): k = (n*1)//10 via INTEGER arithmetic on
+    both engines; kept-rank interval intersected with value runs —
+    no multiset expansion. round(6) for summation order."""
+    from maestro_ray.ops.aggregates import trimmed_mean_grouped
+
+    ds = _read(sf, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return trimmed_mean_grouped(ds, "l_returnflag", "l_quantity",
+                                1, 10, round_to=6)
+
+
+def _q_benford(sf):
+    """First-significant-digit distribution of the order keys
+    (ops/aggregates.py benford_digits): digit via integer→string slice
+    (engine-safe), exact counts, frac = one IEEE division — bit-exact,
+    no rounding."""
+    from maestro_ray.ops.aggregates import benford_digits
+
+    return benford_digits(_read(sf, "orders", columns=["o_orderkey"]),
+                          "o_orderkey")
+
+
+def _q_drift_psi(sf):
+    """Population Stability Index between even- and odd-user event
+    value distributions (ops/diff.py drift_psi): exact equal-width
+    integer binning (floor(value/10)), mergeable per-side histograms,
+    bins empty on either side excluded (epsilon-free variant, INNER
+    JOIN twin); fractions over full side totals. round(6) (libm ln)."""
+    from maestro_ray.ops.diff import drift_psi
+
+    def side(parity):
+        def f(t):
+            uid = t.column("user_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(uid % 2 == parity))
+
+        return _read(sf, "events", columns=["user_id", "value"]) \
+            .map_batches(f, batch_format="pyarrow")
+
+    return drift_psi(side(0), side(1), "value", 10.0, round_to=6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4572,6 +4626,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_group_k": _q_sample_group_k,
         "pct_change": _q_pct_change,
         "group_rank": _q_group_rank,
+        "gini_grouped": _q_gini,
+        "trimmed_mean": _q_trimmed_mean,
+        "benford_digits": _q_benford,
+        "drift_psi": _q_drift_psi,
         "grouped_topk_ties": _q_grouped_topk_ties,
         "ratio_to_report": _q_ratio_to_report,
         "dedup_consecutive": _q_dedup_consecutive,
@@ -5350,6 +5408,53 @@ def oracle_sql() -> dict[str, str]:
             "sum(l_quantity) AS agg_value, "
             "CAST(rank() OVER (ORDER BY sum(l_quantity) DESC) "
             "AS BIGINT) AS rank FROM lineitem GROUP BY 1, 2"
+        ),
+        "gini_grouped": (
+            # row_number twin: Σ(rank·x) is tie-run frame-invariant
+            "SELECT l_returnflag, round(2.0*sum(rn*x)/(n*sx) "
+            "- (n+1.0)/n, 6) AS gini FROM ("
+            "SELECT l_returnflag, x, "
+            "CAST(row_number() OVER (PARTITION BY l_returnflag "
+            "ORDER BY x) AS DOUBLE) AS rn, "
+            "CAST(count(*) OVER (PARTITION BY l_returnflag) "
+            "AS DOUBLE) AS n, "
+            "CAST(sum(x) OVER (PARTITION BY l_returnflag) AS DOUBLE) "
+            "AS sx FROM (SELECT l_returnflag, l_quantity AS x "
+            "FROM lineitem WHERE l_quantity IS NOT NULL)) "
+            "GROUP BY l_returnflag, n, sx"
+        ),
+        "trimmed_mean": (
+            # k via INTEGER division on both engines (r4s5 rank lesson)
+            "SELECT l_returnflag, round(avg(x), 6) AS trimmed_mean "
+            "FROM (SELECT l_returnflag, x, "
+            "row_number() OVER (PARTITION BY l_returnflag ORDER BY x) "
+            "AS rn, count(*) OVER (PARTITION BY l_returnflag) AS n "
+            "FROM (SELECT l_returnflag, l_quantity AS x FROM lineitem "
+            "WHERE l_quantity IS NOT NULL)) "
+            "WHERE rn > (n*1)//10 AND rn <= n - (n*1)//10 GROUP BY 1"
+        ),
+        "benford_digits": (
+            # integer→varchar first digit (engine-safe); bit-exact
+            "SELECT digit, n, n / t AS frac FROM ("
+            "SELECT CAST(substr(CAST(o_orderkey AS VARCHAR), 1, 1) "
+            "AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(count(*)) OVER () AS DOUBLE) AS t "
+            "FROM orders GROUP BY 1)"
+        ),
+        "drift_psi": (
+            # epsilon-free PSI: INNER JOIN of the per-side histograms;
+            # fractions over full side totals; exact integer binning
+            "WITH a AS (SELECT CAST(floor(value/10.0) AS BIGINT) AS "
+            "bin, CAST(count(*) AS BIGINT) AS n FROM events WHERE "
+            "user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1), "
+            "b AS (SELECT CAST(floor(value/10.0) AS BIGINT) AS bin, "
+            "CAST(count(*) AS BIGINT) AS n FROM events WHERE "
+            "user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1) "
+            "SELECT round(sum((p_a - p_b) * ln(p_a / p_b)), 6) AS psi, "
+            "CAST(count(*) AS BIGINT) AS n_bins FROM ("
+            "SELECT a.n / (SELECT CAST(sum(n) AS DOUBLE) FROM a) AS "
+            "p_a, b.n / (SELECT CAST(sum(n) AS DOUBLE) FROM b) AS p_b "
+            "FROM a JOIN b USING (bin))"
         ),
         "sample_group_k": (
             # the shared mult-hash contract, spelled in SQL exactly as

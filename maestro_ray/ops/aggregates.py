@@ -3074,3 +3074,111 @@ def rank_groups_by_agg(
     m["rank"] = m["agg_value"].rank(
         method="min", ascending=not descending).astype("int64")
     return m.sort_values(["rank", *keys]).reset_index(drop=True)
+
+
+def gini_grouped(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """Per-key Gini coefficient of the ``col`` distribution —
+    G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over the ascending-sorted
+    multiset (1-based ranks). Ties are frame-invariant: any rank
+    assignment within a run of equal values yields the same Σ(rank·x)
+    (the weighted-median twin argument), so a ``row_number`` SQL twin
+    is exact up to float summation order (``round_to`` policy).
+
+    Plan + scale bound: the shared ``_count_merge`` value-count
+    partials — O(distinct (key, value)) reaches the driver; rank sums
+    per run come from the run-prefix formula c·s + c(c+1)/2, never an
+    expanded multiset. Nulls ignored; requires Σx ≠ 0 per key
+    (inequality of a zero-sum distribution is undefined)."""
+    merged, cnt_col = _count_merge(ds, [key, col])
+    merged = merged[merged[col].notna()]
+    rows = []
+    for kval, g in merged.groupby(key, dropna=False, sort=True):
+        g = g.sort_values(col)
+        v = g[col].to_numpy(dtype="float64")
+        c = g[cnt_col].to_numpy(dtype="float64")
+        n = float(c.sum())
+        total = float((v * c).sum())
+        # sum of 1-based ranks inside each equal-value run
+        start = np.concatenate(([0.0], np.cumsum(c)[:-1]))
+        rank_sum = c * start + c * (c + 1.0) / 2.0
+        gini = 2.0 * float((v * rank_sum).sum()) / (n * total) \
+            - (n + 1.0) / n
+        rows.append((kval, round(gini, round_to)
+                     if round_to is not None else gini))
+    return pd.DataFrame(rows, columns=[key, "gini"])
+
+
+def trimmed_mean_grouped(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+    round_to: int | None = None,
+) -> pd.DataFrame:
+    """Per-key trimmed mean: drop the k = (n·trim_num)//trim_den
+    smallest and k largest values, average the rest. k uses INTEGER
+    arithmetic on both engines (the r4s5 lesson: float q·n rank math
+    overshoots on IEEE round-up) — the SQL twin spells the identical
+    ``(n*trim_num)//trim_den``. Which duplicates inside a tie run get
+    trimmed is arbitrary but sum-invariant (equal values).
+
+    Plan: ``_count_merge`` value-count partials; the kept-rank
+    interval (k, n−k] is intersected with each run's rank span via a
+    vectorized clip — no multiset expansion. Keys where n ≤ 2k yield
+    no row (SQL: the WHERE removes every row of the group). Nulls
+    ignored."""
+    merged, cnt_col = _count_merge(ds, [key, col])
+    merged = merged[merged[col].notna()]
+    rows = []
+    for kval, g in merged.groupby(key, dropna=False, sort=True):
+        g = g.sort_values(col)
+        v = g[col].to_numpy(dtype="float64")
+        c = g[cnt_col].to_numpy(dtype="int64")
+        n = int(c.sum())
+        k = (n * trim_num) // trim_den
+        lo, hi = k, n - k
+        if hi <= lo:
+            continue
+        cum = np.cumsum(c)
+        prev = np.concatenate(([0], cum[:-1]))
+        take = np.clip(np.minimum(cum, hi) - np.maximum(prev, lo),
+                       0, None).astype("float64")
+        mean = float((v * take).sum()) / float(hi - lo)
+        rows.append((kval, round(mean, round_to)
+                     if round_to is not None else mean))
+    return pd.DataFrame(rows, columns=[key, "trimmed_mean"])
+
+
+def benford_digits(ds: rd.Dataset, col: str) -> pd.DataFrame:
+    """First-significant-digit distribution of a POSITIVE INTEGER
+    column (Benford's-law audit shape): digit, exact count, and
+    fraction. Digit extraction goes through the decimal string —
+    engine-safe (float→varchar formatting differs across engines;
+    integer→varchar does not). BIT-EXACT: counts are exact ints and
+    frac is one IEEE division n/total — no rounding needed.
+
+    Plan: the digit is computed vectorized per batch (Arrow cast →
+    utf8_slice) and fused into the count-partial read stage; one
+    9-row groupby reaches the driver."""
+
+    def digit_batch(t: pa.Table) -> pa.Table:
+        x = t.column(col)
+        d = pc.utf8_slice_codeunits(pc.cast(x, pa.string()), 0, 1)
+        return pa.table({"digit": pc.cast(d, pa.int64())})
+
+    merged, cnt_col = _count_merge(
+        ds.map_batches(digit_batch, batch_format="pyarrow"), ["digit"])
+    merged = merged.sort_values("digit").reset_index(drop=True)
+    total = int(merged[cnt_col].sum())
+    return pd.DataFrame({
+        "digit": merged["digit"].astype("int64"),
+        "n": merged[cnt_col].astype("int64"),
+        "frac": merged[cnt_col].astype("int64").to_numpy("float64")
+        / float(total),
+    })

@@ -114,3 +114,57 @@ def diff_tables(
         return out.filter(pc.is_valid(op))
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def drift_psi(
+    ds_a: rd.Dataset,
+    ds_b: rd.Dataset,
+    col: str,
+    bin_width: float,
+    round_to: int | None = 6,
+):
+    """Population Stability Index between two samples of a numeric
+    column — THE standard data-drift score between a baseline and a
+    candidate distribution (model monitoring, snapshot-vs-snapshot
+    drift over a CDC lake): PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b).
+
+    Binning is ``floor(col / bin_width)`` — one IEEE divide + floor,
+    identical in every engine, so bin membership is exact (never bin
+    by libm log/quantiles cross-engine). Bins empty on EITHER side are
+    EXCLUDED (the epsilon-free PSI variant; the SQL twin is an INNER
+    JOIN of the two histograms) — documented, deterministic, and the
+    right call for equal-width bins where an empty bin is structural,
+    not sampled. Fractions use the FULL side totals (all non-null
+    rows), not just the joined bins, matching the standard definition.
+
+    Plan: one mergeable histogram per side (count partials over the
+    integer bin — O(n_bins) driver rows each), driver-side join of two
+    tiny frames. ``round_to`` absorbs libm-ln + summation-order
+    drift (the power_means policy). Returns a 1-row frame
+    (psi, n_bins) — provably non-empty for the oracle harness."""
+    from maestro_ray.ops.aggregates import _count_merge
+
+    def hist(ds: rd.Dataset):
+        def binb(t: pa.Table) -> pa.Table:
+            x = t.column(col)
+            t = t.filter(pc.is_valid(x))
+            b = pc.floor(pc.divide(pc.cast(t.column(col), pa.float64()),
+                                   float(bin_width)))
+            return pa.table({"bin": pc.cast(b, pa.int64())})
+
+        m, cnt = _count_merge(
+            ds.map_batches(binb, batch_format="pyarrow"), ["bin"])
+        return m.rename(columns={cnt: "n"}), float(m[cnt].sum())
+
+    ha, ta = hist(ds_a)
+    hb, tb = hist(ds_b)
+    j = ha.merge(hb, on="bin", how="inner", suffixes=("_a", "_b"))
+    j = j.sort_values("bin")
+    p_a = j["n_a"].to_numpy("float64") / ta
+    p_b = j["n_b"].to_numpy("float64") / tb
+    psi = float(((p_a - p_b) * np.log(p_a / p_b)).sum())
+    if round_to is not None:
+        psi = round(psi, round_to)
+    import pandas as pd
+
+    return pd.DataFrame({"psi": [psi], "n_bins": [np.int64(len(j))]})

@@ -99,6 +99,7 @@ ORACLE_NAMES = [
     "dedup_consecutive", "ab_test", "power_means", "weighted_median",
     "running_distinct", "autocorr", "sample_group_k", "pct_change",
     "group_rank",
+    "gini_grouped", "trimmed_mean", "benford_digits", "drift_psi",
 ]
 
 
