@@ -1414,6 +1414,42 @@ def _q_rdbms_import(sf):
     )
 
 
+def _q_sqlite_import(sf):
+    """S10 family, embedded edge: range-partitioned parallel import
+    from a SQLite file (the app/edge-device landing source). The db is
+    materialized once per sf under /tmp (atomic rename), then 8 Ray
+    tasks each open it read-only and pull an o_orderkey range."""
+    import sqlite3
+
+    import pyarrow.parquet as pq
+
+    from maestro_ray.io.sqlite import read_sqlite
+
+    db = "/tmp/maestro_sqlite_" + sf.strip("/").replace("/", "_") + ".db"
+    if not os.path.exists(db):
+        import uuid
+
+        tmp = f"{db}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
+        t = pq.read_table(
+            os.path.join(sf, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        con = sqlite3.connect(tmp)
+        con.execute("CREATE TABLE orders (o_orderkey INTEGER, "
+                    "o_custkey INTEGER, o_totalprice REAL)")
+        con.executemany(
+            "INSERT INTO orders VALUES (?,?,?)",
+            zip(t.column("o_orderkey").to_pylist(),
+                t.column("o_custkey").to_pylist(),
+                t.column("o_totalprice").to_pylist()))
+        con.commit()
+        con.close()
+        os.replace(tmp, db)
+    return read_sqlite(
+        db, "orders", split_col="o_orderkey", num_partitions=8,
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+
 def _q_knn_brute(sf):
     from maestro_ray.ops.similarity import knn_brute
 
@@ -4482,6 +4518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot": _q_pivot,
         "text_normalize": _q_text_normalize,
         "rdbms_import": _q_rdbms_import,
+        "sqlite_import": _q_sqlite_import,
         "video_frames": _q_video_frames,
         "video_pixels": _q_video_pixels,
         "video_mjpeg": _q_video_mjpeg,
@@ -5319,6 +5356,9 @@ def oracle_sql() -> dict[str, str]:
             r"'^\s+|\s+$', '', 'g') AS norm_text FROM documents"
         ),
         "rdbms_import": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        ),
+        "sqlite_import": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
         ),
         "video_frames": (
