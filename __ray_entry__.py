@@ -4461,6 +4461,47 @@ def _q_drift_psi(sf):
     return drift_psi(side(0), side(1), "value", 10.0, round_to=6)
 
 
+def _q_anomaly_zscore(sf):
+    """Rolling z-score anomaly monitor over per-user event values
+    (ops/aggregates.py anomaly_zscore): 20-row trailing frame, z
+    rounded at 4dp BEFORE the |z| > 2 threshold in both engines so the
+    flag can never flip on a last-ulp difference. σ = 0 / all-null
+    frames yield null z, flag 0."""
+    from maestro_ray.ops.aggregates import anomaly_zscore
+
+    ds = _read(sf, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    out = anomaly_zscore(ds, "user_id", ["ts", "event_id"], "value",
+                         window=20, threshold=2.0)
+    return out.select_columns(
+        ["user_id", "event_id", "zscore", "is_anomaly"])
+
+
+def _q_bin_equal_width(sf):
+    """Equal-width discretization of extended price into 16 buckets
+    (ops/mlprep.py bin_equal_width): lo/hi from exact min/max partials,
+    bin = least(floor((x−lo)/w), n−1)+1 with the SAME operation order
+    as the twin — bit-identical bins, no rounding policy."""
+    from maestro_ray.ops.mlprep import bin_equal_width
+
+    ds = _read(sf, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = bin_equal_width(ds, "l_extendedprice", 16)
+    return out.select_columns(["l_orderkey", "l_linenumber", "bin"])
+
+
+def _q_target_encode(sf):
+    """Smoothed mean target encoding of event_type against value
+    (ops/mlprep.py target_encode, m = 10): per-key (n, Σ) partials
+    fold once and broadcast — the corpus never shuffles. Null key →
+    the global prior. round(6) (summation order)."""
+    from maestro_ray.ops.mlprep import target_encode
+
+    ds = _read(sf, "events", columns=["event_id", "event_type", "value"])
+    out = target_encode(ds, "event_type", "value", smoothing=10.0)
+    return out.select_columns(["event_id", "enc"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4667,6 +4708,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean": _q_trimmed_mean,
         "benford_digits": _q_benford,
         "drift_psi": _q_drift_psi,
+        "anomaly_zscore": _q_anomaly_zscore,
+        "bin_equal_width": _q_bin_equal_width,
+        "target_encode": _q_target_encode,
         "grouped_topk_ties": _q_grouped_topk_ties,
         "ratio_to_report": _q_ratio_to_report,
         "dedup_consecutive": _q_dedup_consecutive,
@@ -5495,6 +5539,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.n / (SELECT CAST(sum(n) AS DOUBLE) FROM a) AS "
             "p_a, b.n / (SELECT CAST(sum(n) AS DOUBLE) FROM b) AS p_b "
             "FROM a JOIN b USING (bin))"
+        ),
+        "anomaly_zscore": (
+            # z rounded at 4dp BEFORE the threshold in both engines —
+            # the flag can never flip on a last-ulp difference
+            "WITH w AS (SELECT user_id, event_id, value, "
+            "avg(value) OVER f AS m, stddev_pop(value) OVER f AS s "
+            "FROM events WINDOW f AS (PARTITION BY user_id ORDER BY "
+            "ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) "
+            "SELECT user_id, event_id, "
+            "CASE WHEN s > 0 THEN round((value - m) / s, 4) END "
+            "AS zscore, CAST(CASE WHEN s > 0 AND "
+            "abs(round((value - m) / s, 4)) > 2.0 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS is_anomaly FROM w"
+        ),
+        "bin_equal_width": (
+            # same operation order as the engine: w = (hi-lo)/16 then
+            # floor((x-lo)/w), clipped — bit-identical, no rounding
+            "WITH mm AS (SELECT min(l_extendedprice) AS lo, "
+            "max(l_extendedprice) AS hi FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, CAST(CASE WHEN "
+            "l_extendedprice IS NULL THEN NULL ELSE "
+            "least(greatest(floor((l_extendedprice - lo) / "
+            "((hi - lo) / 16)), 0), 15) + 1 END AS BIGINT) AS bin "
+            "FROM lineitem, mm"
+        ),
+        "target_encode": (
+            # smoothed mean encoding, m = 10; prior over rows with a
+            # non-null key (matches the engine's stats filter); a key
+            # with zero non-null targets collapses to the prior
+            "WITH g AS (SELECT sum(value) / count(value) AS gm "
+            "FROM events WHERE event_type IS NOT NULL), "
+            "s AS (SELECT event_type, count(value) AS n, "
+            "sum(value) AS sm FROM events WHERE event_type IS NOT "
+            "NULL GROUP BY 1) "
+            "SELECT e.event_id, round(CASE WHEN s.event_type IS NULL "
+            "OR s.n = 0 THEN g.gm ELSE "
+            "(s.sm + 10.0 * g.gm) / (s.n + 10.0) END, 6) AS enc "
+            "FROM events e LEFT JOIN s USING (event_type) "
+            "CROSS JOIN g"
         ),
         "sample_group_k": (
             # the shared mult-hash contract, spelled in SQL exactly as

@@ -2402,6 +2402,54 @@ def moving_std(
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
+def anomaly_zscore(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    threshold: float,
+    round_to: int = 4,
+) -> rd.Dataset:
+    """Rolling z-score anomaly flagging per key: z = (x − μ_frame) /
+    σ_frame over the trailing ROWS frame (``window−1 PRECEDING``),
+    flagged when the ROUNDED |z| exceeds ``threshold`` — the standard
+    streaming outlier monitor for metric/event series. Same one-shuffle
+    strided-frame plan as ``moving_std`` (two-pass per frame, no
+    per-row loop). Cross-engine policy: z is rounded at ``round_to``
+    FIRST and the threshold compares the rounded value in BOTH engines,
+    so the flag can never flip on a last-ulp difference. σ = 0 or an
+    all-null frame yields null z and flag 0 (matches the SQL twin's
+    ``CASE WHEN s = 0 THEN NULL``). Null x yields null z, flag 0."""
+    if window < 1:
+        raise ValueError(f"anomaly_zscore: window={window}")
+    if threshold <= 0:
+        raise ValueError(f"anomaly_zscore: threshold={threshold}")
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        v = s.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pad = np.concatenate([np.full(window - 1, np.nan), v])
+        fr = np.lib.stride_tricks.sliding_window_view(pad, window)
+        ok = ~np.isnan(fr)
+        cnt = ok.sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = np.where(ok, fr, 0.0).sum(axis=1) / cnt
+            dev = np.where(ok, fr - mu[:, None], 0.0)
+            std = np.sqrt((dev * dev).sum(axis=1) / cnt)
+            z = np.round((v - mu) / std, round_to)
+        z = np.where((cnt > 0) & (std > 0), z, np.nan)
+        flag = np.where(np.isnan(z), 0, (np.abs(z) > threshold)) \
+            .astype(np.int64)
+        return s.append_column(
+            "zscore", pa.array(z, pa.float64(), from_pandas=True)
+        ).append_column("is_anomaly", pa.array(flag, pa.int64()))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
 def heavy_hitters_grouped(
     ds: rd.Dataset, key: str, col: str, min_fraction: float,
     max_distinct: int = MAX_DISTINCT_DRIVER,

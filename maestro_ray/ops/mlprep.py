@@ -121,6 +121,108 @@ def one_hot(
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def bin_equal_width(
+    ds: rd.Dataset,
+    col: str,
+    n_bins: int,
+    lo: float | None = None,
+    hi: float | None = None,
+    out_col: str = "bin",
+) -> rd.Dataset:
+    """Equal-width discretization: 1-based bin id over [lo, hi] split
+    into ``n_bins`` buckets (SQL ``least(floor((x−lo)/((hi−lo)/n)),
+    n−1)+1`` — the expression is evaluated with the SAME operation
+    order in both engines, so identical doubles give identical bins
+    with no rounding policy needed). ``lo``/``hi`` default to the
+    column's exact min/max (mergeable partials — no shuffle anywhere).
+    x outside [lo, hi] clips to the edge bins; null → null;
+    a constant column (lo == hi) puts everything in bin 1."""
+    if n_bins < 1:
+        raise ValueError(f"bin_equal_width: n_bins={n_bins}")
+    if lo is None or hi is None:
+
+        def mm(t: pa.Table) -> pa.Table:
+            v = t.column(col)
+            return pa.table({"lo": pa.array([pc.min(v).as_py()],
+                                            pa.float64()),
+                             "hi": pa.array([pc.max(v).as_py()],
+                                            pa.float64())})
+
+        parts = ds.select_columns([col]) \
+            .map_batches(mm, batch_format="pyarrow").to_pandas()
+        if parts.empty or parts["lo"].isna().all():
+            lo_v, hi_v = 0.0, 0.0  # all-null column: every bin is null
+        else:
+            lo_v = float(parts["lo"].min()) if lo is None else float(lo)
+            hi_v = float(parts["hi"].max()) if hi is None else float(hi)
+    else:
+        lo_v, hi_v = float(lo), float(hi)
+    w = (hi_v - lo_v) / n_bins
+
+    def encode(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if w > 0:
+                b = np.floor((v - lo_v) / w)
+            else:
+                b = np.zeros(len(v), np.float64)
+            b = np.minimum(np.maximum(b, 0.0), n_bins - 1) + 1
+        b = np.where(np.isnan(v), np.nan, b)
+        return t.append_column(
+            out_col,
+            pa.array(b, pa.float64(), from_pandas=True).cast(pa.int64()))
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def target_encode(
+    ds: rd.Dataset,
+    key: str,
+    target: str,
+    smoothing: float = 10.0,
+    out_col: str = "enc",
+    round_to: int | None = 6,
+) -> rd.Dataset:
+    """Smoothed mean target encoding: enc_k = (Σ_k target + m·ḡ) /
+    (n_k + m) where ḡ is the global target mean and m = ``smoothing``
+    — the standard leakage-averse categorical feature for gradient
+    models. Per-key (n, Σ) partials fold once and broadcast; the
+    scoring pass is batch-local (corpus never shuffles). Null key →
+    the global prior ḡ; a key whose targets are all null → ḡ too
+    (n = 0 collapses the formula). Rounded at ``round_to`` (summation
+    order differs across engines)."""
+    if smoothing < 0:
+        raise ValueError(f"target_encode: smoothing={smoothing}")
+    stats = _group_moments(ds, key, target)
+    n_tot = float(stats["n"].sum())
+    gmean = float(stats["s"].sum()) / n_tot if n_tot > 0 else float("nan")
+    keys_sorted = stats.index.to_numpy()
+    enc = ((stats["s"].to_numpy() + smoothing * gmean)
+           / (stats["n"].to_numpy() + smoothing)
+           if len(keys_sorted) else np.array([], np.float64))
+    ref = ray.put((keys_sorted, enc))
+
+    def score(t: pa.Table) -> pa.Table:
+        ks, es = ray.get(ref)
+        kv = t.column(key).to_pandas().to_numpy(dtype=object)
+        valid = pd.notna(kv)
+        out = np.full(len(kv), gmean, np.float64)
+        if len(ks):
+            pos = np.zeros(len(kv), dtype=np.int64)
+            pos[valid] = np.minimum(np.searchsorted(ks, kv[valid]),
+                                    len(ks) - 1)
+            hit = np.zeros(len(kv), dtype=bool)
+            hit[valid] = ks[pos[valid]] == kv[valid]
+            out[hit] = es[pos[hit]]
+        if round_to is not None:
+            out = np.round(out, round_to)
+        return t.append_column(
+            out_col, pa.array(out, pa.float64(), from_pandas=True))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def categorical_encode(
     ds: rd.Dataset,
     col: str,

@@ -7,7 +7,8 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from maestro_ray.ops.mlprep import categorical_encode, one_hot, standardize
+from maestro_ray.ops.mlprep import (bin_equal_width, categorical_encode,
+                                    one_hot, standardize, target_encode)
 
 
 def test_standardize_zero_variance_and_nulls(ray_session):
@@ -32,6 +33,58 @@ def test_one_hot_frozen_categories_and_nulls(ray_session):
     # inferred categories exclude nulls
     out2 = one_hot(rd.from_arrow(t), "c").to_pandas()
     assert {"c_x", "c_y", "c_z"} <= set(out2.columns)
+
+
+def test_bin_equal_width_edges_clip_and_nulls(ray_session):
+    t = pa.table({"v": pa.array([0.0, 2.5, 5.0, 9.999, 10.0, None],
+                                pa.float64())})
+    out = bin_equal_width(rd.from_arrow(t), "v", 4).to_pandas()
+    # lo=0 hi=10 w=2.5 → bins 1..4; hi itself clips into the top bin
+    assert list(out.bin.dropna()) == [1, 2, 3, 4, 4]
+    assert out.bin.isna().sum() == 1
+
+
+def test_bin_equal_width_explicit_bounds_clip(ray_session):
+    t = pa.table({"v": pa.array([-5.0, 0.0, 50.0, 120.0], pa.float64())})
+    out = bin_equal_width(rd.from_arrow(t), "v", 10, lo=0.0,
+                          hi=100.0).to_pandas()
+    assert list(out.bin) == [1, 1, 6, 10]  # out-of-range clips to edges
+
+
+def test_bin_equal_width_constant_and_all_null(ray_session):
+    t = pa.table({"v": pa.array([7.0, 7.0, None], pa.float64())})
+    out = bin_equal_width(rd.from_arrow(t), "v", 5).to_pandas()
+    assert list(out.bin.dropna()) == [1, 1]          # lo == hi → bin 1
+    t2 = pa.table({"v": pa.array([None, None], pa.float64())})
+    out2 = bin_equal_width(rd.from_arrow(t2), "v", 5).to_pandas()
+    assert out2.bin.isna().all()
+    with pytest.raises(ValueError, match="n_bins"):
+        bin_equal_width(rd.from_arrow(t), "v", 0)
+
+
+def test_target_encode_smoothing_and_priors(ray_session):
+    t = pa.table({
+        "k": ["a", "a", "b", None, "c", "c"],
+        "y": pa.array([1.0, 3.0, 10.0, 5.0, None, None], pa.float64()),
+    })
+    out = target_encode(rd.from_arrow(t), "k", "y", smoothing=2.0) \
+        .to_pandas()
+    # prior over non-null-key rows: (1+3+10)/3
+    gm = 14.0 / 3.0
+    enc = dict(zip(out.k.fillna("<null>"), out.enc))
+    assert enc["a"] == pytest.approx((4.0 + 2 * gm) / 4.0)
+    assert enc["b"] == pytest.approx((10.0 + 2 * gm) / 3.0)
+    assert enc["c"] == pytest.approx(gm)             # all-null targets
+    assert enc["<null>"] == pytest.approx(gm)        # null key → prior
+    with pytest.raises(ValueError, match="smoothing"):
+        target_encode(rd.from_arrow(t), "k", "y", smoothing=-1.0)
+
+
+def test_target_encode_all_null_targets(ray_session):
+    t = pa.table({"k": ["a", "b"],
+                  "y": pa.array([None, None], pa.float64())})
+    out = target_encode(rd.from_arrow(t), "k", "y").to_pandas()
+    assert out.enc.isna().all()                      # no prior exists
 
 
 def test_categorical_encode_dense_rank_semantics(ray_session):

@@ -153,3 +153,43 @@ def test_moving_median_nulls_and_guard(ray_session):
     import pytest as pt
     with pt.raises(ValueError):
         moving_median(ds, "k", ["o"], "v", window=0)
+
+
+def test_anomaly_zscore_vs_duckdb(ray_session):
+    """Rolling z-score anomaly flags match DuckDB's windowed
+    avg/stddev_pop, incl. nulls, zero-variance frames, and the
+    round-before-threshold flag contract."""
+    from maestro_ray.ops.aggregates import anomaly_zscore
+
+    rng = np.random.default_rng(7)
+    n = 400
+    vals = rng.normal(50, 5, n).round(3)
+    vals[rng.random(n) < 0.1] = np.nan
+    vals[50] = 500.0      # planted spike
+    vals[200:210] = 42.0  # zero-variance stretch
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, n),
+        "i": np.arange(n),
+        "v": vals,
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = anomaly_zscore(ds, "k", ["i"], "v", window=8, threshold=2.0) \
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    exp = duckdb.query_df(df, "t", """
+        WITH w AS (SELECT k, i, v, avg(v) OVER f AS m,
+          stddev_pop(v) OVER f AS s FROM t WINDOW f AS (
+          PARTITION BY k ORDER BY i
+          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        SELECT k, i, CASE WHEN s > 0 THEN round((v - m)/s, 4) END
+          AS zscore, CAST(CASE WHEN s > 0 AND
+          abs(round((v - m)/s, 4)) > 2.0 THEN 1 ELSE 0 END AS BIGINT)
+          AS is_anomaly FROM w ORDER BY i
+    """).df()
+    pd.testing.assert_series_equal(got["zscore"], exp["zscore"],
+                                   check_exact=True)
+    pd.testing.assert_series_equal(got["is_anomaly"], exp["is_anomaly"])
+    assert got.loc[got.i == 50, "is_anomaly"].iloc[0] == 1
+    with pytest.raises(ValueError, match="window"):
+        anomaly_zscore(ds, "k", ["i"], "v", window=0, threshold=2.0)
+    with pytest.raises(ValueError, match="threshold"):
+        anomaly_zscore(ds, "k", ["i"], "v", window=8, threshold=0.0)
