@@ -4502,6 +4502,19 @@ def _q_target_encode(sf):
     return out.select_columns(["event_id", "enc"])
 
 
+def _q_readability(sf):
+    """Flesch reading ease per document (ops/text.py readability_batch):
+    three vectorized RE2 count kernels → exact integer word/sentence/
+    vowel-group counts, score from a fixed-op-order formula (round 4);
+    the twin replays the counts via regexp_extract_all."""
+    from maestro_ray.ops.text import readability_batch
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(readability_batch, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_words", "n_sentences", "n_syllables", "flesch"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4711,6 +4724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_zscore": _q_anomaly_zscore,
         "bin_equal_width": _q_bin_equal_width,
         "target_encode": _q_target_encode,
+        "readability": _q_readability,
         "grouped_topk_ties": _q_grouped_topk_ties,
         "ratio_to_report": _q_ratio_to_report,
         "dedup_consecutive": _q_dedup_consecutive,
@@ -5578,6 +5592,21 @@ def oracle_sql() -> dict[str, str]:
             "(s.sm + 10.0 * g.gm) / (s.n + 10.0) END, 6) AS enc "
             "FROM events e LEFT JOIN s USING (event_type) "
             "CROSS JOIN g"
+        ),
+        "readability": (
+            # exact integer counts via regexp_extract_all; the score
+            # formula uses the engine's fixed operation order
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), "
+            "'[A-Za-z]+')) AS BIGINT) AS n_words, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), "
+            "'[.!?]+')) AS BIGINT) AS n_sentences, "
+            "CAST(len(regexp_extract_all(lower(coalesce(text, '')), "
+            "'[aeiouy]+')) AS BIGINT) AS n_syllables, "
+            "round(CASE WHEN n_words = 0 OR n_sentences = 0 THEN NULL "
+            "ELSE 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / "
+            "n_sentences) - 84.6 * (CAST(n_syllables AS DOUBLE) / "
+            "n_words) END, 4) AS flesch FROM documents"
         ),
         "sample_group_k": (
             # the shared mult-hash contract, spelled in SQL exactly as

@@ -231,6 +231,41 @@ class LinearModelScorer:
         return batch.append_column(self.out_col, pa.array(scores, pa.float64()))
 
 
+def readability_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    round_to: int = 4,
+) -> pa.Table:
+    """Flesch reading-ease score from EXACT integer counts — the
+    standard document-quality feature for corpus filtering. Words =
+    ``[A-Za-z]+`` runs, sentences = ``[.!?]+`` runs, syllables =
+    ``[aeiouy]+`` vowel groups (lowercased) — all three are single
+    vectorized RE2 ``count_substring_regex`` kernels, no per-doc loop,
+    and each is an exact int a SQL twin can replay via
+    ``len(regexp_extract_all(...))``. Score = 206.835 − 1.015·(W/S) −
+    84.6·(Y/W) with fixed operation order; W = 0 or S = 0 → null.
+    Null text counts as empty (0s, null score)."""
+    import pyarrow.compute as pc
+
+    texts = pc.fill_null(batch.column(text_col), "")
+    w = pc.cast(pc.count_substring_regex(texts, "[A-Za-z]+"), pa.int64())
+    s = pc.cast(pc.count_substring_regex(texts, "[.!?]+"), pa.int64())
+    y = pc.cast(pc.count_substring_regex(
+        pc.utf8_lower(texts), "[aeiouy]+"), pa.int64())
+    wn = w.to_numpy(zero_copy_only=False).astype(np.float64)
+    sn = s.to_numpy(zero_copy_only=False).astype(np.float64)
+    yn = y.to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        score = 206.835 - 1.015 * (wn / sn) - 84.6 * (yn / wn)
+    score = np.where((wn == 0) | (sn == 0), np.nan,
+                     np.round(score, round_to))
+    return (batch.append_column("n_words", w)
+            .append_column("n_sentences", s)
+            .append_column("n_syllables", y)
+            .append_column("flesch", pa.array(score, pa.float64(),
+                                              from_pandas=True)))
+
+
 def normalize_text_batch(batch: pa.Table, text_col: str = "text",
                          out_col: str = "norm_text") -> pa.Table:
     """Curation-standard text normalization, fully Arrow-vectorized:
