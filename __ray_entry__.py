@@ -4515,6 +4515,100 @@ def _q_readability(sf):
         ["doc_id", "n_words", "n_sentences", "n_syllables", "flesch"])
 
 
+def _q_auc_score(sf):
+    """Exact ROC-AUC of event value as a purchase predictor
+    (ops/ml.py auc_exact — Mann-Whitney with average tie ranks): one
+    bucketed per-score pos/neg aggregate, guarded driver cumsum over
+    O(distinct scores). All rank terms exact ints; 6dp only on the
+    final division (cross-engine float policy)."""
+    from maestro_ray.ops.ml import auc_exact
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "value": t.column("value"),
+            "y": pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                         pa.int64())})
+
+    return auc_exact(ds.map_batches(lab, batch_format="pyarrow"),
+                     "value", "y")
+
+
+def _q_twap(sf):
+    """Per-user TIME-weighted average of event value (ops/aggregates
+    twap_grouped): each value held until the user's next event,
+    last event carries no interval — the lead()-interval SQL shape.
+    dt is exact integer microseconds; 6dp on the ratio."""
+    from maestro_ray.ops.aggregates import twap_grouped
+
+    ds = _read(sf, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                                pc.is_valid(t.column("value"))))
+
+    return twap_grouped(ds.map_batches(clean, batch_format="pyarrow"),
+                        "user_id", ["ts", "event_id"], "ts", "value",
+                        round_to=6)
+
+
+def _q_market_basket(sf):
+    """Market-basket pair co-occurrence over orders (ops/analytics
+    cooccurrence_pairs): distinct (order, part) → per-bucket
+    vectorized within-order pair generation (no per-basket Python
+    loop) → one bucketed (p1, p2) count, support >= 2. Exact integer
+    counts; the pair space stays distributed until the HAVING bound."""
+    from maestro_ray.ops.analytics import cooccurrence_pairs
+
+    ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
+    out = cooccurrence_pairs(ds, "l_orderkey", "l_partkey",
+                             min_support=2).to_pandas()
+    if out.empty:  # schema-lost empty collection (repo-documented)
+        return pd.DataFrame({"p1": pd.Series(dtype="int64"),
+                             "p2": pd.Series(dtype="int64"),
+                             "support": pd.Series(dtype="int64")})
+    out["support"] = out["support"].astype("int64")
+    return out.sort_values(["p1", "p2"]).reset_index(drop=True)
+
+
+def _q_jaccard_sets(sf):
+    """Audience-overlap Jaccard between event-type pairs by distinct
+    user sets (ops/analytics.jaccard_sets): intersections ride the
+    market-basket pair kernel with USERS as baskets; sizes are one
+    tiny grouped count. inter/union exact ints, jaccard 6dp."""
+    from maestro_ray.ops.analytics import jaccard_sets
+
+    ds = _read(sf, "events", columns=["event_type", "user_id"])
+    return jaccard_sets(ds, "event_type", "user_id", round_to=6)
+
+
+_BFS_SUPP_OFF = 1_000_000_000
+
+
+def _q_bfs_levels(sf):
+    """Multi-source BFS hop distance over the bipartite part-supplier
+    graph (ops/graph.py bfs_levels — edges stream once per level,
+    O(nodes) visited state behind the pagerank-style broadcast guard).
+    Seeds: suppliers with suppkey <= 3; undirected, max_depth=4.
+    Exact integer distances; twin is a depth-bounded recursive CTE
+    taking min(dist) (identical bounded-BFS semantics)."""
+    from maestro_ray.ops.graph import bfs_levels
+
+    ds = _read(sf, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t.column("l_partkey"),
+            "b": pc.add(pc.cast(t.column("l_suppkey"), pa.int64()),
+                        _BFS_SUPP_OFF)})
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    seeds = [_BFS_SUPP_OFF + k for k in range(4)]
+    return bfs_levels(e, seeds, max_depth=4, directed=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4721,6 +4815,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean": _q_trimmed_mean,
         "benford_digits": _q_benford,
         "drift_psi": _q_drift_psi,
+        "auc_score": _q_auc_score,
+        "twap": _q_twap,
+        "market_basket": _q_market_basket,
+        "jaccard_sets": _q_jaccard_sets,
+        "bfs_levels": _q_bfs_levels,
         "anomaly_zscore": _q_anomaly_zscore,
         "bin_equal_width": _q_bin_equal_width,
         "target_encode": _q_target_encode,
@@ -6471,6 +6570,74 @@ def oracle_sql() -> dict[str, str]:
             "lead(ts) OVER w AS valid_to, "
             "lead(ts) OVER w IS NULL AS is_current FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "auc_score": (
+            # exact AUC from per-score pos/neg counts — the same
+            # rank-statistic identity the engine computes: positives
+            # beat all strictly-lower negatives and half the ties
+            "WITH c AS (SELECT value AS s, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            "::BIGINT AS pos, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)"
+            "::BIGINT AS neg "
+            "FROM events WHERE value IS NOT NULL GROUP BY value), "
+            "o AS (SELECT pos, neg, coalesce(sum(neg) OVER ("
+            "ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING), 0) AS cneg FROM c) "
+            "SELECT round(sum(pos * (cneg + neg / 2.0)) / "
+            "((SELECT sum(pos) FROM c) * (SELECT sum(neg) FROM c)), 6) "
+            "AS auc, (SELECT sum(pos) FROM c)::BIGINT AS n_pos, "
+            "(SELECT sum(neg) FROM c)::BIGINT AS n_neg FROM o"
+        ),
+        "twap": (
+            "WITH x AS (SELECT user_id, value, epoch_us("
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            " - ts) AS dt FROM events "
+            "WHERE ts IS NOT NULL AND value IS NOT NULL) "
+            "SELECT user_id, "
+            "round(sum(value * dt) / nullif(sum(dt), 0), 6) AS twap "
+            "FROM x WHERE dt IS NOT NULL GROUP BY user_id "
+            "ORDER BY user_id"
+        ),
+        "market_basket": (
+            "WITH i AS (SELECT DISTINCT l_orderkey AS b, l_partkey "
+            "AS p FROM lineitem) "
+            "SELECT x.p AS p1, y.p AS p2, count(*) AS support "
+            "FROM i x JOIN i y ON x.b = y.b AND x.p < y.p "
+            "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"
+        ),
+        "jaccard_sets": (
+            "WITH d AS (SELECT DISTINCT event_type AS t, user_id AS u "
+            "FROM events WHERE event_type IS NOT NULL AND user_id IS "
+            "NOT NULL), "
+            "sz AS (SELECT t, count(*)::BIGINT AS size FROM d GROUP BY t), "
+            "i AS (SELECT x.t AS s1, y.t AS s2, count(*)::BIGINT AS "
+            "inter FROM d x JOIN d y ON x.u = y.u AND x.t < y.t "
+            "GROUP BY 1, 2) "
+            "SELECT s1, s2, inter, "
+            "(a.size + b.size - inter)::BIGINT AS union_, "
+            "round(inter * 1.0 / (a.size + b.size - inter), 6) AS "
+            "jaccard FROM i JOIN sz a ON a.t = s1 JOIN sz b ON b.t = s2 "
+            "WHERE inter >= 1 ORDER BY s1, s2"
+        ),
+        "bfs_levels": (
+            # depth-bounded recursive-CTE BFS: UNION dedups full rows,
+            # dist strictly increases per recursion and is capped, so
+            # cycles terminate; min(dist) is the true hop distance for
+            # every node within max_depth — identical semantics to the
+            # engine's level-synchronous frontier expansion
+            "WITH RECURSIVE e AS (SELECT DISTINCT l_partkey AS p, "
+            "l_suppkey + 1000000000 AS s FROM lineitem), "
+            "g AS (SELECT p AS a, s AS b FROM e "
+            "UNION ALL SELECT s AS a, p AS b FROM e), "
+            "bfs(node, dist) AS ("
+            "SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS dist "
+            "FROM e WHERE s <= 1000000003 "
+            "UNION "
+            "SELECT g.b, bfs.dist + 1 FROM bfs JOIN g ON g.a = bfs.node "
+            "WHERE bfs.dist < 4) "
+            "SELECT node, min(dist)::BIGINT AS dist FROM bfs "
+            "GROUP BY node ORDER BY node"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

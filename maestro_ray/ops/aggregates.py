@@ -3230,3 +3230,46 @@ def benford_digits(ds: rd.Dataset, col: str) -> pd.DataFrame:
         "frac": merged[cnt_col].astype("int64").to_numpy("float64")
         / float(total),
     })
+
+
+def twap_grouped(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    round_to: int | None = 6,
+) -> pd.DataFrame:
+    """Per-key TIME-weighted average: each value is held until the
+    next observation, so twap = sum(v_i * dt_i) / sum(dt_i) with
+    dt_i = ts_{i+1} - ts_i over the key's timeline in ``order_cols``
+    order (the last observation carries no interval — same rule as
+    SQL's lead()-based spelling, WHERE dt IS NOT NULL). Keys with a
+    single row are dropped (no interval at all).
+
+    One groupby shuffle; per-key math is one vectorized diff. dt is
+    exact integer microseconds, so only the float v*dt summation
+    order is engine-dependent — the ratio is O(value) magnitude and
+    the 6dp policy absorbs the last-ulp drift. Returns (key, twap)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(order_cols)
+        if len(s) < 2:
+            return pd.DataFrame({key: pd.Series([], dtype=g[key].dtype),
+                                 "twap": pd.Series([], dtype="float64")})
+        ts = s[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        v = s[value_col].to_numpy(dtype=np.float64)
+        dt = np.diff(ts).astype(np.float64)
+        tot = float(dt.sum())
+        tw = float((v[:-1] * dt).sum()) / tot if tot > 0 else None
+        if tw is not None and round_to is not None:
+            tw = round(tw, round_to)
+        return pd.DataFrame({key: [s[key].iloc[0]],
+                             "twap": pd.Series([tw], dtype="float64")})
+
+    out = ds.groupby(key).map_groups(per_key, batch_format="pandas") \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame({key: pd.Series([], dtype="object"),
+                             "twap": pd.Series([], dtype="float64")})
+    return out.sort_values(key).reset_index(drop=True)

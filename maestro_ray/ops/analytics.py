@@ -327,3 +327,146 @@ def last_touch_attribution(
         })
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def _pairs_within_runs(items: np.ndarray, run_sizes: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered-unique pairs (i<j by position) WITHIN each
+    contiguous run of ``items`` — fully vectorized (no per-run Python
+    loop): each element at in-run position p pairs leftward with the
+    (k-1-p) elements after it; the right side is gathered by a global
+    index built from a cumsum ramp. Pair count is sum k(k-1)/2."""
+    if len(items) == 0:
+        return (np.array([], dtype=items.dtype),
+                np.array([], dtype=items.dtype))
+    starts = np.concatenate(([0], np.cumsum(run_sizes)[:-1]))
+    pos = np.arange(len(items)) - np.repeat(starts, run_sizes)
+    reps = np.repeat(run_sizes, run_sizes) - 1 - pos  # pairs per elem
+    lefts = np.repeat(items, reps)
+    base = np.repeat(np.arange(len(items)), reps)
+    ramp_start = np.repeat(np.cumsum(reps) - reps, reps)
+    within = np.arange(int(reps.sum())) - ramp_start
+    rights = items[base + 1 + within]
+    return lefts, rights
+
+
+def cooccurrence_pairs(
+    ds: rd.Dataset,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Market-basket pair co-occurrence: for every unordered item pair
+    {p1 < p2}, the number of baskets containing BOTH (support).
+
+    Plan — three bucket exchanges, nothing basket- or corpus-sized on
+    the driver: (1) distinct (basket, item) via ``bucketed_agg`` (a
+    basket listing an item twice counts once — the SQL DISTINCT
+    spelling); (2) route by hash(basket), per-bucket sort by (basket,
+    item) and vectorized within-run pair generation
+    (``_pairs_within_runs`` — no per-basket Python loop; item order
+    inside a run is ascending, so p1 < p2 holds by construction);
+    (3) ``bucketed_agg`` count per (p1, p2), filtered to
+    ``min_support``. Returns a lazy Dataset (p1, p2, support) — at
+    web scale the pair space is large, so the caller bounds it
+    (min_support / top-k), never to_pandas unguarded."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.hashing import hash_array
+
+    def clean(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(basket_col)),
+                     pc.is_valid(t.column(item_col)))
+        return t.select([basket_col, item_col]).filter(ok)
+
+    distinct = bucketed_agg(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        [basket_col, item_col], [(None, "count_all", "__c")],
+        n_buckets=n_buckets)
+
+    def route(t: pa.Table) -> pa.Table:
+        h = hash_array(t.column(basket_col))
+        b = (h % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__pb", pa.array(b, pa.int64()))
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(
+            g, sort_keys=[(basket_col, "ascending"),
+                          (item_col, "ascending")]))
+        ids = s.column(basket_col).to_numpy(zero_copy_only=False)
+        items = s.column(item_col).to_numpy(zero_copy_only=False)
+        # run lengths of equal basket ids (sorted => runs contiguous);
+        # != works for numeric and object (string) ids alike
+        if len(ids) == 0:
+            sizes = np.array([], dtype=np.int64)
+        else:
+            change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            bounds = np.concatenate(([0], change, [len(ids)]))
+            sizes = np.diff(bounds)
+        lefts, rights = _pairs_within_runs(items, sizes)
+        item_t = s.schema.field(item_col).type
+        return pa.table({"p1": pa.array(lefts, item_t),
+                         "p2": pa.array(rights, item_t)})
+
+    pairs = distinct.map_batches(route, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(bucket_pairs, batch_format="pyarrow")
+    support = bucketed_agg(
+        pairs, ["p1", "p2"], [(None, "count_all", "support")],
+        n_buckets=n_buckets)
+    if min_support > 1:
+        support = support.filter(
+            expr=f"support >= {int(min_support)}")
+    return support
+
+
+def jaccard_sets(
+    ds: rd.Dataset,
+    set_col: str,
+    member_col: str,
+    round_to: int | None = 6,
+) -> pd.DataFrame:
+    """Jaccard similarity between every pair of SETS, where set s =
+    {distinct members m with a (s, m) row}: |A∩B| / |A∪B|. The
+    audience-overlap / co-visitation shape (sets = event types or
+    domains, members = users).
+
+    Intersections ride ``cooccurrence_pairs`` with members as the
+    baskets (a member in both sets contributes 1 to their pair);
+    set sizes are one tiny grouped count over the same distinct
+    (member, set) relation. Driver sees only O(set pairs + sets)
+    rows — assumes set CARDINALITY is reporting-sized (members are
+    never collected). All counts exact ints; jaccard rounds 6dp
+    (float-division policy). Returns (s1, s2, inter, union_, jaccard)
+    for pairs with inter >= 1."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    def clean(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(set_col)),
+                     pc.is_valid(t.column(member_col)))
+        return t.select([set_col, member_col]).filter(ok)
+
+    cleaned = ds.map_batches(clean, batch_format="pyarrow")
+    inter = cooccurrence_pairs(
+        cleaned, basket_col=member_col, item_col=set_col).to_pandas()
+    sizes = bucketed_agg(
+        cleaned, [member_col, set_col], [(None, "count_all", "__c")]
+    ).map_batches(
+        lambda t: t.select([set_col]), batch_format="pyarrow")
+    sizes = bucketed_agg(
+        sizes, [set_col], [(None, "count_all", "size")]).to_pandas()
+    if inter.empty or sizes.empty:
+        return pd.DataFrame({
+            "s1": pd.Series([], dtype="object"),
+            "s2": pd.Series([], dtype="object"),
+            "inter": pd.Series([], dtype="int64"),
+            "union_": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64")})
+    sz = dict(zip(sizes[set_col], sizes["size"]))
+    out = inter.rename(columns={"p1": "s1", "p2": "s2",
+                                "support": "inter"})
+    out["inter"] = out["inter"].astype("int64")
+    out["union_"] = (out["s1"].map(sz) + out["s2"].map(sz)
+                     - out["inter"]).astype("int64")
+    jac = out["inter"] / out["union_"]
+    out["jaccard"] = jac.round(round_to) if round_to is not None else jac
+    return out.sort_values(["s1", "s2"]).reset_index(drop=True)

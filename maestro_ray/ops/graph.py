@@ -390,3 +390,103 @@ def pagerank(
         ranks = (1.0 - damping) / n + damping * (inflow + d_mass / n)
 
     return pd.DataFrame({"node": nodes.astype(np.int64), "rank": ranks})
+
+
+def bfs_levels(
+    edges: rd.Dataset,
+    seeds,
+    max_depth: int = 10,
+    directed: bool = True,
+    src: str = "a",
+    dst: str = "b",
+    max_broadcast_nodes: int = 5_000_000,
+) -> pd.DataFrame:
+    """Multi-source BFS: exact minimum hop distance (<= ``max_depth``)
+    from the seed set to every reachable node that appears in the edge
+    list. Seeds not present in any edge are ignored.
+
+    Plan — the ``pagerank`` scale shape: the EDGE list streams once
+    per level (one column-pruned map_batches whose per-batch output is
+    only the frontier's unique out-neighbors), while the O(nodes)
+    visited/distance state lives on the driver behind the same loud
+    ``max_broadcast_nodes`` guard (~16 B/node); each level broadcasts
+    the (shrinking) frontier via ``ray.put``. Levels run
+    sequentially by definition (BFS is a depth-synchronous fixpoint);
+    total work is O(edges * levels) worst case but each level's pass
+    prunes to frontier-incident batches via one vectorized
+    ``searchsorted`` membership test. Distances are exact integers —
+    bit-reproducible across partitionings. Returns (node, dist),
+    seeds at dist 0, sorted by node."""
+    import ray
+
+    if max_depth < 0:
+        raise ValueError(f"max_depth={max_depth}")
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.select([src, dst]).rename_columns(["a", "b"])
+        t = t.filter(pc.and_(pc.is_valid(t.column("a")),
+                             pc.is_valid(t.column("b"))))
+        a = pc.cast(t.column("a"), pa.int64())
+        b = pc.cast(t.column("b"), pa.int64())
+        if directed:
+            return pa.table({"a": a, "b": b})
+        # symmetrize once so every level is a single forward scan
+        ac, bc = a.combine_chunks(), b.combine_chunks()
+        return pa.table({"a": pa.concat_arrays([ac, bc]),
+                         "b": pa.concat_arrays([bc, ac])})
+
+    e = _compact(edges.map_batches(clean, batch_format="pyarrow")
+                 .materialize())
+    if e.count() == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="int64")})
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.chunked_array([t.column("a").combine_chunks(),
+                                        t.column("b").combine_chunks()]))
+        return pa.table({"node": u})
+
+    nodes = np.unique(e.map_batches(node_partial, batch_format="pyarrow")
+                      .to_pandas()["node"].to_numpy())
+    if len(nodes) > max_broadcast_nodes:
+        raise ValueError(
+            f"bfs_levels: {len(nodes)} nodes > max_broadcast_nodes="
+            f"{max_broadcast_nodes}; raise the guard explicitly or "
+            "pre-contract the graph (ops/graph.connected_components)")
+    dist = np.full(len(nodes), -1, dtype=np.int64)
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    pos = np.searchsorted(nodes, seed_arr)
+    in_univ = (pos < len(nodes))
+    in_univ[in_univ] &= nodes[pos[in_univ]] == seed_arr[in_univ]
+    dist[pos[in_univ]] = 0
+    frontier = nodes[dist == 0]
+
+    for d in range(1, max_depth + 1):
+        if len(frontier) == 0:
+            break
+        f_ref = ray.put(frontier)
+
+        def neighbors(t: pa.Table) -> pa.Table:
+            f = ray.get(f_ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            p = np.searchsorted(f, a)
+            hit = (p < len(f))
+            hit[hit] = f[p[hit]] == a[hit]
+            if not hit.any():
+                return pa.table({"n": pa.array([], pa.int64())})
+            b = t.column("b").to_numpy(zero_copy_only=False)[hit]
+            return pa.table({"n": pa.array(np.unique(b), pa.int64())})
+
+        reached = e.map_batches(neighbors, batch_format="pyarrow") \
+            .to_pandas()["n"].to_numpy()
+        if len(reached) == 0:
+            break
+        idx = np.searchsorted(nodes, np.unique(reached))
+        new_mask = dist[idx] == -1
+        dist[idx[new_mask]] = d
+        frontier = nodes[idx[new_mask]]
+
+    found = dist >= 0
+    return pd.DataFrame({"node": nodes[found].astype(np.int64),
+                         "dist": dist[found]}) \
+        .sort_values("node").reset_index(drop=True)

@@ -144,3 +144,67 @@ def logreg_predict(
             out_col, pa.array(p, pa.float64(), mask=~vmask))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def auc_exact(
+    ds: rd.Dataset,
+    score_col: str,
+    label_col: str,
+    round_to: int | None = 6,
+    max_distinct: int = 2_000_000,
+) -> pd.DataFrame:
+    """Exact ROC-AUC (= the Mann-Whitney rank statistic with average
+    tie ranks): the probability a random positive outscores a random
+    negative, ties counting half.
+
+    Plan: ONE high-cardinality grouped aggregate over the distinct
+    score values (``bucketed_agg`` — pos/neg counts per score, rows
+    never on the driver), then a driver cumsum over the O(distinct
+    scores) frame, guarded by the repo's standard loud ``max_distinct``
+    bound. AUC = sum_s pos(s) * (cum_neg_below(s) + neg(s)/2) / (P*N).
+    All terms are exact integers (and exact halves) below 2^52, so the
+    result is bit-reproducible across partitionings — the ``round_to``
+    default exists only for the cross-engine float-division policy.
+
+    Rows with a null score or null label are excluded (SQL twin:
+    WHERE both non-null). Returns a one-row frame
+    (auc, n_pos, n_neg); auc is NULL when either class is absent."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    def clean(t: pa.Table) -> pa.Table:
+        s = t.column(score_col)
+        lab = pc.cast(t.column(label_col), pa.int64())
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(lab))
+        return pa.table({"__s": s, "__l": lab}).filter(ok)
+
+    per_score = bucketed_agg(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        ["__s"], [("__l", "sum", "pos"), (None, "count_all", "cnt")],
+    ).materialize()
+    n_scores = per_score.count()
+    if n_scores > max_distinct:
+        raise RuntimeError(
+            f"auc_exact: {n_scores} distinct score values exceed the "
+            f"driver bound {max_distinct}; quantize scores (e.g. round "
+            "to fixed precision) or raise max_distinct explicitly")
+    df = per_score.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"auc": pd.Series([None], dtype="float64"),
+                             "n_pos": pd.Series([0], dtype="int64"),
+                             "n_neg": pd.Series([0], dtype="int64")})
+    df = df.sort_values("__s", kind="stable").reset_index(drop=True)
+    pos = df["pos"].to_numpy(dtype=np.int64)
+    neg = df["cnt"].to_numpy(dtype=np.int64) - pos
+    p_total = int(pos.sum())
+    n_total = int(neg.sum())
+    if p_total == 0 or n_total == 0:
+        auc = None
+    else:
+        cneg_below = np.concatenate(([0], np.cumsum(neg)[:-1]))
+        num = float(np.sum(pos * (cneg_below + neg / 2.0)))
+        auc = num / (float(p_total) * float(n_total))
+        if round_to is not None:
+            auc = round(auc, round_to)
+    return pd.DataFrame({"auc": pd.Series([auc], dtype="float64"),
+                         "n_pos": pd.Series([p_total], dtype="int64"),
+                         "n_neg": pd.Series([n_total], dtype="int64")})

@@ -100,6 +100,9 @@ ORACLE_NAMES = [
     "running_distinct", "autocorr", "sample_group_k", "pct_change",
     "group_rank",
     "gini_grouped", "trimmed_mean", "benford_digits", "drift_psi",
+    "anomaly_zscore", "bin_equal_width", "target_encode",
+    "sqlite_import", "readability",
+    "auc_score", "twap", "market_basket", "jaccard_sets", "bfs_levels",
 ]
 
 
