@@ -4609,6 +4609,35 @@ def _q_bfs_levels(sf):
     return bfs_levels(e, seeds, max_depth=4, directed=False)
 
 
+def _q_assoc_rules(sf):
+    """Directed association rules over order baskets (ops/analytics
+    association_rules): the distinct (order, part) relation
+    materialized once feeds pair counts, item supports and the basket
+    count; confidence/lift from exact ints, 6dp division policy."""
+    from maestro_ray.ops.analytics import association_rules
+
+    ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return association_rules(ds, "l_orderkey", "l_partkey",
+                             min_support=2)
+
+
+def _q_cdc_minmax_view(sf):
+    """Incremental RETRACTABLE per-lang MIN/MAX of event time over the
+    replay lake (pipelines/views.py maintain_group_minmax): state =
+    live-row count per (lang, warc_ts) — the width-1 sketch state, so
+    deleting the current extreme retracts to the runner-up from state
+    alone, no corpus rescan. Rows-only; view≡recompute-at-every-epoch
+    plus a must-actually-retract assertion are pytest
+    (tests/replay/test_views.py)."""
+    from maestro_ray.pipelines.views import maintain_group_minmax
+
+    out = maintain_group_minmax(_cdc_lake(sf), "lang", "warc_ts")
+    out["lang"] = out["lang"].fillna("∅")
+    out["vmin"] = out["vmin"].astype("float64")
+    out["vmax"] = out["vmax"].astype("float64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4820,6 +4849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_basket": _q_market_basket,
         "jaccard_sets": _q_jaccard_sets,
         "bfs_levels": _q_bfs_levels,
+        "assoc_rules": _q_assoc_rules,
+        "cdc_minmax_view": _q_cdc_minmax_view,
         "anomaly_zscore": _q_anomaly_zscore,
         "bin_equal_width": _q_bin_equal_width,
         "target_encode": _q_target_encode,
@@ -6638,6 +6669,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bfs.dist < 4) "
             "SELECT node, min(dist)::BIGINT AS dist FROM bfs "
             "GROUP BY node ORDER BY node"
+        ),
+        "assoc_rules": (
+            "WITH i AS (SELECT DISTINCT l_orderkey AS b, l_partkey "
+            "AS p FROM lineitem), "
+            "n AS (SELECT count(DISTINCT b) AS n FROM i), "
+            "s AS (SELECT p, count(*)::BIGINT AS sp FROM i GROUP BY p), "
+            "pr AS (SELECT x.p AS p1, y.p AS p2, count(*)::BIGINT AS "
+            "support FROM i x JOIN i y ON x.b = y.b AND x.p < y.p "
+            "GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "d AS (SELECT p1 AS ante, p2 AS cons, support FROM pr "
+            "UNION ALL SELECT p2, p1, support FROM pr) "
+            "SELECT ante, cons, support, "
+            "round(support * 1.0 / sa.sp, 6) AS confidence, "
+            "round(support * 1.0 * n.n / (sa.sp * sc.sp), 6) AS lift "
+            "FROM d JOIN s sa ON sa.p = ante JOIN s sc ON sc.p = cons, "
+            "n ORDER BY ante, cons"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

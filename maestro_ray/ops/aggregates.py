@@ -413,6 +413,19 @@ def grouped_topk(
 MAX_DISTINCT_DRIVER = 2_000_000
 
 
+def sql_round(x, digits: int):
+    """SQL ``round()``: half AWAY FROM ZERO. Python/numpy/pandas round
+    half-to-even, which diverges from DuckDB on exact decimal-tie
+    values (e.g. 65/128 → .507812 vs SQL's .507813; lift ratios with
+    dyadic denominators hit this constantly). Works on scalars and
+    arrays; NaN passes through."""
+    s = 10.0 ** digits
+    ax = np.floor(np.abs(x) * s + 0.5) / s
+    return np.where(np.isnan(x), np.nan, np.sign(x) * ax) \
+        if isinstance(x, np.ndarray) or hasattr(x, "__len__") \
+        else (x if np.isnan(x) else float(np.sign(x)) * float(ax))
+
+
 def _count_merge(ds: rd.Dataset, cols: list[str],
                  max_distinct: int = MAX_DISTINCT_DRIVER
                  ) -> tuple[pd.DataFrame, str]:
@@ -3263,7 +3276,7 @@ def twap_grouped(
         tot = float(dt.sum())
         tw = float((v[:-1] * dt).sum()) / tot if tot > 0 else None
         if tw is not None and round_to is not None:
-            tw = round(tw, round_to)
+            tw = sql_round(tw, round_to)  # SQL half-away tie rule
         return pd.DataFrame({key: [s[key].iloc[0]],
                              "twap": pd.Series([tw], dtype="float64")})
 

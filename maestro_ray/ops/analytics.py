@@ -371,18 +371,31 @@ def cooccurrence_pairs(
     ``min_support``. Returns a lazy Dataset (p1, p2, support) — at
     web scale the pair space is large, so the caller bounds it
     (min_support / top-k), never to_pandas unguarded."""
+    distinct = _distinct_basket_items(ds, basket_col, item_col,
+                                      n_buckets)
+    return _pair_counts(distinct, basket_col, item_col, min_support,
+                        n_buckets)
+
+
+def _distinct_basket_items(ds, basket_col, item_col, n_buckets):
+    """Lazy distinct (basket, item) relation (nulls dropped)."""
     from maestro_ray.ops.aggregates import bucketed_agg
-    from maestro_ray.ops.hashing import hash_array
 
     def clean(t: pa.Table) -> pa.Table:
         ok = pc.and_(pc.is_valid(t.column(basket_col)),
                      pc.is_valid(t.column(item_col)))
         return t.select([basket_col, item_col]).filter(ok)
 
-    distinct = bucketed_agg(
+    return bucketed_agg(
         ds.map_batches(clean, batch_format="pyarrow"),
         [basket_col, item_col], [(None, "count_all", "__c")],
         n_buckets=n_buckets)
+
+
+def _pair_counts(distinct, basket_col, item_col, min_support,
+                 n_buckets) -> rd.Dataset:
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.hashing import hash_array
 
     def route(t: pa.Table) -> pa.Table:
         h = hash_array(t.column(basket_col))
@@ -467,6 +480,70 @@ def jaccard_sets(
     out["inter"] = out["inter"].astype("int64")
     out["union_"] = (out["s1"].map(sz) + out["s2"].map(sz)
                      - out["inter"]).astype("int64")
-    jac = out["inter"] / out["union_"]
-    out["jaccard"] = jac.round(round_to) if round_to is not None else jac
+    jac = (out["inter"] / out["union_"]).to_numpy()
+    if round_to is not None:  # SQL tie rule (half away from zero)
+        from maestro_ray.ops.aggregates import sql_round
+        jac = sql_round(jac, round_to)
+    out["jaccard"] = jac
     return out.sort_values(["s1", "s2"]).reset_index(drop=True)
+
+
+def association_rules(
+    ds: rd.Dataset,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    round_to: int | None = 6,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """Directed association rules ante → cons for every item pair
+    meeting ``min_support``: confidence = supp(ante, cons)/supp(ante),
+    lift = confidence / (supp(cons)/n_baskets) — the classic
+    support/confidence/lift triple.
+
+    The distinct (basket, item) relation is materialized ONCE (it
+    feeds three consumers: the pair counts, the per-item supports,
+    and the basket count — a lazy plan would recompute the upstream
+    read per consumer) and block-compacted. The driver sees only
+    O(qualifying rules + items referenced by them); all counts are
+    exact ints, ratios follow the 6dp float-division policy. Returns
+    (ante, cons, support, confidence, lift) sorted by (ante, cons)."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.partition import compact_blocks
+
+    distinct = compact_blocks(
+        _distinct_basket_items(ds, basket_col, item_col, n_buckets)
+        .materialize())
+    pairs = _pair_counts(distinct, basket_col, item_col, min_support,
+                         n_buckets).to_pandas()
+    empty = pd.DataFrame({
+        "ante": pd.Series([], dtype="object"),
+        "cons": pd.Series([], dtype="object"),
+        "support": pd.Series([], dtype="int64"),
+        "confidence": pd.Series([], dtype="float64"),
+        "lift": pd.Series([], dtype="float64")})
+    if pairs.empty:
+        return empty
+    supports = bucketed_agg(
+        distinct, [item_col], [(None, "count_all", "sp")],
+        n_buckets=n_buckets).to_pandas()
+    n_baskets = bucketed_agg(
+        distinct, [basket_col], [(None, "count_all", "__c")],
+        n_buckets=n_buckets).count()
+    sp = dict(zip(supports[item_col], supports["sp"].astype("int64")))
+    both = pd.concat([
+        pairs.rename(columns={"p1": "ante", "p2": "cons"}),
+        pairs.rename(columns={"p2": "ante", "p1": "cons"}),
+    ], ignore_index=True)
+    both["support"] = both["support"].astype("int64")
+    sa = both["ante"].map(sp).astype("int64")
+    sc = both["cons"].map(sp).astype("int64")
+    conf = both["support"] / sa
+    lift = both["support"] * float(n_baskets) / (sa * sc)
+    if round_to is not None:  # SQL half-away-from-zero, not half-even
+        from maestro_ray.ops.aggregates import sql_round
+        conf = sql_round(conf.to_numpy(), round_to)
+        lift = sql_round(lift.to_numpy(), round_to)
+    both["confidence"], both["lift"] = conf, lift
+    return both[["ante", "cons", "support", "confidence", "lift"]] \
+        .sort_values(["ante", "cons"]).reset_index(drop=True)

@@ -203,8 +203,9 @@ def auc_exact(
         cneg_below = np.concatenate(([0], np.cumsum(neg)[:-1]))
         num = float(np.sum(pos * (cneg_below + neg / 2.0)))
         auc = num / (float(p_total) * float(n_total))
-        if round_to is not None:
-            auc = round(auc, round_to)
+        if round_to is not None:  # SQL tie rule (half away from zero)
+            from maestro_ray.ops.aggregates import sql_round
+            auc = sql_round(auc, round_to)
     return pd.DataFrame({"auc": pd.Series([auc], dtype="float64"),
                          "n_pos": pd.Series([p_total], dtype="int64"),
                          "n_neg": pd.Series([n_total], dtype="int64")})

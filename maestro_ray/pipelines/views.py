@@ -617,3 +617,63 @@ def quantile_from_sketch(pairs: pd.DataFrame, group_col: str,
                                   dtype="Int64")})], ignore_index=True)
     return out.sort_values(group_col, na_position="last") \
         .reset_index(drop=True)
+
+
+def minmax_view_name(group_col: str, measure_col: str) -> str:
+    """Filesystem identity of a grouped MIN/MAX view."""
+    return f"{group_col}__minmax__{measure_col}"
+
+
+def maintain_group_minmax(
+    lake_dir: str, group_col: str, measure_col: str,
+    on_vacuumed: str = "bootstrap",
+) -> pd.DataFrame:
+    """Incrementally-maintained RETRACTABLE per-group MIN/MAX over an
+    integer measure column.
+
+    Plain min/max accumulators cannot retract: when a delete removes
+    the current extreme, the runner-up is unrecoverable from the
+    aggregate alone. Here the persisted state is the live-row count
+    per (group, value) — the width-1 instance of the quantile-sketch
+    state, which is SIGNED-ADDITIVE and therefore maintained exactly
+    by the same partition-diff walk as every other view (deletes
+    decrement a pair to zero and it leaves the state). min/max are a
+    read-time reduce over surviving pairs, so a delete of the extreme
+    retracts to the runner-up with NO corpus rescan. State is O(live
+    distinct (group, value) pairs). Same cursor/resume/vacuum
+    contract as ``maintain_group_counts``.
+
+    Returns (group, vmin, vmax); a group whose live measures are all
+    NULL keeps its row with NULL extremes (SQL min/max-over-nulls)."""
+    composite = (group_col, f"{BUCKET_GROUP_PREFIX}{measure_col}:1")
+    vid = minmax_view_name(group_col, measure_col)
+    pairs = _maintain(lake_dir, composite, vid, None, on_vacuumed)
+    bin_col = [c for c in pairs.columns
+               if c.startswith(BUCKET_GROUP_PREFIX)][0]
+    all_groups = pd.Series(
+        sorted(pairs[group_col].dropna().unique().tolist())
+        + ([None] if pairs[group_col].isna().any() else []),
+        dtype="object")
+    p = pairs.dropna(subset=[bin_col])
+    if p.empty:
+        out = pd.DataFrame({group_col: all_groups})
+        out["vmin"] = pd.Series([pd.NA] * len(out), dtype="Int64")
+        out["vmax"] = pd.Series([pd.NA] * len(out), dtype="Int64")
+        return out.sort_values(group_col, na_position="last") \
+            .reset_index(drop=True)
+    agg = p.groupby(group_col, dropna=False)[bin_col] \
+        .agg(vmin="min", vmax="max").reset_index()
+    agg["vmin"] = agg["vmin"].astype("Int64")
+    agg["vmax"] = agg["vmax"].astype("Int64")
+    covered = set(agg[group_col].fillna("\0N"))
+    missing = [g for g in all_groups
+               if (g if g is not None else "\0N") not in covered]
+    if missing:  # all-null-measure groups: NULL extremes, present row
+        out_missing = pd.DataFrame({group_col: missing})
+        out_missing["vmin"] = pd.Series([pd.NA] * len(missing),
+                                        dtype="Int64")
+        out_missing["vmax"] = pd.Series([pd.NA] * len(missing),
+                                        dtype="Int64")
+        agg = pd.concat([agg, out_missing], ignore_index=True)
+    return agg.sort_values(group_col, na_position="last") \
+        .reset_index(drop=True)

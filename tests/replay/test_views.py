@@ -283,3 +283,62 @@ def test_quantile_from_sketch_rank_robust_and_null_groups():
     # group b: only null-measure rows → present with NULL estimate
     b = out[out["g"] == "b"]["estimate"]
     assert len(b) == 1 and pd.isna(b.iloc[0])
+
+
+def test_minmax_view_matches_recompute_and_retracts(lake):
+    """Retractable MIN/MAX view: (1) head view == recompute; (2) the
+    per-epoch history equals recompute at EVERY epoch; (3) at least
+    one epoch transition actually RETRACTED an extreme (vmax shrank or
+    vmin grew for some group) — otherwise the fixture never exercised
+    the behavior this view exists for and the test is vacuous."""
+    from maestro_ray.pipelines.views import (
+        maintain_group_minmax,
+        minmax_view_name,
+        read_view,
+    )
+
+    def recompute(epoch):
+        pdf = read_lake_at(lake, epoch, columns=["lang", "warc_ts"]) \
+            .to_pandas()
+        out = {}
+        for g, sub in pdf.groupby("lang", dropna=False):
+            vals = sub["warc_ts"].dropna().astype("int64")
+            key = g if pd.notna(g) else None
+            out[key] = ((int(vals.min()), int(vals.max()))
+                        if len(vals) else (None, None))
+        return out
+
+    head = maintain_group_minmax(lake, "lang", "warc_ts")
+    got_head = {
+        (g if pd.notna(g) else None): (
+            None if pd.isna(lo) else int(lo),
+            None if pd.isna(hi) else int(hi))
+        for g, lo, hi in zip(head.iloc[:, 0], head["vmin"], head["vmax"])
+    }
+    want_head = {k: (v if v != (None, None) else (None, None))
+                 for k, v in recompute(list_epochs(lake)[-1]).items()}
+    assert got_head == {k: v for k, v in want_head.items()}
+
+    # history: reuse the persisted per-epoch pair states
+    vid = minmax_view_name("lang", "warc_ts")
+    retracted = False
+    prev = None
+    for e in list_epochs(lake):
+        pairs = read_view(lake, vid, e)
+        assert pairs is not None, f"epoch {e} state missing"
+        bin_col = [c for c in pairs.columns if c.startswith("bucket:")][0]
+        p = pairs.dropna(subset=[bin_col])
+        got = {
+            (g if pd.notna(g) else None): (int(v["min"]), int(v["max"]))
+            for g, v in p.groupby("lang", dropna=False)[bin_col]
+            .agg(["min", "max"]).iterrows()
+        }
+        want = {k: v for k, v in recompute(e).items()
+                if v != (None, None)}
+        assert got == want, f"epoch {e}"
+        if prev is not None:
+            for g, (lo, hi) in got.items():
+                if g in prev and (hi < prev[g][1] or lo > prev[g][0]):
+                    retracted = True
+        prev = got
+    assert retracted, "fixture never retracted an extreme"

@@ -177,3 +177,41 @@ def test_bfs_empty_and_depth_zero(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"a": [1], "b": [2]}))
     out0 = bfs_levels(ds, [1], max_depth=0)
     assert out0.to_dict("records") == [{"node": 1, "dist": 0}]
+
+
+# ------------------------------------------------- rules + rounding
+
+def test_sql_round_half_away_and_nan():
+    from maestro_ray.ops.aggregates import sql_round
+
+    assert sql_round(2.3015625, 6) == 2.301563  # np.round gives ...62
+    assert sql_round(-2.3015625, 6) == -2.301563
+    assert sql_round(65 / 128, 6) == 0.507813
+    arr = sql_round(np.array([0.1, np.nan]), 6)
+    assert arr[0] == 0.1 and np.isnan(arr[1])
+
+
+def test_association_rules_brute(ray_session):
+    df = pd.DataFrame({"b": [1, 1, 1, 2, 2, 3, 3, 4],
+                       "i": [10, 20, 30, 10, 20, 10, 20, 30]})
+    from maestro_ray.ops.analytics import association_rules
+
+    out = association_rules(rd.from_pandas(df), "b", "i",
+                            min_support=2, round_to=None)
+    # supports: 10->3, 20->3, 30->2 baskets; n_baskets=4
+    # pair (10,20): support 3
+    rules = {(r.ante, r.cons): (r.support, r.confidence, r.lift)
+             for r in out.itertuples()}
+    assert rules[(10, 20)] == (3, 1.0, pytest.approx(3 * 4 / 9))
+    assert rules[(20, 10)] == (3, 1.0, pytest.approx(3 * 4 / 9))
+    assert set(rules) == {(10, 20), (20, 10)}
+
+
+def test_association_rules_empty(ray_session):
+    df = pd.DataFrame({"b": [1, 2], "i": [10, 20]})
+    from maestro_ray.ops.analytics import association_rules
+
+    out = association_rules(rd.from_pandas(df), "b", "i",
+                            min_support=2)
+    assert out.empty and list(out.columns) == [
+        "ante", "cons", "support", "confidence", "lift"]
