@@ -4621,6 +4621,26 @@ def _q_assoc_rules(sf):
                              min_support=2)
 
 
+def _q_gain_curve(sf):
+    """Cumulative gains / lift deciles of event value as a purchase
+    predictor (ops/ml.py gain_curve): grouped-tie cutoff semantics
+    make the table a pure function of the SAME per-score histogram
+    AUC uses — reproducible under ties where ntile() is not. Integer
+    cutoff ranks; ratios 6dp."""
+    from maestro_ray.ops.ml import gain_curve
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "value": t.column("value"),
+            "y": pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                         pa.int64())})
+
+    return gain_curve(ds.map_batches(lab, batch_format="pyarrow"),
+                      "value", "y", n_bins=10)
+
+
 def _q_cdc_minmax_view(sf):
     """Incremental RETRACTABLE per-lang MIN/MAX of event time over the
     replay lake (pipelines/views.py maintain_group_minmax): state =
@@ -4850,6 +4870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_sets": _q_jaccard_sets,
         "bfs_levels": _q_bfs_levels,
         "assoc_rules": _q_assoc_rules,
+        "gain_curve": _q_gain_curve,
         "cdc_minmax_view": _q_cdc_minmax_view,
         "anomaly_zscore": _q_anomaly_zscore,
         "bin_equal_width": _q_bin_equal_width,
@@ -6685,6 +6706,31 @@ def oracle_sql() -> dict[str, str]:
             "round(support * 1.0 * n.n / (sa.sp * sc.sp), 6) AS lift "
             "FROM d JOIN s sa ON sa.p = ante JOIN s sc ON sc.p = cons, "
             "n ORDER BY ante, cons"
+        ),
+        "gain_curve": (
+            # grouped-tie gain table: cutoff rank ceil(d*n/10) extended
+            # to the end of its score-tie run — a pure function of the
+            # per-score histogram, engine-reproducible (ntile is not)
+            "WITH c AS (SELECT value AS s, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            "::BIGINT AS pos, count(*)::BIGINT AS cnt "
+            "FROM events WHERE value IS NOT NULL GROUP BY value), "
+            "o AS (SELECT s, sum(cnt) OVER (ORDER BY s DESC)::BIGINT "
+            "AS cum_cnt, sum(pos) OVER (ORDER BY s DESC)::BIGINT AS "
+            "cum_pos FROM c), "
+            "n AS (SELECT sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS p "
+            "FROM c), "
+            "d AS (SELECT unnest(range(1, 11))::BIGINT AS bin), "
+            "sel AS (SELECT d.bin, (d.bin * n.n + 9) // 10 AS "
+            "cutoff_rank, o.cum_cnt, o.cum_pos, row_number() OVER ("
+            "PARTITION BY d.bin ORDER BY o.cum_cnt) AS rn "
+            "FROM d, n, o WHERE o.cum_cnt >= (d.bin * n.n + 9) // 10) "
+            "SELECT bin, cutoff_rank, cum_cnt AS n_taken, "
+            "cum_pos AS n_pos_taken, "
+            "round(cum_pos * 1.0 / n.p, 6) AS capture, "
+            "round(cum_pos * 1.0 / cum_cnt, 6) AS prec, "
+            "round((cum_pos * 1.0 / cum_cnt) / (n.p * 1.0 / n.n), 6) "
+            "AS lift FROM sel, n WHERE rn = 1 ORDER BY bin"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

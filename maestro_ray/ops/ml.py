@@ -169,25 +169,8 @@ def auc_exact(
     Rows with a null score or null label are excluded (SQL twin:
     WHERE both non-null). Returns a one-row frame
     (auc, n_pos, n_neg); auc is NULL when either class is absent."""
-    from maestro_ray.ops.aggregates import bucketed_agg
-
-    def clean(t: pa.Table) -> pa.Table:
-        s = t.column(score_col)
-        lab = pc.cast(t.column(label_col), pa.int64())
-        ok = pc.and_(pc.is_valid(s), pc.is_valid(lab))
-        return pa.table({"__s": s, "__l": lab}).filter(ok)
-
-    per_score = bucketed_agg(
-        ds.map_batches(clean, batch_format="pyarrow"),
-        ["__s"], [("__l", "sum", "pos"), (None, "count_all", "cnt")],
-    ).materialize()
-    n_scores = per_score.count()
-    if n_scores > max_distinct:
-        raise RuntimeError(
-            f"auc_exact: {n_scores} distinct score values exceed the "
-            f"driver bound {max_distinct}; quantize scores (e.g. round "
-            "to fixed precision) or raise max_distinct explicitly")
-    df = per_score.to_pandas()
+    df = _score_histogram(ds, score_col, label_col, max_distinct,
+                          "auc_exact")
     if df.empty:
         return pd.DataFrame({"auc": pd.Series([None], dtype="float64"),
                              "n_pos": pd.Series([0], dtype="int64"),
@@ -209,3 +192,94 @@ def auc_exact(
     return pd.DataFrame({"auc": pd.Series([auc], dtype="float64"),
                          "n_pos": pd.Series([p_total], dtype="int64"),
                          "n_neg": pd.Series([n_total], dtype="int64")})
+
+
+def _score_histogram(ds: rd.Dataset, score_col: str, label_col: str,
+                     max_distinct: int, caller: str) -> pd.DataFrame:
+    """Shared eval-metric plan: ONE high-cardinality grouped aggregate
+    over distinct score values → (__s, pos, cnt) driver frame, sorted
+    ascending by score, behind the standard loud driver bound. Rows
+    with a null score or label are excluded."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    def clean(t: pa.Table) -> pa.Table:
+        s = t.column(score_col)
+        lab = pc.cast(t.column(label_col), pa.int64())
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(lab))
+        return pa.table({"__s": s, "__l": lab}).filter(ok)
+
+    per_score = bucketed_agg(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        ["__s"], [("__l", "sum", "pos"), (None, "count_all", "cnt")],
+    ).materialize()
+    n_scores = per_score.count()
+    if n_scores > max_distinct:
+        raise RuntimeError(
+            f"{caller}: {n_scores} distinct score values exceed the "
+            f"driver bound {max_distinct}; quantize scores (e.g. round "
+            "to fixed precision) or raise max_distinct explicitly")
+    df = per_score.to_pandas()
+    if df.empty:
+        return df
+    return df.sort_values("__s", kind="stable").reset_index(drop=True)
+
+
+def gain_curve(
+    ds: rd.Dataset,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int | None = 6,
+    max_distinct: int = 2_000_000,
+) -> pd.DataFrame:
+    """Cumulative gains / lift table: "take the top decile of rows by
+    score — what share of all positives did we capture?" for each of
+    ``n_bins`` cutoffs. GROUPED-TIE semantics: the cutoff for bin d is
+    rank ceil(d*n/n_bins), extended to the end of the score-tie run it
+    lands in — so the result is a pure function of per-score counts
+    (the same distributed histogram AUC uses; ``_score_histogram``),
+    independent of any within-tie row order. ntile()-based gain tables
+    are NOT reproducible across engines under ties; this spelling is.
+
+    All counts exact ints (cutoff ranks via integer ceil, never float
+    q*n — the repo's threshold-crossing rule); capture/precision/lift
+    ratios follow the 6dp SQL-round policy. Returns one row per bin:
+    (bin, cutoff_rank, n_taken, n_pos_taken, capture, prec, lift)."""
+    from maestro_ray.ops.aggregates import sql_round
+
+    if n_bins < 1:
+        raise ValueError(f"gain_curve: n_bins={n_bins}")
+    df = _score_histogram(ds, score_col, label_col, max_distinct,
+                          "gain_curve")
+    cols = ["bin", "cutoff_rank", "n_taken", "n_pos_taken"]
+    if df.empty:
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in cols})
+        for c in ("capture", "prec", "lift"):
+            out[c] = pd.Series([], dtype="float64")
+        return out
+    # descending score order: best rows first
+    pos = df["pos"].to_numpy(dtype=np.int64)[::-1]
+    cnt = df["cnt"].to_numpy(dtype=np.int64)[::-1]
+    cum_cnt = np.cumsum(cnt)
+    cum_pos = np.cumsum(pos)
+    n = int(cum_cnt[-1])
+    p = int(cum_pos[-1])
+    bins = np.arange(1, n_bins + 1, dtype=np.int64)
+    cutoff = (bins * n + n_bins - 1) // n_bins  # integer ceil
+    idx = np.searchsorted(cum_cnt, cutoff, side="left")
+    taken = cum_cnt[idx]
+    pos_taken = cum_pos[idx]
+    capture = pos_taken / p if p else np.full(n_bins, np.nan)
+    prec = pos_taken / taken
+    base = p / n
+    lift = prec / base if p else np.full(n_bins, np.nan)
+    if round_to is not None:
+        capture = sql_round(capture, round_to)
+        prec = sql_round(prec, round_to)
+        lift = sql_round(lift, round_to)
+    return pd.DataFrame({
+        "bin": bins, "cutoff_rank": cutoff,
+        "n_taken": taken.astype("int64"),
+        "n_pos_taken": pos_taken.astype("int64"),
+        "capture": capture, "prec": prec, "lift": lift})

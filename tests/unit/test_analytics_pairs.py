@@ -215,3 +215,34 @@ def test_association_rules_empty(ray_session):
                             min_support=2)
     assert out.empty and list(out.columns) == [
         "ante", "cons", "support", "confidence", "lift"]
+
+
+def test_gain_curve_brute(ray_session):
+    """Grouped-tie gain table vs a brute reference built by sorting
+    the per-score histogram and extending each cutoff to the end of
+    its tie run."""
+    from maestro_ray.ops.ml import gain_curve
+
+    rng = np.random.default_rng(9)
+    scores = np.round(rng.random(500), 1)  # heavy ties
+    labels = (rng.random(500) < 0.25).astype(int)
+    ds = rd.from_pandas(pd.DataFrame({"s": scores, "y": labels}))
+    out = gain_curve(ds, "s", "y", n_bins=4, round_to=None)
+
+    hist = pd.DataFrame({"s": scores, "y": labels}) \
+        .groupby("s").agg(pos=("y", "sum"), cnt=("y", "size")) \
+        .sort_index(ascending=False)
+    cum_cnt = hist["cnt"].cumsum().to_numpy()
+    cum_pos = hist["pos"].cumsum().to_numpy()
+    n, p = cum_cnt[-1], cum_pos[-1]
+    for row in out.itertuples():
+        cutoff = -(-row.bin * n // 4)  # ceil
+        i = np.searchsorted(cum_cnt, cutoff)
+        assert row.cutoff_rank == cutoff
+        assert row.n_taken == cum_cnt[i]
+        assert row.n_pos_taken == cum_pos[i]
+        assert row.capture == pytest.approx(cum_pos[i] / p)
+        assert row.lift == pytest.approx(
+            (cum_pos[i] / cum_cnt[i]) / (p / n))
+    assert out["bin"].tolist() == [1, 2, 3, 4]
+    assert out["capture"].iloc[-1] == 1.0
