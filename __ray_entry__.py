@@ -4641,6 +4641,33 @@ def _q_gain_curve(sf):
                       "value", "y", n_bins=10)
 
 
+def _q_top_paths(sf):
+    """Top-20 most common 3-step user journeys (ops/analytics
+    top_paths): per-user path built in one group task, path counts
+    collapsed by bucketed_agg, global top-k via the combiner plan —
+    the path universe never lands on the driver. Total (count desc,
+    path) order makes the LIMIT boundary deterministic."""
+    from maestro_ray.ops.analytics import top_paths
+
+    ds = _read(sf, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return top_paths(ds, "user_id", ["ts", "event_id"], "event_type",
+                     max_steps=3, k=20)
+
+
+def _q_histogram2d(sf):
+    """2-D quantity × price histogram over lineitem (ops/analytics
+    histogram2d): floor-bucket both axes per batch, one bucketed cell
+    count — exact ints; bin edges are the same IEEE floor(x/w)*w in
+    both engines."""
+    from maestro_ray.ops.analytics import histogram2d
+
+    ds = _read(sf, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+    return histogram2d(ds, "l_quantity", "l_extendedprice",
+                       5.0, 1000.0)
+
+
 def _q_cdc_minmax_view(sf):
     """Incremental RETRACTABLE per-lang MIN/MAX of event time over the
     replay lake (pipelines/views.py maintain_group_minmax): state =
@@ -4871,6 +4898,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_levels": _q_bfs_levels,
         "assoc_rules": _q_assoc_rules,
         "gain_curve": _q_gain_curve,
+        "top_paths": _q_top_paths,
+        "histogram2d": _q_histogram2d,
         "cdc_minmax_view": _q_cdc_minmax_view,
         "anomaly_zscore": _q_anomaly_zscore,
         "bin_equal_width": _q_bin_equal_width,
@@ -6731,6 +6760,24 @@ def oracle_sql() -> dict[str, str]:
             "round(cum_pos * 1.0 / cum_cnt, 6) AS prec, "
             "round((cum_pos * 1.0 / cum_cnt) / (n.p * 1.0 / n.n), 6) "
             "AS lift FROM sel, n WHERE rn = 1 ORDER BY bin"
+        ),
+        "top_paths": (
+            "WITH r AS (SELECT user_id, coalesce(event_type, '') AS "
+            "et, row_number() OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id) AS rn FROM events), "
+            "p AS (SELECT user_id, string_agg(et, '>' ORDER BY rn) AS "
+            "path FROM r WHERE rn <= 3 GROUP BY user_id), "
+            "c AS (SELECT path, count(*)::BIGINT AS n_keys FROM p "
+            "GROUP BY path) "
+            "SELECT path, n_keys FROM c "
+            "ORDER BY n_keys DESC, path LIMIT 20"
+        ),
+        "histogram2d": (
+            "SELECT floor(l_quantity / 5.0) * 5.0 AS x_bin, "
+            "floor(l_extendedprice / 1000.0) * 1000.0 AS y_bin, "
+            "count(*) AS n FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT "
+            "NULL GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

@@ -547,3 +547,98 @@ def association_rules(
     both["confidence"], both["lift"] = conf, lift
     return both[["ante", "cons", "support", "confidence", "lift"]] \
         .sort_values(["ante", "cons"]).reset_index(drop=True)
+
+
+def top_paths(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    type_col: str,
+    max_steps: int = 3,
+    k: int = 20,
+    sep: str = ">",
+) -> pd.DataFrame:
+    """Top-k most frequent JOURNEY PREFIXES: per key, the first
+    ``max_steps`` event types in ``order_cols`` order joined by
+    ``sep``; paths ranked by how many keys follow them (count desc,
+    then path asc — a total, engine-independent order).
+
+    One groupby shuffle builds per-key paths (vectorized slice+join
+    inside the group task), one bucketed count collapses the path
+    space distributed, and the global top-k is the repo's combiner
+    plan (``ops/aggregates.topk``) — the path universe never lands on
+    the driver. Null event types render as '' (SQL: coalesce)."""
+    from maestro_ray.ops.aggregates import bucketed_agg, topk
+
+    if max_steps < 1:
+        raise ValueError(f"top_paths: max_steps={max_steps}")
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in order_cols]))
+        col = s.column(type_col)
+        # a group block can arrive with a NULL-TYPED column (all-null
+        # slice; repo-documented class) — fill_null can't make a ""
+        # scalar of type null
+        et = ([""] * s.num_rows if pa.types.is_null(col.type)
+              else pc.fill_null(col, "").to_pylist())
+        return pa.table({
+            "path": pa.array([sep.join(et[:max_steps])], pa.string())})
+
+    paths = ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    counts = bucketed_agg(paths, ["path"],
+                          [(None, "count_all", "n_keys")])
+    out = topk(counts, "n_keys", k, descending=True,
+               tie_break=["path"])
+    if out.empty:  # schema-lost empty collection (repo-documented)
+        return pd.DataFrame({"path": pd.Series([], dtype="object"),
+                             "n_keys": pd.Series([], dtype="int64")})
+    out["n_keys"] = out["n_keys"].astype("int64")
+    return out[["path", "n_keys"]].reset_index(drop=True)
+
+
+def histogram2d(
+    ds: rd.Dataset,
+    x_col: str,
+    y_col: str,
+    x_width: float,
+    y_width: float,
+) -> pd.DataFrame:
+    """2-D histogram (heatmap counts): rows bucketed by
+    (floor(x/x_width), floor(y/y_width)), one count per non-empty
+    cell. The joint-distribution / co-occurrence-density shape the 1-D
+    ``histogram`` cannot express. Per-batch floor-divide is one Arrow
+    kernel; the cell count rides ``bucketed_agg``, so the cell space
+    stays distributed until the O(cells) driver collect. Rows with a
+    null in either column are excluded. Returns (x_bin, y_bin, n)
+    with bin = lower cell edge, sorted."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    if x_width <= 0 or y_width <= 0:
+        raise ValueError(
+            f"histogram2d: widths must be positive "
+            f"({x_width}, {y_width})")
+
+    def cells(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(x_col)),
+                     pc.is_valid(t.column(y_col)))
+        t = t.filter(ok)
+        x = t.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "x_bin": pa.array(np.floor(x / x_width) * x_width,
+                              pa.float64()),
+            "y_bin": pa.array(np.floor(y / y_width) * y_width,
+                              pa.float64())})
+
+    out = bucketed_agg(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["x_bin", "y_bin"], [(None, "count_all", "n")]).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"x_bin": pd.Series([], dtype="float64"),
+                             "y_bin": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["x_bin", "y_bin"]).reset_index(drop=True)

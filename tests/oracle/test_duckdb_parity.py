@@ -103,7 +103,7 @@ ORACLE_NAMES = [
     "anomaly_zscore", "bin_equal_width", "target_encode",
     "sqlite_import", "readability",
     "auc_score", "twap", "market_basket", "jaccard_sets", "bfs_levels",
-    "assoc_rules", "gain_curve",
+    "assoc_rules", "gain_curve", "top_paths", "histogram2d",
 ]
 
 

@@ -246,3 +246,47 @@ def test_gain_curve_brute(ray_session):
             (cum_pos[i] / cum_cnt[i]) / (p / n))
     assert out["bin"].tolist() == [1, 2, 3, 4]
     assert out["capture"].iloc[-1] == 1.0
+
+
+def test_top_paths_brute(ray_session):
+    from maestro_ray.ops.analytics import top_paths
+
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame({
+        "u": rng.integers(0, 60, n),
+        "ts": rng.integers(0, 10_000, n),
+        "eid": np.arange(n),
+        "et": rng.choice(["a", "b", None], n, p=[0.5, 0.4, 0.1]),
+    })
+    out = top_paths(rd.from_pandas(df), "u", ["ts", "eid"], "et",
+                    max_steps=2, k=5, sep=">")
+    ref = (df.assign(et=df["et"].fillna(""))
+           .sort_values(["u", "ts", "eid"])
+           .groupby("u")["et"]
+           .apply(lambda s: ">".join(s.head(2)))
+           .value_counts())
+    ref = ref.reset_index()
+    ref.columns = ["path", "n_keys"]
+    ref = ref.sort_values(["n_keys", "path"],
+                          ascending=[False, True]).head(5)
+    assert out["path"].tolist() == ref["path"].tolist()
+    assert out["n_keys"].tolist() == ref["n_keys"].tolist()
+
+
+def test_histogram2d_brute(ray_session):
+    from maestro_ray.ops.analytics import histogram2d
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"x": rng.random(300) * 10,
+                       "y": rng.random(300) * 100})
+    df.loc[5, "x"] = np.nan  # excluded
+    out = histogram2d(rd.from_pandas(df), "x", "y", 2.0, 25.0)
+    ref = df.dropna()
+    cells = ref.assign(xb=np.floor(ref["x"] / 2.0) * 2.0,
+                       yb=np.floor(ref["y"] / 25.0) * 25.0) \
+        .groupby(["xb", "yb"]).size()
+    assert len(out) == len(cells)
+    for row in out.itertuples():
+        assert cells[(row.x_bin, row.y_bin)] == row.n
+    assert out["n"].sum() == len(ref)
