@@ -4685,9 +4685,258 @@ def _q_cdc_minmax_view(sf):
     return out
 
 
+
+
+# ------------------------------------------------- round-4 session-6 batch
+
+_LINK_MOD = 1999
+
+
+def _synth_host(k: pd.Series) -> pd.Series:
+    """Host for synthetic doc/target id ``k`` — the _SYNTH_URL_SQL host
+    rule (``www.example{k%23}.{tld(k%3)}``), shared by the link-graph
+    fixture and its twin."""
+    tld = pd.Series(np.array(["com", "org", "net"])[k % 3],
+                    index=k.index)
+    return "www.example" + (k % 23).astype(str) + "." + tld
+
+
+def _with_synth_html(t: pa.Table) -> pa.Table:
+    """Deterministic page-with-outlinks fixture shared with the SQL
+    twin: doc ``d`` links to targets ``(d*31 + j*97) % 1999`` for
+    j=1..3. The arithmetic IS the oracle contract — the twin
+    reconstructs the targets instead of re-parsing html (the
+    multimodal synthesis-formula precedent); the ENGINE side still
+    earns its result through the real href regex-extraction path."""
+    ids = t.column("doc_id").to_pandas().astype("int64")
+    body = pd.Series("", index=ids.index)
+    for j in (1, 2, 3):
+        tgt = (ids * 31 + j * 97) % _LINK_MOD
+        body = (body + '<a href="https://' + _synth_host(tgt)
+                + "/p/" + tgt.astype(str) + '">l</a>')
+    html = "<html><body>" + body + "</body></html>"
+    return t.append_column("html", pa.array(html, pa.string()))
+
+
+def _q_link_graph(sf):
+    """Host-level outlink graph over synthetic pages: vectorized
+    href extraction (ops/web.py extract_links — one split_pattern +
+    offset mask per batch, no per-doc Python), target host parsed with
+    the shared RE2 engine, one bucketed (src, dst) edge count. Exact
+    integer edge weights."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.web import extract_links
+
+    ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+        _with_synth_html, batch_format="pyarrow")
+    links = extract_links(ds, "html", "doc_id")
+
+    def hosts(t: pa.Table) -> pa.Table:
+        src = _synth_host(t.column("doc_id").to_pandas().astype("int64"))
+        dst = pc.struct_field(
+            pc.extract_regex(t.column("href"),
+                             r"^https://(?P<h>[^/]+)/"), "h")
+        return pa.table({"src_host": pa.array(src, pa.string()),
+                         "dst_host": dst})
+
+    e = links.map_batches(hosts, batch_format="pyarrow")
+    out = bucketed_agg(
+        e, ["src_host", "dst_host"], [(None, "count_all", "n")]
+    ).to_pandas()
+    if out.empty:  # schema-lost empty collection (repo-documented)
+        return pd.DataFrame({"src_host": pd.Series(dtype="object"),
+                             "dst_host": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+
+
+def _q_triangle_count(sf):
+    """Exact triangle count over the part co-occurrence graph (edges =
+    part pairs sharing an order): ops/graph.py triangle_count — the
+    vertex-ordered wedge plan, two bucketed hash joins over a
+    materialized distinct edge set. One exact integer."""
+    from maestro_ray.ops.analytics import cooccurrence_pairs
+    from maestro_ray.ops.graph import triangle_count
+
+    ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(ds, "l_orderkey", "l_partkey",
+                               min_support=1)
+    return triangle_count(pairs, src="p1", dst="p2")
+
+
+def _q_classification_report(sf):
+    """Thresholded binary-classification metrics with event value as a
+    purchase score (ops/ml.py confusion_report): one streaming pass of
+    exact integer count partials, order-independent driver fold;
+    ratio columns are per-row divisions of exact ints — NO rounding
+    needed, bit-exact cross-engine."""
+    from maestro_ray.ops.ml import confusion_report
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "value": t.column("value"),
+            "y": pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                         pa.int64())})
+
+    return confusion_report(ds.map_batches(lab, batch_format="pyarrow"),
+                            "value", "y", thresholds=[10.0, 50.0, 100.0])
+
+
+def _q_calibration_curve(sf):
+    """Reliability diagram of event value vs purchase rate (ops/ml.py
+    calibration_curve): equal-width floor bins, exact int counts,
+    pos_rate an exact int division; mean_score is the one float SUM →
+    rounded 6dp per the cross-engine policy."""
+    from maestro_ray.ops.ml import calibration_curve
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        tab = pa.table({
+            "value": t.column("value"),
+            "y": pc.cast(pc.equal(et, "purchase"), pa.int64())})
+        return tab.filter(pc.and_(pc.is_valid(t.column("value")),
+                                  pc.is_valid(et)))
+
+    return calibration_curve(
+        ds.map_batches(lab, batch_format="pyarrow"), "value", "y",
+        bin_width=50.0)
+
+
+def _q_dataset_split(sf):
+    """Deterministic leakage-safe train/valid/test split on the shared
+    multiplicative-hash contract (ops/corpus.py dataset_split), audited
+    as counts per (event_type, split) — exact ints; the twin spells the
+    pinned hash + cumulative CASE boundaries."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.corpus import dataset_split
+
+    ds = _read(sf, "events", columns=["event_id", "event_type"])
+    out = bucketed_agg(
+        dataset_split(ds, "event_id",
+                      {"train": 80, "valid": 10, "test": 10}),
+        ["event_type", "split"], [(None, "count_all", "n")],
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "split": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "split"]).reset_index(drop=True)
+
+
+def _q_window_moving_corr(sf):
+    """Per-user 8-row moving Pearson correlation between floored event
+    value and time-of-day seconds (ops/aggregates.py moving_corr).
+    Integer-valued inputs make every frame sum an exact integer, so
+    the correlation is a fixed IEEE expression tree — bit-exact against
+    the twin's explicit SUM() OVER sums + formula, NO rounding."""
+    from maestro_ray.ops.aggregates import moving_corr
+
+    ds = _read(sf, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        x = pc.cast(pc.floor(t.column("value")), pa.int64())
+        tab = pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "event_id": t.column("event_id"),
+            "x": x,
+            "y": pa.array(us // 1_000_000 % 86400, pa.int64()),
+        })
+        return tab.filter(pc.and_(pc.is_valid(t.column("value")),
+                                  pc.is_valid(t.column("ts"))))
+
+    out = moving_corr(ds.map_batches(prep, batch_format="pyarrow"),
+                      key="user_id", order_cols=["ts", "event_id"],
+                      x_col="x", y_col="y", window=8)
+    return P.project(out, columns=["user_id", "event_id", "x", "y",
+                                   "mov_corr"])
+
+
+def _q_ridge_regression(sf):
+    """Closed-form distributed ridge (ops/ml.py ridge_fit): mergeable
+    (XᵀX, Xᵀy, n) byte-packed partials, sorted-bytes fold, driver
+    solve. Features: props length, hour of day, is-purchase; label:
+    event value. Rows-only (matrix solve is not SQL-expressible);
+    the numpy-exact oracle is pytest (tests/unit/test_ml_eval.py)."""
+    from maestro_ray.ops.ml import ridge_fit
+
+    ds = _read(sf, "events",
+               columns=["event_type", "ts", "value", "props"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        plen = pc.utf8_length(t.column("props")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        hour = (us // 3_600_000_000 % 24).astype(np.float64)
+        purch = pc.equal(t.column("event_type"), "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.stack([plen, hour, purch], axis=1).astype(np.float32)
+        return pa.table({
+            "features": pa.array(list(x), pa.list_(pa.float32())),
+            "label": t.column("value"),
+        })
+
+    return ridge_fit(ds.map_batches(feats, batch_format="pyarrow"),
+                     "features", "label", l2=1.0)
+
+
+def _q_compression_ratio(sf):
+    """Per-doc zlib compression ratio quality signal (ops/web.py
+    compression_ratio — the RefinedWeb redundancy rule). Deterministic
+    for a fixed level; rows-only (DEFLATE is not SQL-expressible) —
+    planted repetitive-vs-random oracle is pytest
+    (tests/unit/test_web_links.py)."""
+    from maestro_ray.ops.web import compression_ratio
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return P.project(compression_ratio(ds, "text"),
+                     columns=["doc_id", "zlib_ratio"])
+
+
+def _q_cdc_epoch_diff(sf):
+    """Keyed reconciliation between two committed epochs of the replay
+    lake: read_lake_at(mid) vs head state through ops/diff.diff_tables
+    (one full-outer bucketed join, equal rows dropped in the join
+    tasks — output O(drift)). Rows-only; the diff ≡ table_changes
+    net-effect invariant is pytest (tests/replay/test_epoch_diff.py)."""
+    from maestro_ray.core.manifest import list_epochs
+    from maestro_ray.io.lake import read_lake_at
+    from maestro_ray.ops.diff import diff_tables
+
+    lake = _cdc_lake(sf)
+    epochs = list_epochs(lake)
+    mid = epochs[len(epochs) // 2]
+    a = read_lake_at(lake, mid, columns=["url", "warc_ts", "lang"])
+    b = read_lake_at(lake, epochs[-1], columns=["url", "warc_ts", "lang"])
+    out = diff_tables(a, b, "url", ["warc_ts", "lang"]).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"url": pd.Series(dtype="object"),
+                             "diff_op": pd.Series(dtype="object")})
+    return out.sort_values(["url"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
+        "link_graph": _q_link_graph,
+        "triangle_count": _q_triangle_count,
+        "classification_report": _q_classification_report,
+        "calibration_curve": _q_calibration_curve,
+        "dataset_split": _q_dataset_split,
+        "window_moving_corr": _q_window_moving_corr,
+        "ridge_regression": _q_ridge_regression,
+        "compression_ratio": _q_compression_ratio,
+        "cdc_epoch_diff": _q_cdc_epoch_diff,
         "read_changelog": _q_read_changelog,
         "clean_fields": _q_clean_fields,
         "validate_rows": _q_validate_rows,
@@ -6760,6 +7009,92 @@ def oracle_sql() -> dict[str, str]:
             "round(cum_pos * 1.0 / cum_cnt, 6) AS prec, "
             "round((cum_pos * 1.0 / cum_cnt) / (n.p * 1.0 / n.n), 6) "
             "AS lift FROM sel, n WHERE rn = 1 ORDER BY bin"
+        ),
+        "link_graph": (
+            "WITH tgt AS (SELECT doc_id, (doc_id * 31 + j * 97) % 1999 "
+            "AS t FROM documents, (SELECT unnest([1, 2, 3]) AS j) _j), "
+            "e AS (SELECT 'www.example' || CAST(doc_id % 23 AS VARCHAR) "
+            "|| '.' || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN "
+            "'org' ELSE 'net' END) AS src_host, "
+            "'www.example' || CAST(t % 23 AS VARCHAR) || '.' || "
+            "(CASE t % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' "
+            "END) AS dst_host FROM tgt) "
+            "SELECT src_host, dst_host, count(*)::BIGINT AS n FROM e "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "triangle_count": (
+            "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem WHERE l_partkey IS NOT NULL), "
+            "e AS (SELECT DISTINCT x.p AS u, y.p AS v FROM b x JOIN b y "
+            "ON x.o = y.o AND x.p < y.p), "
+            "w AS (SELECT e1.u AS a, e1.v AS bb, e2.v AS c FROM e e1 "
+            "JOIN e e2 ON e1.v = e2.u) "
+            "SELECT count(*)::BIGINT AS triangles FROM w "
+            "JOIN e ON w.a = e.u AND w.c = e.v"
+        ),
+        "classification_report": (
+            "WITH t(thr) AS (VALUES (10.0), (50.0), (100.0)), "
+            "l AS (SELECT value AS s, CASE WHEN event_type = 'purchase' "
+            "THEN 1 ELSE 0 END AS y FROM events WHERE value IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "c AS (SELECT thr, "
+            "sum(CASE WHEN s >= thr AND y = 1 THEN 1 ELSE 0 END)"
+            "::BIGINT AS tp, "
+            "sum(CASE WHEN s >= thr AND y = 0 THEN 1 ELSE 0 END)"
+            "::BIGINT AS fp, "
+            "sum(CASE WHEN s < thr AND y = 1 THEN 1 ELSE 0 END)"
+            "::BIGINT AS fn, "
+            "sum(CASE WHEN s < thr AND y = 0 THEN 1 ELSE 0 END)"
+            "::BIGINT AS tn FROM t CROSS JOIN l GROUP BY thr), "
+            "m AS (SELECT *, "
+            "CASE WHEN tp + fp + fn + tn > 0 THEN (tp + tn) / "
+            "(tp + fp + fn + tn) END AS accuracy, "
+            "CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS "
+            "\"precision\", "
+            "CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END AS recall "
+            "FROM c) "
+            "SELECT thr, tp, fp, fn, tn, accuracy, \"precision\", "
+            "recall, CASE WHEN \"precision\" IS NOT NULL AND recall IS "
+            "NOT NULL AND \"precision\" + recall > 0 THEN "
+            "2 * \"precision\" * recall / (\"precision\" + recall) END "
+            "AS f1 FROM m ORDER BY thr"
+        ),
+        "calibration_curve": (
+            "WITH l AS (SELECT floor(value / 50.0) * 50.0 AS bin, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, "
+            "value AS s FROM events WHERE value IS NOT NULL AND "
+            "event_type IS NOT NULL) "
+            "SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos, "
+            "sum(y) / count(*) AS pos_rate, "
+            "round(sum(s) / count(*), 6) AS mean_score "
+            "FROM l GROUP BY bin ORDER BY bin"
+        ),
+        "dataset_split": (
+            "WITH b AS (SELECT event_type, "
+            "(CAST(event_id % 4294967296 AS HUGEINT) * 2654435761) "
+            "% 4294967296 % 100 AS bk FROM events "
+            "WHERE event_id IS NOT NULL), "
+            "s AS (SELECT event_type, CASE WHEN bk < 10 THEN 'test' "
+            "WHEN bk < 90 THEN 'train' ELSE 'valid' END AS split FROM b) "
+            "SELECT event_type, split, count(*)::BIGINT AS n FROM s "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "window_moving_corr": (
+            "WITH b AS (SELECT user_id, ts, event_id, "
+            "CAST(floor(value) AS BIGINT) AS x, "
+            "(epoch_us(ts) // 1000000) % 86400 AS y FROM events "
+            "WHERE value IS NOT NULL AND ts IS NOT NULL), "
+            "w AS (SELECT user_id, event_id, x, y, "
+            "count(*) OVER fr AS n, sum(x) OVER fr AS sx, "
+            "sum(y) OVER fr AS sy, sum(x * y) OVER fr AS sxy, "
+            "sum(x * x) OVER fr AS sxx, sum(y * y) OVER fr AS syy "
+            "FROM b WINDOW fr AS (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) "
+            "SELECT user_id, event_id, x, y, "
+            "CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND "
+            "(n * syy - sy * sy) > 0 THEN (n * sxy - sx * sy) / "
+            "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END "
+            "AS mov_corr FROM w ORDER BY user_id, event_id"
         ),
         "top_paths": (
             "WITH r AS (SELECT user_id, coalesce(event_type, '') AS "

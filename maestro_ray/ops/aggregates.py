@@ -3286,3 +3286,62 @@ def twap_grouped(
         return pd.DataFrame({key: pd.Series([], dtype="object"),
                              "twap": pd.Series([], dtype="float64")})
     return out.sort_values(key).reset_index(drop=True)
+
+
+def moving_corr(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    x_col: str,
+    y_col: str,
+    window: int,
+    out: str = "mov_corr",
+) -> rd.Dataset:
+    """ROW-frame moving Pearson correlation of two columns per ``key``
+    (``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``), ordered by
+    ``order_cols`` (include a unique tiebreak).
+
+    Cross-engine exactness contract: with INTEGER-VALUED inputs every
+    frame sum (Σx, Σy, Σxy, Σx², Σy², n) is an exact integer in
+    float64, and the correlation is then a fixed per-row IEEE
+    expression tree — ``(nΣxy − ΣxΣy) / (√(nΣx²−Σx²)·√(nΣy²−Σy²))`` —
+    identical in any engine, so the SQL twin spells the SAME explicit
+    ``SUM(..) OVER`` sums + formula (NOT the engine's incremental
+    ``corr() OVER``, whose accumulation order differs). Rows where
+    either side is null are excluded from every sum AND from n (SQL
+    two-column aggregate semantics); frames with n < 2 or zero
+    variance yield null. One grouped shuffle; frames evaluate via a
+    strided window view — vectorized O(n·window), no per-row Python."""
+    if window > 256:
+        raise ValueError(
+            "moving_corr: window > 256 — direct per-frame summation is "
+            "the exactness contract; use a sketch/segment plan instead")
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        x = s.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = s.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        xz = np.where(ok, x, 0.0)
+        yz = np.where(ok, y, 0.0)
+
+        def fsum(v: np.ndarray) -> np.ndarray:
+            pad = np.concatenate((np.zeros(window - 1), v))
+            return np.lib.stride_tricks \
+                .sliding_window_view(pad, window).sum(axis=1)
+
+        n = fsum(ok.astype(np.float64))
+        sx, sy = fsum(xz), fsum(yz)
+        sxy, sxx, syy = fsum(xz * yz), fsum(xz * xz), fsum(yz * yz)
+        num = n * sxy - sx * sy
+        with np.errstate(invalid="ignore"):
+            den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+            r = num / den
+        r = np.where((n >= 2) & (den > 0), r, np.nan)
+        return s.append_column(
+            out, pa.array(r, pa.float64(), from_pandas=True))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

@@ -1018,3 +1018,41 @@ def sample_group_k(
         [group_col], "__h", k, descending=False, tie_break=[key_col])
     return pruned.map_batches(
         lambda t: t.drop_columns(["__h"]), batch_format="pyarrow")
+
+
+def dataset_split(
+    ds: rd.Dataset,
+    key_col: str,
+    fractions: dict[str, int],
+    out: str = "split",
+) -> rd.Dataset:
+    """Deterministic train/valid/test assignment by integer key: the
+    splits partition the 0-99 multiplicative-hash bucket space
+    (``fractions`` maps split name → percent, summing to 100, assigned
+    in ALPHABETICAL split-name order so the layout is a pure function
+    of the fractions). The same key always lands the same split across
+    runs, cluster sizes AND tables (leakage-safe: a joined row can
+    never straddle train and test). Pure per-batch append, no shuffle;
+    null keys get a null split (SQL CASE semantics).
+
+    SQL twin: bucket = ``(CAST(key % 2^32 AS HUGEINT) * 2654435761) %
+    2^32 % 100``, then CASE over cumulative fraction boundaries."""
+    if sum(fractions.values()) != 100:
+        raise ValueError(
+            f"dataset_split: fractions sum to {sum(fractions.values())},"
+            " need exactly 100")
+    names = sorted(fractions)
+    bounds = np.cumsum([fractions[n] for n in names]).astype(np.uint64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = pc.fill_null(batch.column(key_col), 0).to_numpy(
+            zero_copy_only=False)
+        b = _bucket100(keys)
+        idx = np.searchsorted(bounds, b, side="right")
+        lab = pa.array(np.asarray(names, dtype=object)[idx],
+                       pa.string())
+        valid = pc.is_valid(batch.column(key_col))
+        return batch.append_column(
+            out, pc.if_else(valid, lab, pa.scalar(None, pa.string())))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -490,3 +490,74 @@ def bfs_levels(
     return pd.DataFrame({"node": nodes[found].astype(np.int64),
                          "dist": dist[found]}) \
         .sort_values("node").reset_index(drop=True)
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Exact triangle count over an undirected edge Dataset — the
+    standard vertex-ordered wedge plan, fully distributed:
+
+    1. *Canonicalize*: per batch, (u, v) = (min, max) of the endpoint
+       pair, self-loops and null endpoints dropped; one
+       ``bucketed_distinct`` exchange dedups the edge set (multi-edges
+       must count once).
+    2. *Wedges*: E ⋈ E on the shared MIDDLE vertex (u1 < v1 = u2 < v2
+       by construction, so every wedge (a, b, c) has a < b < c and each
+       triangle is generated exactly once).
+    3. *Close*: one bucketed ``hash_join`` of the wedge set against E
+       on (a, c); the inner-join row count IS the triangle count (edges
+       are distinct, so no multiplicity correction is needed).
+
+    The edge set is materialized + block-compacted ONCE and reused by
+    both joins (it feeds three plan legs — re-deriving it would re-run
+    the caller's upstream pipeline per leg, the pagerank lesson). Skew
+    note: wedge volume is Σ deg(b)² over middle vertices — a hot vertex
+    inflates one join bucket; cap or pre-split hot keys upstream
+    (``ops.partition.hot_key_detect``) if the degree distribution is
+    power-law."""
+    from maestro_ray.ops.aggregates import bucketed_distinct
+    from maestro_ray.ops.joins import hash_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(src), pa.int64())
+        b = pc.cast(t.column(dst), pa.int64())
+        ok = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(a), pc.is_valid(b)),
+            pc.not_equal(a, b),
+        )
+        pair = pa.table(
+            {
+                "u": pc.min_element_wise(a, b),
+                "v": pc.max_element_wise(a, b),
+            }
+        )
+        return pair.filter(pc.fill_null(ok, False))
+
+    e = bucketed_distinct(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        n_buckets=num_buckets,
+    ).materialize()
+    e = _compact(e)
+
+    def rename(m: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([m.get(c, c) for c in t.column_names])
+
+        return fn
+
+    left = e.map_batches(rename({"u": "a", "v": "b"}),
+                         batch_format="pyarrow")
+    right = e.map_batches(rename({"u": "b", "v": "c"}),
+                          batch_format="pyarrow")
+    wedges = hash_join(left, right, keys="b", num_buckets=num_buckets)
+    closing = e.map_batches(rename({"u": "a", "v": "c"}),
+                            batch_format="pyarrow")
+    n = hash_join(
+        wedges, closing, keys=["a", "c"], num_buckets=num_buckets
+    ).count()
+    return pd.DataFrame({"triangles": pd.Series([n], dtype="int64")})

@@ -283,3 +283,197 @@ def gain_curve(
         "n_taken": taken.astype("int64"),
         "n_pos_taken": pos_taken.astype("int64"),
         "capture": capture, "prec": prec, "lift": lift})
+
+
+def confusion_report(
+    ds: rd.Dataset,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> pd.DataFrame:
+    """Binary-classification confusion matrix + derived metrics at each
+    threshold (predict positive when ``score >= thr``): tp/fp/fn/tn,
+    accuracy, precision, recall, f1.
+
+    ONE streaming pass: each batch emits one row of exact integer
+    counts per threshold (a |thresholds|-row partial — vectorized
+    comparisons, no per-row Python), and the driver folds O(batches ×
+    thresholds) integer rows — order-independent, so the result is
+    bit-reproducible across partitionings. The ratio columns are
+    per-row float divisions of exact ints (cross-engine bit-exact);
+    zero denominators yield null, the SQL CASE rule. Rows with a null
+    score or label are excluded everywhere."""
+    if not thresholds:
+        raise ValueError("confusion_report: empty threshold list")
+    thr = np.asarray(sorted(thresholds), dtype=np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = ~(np.isnan(s) | np.isnan(y))
+        s, y = s[ok], y[ok].astype(np.int64)
+        pred = s[None, :] >= thr[:, None]  # |thr| × n
+        pos = y == 1
+        tp = (pred & pos[None, :]).sum(axis=1)
+        fp = (pred & ~pos[None, :]).sum(axis=1)
+        fn = (~pred & pos[None, :]).sum(axis=1)
+        tn = (~pred & ~pos[None, :]).sum(axis=1)
+        return pa.table({
+            "thr": pa.array(thr, pa.float64()),
+            "tp": pa.array(tp, pa.int64()),
+            "fp": pa.array(fp, pa.int64()),
+            "fn": pa.array(fn, pa.int64()),
+            "tn": pa.array(tn, pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        agg = pd.DataFrame({"thr": thr})
+        for c in ("tp", "fp", "fn", "tn"):
+            agg[c] = np.int64(0)
+    else:
+        agg = (parts.groupby("thr", as_index=False)
+               [["tp", "fp", "fn", "tn"]].sum()
+               .sort_values("thr").reset_index(drop=True))
+    tp = agg["tp"].to_numpy(np.float64)
+    fp = agg["fp"].to_numpy(np.float64)
+    fn = agg["fn"].to_numpy(np.float64)
+    tn = agg["tn"].to_numpy(np.float64)
+
+    def ratio(num, den):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = num / den
+        return np.where(den > 0, r, np.nan)
+
+    prec = ratio(tp, tp + fp)
+    rec = ratio(tp, tp + fn)
+    agg["accuracy"] = ratio(tp + tn, tp + fp + fn + tn)
+    agg["precision"] = prec
+    agg["recall"] = rec
+    agg["f1"] = ratio(2.0 * prec * rec, prec + rec)
+    for c in ("tp", "fp", "fn", "tn"):
+        agg[c] = agg[c].astype("int64")
+    return agg
+
+
+def calibration_curve(
+    ds: rd.Dataset,
+    score_col: str,
+    label_col: str,
+    bin_width: float,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Reliability diagram: equal-width score bins (``floor(s / w) *
+    w`` — the same IEEE expression in both engines) vs the observed
+    positive rate. Per bin: n, n_pos (exact ints), pos_rate =
+    n_pos / n (exact int division, bit-exact cross-engine), and the
+    mean score (a float SUM reduction → rounded to ``round_to`` per the
+    repo's cross-engine float policy). ONE ``bucketed_agg`` exchange;
+    the driver holds O(bins). Null score/label rows are excluded."""
+    from maestro_ray.ops.aggregates import bucketed_agg, sql_round
+
+    def binify(t: pa.Table) -> pa.Table:
+        s = t.column(score_col)
+        y = pc.cast(t.column(label_col), pa.int64())
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(y))
+        s = pc.cast(s, pa.float64())
+        b = pc.multiply(pc.floor(pc.divide(s, bin_width)), bin_width)
+        return pa.table({"bin": b, "__y": y, "__s": s}).filter(ok)
+
+    out = bucketed_agg(
+        ds.map_batches(binify, batch_format="pyarrow"),
+        ["bin"],
+        [("__y", "sum", "n_pos"), (None, "count_all", "n"),
+         ("__s", "sum", "s_sum")],
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "bin": pd.Series(dtype="float64"),
+            "n": pd.Series(dtype="int64"),
+            "n_pos": pd.Series(dtype="int64"),
+            "pos_rate": pd.Series(dtype="float64"),
+            "mean_score": pd.Series(dtype="float64"),
+        })
+    out["n"] = out["n"].astype("int64")
+    out["n_pos"] = out["n_pos"].astype("int64")
+    out["pos_rate"] = out["n_pos"].to_numpy(np.float64) \
+        / out["n"].to_numpy(np.float64)
+    out["mean_score"] = (out["s_sum"] / out["n"]).map(
+        lambda v: sql_round(v, round_to))
+    return (out.drop(columns=["s_sum"])
+            .sort_values("bin").reset_index(drop=True))
+
+
+def ridge_fit(
+    ds: rd.Dataset,
+    feature_col: str,
+    label_col: str,
+    l2: float = 1.0,
+    fit_intercept: bool = True,
+) -> pd.DataFrame:
+    """Closed-form ridge regression ``(XᵀX + λI)⁻¹ Xᵀy`` with MERGEABLE
+    per-batch partials — the one-shot sibling of ``logreg_fit``: each
+    batch emits ONE flattened (d², d, 1)-float row (XᵀX, Xᵀy, n);
+    feature vectors never shuffle and the driver folds O(batches) rows
+    in sorted batch-key order (bitwise reproducible for a fixed
+    partitioning, the kmeans/logreg determinism contract). The
+    intercept column is appended inside the batch task and is NOT
+    penalized (standard ridge). Null/NaN feature vectors or labels are
+    dropped via validity masks. Numerical note: raw XᵀX normal
+    equations lose precision when |μ| ≫ σ — center large-offset
+    features upstream (``ops/mlprep.standardize``)."""
+    first = ds.take(1)
+    if not first:
+        raise ValueError("ridge_fit: empty dataset")
+    d0 = len(first[0][feature_col])
+    d = d0 + (1 if fit_intercept else 0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        # null lists/labels must leave the TABLE before the matrix
+        # reshape (_feature_matrix infers width from flat/n — a null
+        # list contributes 0 floats but 1 row)
+        t = t.filter(pc.and_(pc.is_valid(t.column(feature_col)),
+                             pc.is_valid(t.column(label_col))))
+        x = _feature_matrix(t, feature_col)
+        y = t.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = ~np.isnan(y)
+        if x.shape[0]:
+            ok &= ~np.isnan(x).any(axis=1)
+        x, y = x[ok], y[ok]
+        if fit_intercept and x.size:
+            x = np.concatenate([x, np.ones((x.shape[0], 1))], axis=1)
+        if not x.size:
+            xtx = np.zeros((d, d))
+            xty = np.zeros(d)
+        else:
+            xtx = x.T @ x
+            xty = x.T @ y
+        row = np.concatenate([xtx.ravel(), xty, [float(len(y))]])
+        return pa.table({"p": pa.array([row.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # deterministic fold: sort partials by their own bytes (the
+    # logreg_fit idiom — arrival order depends on scheduling)
+    parts = parts.sort_values("p", kind="mergesort").reset_index(drop=True)
+    xtx = np.zeros((d, d))
+    xty = np.zeros(d)
+    n = 0
+    for blob in parts["p"]:
+        row = np.frombuffer(blob, dtype=np.float64)
+        xtx += row[: d * d].reshape(d, d)
+        xty += row[d * d : d * d + d]
+        n += int(row[-1])
+    pen = np.eye(d) * l2
+    if fit_intercept:
+        pen[-1, -1] = 0.0
+    coef = np.linalg.solve(xtx + pen, xty)
+    names = [f"x{i}" for i in range(d0)] + (
+        ["intercept"] if fit_intercept else [])
+    return pd.DataFrame({
+        "feature": pd.Series(names, dtype="object"),
+        "coef": pd.Series(coef, dtype="float64"),
+        "n": pd.Series([n] * d, dtype="int64"),
+    })

@@ -44,6 +44,8 @@ def _all_names(entry_mod):
 # keep in sync with oracle_sql() (asserted by
 # test_param_list_covers_all_oracles); static for -k selection
 ORACLE_NAMES = [
+    "link_graph", "triangle_count", "classification_report",
+    "calibration_curve", "dataset_split", "window_moving_corr",
     "read_pages", "read_changelog", "clean_fields", "validate_rows",
     "filter_rows", "project", "key_gen", "json_extract", "explode",
     "scalar_string", "scalar_date", "scalar_math", "scalar_null",

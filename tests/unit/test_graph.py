@@ -125,3 +125,48 @@ def test_empty_and_all_null_edges(rd):
                       "b": pa.array([], pa.int64())})
     out2 = connected_components(rdm.from_arrow(empty)).to_pandas()
     assert len(out2) == 0
+
+
+# ----------------------------------------------------------- triangle_count
+
+
+def _tri(rd, pairs):
+    from maestro_ray.ops.graph import triangle_count
+
+    return int(triangle_count(_edges(rd, pairs))["triangles"].iloc[0])
+
+
+def test_triangle_k4_is_four(rd):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(rd, k4) == 4
+
+
+def test_triangle_dups_reversals_selfloops_ignored(rd):
+    base = [(1, 2), (2, 3), (1, 3)]
+    noisy = base + [(2, 1), (3, 2), (1, 2), (1, 1), (3, 3)]
+    assert _tri(rd, noisy) == 1
+
+
+def test_triangle_path_and_star_have_none(rd):
+    assert _tri(rd, [(1, 2), (2, 3), (3, 4)]) == 0
+    assert _tri(rd, [(0, i) for i in range(1, 6)]) == 0
+
+
+def test_triangle_two_disjoint_plus_shared_edge(rd):
+    # two triangles sharing edge (1,2) + one isolated triangle
+    pairs = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4),
+             (7, 8), (8, 9), (7, 9)]
+    assert _tri(rd, pairs) == 3
+
+
+def test_triangle_random_matches_bruteforce(rd):
+    rng = np.random.default_rng(5)
+    n = 30
+    pairs = [(int(a), int(b))
+             for a, b in rng.integers(0, n, size=(220, 2)) if a != b]
+    # brute force over the canonical edge set
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    want = sum(1 for a in range(n) for b in range(a + 1, n)
+               for c in range(b + 1, n)
+               if (a, b) in es and (b, c) in es and (a, c) in es)
+    assert _tri(rd, pairs) == want

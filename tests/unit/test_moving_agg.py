@@ -193,3 +193,65 @@ def test_anomaly_zscore_vs_duckdb(ray_session):
         anomaly_zscore(ds, "k", ["i"], "v", window=0, threshold=2.0)
     with pytest.raises(ValueError, match="threshold"):
         anomaly_zscore(ds, "k", ["i"], "v", window=8, threshold=0.0)
+
+
+# -------------------------------------------------------------- moving_corr
+
+
+def test_moving_corr_matches_pandas_rolling(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.aggregates import moving_corr
+
+    rng = np.random.default_rng(9)
+    n = 120
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 3, n), pa.int64()),
+        "o": pa.array(np.arange(n), pa.int64()),
+        "x": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "y": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    out = moving_corr(rd.from_arrow(t).repartition(4), "k", ["o"],
+                      "x", "y", window=6).to_pandas() \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+    df = t.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want = (df.groupby("k")
+            .apply(lambda g: g["x"].rolling(6, min_periods=2)
+                   .corr(g["y"]), include_groups=False)
+            .reset_index(drop=True))
+    got = out["mov_corr"]
+    mask = ~want.isna().to_numpy()
+    np.testing.assert_allclose(got.to_numpy()[mask],
+                               want.to_numpy()[mask], rtol=1e-12)
+    # pandas yields NaN/inf where variance is 0 — we pin null there too
+    assert np.isnan(got.to_numpy()[~np.isfinite(want.to_numpy())]).all()
+
+
+def test_moving_corr_null_pairs_excluded(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.aggregates import moving_corr
+
+    t = pa.table({
+        "k": pa.array([1] * 5, pa.int64()),
+        "o": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "x": pa.array([1, 2, None, 4, 5], pa.int64()),
+        "y": pa.array([2, 4, 9, 8, 10], pa.int64()),
+    })
+    out = moving_corr(rd.from_arrow(t), "k", ["o"], "x", "y",
+                      window=5).to_pandas().sort_values("o")
+    # last frame: pairs (1,2),(2,4),(4,8),(5,10) — perfectly linear
+    assert out["mov_corr"].iloc[-1] == pytest.approx(1.0)
+    # first frame: single pair → n<2 → null
+    assert np.isnan(out["mov_corr"].iloc[0])
+
+
+def test_moving_corr_window_guard(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.aggregates import moving_corr
+
+    t = pa.table({"k": pa.array([1]), "o": pa.array([1]),
+                  "x": pa.array([1]), "y": pa.array([1])})
+    with pytest.raises(ValueError, match="window > 256"):
+        moving_corr(rd.from_arrow(t), "k", ["o"], "x", "y", window=500)
