@@ -4714,7 +4714,11 @@ def _with_synth_html(t: pa.Table) -> pa.Table:
         tgt = (ids * 31 + j * 97) % _LINK_MOD
         body = (body + '<a href="https://' + _synth_host(tgt)
                 + "/p/" + tgt.astype(str) + '">l</a>')
-    html = "<html><body>" + body + "</body></html>"
+    robots = pd.Series(np.where(ids % 7 == 0, "noindex", "index"),
+                       index=ids.index)
+    head = ("<head><title>Doc " + ids.astype(str) + "</title>"
+            + '<meta name="robots" content="' + robots + '"></head>')
+    html = "<html>" + head + "<body>" + body + "</body></html>"
     return t.append_column("html", pa.array(html, pa.string()))
 
 
@@ -4925,6 +4929,107 @@ def _q_cdc_epoch_diff(sf):
     return out.sort_values(["url"]).reset_index(drop=True)
 
 
+
+
+def _q_html_meta(sf):
+    """Head-metadata extraction from the synthetic pages: title text
+    and robots directive via two vectorized RE2 extracts per batch
+    (the engine DuckDB embeds); the twin reconstructs both from the
+    fixture arithmetic (_with_synth_html docstring contract)."""
+    ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+        _with_synth_html, batch_format="pyarrow")
+
+    def meta(t: pa.Table) -> pa.Table:
+        h = t.column("html")
+        title = pc.struct_field(
+            pc.extract_regex(h, r"<title>(?P<t>[^<]*)</title>"), "t")
+        robots = pc.struct_field(
+            pc.extract_regex(
+                h, r'<meta name="robots" content="(?P<r>[^"]*)"'), "r")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "title": title, "robots": robots})
+
+    return ds.map_batches(meta, batch_format="pyarrow")
+
+
+def _q_dedup_window(sf):
+    """Windowed event dedup — keep the FIRST event per (user, type,
+    hour): one computed bucket column + the existing ``distinct_on``
+    per-batch-candidate plan (one survivor row per key per batch
+    crosses the exchange). The standard log/CDC revisit-suppression
+    shape; exact rows."""
+    from maestro_ray.ops.aggregates import distinct_on
+
+    ds = _read(sf, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        hr = pc.cast(pc.divide(us, 3_600_000_000), pa.int64())
+        return t.append_column("hr", hr)
+
+    out = distinct_on(ds.map_batches(prep, batch_format="pyarrow"),
+                      keys=["user_id", "event_type", "hr"],
+                      order_by="ts", tie_break=["event_id"])
+    return P.project(out, columns=["event_id", "user_id",
+                                   "event_type", "hr"])
+
+
+def _q_common_neighbors(sf):
+    """Link prediction over the part co-occurrence graph (ops/graph.py
+    common_neighbors): top-20 non-adjacent pairs by shared-neighbor
+    count — wedge join + bucketed pair count + left-outer edge removal,
+    total (count desc, a, c) order so the LIMIT boundary is
+    deterministic. Exact integer counts."""
+    from maestro_ray.ops.analytics import cooccurrence_pairs
+    from maestro_ray.ops.graph import common_neighbors
+
+    ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(ds, "l_orderkey", "l_partkey",
+                               min_support=1)
+    return common_neighbors(pairs, k=20, src="p1", dst="p2")
+
+
+def _q_winsorize(sf):
+    """Per-group winsorization of event value at the [p5, p95]
+    interpolated quantiles (ops/mlprep.py winsorize): bounds from the
+    exact grouped quantile plan, broadcast once, one vectorized clip
+    per batch. least/greatest of exact quantile values — bit-exact,
+    no rounding."""
+    from maestro_ray.ops.mlprep import winsorize
+
+    ds = _read(sf, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def nn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("event_type")))
+
+    out = winsorize(ds.map_batches(nn, batch_format="pyarrow"),
+                    "event_type", "value", 0.05, 0.95)
+    return P.project(out, columns=["event_id", "event_type", "value",
+                                   "value_w"])
+
+
+def _q_cdc_compact(sf):
+    """Partition compaction under a new manifest epoch (io/lake.py
+    compact_partitions) on a zero-copy CLONE of the replay lake —
+    per-partition checksums asserted invariant internally, so readers
+    see identical data addressed by right-sized files. Rows-only; the
+    checksum-invariance oracle is pytest (tests/replay suite)."""
+    from maestro_ray.io.lake import clone_lake, compact_partitions, read_lake
+
+    src = _cdc_lake(sf)
+    dst = src + "_cp"
+    done = dst + "._DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(dst, ignore_errors=True)
+        clone_lake(src, dst)
+        compact_partitions(dst, target_rows_per_file=2000,
+                           row_group_size=1024)
+        open(done, "w").close()
+    return read_lake(dst, columns=["url", "warc_ts", "lang"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -4937,6 +5042,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ridge_regression": _q_ridge_regression,
         "compression_ratio": _q_compression_ratio,
         "cdc_epoch_diff": _q_cdc_epoch_diff,
+        "html_meta": _q_html_meta,
+        "dedup_window": _q_dedup_window,
+        "common_neighbors": _q_common_neighbors,
+        "winsorize": _q_winsorize,
+        "cdc_compact": _q_cdc_compact,
         "read_changelog": _q_read_changelog,
         "clean_fields": _q_clean_fields,
         "validate_rows": _q_validate_rows,
@@ -7095,6 +7205,44 @@ def oracle_sql() -> dict[str, str]:
             "(n * syy - sy * sy) > 0 THEN (n * sxy - sx * sy) / "
             "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END "
             "AS mov_corr FROM w ORDER BY user_id, event_id"
+        ),
+        "html_meta": (
+            "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
+            "CASE WHEN doc_id % 7 = 0 THEN 'noindex' ELSE 'index' END "
+            "AS robots FROM documents"
+        ),
+        "dedup_window": (
+            "WITH b AS (SELECT event_id, user_id, event_type, ts, "
+            "epoch_us(ts) // 3600000000 AS hr FROM events) "
+            "SELECT event_id, user_id, event_type, hr FROM b "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, "
+            "event_type, hr ORDER BY ts, event_id) = 1 "
+            "ORDER BY event_id"
+        ),
+        "common_neighbors": (
+            "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem WHERE l_partkey IS NOT NULL), "
+            "e AS (SELECT DISTINCT x.p AS u, y.p AS v FROM b x JOIN b y "
+            "ON x.o = y.o AND x.p < y.p), "
+            "adj AS (SELECT u AS m, v AS x FROM e "
+            "UNION ALL SELECT v AS m, u AS x FROM e), "
+            "w AS (SELECT a1.x AS a, a2.x AS c, count(*)::BIGINT AS "
+            "n_common FROM adj a1 JOIN adj a2 ON a1.m = a2.m "
+            "AND a1.x < a2.x GROUP BY 1, 2), "
+            "nc AS (SELECT w.a, w.c, w.n_common FROM w LEFT JOIN e ON "
+            "w.a = e.u AND w.c = e.v WHERE e.u IS NULL) "
+            "SELECT a, c, n_common FROM nc "
+            "ORDER BY n_common DESC, a, c LIMIT 20"
+        ),
+        "winsorize": (
+            "WITH q AS (SELECT event_type, "
+            "quantile_cont(value, 0.05) AS lo, "
+            "quantile_cont(value, 0.95) AS hi FROM events "
+            "WHERE value IS NOT NULL GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, e.value, "
+            "least(greatest(e.value, q.lo), q.hi) AS value_w "
+            "FROM events e JOIN q ON e.event_type = q.event_type "
+            "ORDER BY event_id"
         ),
         "top_paths": (
             "WITH r AS (SELECT user_id, coalesce(event_type, '') AS "

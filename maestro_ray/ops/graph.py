@@ -519,8 +519,39 @@ def triangle_count(
     inflates one join bucket; cap or pre-split hot keys upstream
     (``ops.partition.hot_key_detect``) if the degree distribution is
     power-law."""
-    from maestro_ray.ops.aggregates import bucketed_distinct
     from maestro_ray.ops.joins import hash_join
+
+    e = _canonical_edges(edges, src, dst, num_buckets)
+    wedges = hash_join(
+        e.map_batches(_rename_cols({"u": "a", "v": "b"}),
+                      batch_format="pyarrow"),
+        e.map_batches(_rename_cols({"u": "b", "v": "c"}),
+                      batch_format="pyarrow"),
+        keys="b", num_buckets=num_buckets)
+    closing = e.map_batches(_rename_cols({"u": "a", "v": "c"}),
+                            batch_format="pyarrow")
+    n = hash_join(
+        wedges, closing, keys=["a", "c"], num_buckets=num_buckets
+    ).count()
+    return pd.DataFrame({"triangles": pd.Series([n], dtype="int64")})
+
+
+def _rename_cols(m: dict):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([m.get(c, c) for c in t.column_names])
+
+    return fn
+
+
+def _canonical_edges(edges: rd.Dataset, src: str, dst: str,
+                     num_buckets: int) -> rd.Dataset:
+    """Distinct canonical undirected edge set (u < v): self-loops and
+    null endpoints dropped per batch, ONE bucketed-distinct exchange,
+    then materialized + block-compacted — shared by every plan that
+    reuses the edge set across joins (triangle_count,
+    common_neighbors); re-deriving it per plan leg would re-run the
+    caller's upstream pipeline (the pagerank lesson)."""
+    from maestro_ray.ops.aggregates import bucketed_distinct
 
     def canon(t: pa.Table) -> pa.Table:
         a = pc.cast(t.column(src), pa.int64())
@@ -542,22 +573,71 @@ def triangle_count(
         ["u", "v"],
         n_buckets=num_buckets,
     ).materialize()
-    e = _compact(e)
+    return _compact(e)
 
-    def rename(m: dict):
+
+def common_neighbors(
+    edges: rd.Dataset,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Link prediction by common-neighbor count: for every NON-adjacent
+    vertex pair reachable by a 2-path, the number of shared neighbors;
+    top ``k`` by (count desc, a, c) — a deterministic total order, so
+    the LIMIT boundary is engine-independent.
+
+    Plan: canonical distinct edge set (shared ``_canonical_edges``) →
+    BIDIRECTIONAL adjacency (each undirected edge as two directed rows
+    — unlike the triangle plan, a wedge's MIDDLE vertex may rank above
+    its endpoints, so the a < b < c trick would undercount) → wedge
+    join on the middle with ``a < c`` keeping each unordered pair once
+    → one ``bucketed_agg`` pair count → existing edges removed with a
+    left-outer join on (a, c) + null-marker filter → global top-k via
+    the combiner plan. The pair universe stays distributed until the
+    LIMIT."""
+    from maestro_ray.ops.aggregates import bucketed_agg, topk
+    from maestro_ray.ops.joins import hash_join
+
+    e = _canonical_edges(edges, src, dst, num_buckets)
+
+    def bidir(out_name: str):
         def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns([m.get(c, c) for c in t.column_names])
+            m = pa.concat_arrays([t.column("u").combine_chunks(),
+                                  t.column("v").combine_chunks()])
+            x = pa.concat_arrays([t.column("v").combine_chunks(),
+                                  t.column("u").combine_chunks()])
+            return pa.table({"m": m, out_name: x})
 
         return fn
 
-    left = e.map_batches(rename({"u": "a", "v": "b"}),
-                         batch_format="pyarrow")
-    right = e.map_batches(rename({"u": "b", "v": "c"}),
-                          batch_format="pyarrow")
-    wedges = hash_join(left, right, keys="b", num_buckets=num_buckets)
-    closing = e.map_batches(rename({"u": "a", "v": "c"}),
-                            batch_format="pyarrow")
-    n = hash_join(
-        wedges, closing, keys=["a", "c"], num_buckets=num_buckets
-    ).count()
-    return pd.DataFrame({"triangles": pd.Series([n], dtype="int64")})
+    wedges = hash_join(
+        e.map_batches(bidir("a"), batch_format="pyarrow"),
+        e.map_batches(bidir("c"), batch_format="pyarrow"),
+        keys="m", num_buckets=num_buckets)
+
+    def ordered_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("a"), t.column("c")))
+        return t.select(["a", "c"])
+
+    counts = bucketed_agg(
+        wedges.map_batches(ordered_pairs, batch_format="pyarrow"),
+        ["a", "c"], [(None, "count_all", "n_common")],
+        n_buckets=num_buckets)
+    marked = e.map_batches(
+        lambda t: _rename_cols({"u": "a", "v": "c"})(t).append_column(
+            "__e", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+    joined = hash_join(counts, marked, keys=["a", "c"],
+                       num_buckets=num_buckets, join_type="left outer")
+
+    def non_edges(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("__e")))
+        return t.select(["a", "c", "n_common"])
+
+    cand = joined.map_batches(non_edges, batch_format="pyarrow")
+    out = topk(cand, "n_common", k, descending=True,
+               tie_break=["a", "c"])
+    out["n_common"] = out["n_common"].astype("int64")
+    return out[["a", "c", "n_common"]].reset_index(drop=True)

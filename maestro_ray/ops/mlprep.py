@@ -256,3 +256,65 @@ def categorical_encode(
             out_col, pa.array(code, pa.float64(), from_pandas=True)
             .cast(pa.int64()))
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def winsorize(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    out: str | None = None,
+) -> rd.Dataset:
+    """Per-group winsorization: clip ``col`` to its group's
+    [``q_lo``, ``q_hi``] interpolated quantiles — the standard outlier
+    cap before training. The per-group bounds come from
+    ``grouped_quantiles_cont`` (DuckDB ``quantile_cont`` interpolation
+    rule, O(distinct (key, value)) driver frame behind its guard); the
+    O(groups) bounds table then broadcasts via ``ray.put`` into one
+    vectorized clip per batch — searchsorted key lookup +
+    min/max_element_wise, no shuffle of the data itself. Null values
+    stay null; rows whose group has no bounds (all-null group) pass
+    through unclipped. Clip expression is ``least(greatest(v, lo),
+    hi)`` — bit-exact against the SQL twin."""
+    from maestro_ray.ops.aggregates import grouped_quantiles_cont
+
+    if not 0.0 <= q_lo <= q_hi <= 1.0:
+        raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, got {q_lo}, {q_hi}")
+    qdf = grouped_quantiles_cont(ds, key, col, [q_lo, q_hi])
+    qdf = qdf[qdf[key].notna()]  # null-key group: pass through unclipped
+    lo = qdf[qdf["q"] == q_lo].set_index(key)["value"]
+    hi = qdf[qdf["q"] == q_hi].set_index(key)["value"]
+    keys_sorted = np.sort(lo.index.to_numpy())
+    lo_v = lo.loc[keys_sorted].to_numpy(dtype=np.float64)
+    hi_v = hi.loc[keys_sorted].to_numpy(dtype=np.float64)
+    bounds_ref = ray.put((keys_sorted, lo_v, hi_v))
+    out_col = out or f"{col}_w"
+
+    def clip(t: pa.Table) -> pa.Table:
+        ks, lov, hiv = ray.get(bounds_ref)
+        kcol = t.column(key)
+        valid = pc.is_valid(kcol).to_numpy(zero_copy_only=False)
+        if len(ks) == 0 or not valid.any():
+            hit = np.zeros(t.num_rows, dtype=bool)
+            idx_c = np.zeros(t.num_rows, dtype=np.int64)
+            lov = np.array([0.0])
+            hiv = np.array([0.0])
+        else:
+            kv = kcol.to_numpy(zero_copy_only=False)
+            kv_safe = np.where(valid, kv, ks[0])
+            idx = np.searchsorted(ks, kv_safe)
+            idx_c = np.clip(idx, 0, len(ks) - 1)
+            hit = valid & (idx < len(ks)) & (ks[idx_c] == kv_safe)
+        v = pc.cast(t.column(col), pa.float64())
+        lo_row = pa.array(np.where(hit, lov[idx_c], -np.inf))
+        hi_row = pa.array(np.where(hit, hiv[idx_c], np.inf))
+        # skip_nulls=False: a null value must STAY null, not collapse
+        # onto the bound (element-wise min/max skip nulls by default)
+        opts = pc.ElementWiseAggregateOptions(skip_nulls=False)
+        clipped = pc.min_element_wise(
+            pc.max_element_wise(v, lo_row, options=opts),
+            hi_row, options=opts)
+        return t.append_column(out_col, clipped)
+
+    return ds.map_batches(clip, batch_format="pyarrow")

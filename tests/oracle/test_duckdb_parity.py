@@ -45,6 +45,7 @@ def _all_names(entry_mod):
 # test_param_list_covers_all_oracles); static for -k selection
 ORACLE_NAMES = [
     "link_graph", "triangle_count", "classification_report",
+    "html_meta", "dedup_window", "common_neighbors", "winsorize",
     "calibration_curve", "dataset_split", "window_moving_corr",
     "read_pages", "read_changelog", "clean_fields", "validate_rows",
     "filter_rows", "project", "key_gen", "json_extract", "explode",

@@ -170,3 +170,38 @@ def test_triangle_random_matches_bruteforce(rd):
                for c in range(b + 1, n)
                if (a, b) in es and (b, c) in es and (a, c) in es)
     assert _tri(rd, pairs) == want
+
+
+# --------------------------------------------------------- common_neighbors
+
+
+def test_common_neighbors_square(rd):
+    from maestro_ray.ops.graph import common_neighbors
+
+    # 4-cycle: each diagonal pair shares exactly 2 neighbors
+    out = common_neighbors(
+        _edges(rd, [(1, 2), (2, 3), (3, 4), (1, 4)]), k=10)
+    got = set(zip(out["a"], out["c"], out["n_common"]))
+    assert got == {(1, 3, 2), (2, 4, 2)}
+
+
+def test_common_neighbors_excludes_existing_edges(rd):
+    from maestro_ray.ops.graph import common_neighbors
+
+    # triangle + pendant: (1,2),(1,3),(2,3) adjacent pairs never appear
+    out = common_neighbors(
+        _edges(rd, [(1, 2), (1, 3), (2, 3), (3, 4)]), k=10)
+    pairs = set(zip(out["a"], out["c"]))
+    assert (1, 2) not in pairs and (1, 3) not in pairs
+    assert (1, 4) in pairs and (2, 4) in pairs
+
+
+def test_common_neighbors_k_boundary_deterministic(rd):
+    from maestro_ray.ops.graph import common_neighbors
+
+    star = [(0, i) for i in range(1, 8)]  # all leaf pairs share hub 0
+    a = common_neighbors(_edges(rd, star), k=5)
+    b = common_neighbors(_edges(rd, star, parts=2), k=5)
+    pd.testing.assert_frame_equal(a, b)  # (n desc, a, c) total order
+    assert len(a) == 5 and (a["n_common"] == 1).all()
+    assert list(a["a"]) == [1, 1, 1, 1, 1]  # smallest (a, c) win ties

@@ -93,3 +93,65 @@ def test_categorical_encode_dense_rank_semantics(ray_session):
     got = dict(zip(out.c, out.code))
     assert got["a"] == 1 and got["m"] == 2 and got["z"] == 3
     assert out[out.c.isna()].code.isna().all()
+
+
+# ----------------------------------------------------------------- winsorize
+
+
+def test_winsorize_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd_mod
+
+    from maestro_ray.ops.mlprep import winsorize
+
+    rng = np.random.default_rng(21)
+    n = 400
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": rng.normal(50, 20, n),
+    })
+    out = winsorize(rd_mod.from_pandas(df).repartition(4), "g", "v",
+                    0.1, 0.9).to_pandas()
+    want = duckdb.sql(
+        "WITH q AS (SELECT g, quantile_cont(v, 0.1) lo, "
+        "quantile_cont(v, 0.9) hi FROM df GROUP BY g) "
+        "SELECT df.g, df.v, least(greatest(df.v, q.lo), q.hi) AS v_w "
+        "FROM df JOIN q USING (g)").df()
+    got = out.sort_values(["g", "v"]).reset_index(drop=True)
+    want = want.sort_values(["g", "v"]).reset_index(drop=True)
+    np.testing.assert_array_equal(got["v_w"].to_numpy(),
+                                  want["v_w"].to_numpy())
+
+
+def test_winsorize_null_value_stays_null_and_null_key_unclipped(ray_session):
+    import pyarrow as pa
+    import ray.data as rd_mod
+
+    from maestro_ray.ops.mlprep import winsorize
+
+    t = pa.table({
+        "g": pa.array(["a"] * 10 + [None], pa.string()),
+        "v": pa.array([float(i) for i in range(10)] + [1000.0],
+                      pa.float64()),
+    })
+    t = t.append_column("row", pa.array(range(11), pa.int64()))
+    out = winsorize(rd_mod.from_arrow(t), "g", "v", 0.0, 0.5) \
+        .to_pandas().sort_values("row")
+    # group a: clipped to [0, 4.5]; null-key row passes through
+    assert out["v_w"].iloc[:10].max() == 4.5
+    assert out["v_w"].iloc[10] == 1000.0
+
+    t2 = pa.table({"g": pa.array(["a", "a"]),
+                   "v": pa.array([1.0, None], pa.float64())})
+    out2 = winsorize(rd_mod.from_arrow(t2), "g", "v").to_pandas()
+    assert out2["v_w"].isna().sum() == 1
+
+
+def test_winsorize_bad_quantiles_raise(ray_session):
+    import ray.data as rd_mod
+
+    from maestro_ray.ops.mlprep import winsorize
+
+    ds = rd_mod.from_pandas(pd.DataFrame({"g": ["a"], "v": [1.0]}))
+    with pytest.raises(ValueError, match="q_lo"):
+        winsorize(ds, "g", "v", 0.9, 0.1)
