@@ -5030,6 +5030,63 @@ def _q_cdc_compact(sf):
     return read_lake(dst, columns=["url", "warc_ts", "lang"])
 
 
+
+
+def _q_cusum_anomaly(sf):
+    """Per-user one-sided CUSUM drift monitor over floored event value
+    (ops/analytics.py cusum): evaluated via the prefix-sum identity
+    S = P − min(0, running-min P) on exact integers — bit-exact against
+    the twin's two window frames, no recursion, no rounding."""
+    from maestro_ray.ops.analytics import cusum
+
+    ds = _read(sf, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tab = pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "event_id": t.column("event_id"),
+            "x": pc.cast(pc.floor(t.column("value")), pa.int64()),
+        })
+        return tab.filter(pc.and_(pc.is_valid(t.column("value")),
+                                  pc.is_valid(t.column("ts"))))
+
+    out = cusum(ds.map_batches(prep, batch_format="pyarrow"),
+                key="user_id", order_cols=["ts", "event_id"],
+                value_col="x", drift=55, threshold=500)
+    return P.project(out, columns=["user_id", "event_id", "cusum",
+                                   "alarm"])
+
+
+def _q_skyline(sf):
+    """2-D Pareto frontier of (quantity, price) over lineitem
+    (ops/analytics.py skyline_2d): per-batch local frontiers (sound by
+    dominance transitivity), one guarded driver merge. Exact — raw
+    double comparisons only."""
+    from maestro_ray.ops.analytics import skyline_2d
+
+    ds = _read(sf, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+    return skyline_2d(ds, "l_quantity", "l_extendedprice")
+
+
+def _q_graph_kcore(sf):
+    """3-core of the part co-occurrence graph (ops/graph.py kcore):
+    distributed iterative peeling — degrees via bucketed_agg, edge
+    retention via two bucketed hash joins per round, node set never on
+    the driver. Rows-only (iterative peeling is not SQL-expressible);
+    the brute-force peeling oracle is pytest
+    (tests/unit/test_graph.py)."""
+    from maestro_ray.ops.analytics import cooccurrence_pairs
+    from maestro_ray.ops.graph import kcore
+
+    ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(ds, "l_orderkey", "l_partkey",
+                               min_support=1)
+    return kcore(pairs, k=3, src="p1", dst="p2")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -5047,6 +5104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_neighbors": _q_common_neighbors,
         "winsorize": _q_winsorize,
         "cdc_compact": _q_cdc_compact,
+        "cusum_anomaly": _q_cusum_anomaly,
+        "skyline": _q_skyline,
+        "graph_kcore": _q_graph_kcore,
         "read_changelog": _q_read_changelog,
         "clean_fields": _q_clean_fields,
         "validate_rows": _q_validate_rows,
@@ -7243,6 +7303,32 @@ def oracle_sql() -> dict[str, str]:
             "least(greatest(e.value, q.lo), q.hi) AS value_w "
             "FROM events e JOIN q ON e.event_type = q.event_type "
             "ORDER BY event_id"
+        ),
+        "cusum_anomaly": (
+            "WITH b AS (SELECT user_id, ts, event_id, "
+            "CAST(floor(value) AS BIGINT) - 55 AS dx FROM events "
+            "WHERE value IS NOT NULL AND ts IS NOT NULL), "
+            "p AS (SELECT user_id, ts, event_id, "
+            "CAST(sum(dx) OVER fr AS BIGINT) AS psum FROM b WINDOW fr AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)), "
+            "c AS (SELECT user_id, event_id, "
+            "psum - least(min(psum) OVER fr2, 0) AS cusum FROM p "
+            "WINDOW fr2 AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)) "
+            "SELECT user_id, event_id, cusum, cusum > 500 AS alarm "
+            "FROM c ORDER BY user_id, event_id"
+        ),
+        "skyline": (
+            "WITH r AS (SELECT l_quantity AS x, l_extendedprice AS y "
+            "FROM lineitem WHERE l_quantity IS NOT NULL AND "
+            "l_extendedprice IS NOT NULL), "
+            "g AS (SELECT x, max(y) AS mx FROM r GROUP BY x), "
+            "gm AS (SELECT x, mx, max(mx) OVER (ORDER BY x DESC ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1 FROM g) "
+            "SELECT r.x, r.y FROM r JOIN gm ON r.x = gm.x "
+            "WHERE (gm.m1 IS NULL OR gm.m1 < r.y) AND r.y >= gm.mx "
+            "ORDER BY r.x, r.y"
         ),
         "top_paths": (
             "WITH r AS (SELECT user_id, coalesce(event_type, '') AS "

@@ -642,3 +642,116 @@ def histogram2d(
                              "n": pd.Series([], dtype="int64")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["x_bin", "y_bin"]).reset_index(drop=True)
+
+
+def cusum(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    drift: int,
+    threshold: int,
+    out: str = "cusum",
+) -> rd.Dataset:
+    """One-sided CUSUM change detection per ``key``: S_i = max(0,
+    S_{i-1} + (x_i − drift)), alarm when S crosses ``threshold`` — the
+    classic sequential drift monitor.
+
+    Cross-engine exactness contract (the moving_corr rule): with an
+    INTEGER value column the recursion folds exactly, and we evaluate
+    it NON-recursively via the prefix-sum identity ``S_i = P_i −
+    min(0, min_{j≤i} P_j)`` (P = running sum of x − drift) — pure
+    cumsum + running min, vectorized per group, mathematically equal
+    to the recursion on exact integers. The SQL twin spells the same
+    identity with two UNBOUNDED-PRECEDING window frames (no recursive
+    CTE needed). Null values are rejected loudly — a gap in a
+    monitored series needs an explicit upstream policy (fill or
+    filter), silently skipping would shift every subsequent S."""
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        if g.column(value_col).null_count:
+            raise ValueError(
+                f"cusum: null {value_col!r} values — fill or filter "
+                "upstream (a silent skip would shift every later S)")
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        v = s.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = np.cumsum(v - np.int64(drift))
+        m = np.minimum(np.minimum.accumulate(p), 0)
+        cus = p - m
+        s = s.append_column(out, pa.array(cus, pa.int64()))
+        return s.append_column(
+            "alarm", pa.array(cus > np.int64(threshold)))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def _pareto_mask_2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D maxima (Pareto frontier) of (x, y):
+    a point is dominated iff another point is ≥ in both coordinates and
+    > in at least one. O(n log n): sort by (x desc, y desc), then a
+    point is dominated iff the max y among STRICTLY larger x reaches
+    its y, or a same-x point has strictly larger y. Duplicate points
+    never dominate each other (both kept when on the frontier)."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    o = np.lexsort((-y, -x))
+    xs, ys = x[o], y[o]
+    new_run = np.concatenate(([True], xs[1:] != xs[:-1]))
+    run_id = np.cumsum(new_run) - 1
+    run_max_y = ys[new_run][run_id]  # first of run = max y at that x
+    prefmax = np.maximum.accumulate(ys)
+    run_first = np.flatnonzero(new_run)
+    prev_last = run_first - 1  # last index of the previous run
+    m1_per_run = np.where(prev_last >= 0, prefmax[np.maximum(prev_last, 0)],
+                          -np.inf)
+    m1 = m1_per_run[run_id]
+    dominated = (m1 >= ys) | (run_max_y > ys)
+    mask = np.empty(n, dtype=bool)
+    mask[o] = ~dominated
+    return mask
+
+
+def skyline_2d(
+    ds: rd.Dataset,
+    x_col: str,
+    y_col: str,
+    max_frontier: int = 1_000_000,
+) -> pd.DataFrame:
+    """2-D skyline (Pareto maxima) of two numeric columns — the
+    classic multi-criteria shortlist. Distributed shape: each batch
+    keeps only its LOCAL frontier (dominance is transitive, so a
+    locally dominated point is globally dominated — sound pruning),
+    then one final frontier pass over the collected local frontiers on
+    the driver, behind the repo's standard loud ``max_frontier`` guard
+    (worst case — e.g. perfectly anti-correlated coordinates — the
+    frontier IS the dataset, and no algorithm can shrink it). Null
+    coordinates are dropped (SQL WHERE twin). Returns (x, y) sorted."""
+    def local(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(x_col)),
+                     pc.is_valid(t.column(y_col)))
+        t = t.filter(ok)
+        x = t.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keep = _pareto_mask_2d(x, y)
+        return pa.table({"x": pa.array(x[keep], pa.float64()),
+                         "y": pa.array(y[keep], pa.float64())})
+
+    cand = ds.map_batches(local, batch_format="pyarrow").materialize()
+    n = cand.count()
+    if n > max_frontier:
+        raise RuntimeError(
+            f"skyline_2d: {n} local-frontier candidates exceed the "
+            f"driver bound {max_frontier} — the frontier itself is "
+            "dataset-sized; pre-aggregate or bucket the coordinates")
+    df = cand.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"x": pd.Series(dtype="float64"),
+                             "y": pd.Series(dtype="float64")})
+    keep = _pareto_mask_2d(df["x"].to_numpy(), df["y"].to_numpy())
+    out = df[keep]
+    return out.sort_values(["x", "y"]).reset_index(drop=True)

@@ -641,3 +641,87 @@ def common_neighbors(
                tie_break=["a", "c"])
     out["n_common"] = out["n_common"].astype("int64")
     return out[["a", "c", "n_common"]].reset_index(drop=True)
+
+
+def _bidir(out_name: str):
+    """(u,v) canonical edges → both directed rows (m=middle, out=other)."""
+    def fn(t: pa.Table) -> pa.Table:
+        m = pa.concat_arrays([t.column("u").combine_chunks(),
+                              t.column("v").combine_chunks()])
+        x = pa.concat_arrays([t.column("v").combine_chunks(),
+                              t.column("u").combine_chunks()])
+        return pa.table({"m": m, out_name: x})
+
+    return fn
+
+
+def kcore(
+    edges: rd.Dataset,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    num_buckets: int = 32,
+    max_rounds: int = 200,
+) -> pd.DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node has
+    degree ≥ k — by distributed iterative peeling: each round computes
+    degrees over the surviving edge set (one ``bucketed_agg``), keeps
+    nodes with degree ≥ k, and retains only edges whose BOTH endpoints
+    survive (two bucketed inner ``hash_join``s against the O(survivors)
+    node table — the node set never lands on the driver). Converged
+    when the edge count stops shrinking (peeling is monotone, so equal
+    count ⟺ no node below k remains). Each round's edge set is
+    materialized + block-compacted — the iterative-join block-doubling
+    rule (ops/partition.compact_blocks). Rounds are bounded by the
+    peeling depth, worst case O(nodes) on a path — ``max_rounds``
+    fails loudly rather than looping silently. Returns the surviving
+    nodes with their within-core degree, sorted by node."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.joins import hash_join
+
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    e = _canonical_edges(edges, src, dst, num_buckets)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = bucketed_agg(
+            e.map_batches(_bidir("x"), batch_format="pyarrow"),
+            "m", [(None, "count_all", "__deg")],
+            n_buckets=num_buckets)
+        keep = deg.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("__deg"),
+                                 pa.scalar(k, pa.int64()))).select(["m"]),
+            batch_format="pyarrow").materialize()
+        if keep.count() == 0:
+            # everything peeled — an empty materialized Dataset loses
+            # its schema and would crash the joins (repo-documented)
+            n_edges = 0
+            break
+        e2 = hash_join(
+            hash_join(e, keep.map_batches(_rename_cols({"m": "u"}),
+                                          batch_format="pyarrow"),
+                      keys="u", num_buckets=num_buckets),
+            keep.map_batches(_rename_cols({"m": "v"}),
+                             batch_format="pyarrow"),
+            keys="v", num_buckets=num_buckets).materialize()
+        e2 = _compact(e2)
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    else:
+        raise RuntimeError(f"kcore: no fixpoint after {max_rounds} rounds")
+    if n_edges == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "degree": pd.Series(dtype="int64")})
+    deg = bucketed_agg(
+        e.map_batches(_bidir("x"), batch_format="pyarrow"),
+        "m", [(None, "count_all", "degree")],
+        n_buckets=num_buckets).to_pandas()
+    deg = deg.rename(columns={"m": "node"})
+    deg["node"] = deg["node"].astype("int64")
+    deg["degree"] = deg["degree"].astype("int64")
+    return deg.sort_values("node").reset_index(drop=True)

@@ -136,3 +136,101 @@ def test_ohlc_buckets(ray_session):
     assert (d1.open, d1.high, d1.low, d1.close, d1.n) == (5.0, 5.0, 2.0, 2.0, 2)
     d2 = out.iloc[1]
     assert (d2.open, d2.close, d2.n) == (7.0, 7.0, 1)
+
+
+# ------------------------------------------------------------------- cusum
+
+
+def test_cusum_matches_recursion(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.analytics import cusum
+
+    rng = np.random.default_rng(17)
+    n = 200
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 4, n), pa.int64()),
+        "o": pa.array(np.arange(n), pa.int64()),
+        "x": pa.array(rng.integers(0, 20, n), pa.int64()),
+    })
+    out = cusum(rd.from_arrow(t).repartition(3), "k", ["o"], "x",
+                drift=9, threshold=15).to_pandas() \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+    df = t.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want = []
+    state = {}
+    for _, r in df.iterrows():
+        s = max(0, state.get(r["k"], 0) + (int(r["x"]) - 9))
+        state[r["k"]] = s
+        want.append(s)
+    assert out["cusum"].tolist() == want
+    assert out["alarm"].tolist() == [w > 15 for w in want]
+
+
+def test_cusum_rejects_nulls(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.analytics import cusum
+
+    t = pa.table({"k": pa.array([1, 1]), "o": pa.array([1, 2]),
+                  "x": pa.array([1, None], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        cusum(rd.from_arrow(t), "k", ["o"], "x", 0, 1).to_pandas()
+
+
+# ----------------------------------------------------------------- skyline
+
+
+def _sky_brute(xy):
+    out = []
+    for i, (x, y) in enumerate(xy):
+        dom = any((x2 >= x and y2 >= y and (x2 > x or y2 > y))
+                  for j, (x2, y2) in enumerate(xy) if j != i)
+        # a duplicate point does not dominate its twin
+        dup = any(j != i and xy[j] == (x, y) for j in range(len(xy)))
+        strictly_dom = any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for j, (x2, y2) in enumerate(xy) if j != i)
+        if not strictly_dom:
+            out.append((x, y))
+        del dom, dup
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.analytics import skyline_2d
+
+    rng = np.random.default_rng(23)
+    xy = [(float(a), float(b))
+          for a, b in rng.integers(0, 30, size=(300, 2))]
+    t = pa.table({"x": pa.array([p[0] for p in xy], pa.float64()),
+                  "y": pa.array([p[1] for p in xy], pa.float64())})
+    out = skyline_2d(rd.from_arrow(t).repartition(5), "x", "y")
+    assert list(zip(out["x"], out["y"])) == _sky_brute(xy)
+
+
+def test_skyline_keeps_duplicate_frontier_points(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.analytics import skyline_2d
+
+    t = pa.table({"x": pa.array([1.0, 1.0, 0.0], pa.float64()),
+                  "y": pa.array([2.0, 2.0, 9.0], pa.float64())})
+    out = skyline_2d(rd.from_arrow(t), "x", "y")
+    assert list(zip(out["x"], out["y"])) == [(0.0, 9.0), (1.0, 2.0),
+                                             (1.0, 2.0)]
+
+
+def test_skyline_guard_fires(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.analytics import skyline_2d
+
+    # anti-correlated: the frontier IS the dataset
+    n = 50
+    t = pa.table({"x": pa.array(np.arange(n, dtype=np.float64)),
+                  "y": pa.array(np.arange(n, 0, -1, dtype=np.float64))})
+    with pytest.raises(RuntimeError, match="driver bound"):
+        skyline_2d(rd.from_arrow(t), "x", "y", max_frontier=10)

@@ -205,3 +205,51 @@ def test_common_neighbors_k_boundary_deterministic(rd):
     pd.testing.assert_frame_equal(a, b)  # (n desc, a, c) total order
     assert len(a) == 5 and (a["n_common"] == 1).all()
     assert list(a["a"]) == [1, 1, 1, 1, 1]  # smallest (a, c) win ties
+
+
+# ------------------------------------------------------------------- kcore
+
+
+def _kcore_brute(pairs, k):
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        es = {(a, b) for a, b in es if a not in drop and b not in drop}
+
+
+def test_kcore_peels_pendant_chain(rd):
+    from maestro_ray.ops.graph import kcore
+
+    # triangle with a tail: 2-core is exactly the triangle
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    out = kcore(_edges(rd, pairs), k=2)
+    assert out["node"].tolist() == [1, 2, 3]
+    assert out["degree"].tolist() == [2, 2, 2]
+
+
+def test_kcore_random_matches_bruteforce(rd):
+    from maestro_ray.ops.graph import kcore
+
+    rng = np.random.default_rng(13)
+    pairs = [(int(a), int(b))
+             for a, b in rng.integers(0, 25, size=(120, 2)) if a != b]
+    for k in (2, 3, 4):
+        want = _kcore_brute(pairs, k)
+        out = kcore(_edges(rd, pairs), k=k)
+        assert out["node"].tolist() == sorted(want)
+        assert dict(zip(out["node"], out["degree"])) == want
+
+
+def test_kcore_empty_and_validation(rd):
+    from maestro_ray.ops.graph import kcore
+
+    out = kcore(_edges(rd, [(1, 2)]), k=5)  # everything peels away
+    assert out.empty and list(out.columns) == ["node", "degree"]
+    with pytest.raises(ValueError, match="k must be"):
+        kcore(_edges(rd, [(1, 2)]), k=0)
