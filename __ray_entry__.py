@@ -4759,13 +4759,17 @@ def _q_triangle_count(sf):
     """Exact triangle count over the part co-occurrence graph (edges =
     part pairs sharing an order): ops/graph.py triangle_count — the
     vertex-ordered wedge plan, two bucketed hash joins over a
-    materialized distinct edge set. One exact integer."""
+    materialized distinct edge set. Edges = REPEAT co-purchases
+    (support ≥ 2): the support-1 graph's wedge volume is Σdeg² ≈ 3×10⁸
+    at sf0.1 — inherent to exact wedge counting, so the query keys a
+    meaningful sparse graph and the op documents the skew bound. One
+    exact integer."""
     from maestro_ray.ops.analytics import cooccurrence_pairs
     from maestro_ray.ops.graph import triangle_count
 
     ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
     pairs = cooccurrence_pairs(ds, "l_orderkey", "l_partkey",
-                               min_support=1)
+                               min_support=2)
     return triangle_count(pairs, src="p1", dst="p2")
 
 
@@ -4986,7 +4990,8 @@ def _q_common_neighbors(sf):
 
     ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
     pairs = cooccurrence_pairs(ds, "l_orderkey", "l_partkey",
-                               min_support=1)
+                               min_support=2)  # sparse graph: see
+    # the triangle_count wedge-volume note
     return common_neighbors(pairs, k=20, src="p1", dst="p2")
 
 
@@ -5087,6 +5092,39 @@ def _q_graph_kcore(sf):
     return kcore(pairs, k=3, src="p1", dst="p2")
 
 
+
+
+def _q_ridge_cv(sf):
+    """5-fold cross-validated ridge (ops/ml.py ridge_cv): fold
+    membership on the shared hash contract, k exclusion-fold models
+    trained from ONE pass of per-(batch, fold) partials, held-out RMSE
+    from one broadcast scoring pass. Rows-only; the per-fold
+    numpy-exact oracle is pytest (tests/unit/test_ml_eval.py)."""
+    from maestro_ray.ops.ml import ridge_cv
+
+    ds = _read(sf, "events",
+               columns=["event_id", "event_type", "ts", "value",
+                        "props"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        plen = pc.utf8_length(t.column("props")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        hour = (us // 3_600_000_000 % 24).astype(np.float64)
+        purch = pc.equal(t.column("event_type"), "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.stack([plen, hour, purch], axis=1).astype(np.float32)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "features": pa.array(list(x), pa.list_(pa.float32())),
+            "label": t.column("value"),
+        })
+
+    return ridge_cv(ds.map_batches(feats, batch_format="pyarrow"),
+                    "event_id", "features", "label", n_folds=5, l2=1.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -5107,6 +5145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_anomaly": _q_cusum_anomaly,
         "skyline": _q_skyline,
         "graph_kcore": _q_graph_kcore,
+        "ridge_cv": _q_ridge_cv,
         "read_changelog": _q_read_changelog,
         "clean_fields": _q_clean_fields,
         "validate_rows": _q_validate_rows,
@@ -7195,8 +7234,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": (
             "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
             "FROM lineitem WHERE l_partkey IS NOT NULL), "
-            "e AS (SELECT DISTINCT x.p AS u, y.p AS v FROM b x JOIN b y "
-            "ON x.o = y.o AND x.p < y.p), "
+            "e AS (SELECT x.p AS u, y.p AS v FROM b x JOIN b y "
+            "ON x.o = y.o AND x.p < y.p GROUP BY 1, 2 "
+            "HAVING count(*) >= 2), "
             "w AS (SELECT e1.u AS a, e1.v AS bb, e2.v AS c FROM e e1 "
             "JOIN e e2 ON e1.v = e2.u) "
             "SELECT count(*)::BIGINT AS triangles FROM w "
@@ -7282,8 +7322,9 @@ def oracle_sql() -> dict[str, str]:
         "common_neighbors": (
             "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
             "FROM lineitem WHERE l_partkey IS NOT NULL), "
-            "e AS (SELECT DISTINCT x.p AS u, y.p AS v FROM b x JOIN b y "
-            "ON x.o = y.o AND x.p < y.p), "
+            "e AS (SELECT x.p AS u, y.p AS v FROM b x JOIN b y "
+            "ON x.o = y.o AND x.p < y.p GROUP BY 1, 2 "
+            "HAVING count(*) >= 2), "
             "adj AS (SELECT u AS m, v AS x FROM e "
             "UNION ALL SELECT v AS m, u AS x FROM e), "
             "w AS (SELECT a1.x AS a, a2.x AS c, count(*)::BIGINT AS "

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 
@@ -477,3 +478,114 @@ def ridge_fit(
         "coef": pd.Series(coef, dtype="float64"),
         "n": pd.Series([n] * d, dtype="int64"),
     })
+
+
+def ridge_cv(
+    ds: rd.Dataset,
+    key_col: str,
+    feature_col: str,
+    label_col: str,
+    n_folds: int = 5,
+    l2: float = 1.0,
+) -> pd.DataFrame:
+    """K-fold cross-validation for closed-form ridge in TWO data passes
+    total (not 2k): fold membership is the shared deterministic
+    multiplicative key hash (leakage-safe, reproducible across runs and
+    cluster sizes — the ``dataset_split`` contract), pass 1 emits ONE
+    byte-packed (XᵀX, Xᵀy, n) partial per (batch, fold) and the driver
+    trains fold f on the SUM OVER THE OTHER FOLDS' partials (exclusion
+    fold — k models from one pass); pass 2 broadcasts all k coefficient
+    vectors and accumulates per-fold held-out squared error. Returns
+    one row per fold (n_train, n_test, rmse) plus coefficients are NOT
+    returned (use ``ridge_fit`` on the full data for the final model).
+    Partials fold in sorted-bytes order per fold — bitwise reproducible
+    for a fixed partitioning (the logreg/kmeans contract)."""
+    from maestro_ray.ops.corpus import _mult_hash
+
+    if n_folds < 2:
+        raise ValueError(f"ridge_cv: need n_folds >= 2, got {n_folds}")
+    first = ds.take(1)
+    if not first:
+        raise ValueError("ridge_cv: empty dataset")
+    d = len(first[0][feature_col]) + 1  # + intercept
+
+    def clean(t: pa.Table):
+        t = t.filter(pc.and_(pc.is_valid(t.column(feature_col)),
+                             pc.is_valid(t.column(label_col))))
+        x = _feature_matrix(t, feature_col)
+        y = t.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(y)
+        if x.shape[0]:
+            ok &= ~np.isnan(x).any(axis=1)
+        x, y, keys = x[ok], y[ok], keys[ok]
+        if x.size:
+            x = np.concatenate([x, np.ones((x.shape[0], 1))], axis=1)
+        fold = (_mult_hash(keys, "ridge_cv") % np.uint64(n_folds)) \
+            .astype(np.int64)
+        return x, y, fold
+
+    def train_partial(t: pa.Table) -> pa.Table:
+        x, y, fold = clean(t)
+        rows = []
+        for f in np.unique(fold):
+            m = fold == f
+            xf, yf = x[m], y[m]
+            row = np.concatenate([[float(f)], (xf.T @ xf).ravel(),
+                                  xf.T @ yf, [float(m.sum())]])
+            rows.append(row.tobytes())
+        return pa.table({"p": pa.array(rows, pa.binary())})
+
+    parts = ds.map_batches(train_partial, batch_format="pyarrow") \
+        .to_pandas().sort_values("p", kind="mergesort")
+    per_fold = {f: [np.zeros((d, d)), np.zeros(d), 0]
+                for f in range(n_folds)}
+    for blob in parts["p"]:
+        row = np.frombuffer(blob, dtype=np.float64)
+        f = int(row[0])
+        per_fold[f][0] += row[1: 1 + d * d].reshape(d, d)
+        per_fold[f][1] += row[1 + d * d: 1 + d * d + d]
+        per_fold[f][2] += int(row[-1])
+    tot_xtx = sum(v[0] for v in per_fold.values())
+    tot_xty = sum(v[1] for v in per_fold.values())
+    tot_n = sum(v[2] for v in per_fold.values())
+    pen = np.eye(d) * l2
+    pen[-1, -1] = 0.0  # intercept unpenalized
+    coefs = {}
+    for f in range(n_folds):
+        coefs[f] = np.linalg.solve(
+            (tot_xtx - per_fold[f][0]) + pen, tot_xty - per_fold[f][1])
+    coef_ref = ray.put({f: c for f, c in coefs.items()})
+
+    def eval_partial(t: pa.Table) -> pa.Table:
+        x, y, fold = clean(t)
+        cs = ray.get(coef_ref)
+        rows = []
+        for f in np.unique(fold):
+            m = fold == f
+            err = x[m] @ cs[int(f)] - y[m]
+            rows.append(np.array([float(f), float(err @ err),
+                                  float(m.sum())]).tobytes())
+        return pa.table({"p": pa.array(rows, pa.binary())})
+
+    ev = ds.map_batches(eval_partial, batch_format="pyarrow") \
+        .to_pandas().sort_values("p", kind="mergesort")
+    sse = {f: 0.0 for f in range(n_folds)}
+    n_test = {f: 0 for f in range(n_folds)}
+    for blob in ev["p"]:
+        row = np.frombuffer(blob, dtype=np.float64)
+        f = int(row[0])
+        sse[f] += row[1]
+        n_test[f] += int(row[2])
+    out = pd.DataFrame({
+        "fold": pd.Series(range(n_folds), dtype="int64"),
+        "n_train": pd.Series([tot_n - per_fold[f][2]
+                              for f in range(n_folds)], dtype="int64"),
+        "n_test": pd.Series([n_test[f] for f in range(n_folds)],
+                            dtype="int64"),
+        "rmse": pd.Series(
+            [np.sqrt(sse[f] / n_test[f]) if n_test[f] else np.nan
+             for f in range(n_folds)], dtype="float64"),
+    })
+    return out

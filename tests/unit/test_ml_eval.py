@@ -147,3 +147,52 @@ def test_ridge_empty_raises(ray_session):
                   "label": pa.array([], pa.float64())})
     with pytest.raises(ValueError, match="empty"):
         ridge_fit(_ds(t), "features", "label")
+
+
+# --------------------------------------------------------------- ridge_cv
+
+
+def test_ridge_cv_matches_per_fold_direct(ray_session):
+    from maestro_ray.ops.corpus import _mult_hash
+    from maestro_ray.ops.ml import ridge_cv
+
+    rng = np.random.default_rng(6)
+    n = 300
+    x = rng.normal(size=(n, 2)).astype(np.float32)
+    y = x @ np.array([1.5, -2.0]) + 0.7 + rng.normal(scale=0.1, size=n)
+    keys = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "k": pa.array(keys),
+        "features": pa.array([list(r) for r in x], pa.list_(pa.float32())),
+        "label": pa.array(y, pa.float64()),
+    })
+    out = ridge_cv(_ds(t, blocks=4), "k", "features", "label",
+                   n_folds=3, l2=0.5)
+    fold = (_mult_hash(keys, "t") % np.uint64(3)).astype(int)
+    xd = np.concatenate([x.astype(np.float64), np.ones((n, 1))], axis=1)
+    pen = np.eye(3) * 0.5
+    pen[-1, -1] = 0.0
+    for f in range(3):
+        tr, te = fold != f, fold == f
+        coef = np.linalg.solve(xd[tr].T @ xd[tr] + pen, xd[tr].T @ y[tr])
+        rmse = float(np.sqrt(np.mean((xd[te] @ coef - y[te]) ** 2)))
+        row = out[out["fold"] == f].iloc[0]
+        assert row["n_train"] == int(tr.sum())
+        assert row["n_test"] == int(te.sum())
+        assert row["rmse"] == pytest.approx(rmse, rel=1e-9)
+
+
+def test_ridge_cv_reproducible_and_validates(ray_session):
+    t = pa.table({
+        "k": pa.array(np.arange(50, dtype=np.int64)),
+        "features": pa.array([[float(i)] for i in range(50)],
+                             pa.list_(pa.float32())),
+        "label": pa.array(np.arange(50, dtype=np.float64)),
+    })
+    from maestro_ray.ops.ml import ridge_cv
+
+    a = ridge_cv(_ds(t, blocks=3), "k", "features", "label", n_folds=2)
+    b = ridge_cv(_ds(t, blocks=3), "k", "features", "label", n_folds=2)
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="n_folds"):
+        ridge_cv(_ds(t), "k", "features", "label", n_folds=1)
