@@ -5125,6 +5125,65 @@ def _q_ridge_cv(sf):
                     "event_id", "features", "label", n_folds=5, l2=1.0)
 
 
+
+
+def _q_interval_merge(sf):
+    """Gaps-and-islands interval coalescing per user (ops/analytics.py
+    merge_intervals): synthetic activity intervals [ts, ts +
+    (floor(value)+1) minutes] merged where overlapping/touching — pure
+    cummax + cumsum per group, exact int64 bounds, 1-based island ids
+    in start order."""
+    from maestro_ray.ops.analytics import merge_intervals
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dur = (pc.cast(pc.floor(t.column("value")), pa.int64())
+               .to_numpy(zero_copy_only=False) + 1) * 60_000_000
+        tab = pa.table({
+            "user_id": t.column("user_id"),
+            "s": pa.array(us, pa.int64()),
+            "e": pa.array(us + dur, pa.int64()),
+        })
+        return tab.filter(pc.and_(pc.is_valid(t.column("ts")),
+                                  pc.is_valid(t.column("value"))))
+
+    return merge_intervals(ds.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", "s", "e")
+
+
+def _q_bigram_top(sf):
+    """Top-10 corpus bigrams per language (ops/corpus.py doc_bigrams):
+    adjacent-pair strings built by Arrow's C++ join kernel over
+    offset-shifted takes (pairs never span documents), one bucketed
+    (lang, bigram) count, grouped top-k with the bigram tiebreak.
+    Exact integer counts."""
+    from maestro_ray.ops.aggregates import bucketed_agg, grouped_topk
+    from maestro_ray.ops.corpus import doc_bigrams
+
+    ds = _read(sf, "documents", columns=["lang", "text"])
+
+    def nn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t.column("lang")),
+                                pc.is_valid(t.column("text"))))
+
+    counts = bucketed_agg(
+        doc_bigrams(ds.map_batches(nn, batch_format="pyarrow")),
+        ["lang", "bigram"], [(None, "count_all", "n")])
+    out = grouped_topk(counts, "lang", "n", k=10,
+                       tie_break=["bigram"]).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                             "bigram": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "n", "bigram"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -5146,6 +5205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": _q_skyline,
         "graph_kcore": _q_graph_kcore,
         "ridge_cv": _q_ridge_cv,
+        "interval_merge": _q_interval_merge,
+        "bigram_top": _q_bigram_top,
         "read_changelog": _q_read_changelog,
         "clean_fields": _q_clean_fields,
         "validate_rows": _q_validate_rows,
@@ -7370,6 +7431,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.x, r.y FROM r JOIN gm ON r.x = gm.x "
             "WHERE (gm.m1 IS NULL OR gm.m1 < r.y) AND r.y >= gm.mx "
             "ORDER BY r.x, r.y"
+        ),
+        "interval_merge": (
+            "WITH b AS (SELECT user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + (CAST(floor(value) AS BIGINT) + 1) "
+            "* 60000000 AS e FROM events WHERE ts IS NOT NULL AND "
+            "value IS NOT NULL), "
+            "o AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY "
+            "user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING) AS pm FROM b), "
+            "i AS (SELECT user_id, s, e, CASE WHEN pm IS NULL OR "
+            "s > pm THEN 1 ELSE 0 END AS brk FROM o), "
+            "g AS (SELECT user_id, s, e, CAST(sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED "
+            "PRECEDING) AS BIGINT) AS island FROM i) "
+            "SELECT user_id, island, min(s) AS start_ts, "
+            "max(e) AS end_ts, count(*)::BIGINT AS n FROM g "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "bigram_top": (
+            "WITH d AS (SELECT doc_id, lang, text FROM documents "
+            "WHERE lang IS NOT NULL AND text IS NOT NULL), "
+            "u AS (SELECT lang, doc_id, "
+            "generate_subscripts(str_split(text, ' '), 1) AS ord, "
+            "unnest(str_split(text, ' ')) AS tok FROM d), "
+            "p AS (SELECT lang, tok || ' ' || lead(tok) OVER "
+            "(PARTITION BY doc_id ORDER BY ord) AS bg FROM u), "
+            "c AS (SELECT lang, bg AS bigram, count(*)::BIGINT AS n "
+            "FROM p WHERE bg IS NOT NULL GROUP BY 1, 2) "
+            "SELECT lang, bigram, n FROM c QUALIFY row_number() OVER "
+            "(PARTITION BY lang ORDER BY n DESC, bigram) <= 10 "
+            "ORDER BY lang, n DESC, bigram"
         ),
         "top_paths": (
             "WITH r AS (SELECT user_id, coalesce(event_type, '') AS "

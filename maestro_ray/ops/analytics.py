@@ -755,3 +755,55 @@ def skyline_2d(
     keep = _pareto_mask_2d(df["x"].to_numpy(), df["y"].to_numpy())
     out = df[keep]
     return out.sort_values(["x", "y"]).reset_index(drop=True)
+
+
+def merge_intervals(
+    ds: rd.Dataset,
+    key: str,
+    start_col: str,
+    end_col: str,
+) -> rd.Dataset:
+    """Gaps-and-islands interval merge per ``key``: overlapping or
+    touching intervals (next.start ≤ running max end) coalesce into
+    islands; returns one row per island (key, island, start, end, n)
+    with 1-based island ids in start order. The calendar/maintenance-
+    window/session-coverage shape.
+
+    Per group (one grouped shuffle): sort by (start, end), a new island
+    opens iff start > cummax of all PRIOR ends — pure vectorized
+    cumulative max + cumsum, then ``np.*.reduceat`` per island. Exact
+    on integer bounds (timestamps); null bounds are rejected loudly
+    (an open interval needs an explicit upstream policy)."""
+    sort_keys = [(start_col, "ascending"), (end_col, "ascending")]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        if (g.column(start_col).null_count
+                or g.column(end_col).null_count):
+            raise ValueError(
+                "merge_intervals: null interval bounds — fill or filter "
+                "upstream")
+        s_t = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        s = s_t.column(start_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        e = s_t.column(end_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cmax = np.maximum.accumulate(e)
+        prev_max = np.concatenate(([np.iinfo(np.int64).min], cmax[:-1]))
+        brk = s > prev_max
+        brk[0] = True
+        island = np.cumsum(brk)
+        starts_idx = np.flatnonzero(brk)
+        island_start = s[starts_idx]
+        island_end = np.maximum.reduceat(e, starts_idx)
+        counts = np.diff(np.concatenate((starts_idx, [len(s)])))
+        kv = s_t.column(key)[0]
+        return pa.table({
+            key: pa.array([kv.as_py()] * len(starts_idx),
+                          s_t.schema.field(key).type),
+            "island": pa.array(island[starts_idx], pa.int64()),
+            "start_ts": pa.array(island_start, pa.int64()),
+            "end_ts": pa.array(island_end, pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

@@ -1056,3 +1056,41 @@ def dataset_split(
             out, pc.if_else(valid, lab, pa.scalar(None, pa.string())))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def doc_bigrams(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    group_col: str = "lang",
+    delim: str = " ",
+) -> rd.Dataset:
+    """(group, bigram) rows — one per ADJACENT token pair per document
+    (pairs never span documents), on the pinned single-space tokenizer.
+    Fully vectorized: one ``split_pattern`` per batch, list offsets
+    mark each doc's last token (no successor), and the pair strings are
+    built by Arrow's C++ ``binary_join_element_wise`` over two
+    offset-shifted takes — no Python string work, no shuffle. Null/
+    empty docs contribute nothing. The base relation for bigram
+    frequency / collocation stats (the LM-perplexity sibling that keeps
+    raw pairs instead of a trained model)."""
+    def bg(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(texts, pattern=delim)
+        lens = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        total = int(lens.sum())
+        is_last = np.zeros(total, dtype=bool)
+        ends = np.cumsum(lens) - 1
+        is_last[ends[lens > 0]] = True
+        idx = np.flatnonzero(~is_last)
+        pairs = pc.binary_join_element_wise(
+            flat.take(pa.array(idx)), flat.take(pa.array(idx + 1)),
+            delim)
+        grp = t.column(group_col).take(
+            pa.array(np.repeat(np.arange(len(t)), lens)[idx]))
+        return pa.table({group_col: grp, "bigram": pairs})
+
+    return ds.map_batches(bg, batch_format="pyarrow")

@@ -46,7 +46,7 @@ def _all_names(entry_mod):
 ORACLE_NAMES = [
     "link_graph", "triangle_count", "classification_report",
     "html_meta", "dedup_window", "common_neighbors", "winsorize",
-    "cusum_anomaly", "skyline",
+    "cusum_anomaly", "skyline", "interval_merge", "bigram_top",
     "calibration_curve", "dataset_split", "window_moving_corr",
     "read_pages", "read_changelog", "clean_fields", "validate_rows",
     "filter_rows", "project", "key_gen", "json_extract", "explode",

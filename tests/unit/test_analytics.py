@@ -234,3 +234,53 @@ def test_skyline_guard_fires(ray_session):
                   "y": pa.array(np.arange(n, 0, -1, dtype=np.float64))})
     with pytest.raises(RuntimeError, match="driver bound"):
         skyline_2d(rd.from_arrow(t), "x", "y", max_frontier=10)
+
+
+# --------------------------------------------------------- merge_intervals
+
+
+def test_merge_intervals_islands(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.analytics import merge_intervals
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "s": pa.array([0, 5, 20, 22, 100], pa.int64()),
+        "e": pa.array([10, 12, 21, 30, 101], pa.int64()),
+    })
+    out = merge_intervals(rd.from_arrow(t).repartition(2), "k", "s", "e") \
+        .to_pandas().sort_values(["k", "island"]).reset_index(drop=True)
+    # k=1: [0,10)+[5,12) merge; [20,21)+[22,30) do NOT touch → 2 islands
+    assert out[out["k"] == 1][["start_ts", "end_ts", "n"]].values.tolist() \
+        == [[0, 12, 2], [20, 21, 1], [22, 30, 1]]
+    assert out[out["k"] == 1]["island"].tolist() == [1, 2, 3]
+    assert out[out["k"] == 2][["start_ts", "end_ts", "n"]].values.tolist() \
+        == [[100, 101, 1]]
+
+
+def test_merge_intervals_touching_and_contained(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.analytics import merge_intervals
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "s": pa.array([0, 10, 2], pa.int64()),   # [0,10) touches [10,20)
+        "e": pa.array([10, 20, 5], pa.int64()),  # [2,5) contained
+    })
+    out = merge_intervals(rd.from_arrow(t), "k", "s", "e").to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0][["start_ts", "end_ts", "n"]].tolist() == [0, 20, 3]
+
+
+def test_merge_intervals_rejects_nulls(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.analytics import merge_intervals
+
+    t = pa.table({"k": pa.array([1, 1]), "s": pa.array([0, None],
+                                                       pa.int64()),
+                  "e": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception, match="null interval"):
+        merge_intervals(rd.from_arrow(t), "k", "s", "e").to_pandas()

@@ -187,3 +187,42 @@ def test_decontaminate_edges(rd):
     assert len(out3) == 4 and (out3["overlap"] == 0).all()
     with pytest.raises(ValueError):
         decontaminate(corpus, ev, n=0)
+
+
+# -------------------------------------------------------------- doc_bigrams
+
+
+def test_doc_bigrams_never_span_documents(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maestro_ray.ops.corpus import doc_bigrams
+
+    t = pa.table({
+        "lang": pa.array(["en", "en", "de", "de"]),
+        "text": pa.array(["a b c", "x", "", None]),
+    })
+    out = doc_bigrams(rd.from_arrow(t), "text", "lang").to_pandas()
+    got = sorted(zip(out["lang"], out["bigram"]))
+    # "x" has no pair; ""/null contribute nothing; no "c x" cross-doc pair
+    assert got == [("en", "a b"), ("en", "b c")]
+
+
+def test_doc_bigrams_consecutive_delims_match_sql_split(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maestro_ray.ops.corpus import doc_bigrams
+
+    df = None
+    t = pa.table({"lang": pa.array(["en"]),
+                  "text": pa.array(["a  b c "])})  # empty tokens
+    out = doc_bigrams(rd.from_arrow(t), "text", "lang").to_pandas()
+    want = duckdb.sql(
+        "WITH u AS (SELECT generate_subscripts(str_split('a  b c ', ' '),"
+        " 1) AS o, unnest(str_split('a  b c ', ' ')) AS tok) "
+        "SELECT tok || ' ' || lead(tok) OVER (ORDER BY o) AS bg FROM u "
+        "QUALIFY bg IS NOT NULL").df()
+    assert sorted(out["bigram"]) == sorted(want["bg"])
+    del df
