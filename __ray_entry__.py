@@ -5184,6 +5184,36 @@ def _q_bigram_top(sf):
         .reset_index(drop=True)
 
 
+
+
+def _q_audio_spectrogram(sf):
+    """STFT band-energy features over the synthesized WAV clips
+    (ops/wav.py wav_spectrogram through the AudioSpectrogram actor
+    pool): Hann frames → |rFFT|² → 8 log-band energies + dominant band
+    + spectral centroid. Rows-only (FFT is not SQL-expressible); the
+    planted-tone oracle is pytest (tests/unit/test_wav.py — a pure
+    400 Hz tone must put its energy in band 0 of an 8 kHz clip)."""
+    from maestro_ray.ops.multimodal import AudioSpectrogram, make_wav_clip
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        clips = [
+            make_wav_clip(800 + (i % 7) * 160, 8000, 1 + i % 2, seed=i)
+            for i in ids
+        ]
+        return pa.table({
+            "clip_id": batch.column("doc_id"),
+            "audio": pa.array(clips, pa.binary()),
+        })
+
+    ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    out = ds.map_batches(AudioSpectrogram, batch_format="pyarrow",
+                         concurrency=2, batch_size=256)
+    return P.project(out, columns=["clip_id", "dominant_band",
+                                   "spectral_centroid"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "read_pages": _q_read_pages,
@@ -5207,6 +5237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ridge_cv": _q_ridge_cv,
         "interval_merge": _q_interval_merge,
         "bigram_top": _q_bigram_top,
+        "audio_spectrogram": _q_audio_spectrogram,
         "read_changelog": _q_read_changelog,
         "clean_fields": _q_clean_fields,
         "validate_rows": _q_validate_rows,

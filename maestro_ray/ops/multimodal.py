@@ -313,3 +313,35 @@ def decode_images(ds: rd.Dataset, img_col: str = "image",
         ImageDecode, fn_constructor_kwargs={"img_col": img_col, "fake": fake},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )
+
+
+class AudioSpectrogram:
+    """Audio spectral-feature stage (actor pool — FFT plan/window setup
+    happens once per actor): STFT band energies via ops/wav.py
+    wav_spectrogram. Undecodable/too-short clips yield nulls."""
+
+    def __init__(self, audio_col: str = "audio", n_fft: int = 256,
+                 hop: int = 128, n_bands: int = 8):
+        self.audio_col = audio_col
+        self.n_fft, self.hop, self.n_bands = n_fft, hop, n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from maestro_ray.ops.wav import wav_spectrogram
+
+        bands, dom, cent = [], [], []
+        for blob in batch.column(self.audio_col).to_pylist():
+            try:
+                f = wav_spectrogram(blob, self.n_fft, self.hop,
+                                    self.n_bands) \
+                    if blob is not None else None
+            except ValueError:
+                f = None
+            bands.append(None if f is None else f["bands"])
+            dom.append(None if f is None else f["dominant_band"])
+            cent.append(None if f is None else f["spectral_centroid"])
+        return (batch
+                .append_column("bands",
+                               pa.array(bands, pa.list_(pa.float64())))
+                .append_column("dominant_band", pa.array(dom, pa.int32()))
+                .append_column("spectral_centroid",
+                               pa.array(cent, pa.float64())))

@@ -106,3 +106,50 @@ def wav_features(data: bytes) -> dict:
         "rms": round(float(np.sqrt((x**2).mean())) if x.size else 0.0, 6),
         "peak": round(float(np.abs(x).max()) if x.size else 0.0, 6),
     }
+
+
+def wav_spectrogram(
+    data: bytes,
+    n_fft: int = 256,
+    hop: int = 128,
+    n_bands: int = 8,
+) -> dict:
+    """Deterministic STFT band-energy summary of a PCM WAV clip — the
+    classic audio fingerprint/embedding front-end: Hann-windowed frames
+    (length ``n_fft``, stride ``hop``) → |rFFT|² power → the spectrum
+    folded into ``n_bands`` equal frequency bands, averaged over
+    frames, log10-compressed. Mono mixdown first (channel mean). Pure
+    numpy (rFFT is deterministic for a fixed input), no per-sample
+    Python. Returns band energies plus the dominant-band index and the
+    spectral centroid (a band-weighted mean) — scalars a downstream
+    filter can threshold. Clips shorter than one frame yield None
+    bands (quarantine-not-crash)."""
+    samples, rate = decode_wav(data)
+    if samples.dtype == np.uint8:
+        x = (samples.astype(np.float64) - 128.0) / 128.0
+    else:
+        x = samples.astype(np.float64) / float(
+            2 ** (samples.dtype.itemsize * 8 - 1))
+    mono = x.mean(axis=1)
+    n = len(mono)
+    if n < n_fft:
+        return {"bands": None, "dominant_band": None,
+                "spectral_centroid": None}
+    n_frames = 1 + (n - n_fft) // hop
+    idx = (np.arange(n_fft)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    frames = mono[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # frames × bins
+    bins = power.shape[1]
+    band_id = np.minimum((np.arange(bins) * n_bands) // bins,
+                         n_bands - 1)
+    band_power = np.zeros(n_bands)
+    np.add.at(band_power, band_id, power.mean(axis=0))
+    bands = np.log10(band_power + 1e-12)
+    centroid = float((bands * np.arange(n_bands)).sum() / bands.sum()) \
+        if bands.sum() != 0 else 0.0
+    return {
+        "bands": [round(float(b), 6) for b in bands],
+        "dominant_band": int(np.argmax(band_power)),
+        "spectral_centroid": round(centroid, 6),
+    }

@@ -85,3 +85,36 @@ def test_audio_features_stage():
     assert out.column("n_samples").to_pylist() == [320, None, None]
     assert out.column("channels").to_pylist() == [2, None, None]
     assert out.column("duration_sec").to_pylist()[0] == 0.02
+
+
+# ------------------------------------------------------------- spectrogram
+
+
+def test_spectrogram_pure_tone_lands_in_its_band():
+    from maestro_ray.ops.wav import encode_wav, wav_spectrogram
+
+    rate, n = 8000, 4000
+    t = np.arange(n) / rate
+    for freq in (200.0, 1700.0, 2600.0, 3900.0):
+        tone = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+        blob = encode_wav(tone.reshape(-1, 1), rate)
+        f = wav_spectrogram(blob, n_fft=256, hop=128, n_bands=8)
+        # the op's own band rule: rfft bin (129 bins over 0..rate/2)
+        # folded by (bin * n_bands) // n_bins
+        bin_i = int(round(freq * 256 / rate))
+        want_band = min((bin_i * 8) // 129, 7)
+        assert f["dominant_band"] == want_band, freq
+        assert len(f["bands"]) == 8
+
+
+def test_spectrogram_deterministic_and_short_clip_null():
+    from maestro_ray.ops.multimodal import make_wav_clip
+    from maestro_ray.ops.wav import encode_wav, wav_spectrogram
+
+    blob = make_wav_clip(1600, 8000, 2, seed=7)
+    a = wav_spectrogram(blob)
+    b = wav_spectrogram(blob)
+    assert a == b
+    tiny = encode_wav(np.zeros((10, 1), dtype=np.int16), 8000)
+    f = wav_spectrogram(tiny, n_fft=256)
+    assert f["bands"] is None and f["dominant_band"] is None
