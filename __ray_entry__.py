@@ -4824,6 +4824,11 @@ def _q_dataset_split(sf):
     from maestro_ray.ops.corpus import dataset_split
 
     ds = _read(sf, "events", columns=["event_id", "event_type"])
+    # null keys get a null split from the op (pinned); the AUDIT drops
+    # them to mirror the twin's WHERE event_id IS NOT NULL (review #9)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("event_id"))),
+        batch_format="pyarrow")
     out = bucketed_agg(
         dataset_split(ds, "event_id",
                       {"train": 80, "valid": 10, "test": 10}),
@@ -7428,13 +7433,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_common DESC, a, c LIMIT 20"
         ),
         "winsorize": (
+            # LEFT JOIN + explicit CASE: DuckDB's least/greatest IGNORE
+            # nulls (least(NULL, lo) = lo), while the engine pins
+            # null-stays-null and passes bound-less groups through —
+            # the twin must spell both rules (review r4 s6 #1)
             "WITH q AS (SELECT event_type, "
             "quantile_cont(value, 0.05) AS lo, "
             "quantile_cont(value, 0.95) AS hi FROM events "
             "WHERE value IS NOT NULL GROUP BY event_type) "
             "SELECT e.event_id, e.event_type, e.value, "
-            "least(greatest(e.value, q.lo), q.hi) AS value_w "
-            "FROM events e JOIN q ON e.event_type = q.event_type "
+            "CASE WHEN e.value IS NULL THEN NULL "
+            "WHEN q.lo IS NULL THEN e.value "
+            "ELSE least(greatest(e.value, q.lo), q.hi) END AS value_w "
+            "FROM events e LEFT JOIN q ON e.event_type = q.event_type "
+            "WHERE e.event_type IS NOT NULL "
             "ORDER BY event_id"
         ),
         "cusum_anomaly": (

@@ -3312,6 +3312,10 @@ def moving_corr(
     two-column aggregate semantics); frames with n < 2 or zero
     variance yield null. One grouped shuffle; frames evaluate via a
     strided window view — vectorized O(n·window), no per-row Python."""
+    if window < 2:
+        # window=1 is all-null by definition; window<=0 would fail deep
+        # in a worker as np.zeros(-1) (review r4 s6 #6)
+        raise ValueError(f"moving_corr: window must be >= 2, got {window}")
     if window > 256:
         raise ValueError(
             "moving_corr: window > 256 — direct per-frame summation is "

@@ -727,8 +727,11 @@ def skyline_2d(
     then one final frontier pass over the collected local frontiers on
     the driver, behind the repo's standard loud ``max_frontier`` guard
     (worst case — e.g. perfectly anti-correlated coordinates — the
-    frontier IS the dataset, and no algorithm can shrink it). Null
-    coordinates are dropped (SQL WHERE twin). Returns (x, y) sorted."""
+    frontier IS the dataset, and no algorithm can shrink it). Null AND
+    NaN coordinates are dropped: one NaN poisons the running max in
+    the mask (every later point escapes domination — review r4 s6 #4),
+    and a point with an undefined coordinate has no place in a
+    dominance order. Returns (x, y) sorted."""
     def local(t: pa.Table) -> pa.Table:
         ok = pc.and_(pc.is_valid(t.column(x_col)),
                      pc.is_valid(t.column(y_col)))
@@ -737,6 +740,9 @@ def skyline_2d(
             .astype(np.float64)
         y = t.column(y_col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
+        finite = np.isfinite(x) & np.isfinite(y)
+        x, y = x[finite], y[finite]
+        t = t.filter(pa.array(finite))
         keep = _pareto_mask_2d(x, y)
         return pa.table({"x": pa.array(x[keep], pa.float64()),
                          "y": pa.array(y[keep], pa.float64())})

@@ -601,20 +601,9 @@ def common_neighbors(
     from maestro_ray.ops.joins import hash_join
 
     e = _canonical_edges(edges, src, dst, num_buckets)
-
-    def bidir(out_name: str):
-        def fn(t: pa.Table) -> pa.Table:
-            m = pa.concat_arrays([t.column("u").combine_chunks(),
-                                  t.column("v").combine_chunks()])
-            x = pa.concat_arrays([t.column("v").combine_chunks(),
-                                  t.column("u").combine_chunks()])
-            return pa.table({"m": m, out_name: x})
-
-        return fn
-
     wedges = hash_join(
-        e.map_batches(bidir("a"), batch_format="pyarrow"),
-        e.map_batches(bidir("c"), batch_format="pyarrow"),
+        e.map_batches(_bidir("a"), batch_format="pyarrow"),
+        e.map_batches(_bidir("c"), batch_format="pyarrow"),
         keys="m", num_buckets=num_buckets)
 
     def ordered_pairs(t: pa.Table) -> pa.Table:

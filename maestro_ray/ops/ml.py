@@ -37,6 +37,20 @@ def _feature_matrix(t: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(n, d)
 
 
+def _feature_width(ds: rd.Dataset, feature_col: str, caller: str) -> int:
+    """Feature-vector width from the first NON-NULL list in the head of
+    the dataset — ``take(1)`` alone crashes with a bare TypeError when
+    the first row happens to hold a null list (review r4 s6 #5), and
+    which row Ray returns first is scheduling-dependent."""
+    for row in ds.take(64):
+        v = row[feature_col]
+        if v is not None:
+            return len(v)
+    raise ValueError(
+        f"{caller}: no non-null {feature_col!r} in the first 64 rows — "
+        "an all-null (or empty) feature column cannot size the model")
+
+
 def logreg_fit(
     ds: rd.Dataset,
     feature_col: str,
@@ -425,10 +439,7 @@ def ridge_fit(
     dropped via validity masks. Numerical note: raw XᵀX normal
     equations lose precision when |μ| ≫ σ — center large-offset
     features upstream (``ops/mlprep.standardize``)."""
-    first = ds.take(1)
-    if not first:
-        raise ValueError("ridge_fit: empty dataset")
-    d0 = len(first[0][feature_col])
+    d0 = _feature_width(ds, feature_col, "ridge_fit")
     d = d0 + (1 if fit_intercept else 0)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -504,14 +515,18 @@ def ridge_cv(
 
     if n_folds < 2:
         raise ValueError(f"ridge_cv: need n_folds >= 2, got {n_folds}")
-    first = ds.take(1)
-    if not first:
-        raise ValueError("ridge_cv: empty dataset")
-    d = len(first[0][feature_col]) + 1  # + intercept
+    d = _feature_width(ds, feature_col, "ridge_cv") + 1  # + intercept
 
     def clean(t: pa.Table):
-        t = t.filter(pc.and_(pc.is_valid(t.column(feature_col)),
-                             pc.is_valid(t.column(label_col))))
+        # null KEYS must leave via the validity bitmap too: a null key
+        # becomes float NaN, silently bypasses _mult_hash's
+        # negative-key guard (NaN.min() < 0 is False) and NaN→uint64
+        # is platform-undefined (review r4 s6 #2; the repo's
+        # drop-nulls-never-cast rule)
+        t = t.filter(pc.and_(
+            pc.and_(pc.is_valid(t.column(feature_col)),
+                    pc.is_valid(t.column(label_col))),
+            pc.is_valid(t.column(key_col))))
         x = _feature_matrix(t, feature_col)
         y = t.column(label_col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)

@@ -146,8 +146,13 @@ def wav_spectrogram(
     band_power = np.zeros(n_bands)
     np.add.at(band_power, band_id, power.mean(axis=0))
     bands = np.log10(band_power + 1e-12)
-    centroid = float((bands * np.arange(n_bands)).sum() / bands.sum()) \
-        if bands.sum() != 0 else 0.0
+    # centroid weights are the LINEAR band powers: weighting by the
+    # mixed-sign log energies points away from the actual energy (a
+    # pure band-0 tone centroided at 4.85/8 — review r4 s6 #3) and
+    # near-cancelling logs blow the ratio up
+    total = band_power.sum()
+    centroid = float((band_power * np.arange(n_bands)).sum() / total) \
+        if total > 0 else 0.0
     return {
         "bands": [round(float(b), 6) for b in bands],
         "dominant_band": int(np.argmax(band_power)),

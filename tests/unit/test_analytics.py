@@ -182,18 +182,15 @@ def test_cusum_rejects_nulls(ray_session):
 
 
 def _sky_brute(xy):
+    # dominance needs >= in both coordinates and > in at least one —
+    # so a duplicate point never dominates its twin (both kept)
     out = []
     for i, (x, y) in enumerate(xy):
-        dom = any((x2 >= x and y2 >= y and (x2 > x or y2 > y))
-                  for j, (x2, y2) in enumerate(xy) if j != i)
-        # a duplicate point does not dominate its twin
-        dup = any(j != i and xy[j] == (x, y) for j in range(len(xy)))
-        strictly_dom = any(
+        dominated = any(
             (x2 >= x and y2 >= y and (x2 > x or y2 > y))
             for j, (x2, y2) in enumerate(xy) if j != i)
-        if not strictly_dom:
+        if not dominated:
             out.append((x, y))
-        del dom, dup
     return sorted(out)
 
 
@@ -284,3 +281,16 @@ def test_merge_intervals_rejects_nulls(ray_session):
                   "e": pa.array([1, 2], pa.int64())})
     with pytest.raises(Exception, match="null interval"):
         merge_intervals(rd.from_arrow(t), "k", "s", "e").to_pandas()
+
+
+def test_skyline_nan_coordinates_dropped(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.analytics import skyline_2d
+
+    # one NaN y used to poison the running max: the dominated (2, 1)
+    # escaped the mask (review r4 s6 #4)
+    t = pa.table({"x": pa.array([3.0, 2.5, 2.0], pa.float64()),
+                  "y": pa.array([float("nan"), 10.0, 1.0], pa.float64())})
+    out = skyline_2d(rd.from_arrow(t), "x", "y")
+    assert list(zip(out["x"], out["y"])) == [(2.5, 10.0)]

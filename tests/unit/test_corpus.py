@@ -215,7 +215,6 @@ def test_doc_bigrams_consecutive_delims_match_sql_split(ray_session):
 
     from maestro_ray.ops.corpus import doc_bigrams
 
-    df = None
     t = pa.table({"lang": pa.array(["en"]),
                   "text": pa.array(["a  b c "])})  # empty tokens
     out = doc_bigrams(rd.from_arrow(t), "text", "lang").to_pandas()
@@ -225,4 +224,3 @@ def test_doc_bigrams_consecutive_delims_match_sql_split(ray_session):
         "SELECT tok || ' ' || lead(tok) OVER (ORDER BY o) AS bg FROM u "
         "QUALIFY bg IS NOT NULL").df()
     assert sorted(out["bigram"]) == sorted(want["bg"])
-    del df

@@ -196,3 +196,38 @@ def test_ridge_cv_reproducible_and_validates(ray_session):
     pd.testing.assert_frame_equal(a, b)
     with pytest.raises(ValueError, match="n_folds"):
         ridge_cv(_ds(t), "k", "features", "label", n_folds=1)
+
+
+def test_ridge_cv_null_keys_dropped_not_cast(ray_session):
+    from maestro_ray.ops.ml import ridge_cv
+
+    # a null key is float-NaN after to_numpy; NaN→uint64 is
+    # platform-undefined and bypasses the negative-key guard
+    # (review r4 s6 #2) — the row must leave via the validity bitmap
+    t = pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 6, 7, 8, None], pa.int64()),
+        "features": pa.array([[float(i)] for i in range(9)],
+                             pa.list_(pa.float32())),
+        "label": pa.array(np.arange(9, dtype=np.float64)),
+    })
+    out = ridge_cv(_ds(t), "k", "features", "label", n_folds=2)
+    assert int(out["n_test"].sum()) == 8  # null-key row excluded
+
+
+def test_ridge_fit_first_row_null_feature(ray_session):
+    from maestro_ray.ops.ml import ridge_fit
+
+    t = pa.table({
+        "features": pa.array([None, [1.0, 2.0], [3.0, 4.0], [5.0, 1.0]],
+                             pa.list_(pa.float32())),
+        "label": pa.array([9.0, 1.0, 2.0, 3.0], pa.float64()),
+    })
+    out = ridge_fit(_ds(t), "features", "label", l2=0.1)
+    assert len(out) == 3 and out["n"].iloc[0] == 3
+
+    all_null = pa.table({
+        "features": pa.array([None, None], pa.list_(pa.float32())),
+        "label": pa.array([1.0, 2.0], pa.float64()),
+    })
+    with pytest.raises(ValueError, match="non-null"):
+        ridge_fit(_ds(all_null), "features", "label")

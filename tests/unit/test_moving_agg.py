@@ -255,3 +255,15 @@ def test_moving_corr_window_guard(ray_session):
                   "x": pa.array([1]), "y": pa.array([1])})
     with pytest.raises(ValueError, match="window > 256"):
         moving_corr(rd.from_arrow(t), "k", ["o"], "x", "y", window=500)
+
+
+def test_moving_corr_rejects_degenerate_window(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.aggregates import moving_corr
+
+    t = pa.table({"k": pa.array([1]), "o": pa.array([1]),
+                  "x": pa.array([1]), "y": pa.array([1])})
+    for w in (0, 1):
+        with pytest.raises(ValueError, match=">= 2"):
+            moving_corr(rd.from_arrow(t), "k", ["o"], "x", "y", window=w)

@@ -118,3 +118,18 @@ def test_spectrogram_deterministic_and_short_clip_null():
     tiny = encode_wav(np.zeros((10, 1), dtype=np.int16), 8000)
     f = wav_spectrogram(tiny, n_fft=256)
     assert f["bands"] is None and f["dominant_band"] is None
+
+
+def test_spectrogram_centroid_tracks_energy():
+    from maestro_ray.ops.wav import encode_wav, wav_spectrogram
+
+    rate, n = 8000, 4000
+    t = np.arange(n) / rate
+    lo = (np.sin(2 * np.pi * 200.0 * t) * 20000).astype(np.int16)
+    hi = (np.sin(2 * np.pi * 3900.0 * t) * 20000).astype(np.int16)
+    f_lo = wav_spectrogram(encode_wav(lo.reshape(-1, 1), rate))
+    f_hi = wav_spectrogram(encode_wav(hi.reshape(-1, 1), rate))
+    # linear-power weighting: a pure tone's centroid sits at its band
+    # (the log-weighted version put a band-0 tone at 4.85 — review #3)
+    assert f_lo["spectral_centroid"] < 0.5
+    assert f_hi["spectral_centroid"] > 6.5
