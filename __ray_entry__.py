@@ -2121,6 +2121,37 @@ def _q_cdc_neardup_index(sf):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_cdc_curation(sf):
+    """Incremental CURATED-CORPUS view over the replay lake
+    (pipelines/curation.py): the per-url (chash, n_tokens, gate) text
+    derivation is a url-sharded store maintained in O(churn)/epoch
+    (drop-then-insert apply, meta-last commit); the curated set — the
+    smallest live PASSING url per distinct content — is one
+    bucketed_agg min over the NARROW store at read time, never
+    touching corpus text. Rows-only check; store≡rebuild-per-epoch and
+    winners≡raw-text-recompute oracles are pytest
+    (tests/replay/test_curation.py)."""
+    from maestro_ray.pipelines import curation as cu
+
+    lake = _cdc_lake(sf)
+    idx = os.path.join(os.path.dirname(lake), "curation_index_v1")
+    if not os.path.exists(os.path.join(idx, cu.META)):
+        import uuid
+
+        tmp = idx + f".build-{uuid.uuid4().hex[:8]}"
+        cu.bootstrap_curation(lake, tmp, n_shards=8)
+        try:
+            os.replace(tmp, idx)  # atomic: no partial dir ever served
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    cu.update_curation(lake, idx)  # no-op at head — the real API
+    out = cu.curated_corpus(idx).to_pandas()
+    if out.empty:  # empty Datasets drop their schema
+        return pd.DataFrame({"chash": pd.Series(dtype="int64"),
+                             "url": pd.Series(dtype=object)})
+    return out.sort_values("chash").reset_index(drop=True)
+
+
 def _q_cdc_vector_index(sf):
     """Incremental VECTOR index over the replay lake — the embedding
     analog of cdc_search_index (pipelines/vectorindex.py): a sharded
@@ -5318,6 +5349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_neardup_index": _q_cdc_neardup_index,
         "cdc_topk_view": _q_cdc_topk_view,
         "cdc_search_index": _q_cdc_search_index,
+        "cdc_curation": _q_cdc_curation,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_point_lookup": _q_cdc_point_lookup,
