@@ -5222,6 +5222,185 @@ def _q_bigram_top(sf):
 
 
 
+def _q_interval_overlap(sf):
+    """Peak concurrent activity intervals per user (ops/analytics.py
+    peak_concurrency): the interval_merge fixture's [ts, ts +
+    (floor(value)+1) min] intervals swept with +1/−1 endpoint deltas,
+    half-open [s, e) — at an equal timestamp the end fires first.
+    Exact integers."""
+    from maestro_ray.ops.analytics import peak_concurrency
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dur = (pc.cast(pc.floor(t.column("value")), pa.int64())
+               .to_numpy(zero_copy_only=False) + 1) * 60_000_000
+        tab = pa.table({
+            "user_id": t.column("user_id"),
+            "s": pa.array(us, pa.int64()),
+            "e": pa.array(us + dur, pa.int64()),
+        })
+        return tab.filter(pc.and_(pc.is_valid(t.column("ts")),
+                                  pc.is_valid(t.column("value"))))
+
+    out = peak_concurrency(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "s", "e").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "peak": pd.Series([], dtype="int64"),
+                             "n_intervals": pd.Series([], dtype="int64")})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_mutual_info(sf):
+    """Mutual information between documents.lang and documents.source
+    (ops/analytics.py mutual_information): every input an exact int
+    count from one bucketed cell aggregate, MI in nats rounded 6dp
+    (reduction policy)."""
+    from maestro_ray.ops.analytics import mutual_information
+
+    ds = _read(sf, "documents", columns=["lang", "source"])
+    return mutual_information(ds, "lang", "source")
+
+
+def _q_item_cf(sf):
+    """Item-item cosine collaborative filtering over lineitem baskets
+    (ops/analytics.py item_similarity_cosine): cos = support /
+    sqrt(deg·deg) from exact distinct-basket counts — a fixed IEEE
+    expression tree, bit-reproducible vs the SQL twin; global top-20
+    by (cosine desc, p1, p2)."""
+    from maestro_ray.ops.analytics import item_similarity_cosine
+
+    ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return item_similarity_cosine(ds, "l_orderkey", "l_partkey",
+                                  k=20, min_support=2)
+
+
+def _q_kaplan_meier(sf):
+    """Kaplan–Meier user-retention curve (ops/analytics.py
+    kaplan_meier): per-user lifetime = (max ts − min ts) // 1h exact
+    integer hours, event = user ever purchased (censored otherwise);
+    dᵢ/nᵢ exact ints, survival cumprod ascending — the same frame
+    order as the twin's product() OVER, compared at 6dp."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.analytics import kaplan_meier
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64())
+        purch = pc.cast(pc.fill_null(
+            pc.equal(t.column("event_type"), "purchase"), False),
+            pa.int64())
+        return pa.table({"user_id": t.column("user_id"),
+                         "us": us, "purch": purch})
+
+    per_user = bucketed_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        [("us", "min", "t0"), ("us", "max", "t1"),
+         ("purch", "max", "obs")])
+
+    def durs(t: pa.Table) -> pa.Table:
+        t0 = t.column("t0").to_numpy(zero_copy_only=False)
+        t1 = t.column("t1").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dur": pa.array((t1 - t0) // 3_600_000_000, pa.int64()),
+            "observed": pc.cast(pc.equal(t.column("obs"), 1),
+                                pa.bool_()),
+        })
+
+    return kaplan_meier(per_user.map_batches(durs,
+                                             batch_format="pyarrow"),
+                        "dur", "observed")
+
+
+def _q_spatial_join(sf):
+    """Grid-bucketed radius join (ops/spatial.py radius_join):
+    customers × suppliers on synthetic integer coordinates derived
+    from the shared multiplicative-hash contract (x = h % 1000, y =
+    (h // 1000) % 1000; supplier keys decorrelated via 2k+1) — all
+    pairs within radius 100, squared distances exact ints. The engine
+    pays O(|L| + 9·|R|) exchange, never the cross join."""
+    from maestro_ray.ops.corpus import _mult_hash
+    from maestro_ray.ops.spatial import radius_join
+
+    cust = _read(sf, "customer", columns=["c_custkey"])
+    supp = _read(sf, "supplier", columns=["s_suppkey"])
+
+    def coords(key_col: str, mix: bool):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column(key_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if mix:
+                k = k * 2 + 1
+            h = _mult_hash(k, "spatial_join").astype(np.int64)
+            return pa.table({
+                key_col: t.column(key_col),
+                "x": pa.array(h % 1000, pa.int64()),
+                "y": pa.array((h // 1000) % 1000, pa.int64()),
+            })
+        return f
+
+    out = radius_join(
+        cust.map_batches(coords("c_custkey", False),
+                         batch_format="pyarrow"),
+        supp.map_batches(coords("s_suppkey", True),
+                         batch_format="pyarrow"),
+        radius=100,
+        left_cols=("c_custkey", "x", "y"),
+        right_cols=("s_suppkey", "x", "y")).to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "dist2": pd.Series([], dtype="int64")})
+    return out.sort_values(["c_custkey", "s_suppkey"]) \
+        .reset_index(drop=True)
+
+
+def _q_data_quality(sf):
+    """Declarative data-quality expectations (ops/quality.py
+    data_quality_report): five dbt-style rules over orders/lineitem —
+    not-null, unique, accepted-values, range, referential integrity —
+    each one streamed predicate count / bucketed distinct / anti
+    join. Exact integer violation counts."""
+    from maestro_ray.ops.quality import data_quality_report
+
+    orders = _read(sf, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    li = _read(sf, "lineitem", columns=["l_quantity"])
+    cust = _read(sf, "customer", columns=["c_custkey"])
+    return data_quality_report([
+        {"check": "orders.o_custkey.not_null", "type": "not_null",
+         "ds": orders, "column": "o_custkey"},
+        {"check": "orders.o_orderkey.unique", "type": "unique",
+         "ds": orders, "column": "o_orderkey"},
+        {"check": "orders.o_orderstatus.accepted",
+         "type": "accepted_values", "ds": orders,
+         "column": "o_orderstatus", "values": ["O", "F"]},
+        {"check": "orders.o_custkey.ref_customer",
+         "type": "foreign_key", "ds": orders, "column": "o_custkey",
+         "ref_ds": cust, "ref_column": "c_custkey"},
+        {"check": "lineitem.l_quantity.range", "type": "in_range",
+         "ds": li, "column": "l_quantity", "lo": 1.0, "hi": 45.0},
+    ])
+
+
+def _q_zipf_fit(sf):
+    """Zipf's-law slope per language (ops/corpus.py zipf_fit): OLS of
+    ln(freq) on ln(rank) over the top-1000 tokens per lang (rank
+    total-ordered by count desc, token asc). Exact counts; slope
+    compared at 6dp vs regr_slope."""
+    from maestro_ray.ops.corpus import zipf_fit
+
+    ds = _read(sf, "documents", columns=["lang", "text"])
+    return zipf_fit(ds, "lang", "text", top_n=1000)
+
+
 def _q_audio_spectrogram(sf):
     """STFT band-energy features over the synthesized WAV clips
     (ops/wav.py wav_spectrogram through the AudioSpectrogram actor
@@ -5272,6 +5451,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": _q_graph_kcore,
         "ridge_cv": _q_ridge_cv,
         "interval_merge": _q_interval_merge,
+        "interval_overlap": _q_interval_overlap,
+        "mutual_info": _q_mutual_info,
+        "item_cf": _q_item_cf,
+        "kaplan_meier": _q_kaplan_meier,
+        "spatial_join": _q_spatial_join,
+        "data_quality": _q_data_quality,
+        "zipf_fit": _q_zipf_fit,
         "bigram_top": _q_bigram_top,
         "audio_spectrogram": _q_audio_spectrogram,
         "read_changelog": _q_read_changelog,
@@ -7523,6 +7709,120 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, island, min(s) AS start_ts, "
             "max(e) AS end_ts, count(*)::BIGINT AS n FROM g "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "interval_overlap": (
+            "WITH b AS (SELECT user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + (CAST(floor(value) AS BIGINT) + 1) "
+            "* 60000000 AS e FROM events WHERE ts IS NOT NULL AND "
+            "value IS NOT NULL), "
+            "p AS (SELECT user_id, s AS t, 1 AS d FROM b "
+            "UNION ALL SELECT user_id, e, -1 FROM b), "
+            "c AS (SELECT user_id, sum(d) OVER (PARTITION BY user_id "
+            "ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS run FROM p), "
+            "pk AS (SELECT user_id, CAST(max(run) AS BIGINT) AS peak "
+            "FROM c GROUP BY 1), "
+            "iv AS (SELECT user_id, count(*)::BIGINT AS n_intervals "
+            "FROM b GROUP BY 1) "
+            "SELECT pk.user_id, peak, n_intervals FROM pk "
+            "JOIN iv USING (user_id) ORDER BY user_id"
+        ),
+        "mutual_info": (
+            "WITH j AS (SELECT lang, source, count(*)::BIGINT AS n "
+            "FROM documents WHERE lang IS NOT NULL AND source IS NOT "
+            "NULL GROUP BY 1, 2), "
+            "m AS (SELECT n, sum(n) OVER (PARTITION BY lang) AS nx, "
+            "sum(n) OVER (PARTITION BY source) AS ny, "
+            "sum(n) OVER () AS nt FROM j) "
+            "SELECT round(sum((n::DOUBLE / nt) * "
+            "ln((n::DOUBLE * nt) / (nx::DOUBLE * ny))), 6) AS mi, "
+            "CAST(max(nt) AS BIGINT) AS n FROM m"
+        ),
+        "item_cf": (
+            "WITH di AS (SELECT DISTINCT l_orderkey AS b, l_partkey "
+            "AS i FROM lineitem WHERE l_orderkey IS NOT NULL AND "
+            "l_partkey IS NOT NULL), "
+            "d AS (SELECT i, count(*)::BIGINT AS deg FROM di "
+            "GROUP BY 1), "
+            "p AS (SELECT a.i AS p1, b.i AS p2, count(*)::BIGINT AS "
+            "support FROM di a JOIN di b ON a.b = b.b AND a.i < b.i "
+            "GROUP BY 1, 2 HAVING count(*) >= 2) "
+            "SELECT p1, p2, support, support::DOUBLE / "
+            "sqrt(CAST(d1.deg * d2.deg AS DOUBLE)) AS cosine "
+            "FROM p JOIN d d1 ON p.p1 = d1.i "
+            "JOIN d d2 ON p.p2 = d2.i "
+            "ORDER BY cosine DESC, p1, p2 LIMIT 20"
+        ),
+        "kaplan_meier": (
+            "WITH u AS (SELECT user_id, "
+            "(epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000 "
+            "AS dur, max(CASE WHEN event_type = 'purchase' THEN 1 "
+            "ELSE 0 END) AS obs FROM events WHERE ts IS NOT NULL "
+            "GROUP BY 1), "
+            "c AS (SELECT dur AS t, sum(obs)::BIGINT AS d, "
+            "count(*)::BIGINT AS c FROM u GROUP BY 1), "
+            "o AS (SELECT t, d, c, sum(c) OVER (ORDER BY t ROWS "
+            "UNBOUNDED PRECEDING) AS cum, sum(c) OVER () AS total "
+            "FROM c), "
+            "r AS (SELECT t, CAST(total - cum + c AS BIGINT) AS "
+            "n_risk, d AS n_event FROM o) "
+            "SELECT t, n_risk, n_event, "
+            "round(product(1.0 - n_event::DOUBLE / n_risk) OVER "
+            "(ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS survival "
+            "FROM r WHERE n_event > 0 ORDER BY t"
+        ),
+        "spatial_join": (
+            "WITH cc AS (SELECT c_custkey, CAST((CAST(c_custkey % "
+            "4294967296 AS HUGEINT) * 2654435761) % 4294967296 AS "
+            "BIGINT) AS h FROM customer), "
+            "cl AS (SELECT c_custkey, h % 1000 AS x, (h // 1000) % "
+            "1000 AS y FROM cc), "
+            "ss AS (SELECT s_suppkey, CAST((CAST((s_suppkey * 2 + 1) "
+            "% 4294967296 AS HUGEINT) * 2654435761) % 4294967296 AS "
+            "BIGINT) AS h FROM supplier), "
+            "sl AS (SELECT s_suppkey, h % 1000 AS x, (h // 1000) % "
+            "1000 AS y FROM ss) "
+            "SELECT c_custkey, s_suppkey, "
+            "CAST((cl.x - sl.x) * (cl.x - sl.x) + "
+            "(cl.y - sl.y) * (cl.y - sl.y) AS BIGINT) AS dist2 "
+            "FROM cl, sl WHERE (cl.x - sl.x) * (cl.x - sl.x) + "
+            "(cl.y - sl.y) * (cl.y - sl.y) <= 10000 "
+            "ORDER BY c_custkey, s_suppkey"
+        ),
+        "data_quality": (
+            "WITH checks AS ("
+            "SELECT 'orders.o_custkey.not_null' AS check, "
+            "(SELECT count(*) FROM orders WHERE o_custkey IS NULL) "
+            "AS n_violations "
+            "UNION ALL SELECT 'orders.o_orderkey.unique', "
+            "(SELECT count(o_orderkey) - count(DISTINCT o_orderkey) "
+            "FROM orders) "
+            "UNION ALL SELECT 'orders.o_orderstatus.accepted', "
+            "(SELECT count(*) FROM orders WHERE o_orderstatus IS "
+            "NULL OR o_orderstatus NOT IN ('O', 'F')) "
+            "UNION ALL SELECT 'orders.o_custkey.ref_customer', "
+            "(SELECT count(*) FROM orders WHERE o_custkey IS NOT "
+            "NULL AND o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer WHERE c_custkey IS NOT "
+            "NULL)) "
+            "UNION ALL SELECT 'lineitem.l_quantity.range', "
+            "(SELECT count(*) FROM lineitem WHERE l_quantity IS NULL "
+            "OR l_quantity < 1.0 OR l_quantity > 45.0)) "
+            "SELECT \"check\", CAST(n_violations AS BIGINT) AS "
+            "n_violations FROM checks ORDER BY \"check\""
+        ),
+        "zipf_fit": (
+            "WITH e AS (SELECT lang, unnest(string_split(text, ' ')) "
+            "AS term FROM documents WHERE text IS NOT NULL AND lang "
+            "IS NOT NULL), "
+            "c AS (SELECT lang, term, count(*)::BIGINT AS n FROM e "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT lang, n, row_number() OVER (PARTITION BY "
+            "lang ORDER BY n DESC, term) AS rnk FROM c QUALIFY "
+            "rnk <= 1000) "
+            "SELECT lang, round(regr_slope(ln(n), ln(rnk)), 6) AS "
+            "slope, round(regr_intercept(ln(n), ln(rnk)), 6) AS "
+            "icept, count(*)::BIGINT AS n_terms FROM t "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "bigram_top": (
             "WITH d AS (SELECT doc_id, lang, text FROM documents "

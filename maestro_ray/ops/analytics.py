@@ -813,3 +813,228 @@ def merge_intervals(
         })
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def peak_concurrency(
+    ds: rd.Dataset,
+    key: str,
+    start_col: str,
+    end_col: str,
+) -> rd.Dataset:
+    """Peak concurrent intervals per ``key`` — the max-parallel-sessions
+    / room-occupancy shape: sweep the interval endpoints, +1 at each
+    start, −1 at each end, peak = max running sum.
+
+    Half-open [s, e) semantics pinned cross-engine: at an equal
+    timestamp the END fires BEFORE the start (sort by (t, delta) with
+    delta ∈ {−1, +1}), so back-to-back intervals never double-count.
+    One grouped shuffle; per group the sweep is one argsort + cumsum
+    over 2·n int64 points. Exact integers; null bounds rejected loudly
+    (the merge_intervals policy). Returns (key, peak, n_intervals)."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        if (g.column(start_col).null_count
+                or g.column(end_col).null_count):
+            raise ValueError(
+                "peak_concurrency: null interval bounds — fill or "
+                "filter upstream")
+        s = g.column(start_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        e = g.column(end_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = np.concatenate((s, e))
+        d = np.concatenate((np.ones(len(s), np.int64),
+                            -np.ones(len(e), np.int64)))
+        order = np.lexsort((d, t))  # ends (-1) before starts (+1)
+        peak = int(np.cumsum(d[order]).max()) if len(t) else 0
+        kv = g.column(key)[0]
+        return pa.table({
+            key: pa.array([kv.as_py()], g.schema.field(key).type),
+            "peak": pa.array([peak], pa.int64()),
+            "n_intervals": pa.array([len(s)], pa.int64()),
+        })
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def mutual_information(
+    ds: rd.Dataset,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 100_000,
+) -> pd.DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the dependence strength companion to the chi² key: I(X;Y) =
+    Σ p(x,y)·ln(p(x,y)·n / (n_x·n_y)).
+
+    Every input to the formula is an EXACT integer count from one
+    bucketed (x, y) cell aggregate; marginals fold from the cells on
+    the driver (O(cells), guarded by ``max_cells``). Rows with a null
+    in either column are excluded (the SQL inner-count convention).
+    The cell sum accumulates in float — callers compare rounded (the
+    cross-engine reduction policy). Returns one row (mi, n)."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    def clean(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(x_col)),
+                     pc.is_valid(t.column(y_col)))
+        return t.select([x_col, y_col]).filter(ok)
+
+    cells = bucketed_agg(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        [x_col, y_col], [(None, "count_all", "n")]).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"mutual_information: {len(cells)} cells exceeds "
+            f"max_cells={max_cells} — bucket the columns upstream")
+    if cells.empty:
+        return pd.DataFrame({"mi": pd.Series([0.0], dtype="float64"),
+                             "n": pd.Series([0], dtype="int64")})
+    n = int(cells["n"].sum())
+    nx = cells.groupby(x_col)["n"].transform("sum").to_numpy(np.float64)
+    ny = cells.groupby(y_col)["n"].transform("sum").to_numpy(np.float64)
+    nxy = cells["n"].to_numpy(np.float64)
+    mi = float(np.sum((nxy / n) * np.log(nxy * n / (nx * ny))))
+    return pd.DataFrame({"mi": pd.Series([round(mi, 6)], dtype="float64"),
+                         "n": pd.Series([n], dtype="int64")})
+
+
+def item_similarity_cosine(
+    ds: rd.Dataset,
+    basket_col: str,
+    item_col: str,
+    k: int = 20,
+    min_support: int = 2,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """Item-item collaborative-filtering similarity: cosine over the
+    binary basket-membership vectors — cos(a, b) = support(a, b) /
+    sqrt(deg(a)·deg(b)) with deg = distinct baskets containing the
+    item. The 'customers who bought X also bought Y' recommender core.
+
+    Plan: the shared distinct (basket, item) relation feeds BOTH the
+    pair-support exchange (``cooccurrence_pairs`` internals) and a
+    bucketed per-item degree count; degrees re-attach to the pair
+    table via two bucketed hash joins (item space can be corpus-sized
+    — never driver-collected); cosine is one vectorized per-row
+    expression (exact-int inputs → a fixed IEEE expression tree,
+    bit-reproducible vs the SQL twin). Returns the global top-``k``
+    pairs by (cosine desc, p1, p2)."""
+    from maestro_ray.ops.joins import hash_join
+
+    distinct = _distinct_basket_items(ds, basket_col, item_col,
+                                      n_buckets)
+    empty = pd.DataFrame({
+        "p1": pd.Series([], dtype="int64"),
+        "p2": pd.Series([], dtype="int64"),
+        "support": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64")})
+    from maestro_ray.ops.partition import compact_blocks
+
+    distinct = compact_blocks(distinct.materialize())
+    pairs = compact_blocks(_pair_counts(
+        distinct, basket_col, item_col, min_support,
+        n_buckets).materialize())
+    if pairs.count() == 0:
+        # empty filtered Datasets lose their schema → hash_join would
+        # crash; the typed empty frame is the answer anyway
+        return empty
+    from maestro_ray.ops.aggregates import bucketed_agg
+    deg = bucketed_agg(distinct, [item_col],
+                       [(None, "count_all", "deg")],
+                       n_buckets=n_buckets)
+
+    def as_side(t: pa.Table, name: str) -> pa.Table:
+        return pa.table({name: t.column(item_col),
+                         f"deg_{name}": t.column("deg")})
+
+    deg1 = deg.map_batches(lambda t: as_side(t, "p1"),
+                           batch_format="pyarrow")
+    deg2 = deg.map_batches(lambda t: as_side(t, "p2"),
+                           batch_format="pyarrow")
+    joined = hash_join(hash_join(pairs, deg1, "p1",
+                                 num_buckets=n_buckets),
+                       deg2, "p2", num_buckets=n_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        sup = t.column("support").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        d1 = t.column("deg_p1").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d2 = t.column("deg_p2").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cos = sup / np.sqrt((d1 * d2).astype(np.float64))
+        return pa.table({
+            "p1": t.column("p1"), "p2": t.column("p2"),
+            "support": t.column("support"),
+            "cosine": pa.array(cos, pa.float64()),
+        })
+
+    from maestro_ray.ops.aggregates import topk
+    out = topk(joined.map_batches(score, batch_format="pyarrow"),
+               "cosine", k, descending=True, tie_break=["p1", "p2"])
+    if out.empty:
+        return empty
+    out["support"] = out["support"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def kaplan_meier(
+    ds: rd.Dataset,
+    duration_col: str,
+    observed_col: str,
+    max_times: int = 100_000,
+) -> pd.DataFrame:
+    """Kaplan–Meier survival curve over (duration, observed) rows:
+    S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with dᵢ = events at tᵢ and nᵢ =
+    subjects still at risk (duration ≥ tᵢ — censored subjects AT tᵢ
+    count, the deaths-before-censors convention).
+
+    One bucketed (duration, observed) count exchange; the curve folds
+    on the driver over O(distinct durations) rows (guarded by
+    ``max_times`` — bucket durations upstream at scale). dᵢ and nᵢ
+    are exact integers; the survival product is a left-to-right
+    cumprod over ascending event times — the same frame order as the
+    SQL ``product() OVER`` twin, compared rounded. Null durations /
+    flags are excluded. Returns (t, n_risk, n_event, survival) at
+    event times only (censor-only times contribute factor 1)."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    def clean(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(duration_col)),
+                     pc.is_valid(t.column(observed_col)))
+        return t.select([duration_col, observed_col]).filter(ok)
+
+    cells = bucketed_agg(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        [duration_col, observed_col],
+        [(None, "count_all", "c")]).to_pandas()
+    if len(cells) > max_times:
+        raise ValueError(
+            f"kaplan_meier: {len(cells)} distinct (duration, observed) "
+            f"cells exceeds max_times={max_times} — bucket durations "
+            "upstream")
+    if cells.empty:
+        return pd.DataFrame({
+            "t": pd.Series([], dtype="int64"),
+            "n_risk": pd.Series([], dtype="int64"),
+            "n_event": pd.Series([], dtype="int64"),
+            "survival": pd.Series([], dtype="float64")})
+    obs = cells[observed_col].astype(bool)
+    g = (cells.assign(ev=cells["c"].where(obs, 0))
+         .groupby(duration_col)
+         .agg(n_event=("ev", "sum"), c_all=("c", "sum"))
+         .reset_index())
+    g["n_event"] = g["n_event"].astype("int64")
+    g = g.sort_values(duration_col).reset_index(drop=True)
+    total = int(g["c_all"].sum())
+    left = total - g["c_all"].cumsum().shift(fill_value=0)
+    g["n_risk"] = left.astype("int64")
+    g = g[g["n_event"] > 0].reset_index(drop=True)
+    surv = np.cumprod(1.0 - g["n_event"].to_numpy(np.float64)
+                      / g["n_risk"].to_numpy(np.float64))
+    return pd.DataFrame({
+        "t": g[duration_col].astype("int64"),
+        "n_risk": g["n_risk"],
+        "n_event": g["n_event"],
+        "survival": pd.Series(np.round(surv, 6), dtype="float64")})

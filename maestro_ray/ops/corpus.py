@@ -1094,3 +1094,68 @@ def doc_bigrams(
         return pa.table({group_col: grp, "bigram": pairs})
 
     return ds.map_batches(bg, batch_format="pyarrow")
+
+
+def zipf_fit(
+    ds: rd.Dataset,
+    group_col: str,
+    text_col: str,
+    top_n: int = 1000,
+) -> pd.DataFrame:
+    """Zipf's-law fit per corpus group: OLS slope/intercept of
+    ln(freq) against ln(rank) over the ``top_n`` most frequent tokens
+    (rank by count desc, token asc — a total order, so the rank
+    variable is cross-engine exact). Natural-language corpora sit
+    near slope −1; a far-off slope flags boilerplate or spam — the
+    corpus-health companion to the quality scorers.
+
+    One vectorized token explode + one bucketed (group, token) count
+    exchange + grouped top-k; the regression runs on the driver over
+    ≤ top_n·|groups| rows. Frequencies are exact ints; the OLS
+    moments accumulate in float → returned rounded (the reduction
+    policy). Returns (group, slope, icept, n_terms) sorted."""
+    from maestro_ray.ops.aggregates import bucketed_agg, grouped_topk
+
+    def toks(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(group_col)),
+                     pc.is_valid(t.column(text_col)))
+        t = t.filter(ok)
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        split = pc.split_pattern(texts, pattern=" ")
+        lens = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = t.column(group_col).take(
+            pa.array(np.repeat(np.arange(len(t)), lens)))
+        return pa.table({group_col: grp,
+                         "term": pc.list_flatten(split)})
+
+    counts = bucketed_agg(ds.map_batches(toks, batch_format="pyarrow"),
+                          [group_col, "term"],
+                          [(None, "count_all", "n")])
+    top = grouped_topk(counts, group_col, "n", k=top_n,
+                       tie_break=["term"]).to_pandas()
+    if top.empty:
+        return pd.DataFrame({
+            group_col: pd.Series([], dtype="object"),
+            "slope": pd.Series([], dtype="float64"),
+            "icept": pd.Series([], dtype="float64"),
+            "n_terms": pd.Series([], dtype="int64")})
+    rows = []
+    for g, sub in top.groupby(group_col, sort=True):
+        sub = sub.sort_values(["n", "term"],
+                              ascending=[False, True])
+        y = np.log(sub["n"].to_numpy(np.float64))
+        x = np.log(np.arange(1, len(sub) + 1, dtype=np.float64))
+        mx, my = x.mean(), y.mean()
+        varx = ((x - mx) ** 2).sum()
+        slope = (((x - mx) * (y - my)).sum() / varx
+                 if varx > 0 else np.nan)
+        icept = my - slope * mx if varx > 0 else np.nan
+        rows.append((g, round(float(slope), 6),
+                     round(float(icept), 6), len(sub)))
+    out = pd.DataFrame(rows, columns=[group_col, "slope", "icept",
+                                      "n_terms"])
+    out["n_terms"] = out["n_terms"].astype("int64")
+    return out.reset_index(drop=True)
