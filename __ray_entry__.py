@@ -5429,8 +5429,290 @@ def _q_audio_spectrogram(sf):
                                    "spectral_centroid"])
 
 
+def _q_ks_test(sf):
+    """Two-sample Kolmogorov–Smirnov D between the click and view
+    value distributions (ops/analytics.py ks_two_sample): ECDFs from
+    exact integer cumulative counts over one bucketed distinct-value
+    aggregate; each candidate |r1/n1 − r2/n2| is a fixed expression of
+    exact ints and max is order-independent — no rounding."""
+    from maestro_ray.ops.analytics import ks_two_sample
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+    return ks_two_sample(ds, "event_type", "value", "click", "view")
+
+
+def _q_mann_whitney(sf):
+    """Mann–Whitney U (tie-corrected normal z) between the click and
+    view cohorts (ops/analytics.py mann_whitney_u): 2·R1 and Σ(t³−t)
+    fold as exact integers, U and z are fixed IEEE expressions of
+    them — bit-exact vs the window-SQL twin, no rounding."""
+    from maestro_ray.ops.analytics import mann_whitney_u
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+    return mann_whitney_u(ds, "event_type", "value", "click", "view")
+
+
+def _q_cramers_v(sf):
+    """Cramér's V for event_type × value-bucket (ops/analytics.py
+    cramers_v) — the normalized association strength over the chi2
+    key's contingency matrix. χ² is an order-dependent float sum over
+    cells, so chi2 and v follow the 6dp policy."""
+    from maestro_ray.ops.analytics import cramers_v
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t.column("event_type")),
+                       pc.is_valid(t.column("value")))
+        t = t.filter(keep)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.minimum((v // 100.0).astype(np.int64), 4)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "bucket": pa.array(b, pa.int64()),
+        })
+
+    return cramers_v(ds.map_batches(bucketize, batch_format="pyarrow"),
+                     "event_type", "bucket")
+
+
+def _q_collocations(sf):
+    """Top-50 bigram collocations by PMI with min corpus count 5
+    (ops/corpus.py collocations_pmi): one vectorized adjacent-pair
+    flat map, bucketed pair + unigram counts, unigram counts
+    re-attached via two bucketed hash joins (vocabulary never on the
+    driver); pmi = ln((c12/Nb)/((c1/Nu)(c2/Nu))) from exact ints,
+    6dp (ln), ordered (pmi desc, w1, w2)."""
+    from maestro_ray.ops.corpus import collocations_pmi
+
+    ds = _read(sf, "documents", columns=["text"])
+    return collocations_pmi(ds, "text", min_count=5, k=50)
+
+
+def _q_active_users(sf):
+    """DAU / trailing-7-day WAU / stickiness per day (ops/analytics.py
+    active_users): one bucketed (user, day) distinct, a ×7 vectorized
+    day expansion re-deduped for WAU — churn-proportional, no
+    quadratic COUNT(DISTINCT) window join. Exact integers; stickiness
+    is one exact division."""
+    from maestro_ray.ops.analytics import active_users
+
+    ds = _read(sf, "events", columns=["user_id", "ts"])
+    return active_users(ds, "user_id", "ts", window=7)
+
+
+def _q_lagged_corr(sf):
+    """Cross-correlation of click vs purchase daily counts at lags
+    0..7 over the zero-filled calendar grid (ops/analytics.py
+    lagged_corr): per-lag moments fold as exact Python ints; corr is
+    the single expression num/sqrt(va·vb) with each int converted to
+    double once — bit-exact, no rounding (moving_corr argument).
+    Assumes max_lag < the grid span (30 days here)."""
+    from maestro_ray.ops.analytics import lagged_corr
+
+    ds = _read(sf, "events", columns=["ts", "event_type"])
+    return lagged_corr(ds, "ts", "event_type", "click", "purchase",
+                       max_lag=7)
+
+
+def _q_naive_bayes(sf):
+    """Categorical naive Bayes (ops/ml.py naive_bayes_classify):
+    train on event_id % 20 ≠ 0, predict event_type for the held-out
+    rows from (DuckDB-convention day-of-week, value bucket) features.
+    Laplace-1 smoothing; every score is a fixed left-associated sum
+    of ln terms of exact integer counts, argmax ties break by class
+    ascending — predictions are engine-reproducible."""
+    from maestro_ray.ops.ml import naive_bayes_classify
+
+    ds = _read(sf, "events",
+               columns=["event_id", "event_type", "ts", "value"])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("ts")),
+                               pc.is_valid(t.column("value"))),
+                       pc.is_valid(t.column("event_type")))
+        t = t.filter(keep)
+        # DuckDB dayofweek: Sunday=0; Arrow day_of_week: Monday=0
+        dow = pc.day_of_week(t.column("ts")) \
+            .to_numpy(zero_copy_only=False)
+        f1 = (dow + 1) % 7
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        f2 = np.minimum((v // 100.0).astype(np.int64), 4)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "f1": pa.array(f1.astype(np.int64), pa.int64()),
+            "f2": pa.array(f2, pa.int64()),
+        })
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow")
+    train = feats.map_batches(
+        lambda t: t.filter(pc.not_equal(_mod20(t.column("event_id")),
+                                        0)),
+        batch_format="pyarrow")
+    test = feats.map_batches(
+        lambda t: t.filter(pc.equal(_mod20(t.column("event_id")), 0)),
+        batch_format="pyarrow")
+    return naive_bayes_classify(train, test, ["f1", "f2"],
+                                "event_type", "event_id")
+
+
+def _q_sssp(sf):
+    """Weighted single-source shortest paths over the co-purchase
+    graph (ops/graph.py sssp — frontier Bellman–Ford, one pruned edge
+    scan per round, O(nodes) driver state behind the loud broadcast
+    guard): nodes = parts, undirected edges from order co-occurrence
+    with weight 1/support, source = global min part key. Rows-only
+    (path algebra is non-SQL); tests/unit/test_graph_sssp.py pins the
+    result against a heap Dijkstra reference on random graphs."""
+    from maestro_ray.ops.analytics import cooccurrence_pairs
+    from maestro_ray.ops.graph import sssp
+
+    ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(ds, "l_orderkey", "l_partkey",
+                               min_support=2)
+
+    def weight(t: pa.Table) -> pa.Table:
+        sup = t.column("support").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"a": t.column("p1"), "b": t.column("p2"),
+                         "w": pa.array(1.0 / sup, pa.float64())})
+
+    edges = pairs.map_batches(weight, batch_format="pyarrow") \
+        .materialize()
+    src = int(edges.min("a"))
+    out = sssp(edges, src, directed=False)
+    out["dist"] = out["dist"].round(9)
+    return out
+
+
+def _q_cdc_wap(sf):
+    """Write-Audit-Publish over the replay lake (pipelines/wap.py):
+    stage a fresh changelog on a hardlinked branch, run the
+    distributed structural audit against the staged state, publish via
+    merge_branch only on pass. Rows-only; the reject-leaves-main-
+    untouched / publish≡direct-apply matrix is pytest
+    (tests/replay/test_wap.py)."""
+    from maestro_ray.core.manifest import latest_manifest
+    from maestro_ray.fixtures import ChangelogParams, write_changelog
+    from maestro_ray.io.lake import clone_lake, read_lake
+    from maestro_ray.pipelines.wap import (structural_audit,
+                                           write_audit_publish)
+
+    base = _cdc_lake(sf)
+    root = base + "_wap"
+    src = root + "/src"
+    done = root + "/_DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        clone_lake(base, src)
+        wm = latest_manifest(src).watermark
+        log = os.path.join(root, "log")
+        name = os.path.basename(sf.rstrip("/"))
+        scale = dict(_CDC_SCALES.get(name, _CDC_SCALES["sf0.01"]))
+        scale["n_events"] = wm + 1 + max(200, (wm + 1) // 4)
+        scale["seed"] = scale.get("seed", 0) + 83
+        write_changelog(log, ChangelogParams(**scale))
+        out = write_audit_publish(
+            src, log, root + "/branch",
+            structural_audit(max_null_frac=1.0, min_rows=1),
+            num_partitions=16, segments_per_epoch=2)
+        assert out["published"], out
+        open(done, "w").close()
+    return read_lake(src, columns=["url", "warc_ts", "lang"])
+
+
+def _q_hits(sf):
+    """HITS hubs-and-authorities over the synthetic link graph
+    (ops/graph.py hits — the pagerank scale shape: edges stream twice
+    per round with per-batch bincount partials, O(nodes) broadcast
+    state behind the loud guard). Rows-only (float power iteration);
+    tests/unit/test_graph_sssp.py pins a numpy reference at 1e-9."""
+    from maestro_ray.ops.graph import hits
+    from maestro_ray.ops.web import extract_links
+
+    pages = _read(sf, "documents", columns=["doc_id"]).map_batches(
+        _with_synth_html, batch_format="pyarrow")
+    links = extract_links(pages, "html", "doc_id")
+
+    def edges(t: pa.Table) -> pa.Table:
+        tgt = pc.struct_field(
+            pc.extract_regex(t.column("href"), r"/p/(?P<t>\d+)$"), "t")
+        return pa.table({"a": t.column("doc_id"),
+                         "b": pc.cast(tgt, pa.int64())})
+
+    out = hits(links.map_batches(edges, batch_format="pyarrow"),
+               iterations=15)
+    out["hub"] = out["hub"].round(9)
+    out["authority"] = out["authority"].round(9)
+    return out
+
+
+def _q_stem_top(sf):
+    """Top-20 Porter stems by corpus frequency (ops/stem.py
+    stem_terms): the published 1980 automaton memoized over per-batch
+    UNIQUE tokens (Zipf — O(unique) scalar calls, dictionary gather
+    rebuilds the stream), one bucketed count, local-combiner top-k.
+    Rows-only (no SQL spelling of the automaton);
+    tests/unit/test_stem.py pins the 75 published examples."""
+    from maestro_ray.ops.stem import stem_terms
+
+    ds = _read(sf, "documents", columns=["text"])
+    return stem_terms(ds, "text", k=20)
+
+
+def _q_cdc_log_compact(sf):
+    """Kafka-style changelog compaction (io/changelog.py
+    compact_changelog): keep each url's LWW winner, renumber offsets
+    contiguously, replay the compacted log fresh — the final physical
+    state must equal the full replay's (pinned row-for-row by
+    tests/replay/test_compact_log.py; here the compacted lake's live
+    state is the returned relation). O(distinct urls) bootstrap
+    events."""
+    from maestro_ray.io.changelog import compact_changelog
+    from maestro_ray.io.lake import read_lake
+    from maestro_ray.pipelines.ingest import ingest
+
+    base = _cdc_lake(sf)  # ensures the shared changelog fixture exists
+    root = base + "_logcompact"
+    lake = root + "/lake"
+    done = root + "/_DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        # the shared fixture's changelog lives next to its lake
+        log = os.path.join(os.path.dirname(base), "log")
+        compacted = root + "/compacted"
+        compact_changelog(log, compacted, seg_rows=2000)
+        ingest(compacted, lake, num_partitions=16,
+               segments_per_epoch=2)
+        open(done, "w").close()
+    return read_lake(lake, columns=["url", "warc_ts", "lang"])
+
+
+def _mod20(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    # pc.mod does not exist in this pyarrow — numpy modulo (CLAUDE.md)
+    v = col.to_numpy(zero_copy_only=False) if not isinstance(
+        col, pa.ChunkedArray) else col.combine_chunks().to_numpy(
+        zero_copy_only=False)
+    return pa.array(v % 20, pa.int64())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "ks_test": _q_ks_test,
+        "mann_whitney": _q_mann_whitney,
+        "cramers_v": _q_cramers_v,
+        "collocations": _q_collocations,
+        "active_users": _q_active_users,
+        "lagged_corr": _q_lagged_corr,
+        "naive_bayes": _q_naive_bayes,
+        "sssp": _q_sssp,
+        "cdc_wap": _q_cdc_wap,
+        "hits": _q_hits,
+        "stem_top": _q_stem_top,
+        "cdc_log_compact": _q_cdc_log_compact,
         "read_pages": _q_read_pages,
         "link_graph": _q_link_graph,
         "triangle_count": _q_triangle_count,
@@ -5714,6 +5996,169 @@ def _zspread_sql(col: str) -> str:
 def oracle_sql() -> dict[str, str]:
     ev_types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
     return {
+        "ks_test": (
+            "WITH f AS (SELECT value AS v, event_type AS g FROM "
+            "events WHERE value IS NOT NULL AND event_type IN "
+            "('click', 'view')), "
+            "c AS (SELECT v, "
+            "CAST(count(*) FILTER (WHERE g = 'click') AS BIGINT) AS c1, "
+            "CAST(count(*) FILTER (WHERE g = 'view') AS BIGINT) AS c2 "
+            "FROM f GROUP BY 1), "
+            "s AS (SELECT sum(c1) OVER (ORDER BY v ROWS UNBOUNDED "
+            "PRECEDING) AS r1, sum(c2) OVER (ORDER BY v ROWS "
+            "UNBOUNDED PRECEDING) AS r2, sum(c1) OVER () AS n1, "
+            "sum(c2) OVER () AS n2 FROM c) "
+            "SELECT max(abs(CAST(r1 AS DOUBLE) / n1 - "
+            "CAST(r2 AS DOUBLE) / n2)) AS d, "
+            "CAST(max(n1) AS BIGINT) AS n1, "
+            "CAST(max(n2) AS BIGINT) AS n2 FROM s"
+        ),
+        "mann_whitney": (
+            "WITH f AS (SELECT value AS v, event_type AS g FROM "
+            "events WHERE value IS NOT NULL AND event_type IN "
+            "('click', 'view')), "
+            "c AS (SELECT v, "
+            "CAST(count(*) FILTER (WHERE g = 'click') AS BIGINT) AS c1, "
+            "CAST(count(*) FILTER (WHERE g = 'view') AS BIGINT) AS c2 "
+            "FROM f GROUP BY 1), "
+            "w AS (SELECT c1, c2, c1 + c2 AS t, "
+            "coalesce(sum(c1 + c2) OVER (ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM c), "
+            "s AS (SELECT sum(c1 * (2 * cb + t + 1)) AS r1x2, "
+            "sum(CAST(t AS HUGEINT) * t * t - t) AS tie, "
+            "sum(c1) AS n1, sum(c2) AS n2 FROM w) "
+            "SELECT CAST(r1x2 / 2.0 - n1 * (n1 + 1) / 2.0 "
+            "AS DOUBLE) AS u1, "
+            "CASE WHEN n1 * n2 / 12.0 * ((n1 + n2 + 1) - "
+            "CAST(tie AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) "
+            "AS DOUBLE)) > 0 THEN "
+            "(r1x2 / 2.0 - n1 * (n1 + 1) / 2.0 "
+            "- n1 * n2 / 2.0) / sqrt(n1 * n2 / 12.0 * "
+            "((n1 + n2 + 1) - CAST(tie AS DOUBLE) / "
+            "CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))) "
+            "ELSE 0.0 END AS z, "
+            "CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2 FROM s"
+        ),
+        "cramers_v": (
+            "WITH b AS (SELECT event_type, "
+            "least(CAST(floor(value / 100.0) AS BIGINT), 4) AS bucket "
+            "FROM events WHERE event_type IS NOT NULL AND value IS "
+            "NOT NULL), "
+            "o AS (SELECT event_type, bucket, count(*)::BIGINT AS o "
+            "FROM b GROUP BY 1, 2), "
+            "m AS (SELECT o, CAST(sum(o) OVER (PARTITION BY "
+            "event_type) AS DOUBLE) AS rt, CAST(sum(o) OVER "
+            "(PARTITION BY bucket) AS DOUBLE) AS ct, "
+            "CAST(sum(o) OVER () AS BIGINT) AS n FROM o), "
+            "s AS (SELECT sum((o - rt * ct / n) * (o - rt * ct / n) "
+            "/ (rt * ct / n)) + (max(n) - sum(rt * ct / n)) AS chi2, "
+            "max(n) AS n FROM m), "
+            "d AS (SELECT count(DISTINCT event_type)::BIGINT AS r, "
+            "count(DISTINCT bucket)::BIGINT AS c FROM o) "
+            "SELECT round(chi2, 6) AS chi2, "
+            "round(sqrt(chi2 / (n * (least(r, c) - 1))), 6) AS v, "
+            "CAST((r - 1) * (c - 1) AS BIGINT) AS dof, n "
+            "FROM s, d"
+        ),
+        "collocations": (
+            "WITH d AS (SELECT doc_id, text FROM documents WHERE "
+            "text IS NOT NULL), "
+            "u AS (SELECT doc_id, "
+            "generate_subscripts(str_split(text, ' '), 1) AS ord, "
+            "unnest(str_split(text, ' ')) AS tok FROM d), "
+            "uc AS (SELECT tok, count(*)::BIGINT AS c FROM u "
+            "GROUP BY 1), "
+            "nu AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc), "
+            "p AS (SELECT tok AS w1, lead(tok) OVER (PARTITION BY "
+            "doc_id ORDER BY ord) AS w2 FROM u), "
+            "bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM p "
+            "WHERE w2 IS NOT NULL GROUP BY 1, 2), "
+            "nb AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bc) "
+            "SELECT w1, w2, c12, "
+            "round(ln((CAST(c12 AS DOUBLE) / nb.n) / "
+            "((CAST(c1.c AS DOUBLE) / nu.n) * "
+            "(CAST(c2.c AS DOUBLE) / nu.n))), 6) AS pmi "
+            "FROM bc CROSS JOIN nb CROSS JOIN nu "
+            "JOIN uc c1 ON bc.w1 = c1.tok "
+            "JOIN uc c2 ON bc.w2 = c2.tok "
+            "WHERE c12 >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 50"
+        ),
+        "active_users": (
+            "WITH p AS (SELECT DISTINCT user_id, "
+            "date_trunc('day', ts) AS day FROM events WHERE ts IS "
+            "NOT NULL AND user_id IS NOT NULL), "
+            "dau AS (SELECT day, count(*)::BIGINT AS dau FROM p "
+            "GROUP BY 1), "
+            "wau AS (SELECT a.day, count(DISTINCT b.user_id)::BIGINT "
+            "AS wau FROM dau a JOIN p b ON b.day BETWEEN "
+            "a.day - INTERVAL 6 DAY AND a.day GROUP BY 1) "
+            "SELECT a.day, a.dau, w.wau, "
+            "CAST(a.dau AS DOUBLE) / w.wau AS stickiness "
+            "FROM dau a JOIN wau w USING (day) ORDER BY day"
+        ),
+        "lagged_corr": (
+            "WITH RECURSIVE f AS (SELECT date_trunc('day', ts) AS "
+            "day, event_type FROM events WHERE ts IS NOT NULL AND "
+            "event_type IN ('click', 'purchase')), "
+            "c AS (SELECT day, CAST(count(*) FILTER (WHERE "
+            "event_type = 'click') AS BIGINT) AS c1, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') "
+            "AS BIGINT) AS c2 FROM f GROUP BY 1), "
+            "bounds AS (SELECT min(day) AS dmin, max(day) AS dmax "
+            "FROM c), "
+            "days(day) AS (SELECT dmin FROM bounds UNION ALL "
+            "SELECT day + to_days(1) FROM days, bounds "
+            "WHERE day < dmax), "
+            "grid AS (SELECT g.day, coalesce(c.c1, 0) AS x, "
+            "coalesce(c.c2, 0) AS y FROM days g "
+            "LEFT JOIN c ON c.day = g.day), "
+            "lags AS (SELECT CAST(i AS BIGINT) AS lag FROM "
+            "range(0, 8) t(i)), "
+            "j AS (SELECT l.lag, a.x, b.y FROM lags l "
+            "JOIN grid a ON true JOIN grid b ON "
+            "b.day = a.day + to_days(CAST(l.lag AS INTEGER))), "
+            "s AS (SELECT lag, count(*)::BIGINT AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sx2, "
+            "sum(y * y) AS sy2 FROM j GROUP BY 1) "
+            "SELECT lag, n, CASE WHEN (n * sx2 - sx * sx) > 0 AND "
+            "(n * sy2 - sy * sy) > 0 THEN "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) * "
+            "CAST(n * sy2 - sy * sy AS DOUBLE)) ELSE 0.0 END AS corr "
+            "FROM s ORDER BY lag"
+        ),
+        "naive_bayes": (
+            "WITH base AS (SELECT event_id, event_type, "
+            "CAST(dayofweek(ts) AS BIGINT) AS f1, "
+            "least(CAST(floor(value / 100.0) AS BIGINT), 4) AS f2 "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "tr AS (SELECT * FROM base WHERE event_id % 20 <> 0), "
+            "te AS (SELECT * FROM base WHERE event_id % 20 = 0), "
+            "cls AS (SELECT event_type AS c, count(*)::BIGINT AS n_c "
+            "FROM tr GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n, "
+            "count(*)::BIGINT AS k FROM cls), "
+            "v1 AS (SELECT count(DISTINCT f1)::BIGINT AS v FROM tr), "
+            "v2 AS (SELECT count(DISTINCT f2)::BIGINT AS v FROM tr), "
+            "l1 AS (SELECT event_type AS c, f1, count(*)::BIGINT AS n "
+            "FROM tr GROUP BY 1, 2), "
+            "l2 AS (SELECT event_type AS c, f2, count(*)::BIGINT AS n "
+            "FROM tr GROUP BY 1, 2), "
+            "sc AS (SELECT te.event_id, cls.c, "
+            "ln(CAST(cls.n_c + 1 AS DOUBLE) / (tot.n + tot.k)) "
+            "+ ln(CAST(coalesce(l1.n, 0) + 1 AS DOUBLE) / "
+            "(cls.n_c + v1.v)) "
+            "+ ln(CAST(coalesce(l2.n, 0) + 1 AS DOUBLE) / "
+            "(cls.n_c + v2.v)) AS score "
+            "FROM te CROSS JOIN cls CROSS JOIN tot CROSS JOIN v1 "
+            "CROSS JOIN v2 "
+            "LEFT JOIN l1 ON l1.c = cls.c AND l1.f1 = te.f1 "
+            "LEFT JOIN l2 ON l2.c = cls.c AND l2.f2 = te.f2) "
+            "SELECT event_id, c AS predicted FROM sc "
+            "QUALIFY row_number() OVER (PARTITION BY event_id "
+            "ORDER BY score DESC, c) = 1 ORDER BY event_id"
+        ),
         "read_pages": "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
         "read_changelog": "SELECT * FROM events WHERE event_id >= 500",
         "clean_fields": (

@@ -214,3 +214,97 @@ def read_changelog(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def compact_changelog(
+    log_dir: str,
+    out_dir: str,
+    seg_rows: int = 50_000,
+    n_buckets: int = 32,
+) -> dict:
+    """Kafka-style log compaction: rewrite a changelog keeping only
+    each url's LWW-winning event (max (warc_ts, offset) — exactly the
+    replay merge rule), renumbered to contiguous offsets 0..k−1 in
+    original-offset order. A FRESH replay of the compacted log
+    converges to the same final table state as replaying the original
+    (same winners, same tie-break order — pinned by
+    tests/replay/test_compact_log.py), at O(distinct urls) events
+    instead of O(all events) — the bootstrap / replica-seeding tool.
+
+    NOT for resuming an existing lake: its watermark counts ORIGINAL
+    offsets; renumbering exists because replay's contiguity check
+    (``check_contiguity``) rightly refuses offset gaps.
+
+    Plan, fully distributed: per-batch ``lww_reduce`` combiner →
+    one hash(url)-bucket exchange → per-bucket final ``lww_reduce``
+    (a url lives wholly in one bucket, and lww_reduce is associative)
+    → ``global_row_number`` over the original offsets (3-pass bucketed
+    prefix count, O(n_buckets) driver state) → rows route to output
+    segment ``new_offset // seg_rows`` and each segment file is
+    written sorted inside its own task — the winner set never lands on
+    the driver. Returns {events_out, segments}."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from maestro_ray.ops.hashing import hash_array
+    from maestro_ray.ops.partition import lww_reduce
+    from maestro_ray.ops.scan import global_row_number
+
+    if os.path.exists(out_dir) and os.listdir(out_dir):
+        raise FileExistsError(
+            f"compact_changelog: {out_dir} exists and is non-empty — "
+            "each compaction writes a fresh log directory")
+    os.makedirs(out_dir, exist_ok=True)
+    ds = read_changelog(log_dir)
+    if ds is None:
+        return {"events_out": 0, "segments": 0}
+    head_cols = [f.name for f in CHANGELOG_V3]
+
+    def combine(t: pa.Table) -> pa.Table:
+        return lww_reduce(t)
+
+    def addb(t: pa.Table) -> pa.Table:
+        h = hash_array(t.column("url"))
+        b = (h % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, pa.int64()))
+
+    cand = ds.map_batches(combine, batch_format="pyarrow") \
+        .map_batches(addb, batch_format="pyarrow")
+
+    def bucket_reduce(g: pa.Table) -> pa.Table:
+        return lww_reduce(g.drop_columns(["__b"]))
+
+    winners = cand.groupby("__b").map_groups(bucket_reduce,
+                                             batch_format="pyarrow")
+    renum = global_row_number(winners, "offset", out_col="__rn")
+
+    def to_seg(t: pa.Table) -> pa.Table:
+        new_off = pc.subtract(t.column("__rn"),
+                              pa.scalar(1, pa.int64()))
+        seg = pc.divide(new_off, pa.scalar(int(seg_rows), pa.int64()))
+        t = t.drop_columns(["offset", "__rn"]) \
+            .append_column("offset", new_off) \
+            .append_column("__seg", seg)
+        return t.select(head_cols + ["__seg"])
+
+    def write_seg(g: pa.Table) -> pa.Table:
+        seg_id = int(g.column("__seg")[0].as_py())
+        t = g.drop_columns(["__seg"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("offset",
+                                                  "ascending")]))
+        first = int(seg_id) * int(seg_rows)
+        path = os.path.join(out_dir, f"seg-{first:012d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return pa.table({"segment": pa.array([first], pa.int64()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    stats = renum.map_batches(to_seg, batch_format="pyarrow") \
+        .groupby("__seg").map_groups(write_seg,
+                                     batch_format="pyarrow") \
+        .to_pandas()
+    if stats.empty:
+        return {"events_out": 0, "segments": 0}
+    return {"events_out": int(stats["rows"].sum()),
+            "segments": int(len(stats))}

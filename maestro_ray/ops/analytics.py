@@ -1038,3 +1038,357 @@ def kaplan_meier(
         "n_risk": g["n_risk"],
         "n_event": g["n_event"],
         "survival": pd.Series(np.round(surv, 6), dtype="float64")})
+
+
+def _two_sample_cells(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    g1: str,
+    g2: str,
+    max_distinct: int,
+    caller: str,
+) -> pd.DataFrame:
+    """Shared two-sample rank backbone: one bucketed per-distinct-value
+    aggregate producing (value, c1, c2) counts for the two cohorts,
+    sorted by value on the driver (O(distinct values), guarded). Both
+    the KS statistic and the Mann–Whitney U are pure functions of this
+    tiny table — the full value stream never leaves the cluster."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        v = t.column(value_col)
+        keep = pc.and_(
+            pc.is_valid(v),
+            pc.or_(pc.equal(g, g1), pc.equal(g, g2)))
+        t = pa.table({"v": v, "g": g}).filter(keep)
+        is1 = pc.equal(t.column("g"), g1)
+        vv = t.column("v")
+        if pa.types.is_floating(vv.type):
+            # Arrow hash-aggregation keys are BITWISE: −0.0 and +0.0
+            # would land in different cells while SQL GROUP BY (and
+            # rank math) treats them equal — normalize (x + 0.0)
+            vv = pc.add(vv, 0.0)
+        return pa.table({
+            "v": vv,
+            "i1": pc.cast(is1, pa.int64()),
+            "i2": pc.cast(pc.invert(is1), pa.int64()),
+        })
+
+    cells = bucketed_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["v"], [("i1", "sum", "c1"), ("i2", "sum", "c2")]).to_pandas()
+    if len(cells) > max_distinct:
+        raise ValueError(
+            f"{caller}: {len(cells)} distinct values exceeds "
+            f"max_distinct={max_distinct} — bucket the value column "
+            "upstream or use quantile_sketch-based comparisons")
+    if cells.empty:
+        return pd.DataFrame({
+            "v": pd.Series([], dtype="float64"),
+            "c1": pd.Series([], dtype="int64"),
+            "c2": pd.Series([], dtype="int64")})
+    cells["c1"] = cells["c1"].astype("int64")
+    cells["c2"] = cells["c2"].astype("int64")
+    return cells.sort_values("v").reset_index(drop=True)
+
+
+def ks_two_sample(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    g1: str,
+    g2: str,
+    max_distinct: int = 2_000_000,
+) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic D = sup |F1(v) − F2(v)|
+    between the ``g1`` and ``g2`` cohorts of ``value_col``.
+
+    Exact and bit-reproducible vs SQL: the ECDFs are evaluated only at
+    distinct observed values, from exact integer cumulative counts;
+    each candidate is the single expression |r1/n1 − r2/n2| (two exact
+    divisions, one subtraction) and the max over candidates is
+    order-independent — no float accumulation, no rounding. Nulls and
+    other cohorts are excluded upstream. Returns one row (d, n1, n2)."""
+    cells = _two_sample_cells(ds, group_col, value_col, g1, g2,
+                              max_distinct, "ks_two_sample")
+    n1 = int(cells["c1"].sum())
+    n2 = int(cells["c2"].sum())
+    if n1 == 0 or n2 == 0:
+        raise ValueError(
+            f"ks_two_sample: empty cohort (n1={n1}, n2={n2})")
+    r1 = cells["c1"].cumsum().to_numpy(np.float64)
+    r2 = cells["c2"].cumsum().to_numpy(np.float64)
+    d = float(np.max(np.abs(r1 / n1 - r2 / n2)))
+    return pd.DataFrame({
+        "d": pd.Series([d], dtype="float64"),
+        "n1": pd.Series([n1], dtype="int64"),
+        "n2": pd.Series([n2], dtype="int64")})
+
+
+def mann_whitney_u(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    g1: str,
+    g2: str,
+    max_distinct: int = 2_000_000,
+) -> pd.DataFrame:
+    """Mann–Whitney U (rank-sum) test with the normal approximation
+    and tie correction — the nonparametric ab_test companion.
+
+    Exactness strategy: with per-distinct-value counts c1, c2 and
+    t = c1 + c2, the tied-average rank of value v is
+    cum_before + (t + 1)/2, so 2·R1 = Σ c1·(2·cum_before + t + 1) is
+    an INTEGER — summed exactly (no float accumulation). U1 then
+    equals R1 − n1(n1+1)/2 (the wins-plus-half-ties count for the g1
+    sample; a multiple of 0.5, exactly representable). The tie term
+    T = Σ(t³ − t) is an exact integer
+    (HUGEINT in the SQL twin). z is one fixed IEEE expression of those
+    integers, identical across engines:
+
+        z = (u1 − n1·n2/2) / sqrt(n1·n2/12 · ((n+1) − T/(n(n−1))))
+
+    Returns one row (u1, z, n1, n2); z = 0 when the variance is 0
+    (all values tied)."""
+    cells = _two_sample_cells(ds, group_col, value_col, g1, g2,
+                              max_distinct, "mann_whitney_u")
+    n1 = int(cells["c1"].sum())
+    n2 = int(cells["c2"].sum())
+    if n1 == 0 or n2 == 0:
+        raise ValueError(
+            f"mann_whitney_u: empty cohort (n1={n1}, n2={n2})")
+    n = n1 + n2
+    c1 = cells["c1"].to_numpy(np.int64)
+    t = (cells["c1"] + cells["c2"]).to_numpy(np.int64)
+    cum_before = np.concatenate(([0], np.cumsum(t)[:-1]))
+    r1x2 = int(np.sum(c1 * (2 * cum_before + t + 1)))
+    tie_term = int(np.sum(t * t * t - t))  # Python-int exact fold
+    u1 = r1x2 / 2.0 - n1 * (n1 + 1) / 2.0
+    var = n1 * n2 / 12.0 * ((n + 1)
+                            - float(tie_term) / float(n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / np.sqrt(var) if var > 0 else 0.0
+    return pd.DataFrame({
+        "u1": pd.Series([u1], dtype="float64"),
+        "z": pd.Series([float(z)], dtype="float64"),
+        "n1": pd.Series([n1], dtype="int64"),
+        "n2": pd.Series([n2], dtype="int64")})
+
+
+def cramers_v(
+    ds: rd.Dataset,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 100_000,
+) -> pd.DataFrame:
+    """Cramér's V association strength between two categorical
+    columns — the normalized-to-[0,1] companion of the chi² key:
+    V = sqrt(χ² / (n · (min(r, c) − 1))).
+
+    Observed counts come from one bucketed (x, y) cell aggregate
+    (exact integers); expected counts and per-cell contributions are
+    the chi² algebra on the driver (O(cells), guarded). χ² is a SUM
+    over cells — order-dependent in float — so chi2 and v follow the
+    6dp cross-engine rounding policy (unlike the per-cell chi² key,
+    which needs none). Null rows excluded. One row (chi2, v, dof, n)."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    def clean(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(x_col)),
+                     pc.is_valid(t.column(y_col)))
+        return t.select([x_col, y_col]).filter(ok)
+
+    cells = bucketed_agg(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        [x_col, y_col], [(None, "count_all", "o")]).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"cramers_v: {len(cells)} cells exceeds "
+            f"max_cells={max_cells} — bucket the columns upstream")
+    if cells.empty:
+        return pd.DataFrame({
+            "chi2": pd.Series([0.0], dtype="float64"),
+            "v": pd.Series([0.0], dtype="float64"),
+            "dof": pd.Series([0], dtype="int64"),
+            "n": pd.Series([0], dtype="int64")})
+    n = int(cells["o"].sum())
+    rt = cells.groupby(x_col)["o"].transform("sum").to_numpy(np.float64)
+    ct = cells.groupby(y_col)["o"].transform("sum").to_numpy(np.float64)
+    o = cells["o"].to_numpy(np.float64)
+    e = rt * ct / n
+    # zero cells (absent from the observed list) contribute (0−e)²/e
+    # = e each; Σe over ALL r×c cells is exactly n, so their total is
+    # n − Σe(observed) — no materialization of the full grid needed
+    chi2 = float(np.sum((o - e) * (o - e) / e) + (n - float(np.sum(e))))
+    r = cells[x_col].nunique()
+    c = cells[y_col].nunique()
+    dof = (r - 1) * (c - 1)
+    mind = min(r, c) - 1
+    v = float(np.sqrt(chi2 / (n * mind))) if mind > 0 else 0.0
+    return pd.DataFrame({
+        "chi2": pd.Series([round(chi2, 6)], dtype="float64"),
+        "v": pd.Series([round(v, 6)], dtype="float64"),
+        "dof": pd.Series([dof], dtype="int64"),
+        "n": pd.Series([n], dtype="int64")})
+
+
+_DAY_US = 86_400_000_000
+
+
+def active_users(
+    ds: rd.Dataset,
+    user_col: str,
+    ts_col: str,
+    window: int = 7,
+) -> pd.DataFrame:
+    """DAU / trailing-WAU / stickiness per day — the product-analytics
+    headline triple: dau(d) = distinct users active on d, wau(d) =
+    distinct users active in [d − window + 1, d], stickiness = dau/wau.
+
+    Plan, all distributed until the tiny per-day tables: ONE bucketed
+    distinct over (user, day) pairs; dau is a count over those pairs;
+    wau comes from a ×window vectorized day-expansion of the SAME
+    distinct pairs (each (u, d) covers windows ending d..d+window−1)
+    re-deduped with a second bucketed distinct — churn-proportional,
+    never COUNT(DISTINCT) over a quadratic window join. Exact
+    integers; stickiness is one exact division. Rows = days with
+    activity (inner join), sorted by day."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        keep = pc.and_(pc.is_valid(ts), pc.is_valid(t.column(user_col)))
+        return pa.table({
+            user_col: t.column(user_col),
+            # pin us resolution: ns inputs (from_pandas) would break
+            # the int64-microsecond day arithmetic below
+            "day": pc.cast(pc.floor_temporal(ts, unit="day"),
+                           pa.timestamp("us")),
+        }).filter(keep)
+
+    pairs = bucketed_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        [user_col, "day"], [(None, "count_all", "_c")])
+    pairs = pairs.map_batches(
+        lambda t: t.select([user_col, "day"]), batch_format="pyarrow")
+    pairs = pairs.materialize()  # feeds BOTH dau and the expansion
+    dau = bucketed_agg(pairs, ["day"],
+                       [(None, "count_all", "dau")]).to_pandas()
+
+    def expand(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("day"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u = t.column(user_col).to_numpy(zero_copy_only=False)
+        w = (np.repeat(us, window)
+             + np.tile(np.arange(window, dtype=np.int64) * _DAY_US,
+                       len(us)))
+        return pa.table({
+            user_col: pa.array(np.repeat(u, window),
+                               t.schema.field(user_col).type),
+            "wday": pc.cast(pa.array(w, pa.int64()),
+                            pa.timestamp("us")),
+        })
+
+    wpairs = bucketed_agg(
+        pairs.map_batches(expand, batch_format="pyarrow"),
+        [user_col, "wday"], [(None, "count_all", "_c")])
+    wau = bucketed_agg(
+        wpairs.map_batches(lambda t: t.select([user_col, "wday"]),
+                           batch_format="pyarrow"),
+        ["wday"], [(None, "count_all", "wau")]).to_pandas()
+    if dau.empty:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "dau": pd.Series([], dtype="int64"),
+            "wau": pd.Series([], dtype="int64"),
+            "stickiness": pd.Series([], dtype="float64")})
+    out = dau.merge(wau, left_on="day", right_on="wday", how="inner")
+    out["dau"] = out["dau"].astype("int64")
+    out["wau"] = out["wau"].astype("int64")
+    out["stickiness"] = (out["dau"].to_numpy(np.float64)
+                         / out["wau"].to_numpy(np.float64))
+    return out[["day", "dau", "wau", "stickiness"]] \
+        .sort_values("day").reset_index(drop=True)
+
+
+def lagged_corr(
+    ds: rd.Dataset,
+    ts_col: str,
+    type_col: str,
+    t1: str,
+    t2: str,
+    max_lag: int = 7,
+    max_days: int = 200_000,
+) -> pd.DataFrame:
+    """Cross-correlation of two event-type daily-count series at lags
+    0..max_lag: corr(x(d), y(d + lag)) over the zero-filled calendar
+    grid [min day, max day] — the lead/lag-discovery query ("do clicks
+    predict purchases k days later?").
+
+    One masked grouped pass builds the per-day count pair (exact
+    integers, guarded driver table of O(days)); every per-lag moment
+    (Σx, Σy, Σxy, Σx², Σy²) folds in exact Python ints, and corr is
+    the single IEEE expression num / sqrt(varx · vary) with each exact
+    integer converted to double once — bit-identical across engines,
+    no rounding (the moving_corr exactness argument). corr = 0 when a
+    variance vanishes. Returns (lag, n, corr) for each lag."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        ty = t.column(type_col)
+        keep = pc.and_(pc.is_valid(ts),
+                       pc.or_(pc.equal(ty, t1), pc.equal(ty, t2)))
+        f = pa.table({"day": pc.cast(pc.floor_temporal(ts, unit="day"),
+                                     pa.timestamp("us")),
+                      "ty": ty}).filter(keep)
+        is1 = pc.equal(f.column("ty"), t1)
+        return pa.table({
+            "day": f.column("day"),
+            "i1": pc.cast(is1, pa.int64()),
+            "i2": pc.cast(pc.invert(is1), pa.int64()),
+        })
+
+    g = bucketed_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["day"], [("i1", "sum", "c1"), ("i2", "sum", "c2")]).to_pandas()
+    if len(g) > max_days:
+        raise ValueError(
+            f"lagged_corr: {len(g)} distinct days exceeds "
+            f"max_days={max_days}")
+    if g.empty:
+        return pd.DataFrame({
+            "lag": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "corr": pd.Series([], dtype="float64")})
+    us = g["day"].astype("int64").to_numpy()
+    dmin, dmax = int(us.min()), int(us.max())
+    n_days = (dmax - dmin) // _DAY_US + 1
+    x = np.zeros(n_days, dtype=np.int64)
+    y = np.zeros(n_days, dtype=np.int64)
+    idx = (us - dmin) // _DAY_US
+    x[idx] = g["c1"].to_numpy(np.int64)
+    y[idx] = g["c2"].to_numpy(np.int64)
+    rows = []
+    for lag in range(max_lag + 1):
+        n = n_days - lag
+        if n <= 1:
+            rows.append((lag, max(n, 0), 0.0))
+            continue
+        a = [int(v) for v in x[:n]]
+        b = [int(v) for v in y[lag:]]
+        sx, sy = sum(a), sum(b)
+        sxy = sum(p * q for p, q in zip(a, b))
+        sx2 = sum(p * p for p in a)
+        sy2 = sum(q * q for q in b)
+        num = n * sxy - sx * sy
+        va = n * sx2 - sx * sx
+        vb = n * sy2 - sy * sy
+        corr = (float(num) / np.sqrt(float(va) * float(vb))
+                if va > 0 and vb > 0 else 0.0)
+        rows.append((lag, n, float(corr)))
+    return pd.DataFrame({
+        "lag": pd.Series([r[0] for r in rows], dtype="int64"),
+        "n": pd.Series([r[1] for r in rows], dtype="int64"),
+        "corr": pd.Series([r[2] for r in rows], dtype="float64")})

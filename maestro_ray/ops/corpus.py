@@ -1159,3 +1159,124 @@ def zipf_fit(
                                       "n_terms"])
     out["n_terms"] = out["n_terms"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def collocations_pmi(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the 'New York' / 'machine learning' phrase-mining query:
+
+        pmi(w1, w2) = ln( (c12/Nb) / ((c1/Nu) · (c2/Nu)) )
+
+    with c12 the corpus bigram count, c1/c2 unigram counts, Nb/Nu the
+    bigram/unigram totals, on the pinned single-space tokenizer (pairs
+    never span documents).
+
+    Plan, all distributed: ONE vectorized adjacent-pair flat map (the
+    doc_bigrams offsets kernel, emitting w1/w2 separately), a bucketed
+    pair count and a bucketed unigram count; unigram counts re-attach
+    to surviving pairs (``min_count`` filter first) via two bucketed
+    hash joins — the vocabulary can be corpus-sized and never lands on
+    the driver; totals are two scalar aggregates. pmi is one fixed
+    expression of exact integer counts, rounded to 6dp (ln across
+    engines), ordered (pmi desc, w1, w2), local-top-k combined."""
+    from maestro_ray.ops.aggregates import bucketed_agg, topk
+    from maestro_ray.ops.joins import hash_join
+
+    def pair_batch(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if len(texts) == 0 or pa.types.is_null(texts.type):
+            # all-null batch → null-typed column, no utf8 kernels
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string())})
+        toks = pc.split_pattern(texts, pattern=" ")
+        lens = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        total = int(lens.sum())
+        is_last = np.zeros(total, dtype=bool)
+        ends = np.cumsum(lens) - 1
+        is_last[ends[lens > 0]] = True
+        idx = np.flatnonzero(~is_last)
+        return pa.table({
+            "w1": flat.take(pa.array(idx)),
+            "w2": flat.take(pa.array(idx + 1)),
+        })
+
+    def tok_batch(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if len(texts) == 0 or pa.types.is_null(texts.type):
+            return pa.table({"tok": pa.array([], pa.string())})
+        return pa.table(
+            {"tok": pc.list_flatten(pc.split_pattern(texts,
+                                                     pattern=" "))})
+
+    nn = ds.map_batches(
+        lambda t: t.select([text_col]).filter(
+            pc.is_valid(t.column(text_col))),
+        batch_format="pyarrow")
+    bc = bucketed_agg(nn.map_batches(pair_batch, batch_format="pyarrow"),
+                      ["w1", "w2"], [(None, "count_all", "c12")],
+                      n_buckets=n_buckets).materialize()
+    uc = bucketed_agg(nn.map_batches(tok_batch, batch_format="pyarrow"),
+                      ["tok"], [(None, "count_all", "c")],
+                      n_buckets=n_buckets).materialize()
+    empty = pd.DataFrame({
+        "w1": pd.Series([], dtype="object"),
+        "w2": pd.Series([], dtype="object"),
+        "c12": pd.Series([], dtype="int64"),
+        "pmi": pd.Series([], dtype="float64")})
+    if bc.count() == 0:
+        return empty
+    n_big = int(bc.sum("c12"))
+    n_uni = int(uc.sum("c"))
+    surv = bc.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("c12"),
+                                            int(min_count))),
+        batch_format="pyarrow")
+    from maestro_ray.ops.partition import compact_blocks
+    surv = compact_blocks(surv.materialize())
+    if surv.count() == 0:
+        return empty
+
+    def u_side(t: pa.Table, name: str) -> pa.Table:
+        return pa.table({name: t.column("tok"),
+                         f"c_{name}": t.column("c")})
+
+    u1 = uc.map_batches(lambda t: u_side(t, "w1"),
+                        batch_format="pyarrow")
+    u2 = uc.map_batches(lambda t: u_side(t, "w2"),
+                        batch_format="pyarrow")
+    joined = hash_join(hash_join(surv, u1, "w1",
+                                 num_buckets=n_buckets),
+                       u2, "w2", num_buckets=n_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        c12 = t.column("c12").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c1 = t.column("c_w1").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c2 = t.column("c_w2").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pmi = np.log((c12 / n_big) / ((c1 / n_uni) * (c2 / n_uni)))
+        return pa.table({
+            "w1": t.column("w1"), "w2": t.column("w2"),
+            "c12": t.column("c12"),
+            "pmi": pa.array(np.round(pmi, 6), pa.float64()),
+        })
+
+    out = topk(joined.map_batches(score, batch_format="pyarrow"),
+               "pmi", k, descending=True, tie_break=["w1", "w2"])
+    if out.empty:
+        return empty
+    out["c12"] = out["c12"].astype("int64")
+    return out[["w1", "w2", "c12", "pmi"]].reset_index(drop=True)

@@ -714,3 +714,225 @@ def kcore(
     deg["node"] = deg["node"].astype("int64")
     deg["degree"] = deg["degree"].astype("int64")
     return deg.sort_values("node").reset_index(drop=True)
+
+
+def sssp(
+    edges: rd.Dataset,
+    source: int,
+    src: str = "a",
+    dst: str = "b",
+    weight: str = "w",
+    directed: bool = True,
+    max_rounds: int = 64,
+    max_broadcast_nodes: int = 5_000_000,
+) -> pd.DataFrame:
+    """Single-source shortest paths over non-negative edge weights —
+    frontier Bellman–Ford (delta-free): each round relaxes only edges
+    leaving nodes whose distance improved last round, so with
+    non-negative weights it converges in at most (longest
+    shortest-path hop count) rounds and each round is ONE pruned edge
+    scan.
+
+    Plan — the ``bfs_levels`` scale shape: the edge list streams once
+    per round (per-batch output = per-destination MIN candidate only,
+    a sorted reduceat — O(unique dst) rows cross the wire); the
+    O(nodes) distance state lives on the driver behind the loud
+    ``max_broadcast_nodes`` guard; the (shrinking) frontier
+    (node, dist) pair is broadcast via ``ray.put``. Deterministic
+    across partitionings: every candidate is the single expression
+    dist[a] + w and min is order-independent. Negative weights fail
+    loudly (cycle divergence). Returns (node, dist) for reachable
+    nodes, source at 0.0, sorted by node."""
+    import ray
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.select([src, dst, weight]).rename_columns(["a", "b", "w"])
+        t = t.filter(pc.and_(
+            pc.and_(pc.is_valid(t.column("a")),
+                    pc.is_valid(t.column("b"))),
+            pc.is_valid(t.column("w"))))
+        a = pc.cast(t.column("a"), pa.int64())
+        b = pc.cast(t.column("b"), pa.int64())
+        w = pc.cast(t.column("w"), pa.float64())
+        neg = pc.min(w)
+        if neg.is_valid and neg.as_py() < 0:
+            raise ValueError("sssp: negative edge weight")
+        if directed:
+            return pa.table({"a": a, "b": b, "w": w})
+        ac, bc, wc = (a.combine_chunks(), b.combine_chunks(),
+                      w.combine_chunks())
+        return pa.table({"a": pa.concat_arrays([ac, bc]),
+                         "b": pa.concat_arrays([bc, ac]),
+                         "w": pa.concat_arrays([wc, wc])})
+
+    e = _compact(edges.map_batches(clean, batch_format="pyarrow")
+                 .materialize())
+    if e.count() == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="float64")})
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.chunked_array([t.column("a").combine_chunks(),
+                                        t.column("b").combine_chunks()]))
+        return pa.table({"node": u})
+
+    nodes = np.unique(e.map_batches(node_partial, batch_format="pyarrow")
+                      .to_pandas()["node"].to_numpy())
+    if len(nodes) > max_broadcast_nodes:
+        raise ValueError(
+            f"sssp: {len(nodes)} nodes > max_broadcast_nodes="
+            f"{max_broadcast_nodes}; raise the guard explicitly or "
+            "pre-contract the graph (ops/graph.connected_components)")
+    dist = np.full(len(nodes), np.inf, dtype=np.float64)
+    spos = np.searchsorted(nodes, np.int64(source))
+    if spos >= len(nodes) or nodes[spos] != source:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="float64")})
+    dist[spos] = 0.0
+    f_nodes = nodes[spos:spos + 1]
+    f_dist = dist[spos:spos + 1]
+
+    for _ in range(max_rounds):
+        if len(f_nodes) == 0:
+            break
+        f_ref = ray.put((f_nodes, f_dist))
+
+        def relax(t: pa.Table) -> pa.Table:
+            fn, fd = ray.get(f_ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            p = np.searchsorted(fn, a)
+            hit = (p < len(fn))
+            hit[hit] = fn[p[hit]] == a[hit]
+            if not hit.any():
+                return pa.table({"n": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.float64())})
+            b = t.column("b").to_numpy(zero_copy_only=False)[hit]
+            w = t.column("w").to_numpy(zero_copy_only=False)[hit]
+            cand = fd[p[hit]] + w
+            order = np.argsort(b, kind="stable")
+            bs, cs = b[order], cand[order]
+            starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+            return pa.table({
+                "n": pa.array(bs[starts], pa.int64()),
+                "d": pa.array(np.minimum.reduceat(cs, starts),
+                              pa.float64())})
+
+        cand = e.map_batches(relax, batch_format="pyarrow").to_pandas()
+        if cand.empty:
+            break
+        # combine per-batch minima, then keep true improvements
+        m = cand.groupby("n")["d"].min()
+        idx = np.searchsorted(nodes, m.index.to_numpy(np.int64))
+        better = m.to_numpy(np.float64) < dist[idx]
+        if not better.any():
+            break
+        dist[idx[better]] = m.to_numpy(np.float64)[better]
+        f_nodes = nodes[idx[better]]
+        f_dist = dist[idx[better]]
+    else:
+        raise RuntimeError(
+            f"sssp: no convergence within max_rounds={max_rounds} — "
+            "raise max_rounds (deep graph) or check for weight "
+            "underflow churn")
+
+    found = np.isfinite(dist)
+    return pd.DataFrame({"node": nodes[found].astype(np.int64),
+                         "dist": dist[found]}) \
+        .sort_values("node").reset_index(drop=True)
+
+
+def hits(
+    edges: rd.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    iterations: int = 20,
+    max_broadcast_nodes: int = 5_000_000,
+) -> pd.DataFrame:
+    """HITS hubs-and-authorities over a directed edge list — the link-
+    analysis complement of ``pagerank`` (a good hub points at good
+    authorities; a good authority is pointed at by good hubs):
+
+        auth'(v) = Σ_{u→v} hub(u);   hub'(u) = Σ_{u→v} auth'(v)
+
+    with L2 normalization after each half-step, fixed ``iterations``
+    rounds (deterministic stopping — the repo rule for float-iterative
+    ops). Returns (node, hub, authority) for every node in any edge.
+
+    Plan — exactly the pagerank scale shape: edges stream twice per
+    round (forward scatter for authorities, reverse for hubs), each
+    pass pre-reduces per batch to sparse (node, partial) via bincount;
+    the O(nodes) score state broadcasts via ``ray.put`` behind the
+    same loud ``max_broadcast_nodes`` guard. Last-ulp output depends
+    on partitioning (distributed float sums); tests compare against a
+    numpy reference at 1e-9."""
+    import ray
+
+    if iterations < 1:
+        raise ValueError(f"iterations={iterations}")
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.select([src, dst]).rename_columns(["a", "b"])
+        t = t.filter(pc.and_(pc.is_valid(t.column("a")),
+                             pc.is_valid(t.column("b"))))
+        cols = [pc.cast(t.column(c), pa.int64()) for c in ("a", "b")]
+        return pa.table({"a": cols[0], "b": cols[1]})
+
+    from maestro_ray.ops.partition import compact_blocks
+
+    e = compact_blocks(
+        edges.map_batches(clean, batch_format="pyarrow").materialize())
+    if e.count() == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "hub": pd.Series(dtype="float64"),
+                             "authority": pd.Series(dtype="float64")})
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.chunked_array([t.column("a").combine_chunks(),
+                                        t.column("b").combine_chunks()]))
+        return pa.table({"node": u})
+
+    nodes = np.unique(e.map_batches(node_partial, batch_format="pyarrow")
+                      .to_pandas()["node"].to_numpy())
+    n = len(nodes)
+    if n > max_broadcast_nodes:
+        raise ValueError(
+            f"hits: {n} nodes > max_broadcast_nodes="
+            f"{max_broadcast_nodes}; raise the guard explicitly or "
+            "pre-contract the graph (ops/graph.connected_components)")
+    nodes_ref = ray.put(nodes)
+    hub = np.full(n, 1.0 / np.sqrt(n))
+    auth = np.full(n, 1.0 / np.sqrt(n))
+
+    def scatter(state_ref, from_col: str, to_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            ns = ray.get(nodes_ref)
+            s = ray.get(state_ref)
+            a = t.column(from_col).to_numpy(zero_copy_only=False)
+            b = t.column(to_col).to_numpy(zero_copy_only=False)
+            vals = s[np.searchsorted(ns, a)]
+            pos = np.searchsorted(ns, b)
+            acc = np.bincount(pos, weights=vals, minlength=len(ns))
+            nz = np.flatnonzero(acc)
+            return pa.table({"dst": pa.array(ns[nz], pa.int64()),
+                             "c": pa.array(acc[nz], pa.float64())})
+        return f
+
+    def fold(parts: pd.Series) -> np.ndarray:
+        out = np.zeros(n, dtype=np.float64)
+        out[np.searchsorted(nodes, parts.index.to_numpy())] = \
+            parts.to_numpy()
+        norm = np.sqrt(float(np.sum(out * out)))
+        return out / norm if norm > 0 else out
+
+    for _ in range(iterations):
+        p = e.map_batches(scatter(ray.put(hub), "a", "b"),
+                          batch_format="pyarrow") \
+            .to_pandas().groupby("dst", sort=True)["c"].sum()
+        auth = fold(p)
+        p = e.map_batches(scatter(ray.put(auth), "b", "a"),
+                          batch_format="pyarrow") \
+            .to_pandas().groupby("dst", sort=True)["c"].sum()
+        hub = fold(p)
+
+    return pd.DataFrame({"node": nodes.astype(np.int64),
+                         "hub": hub, "authority": auth})

@@ -604,3 +604,125 @@ def ridge_cv(
              for f in range(n_folds)], dtype="float64"),
     })
     return out
+
+
+def naive_bayes_classify(
+    train: rd.Dataset,
+    test: rd.Dataset,
+    feature_cols: list[str],
+    label_col: str,
+    id_col: str,
+    alpha: int = 1,
+    max_cells: int = 1_000_000,
+) -> pd.DataFrame:
+    """Categorical naive Bayes: fit per-(class, feature-value) count
+    tables on ``train``, predict the max-posterior class for every
+    ``test`` row. Laplace-``alpha`` smoothing; the per-feature
+    vocabulary V_j = distinct values of feature j observed in train.
+
+        score(c | x) = ln((n_c + α)/(n + α·K))
+                     + Σ_j ln((n_{c,x_j} + α)/(n_c + α·V_j))
+
+    Exactness: every count is an exact integer from one mergeable
+    grouped pass per feature (tiny tables, guarded); each score is a
+    fixed left-associated sum of ln terms of exact-int ratios, so the
+    argmax is engine-reproducible; ties break by class ascending.
+    Rows with a null feature or label are excluded on each side.
+    Prediction is a vectorized per-batch gather: per feature a
+    value→row indexer (``Index.get_indexer``, unseen → the
+    smoothing-only row) into a precomputed (values+1, classes)
+    log-likelihood matrix — the test stream never lands on the
+    driver and no Python runs per row. Returns (id, predicted)
+    sorted by id."""
+    from maestro_ray.ops.aggregates import grouped_agg
+
+    def clean(cols):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.is_valid(t.column(cols[0]))
+            for c in cols[1:]:
+                keep = pc.and_(keep, pc.is_valid(t.column(c)))
+            return t.select(cols).filter(keep)
+        return f
+
+    tr = train.map_batches(clean([label_col] + feature_cols),
+                           batch_format="pyarrow").materialize()
+    class_counts = grouped_agg(tr, [label_col],
+                               {"n_c": (None, "count")})
+    if class_counts.empty:
+        raise ValueError("naive_bayes_classify: empty training set")
+    classes = sorted(class_counts[label_col].tolist())
+    kk = len(classes)
+    n_total = int(class_counts["n_c"].sum())
+    n_c = {c: int(v) for c, v in
+           zip(class_counts[label_col], class_counts["n_c"])}
+
+    # per-feature (values+1, classes) log-likelihood matrix; the extra
+    # LAST row is the unseen-value (smoothing-only) likelihood
+    a = int(alpha)
+    ll = {}
+    vals_idx = {}
+    for fcol in feature_cols:
+        cells = grouped_agg(tr, [label_col, fcol],
+                            {"n_cv": (None, "count")})
+        if len(cells) > max_cells:
+            raise ValueError(
+                f"naive_bayes_classify: {len(cells)} (class, value) "
+                f"cells for {fcol} exceeds max_cells={max_cells} — "
+                "bucket the feature upstream")
+        vj = cells[fcol].nunique()
+        vidx = pd.Index(sorted(cells[fcol].unique().tolist()))
+        mat = np.empty((len(vidx) + 1, kk), dtype=np.float64)
+        counts = {(c, v): int(n) for c, v, n in
+                  zip(cells[label_col], cells[fcol], cells["n_cv"])}
+        for j, c in enumerate(classes):
+            denom = float(n_c[c] + a * vj)
+            for i, v in enumerate(vidx):
+                mat[i, j] = np.log((counts.get((c, v), 0) + a) / denom)
+            mat[len(vidx), j] = np.log(a / denom)
+        ll[fcol] = mat
+        vals_idx[fcol] = vidx
+
+    prior = np.array(
+        [np.log((n_c[c] + a) / float(n_total + a * kk))
+         for c in classes], dtype=np.float64)
+    model_ref = ray.put((ll, vals_idx, prior))
+
+    class Predict:
+        def __init__(self):
+            self.ll, self.vals, self.prior = ray.get(model_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.is_valid(t.column(feature_cols[0]))
+            for c in feature_cols[1:]:
+                keep = pc.and_(keep, pc.is_valid(t.column(c)))
+            t = t.filter(keep)
+            n = t.num_rows
+            if n == 0:
+                return pa.table({
+                    id_col: pa.array([], t.schema.field(id_col).type),
+                    "predicted": pa.array([], pa.string())})
+            scores = np.tile(self.prior, (n, 1))
+            for f in feature_cols:
+                vidx = self.vals[f]
+                pos = vidx.get_indexer(
+                    pd.Series(t.column(f).to_numpy(
+                        zero_copy_only=False)))
+                pos = np.where(pos < 0, len(vidx), pos)
+                scores += self.ll[f][pos]
+            best = np.argmax(scores, axis=1)  # first max = class asc
+            return pa.table({
+                id_col: t.column(id_col),
+                "predicted": pa.array(
+                    [classes[i] for i in best], pa.string()),
+            })
+
+    # concurrency 2, not 4: an actor pool sized to the whole cluster
+    # (the 4-CPU pytest session) reserves every CPU and starves the
+    # upstream read tasks — observed as a full-suite deadlock
+    out = test.map_batches(Predict, batch_format="pyarrow",
+                           concurrency=2).to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "predicted": pd.Series([], dtype="object")})
+    return out.sort_values(id_col).reset_index(drop=True)

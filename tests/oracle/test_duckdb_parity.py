@@ -108,6 +108,10 @@ ORACLE_NAMES = [
     "sqlite_import", "readability",
     "auc_score", "twap", "market_basket", "jaccard_sets", "bfs_levels",
     "assoc_rules", "gain_curve", "top_paths", "histogram2d",
+    "interval_overlap", "mutual_info", "item_cf", "kaplan_meier",
+    "spatial_join", "data_quality", "zipf_fit",
+    "ks_test", "mann_whitney", "cramers_v", "collocations",
+    "active_users", "lagged_corr", "naive_bayes",
 ]
 
 
