@@ -1921,6 +1921,56 @@ def _q_cdc_repartition(sf):
     return read_lake(dst, columns=["url", "warc_ts", "lang"])
 
 
+def _q_cdc_purge(sf):
+    """Hard-delete / right-to-be-forgotten (io/lake.py purge_urls):
+    CLONE the replay lake, purge the 3 lexicographically-first live
+    urls from ALL retained history on the clone (old versions and
+    tombstones included — the bytes leave the disk), and return the
+    clone's live state, which must equal the source's minus exactly
+    those urls. Rows-only check; the full-history-erasure, fsck,
+    idempotence and clone-inode oracles are pytest
+    (tests/replay/test_purge.py)."""
+    from maestro_ray.io.lake import clone_lake, purge_urls, read_lake
+
+    src = _cdc_lake(sf)
+    dst = src + "_purge"
+    done = dst + "._DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(dst, ignore_errors=True)
+        clone_lake(src, dst)
+        victims = sorted(
+            read_lake(dst, columns=["url"]).to_pandas()["url"])[:3]
+        rep = purge_urls(dst, victims)
+        assert rep["rows_removed"] >= 3, rep
+        open(done, "w").close()
+    return read_lake(dst, columns=["url", "warc_ts", "lang"])
+
+
+def _q_cdc_bloom_lookup(sf):
+    """Bloom file-skipping index over the replay lake
+    (pipelines/bloomidx.py): exact-content point lookup on the ``text``
+    column — "is this document already in the corpus, and where" —
+    opening ONLY bloom-candidate partition files (unindexed files
+    degrade to candidates; false positives cost a file open, never a
+    wrong row). Maintenance is O(new files)/epoch because lake files
+    are immutable. Returns the live (url, text) rows matching the 3
+    lexicographically-first live texts. Rows-only check; the
+    pruning-proof / full-scan-equality / GC-after-purge oracles are
+    pytest (tests/replay/test_bloom_index.py)."""
+    from maestro_ray.io.lake import read_lake
+    from maestro_ray.pipelines.bloomidx import (
+        bloom_lookup,
+        maintain_bloom_index,
+    )
+
+    lake = _cdc_lake(sf)
+    idx = lake + "_bloomidx"
+    maintain_bloom_index(lake, idx, "text")
+    texts = sorted(set(
+        read_lake(lake, columns=["text"]).to_pandas()["text"]))[:3]
+    return bloom_lookup(lake, idx, texts, columns=["url", "text"])
+
+
 def _q_cdc_sum_view(sf):
     """Incremental grouped-SUM view over the replay lake: live text
     BYTES per lang (the ``len:text`` virtual measure), maintained by
@@ -5930,6 +5980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_sum_view": _q_cdc_sum_view,
         "cdc_window_view": _q_cdc_window_view,
         "cdc_expire": _q_cdc_expire,
+        "cdc_purge": _q_cdc_purge,
+        "cdc_bloom_lookup": _q_cdc_bloom_lookup,
         "cdc_scd2_view": _q_cdc_scd2_view,
         "cdc_branch_merge": _q_cdc_branch_merge,
         "cdc_quantile_view": _q_cdc_quantile_view,

@@ -123,6 +123,13 @@ def main(argv: list[str] | None = None) -> int:
     p_fs.add_argument("--deep", action="store_true",
                       help="recompute content checksums (full read)")
 
+    p_pg = sub.add_parser(
+        "purge", help="hard-delete urls from ALL retained history "
+                      "(GDPR right-to-be-forgotten)")
+    p_pg.add_argument("--lake-dir", required=True)
+    p_pg.add_argument("--urls", required=True,
+                      help="comma-separated urls to erase")
+
     p_s2 = sub.add_parser(
         "scd2", help="maintain the incremental SCD2 history view")
     p_s2.add_argument("--lake-dir", required=True)
@@ -229,6 +236,13 @@ def main(argv: list[str] | None = None) -> int:
         rep = fsck_lake(args.lake_dir, deep=args.deep)
         print(json.dumps(rep))
         return 0 if rep["ok"] else 1
+
+    if args.cmd == "purge":  # thread-pool rewrites without a session
+        from maestro_ray.io.lake import purge_urls
+
+        urls = [u.strip() for u in args.urls.split(",") if u.strip()]
+        print(json.dumps(purge_urls(args.lake_dir, urls)))
+        return 0
 
     if args.cmd == "scd2":  # partition applies run serial without Ray
         from maestro_ray.pipelines.scd2view import maintain_scd2

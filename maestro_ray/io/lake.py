@@ -731,6 +731,160 @@ def export_lake(
     }
 
 
+def purge_urls(lake_dir: str, urls: list[str]) -> dict:
+    """Hard-delete (GDPR / right-to-be-forgotten): remove EVERY trace of
+    ``urls`` — live rows, superseded versions AND tombstones — from all
+    RETAINED epochs, by rewriting the affected partition files in place
+    of history and republishing every retained manifest.
+
+    This is stronger than a CDC delete event (which adds a tombstone but
+    leaves old versions time-travelable): after ``purge_urls`` no
+    retained epoch's ``read_lake_at`` can see the url, and the bytes are
+    gone from disk once the old files are GC'd at the end of the call.
+
+    Scale shape: the routing hash prunes work to ≤ min(k, P) partitions
+    *per distinct partitioning* in retained history (a manifest without
+    ``num_partitions`` degrades to all partitions); each affected FILE —
+    deduplicated across manifests, carried-forward entries share files —
+    is rewritten once (Ray tasks when a session exists, threads
+    otherwise). Manifest entries are patched with the new file / rows /
+    checksum; ``ts_max`` is kept (an upper bound stays prune-correct).
+
+    Crash safety / idempotence: rewritten files land first under
+    DETERMINISTIC names (``<old-stem>.purge-<tag>.parquet`` where the
+    tag hashes the sorted url set), then each manifest is atomically
+    replaced, then old files unreferenced by any retained manifest are
+    removed. A crash mid-way re-runs to the same file names
+    (``os.replace`` with identical bytes) and converges; re-running a
+    completed purge is a no-op (the urls are already absent).
+
+    OUT OF SCOPE, reported in the result: derived stores (``_views``,
+    search/vector/near-dup indexes, clones, exports, replicas) and the
+    source changelog may still hold the urls — rebuild or purge those
+    separately. Hardlinked clones pin the OLD inodes: purging the source
+    does not erase a clone's copy (and vice versa).
+
+    Returns ``{"urls": k, "files_rewritten": n, "rows_removed": n,
+    "manifests_updated": n, "files_removed": n, "derived_state": [..]}``.
+    """
+    import ray
+
+    from maestro_ray.core.manifest import (
+        _remove_unreferenced,
+        list_epochs,
+        manifest_at,
+        manifest_path,
+        write_manifest_atomic,
+    )
+    from maestro_ray.ops.hashing import checksum as _checksum
+    from maestro_ray.ops.hashing import partition_ids
+
+    urls = sorted(set(urls))
+    epochs = list_epochs(lake_dir)
+    if not epochs:
+        raise ValueError(f"no committed epochs in {lake_dir}")
+    if not urls:
+        return {"urls": 0, "files_rewritten": 0, "rows_removed": 0,
+                "manifests_updated": 0, "files_removed": 0,
+                "derived_state": []}
+    manifests = {e: manifest_at(lake_dir, e) for e in epochs}
+    url_arr = pa.array(urls, pa.string())
+    # purge tag: deterministic per url-set so a crashed run re-lands on
+    # the same destination names (idempotent os.replace)
+    tag = f"{_checksum(pa.table({'url': url_arr})):016x}"
+
+    # affected partitions PER MANIFEST (num_partitions may differ across
+    # retained history — repartition_lake changes it)
+    route_cache: dict[int, set[int]] = {}
+
+    def affected(m: Manifest) -> set[int]:
+        if not m.num_partitions:
+            return set(m.partitions)  # degraded: no routing info
+        if m.num_partitions not in route_cache:
+            route_cache[m.num_partitions] = {
+                int(p) for p in partition_ids(url_arr, m.num_partitions)}
+        return route_cache[m.num_partitions]
+
+    # distinct candidate files across all retained manifests
+    rels: set[str] = set()
+    for m in manifests.values():
+        hit = affected(m)
+        for p, ent in m.partitions.items():
+            if p in hit and ent["rows"] > 0:
+                rels.add(ent["file"])
+    missing = [r for r in sorted(rels)
+               if not os.path.exists(os.path.join(lake_dir, r))]
+    # vacuumed history files: their epochs already fail loudly at read
+    # time (missing_history in fsck) — nothing to erase there
+    rels -= set(missing)
+
+    def rewrite_one(rel: str) -> dict:
+        import pyarrow.compute as pc
+
+        t = pq.read_table(os.path.join(lake_dir, rel))
+        drop = pc.is_in(t.column("url"), value_set=url_arr)
+        n_drop = int(pc.sum(drop).as_py() or 0)
+        if n_drop == 0:
+            return {"rel": rel, "new_rel": None, "removed": 0}
+        out = t.filter(pc.invert(drop))
+        new_rel = rel[:-len(".parquet")] + f".purge-{tag}.parquet"
+        path = os.path.join(lake_dir, new_rel)
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+        return {"rel": rel, "new_rel": new_rel, "removed": n_drop,
+                "rows": out.num_rows, "checksum": _checksum(out)}
+
+    jobs = sorted(rels)
+    if ray.is_initialized() and len(jobs) > 1:
+        task = ray.remote(num_cpus=1)(rewrite_one)
+        results = ray.get([task.remote(r) for r in jobs])
+    else:
+        results = [rewrite_one(r) for r in jobs]
+    rewritten = {r["rel"]: r for r in results if r["new_rel"]}
+
+    # patch every retained manifest that references a rewritten file
+    manifests_updated = 0
+    for e in epochs:
+        m = manifests[e]
+        touched = False
+        for p, ent in m.partitions.items():
+            rw = rewritten.get(ent["file"])
+            if rw is None:
+                continue
+            ent["file"] = rw["new_rel"]
+            ent["rows"] = int(rw["rows"])
+            ent["checksum"] = int(rw["checksum"])
+            touched = True
+        if touched:
+            write_manifest_atomic(manifest_path(lake_dir, e), m)
+            manifests_updated += 1
+
+    # GC: the old pre-purge files are now unreferenced — this is the
+    # actual erasure step
+    live = {
+        os.path.normpath(os.path.join(lake_dir, v["file"]))
+        for m in manifests.values()
+        for v in m.partitions.values()
+    }
+    files_removed = _remove_unreferenced(lake_dir, live)
+
+    derived = sorted(
+        d for d in os.listdir(lake_dir)
+        if d.startswith("_")
+        and d not in ("_manifests", "_lineage", "_staging")
+        and os.path.isdir(os.path.join(lake_dir, d))
+    )
+    return {
+        "urls": len(urls),
+        "files_rewritten": len(rewritten),
+        "rows_removed": int(sum(r["removed"] for r in results)),
+        "manifests_updated": manifests_updated,
+        "files_removed": files_removed,
+        "derived_state": derived,
+    }
+
+
 def fsck_lake(lake_dir: str, deep: bool = False) -> dict:
     """Lake integrity audit (the fsck / Iceberg-verify analog) — cheap
     enough to run after every publish, exhaustive with ``deep``:
