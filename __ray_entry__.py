@@ -5081,6 +5081,69 @@ def _q_common_neighbors(sf):
     return common_neighbors(pairs, k=20, src="p1", dst="p2")
 
 
+def _q_seasonal_decompose(sf):
+    """Classical additive seasonal decomposition of the hourly event
+    count (ops/analytics.py seasonal_decompose): trend = centered
+    25-row moving average, seasonal = per-(hour mod 24) mean of the
+    detrended series kept RATIONAL (Σ(25·v − frame_sum) exact int, ONE
+    division), resid = v - trend - seasonal in fixed float order —
+    bit-exact vs the twin, no rounding."""
+    from maestro_ray.ops.analytics import seasonal_decompose
+
+    ds = _read(sf, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        t2 = pa.table({"us": us}).filter(pc.is_valid(us))
+        hr = pc.divide(t2.column("us"),
+                       pa.scalar(3600000000, pa.int64()))
+        return pa.table({"hr": hr})
+
+    return seasonal_decompose(
+        ds.map_batches(prep, batch_format="pyarrow"), "hr",
+        period=24, window=25)
+
+
+def _q_decision_stump(sf):
+    """Depth-1 decision tree over events (ops/ml.py stump_splits):
+    predict event_type='purchase' from the floor(value) integer bin —
+    every candidate threshold with exact left/right class counts and
+    weighted Gini impurity, is_best marking the argmin (ties →
+    smallest threshold). One bucketed_agg over distinct bins + an
+    O(bins) driver cumsum; fixed-order IEEE expression ⇒ bit-exact,
+    no rounding."""
+    from maestro_ray.ops.ml import stump_splits
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bin": pc.cast(pc.floor(t.column("value")), pa.int64()),
+            "y": pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                         pa.int64()),
+        })
+
+    return stump_splits(ds.map_batches(prep, batch_format="pyarrow"),
+                        "bin", "y")
+
+
+def _q_link_jaccard(sf):
+    """Jaccard-scored link prediction over the part co-occurrence graph
+    (ops/graph.py common_neighbors score="jaccard"): top-15 non-adjacent
+    pairs by |N∩|/|N∪| = n_common/(deg_a+deg_c-n_common). Degrees from
+    one bucketed adjacency count, joined bucketed onto the candidate
+    pairs; every input an exact int, the score ONE IEEE division —
+    bit-exact vs the twin, no rounding."""
+    from maestro_ray.ops.analytics import cooccurrence_pairs
+    from maestro_ray.ops.graph import common_neighbors
+
+    ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(ds, "l_orderkey", "l_partkey",
+                               min_support=2)
+    return common_neighbors(pairs, k=15, src="p1", dst="p2",
+                            score="jaccard")
+
+
 def _q_winsorize(sf):
     """Per-group winsorization of event value at the [p5, p95]
     interpolated quantiles (ops/mlprep.py winsorize): bounds from the
@@ -5776,6 +5839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_meta": _q_html_meta,
         "dedup_window": _q_dedup_window,
         "common_neighbors": _q_common_neighbors,
+        "link_jaccard": _q_link_jaccard,
+        "decision_stump": _q_decision_stump,
+        "seasonal_decompose": _q_seasonal_decompose,
         "winsorize": _q_winsorize,
         "cdc_compact": _q_cdc_compact,
         "cusum_anomaly": _q_cusum_anomaly,
@@ -8146,6 +8212,73 @@ def oracle_sql() -> dict[str, str]:
             "w.a = e.u AND w.c = e.v WHERE e.u IS NULL) "
             "SELECT a, c, n_common FROM nc "
             "ORDER BY n_common DESC, a, c LIMIT 20"
+        ),
+        "link_jaccard": (
+            "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem WHERE l_partkey IS NOT NULL), "
+            "e AS (SELECT x.p AS u, y.p AS v FROM b x JOIN b y "
+            "ON x.o = y.o AND x.p < y.p GROUP BY 1, 2 "
+            "HAVING count(*) >= 2), "
+            "adj AS (SELECT u AS m, v AS x FROM e "
+            "UNION ALL SELECT v AS m, u AS x FROM e), "
+            "deg AS (SELECT m, count(*)::BIGINT AS d FROM adj "
+            "GROUP BY 1), "
+            "w AS (SELECT a1.x AS a, a2.x AS c, count(*)::BIGINT AS "
+            "n_common FROM adj a1 JOIN adj a2 ON a1.m = a2.m "
+            "AND a1.x < a2.x GROUP BY 1, 2), "
+            "nc AS (SELECT w.a, w.c, w.n_common FROM w LEFT JOIN e ON "
+            "w.a = e.u AND w.c = e.v WHERE e.u IS NULL) "
+            "SELECT nc.a, nc.c, nc.n_common, "
+            "nc.n_common::DOUBLE / (da.d + dc.d - nc.n_common) "
+            "AS jaccard FROM nc "
+            "JOIN deg da ON nc.a = da.m JOIN deg dc ON nc.c = dc.m "
+            "ORDER BY jaccard DESC, nc.a, nc.c LIMIT 15"
+        ),
+        "decision_stump": (
+            # gini spelled in the engine's exact left-to-right order:
+            # ((nl - t1) + nr) - t2, each t a single DOUBLE division of
+            # exact BIGINT squares — bit-exact, no rounding
+            "WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS bin, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "g AS (SELECT bin, count(*)::BIGINT AS n, "
+            "sum(y)::BIGINT AS pos FROM b GROUP BY 1), "
+            "t AS (SELECT sum(n)::BIGINT AS tn, sum(pos)::BIGINT AS tp "
+            "FROM g), "
+            "c AS (SELECT bin, CAST(sum(n) OVER w AS BIGINT) AS nl, "
+            "CAST(sum(pos) OVER w AS BIGINT) AS pl FROM g "
+            "WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)), "
+            "s AS (SELECT bin AS threshold, nl AS n_left, "
+            "pl AS pos_left, tn - nl AS n_right, tp - pl AS pos_right, "
+            "nl - (pl*pl + (nl-pl)*(nl-pl))::DOUBLE / nl + (tn - nl) "
+            "- ((tp-pl)*(tp-pl) + ((tn-nl)-(tp-pl))*((tn-nl)-(tp-pl)))"
+            "::DOUBLE / (tn - nl) AS gini "
+            "FROM c, t WHERE nl < tn) "
+            "SELECT threshold, n_left, pos_left, n_right, pos_right, "
+            "gini, (row_number() OVER (ORDER BY gini, threshold) = 1) "
+            "AS is_best FROM s ORDER BY threshold"
+        ),
+        "seasonal_decompose": (
+            # rational seasonal numerator Σ(25·v − frame_sum) keeps
+            # every aggregate an exact BIGINT; the three float outputs
+            # are single divisions / a fixed left-to-right chain
+            "WITH h AS (SELECT epoch_us(ts) // 3600000000 AS bucket, "
+            "count(*)::BIGINT AS v FROM events WHERE ts IS NOT NULL "
+            "GROUP BY 1), "
+            "w AS (SELECT bucket, v, bucket % 24 AS phase, "
+            "CASE WHEN count(*) OVER fr = 25 "
+            "THEN CAST(sum(v) OVER fr AS BIGINT) END AS sw FROM h "
+            "WINDOW fr AS (ORDER BY bucket "
+            "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)), "
+            "s AS (SELECT phase, sum(25*v - sw)::BIGINT AS num, "
+            "count(sw)::BIGINT AS cnt FROM w WHERE sw IS NOT NULL "
+            "GROUP BY 1) "
+            "SELECT w.bucket, w.v, w.phase, sw::DOUBLE / 25 AS trend, "
+            "s.num::DOUBLE / (s.cnt * 25) AS seasonal, "
+            "w.v - sw::DOUBLE / 25 - s.num::DOUBLE / (s.cnt * 25) "
+            "AS resid FROM w LEFT JOIN s ON w.phase = s.phase "
+            "ORDER BY w.bucket"
         ),
         "winsorize": (
             # LEFT JOIN + explicit CASE: DuckDB's least/greatest IGNORE

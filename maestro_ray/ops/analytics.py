@@ -763,6 +763,81 @@ def skyline_2d(
     return out.sort_values(["x", "y"]).reset_index(drop=True)
 
 
+def seasonal_decompose(
+    ds: rd.Dataset,
+    bucket_col: str,
+    period: int = 24,
+    window: int = 25,
+    max_points: int = 2_000_000,
+) -> pd.DataFrame:
+    """Classical additive seasonal decomposition of a COUNT series:
+    rows are bucketed on the integer ``bucket_col`` (e.g. epoch-hour),
+    v = rows per bucket; trend = centered ``window``-row moving average
+    (NULL where the row frame is short — edges), seasonal = per-phase
+    (bucket % period) mean of the detrended series, resid = v - trend
+    - seasonal.
+
+    Exactness: v and the frame sum are exact ints, so trend is ONE
+    IEEE division; the per-phase seasonal numerator is kept RATIONAL —
+    Σ(window·v − frame_sum) is an exact integer — so seasonal is also
+    one division, and resid is a fixed left-to-right float chain the
+    SQL twin spells identically. Bit-exact, no rounding.
+
+    Plan: ONE ``bucketed_agg`` count over buckets (rows never on the
+    driver), then an O(time-buckets) driver pass behind the standard
+    loud ``max_points`` bound — the series length is bounded by the
+    time range, not the data volume."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    if window % 2 == 0 or window < 3:
+        raise ValueError(f"window={window}: odd >= 3 required")
+    per = bucketed_agg(ds, [bucket_col],
+                       [(None, "count_all", "v")]).materialize()
+    n_buckets = per.count()
+    if n_buckets > max_points:
+        raise RuntimeError(
+            f"seasonal_decompose: {n_buckets} time buckets exceed the "
+            f"driver bound {max_points}; widen the bucket")
+    df = per.to_pandas()
+    if df.empty:
+        return pd.DataFrame({
+            "bucket": pd.Series([], dtype="int64"),
+            "v": pd.Series([], dtype="int64"),
+            "phase": pd.Series([], dtype="int64"),
+            "trend": pd.Series([], dtype="float64"),
+            "seasonal": pd.Series([], dtype="float64"),
+            "resid": pd.Series([], dtype="float64"),
+        })
+    df = df.dropna(subset=[bucket_col])
+    df = df.sort_values(bucket_col, kind="stable").reset_index(drop=True)
+    b = df[bucket_col].to_numpy(dtype=np.int64)
+    v = df["v"].to_numpy(dtype=np.int64)
+    n, half = len(v), window // 2
+    csum = np.concatenate(([0], np.cumsum(v)))
+    sw = np.full(n, -1, dtype=np.int64)  # frame sum; -1 = short frame
+    if n >= window:
+        sw[half:n - half] = csum[window:] - csum[:-window]
+    valid = sw >= 0
+    phase = b % period
+    # per-phase rational numerator Σ(window·v − sw): exact int
+    num = np.zeros(period, dtype=np.int64)
+    cnt = np.zeros(period, dtype=np.int64)
+    np.add.at(num, phase[valid], window * v[valid] - sw[valid])
+    np.add.at(cnt, phase[valid], 1)
+    has_season = cnt > 0
+    seasonal_by_phase = np.full(period, np.nan)
+    seasonal_by_phase[has_season] = (
+        num[has_season].astype(np.float64) / (cnt[has_season] * window))
+    trend = np.where(valid, sw.astype(np.float64) / window, np.nan)
+    seasonal = seasonal_by_phase[phase]
+    # fixed order (v - trend) - seasonal, mirrored by the SQL twin
+    resid = v - trend - seasonal
+    return pd.DataFrame({
+        "bucket": b, "v": v, "phase": phase,
+        "trend": trend, "seasonal": seasonal, "resid": resid,
+    })
+
+
 def merge_intervals(
     ds: rd.Dataset,
     key: str,

@@ -582,6 +582,7 @@ def common_neighbors(
     src: str = "a",
     dst: str = "b",
     num_buckets: int = 32,
+    score: str = "count",
 ) -> pd.DataFrame:
     """Link prediction by common-neighbor count: for every NON-adjacent
     vertex pair reachable by a 2-path, the number of shared neighbors;
@@ -626,10 +627,43 @@ def common_neighbors(
         return t.select(["a", "c", "n_common"])
 
     cand = joined.map_batches(non_edges, batch_format="pyarrow")
-    out = topk(cand, "n_common", k, descending=True,
+    if score == "count":
+        out = topk(cand, "n_common", k, descending=True,
+                   tie_break=["a", "c"])
+        out["n_common"] = out["n_common"].astype("int64")
+        return out[["a", "c", "n_common"]].reset_index(drop=True)
+    if score != "jaccard":
+        raise ValueError(f"score={score!r}: count|jaccard")
+    # Jaccard link prediction: |N(a)∩N(c)| / |N(a)∪N(c)| =
+    # n_common / (deg_a + deg_c - n_common). Degrees come from ONE
+    # bucketed count over the bidirectional adjacency; both joins stay
+    # bucketed (the candidate-pair universe never lands on the driver).
+    # All inputs are exact ints and the score is a single IEEE
+    # division, so the value — and the top-k order — is engine-exact.
+    deg = bucketed_agg(e.map_batches(_bidir("x"), batch_format="pyarrow"),
+                       ["m"], [(None, "count_all", "deg")],
+                       n_buckets=num_buckets)
+    j1 = hash_join(cand,
+                   deg.map_batches(_rename_cols({"m": "a", "deg": "deg_a"}),
+                                   batch_format="pyarrow"),
+                   keys="a", num_buckets=num_buckets)
+    j2 = hash_join(j1,
+                   deg.map_batches(_rename_cols({"m": "c", "deg": "deg_c"}),
+                                   batch_format="pyarrow"),
+                   keys="c", num_buckets=num_buckets)
+
+    def with_jaccard(t: pa.Table) -> pa.Table:
+        n = t.column("n_common").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        dc = t.column("deg_c").to_numpy(zero_copy_only=False)
+        jac = n.astype(np.float64) / (da + dc - n)
+        return t.append_column("jaccard", pa.array(jac, pa.float64()))
+
+    scored = j2.map_batches(with_jaccard, batch_format="pyarrow")
+    out = topk(scored, "jaccard", k, descending=True,
                tie_break=["a", "c"])
     out["n_common"] = out["n_common"].astype("int64")
-    return out[["a", "c", "n_common"]].reset_index(drop=True)
+    return out[["a", "c", "n_common", "jaccard"]].reset_index(drop=True)
 
 
 def _bidir(out_name: str):

@@ -209,6 +209,62 @@ def auc_exact(
                          "n_neg": pd.Series([n_total], dtype="int64")})
 
 
+def stump_splits(
+    ds: rd.Dataset,
+    feature_col: str,
+    label_col: str,
+    max_distinct: int = 2_000_000,
+) -> pd.DataFrame:
+    """Depth-1 decision tree (stump) split table for a binary 0/1
+    label: every candidate threshold t (each distinct feature value
+    except the last — ``x <= t`` vs ``x > t``) with exact left/right
+    class counts and the weighted Gini impurity
+    ``n_l - (pos_l² + neg_l²)/n_l + n_r - (pos_r² + neg_r²)/n_r``;
+    ``is_best`` marks the impurity-minimizing split (ties → smallest
+    threshold).
+
+    Plan: the shared eval-metric histogram (ONE ``bucketed_agg`` over
+    distinct feature values, rows never on the driver, loud
+    ``max_distinct`` bound — bin continuous features first), then an
+    O(distinct) driver cumsum. Every count is an exact integer and the
+    impurity is two IEEE divisions combined in a FIXED left-to-right
+    order, so values — and the argmin — are engine-exact with no
+    rounding. Null feature or label rows are excluded."""
+    df = _score_histogram(ds, feature_col, label_col, max_distinct,
+                          "stump_splits")
+    if len(df) < 2:  # no split possible: typed empty frame
+        return pd.DataFrame({
+            "threshold": pd.Series([], dtype="int64"),
+            "n_left": pd.Series([], dtype="int64"),
+            "pos_left": pd.Series([], dtype="int64"),
+            "n_right": pd.Series([], dtype="int64"),
+            "pos_right": pd.Series([], dtype="int64"),
+            "gini": pd.Series([], dtype="float64"),
+            "is_best": pd.Series([], dtype="bool"),
+        })
+    n = df["cnt"].to_numpy(dtype=np.int64)
+    pos = df["pos"].to_numpy(dtype=np.int64)
+    total_n, total_p = int(n.sum()), int(pos.sum())
+    nl = np.cumsum(n)[:-1]
+    pl = np.cumsum(pos)[:-1]
+    nr, pr = total_n - nl, total_p - pl
+    ln, rn = nl - pl, nr - pr
+    # fixed evaluation order ((nl - t1) + nr) - t2 — the SQL twin
+    # spells the same expression left-to-right
+    t1 = (pl * pl + ln * ln).astype(np.float64) / nl
+    t2 = (pr * pr + rn * rn).astype(np.float64) / nr
+    gini = nl - t1 + nr - t2
+    out = pd.DataFrame({
+        "threshold": df["__s"].to_numpy()[:-1],
+        "n_left": nl, "pos_left": pl,
+        "n_right": nr, "pos_right": pr,
+        "gini": gini,
+    })
+    best = out.sort_values(["gini", "threshold"], kind="stable").index[0]
+    out["is_best"] = out.index == best
+    return out.reset_index(drop=True)
+
+
 def _score_histogram(ds: rd.Dataset, score_col: str, label_col: str,
                      max_distinct: int, caller: str) -> pd.DataFrame:
     """Shared eval-metric plan: ONE high-cardinality grouped aggregate
