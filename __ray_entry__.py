@@ -1946,6 +1946,32 @@ def _q_cdc_purge(sf):
     return read_lake(dst, columns=["url", "warc_ts", "lang"])
 
 
+def _q_cdc_cascade(sf):
+    """Lake→lake CDC fan-out (pipelines/cascade.py): materialize the
+    replay lake's per-epoch net change feed as a standard downstream
+    changelog (dense offsets, contiguity-checked), re-ingest it into a
+    SECOND lake with the same machinery, and return that lake's live
+    state — which must equal the source's exactly, html bytes and
+    recomputed text included (the frozen extract contract). Rows-only
+    check; the byte-equality / incremental≡one-shot / crash-mid-run
+    oracles are pytest (tests/replay/test_cascade.py)."""
+    from maestro_ray.io.lake import read_lake
+    from maestro_ray.pipelines.cascade import cascade_changelog
+    from maestro_ray.pipelines.ingest import ingest
+
+    src = _cdc_lake(sf)
+    root = src + "_cascade"
+    done = root + "/_DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        cascade_changelog(src, root + "/log", num_partitions=4)
+        ingest(root + "/log", root + "/lake", num_partitions=4,
+               segments_per_epoch=10_000)
+        open(done, "w").close()
+    return read_lake(root + "/lake", columns=["url", "warc_ts", "lang"])
+
+
 def _q_cdc_bloom_lookup(sf):
     """Bloom file-skipping index over the replay lake
     (pipelines/bloomidx.py): exact-content point lookup on the ``text``
@@ -6048,6 +6074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_expire": _q_cdc_expire,
         "cdc_purge": _q_cdc_purge,
         "cdc_bloom_lookup": _q_cdc_bloom_lookup,
+        "cdc_cascade": _q_cdc_cascade,
         "cdc_scd2_view": _q_cdc_scd2_view,
         "cdc_branch_merge": _q_cdc_branch_merge,
         "cdc_quantile_view": _q_cdc_quantile_view,
