@@ -1251,6 +1251,19 @@ def _q_sample_stratified(sf):
                                   {"en": 80, "es": 10}, default_pct=50)
 
 
+def _q_keywords_textrank(sf):
+    """Corpus keyword extraction by TextRank (ops/corpus.py
+    keywords_textrank): weighted PageRank over the adjacent-token
+    co-occurrence graph — edge multiplicity is the weight, node ids are
+    token content hashes, labels recovered by one filtered scan. Fixed
+    10 rounds; rows-only (distributed float sums — the pagerank rule);
+    the numpy-reference oracle is pytest (tests/unit/test_textrank.py)."""
+    from maestro_ray.ops.corpus import keywords_textrank
+
+    ds = _read(sf, "documents", columns=["doc_id", "text"])
+    return keywords_textrank(ds, "doc_id", "text", k=25, iterations=10)
+
+
 def _q_term_stats(sf):
     """Per-term document frequency + term frequency with min_df=2 —
     distinct (term, doc) partials per batch, ONE groupby over terms
@@ -5990,6 +6003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "term_stats": _q_term_stats,
+        "keywords_textrank": _q_keywords_textrank,
         "tfidf": _q_tfidf,
         "corr_grouped": _q_corr_grouped,
         "mode_grouped": _q_mode_grouped,

@@ -1280,3 +1280,90 @@ def collocations_pmi(
         return empty
     out["c12"] = out["c12"].astype("int64")
     return out[["w1", "w2", "c12", "pmi"]].reset_index(drop=True)
+
+
+# ----------------------------------------------------- TextRank keywords
+
+
+def keywords_textrank(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> pd.DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, PAPERS.md
+    family): rank tokens by weighted PageRank over the corpus's token
+    co-occurrence graph and return the top ``k``.
+
+    Plan, all distributed: the shared adjacent-pair flat map
+    (``_explode_bigrams``, single-space tokenizer contract) feeds the
+    edge stream; each pair is emitted in BOTH directions (TextRank's
+    graph is undirected) and repeated co-occurrences simply stream
+    again — multiplicity IS the edge weight, because the pagerank
+    contribution pass sums per-edge r_u/deg_u with deg counted over
+    the same multiset. Node ids are the int64 bit-view of the token
+    content hash (the repo's groupby-safe idiom), so the vocabulary
+    never shuffles as strings; the k winning labels are recovered with
+    ONE filtered scan (np.isin against the k hashes) — the vocabulary
+    never lands on the driver either. Fixed ``iterations`` rounds (the
+    repo rule for float-iterative ops); ranks' last ulp is
+    partitioning-dependent (inherent distributed float addition), so
+    this op is pytest-oracled (numpy reference at 1e-9), not
+    SQL-twinned.
+
+    Returns (token, rank) ordered by rank desc, token asc."""
+    from maestro_ray.ops.graph import pagerank
+    from maestro_ray.ops.hashing import hash_array
+
+    pairs = _explode_bigrams(ds, id_col, text_col)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = hash_array(t.column("w1")).view(np.int64)
+        b = hash_array(t.column("w2")).view(np.int64)
+        return pa.table({
+            "a": pa.array(np.concatenate([a, b]), pa.int64()),
+            "b": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    ranks = pagerank(pairs.map_batches(to_edges, batch_format="pyarrow"),
+                     damping=damping, iterations=iterations)
+    empty = pd.DataFrame({"token": pd.Series(dtype="object"),
+                          "rank": pd.Series(dtype="float64")})
+    if ranks.empty:
+        return empty
+    top = ranks.sort_values(["rank", "node"], ascending=[False, True],
+                            kind="stable").head(k)
+    want = top["node"].to_numpy(dtype=np.int64)
+
+    def labels(t: pa.Table) -> pa.Table:
+        tbl = t.filter(pc.is_valid(t.column(text_col)))
+        texts = tbl.column(text_col).combine_chunks()
+        if isinstance(texts, pa.ChunkedArray):
+            texts = (texts.chunk(0) if texts.num_chunks
+                     else pa.array([], pa.string()))
+        toks = pc.split_pattern(texts, " ").values if tbl.num_rows \
+            else pa.array([], pa.string())
+        toks = pc.unique(toks)
+        h = hash_array(toks).view(np.int64) if len(toks) \
+            else np.array([], dtype=np.int64)
+        m = np.isin(h, want)
+        return pa.table({"node": pa.array(h[m], pa.int64()),
+                         "token": toks.filter(pa.array(m))})
+
+    lab = pd.concat(
+        [b.to_pandas() for b in ds.map_batches(
+            labels, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow")],
+        ignore_index=True) if len(want) else empty
+    if lab.empty:
+        return empty
+    # a hash collision (two tokens, one node) is ~2^-64; keep the
+    # lexicographically-first label deterministically if it ever fires
+    lab = (lab.sort_values("token", kind="stable")
+           .drop_duplicates("node").reset_index(drop=True))
+    out = top.merge(lab, on="node", how="inner")
+    out = out.sort_values(["rank", "token"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+    return out[["token", "rank"]]
