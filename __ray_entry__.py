@@ -5120,6 +5120,42 @@ def _q_common_neighbors(sf):
     return common_neighbors(pairs, k=20, src="p1", dst="p2")
 
 
+def _q_isotonic_calibration(sf):
+    """Isotonic (PAV) calibration of P(event_type='purchase') against
+    the raw event value (ops/ml.py isotonic_fit): least-squares
+    nondecreasing rate fit — shared score-histogram plan + rational
+    PAV stack (integer cross-multiplied violation tests ⇒ bitwise
+    deterministic across partitionings). Rows-only (iterative pooling
+    has no SQL spelling); pytest owns the oracle
+    (tests/unit/test_isotonic.py)."""
+    from maestro_ray.ops.ml import isotonic_fit
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": t.column("value"),
+            "y": pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                         pa.int64()),
+        })
+
+    return isotonic_fit(ds.map_batches(prep, batch_format="pyarrow"),
+                        "s", "y")
+
+
+def _q_bin_equal_depth(sf):
+    """Equi-depth histogram of event value in 5 quantile bins
+    (ops/aggregates.py bin_equal_depth): bounds are the exact
+    interpolated quantiles, populations are exact cumulative-count
+    differences off the same distinct-value frame — one distributed
+    pass, bit-exact vs the twin (identical bound floats ⇒ identical ≤
+    comparisons)."""
+    from maestro_ray.ops.aggregates import bin_equal_depth
+
+    ds = _read(sf, "events", columns=["value"])
+    return bin_equal_depth(ds, "value", n_bins=5)
+
+
 def _q_seasonal_decompose(sf):
     """Classical additive seasonal decomposition of the hourly event
     count (ops/analytics.py seasonal_decompose): trend = centered
@@ -5881,6 +5917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_jaccard": _q_link_jaccard,
         "decision_stump": _q_decision_stump,
         "seasonal_decompose": _q_seasonal_decompose,
+        "bin_equal_depth": _q_bin_equal_depth,
+        "isotonic_calibration": _q_isotonic_calibration,
         "winsorize": _q_winsorize,
         "cdc_compact": _q_cdc_compact,
         "cusum_anomaly": _q_cusum_anomaly,
@@ -8299,6 +8337,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT threshold, n_left, pos_left, n_right, pos_right, "
             "gini, (row_number() OVER (ORDER BY gini, threshold) = 1) "
             "AS is_best FROM s ORDER BY threshold"
+        ),
+        "bin_equal_depth": (
+            # bounds = exact quantile_cont list; populations = exact
+            # cumulative <=-count differences (bin 1 closed below)
+            "WITH v AS (SELECT value AS x FROM events "
+            "WHERE value IS NOT NULL), "
+            "a AS (SELECT quantile_cont(x, "
+            "[0.0, 0.2, 0.4, 0.6, 0.8, 1.0]) AS arr FROM v), "
+            "b AS (SELECT CAST(r.range AS BIGINT) AS bin, "
+            "arr[r.range] AS lo, arr[r.range + 1] AS hi "
+            "FROM a, range(1, 6) r) "
+            "SELECT bin, lo, hi, "
+            "(SELECT count(*) FROM v WHERE x <= b.hi)::BIGINT - "
+            "CASE WHEN bin = 1 THEN 0 ELSE "
+            "(SELECT count(*) FROM v WHERE x <= b.lo)::BIGINT END AS n "
+            "FROM b ORDER BY bin"
         ),
         "seasonal_decompose": (
             # rational seasonal numerator Σ(25·v − frame_sum) keeps

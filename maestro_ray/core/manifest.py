@@ -29,6 +29,13 @@ import json
 import os
 from dataclasses import dataclass, field
 
+class ConcurrentCommitError(RuntimeError):
+    """Raised when an epoch is already committed with different
+    content — the lost-update half of optimistic concurrency. The
+    winning manifest stays; the loser must re-read the head and retry
+    on the next epoch number."""
+
+
 MANIFEST_DIR = "_manifests"
 LINEAGE_DIR = "_lineage"
 STAGING_DIR = "_staging"
@@ -183,6 +190,15 @@ def publish_epoch(
         with open(path) as f:
             if f.read() == m.to_json():
                 return m  # idempotent re-commit: no-op
+        # optimistic-concurrency guard: an epoch manifest with
+        # DIFFERENT content means another writer committed this epoch
+        # from different inputs — silently replacing it would corrupt
+        # the log (readers may have served the other lineage already).
+        # Identical re-commits (crash replay, task retry) pass above.
+        raise ConcurrentCommitError(
+            f"epoch {epoch} of {lake_dir} is already committed with "
+            f"different content — concurrent writers? Re-read the head "
+            f"manifest and retry from epoch {epoch + 1}")
     write_manifest_atomic(path, m)
     # staging dir for this epoch is now garbage; best-effort cleanup
     try:

@@ -500,35 +500,74 @@ def quantiles_disc(
                          "value": pd.Series(out_v)})
 
 
+def _cont_pick(vals: np.ndarray, cum: np.ndarray, n: int,
+               q: float) -> float:
+    """DuckDB ``quantile_cont`` semantics over a (distinct values,
+    cumulative counts) frame: linear interpolation at 0-based rank
+    ``h = q·(n−1)`` between positions ⌊h⌋ and ⌈h⌉, in DuckDB's lerp
+    form lo·(1−f) + hi·f — NOT lo + f·(hi−lo); the two differ by an
+    ulp on some inputs and the twins compare check_exact."""
+    def value_at(pos: int) -> float:  # 0-based sorted position
+        return float(vals[int(np.searchsorted(cum, pos + 1))])
+
+    h = q * (n - 1)
+    lo, hi = int(np.floor(h)), int(np.ceil(h))
+    v_lo = value_at(lo)
+    return v_lo if hi == lo \
+        else v_lo * (1 - (h - lo)) + value_at(hi) * (h - lo)
+
+
 def quantiles_cont(
     ds: rd.Dataset, col: str, qs: list[float]
 ) -> pd.DataFrame:
     """Exact continuous (interpolated) quantiles, distributed (plan +
-    scale bound: see ``_value_counts``). DuckDB ``quantile_cont``
-    semantics: linear interpolation at 0-based rank ``h = q·(n−1)``
-    between the values at positions ⌊h⌋ and ⌈h⌉."""
+    scale bound: see ``_value_counts``); semantics in ``_cont_pick``."""
     series, cum, n = _value_counts(ds, col)
     vals = series.to_numpy(dtype="float64") if n else np.empty(0)
-
-    def value_at(pos: int) -> float:  # 0-based sorted position
-        return float(vals[int(np.searchsorted(cum, pos + 1))])
-
     out_q, out_v = [], []
     for q in qs:
         out_q.append(float(q))
-        if n == 0:
-            out_v.append(None)
-            continue
-        h = q * (n - 1)
-        lo, hi = int(np.floor(h)), int(np.ceil(h))
-        v_lo = value_at(lo)
-        # DuckDB's lerp form lo·(1−f) + hi·f — NOT lo + f·(hi−lo);
-        # the two differ by an ulp on some inputs and the twin compares
-        # check_exact
-        out_v.append(v_lo if hi == lo
-                     else v_lo * (1 - (h - lo)) + value_at(hi) * (h - lo))
+        out_v.append(_cont_pick(vals, cum, n, q) if n else None)
     return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"),
                          "value": pd.Series(out_v, dtype="float64")})
+
+
+def bin_equal_depth(
+    ds: rd.Dataset, col: str, n_bins: int
+) -> pd.DataFrame:
+    """Equi-depth (quantile) histogram: bin i covers
+    (bound_{i-1}, bound_i] with bound_j the exact interpolated
+    j/n_bins quantile (bin 1 is [min, bound_1] — closed below so the
+    minimum is counted). Bin populations are EXACT cumulative-count
+    differences read off the same distinct-value frame that produced
+    the bounds — one distributed pass total, no second scan; identical
+    bound floats on both engines make the ≤ comparisons, and therefore
+    the counts, bit-exact. Returns (bin, lo, hi, n)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins={n_bins}")
+    series, cum, n = _value_counts(ds, col)
+    empty = pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                          "lo": pd.Series([], dtype="float64"),
+                          "hi": pd.Series([], dtype="float64"),
+                          "n": pd.Series([], dtype="int64")})
+    if n == 0:
+        return empty
+    vals = series.to_numpy(dtype="float64")
+    bounds = [_cont_pick(vals, cum, n, i / n_bins)
+              for i in range(n_bins + 1)]
+
+    def count_le(b: float) -> int:  # count of values <= b
+        i = int(np.searchsorted(vals, b, side="right"))
+        return int(cum[i - 1]) if i else 0
+
+    c = [count_le(b) for b in bounds]
+    return pd.DataFrame({
+        "bin": pd.Series(range(1, n_bins + 1), dtype="int64"),
+        "lo": pd.Series(bounds[:-1], dtype="float64"),
+        "hi": pd.Series(bounds[1:], dtype="float64"),
+        "n": pd.Series([c[i] - (c[i - 1] if i > 1 else 0)
+                        for i in range(1, n_bins + 1)], dtype="int64"),
+    })
 
 
 def grouped_quantiles_disc(

@@ -265,6 +265,58 @@ def stump_splits(
     return out.reset_index(drop=True)
 
 
+def isotonic_fit(
+    ds: rd.Dataset,
+    score_col: str,
+    label_col: str,
+    max_distinct: int = 2_000_000,
+) -> pd.DataFrame:
+    """Isotonic calibration by pool-adjacent-violators (PAV): the
+    least-squares NONDECREASING fit of a binary 0/1 label rate to the
+    score order — the standard post-hoc calibrator next to
+    ``calibration_curve``'s fixed bins.
+
+    Plan: the shared eval-metric histogram (ONE ``bucketed_agg`` over
+    distinct scores, loud driver bound), then the O(distinct) PAV
+    stack on the driver. Pool means are kept RATIONAL (Σpos, Σcnt
+    exact ints; violation test by integer cross-multiplication), so
+    the fit is deterministic bit-for-bit across partitionings — the
+    one division per pool happens at output. SQL-inexpressible
+    (data-dependent iterative pooling) → pytest-oracled, rows-only.
+
+    Returns (score, n, pos, fitted) ascending by score; ``fitted`` is
+    nondecreasing, equals pos/n wherever the empirical rate is already
+    monotone, and preserves each pool's weighted mean."""
+    df = _score_histogram(ds, score_col, label_col, max_distinct,
+                          "isotonic_fit")
+    if df.empty:
+        return pd.DataFrame({"score": pd.Series(dtype="float64"),
+                             "n": pd.Series(dtype="int64"),
+                             "pos": pd.Series(dtype="int64"),
+                             "fitted": pd.Series(dtype="float64")})
+    pos = df["pos"].to_numpy(dtype=np.int64)
+    cnt = df["cnt"].to_numpy(dtype=np.int64)
+    # PAV stack: blocks of (Σpos, Σcnt, span); merge while the previous
+    # block's mean EXCEEDS the new one's (strict — equal means pool to
+    # the same fitted values either way)
+    blocks: list[list[int]] = []
+    for p, c in zip(pos.tolist(), cnt.tolist()):
+        blocks.append([p, c, 1])
+        while (len(blocks) > 1
+               and blocks[-2][0] * blocks[-1][1]
+               > blocks[-1][0] * blocks[-2][1]):
+            p2, c2, s2 = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += c2
+            blocks[-1][2] += s2
+    fitted = np.concatenate([
+        np.full(s, p / c) for p, c, s in blocks])
+    return pd.DataFrame({
+        "score": df["__s"].to_numpy(),
+        "n": cnt, "pos": pos, "fitted": fitted,
+    })
+
+
 def _score_histogram(ds: rd.Dataset, score_col: str, label_col: str,
                      max_distinct: int, caller: str) -> pd.DataFrame:
     """Shared eval-metric plan: ONE high-cardinality grouped aggregate
