@@ -1959,6 +1959,38 @@ def _q_cdc_purge(sf):
     return read_lake(dst, columns=["url", "warc_ts", "lang"])
 
 
+def _q_cdc_patch(sf):
+    """Partial-update CDC (op='patch', Debezium-style column-level
+    events: non-null html/lang = set, null = keep): replay a
+    patch-heavy synthetic changelog through the default shuffle
+    exchange — the patch-aware combiner keeps ≤1 full + 1-per-column
+    patch row per url per batch on the wire, the merge folds the
+    epoch's sequential (warc_ts, offset) semantics in closed form
+    (ops/merge.py _apply_patches), and a patched html re-extracts text
+    through the frozen contract. Rows-only; engine ≡ the sequential
+    epoch-batched oracle (oracle.replay_epochs) is pytest
+    (tests/replay/test_patch.py). Returns the live state."""
+    from maestro_ray.fixtures import ChangelogParams, write_changelog
+    from maestro_ray.io.lake import read_lake
+    from maestro_ray.pipelines.ingest import ingest
+
+    name = os.path.basename(sf.rstrip("/"))
+    root = f"/tmp/maestro_cdc_patch_r4_{name}"
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        log = os.path.join(root, "log")
+        write_changelog(log, ChangelogParams(
+            n_urls=60, n_events=600, seg_rows=60, evolution=True,
+            p_patch=0.35, p_ooo=0.15))
+        ingest(log, os.path.join(root, "lake"), num_partitions=4,
+               segments_per_epoch=2)
+        open(done, "w").close()
+    return read_lake(os.path.join(root, "lake"),
+                     columns=["url", "warc_ts", "lang"])
+
+
 def _q_cdc_cascade(sf):
     """Lake→lake CDC fan-out (pipelines/cascade.py): materialize the
     replay lake's per-epoch net change feed as a standard downstream
@@ -6127,6 +6159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_purge": _q_cdc_purge,
         "cdc_bloom_lookup": _q_cdc_bloom_lookup,
         "cdc_cascade": _q_cdc_cascade,
+        "cdc_patch": _q_cdc_patch,
         "cdc_scd2_view": _q_cdc_scd2_view,
         "cdc_branch_merge": _q_cdc_branch_merge,
         "cdc_quantile_view": _q_cdc_quantile_view,

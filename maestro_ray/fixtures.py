@@ -80,6 +80,11 @@ class ChangelogParams:
     #: with a per-event unique marker instead of fully random payloads —
     #: ~20x faster generation at identical schema/size characteristics.
     fast_html: bool = False
+    #: fraction of non-insert events turned into ``op='patch'`` partial
+    #: updates (Debezium-style: non-null html/lang = set, null = keep).
+    #: Drawn from an independent rng stream so 0.0 (default) leaves
+    #: every existing fixture bit-identical.
+    p_patch: float = 0.0
 
 
 def _zipf_probs(n: int, a: float) -> np.ndarray:
@@ -141,6 +146,8 @@ def gen_changelog_events(params: ChangelogParams) -> list[dict]:
     upd_frac = p.p_update / max(1e-9, (p.p_update + p.p_delete))
     op_draw = rng.random(p.n_events)
     lang_draw = rng.integers(0, len(_LANGS), size=p.n_events)
+    # independent stream: p_patch=0 leaves existing fixtures bit-identical
+    patch_draw = np.random.default_rng(p.seed + 13).random(p.n_events)
     html_pool: list[bytes] = []
     if p.fast_html:
         pool_rng = np.random.default_rng(p.seed + 7)
@@ -156,6 +163,8 @@ def gen_changelog_events(params: ChangelogParams) -> list[dict]:
             seen.add(u)
         else:
             op = "update" if op_draw[off] < upd_frac else "delete"
+            if p.p_patch and patch_draw[off] < p.p_patch:
+                op = "patch"
         seg_idx = off // p.seg_rows
         version = _segment_version(seg_idx, n_segments, p.evolution)
         t = int(ts[off])
@@ -172,6 +181,13 @@ def gen_changelog_events(params: ChangelogParams) -> list[dict]:
                     np.random.default_rng((p.seed, off)), url, p.html_bytes
                 )
             text_lang = _LANGS[int(lang_draw[off])]
+        if op == "patch":  # partial update: null = keep
+            k = off % 3
+            if k == 0:
+                html = None  # lang-only patch
+            elif k == 1:
+                text_lang = None  # html-only patch
+            # k == 2: both columns patched
         events.append(
             {
                 "offset": off,

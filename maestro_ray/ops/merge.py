@@ -94,6 +94,151 @@ def _fill_text(winners: pa.Table) -> pa.Table:
     )
 
 
+#: payload columns a ``patch`` event may set (non-null = set, null =
+#: keep). ``text`` is derived, never patched directly — an html patch
+#: nulls it so the frozen extract contract recomputes it.
+PATCH_COLS = ("html", "lang")
+
+
+def _is_patch(batch: pa.Table):
+    return pc.fill_null(pc.equal(batch.column("op"), pa.scalar("patch")),
+                        False)
+
+
+def has_patches(batch: pa.Table) -> bool:
+    return bool(pc.any(_is_patch(batch)).as_py())
+
+
+def refuse_patches(batch: pa.Table, where: str) -> pa.Table:
+    """Loud guard for paths whose winner-only pre-filters would drop
+    patch events silently (slim exchanges, tail mode). Partial-update
+    streams must use the shuffle / files / packed replay exchanges."""
+    if has_patches(batch):
+        raise NotImplementedError(
+            f"{where} does not support op='patch' events (its "
+            "winner-only pre-reduce would drop them); ingest this log "
+            "with exchange='shuffle' (default), 'files' or 'packed'")
+    return batch
+
+
+def combine_candidates(batch: pa.Table) -> pa.Table:
+    """Patch-aware per-batch combiner (drop-in for ``lww_reduce`` on
+    candidate streams). Full events reduce to the per-url LWW winner as
+    before; patch events reduce to ONE row per (url, patched column) —
+    the column's latest patch, with the other patch columns nulled
+    (splitting a multi-column patch into single-column patches is
+    semantics-preserving because each applies independently). Only
+    column-maximal patches can ever apply in the final merge, so this
+    is an associative-safe combiner: ≤ 1 + len(PATCH_COLS) rows per url
+    per batch cross the shuffle."""
+    p_mask = _is_patch(batch)
+    if not pc.any(p_mask).as_py():
+        return lww_reduce(batch)
+    full = lww_reduce(batch.filter(pc.invert(p_mask)))
+    patches = batch.filter(p_mask)
+    parts = [full]
+    for col in PATCH_COLS:
+        sub = patches.filter(pc.is_valid(patches.column(col)))
+        if sub.num_rows == 0:
+            continue
+        w = lww_reduce(sub)
+        for other in PATCH_COLS:  # single-column patch rows
+            if other != col:
+                i = w.schema.get_field_index(other)
+                w = w.set_column(i, other,
+                                 pa.nulls(w.num_rows, w.schema.field(i).type))
+        parts.append(w)
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def _key_int(t: pa.Table, ts_col: str = "warc_ts",
+             off_col: str = "offset"):
+    """(ts µs, offset) as int64 numpy arrays; null ts → INT64_MIN (can
+    never win a strict 'newer' comparison)."""
+    import numpy as np
+
+    ts = pc.fill_null(pc.cast(t.column(ts_col), pa.int64()),
+                      np.iinfo(np.int64).min)
+    off = pc.fill_null(t.column(off_col), np.iinfo(np.int64).min)
+    return (ts.to_numpy(zero_copy_only=False).astype("int64"),
+            off.to_numpy(zero_copy_only=False).astype("int64"))
+
+
+def _apply_patches(base: pa.Table, patches: pa.Table) -> pa.Table:
+    """Closed form of the epoch's sequential (warc_ts, offset)-ordered
+    fold: for each payload column, the column's LATEST patch applies
+    iff its key is strictly newer than the base winner's key and the
+    base is not a tombstone; the row's (warc_ts, offset) advances to
+    the newest applied patch. Patches for urls with no base row are
+    dropped (a patch cannot create a row), patches at/below the base
+    key are stale (LWW), and patches never resurrect deletes. A patched
+    html nulls ``text`` so ``_fill_text`` re-extracts it."""
+    import numpy as np
+
+    if base.num_rows == 0 or patches.num_rows == 0:
+        return base
+    b_ts, b_off = _key_int(base)
+    cur_ts, cur_off = b_ts.copy(), b_off.copy()
+    dead = pc.fill_null(pc.equal(base.column("op"), pa.scalar("delete")),
+                        False).to_numpy(zero_copy_only=False)
+    out = base
+    urls = base.column("url")
+    for col in PATCH_COLS:
+        sub = patches.filter(pc.is_valid(patches.column(col)))
+        if sub.num_rows == 0:
+            continue
+        w = lww_reduce(sub)  # the column's latest patch per url
+        w_urls = w.column("url").to_pandas()
+        # align patch rows to base rows by url (both unique per table)
+        import pandas as pd
+
+        pos = pd.Index(w_urls).get_indexer(urls.to_pandas())
+        hit = pos >= 0
+        p_ts_all, p_off_all = _key_int(w)
+        p_ts = np.where(hit, p_ts_all[np.clip(pos, 0, None)],
+                        np.iinfo(np.int64).min)
+        p_off = np.where(hit, p_off_all[np.clip(pos, 0, None)],
+                         np.iinfo(np.int64).min)
+        newer = (p_ts > b_ts) | ((p_ts == b_ts) & (p_off > b_off))
+        apply = hit & newer & ~dead
+        if not apply.any():
+            continue
+        take_idx = np.where(apply, np.clip(pos, 0, None), -1)
+        vals = w.column(col).combine_chunks().take(
+            pa.array(np.clip(take_idx, 0, None), pa.int64()))
+        mask = pa.array(apply)
+        i = out.schema.get_field_index(col)
+        out = out.set_column(
+            i, col, pc.if_else(mask, vals, out.column(col)))
+        if col == "html":  # derived text must be re-extracted
+            j = out.schema.get_field_index("text")
+            out = out.set_column(
+                j, "text",
+                pc.if_else(mask, pa.nulls(out.num_rows, pa.string()),
+                           out.column("text")))
+        newer_cur = (p_ts > cur_ts) | ((p_ts == cur_ts)
+                                       & (p_off > cur_off))
+        upd = apply & newer_cur
+        cur_ts = np.where(upd, p_ts, cur_ts)
+        cur_off = np.where(upd, p_off, cur_off)
+    # row recency advances to the newest applied patch key
+    bumped = (cur_ts != b_ts) | (cur_off != b_off)
+    if bumped.any():
+        m = pa.array(bumped)
+        k = out.schema.get_field_index("warc_ts")
+        out = out.set_column(
+            k, "warc_ts",
+            pc.if_else(m, pc.cast(pa.array(cur_ts, pa.int64()),
+                                  pa.timestamp("us")),
+                       out.column("warc_ts")))
+        k = out.schema.get_field_index("offset")
+        out = out.set_column(
+            k, "offset",
+            pc.if_else(m, pa.array(cur_off, pa.int64()),
+                       out.column("offset")))
+    return out
+
+
 def merge_candidates(prev: pa.Table | None, events: pa.Table) -> pa.Table:
     """Pure merge: previous lake partition (LAKE_V2) + candidate events
     → new LAKE_V2 partition table, sorted by url (deterministic bytes).
@@ -104,12 +249,21 @@ def merge_candidates(prev: pa.Table | None, events: pa.Table) -> pa.Table:
     (matches oracle.replay, which keeps every url's winner forever).
     ``read_lake`` filters tombstones; compaction vacuums them once the
     event-time watermark passes.
+
+    ``op='patch'`` events (partial updates: non-null PATCH_COLS set,
+    null = keep) fold per the epoch-batched sequential semantics
+    (oracle.replay_epochs; closed form in ``_apply_patches``).
     """
     cands = [events if events.schema.equals(CANDIDATE) else events_to_candidates(events)]
     if prev is not None and prev.num_rows:
         cands.append(pages_to_candidates(prev))
     allc = pa.concat_tables(cands, promote_options="default")
-    winners = lww_reduce(allc)
+    p_mask = _is_patch(allc)
+    if pc.any(p_mask).as_py():
+        winners = lww_reduce(allc.filter(pc.invert(p_mask)))
+        winners = _apply_patches(winners, allc.filter(p_mask))
+    else:
+        winners = lww_reduce(allc)
     winners = _fill_text(winners)
     out = winners.select(LAKE_COLS)
     return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")])).cast(LAKE_V2)

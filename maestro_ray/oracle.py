@@ -79,3 +79,69 @@ def replay_to_table(base_pages: pa.Table | None, events: list[dict]) -> pa.Table
         ],
         schema=PAGES_V2,
     )
+
+
+def replay_epochs(
+    base_pages: pa.Table | None, epochs: list[list[dict]]
+) -> dict[str, tuple[int, bytes | None, str, str | None]]:
+    """Sequential epoch-batched reference INCLUDING ``op='patch'``
+    partial updates (non-null html/lang = set, null = keep).
+
+    Semantics (the engine's documented epoch fold, ops/merge.py):
+    state folds one epoch at a time; at each epoch boundary every
+    stored row's offset resets to −1 (mirroring
+    ``pages_to_candidates`` — the stored-row pseudo-event convention).
+    Within an epoch, events apply in ascending ``(warc_ts, offset)``
+    order: a full event replaces the row iff strictly newer than the
+    current state; a patch modifies only its non-null payload columns
+    iff strictly newer, never creates a row, never resurrects a
+    tombstone, and advances the row's recency key to its own. With no
+    patches this is exactly ``replay`` for any epoch grouping (LWW is
+    a max); with patches the result is a function of the epoch
+    boundaries — inherent to partial updates without per-column
+    version columns, and matched by tail mode only at
+    checkpoint==epoch boundaries (the existing byte-identity caveat).
+    """
+    state: dict[str, dict] = {}
+    if base_pages is not None:
+        for row in base_pages.to_pylist():
+            ts = row["warc_ts"]
+            ts_us = (
+                ts if isinstance(ts, int)
+                else int(ts.timestamp() * 1_000_000)
+                if hasattr(ts, "timestamp") else int(ts)
+            )
+            state[row["url"]] = {"ts": ts_us, "off": -1, "op": "insert",
+                                 "html": row["html"],
+                                 "lang": row.get("lang")}
+    for events in epochs:
+        for st in state.values():  # stored rows re-enter with off=-1
+            st["off"] = -1
+        for ev in sorted(events,
+                         key=lambda e: (e["warc_ts"], e["offset"])):
+            cur = state.get(ev["url"])
+            key = (ev["warc_ts"], ev["offset"])
+            if ev["op"] == "patch":
+                if cur is None or cur["op"] == "delete":
+                    continue  # no row to patch / tombstone stays dead
+                if key <= (cur["ts"], cur["off"]):
+                    continue  # stale patch (LWW)
+                if ev.get("html") is None and ev.get("lang") is None:
+                    continue  # empty patch (e.g. lang-only in a v1
+                    # segment): a no-op, never bumps recency
+                if ev.get("html") is not None:
+                    cur["html"] = ev["html"]
+                if ev.get("lang") is not None:
+                    cur["lang"] = ev["lang"]
+                cur["ts"], cur["off"] = key
+            else:
+                if cur is not None and key <= (cur["ts"], cur["off"]):
+                    continue
+                state[ev["url"]] = {"ts": ev["warc_ts"],
+                                    "off": ev["offset"], "op": ev["op"],
+                                    "html": ev["html"],
+                                    "lang": ev.get("lang")}
+    return {
+        url: (st["ts"], st["html"], extract_text(st["html"]), st["lang"])
+        for url, st in state.items() if st["op"] != "delete"
+    }

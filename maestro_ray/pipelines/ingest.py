@@ -32,9 +32,11 @@ from maestro_ray.core.manifest import Manifest, latest_manifest, publish_epoch
 from maestro_ray.io.changelog import read_changelog, segments_after
 from maestro_ray.io.lake import write_lineage
 from maestro_ray.ops.merge import (
+    combine_candidates,
     events_to_candidates,
     make_merge_fn,
     pages_to_candidates,
+    refuse_patches,
 )
 from maestro_ray.ops.partition import (
     add_partition_column,
@@ -72,7 +74,9 @@ def _stage_epoch(
     prev_ref = ray.put(prev_files)
 
     def prep(batch: pa.Table) -> pa.Table:
-        batch = lww_reduce(batch)  # combiner: ≤1 row per url per batch
+        # patch-aware combiner: ≤ 1 full + 1-per-patched-column row
+        # per url per batch (plain LWW fast path when no patches)
+        batch = combine_candidates(batch)
         return add_partition_column(batch, num_partitions, hot_keys=hot_keys)
 
     staged = ds if prepped else ds.map_batches(prep, batch_format="pyarrow")
@@ -80,7 +84,7 @@ def _stage_epoch(
         # salted pre-reduce: collapse each hot url's salted sub-groups,
         # then re-partition on the true key for the final merge.
         def reduce_group(group: pa.Table) -> pa.Table:
-            return lww_reduce(group.drop_columns(["p"]))
+            return combine_candidates(group.drop_columns(["p"]))
 
         def repartition_true(batch: pa.Table) -> pa.Table:
             return add_partition_column(batch, num_partitions)
@@ -296,6 +300,7 @@ def _run_epoch_slim(
         ex_dir = _exchange_dir(lake_dir, epoch)
 
         def fused_ex(batch: pa.Table, _np=num_partitions, _ex=ex_dir) -> pa.Table:
+            refuse_patches(batch, "exchange='slim'")
             prepped = add_partition_column(
                 lww_reduce(events_to_candidates(filter_winners(batch))), _np
             )
@@ -318,6 +323,7 @@ def _run_epoch_slim(
         )
 
     def prep_payload(batch: pa.Table, _np=num_partitions) -> pa.Table:
+        refuse_patches(batch, "exchange='slim_sort'")
         return add_partition_column(
             lww_reduce(events_to_candidates(filter_winners(batch))), _np
         )
@@ -492,7 +498,8 @@ def ingest(
             def fused_packed(batch: pa.Table, _np=num_partitions) -> pa.Table:
                 return pack_exchange(
                     add_partition_column(
-                        lww_reduce(events_to_candidates(batch)), _np
+                        combine_candidates(events_to_candidates(batch)),
+                        _np,
                     ),
                     _np,
                 )
@@ -513,7 +520,7 @@ def ingest(
 
             def fused_ex(batch: pa.Table, _np=num_partitions, _ex=ex_dir) -> pa.Table:
                 prepped = add_partition_column(
-                    lww_reduce(events_to_candidates(batch)), _np
+                    combine_candidates(events_to_candidates(batch)), _np
                 )
                 return write_exchange(prepped, _ex, _np)
 
@@ -530,7 +537,7 @@ def ingest(
         else:
             def fused(batch: pa.Table, _np=num_partitions) -> pa.Table:
                 return add_partition_column(
-                    lww_reduce(events_to_candidates(batch)), _np
+                    combine_candidates(events_to_candidates(batch)), _np
                 )
 
             ds = read_changelog(

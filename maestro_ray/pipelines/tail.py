@@ -281,6 +281,9 @@ def tail_ingest(
     def route(batch: pa.Table, _np=num_partitions) -> pa.Table:
         import numpy as np
 
+        from maestro_ray.ops.merge import refuse_patches
+
+        refuse_patches(batch, "tail mode")  # actor fold is winner-only
         batch = lww_reduce(events_to_candidates(batch))
         p = partition_ids(batch.column("url"), _np)
         refs = []
