@@ -112,6 +112,8 @@ ORACLE_NAMES = [
     "spatial_join", "data_quality", "zipf_fit",
     "ks_test", "mann_whitney", "cramers_v", "collocations",
     "active_users", "lagged_corr", "naive_bayes",
+    "bin_equal_depth", "decision_stump", "link_jaccard",
+    "seasonal_decompose",
 ]
 
 
