@@ -5911,6 +5911,122 @@ def _q_cdc_log_compact(sf):
     return read_lake(lake, columns=["url", "warc_ts", "lang"])
 
 
+def _host_edges(sf):
+    """Shared host-level outlink edge stream over the synthetic pages
+    (the ``link_graph`` construction, factored for the graph-metric
+    keys): (src_host, dst_host) one row per extracted href."""
+    from maestro_ray.ops.web import extract_links
+
+    ds = _read(sf, "documents", columns=["doc_id"]).map_batches(
+        _with_synth_html, batch_format="pyarrow")
+    links = extract_links(ds, "html", "doc_id")
+
+    def hosts(t: pa.Table) -> pa.Table:
+        src = _synth_host(t.column("doc_id").to_pandas().astype("int64"))
+        dst = pc.struct_field(
+            pc.extract_regex(t.column("href"),
+                             r"^https://(?P<h>[^/]+)/"), "h")
+        return pa.table({"src_host": pa.array(src, pa.string()),
+                         "dst_host": dst})
+
+    return links.map_batches(hosts, batch_format="pyarrow")
+
+
+def _q_holt_winters(sf):
+    """Holt double exponential smoothing (level + trend) per user over
+    event values, α=0.25 / β=0.5 (ops/aggregates.py holt_linear):
+    bit-identical to the SQL recursive-CTE twin under the ewma float
+    contract — binary-exact coefficients, identical expression order,
+    NO rounding. Nulls filtered on both sides."""
+    from maestro_ray.ops.aggregates import holt_linear
+
+    ds = P.filter_rows(
+        _read(sf, "events", columns=["user_id", "ts", "event_id", "value"]),
+        lambda t: pc.is_valid(t.column("value")),
+    )
+    out = holt_linear(ds, key="user_id", order_cols=["ts", "event_id"],
+                      value_col="value", alpha=0.25, beta=0.5)
+    return P.project(out, columns=["user_id", "event_id", "value",
+                                   "level", "trend"])
+
+
+def _q_outlier_mad(sf):
+    """Robust median/MAD outlier filter over event values
+    (ops/aggregates.py mad_outliers): |x − med| > 3·MAD, both medians
+    exact quantile_cont semantics — one distinct-value pass + one
+    broadcast-constant filter. The robust counterpart to the existing
+    mean/σ ``anomaly_zscore`` and quartile ``outlier_iqr`` keys."""
+    from maestro_ray.ops.aggregates import mad_outliers
+
+    ds = _read(sf, "events", columns=["event_id", "user_id", "value"])
+    return mad_outliers(ds, "value", k=3.0,
+                        columns=["event_id", "user_id", "value"])
+
+
+def _q_assortativity(sf):
+    """Degree assortativity of the synthetic host outlink graph
+    (ops/graph.py degree_assortativity): Pearson r between source
+    out-degree and target in-degree over distinct edges — exact
+    integer moments, bucketed distinct + two bucketed hash joins,
+    driver algebra on one moment row."""
+    from maestro_ray.ops.graph import degree_assortativity
+
+    return degree_assortativity(_host_edges(sf), "src_host", "dst_host")
+
+
+def _q_funnel_time(sf):
+    """Step-to-step conversion LATENCY for the view→click→purchase
+    funnel: per converting user the exact µs gap between reached
+    steps (composition over ops/analytics.py funnel — the cascade
+    timestamps are copied minima, so the deltas are exact int64)."""
+    from maestro_ray.ops.analytics import funnel
+
+    ds = _read(sf, "events", columns=["user_id", "ts", "event_type"])
+    f = funnel(ds, key="user_id", ts_col="ts", type_col="event_type",
+               steps=["view", "click", "purchase"])
+
+    def delta(t: pa.Table) -> pa.Table:
+        t1 = t.column("ts_1").cast(pa.int64())
+        t2 = t.column("ts_2").cast(pa.int64())
+        t3 = t.column("ts_3").cast(pa.int64())
+        out = pa.table({
+            "user_id": t.column("user_id"),
+            "d12_us": pc.subtract(t2, t1),
+            "d23_us": pc.subtract(t3, t2),
+        })
+        return out.filter(pc.is_valid(out.column("d12_us")))
+
+    return f.map_batches(delta, batch_format="pyarrow")
+
+
+def _q_robust_scale(sf):
+    """Median/IQR robust feature scaling of document lengths
+    (ops/mlprep.py robust_scale): exact quantile_cont statistics, one
+    broadcast-constant vectorized pass — the outlier-immune
+    counterpart to the z-score ``standardize`` key."""
+    from maestro_ray.ops.mlprep import robust_scale
+
+    ds = _read(sf, "documents", columns=["doc_id", "n_chars"])
+    out = robust_scale(ds, ["n_chars"])
+    return P.project(out, columns=["doc_id", "n_chars", "n_chars_scaled"])
+
+
+def _q_quantile_transform(sf):
+    """Rank-based uniform quantile transform of event values
+    (ops/mlprep.py quantile_transform): SQL percent_rank() semantics
+    — exact integer min-ranks over the distinct-value frame, broadcast
+    once, one searchsorted per batch; corpus never sorts. Nulls
+    filtered on both sides."""
+    from maestro_ray.ops.mlprep import quantile_transform
+
+    ds = P.filter_rows(
+        _read(sf, "events", columns=["event_id", "value"]),
+        lambda t: pc.is_valid(t.column("value")),
+    )
+    out = quantile_transform(ds, "value")
+    return P.project(out, columns=["event_id", "value", "q_uniform"])
+
+
 def _mod20(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     # pc.mod does not exist in this pyarrow — numpy modulo (CLAUDE.md)
     v = col.to_numpy(zero_copy_only=False) if not isinstance(
@@ -5921,6 +6037,12 @@ def _mod20(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "holt_winters": _q_holt_winters,
+        "outlier_mad": _q_outlier_mad,
+        "assortativity": _q_assortativity,
+        "funnel_time": _q_funnel_time,
+        "robust_scale": _q_robust_scale,
+        "quantile_transform": _q_quantile_transform,
         "ks_test": _q_ks_test,
         "mann_whitney": _q_mann_whitney,
         "cramers_v": _q_cramers_v,
@@ -6226,6 +6348,88 @@ def _zspread_sql(col: str) -> str:
 def oracle_sql() -> dict[str, str]:
     ev_types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
     return {
+        "holt_winters": (
+            # the ewma float contract: binary-exact α=0.25 / β=0.5,
+            # identical expression order → bit-identical, NO rounding
+            # (b_t repeats the l_t expression — IEEE re-evaluation of
+            # one expression yields the same float)
+            "WITH RECURSIVE e AS (SELECT user_id, event_id, value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id) AS rn FROM events WHERE value IS NOT NULL), "
+            "w AS (SELECT user_id, event_id, value, rn, "
+            "value AS level, CAST(0.0 AS DOUBLE) AS trend "
+            "FROM e WHERE rn = 1 "
+            "UNION ALL SELECT e.user_id, e.event_id, e.value, e.rn, "
+            "0.25 * e.value + 0.75 * (w.level + w.trend), "
+            "0.5 * ((0.25 * e.value + 0.75 * (w.level + w.trend)) "
+            "- w.level) + 0.5 * w.trend "
+            "FROM e JOIN w ON e.user_id = w.user_id "
+            "AND e.rn = w.rn + 1) "
+            "SELECT user_id, event_id, value, level, trend FROM w"
+        ),
+        "outlier_mad": (
+            "WITH m AS (SELECT quantile_cont(value, 0.5) AS med "
+            "FROM events), "
+            "d AS (SELECT quantile_cont(abs(value - m.med), 0.5) AS "
+            "mad FROM events, m WHERE value IS NOT NULL) "
+            "SELECT event_id, user_id, value FROM events, m, d "
+            "WHERE abs(value - m.med) > 3.0 * d.mad"
+        ),
+        "assortativity": (
+            # same synthetic edge formula as link_graph; exact integer
+            # moments, CAST to DOUBLE at the same points as the engine
+            "WITH tgt AS (SELECT doc_id, (doc_id * 31 + j * 97) % 1999 "
+            "AS t FROM documents, (SELECT unnest([1, 2, 3]) AS j) _j), "
+            "e0 AS (SELECT 'www.example' || CAST(doc_id % 23 AS "
+            "VARCHAR) || '.' || (CASE doc_id % 3 WHEN 0 THEN 'com' "
+            "WHEN 1 THEN 'org' ELSE 'net' END) AS src_host, "
+            "'www.example' || CAST(t % 23 AS VARCHAR) || '.' || "
+            "(CASE t % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE "
+            "'net' END) AS dst_host FROM tgt), "
+            "e AS (SELECT DISTINCT src_host, dst_host FROM e0), "
+            "od AS (SELECT src_host, count(*)::BIGINT AS x "
+            "FROM e GROUP BY 1), "
+            "idg AS (SELECT dst_host, count(*)::BIGINT AS y "
+            "FROM e GROUP BY 1), "
+            "t AS (SELECT od.x, idg.y FROM e "
+            "JOIN od USING (src_host) JOIN idg USING (dst_host)), "
+            "s AS (SELECT count(*)::DOUBLE AS n, "
+            "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS "
+            "sy, CAST(sum(x * x) AS DOUBLE) AS sxx, "
+            "CAST(sum(y * y) AS DOUBLE) AS syy, "
+            "CAST(sum(x * y) AS DOUBLE) AS sxy FROM t) "
+            "SELECT CAST(n AS BIGINT) AS n_edges, "
+            "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * "
+            "sqrt(n * syy - sy * sy)) AS r FROM s"
+        ),
+        "funnel_time": (
+            # the funnel cascade CTEs, deltas as exact int64 µs
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > s1.t1 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > s2.t2 GROUP BY 1) "
+            "SELECT s2.user_id, epoch_us(s2.t2) - epoch_us(s1.t1) AS "
+            "d12_us, epoch_us(s3.t3) - epoch_us(s2.t2) AS d23_us "
+            "FROM s1 JOIN s2 USING (user_id) "
+            "LEFT JOIN s3 USING (user_id)"
+        ),
+        "robust_scale": (
+            "WITH s AS (SELECT quantile_cont(n_chars, 0.5) AS med, "
+            "quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, "
+            "0.25) AS iqr FROM documents) "
+            "SELECT doc_id, n_chars, CASE WHEN s.iqr = 0 THEN NULL "
+            "ELSE (n_chars - s.med) / s.iqr END AS n_chars_scaled "
+            "FROM documents, s"
+        ),
+        "quantile_transform": (
+            "SELECT event_id, value, percent_rank() OVER "
+            "(ORDER BY value) AS q_uniform FROM events "
+            "WHERE value IS NOT NULL"
+        ),
         "ks_test": (
             "WITH f AS (SELECT value AS v, event_type AS g FROM "
             "events WHERE value IS NOT NULL AND event_type IN "

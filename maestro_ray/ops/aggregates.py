@@ -2162,6 +2162,97 @@ def ewma(
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def holt_linear(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+) -> rd.Dataset:
+    """Holt double exponential smoothing (level + linear trend) per
+    key, ordered by ``order_cols``:
+
+        l_1 = x_1,  b_1 = 0.0
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Same float contract as ``ewma``: with α and β binary-exact the
+    recursion is bit-identical to a SQL recursive CTE evaluating the
+    SAME expressions in the same order — the twin needs NO rounding
+    (the CTE repeats the l_t expression inside b_t; repeated IEEE
+    evaluation of one expression yields the same float). The recursion
+    is inherently sequential PER KEY (numpy buffers, one pass), but
+    keys are independent so the stage parallelizes across keys at any
+    corpus size. Nulls are the caller's concern (filter first).
+    Output adds ``level`` and ``trend`` columns."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha={alpha}: need 0 < alpha <= 1")
+    if not 0 <= beta <= 1:
+        raise ValueError(f"beta={beta}: need 0 <= beta <= 1")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        x = g[value_col].to_numpy(dtype=np.float64)
+        n = len(x)
+        lvl = np.empty(n, dtype=np.float64)
+        trd = np.empty(n, dtype=np.float64)
+        if n:
+            lvl[0], trd[0] = x[0], 0.0
+        for t in range(1, n):
+            prev_l, prev_b = lvl[t - 1], trd[t - 1]
+            lt = alpha * x[t] + (1 - alpha) * (prev_l + prev_b)
+            lvl[t] = lt
+            trd[t] = beta * (lt - prev_l) + (1 - beta) * prev_b
+        g = g.copy()
+        g["level"] = lvl
+        g["trend"] = trd
+        return g
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def mad_outliers(
+    ds: rd.Dataset,
+    col: str,
+    k: float = 3.0,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Robust (median/MAD) outlier filter: keep rows where
+    ``|x − median| > k · MAD`` with MAD = median(|x − median|) — the
+    unscaled robust z-score, immune to the outliers it hunts (unlike
+    mean/σ z-scores, where one huge value inflates σ and hides
+    itself). Both medians are DuckDB ``quantile_cont`` semantics.
+
+    Plan: ONE ``_value_counts`` pass builds the distinct-value frame
+    (loud ``max_distinct`` driver bound — the exact-quantile tier);
+    the MAD median is then driver algebra over that same frame
+    (|v − med| re-sorted with its counts — no second data pass), and
+    the filter is one broadcast-constant ``map_batches``. Nulls never
+    flag. Returns the flagged rows (``columns`` projects)."""
+    series, cum, n = _value_counts(ds, col)
+    if n == 0:
+        return ds.filter(lambda row: False)
+    vals = series.to_numpy(dtype="float64")
+    med = _cont_pick(vals, cum, n, 0.5)
+    counts = np.diff(cum, prepend=0)
+    dev = np.abs(vals - med)
+    order = np.argsort(dev, kind="stable")
+    dev_cum = np.cumsum(counts[order])
+    mad = _cont_pick(dev[order], dev_cum, n, 0.5)
+    thr = k * mad
+
+    def flag(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(col), pa.float64())
+        m = pc.fill_null(
+            pc.greater(pc.abs(pc.subtract(x, pa.scalar(med))),
+                       pa.scalar(thr)), False)
+        out = t.filter(m)
+        return out.select(columns) if columns else out
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def running_agg(
     ds: rd.Dataset,
     key: str,

@@ -970,3 +970,56 @@ def hits(
 
     return pd.DataFrame({"node": nodes.astype(np.int64),
                          "hub": hub, "authority": auth})
+
+
+def degree_assortativity(
+    edges: rd.Dataset,
+    src: str,
+    dst: str,
+) -> pd.DataFrame:
+    """Degree assortativity over a DIRECTED edge set: Pearson
+    correlation between the source's out-degree and the target's
+    in-degree across distinct edges — do hubs link to hubs (r > 0) or
+    to leaves (r < 0)?
+
+    Plan, all-distributed: distinct edges via ONE bucketed exchange
+    (``bucketed_agg`` — exact at any key cardinality), degree tables
+    from the SAME distinct-edge set via two more bucketed counts, two
+    bucketed ``hash_join``s tag each edge with (out_deg, in_deg), then
+    ONE mergeable-moment pass (n, Σx, Σy, Σx², Σy², Σxy — exact
+    integer sums in float64 while < 2^53) and driver algebra:
+    r = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²)·√(n·Σyy − Σy²)).
+    A SQL twin computing the SAME expression from the same exact
+    integer aggregates (CAST to DOUBLE at the same points) is
+    bit-exact. Returns one row (n_edges, r); r is null when either
+    degree is constant (zero variance)."""
+    from maestro_ray.ops.aggregates import _bivariate_moments, \
+        bucketed_agg
+    from maestro_ray.ops.joins import hash_join
+
+    e = bucketed_agg(edges, [src, dst], [(None, "count_all", "_c")]) \
+        .map_batches(lambda t: t.select([src, dst]),
+                     batch_format="pyarrow").materialize()
+    e = _compact(e)
+    outd = bucketed_agg(e, src, [(None, "count_all", "out_deg")])
+    ind = bucketed_agg(e, dst, [(None, "count_all", "in_deg")])
+    tagged = hash_join(hash_join(e, outd, keys=src), ind, keys=dst)
+
+    # single global group: constant key column fused into the stream
+    tagged = tagged.map_batches(
+        lambda t: t.append_column("g", pa.array(
+            np.zeros(t.num_rows, dtype=np.int64), pa.int64())),
+        batch_format="pyarrow")
+    m = _bivariate_moments(tagged, ["g"], "out_deg", "in_deg")
+    if m.empty:
+        return pd.DataFrame({"n_edges": pd.Series([0], dtype="int64"),
+                             "r": pd.Series([np.nan], dtype="float64")})
+    row = m.iloc[0]
+    n = float(row["n"])
+    num = n * row["sxy"] - row["sx"] * row["sy"]
+    dx = n * row["sxx"] - row["sx"] * row["sx"]
+    dy = n * row["syy"] - row["sy"] * row["sy"]
+    r = num / (np.sqrt(dx) * np.sqrt(dy)) if dx > 0 and dy > 0 \
+        else np.nan
+    return pd.DataFrame({"n_edges": pd.Series([int(n)], dtype="int64"),
+                         "r": pd.Series([r], dtype="float64")})

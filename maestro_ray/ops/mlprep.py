@@ -318,3 +318,89 @@ def winsorize(
         return t.append_column(out_col, clipped)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def robust_scale(
+    ds: rd.Dataset,
+    cols: list[str],
+) -> rd.Dataset:
+    """Robust (median/IQR) feature scaling: for each column,
+    ``scaled = (x − median) / (q75 − q25)`` — the outlier-immune
+    alternative to z-score ``standardize`` (one huge value shifts a
+    mean/σ fit but not the quartiles). Quantiles are exact DuckDB
+    ``quantile_cont`` semantics (``_cont_pick``), so with the same
+    float expression a SQL twin is bit-exact.
+
+    Plan: one ``_value_counts`` distinct-value pass per column (loud
+    ``max_distinct`` driver bound — the exact-quantile tier; use
+    ``quantile_sketch`` stats for continuous 100-TB columns), then ONE
+    vectorized broadcast-constant pass. Zero-IQR columns scale to null
+    (constant feature); nulls stay null. Adds ``<col>_scaled``."""
+    from maestro_ray.ops.aggregates import _value_counts, _cont_pick
+
+    stats: dict[str, tuple[float, float]] = {}
+    for c in cols:
+        series, cum, n = _value_counts(ds, c)
+        if n == 0:
+            stats[c] = (0.0, 0.0)
+            continue
+        vals = series.to_numpy(dtype="float64")
+        med = _cont_pick(vals, cum, n, 0.5)
+        iqr = _cont_pick(vals, cum, n, 0.75) - _cont_pick(vals, cum, n, 0.25)
+        stats[c] = (med, iqr)
+
+    def scale(t: pa.Table) -> pa.Table:
+        for c in cols:
+            med, iqr = stats[c]
+            if iqr == 0.0:
+                scaled = pa.array([None] * t.num_rows, pa.float64())
+            else:
+                x = pc.cast(t.column(c), pa.float64())
+                scaled = pc.divide(pc.subtract(x, pa.scalar(med)),
+                                   pa.scalar(iqr))
+            t = t.append_column(f"{c}_scaled", scaled)
+        return t
+
+    return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def quantile_transform(
+    ds: rd.Dataset,
+    col: str,
+    out_col: str = "q_uniform",
+) -> rd.Dataset:
+    """Rank-based uniform quantile transform: each non-null value maps
+    to its SQL ``percent_rank() OVER (ORDER BY col)`` — (min_rank−1) /
+    (n−1), ties share their group's minimum rank — flattening any
+    input distribution onto [0, 1]. The heavy-tail normalizer for
+    feature columns before training.
+
+    Plan: the ranks are pure algebra over the ``_value_counts``
+    distinct-value frame (min_rank of value v = 1 + Σ counts of
+    smaller values — exact integers), broadcast once via ``ray.put``
+    and applied with one ``searchsorted`` per batch; the corpus never
+    shuffles and never sorts. Same loud driver bound as the exact
+    quantile tier. Nulls transform to null; n == 1 maps to 0.0 (the
+    SQL convention)."""
+    from maestro_ray.ops.aggregates import _value_counts
+
+    series, cum, n = _value_counts(ds, col)
+    vals = series.to_numpy(dtype="float64")
+    # min_rank of distinct value i = cum[i-1] + 1; percent_rank =
+    # (min_rank - 1) / (n - 1) = cum[i-1] / (n - 1)
+    prev = np.concatenate([[0], cum[:-1]]).astype(np.float64)
+    pr = prev / (n - 1) if n > 1 else np.zeros_like(prev)
+    ref = ray.put((vals, pr))
+
+    def apply(t: pa.Table) -> pa.Table:
+        v, p = ray.get(ref)
+        x = pc.cast(t.column(col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(x)
+        idx = np.searchsorted(v, np.where(ok, x, v[0] if len(v) else 0.0))
+        idx = np.clip(idx, 0, max(len(v) - 1, 0))
+        out = np.where(ok, p[idx] if len(p) else np.nan, np.nan)
+        return t.append_column(out_col, pa.array(
+            out, pa.float64(), from_pandas=True))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -114,6 +114,8 @@ ORACLE_NAMES = [
     "active_users", "lagged_corr", "naive_bayes",
     "bin_equal_depth", "decision_stump", "link_jaccard",
     "seasonal_decompose",
+    "holt_winters", "outlier_mad", "assortativity", "funnel_time",
+    "robust_scale", "quantile_transform",
 ]
 
 
