@@ -6027,6 +6027,51 @@ def _q_quantile_transform(sf):
     return P.project(out, columns=["event_id", "value", "q_uniform"])
 
 
+def _q_kendall_trend(sf):
+    """Per-user Mann–Kendall trend of event values over time
+    (ops/aggregates.py kendall_trend): Kendall tau-b between the
+    (ts, event_id)-ordered sequence position and value — exact integer
+    concordant/discordant/tie counts, one grouped shuffle with
+    vectorized O(n²) per-entity pair counting; tau is a fixed IEEE
+    expression over exact ints, bit-exact cross-engine (no rounding)."""
+    from maestro_ray.ops.aggregates import kendall_trend
+
+    ds = P.filter_rows(
+        _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                     "value"]),
+        lambda t: pc.is_valid(t.column("user_id")),
+    )
+    return kendall_trend(ds, "user_id", ["ts", "event_id"], "value")
+
+
+def _q_window_moving_slope(sf):
+    """ROWS-frame moving OLS slope of document length against the
+    per-source sequence position (ops/aggregates.py moving_slope):
+    the moving_corr integer-exactness contract — every frame sum is an
+    exact int in float64, the slope a fixed per-row IEEE expression, so
+    the twin spells the same explicit SUM() OVER sums + formula."""
+    from maestro_ray.ops.aggregates import moving_slope
+
+    ds = _read(sf, "documents", columns=["doc_id", "source", "n_chars"])
+    out = moving_slope(ds, "source", ["doc_id"], "n_chars", window=8)
+    return P.project(out, columns=["doc_id", "source", "n_chars",
+                                   "mov_slope"])
+
+
+def _q_clustering_coeff(sf):
+    """Per-host local clustering coefficient of the synthetic outlink
+    graph (ops/graph.py local_clustering): the triangle_count wedge
+    plan with a corner explode — distinct canonical string-host edges
+    materialized once, two bucketed hash joins, bucketed per-node
+    counts; cc = 2T/(d(d−1)) is a per-row division of exact ints
+    (bit-exact, no rounding). Engine earns the edges through the real
+    href-extraction path; the twin reconstructs the synthesis formula
+    (the html_meta precedent)."""
+    from maestro_ray.ops.graph import local_clustering
+
+    return local_clustering(_host_edges(sf), "src_host", "dst_host")
+
+
 def _mod20(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     # pc.mod does not exist in this pyarrow — numpy modulo (CLAUDE.md)
     v = col.to_numpy(zero_copy_only=False) if not isinstance(
@@ -6037,6 +6082,9 @@ def _mod20(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "kendall_trend": _q_kendall_trend,
+        "window_moving_slope": _q_window_moving_slope,
+        "clustering_coeff": _q_clustering_coeff,
         "holt_winters": _q_holt_winters,
         "outlier_mad": _q_outlier_mad,
         "assortativity": _q_assortativity,
@@ -6348,6 +6396,85 @@ def _zspread_sql(col: str) -> str:
 def oracle_sql() -> dict[str, str]:
     ev_types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
     return {
+        "kendall_trend": (
+            # tau-b with a strictly-increasing x side: every term an
+            # exact integer → the float expression is bit-identical
+            # cross-engine, NO rounding. `//` = BIGINT division.
+            "WITH e AS (SELECT user_id, value, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events WHERE value IS NOT NULL "
+            "AND user_id IS NOT NULL), "
+            "p AS (SELECT a.user_id, "
+            "CAST(count(*) FILTER (WHERE b.value > a.value) AS BIGINT) "
+            "AS concordant, "
+            "CAST(count(*) FILTER (WHERE b.value < a.value) AS BIGINT) "
+            "AS discordant "
+            "FROM e a JOIN e b ON a.user_id = b.user_id "
+            "AND b.rn > a.rn GROUP BY 1), "
+            "n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n0 "
+            "FROM e GROUP BY 1), "
+            "t AS (SELECT user_id, CAST(sum(c * (c - 1) // 2) AS "
+            "BIGINT) AS n2 FROM (SELECT user_id, value, "
+            "count(*) AS c FROM e GROUP BY 1, 2) GROUP BY 1) "
+            "SELECT n.user_id, n.n, p.concordant, p.discordant, "
+            "CAST(p.concordant - p.discordant AS DOUBLE) / "
+            "sqrt(CAST(n.n0 AS DOUBLE) * CAST(n.n0 - t.n2 AS DOUBLE)) "
+            "AS tau_b "
+            "FROM n JOIN p USING (user_id) JOIN t USING (user_id) "
+            "WHERE n.n0 > t.n2"
+        ),
+        "window_moving_slope": (
+            # explicit frame sums + the engine's exact formula (NOT
+            # regr_slope() OVER — its accumulation order differs);
+            # every summand is an exact int in float64
+            "WITH d AS (SELECT doc_id, source, n_chars, "
+            "CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY doc_id) AS DOUBLE) AS x FROM documents), "
+            "s AS (SELECT doc_id, source, n_chars, "
+            "CAST(count(n_chars) OVER w AS DOUBLE) AS n, "
+            "sum(x) OVER w AS sx, "
+            "sum(CAST(n_chars AS DOUBLE)) OVER w AS sy, "
+            "sum(x * n_chars) OVER w AS sxy, "
+            "sum(x * x) OVER w AS sxx FROM d "
+            "WINDOW w AS (PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) "
+            "SELECT doc_id, source, n_chars, "
+            "CASE WHEN n >= 2 THEN (n * sxy - sx * sy) / "
+            "(n * sxx - sx * sx) END AS mov_slope FROM s"
+        ),
+        "clustering_coeff": (
+            # the link_graph synthesis formula (html_meta precedent);
+            # canonical undirected distinct edges, a<b<c wedges, corner
+            # explode; cc = exact-int division, no rounding
+            "WITH tgt AS (SELECT doc_id, (doc_id * 31 + j * 97) % 1999 "
+            "AS t FROM documents, (SELECT unnest([1, 2, 3]) AS j) _j), "
+            "e0 AS (SELECT 'www.example' || CAST(doc_id % 23 AS "
+            "VARCHAR) || '.' || (CASE doc_id % 3 WHEN 0 THEN 'com' "
+            "WHEN 1 THEN 'org' ELSE 'net' END) AS src_host, "
+            "'www.example' || CAST(t % 23 AS VARCHAR) || '.' || "
+            "(CASE t % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE "
+            "'net' END) AS dst_host FROM tgt), "
+            "ed AS (SELECT DISTINCT least(src_host, dst_host) AS u, "
+            "greatest(src_host, dst_host) AS v FROM e0 "
+            "WHERE src_host <> dst_host), "
+            "w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            "FROM ed e1 JOIN ed e2 ON e1.v = e2.u), "
+            "t3 AS (SELECT w.a, w.b, w.c FROM w "
+            "JOIN ed e3 ON w.a = e3.u AND w.c = e3.v), "
+            "corn AS (SELECT a AS node FROM t3 UNION ALL "
+            "SELECT b FROM t3 UNION ALL SELECT c FROM t3), "
+            "tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles "
+            "FROM corn GROUP BY 1), "
+            "dg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree "
+            "FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) "
+            "GROUP BY 1) "
+            "SELECT dg.node, dg.degree, "
+            "CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles, "
+            "CAST(2 * coalesce(tn.triangles, 0) AS DOUBLE) / "
+            "CAST(dg.degree * (dg.degree - 1) AS DOUBLE) AS cc "
+            "FROM dg LEFT JOIN tn USING (node) WHERE dg.degree >= 2"
+        ),
         "holt_winters": (
             # the ewma float contract: binary-exact α=0.25 / β=0.5,
             # identical expression order → bit-identical, NO rounding

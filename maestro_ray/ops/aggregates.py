@@ -3479,3 +3479,149 @@ def moving_corr(
             out, pa.array(r, pa.float64(), from_pandas=True))
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def kendall_trend(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    max_group_rows: int = 100_000,
+) -> pd.DataFrame:
+    """Per-key Mann–Kendall trend: Kendall's tau-b between the
+    ``order_cols`` sequence position and ``value_col``.
+
+    Within each key the rows are ordered by ``order_cols`` (include a
+    unique tiebreak so the pair orientation is engine-independent);
+    every i<j pair is concordant when v_j > v_i, discordant when
+    v_j < v_i, and skipped on a value tie. Because the x side (the
+    sequence position) is strictly increasing, tau-b reduces to
+    (C − D) / sqrt(n0 · (n0 − n2)) with n0 = n(n−1)/2 and n2 the
+    value-tie pair count — every term an exact integer, so the float
+    expression is bit-identical across engines (the moving_corr
+    exactness contract; no rounding).
+
+    Plan: ONE ``groupby(key)`` shuffle; per group a vectorized O(n²)
+    pairwise sign count (groups are per-entity and small by contract —
+    ``max_group_rows`` fails loudly if not, pointing at sampling).
+    Only (key, n, C, D, tau) rows reach the driver. Nulls in
+    ``value_col`` are excluded up front; keys with n < 2 or all values
+    tied (n0 == n2) are omitted — mirror the same HAVING rule in any
+    SQL twin."""
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.is_valid(g.column(value_col)))
+        k_arr = g.column(key)
+        empty = pa.table({
+            key: pa.array([], k_arr.type),
+            "n": pa.array([], pa.int64()),
+            "concordant": pa.array([], pa.int64()),
+            "discordant": pa.array([], pa.int64()),
+            "tau_b": pa.array([], pa.float64()),
+        })
+        if g.num_rows < 2:
+            return empty
+        if g.num_rows > max_group_rows:
+            raise RuntimeError(
+                f"kendall_trend: group has {g.num_rows} rows "
+                f"(> {max_group_rows}); the O(n²) pair count is for "
+                "per-entity groups — pre-sample (sample_group_k) or "
+                "raise max_group_rows explicitly")
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        v = s.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = v.size
+        diff = v[None, :] - v[:, None]
+        upper = np.triu(np.ones((n, n), dtype=bool), k=1)
+        c = int(np.count_nonzero(diff[upper] > 0))
+        d = int(np.count_nonzero(diff[upper] < 0))
+        n0 = n * (n - 1) // 2
+        _, counts = np.unique(v, return_counts=True)
+        n2 = int((counts * (counts - 1) // 2).sum())
+        if n0 == n2:  # all values tied: tau undefined
+            return empty
+        tau = float(c - d) / np.sqrt(float(n0) * float(n0 - n2))
+        return pa.table({
+            key: k_arr.slice(0, 1),
+            "n": pa.array([n], pa.int64()),
+            "concordant": pa.array([c], pa.int64()),
+            "discordant": pa.array([d], pa.int64()),
+            "tau_b": pa.array([tau], pa.float64()),
+        })
+
+    out = (
+        ds.groupby(key)
+        .map_groups(per_key, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:  # empty Dataset loses its schema in to_pandas
+        return pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "concordant": pd.Series([], dtype="int64"),
+            "discordant": pd.Series([], dtype="int64"),
+            "tau_b": pd.Series([], dtype="float64"),
+        })
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def moving_slope(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    y_col: str,
+    window: int,
+    out: str = "mov_slope",
+) -> rd.Dataset:
+    """ROWS-frame moving OLS slope of ``y_col`` against the sequence
+    position per ``key`` (``regr_slope(y, rn) OVER (ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)`` semantics), ordered by
+    ``order_cols`` (include a unique tiebreak).
+
+    The x variable is the per-key row number (1-based), so x never
+    ties and every frame sum (n, Σx, Σy, Σxy, Σx²) is an exact integer
+    in float64 when ``y_col`` is integer-valued — the moving_corr
+    exactness contract: the slope is the fixed IEEE expression
+    (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), identical in any engine, so a SQL
+    twin spells the SAME explicit SUM(..) OVER sums + formula (NOT the
+    engine's incremental ``regr_slope() OVER``). Null y rows stay in
+    the frame for ordering but drop from every sum and from n (SQL
+    two-column aggregate semantics: x is never null here, so only y
+    nulls matter); frames with n < 2 or zero x-variance among non-null
+    rows yield null. One grouped shuffle; frames evaluate via a
+    strided window view — vectorized O(n·window)."""
+    if window < 2:
+        raise ValueError(f"moving_slope: window must be >= 2, got {window}")
+    if window > 256:
+        raise ValueError(
+            "moving_slope: window > 256 — direct per-frame summation is "
+            "the exactness contract; use a segment plan instead")
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        y = s.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        x = np.arange(1, s.num_rows + 1, dtype=np.float64)
+        ok = ~np.isnan(y)
+        yz = np.where(ok, y, 0.0)
+        xz = np.where(ok, x, 0.0)
+
+        def fsum(v: np.ndarray) -> np.ndarray:
+            pad = np.concatenate((np.zeros(window - 1), v))
+            return np.lib.stride_tricks \
+                .sliding_window_view(pad, window).sum(axis=1)
+
+        n = fsum(ok.astype(np.float64))
+        sx, sy = fsum(xz), fsum(yz)
+        sxy, sxx = fsum(xz * yz), fsum(xz * xz)
+        num = n * sxy - sx * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            den = n * sxx - sx * sx
+            r = num / den
+        r = np.where((n >= 2) & (den > 0), r, np.nan)
+        return s.append_column(
+            out, pa.array(r, pa.float64(), from_pandas=True))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

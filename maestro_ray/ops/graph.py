@@ -544,18 +544,22 @@ def _rename_cols(m: dict):
 
 
 def _canonical_edges(edges: rd.Dataset, src: str, dst: str,
-                     num_buckets: int) -> rd.Dataset:
+                     num_buckets: int,
+                     cast_int64: bool = True) -> rd.Dataset:
     """Distinct canonical undirected edge set (u < v): self-loops and
     null endpoints dropped per batch, ONE bucketed-distinct exchange,
     then materialized + block-compacted — shared by every plan that
     reuses the edge set across joins (triangle_count,
     common_neighbors); re-deriving it per plan leg would re-run the
-    caller's upstream pipeline (the pagerank lesson)."""
+    caller's upstream pipeline (the pagerank lesson).
+    ``cast_int64=False`` keeps the endpoint type as-is (string node
+    ids order lexicographically — min/max_element_wise support them)."""
     from maestro_ray.ops.aggregates import bucketed_distinct
 
     def canon(t: pa.Table) -> pa.Table:
-        a = pc.cast(t.column(src), pa.int64())
-        b = pc.cast(t.column(dst), pa.int64())
+        a, b = t.column(src), t.column(dst)
+        if cast_int64:
+            a, b = pc.cast(a, pa.int64()), pc.cast(b, pa.int64())
         ok = pc.and_kleene(
             pc.and_kleene(pc.is_valid(a), pc.is_valid(b)),
             pc.not_equal(a, b),
@@ -1023,3 +1027,105 @@ def degree_assortativity(
         else np.nan
     return pd.DataFrame({"n_edges": pd.Series([int(n)], dtype="int64"),
                          "r": pd.Series([r], dtype="float64")})
+
+
+def local_clustering(
+    edges: rd.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Per-node LOCAL clustering coefficient over an undirected graph:
+    cc(v) = 2·T(v) / (d(v)·(d(v)−1)) with T(v) the number of triangles
+    incident to v and d(v) its degree in the distinct canonical edge
+    set. Nodes with d < 2 are omitted (cc undefined — mirror the same
+    ``degree >= 2`` rule in any SQL twin).
+
+    Plan — fully distributed, the triangle_count wedge machinery with
+    a corner explode instead of a global count:
+
+    1. canonical distinct edges (u < v), endpoint type preserved
+       (string hosts ride as-is), materialized once and reused by all
+       three plan legs;
+    2. wedges a<b<c via one bucketed hash_join on the middle vertex,
+       closed against E on (a, c) — each triangle appears exactly once;
+    3. every closed triangle emits its 3 corners; one bucketed count
+       per node = T(v); degree from the bidirected edge list the same
+       way; one left hash_join (deg → tri) fills triangle-free nodes
+       with 0.
+
+    cc is a per-row division of exact integers — bit-exact
+    cross-engine, no rounding (the chi2/confusion_report contract).
+    Skew: wedge volume is Σ deg(b)²; cap or pre-split hot vertices
+    upstream for power-law graphs (the triangle_count note)."""
+    from maestro_ray.ops.joins import hash_join
+
+    e = _canonical_edges(edges, src, dst, num_buckets, cast_int64=False)
+    node_type = edges.schema().base_schema.field(src).type
+    if e.count() == 0:
+        # no surviving edges: empty result, schema kept (the
+        # empty-Dataset schema-loss class — build the table directly)
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], node_type),
+            "degree": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64()),
+            "cc": pa.array([], pa.float64()),
+        }))
+    wedges = hash_join(
+        e.map_batches(_rename_cols({"u": "a", "v": "b"}),
+                      batch_format="pyarrow"),
+        e.map_batches(_rename_cols({"u": "b", "v": "c"}),
+                      batch_format="pyarrow"),
+        keys="b", num_buckets=num_buckets)
+    tri = hash_join(
+        wedges,
+        e.map_batches(_rename_cols({"u": "a", "v": "c"}),
+                      batch_format="pyarrow"),
+        keys=["a", "c"], num_buckets=num_buckets)
+
+    def corners(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [t.select([c]).rename_columns(["node"])
+             for c in ("a", "b", "c")])
+
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    tri_n = bucketed_agg(
+        tri.map_batches(corners, batch_format="pyarrow"),
+        "node", [(None, "count_all", "triangles")],
+        n_buckets=num_buckets).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("u").combine_chunks(),
+             t.column("v").combine_chunks()])})
+
+    deg = bucketed_agg(
+        e.map_batches(endpoints, batch_format="pyarrow"),
+        "node", [(None, "count_all", "degree")],
+        n_buckets=num_buckets)
+    if tri_n.count() == 0:
+        # a triangle-free graph: the empty side would lose its schema
+        # through the join probe — null-fill triangles directly
+        joined = deg.map_batches(
+            lambda t: t.append_column(
+                "triangles", pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+    else:
+        joined = hash_join(deg, tri_n, keys="node",
+                           num_buckets=num_buckets,
+                           join_type="left outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("degree"), pa.int64())
+        tr = pc.cast(pc.fill_null(t.column("triangles"), 0), pa.int64())
+        cc = pc.divide(
+            pc.cast(pc.multiply(tr, pa.scalar(2, pa.int64())),
+                    pa.float64()),
+            pc.cast(pc.multiply(d, pc.subtract(
+                d, pa.scalar(1, pa.int64()))), pa.float64()))
+        out = pa.table({"node": t.column("node"), "degree": d,
+                        "triangles": tr, "cc": cc})
+        return out.filter(pc.greater_equal(d, 2))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
