@@ -6027,6 +6027,37 @@ def _q_quantile_transform(sf):
     return P.project(out, columns=["event_id", "value", "q_uniform"])
 
 
+def _q_cdc_rollback(sf):
+    """Lake UNDO (pipelines/rollback.py rollback_lake): clone the
+    replay lake, roll the clone back to a mid-history epoch (one new
+    manifest whose partition map is the target's by reference — O(1),
+    zero data movement, watermark kept), and return its live state,
+    asserted internally to equal read_lake_at(src, mid). Rows-only;
+    inverse-feed / resume / vacuum / fsck oracles are pytest
+    (tests/replay/test_rollback.py)."""
+    from maestro_ray.core.manifest import list_epochs
+    from maestro_ray.io.lake import clone_lake, read_lake, read_lake_at
+    from maestro_ray.pipelines.rollback import rollback_lake
+
+    src = _cdc_lake(sf)
+    dst = src + "_rb"
+    done = dst + "._DONE"
+    epochs = list_epochs(src)
+    mid = epochs[len(epochs) // 2]
+    if not os.path.exists(done):
+        shutil.rmtree(dst, ignore_errors=True)
+        clone_lake(src, dst, with_history=True)
+        rollback_lake(dst, mid)
+        open(done, "w").close()
+    cols = ["url", "warc_ts", "lang"]
+    got = read_lake(dst, columns=cols).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = read_lake_at(src, mid, columns=cols).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert got.equals(want), "rollback state drifted from the target"
+    return got
+
+
 def _q_kendall_trend(sf):
     """Per-user Mann–Kendall trend of event values over time
     (ops/aggregates.py kendall_trend): Kendall tau-b between the
@@ -6082,6 +6113,7 @@ def _mod20(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "cdc_rollback": _q_cdc_rollback,
         "kendall_trend": _q_kendall_trend,
         "window_moving_slope": _q_window_moving_slope,
         "clustering_coeff": _q_clustering_coeff,

@@ -116,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
     p_mb.add_argument("--branch", required=True)
     p_mb.add_argument("--fork-epoch", type=int, required=True)
 
+    p_rb = sub.add_parser(
+        "rollback",
+        help="restore the lake to an earlier epoch as a NEW epoch "
+             "(manifest-level undo; history preserved, watermark kept)")
+    p_rb.add_argument("--lake-dir", required=True)
+    p_rb.add_argument("--to-epoch", type=int, required=True)
+
     p_fs = sub.add_parser(
         "fsck", help="lake integrity audit (referenced files, rows, "
                      "checksums, strays)")
@@ -228,6 +235,14 @@ def main(argv: list[str] | None = None) -> int:
         m = clone_lake(args.src, args.dst, args.epoch)
         print(json.dumps({"cloned_epoch": m.epoch,
                           "partitions": len(m.partitions)}))
+        return 0
+
+    if args.cmd == "rollback":  # pure manifest surgery, no Ray
+        from maestro_ray.pipelines.rollback import rollback_lake
+
+        m = rollback_lake(args.lake_dir, args.to_epoch)
+        print(json.dumps({"epoch": m.epoch, "watermark": m.watermark,
+                          "counters": m.counters}))
         return 0
 
     if args.cmd == "fsck":  # thread-pool file checks, no Ray session

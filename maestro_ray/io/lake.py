@@ -321,7 +321,8 @@ def read_lake_since(lake_dir: str, since_ts_us: int,
 
 
 def clone_lake(src_dir: str, dst_dir: str,
-               epoch: int | None = None) -> Manifest:
+               epoch: int | None = None,
+               with_history: bool = False) -> Manifest:
     """Zero-copy branch: materialize ``src_dir``'s state at ``epoch``
     (default: newest) as an independent lake at ``dst_dir``.
 
@@ -333,12 +334,21 @@ def clone_lake(src_dir: str, dst_dir: str,
     the other. The branch starts with exactly one manifest (its base
     epoch) plus the base epoch's lineage records; further ``ingest``
     into it continues from epoch+1 and diverges freely. A vacuumed base
-    epoch fails loudly, same contract as time travel."""
+    epoch fails loudly, same contract as time travel.
+
+    ``with_history=True`` additionally carries over every RETAINED
+    manifest at or below the base epoch whose referenced files still
+    exist (plus those files and lineage, hardlinked the same way) — a
+    branch with working time travel / change feeds / rollback.
+    Partially-vacuumed history epochs are silently skipped (the fsck
+    ``missing_history`` warning class: their manifests were already
+    unreadable on the source)."""
     import errno
     import shutil
 
     from maestro_ray.core.manifest import (
         LINEAGE_DIR,
+        list_epochs,
         manifest_at,
         manifest_path,
         write_manifest_atomic,
@@ -376,16 +386,28 @@ def clone_lake(src_dir: str, dst_dir: str,
                 return
             raise
 
-    for v in m.partitions.values():
-        if v["rows"] > 0:
-            link(os.path.join(src_dir, v["file"]),
-                 os.path.join(dst_dir, v["file"]))
-    lin = os.path.join(src_dir, LINEAGE_DIR,
-                       f"epoch-{epoch:012d}.parquet")
-    if os.path.exists(lin):
-        link(lin, os.path.join(dst_dir, LINEAGE_DIR,
-                               os.path.basename(lin)))
-    write_manifest_atomic(manifest_path(dst_dir, epoch), m)
+    def clone_one(mx: Manifest) -> None:
+        for v in mx.partitions.values():
+            if v["rows"] > 0:
+                link(os.path.join(src_dir, v["file"]),
+                     os.path.join(dst_dir, v["file"]))
+        lin = os.path.join(src_dir, LINEAGE_DIR,
+                           f"epoch-{mx.epoch:012d}.parquet")
+        if os.path.exists(lin):
+            link(lin, os.path.join(dst_dir, LINEAGE_DIR,
+                                   os.path.basename(lin)))
+        write_manifest_atomic(manifest_path(dst_dir, mx.epoch), mx)
+
+    if with_history:
+        for e in list_epochs(src_dir):
+            if e >= epoch:
+                continue
+            mh = manifest_at(src_dir, e)
+            if all(v["rows"] == 0 or os.path.exists(
+                    os.path.join(src_dir, v["file"]))
+                   for v in mh.partitions.values()):
+                clone_one(mh)
+    clone_one(m)
     return m
 
 

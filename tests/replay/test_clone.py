@@ -132,3 +132,46 @@ def test_clone_time_travels_from_its_base(lake, tmp_path):
     clone_lake(lake, dst, mid)
     assert manifest_at(dst, mid).to_json() == \
         manifest_at(lake, mid).to_json()
+
+
+def test_clone_with_history_carries_retained_epochs(lake, tmp_path):
+    """with_history=True: every retained source epoch is addressable
+    on the branch (manifests byte-equal), partition files share inodes,
+    and a partially-vacuumed history epoch is skipped silently."""
+    from maestro_ray.io.lake import read_lake_at
+
+    epochs = list_epochs(lake)
+    dst = str(tmp_path / "hbranch")
+    clone_lake(lake, dst, with_history=True)
+    assert list_epochs(dst) == epochs
+    for e in epochs:
+        assert manifest_at(dst, e).to_json() == \
+            manifest_at(lake, e).to_json()
+        got = read_lake_at(dst, e).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        want = read_lake_at(lake, e).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        assert got.equals(want), f"epoch {e}"
+    # inode sharing (zero-copy): spot-check one head file
+    m = latest_manifest(lake)
+    rel = next(v["file"] for v in m.partitions.values() if v["rows"] > 0)
+    assert os.path.samefile(os.path.join(lake, rel),
+                            os.path.join(dst, rel))
+
+
+def test_clone_with_history_skips_vacuumed_epochs(lake, tmp_path):
+    """Delete one old partition file on a throwaway full-history branch
+    and re-branch from IT: the damaged epoch is skipped, newer intact
+    epochs survive."""
+    mid_src = str(tmp_path / "mid")
+    clone_lake(lake, mid_src, with_history=True)
+    epochs = list_epochs(mid_src)
+    victim = manifest_at(mid_src, epochs[0])
+    rel = next(v["file"] for v in victim.partitions.values()
+               if v["rows"] > 0)
+    os.unlink(os.path.join(mid_src, rel))
+    dst = str(tmp_path / "skipbranch")
+    clone_lake(mid_src, dst, with_history=True)
+    got = list_epochs(dst)
+    assert epochs[0] not in got
+    assert got[-1] == epochs[-1]
