@@ -6058,6 +6058,32 @@ def _q_cdc_rollback(sf):
     return got
 
 
+def _q_join_jaro(sf):
+    """Jaro–Winkler fuzzy self-join over distinct part names
+    (ops/joins.py jaro_winkler_join): vectorized byte kernel pinned
+    BIT-EXACT to DuckDB's jaro_winkler_similarity (floored
+    transpositions, byte-level window, 0.7-gated prefix boost), so the
+    threshold filter is cross-engine consistent and jw compares raw —
+    no rounding. Right side broadcasts behind the fuzzy-join guard."""
+    from maestro_ray.ops.aggregates import bucketed_distinct
+    from maestro_ray.ops.joins import jaro_winkler_join
+
+    ds = P.filter_rows(
+        _read(sf, "part", columns=["p_name"]),
+        lambda t: pc.is_valid(t.column("p_name")))
+    names = bucketed_distinct(ds, ["p_name"]).materialize()
+    pairs = jaro_winkler_join(names, names.to_pandas(), "p_name",
+                              "p_name", min_sim=0.72)
+
+    def finish(t: pa.Table) -> pa.Table:
+        o = pa.table({"name_a": t.column("p_name"),
+                      "name_b": t.column("p_name_r"),
+                      "jw": t.column("jw")})
+        return o.filter(pc.less(o.column("name_a"), o.column("name_b")))
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_kendall_trend(sf):
     """Per-user Mann–Kendall trend of event values over time
     (ops/aggregates.py kendall_trend): Kendall tau-b between the
@@ -6114,6 +6140,7 @@ def _mod20(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_rollback": _q_cdc_rollback,
+        "join_jaro": _q_join_jaro,
         "kendall_trend": _q_kendall_trend,
         "window_moving_slope": _q_window_moving_slope,
         "clustering_coeff": _q_clustering_coeff,
@@ -6428,6 +6455,16 @@ def _zspread_sql(col: str) -> str:
 def oracle_sql() -> dict[str, str]:
     ev_types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
     return {
+        "join_jaro": (
+            # the engine kernel is pinned bit-exact to DuckDB's
+            # jaro_winkler_similarity, so jw compares RAW
+            "WITH n AS (SELECT DISTINCT p_name FROM part "
+            "WHERE p_name IS NOT NULL) "
+            "SELECT a.p_name AS name_a, b.p_name AS name_b, "
+            "jaro_winkler_similarity(a.p_name, b.p_name) AS jw "
+            "FROM n a JOIN n b ON a.p_name < b.p_name "
+            "WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.72"
+        ),
         "kendall_trend": (
             # tau-b with a strictly-increasing x side: every term an
             # exact integer → the float expression is bit-identical

@@ -952,3 +952,145 @@ def edit_distance(
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _jaro_winkler_pairs(a_list: list[str], b_list: list[str]
+                        ) -> np.ndarray:
+    """Vectorized Jaro–Winkler similarity over aligned string pairs —
+    pinned BIT-EXACT to DuckDB's ``jaro_winkler_similarity`` (verified
+    against 8k random pairs incl. multibyte; tests/unit): BYTE-level
+    (UTF-8), empty-vs-empty = 0, match window
+    ``max(0, max(l1,l2)//2 − 1)``, greedy leftmost matching,
+    transpositions floored (``mismatches // 2``), prefix boost
+    ``sim + l·0.1·(1−sim)`` with l = common byte prefix ≤ 4 applied
+    only when sim > 0.7.
+
+    All numpy: padded byte matrices, one greedy-match argmax sweep per
+    s1 position (O(L1) vectorized steps over all pairs at once), rank
+    scatter for the transposition compare — no per-pair Python."""
+    p_n = len(a_list)
+    if p_n == 0:
+        return np.zeros(0, np.float64)
+    ab = [s.encode() if isinstance(s, str) else bytes(s)
+          for s in a_list]
+    bb = [s.encode() if isinstance(s, str) else bytes(s)
+          for s in b_list]
+    l1 = np.fromiter((len(x) for x in ab), np.int64, p_n)
+    l2 = np.fromiter((len(x) for x in bb), np.int64, p_n)
+    L1 = int(l1.max(initial=0))
+    L2 = int(l2.max(initial=0))
+
+    def mat(blobs, lens, width):
+        out = np.zeros((p_n, max(width, 1)), np.uint8)
+        flat = np.frombuffer(b"".join(blobs), np.uint8)
+        if len(flat):
+            rows = np.repeat(np.arange(p_n), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            cols = np.arange(len(flat)) - np.repeat(starts, lens)
+            out[rows, cols] = flat
+        return out
+
+    A = mat(ab, l1, L1)
+    B = mat(bb, l2, L2)
+    window = np.maximum(0, np.maximum(l1, l2) // 2 - 1)
+    j_idx = np.arange(B.shape[1])[None, :]
+    in_b = j_idx < l2[:, None]
+    matched1 = np.zeros((p_n, A.shape[1]), bool)
+    matched2 = np.zeros((p_n, B.shape[1]), bool)
+    m = np.zeros(p_n, np.int64)
+    rows_all = np.arange(p_n)
+    for i in range(L1):
+        act = i < l1
+        cand = (B == A[:, i][:, None]) & ~matched2 & in_b \
+            & (np.abs(j_idx - i) <= window[:, None]) & act[:, None]
+        j_star = np.argmax(cand, axis=1)
+        has = cand[rows_all, j_star]
+        matched2[rows_all[has], j_star[has]] = True
+        matched1[has, i] = True
+        m += has
+    mmax = int(m.max(initial=0))
+    t = np.zeros(p_n, np.int64)
+    if mmax:
+        rank1 = np.cumsum(matched1, axis=1) - 1
+        rank2 = np.cumsum(matched2, axis=1) - 1
+        a_seq = np.zeros((p_n, mmax), np.uint8)
+        b_seq = np.zeros((p_n, mmax), np.uint8)
+        r1 = np.nonzero(matched1)
+        a_seq[r1[0], rank1[r1]] = A[r1]
+        r2 = np.nonzero(matched2)
+        b_seq[r2[0], rank2[r2]] = B[r2]
+        k_idx = np.arange(mmax)[None, :]
+        t = ((a_seq != b_seq) & (k_idx < m[:, None])).sum(axis=1) // 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sj = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    sj = np.where(m > 0, sj, 0.0)
+    pw = min(4, A.shape[1], B.shape[1])
+    eq = (A[:, :pw] == B[:, :pw]) \
+        & (np.arange(pw)[None, :] < np.minimum(l1, l2)[:, None])
+    prefix = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
+    return np.where(sj > 0.7, sj + prefix * 0.1 * (1 - sj), sj)
+
+
+def jaro_winkler_join(
+    left: rd.Dataset,
+    right,
+    left_col: str,
+    right_col: str,
+    min_sim: float,
+    max_right_rows: int = 10_000,
+    suffix: str = "_r",
+    out: str = "jw",
+) -> rd.Dataset:
+    """Fuzzy string similarity join on Jaro–Winkler: every (left,
+    right) pair with ``jaro_winkler_similarity >= min_sim``, the
+    similarity as ``out``. Same shape as ``levenshtein_join``: the
+    right relation broadcasts behind a row guard, each left batch
+    evaluates its cartesian strip with the vectorized byte kernel
+    (bit-exact to DuckDB — thresholding cross-engine is therefore
+    consistent), null strings never match."""
+    import ray
+
+    if not (0.0 <= min_sim <= 1.0):
+        raise ValueError(f"jaro_winkler_join: min_sim={min_sim}")
+    r = _as_table(right)
+    if r.num_rows > max_right_rows:
+        raise ValueError(
+            f"jaro_winkler_join: right side has {r.num_rows} rows > "
+            f"max_right_rows={max_right_rows} — block/prefilter first")
+    lnames = set(left.schema().base_schema.names)
+    r = r.rename_columns([c + suffix if c in lnames else c
+                          for c in r.column_names])
+    rkey = right_col + suffix if right_col in lnames else right_col
+    r = r.filter(pc.is_valid(r.column(rkey)))
+    r_ref = ray.put(r)
+
+    def match(batch: pa.Table) -> pa.Table:
+        rt = ray.get(r_ref)
+        lt = batch.filter(pc.is_valid(batch.column(left_col)))
+        nl, nr = lt.num_rows, rt.num_rows
+        empty_cols = {
+            **{c: pa.array([], lt.schema.field(c).type)
+               for c in lt.column_names},
+            **{c: pa.array([], rt.schema.field(c).type)
+               for c in rt.column_names},
+            out: pa.array([], pa.float64()),
+        }
+        if nl == 0 or nr == 0:
+            return pa.table(empty_cols)
+        ls = lt.column(left_col).to_pylist()
+        rs = rt.column(rkey).to_pylist()
+        a = [s for s in ls for _ in range(nr)]
+        b = rs * nl
+        jw = _jaro_winkler_pairs(a, b)
+        keep = np.flatnonzero(jw >= min_sim)
+        if not len(keep):
+            return pa.table(empty_cols)
+        li = pa.array(keep // nr, pa.int64())
+        ri = pa.array(keep % nr, pa.int64())
+        o = lt.take(li)
+        rtk = rt.take(ri)
+        for c in rtk.column_names:
+            o = o.append_column(c, rtk.column(c))
+        return o.append_column(out, pa.array(jw[keep], pa.float64()))
+
+    return left.map_batches(match, batch_format="pyarrow")
