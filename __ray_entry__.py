@@ -6058,6 +6058,35 @@ def _q_cdc_rollback(sf):
     return got
 
 
+def _q_ngram_diversity(sf):
+    """Per-document bigram lexical diversity (ops/corpus.py
+    bigram_diversity): distinct/total adjacent pairs on the pinned
+    single-space tokenizer — one Arrow hash-aggregate per batch, no
+    shuffle (docs never span batches); diversity is a per-row division
+    of exact ints, bit-exact cross-engine."""
+    from maestro_ray.ops.corpus import bigram_diversity
+
+    ds = P.filter_rows(
+        _read(sf, "documents", columns=["doc_id", "text"]),
+        lambda t: pc.is_valid(t.column("text")))
+    return bigram_diversity(ds)
+
+
+def _q_anova_oneway(sf):
+    """One-way ANOVA of document length across sources
+    (ops/aggregates.py anova_oneway): per-group (n, Σv, Σv²) exact-int
+    partials, driver fold in sorted group order; F rounded 6dp (the
+    corr reduction policy — Σ S_g²/n_g is the one order-sensitive
+    float sum, spelled identically in the twin)."""
+    from maestro_ray.ops.aggregates import anova_oneway
+
+    ds = P.filter_rows(
+        _read(sf, "documents", columns=["source", "n_chars"]),
+        lambda t: pc.and_(pc.is_valid(t.column("source")),
+                          pc.is_valid(t.column("n_chars"))))
+    return anova_oneway(ds, "source", "n_chars")
+
+
 def _q_join_jaro(sf):
     """Jaro–Winkler fuzzy self-join over distinct part names
     (ops/joins.py jaro_winkler_join): vectorized byte kernel pinned
@@ -6141,6 +6170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_rollback": _q_cdc_rollback,
         "join_jaro": _q_join_jaro,
+        "ngram_diversity": _q_ngram_diversity,
+        "anova_oneway": _q_anova_oneway,
         "kendall_trend": _q_kendall_trend,
         "window_moving_slope": _q_window_moving_slope,
         "clustering_coeff": _q_clustering_coeff,
@@ -6455,6 +6486,39 @@ def _zspread_sql(col: str) -> str:
 def oracle_sql() -> dict[str, str]:
     ev_types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
     return {
+        "ngram_diversity": (
+            # the bigram_top tokenizer contract; diversity is an
+            # exact-int division, no rounding
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "WHERE text IS NOT NULL), "
+            "u AS (SELECT doc_id, "
+            "generate_subscripts(str_split(text, ' '), 1) AS ord, "
+            "unnest(str_split(text, ' ')) AS tok FROM d), "
+            "p AS (SELECT doc_id, tok || ' ' || lead(tok) OVER "
+            "(PARTITION BY doc_id ORDER BY ord) AS bg FROM u), "
+            "c AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+            "count(DISTINCT bg)::BIGINT AS n_distinct FROM p "
+            "WHERE bg IS NOT NULL GROUP BY 1) "
+            "SELECT doc_id, n_bigrams, n_distinct, "
+            "CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE) "
+            "AS diversity FROM c"
+        ),
+        "anova_oneway": (
+            # the engine's exact moment expression; F rounded 6dp (the
+            # one order-sensitive float sum is sum(s_g*s_g/n_g))
+            "WITH g AS (SELECT source, count(*)::BIGINT AS n_g, "
+            "CAST(sum(n_chars) AS DOUBLE) AS s_g, "
+            "CAST(sum(n_chars * n_chars) AS DOUBLE) AS q_g "
+            "FROM documents WHERE n_chars IS NOT NULL "
+            "AND source IS NOT NULL GROUP BY 1), "
+            "t AS (SELECT count(*)::BIGINT AS k, "
+            "CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s, "
+            "sum(q_g) AS q, sum(s_g * s_g / n_g) AS tt FROM g) "
+            "SELECT k AS k_groups, n, k - 1 AS df_between, "
+            "n - k AS df_within, "
+            "round(((tt - s * s / n) / (k - 1)) / "
+            "((q - tt) / (n - k)), 6) AS f_stat FROM t"
+        ),
         "join_jaro": (
             # the engine kernel is pinned bit-exact to DuckDB's
             # jaro_winkler_similarity, so jw compares RAW

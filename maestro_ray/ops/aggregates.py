@@ -3625,3 +3625,57 @@ def moving_slope(
             out, pa.array(r, pa.float64(), from_pandas=True))
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def anova_oneway(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """One-way ANOVA F-test of ``value_col`` across ``group_col``
+    levels: F = (SSB/(k−1)) / (SSW/(N−k)) from per-group
+    (n, Σv, Σv²) partials — one streaming pass (``grouped_agg``'s
+    mergeable-partial plan via an Arrow per-batch pre-aggregate), the
+    k-row fold on the driver in sorted group order.
+
+    Exactness: with integer-valued inputs every group sum is exact in
+    float64; the between-group term Σ S_g²/n_g is the one
+    order-sensitive float reduction, so F is rounded (``round_to``, the
+    corr policy) — a SQL twin spells the SAME moment expression. Null
+    values and null groups are excluded; requires k ≥ 2 and N > k with
+    positive within-variance (degenerate inputs raise)."""
+    def prep(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        v = pc.cast(t.column(value_col), pa.float64())
+        keep = pc.and_(pc.is_valid(g), pc.is_valid(v))
+        out = pa.table({group_col: g, "__v": v,
+                        "__v2": pc.multiply(v, v)})
+        return out.filter(keep)
+
+    stats = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        group_col,
+        {"n_g": (None, "count"), "s_g": ("__v", "sum"),
+         "q_g": ("__v2", "sum")},
+    ).sort_values(group_col)
+    k = len(stats)
+    if k < 2:
+        raise ValueError(f"anova_oneway: need >= 2 groups, got {k}")
+    n = int(stats["n_g"].sum())
+    if n <= k:
+        raise ValueError(f"anova_oneway: N={n} <= k={k}")
+    s = float(stats["s_g"].sum())
+    q = float(stats["q_g"].sum())
+    t_term = float((stats["s_g"] * stats["s_g"] / stats["n_g"]).sum())
+    ssw = q - t_term
+    if ssw <= 0:
+        raise ValueError("anova_oneway: zero within-group variance")
+    f = ((t_term - s * s / n) / (k - 1)) / (ssw / (n - k))
+    return pd.DataFrame({
+        "k_groups": pd.Series([k], dtype="int64"),
+        "n": pd.Series([n], dtype="int64"),
+        "df_between": pd.Series([k - 1], dtype="int64"),
+        "df_within": pd.Series([n - k], dtype="int64"),
+        "f_stat": pd.Series([round(f, round_to)], dtype="float64"),
+    })

@@ -1096,6 +1096,58 @@ def doc_bigrams(
     return ds.map_batches(bg, batch_format="pyarrow")
 
 
+def bigram_diversity(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = " ",
+) -> rd.Dataset:
+    """Per-document lexical diversity at the bigram level: total
+    adjacent-pair count, DISTINCT pair count, and their ratio — the
+    distinct-n diversity signal (a low ratio flags template/boilerplate
+    repetition; the per-doc dual of ``repetition_stats``).
+
+    The ``doc_bigrams`` vectorized shape, finished per batch: every
+    document's pairs are contiguous within its batch, so ONE Arrow C++
+    hash-aggregate per batch computes exact per-doc distinct counts —
+    no shuffle anywhere, the result streams one row per document.
+    Diversity is a per-row division of exact ints (bit-exact
+    cross-engine, no rounding). Docs with no bigram (< 2 tokens, null
+    text) are omitted — mirror ``WHERE bg IS NOT NULL`` in a SQL twin."""
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(texts, pattern=delim)
+        lens = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        total = int(lens.sum())
+        is_last = np.zeros(total, dtype=bool)
+        ends = np.cumsum(lens) - 1
+        is_last[ends[lens > 0]] = True
+        idx = np.flatnonzero(~is_last)
+        pairs = pc.binary_join_element_wise(
+            flat.take(pa.array(idx)), flat.take(pa.array(idx + 1)),
+            delim)
+        ids = t.column(id_col).take(
+            pa.array(np.repeat(np.arange(len(t)), lens)[idx]))
+        per_pair = pa.table({id_col: ids, "bigram": pairs}) \
+            .group_by([id_col, "bigram"]) \
+            .aggregate([([], "count_all")])
+        per_doc = per_pair.group_by(id_col).aggregate(
+            [("count_all", "sum"), ([], "count_all")])
+        n_bg = pc.cast(per_doc.column("count_all_sum"), pa.int64())
+        n_di = pc.cast(per_doc.column("count_all"), pa.int64())
+        div = pc.divide(pc.cast(n_di, pa.float64()),
+                        pc.cast(n_bg, pa.float64()))
+        return pa.table({id_col: per_doc.column(id_col),
+                         "n_bigrams": n_bg, "n_distinct": n_di,
+                         "diversity": div})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def zipf_fit(
     ds: rd.Dataset,
     group_col: str,
