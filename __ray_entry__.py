@@ -6058,6 +6058,38 @@ def _q_cdc_rollback(sf):
     return got
 
 
+def _q_dbscan(sf):
+    """Density clustering (ops/spatial.py dbscan) over planted integer
+    blobs derived from the shared multiplicative-hash contract: 9
+    40×40 blobs on a 300-spaced grid plus a uniform scatter decile —
+    grid-bucketed radius join, bucketed neighbor counts, core-graph
+    connected components, min-label border attachment. Deterministic
+    variant (cluster = min core id; border ties → min cluster), so the
+    twin reproduces it with a recursive min-label closure. Exact ints
+    end to end."""
+    from maestro_ray.ops.corpus import _mult_hash
+    from maestro_ray.ops.spatial import dbscan
+
+    cust = _read(sf, "customer", columns=["c_custkey"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = _mult_hash(k, "dbscan").astype(np.int64)
+        sel = h % 10
+        blob = sel < 9
+        x = np.where(blob, 100 + 300 * (sel % 3) + (h // 10) % 40,
+                     (h // 10) % 1000)
+        y = np.where(blob, 100 + 300 * (sel // 3) + (h // 400) % 40,
+                     (h // 10000) % 1000)
+        return pa.table({"id": t.column("c_custkey"),
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    pts = cust.map_batches(coords, batch_format="pyarrow")
+    return dbscan(pts, eps=60, min_pts=5)
+
+
 def _q_ngram_diversity(sf):
     """Per-document bigram lexical diversity (ops/corpus.py
     bigram_diversity): distinct/total adjacent pairs on the pinned
@@ -6170,6 +6202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_rollback": _q_cdc_rollback,
         "join_jaro": _q_join_jaro,
+        "dbscan": _q_dbscan,
         "ngram_diversity": _q_ngram_diversity,
         "anova_oneway": _q_anova_oneway,
         "kendall_trend": _q_kendall_trend,
@@ -6486,6 +6519,44 @@ def _zspread_sql(col: str) -> str:
 def oracle_sql() -> dict[str, str]:
     ev_types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
     return {
+        "dbscan": (
+            # the spatial_join hash spelling + planted blob layout;
+            # recursive min-label closure over the core graph
+            "WITH RECURSIVE "
+            "k AS (SELECT c_custkey AS id, CAST((CAST(c_custkey % "
+            "4294967296 AS HUGEINT) * 2654435761) % 4294967296 AS "
+            "BIGINT) AS h FROM customer), "
+            "p AS (SELECT id, CASE WHEN h % 10 < 9 THEN 100 + 300 * "
+            "((h % 10) % 3) + (h // 10) % 40 ELSE (h // 10) % 1000 "
+            "END AS x, CASE WHEN h % 10 < 9 THEN 100 + 300 * "
+            "((h % 10) // 3) + (h // 400) % 40 ELSE (h // 10000) % "
+            "1000 END AS y FROM k), "
+            "e AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON "
+            "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
+            "<= 3600), "
+            "deg AS (SELECT ia AS id, count(*)::BIGINT AS n FROM e "
+            "GROUP BY 1), "
+            "core AS (SELECT id FROM deg WHERE n >= 5), "
+            "ce AS (SELECT e.ia, e.ib FROM e "
+            "JOIN core ca ON e.ia = ca.id "
+            "JOIN core cb ON e.ib = cb.id WHERE e.ia <> e.ib), "
+            "reach AS (SELECT id, id AS lab FROM core "
+            "UNION SELECT ce.ib AS id, reach.lab FROM reach "
+            "JOIN ce ON reach.id = ce.ia), "
+            "lab AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster "
+            "FROM reach GROUP BY 1), "
+            "bord AS (SELECT e.ia AS id, CAST(min(lab.cluster) AS "
+            "BIGINT) AS cluster FROM e "
+            "JOIN lab ON e.ib = lab.id "
+            "LEFT JOIN core c2 ON e.ia = c2.id "
+            "WHERE c2.id IS NULL GROUP BY 1) "
+            "SELECT p.id, CASE WHEN lab.cluster IS NOT NULL THEN "
+            "'core' WHEN bord.cluster IS NOT NULL THEN 'border' "
+            "ELSE 'noise' END AS role, "
+            "coalesce(lab.cluster, bord.cluster) AS cluster "
+            "FROM p LEFT JOIN lab ON p.id = lab.id "
+            "LEFT JOIN bord ON p.id = bord.id"
+        ),
         "ngram_diversity": (
             # the bigram_top tokenizer contract; diversity is an
             # exact-int division, no rounding

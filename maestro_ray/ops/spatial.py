@@ -110,3 +110,135 @@ def radius_join(
         return t.filter(pa.array(keep)).select([lid, rid, "dist2"])
 
     return joined.map_batches(dist_filter, batch_format="pyarrow")
+
+
+def dbscan(
+    points: rd.Dataset,
+    eps: int,
+    min_pts: int,
+    cols: tuple[str, str, str] = ("id", "x", "y"),
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Distributed DBSCAN over integer 2-D points — deterministic
+    variant: cluster label = MIN core id in the density-connected
+    component, border points attach to the MIN cluster among their
+    core neighbors (standard DBSCAN leaves that tie arbitrary; pinning
+    it makes the result engine-independent and SQL-twinnable).
+
+    Returns (id, role, cluster): role ∈ core/border/noise, cluster
+    null for noise. Definitions are the textbook ones with the
+    neighbor count INCLUDING the point itself (``|N_eps(p)| >=
+    min_pts``).
+
+    Plan — every stage a bounded exchange, nothing on the driver:
+    ``radius_join`` (grid cells + halo, O(|P| + 9|P|) exchange, never
+    the cross join) → one bucketed neighbor count → core-core edges by
+    two inner hash joins against the core id table →
+    ``connected_components`` (contraction + guarded finish) → border
+    attachment via one join + bucketed min → two left joins to
+    classify. The points Dataset is materialized + compacted once and
+    reused by all legs (the pagerank lesson). Ids must be integer
+    (connected_components' contract)."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.graph import connected_components
+    from maestro_ray.ops.joins import hash_join
+    from maestro_ray.ops.partition import compact_blocks
+
+    if min_pts < 1:
+        raise ValueError(f"dbscan: min_pts must be >= 1 ({min_pts})")
+    pid, px, py = cols
+    pts = compact_blocks(points.materialize())
+    left = pts.map_batches(
+        lambda t, _m={pid: "__pa", px: "x", py: "y"}: t.select(
+            [pid, px, py]).rename_columns(["__pa", "x", "y"]),
+        batch_format="pyarrow")
+    right = pts.map_batches(
+        lambda t: t.select([pid, px, py]).rename_columns(
+            ["__pb", "x", "y"]),
+        batch_format="pyarrow")
+    pairs = compact_blocks(radius_join(
+        left, right, eps, left_cols=("__pa", "x", "y"),
+        right_cols=("__pb", "x", "y"),
+        num_buckets=num_buckets).materialize())
+
+    deg = bucketed_agg(pairs, "__pa", [(None, "count_all", "__n")],
+                       n_buckets=num_buckets)
+    core = compact_blocks(deg.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t.column("__n"), min_pts)).select(["__pa"]),
+        batch_format="pyarrow").materialize())
+    if core.count() == 0:
+        # no density anywhere: all points are noise (typed directly —
+        # the empty-Dataset schema-loss class)
+        id_type = points.schema().base_schema.field(pid).type
+
+        def all_noise(t: pa.Table) -> pa.Table:
+            return pa.table({
+                pid: t.column(pid),
+                "role": pa.array(["noise"] * t.num_rows, pa.string()),
+                "cluster": pa.nulls(t.num_rows, pa.int64()),
+            })
+
+        return pts.map_batches(all_noise, batch_format="pyarrow")
+
+    # core-core edges (self-pairs drop inside connected_components)
+    ce = hash_join(
+        hash_join(pairs, core, keys="__pa", num_buckets=num_buckets),
+        core.map_batches(lambda t: t.rename_columns(["__pb"]),
+                         batch_format="pyarrow"),
+        keys="__pb", num_buckets=num_buckets)
+    comp = connected_components(ce, src="__pa", dst="__pb")
+    # isolated cores (only their self-pair) are absent from comp —
+    # identity labels via one left join
+    lab = hash_join(
+        core, comp.map_batches(
+            lambda t: t.rename_columns(["__pa", "__lbl"]),
+            batch_format="pyarrow"),
+        keys="__pa", num_buckets=num_buckets, join_type="left outer")
+
+    def fill_ident(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("__pa"), pa.int64())
+        lbl = pc.if_else(pc.is_valid(t.column("__lbl")),
+                         t.column("__lbl"), a)
+        return pa.table({"__pa": a, "cluster": lbl})
+
+    lab = compact_blocks(
+        lab.map_batches(fill_ident, batch_format="pyarrow")
+        .materialize())
+
+    # min core-neighbor cluster per point (cores included; used only
+    # for non-core rows at classification)
+    near_core = hash_join(
+        pairs, lab.map_batches(
+            lambda t: t.rename_columns(["__pb", "__bc"]),
+            batch_format="pyarrow"),
+        keys="__pb", num_buckets=num_buckets)
+    mcl = bucketed_agg(near_core, "__pa", [("__bc", "min", "__mc")],
+                       n_buckets=num_buckets)
+
+    base = pts.map_batches(
+        lambda t: t.select([pid]), batch_format="pyarrow")
+    j1 = hash_join(
+        base.map_batches(lambda t: t.rename_columns(["__pa"]),
+                         batch_format="pyarrow"),
+        lab.map_batches(lambda t: t.rename_columns(["__pa", "__cc"]),
+                        batch_format="pyarrow"),
+        keys="__pa", num_buckets=num_buckets, join_type="left outer")
+    j2 = hash_join(j1, mcl, keys="__pa", num_buckets=num_buckets,
+                   join_type="left outer")
+
+    def classify(t: pa.Table) -> pa.Table:
+        is_core = pc.is_valid(t.column("__cc"))
+        is_border = pc.and_(pc.invert(is_core),
+                            pc.is_valid(t.column("__mc")))
+        role = pc.if_else(is_core, pa.scalar("core"),
+                          pc.if_else(is_border, pa.scalar("border"),
+                                     pa.scalar("noise")))
+        cluster = pc.if_else(
+            is_core, t.column("__cc"),
+            pc.if_else(is_border, t.column("__mc"),
+                       pa.nulls(t.num_rows, pa.int64())))
+        return pa.table({pid: t.column("__pa"), "role": role,
+                         "cluster": pc.cast(cluster, pa.int64())})
+
+    return j2.map_batches(classify, batch_format="pyarrow")

@@ -117,7 +117,7 @@ ORACLE_NAMES = [
     "holt_winters", "outlier_mad", "assortativity", "funnel_time",
     "robust_scale", "quantile_transform",
     "kendall_trend", "window_moving_slope", "clustering_coeff",
-    "join_jaro", "ngram_diversity", "anova_oneway",
+    "join_jaro", "ngram_diversity", "anova_oneway", "dbscan",
 ]
 
 
