@@ -6058,6 +6058,50 @@ def _q_cdc_rollback(sf):
     return got
 
 
+def _q_label_propagation(sf):
+    """Semi-supervised label propagation over the synthetic host
+    outlink graph (ops/graph.py label_propagation): one seed host per
+    tld, labels spread by per-round neighbor majority (ties → min
+    label, seeds clamped — fully deterministic). Rows-only; planted
+    community/tie/depth oracles are pytest
+    (tests/unit/test_label_prop.py)."""
+    from maestro_ray.ops.graph import label_propagation
+
+    seeds = pd.DataFrame({
+        "node": ["www.example0.com", "www.example1.org",
+                 "www.example2.net"],
+        "label": ["com", "org", "net"],
+    })
+    out = label_propagation(_host_edges(sf), seeds, rounds=4,
+                            src="src_host", dst="dst_host").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"node": pd.Series(dtype="object"),
+                             "label": pd.Series(dtype="object")})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_als_factorize(sf):
+    """ALS matrix factorization of the supplier×part quantity matrix
+    (ops/ml.py als_factorize): broadcast-factor alternating ridge
+    solves, deterministic hash init, per-entity k×k normal equations
+    inside one grouped shuffle per side. Rows-only; planted low-rank
+    recovery + cross-partitioning bit-determinism are pytest
+    (tests/unit/test_als.py)."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.ml import als_factorize
+
+    li = _read(sf, "lineitem",
+               columns=["l_suppkey", "l_partkey", "l_quantity"])
+    ratings = bucketed_agg(li, ["l_suppkey", "l_partkey"],
+                           [("l_quantity", "sum", "qty")])
+    out = als_factorize(ratings, "l_suppkey", "l_partkey", "qty",
+                        k=4, rounds=3)
+    uf = out["user_factors"].sort_values("l_suppkey") \
+        .reset_index(drop=True)
+    uf["rmse"] = out["rmse"]
+    return uf
+
+
 def _q_dbscan(sf):
     """Density clustering (ops/spatial.py dbscan) over planted integer
     blobs derived from the shared multiplicative-hash contract: 9
@@ -6203,6 +6247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rollback": _q_cdc_rollback,
         "join_jaro": _q_join_jaro,
         "dbscan": _q_dbscan,
+        "label_propagation": _q_label_propagation,
+        "als_factorize": _q_als_factorize,
         "ngram_diversity": _q_ngram_diversity,
         "anova_oneway": _q_anova_oneway,
         "kendall_trend": _q_kendall_trend,

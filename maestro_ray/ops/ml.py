@@ -834,3 +834,132 @@ def naive_bayes_classify(
             id_col: pd.Series([], dtype="int64"),
             "predicted": pd.Series([], dtype="object")})
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def als_factorize(
+    ds: rd.Dataset,
+    user_col: str,
+    item_col: str,
+    value_col: str,
+    k: int = 8,
+    rounds: int = 6,
+    reg: float = 0.1,
+    max_side_rows: int = 200_000,
+) -> dict:
+    """Alternating-least-squares matrix factorization of a (user,
+    item, rating) relation: minimize Σ(r − u·v)² + λ(‖u‖² + ‖v‖²) by
+    alternating exact ridge solves. Returns {"user_factors": df(user,
+    f0..fk-1), "item_factors": df(item, f0..fk-1), "rmse": float}.
+
+    Distributed shape — the broadcast-factor ALS (the standard
+    layout): the ITEM factor matrix broadcasts via ``ray.put`` (items
+    are the small side by contract — a catalog, not a corpus; the
+    guard fails loudly above ``max_side_rows``), each user's k×k
+    normal-equation solve runs inside ONE ``groupby(user)`` group with
+    rows sorted by item id (deterministic accumulation — the kmeans
+    determinism lesson), then the sides swap. Ratings never
+    materialize on the driver; per round the driver holds only the two
+    factor matrices. Init is a deterministic hash of the id, so runs
+    are reproducible across partitionings. Null ids/values are
+    excluded up front."""
+    from maestro_ray.ops.partition import compact_blocks
+
+    if k < 1 or rounds < 1:
+        raise ValueError(f"als_factorize: k={k}, rounds={rounds}")
+
+    def clean(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column(user_col), pa.int64())
+        i = pc.cast(t.column(item_col), pa.int64())
+        v = pc.cast(t.column(value_col), pa.float64())
+        ok = pc.and_(pc.and_(pc.is_valid(u), pc.is_valid(i)),
+                     pc.is_valid(v))
+        return pa.table({"__u": u, "__i": i, "__r": v}).filter(ok)
+
+    r = compact_blocks(
+        ds.map_batches(clean, batch_format="pyarrow").materialize())
+
+    def _ids(col: str) -> np.ndarray:
+        from maestro_ray.ops.aggregates import bucketed_distinct
+
+        out = bucketed_distinct(
+            r.map_batches(lambda t, c=col: t.select([c]),
+                          batch_format="pyarrow"), [col]).to_pandas()
+        if len(out) > max_side_rows:
+            raise RuntimeError(
+                f"als_factorize: {col} side has {len(out)} distinct "
+                f"ids > max_side_rows={max_side_rows} — the factor "
+                "matrix must broadcast; bucket/shard the model first")
+        return np.sort(out.iloc[:, 0].to_numpy(dtype=np.int64))
+
+    users = _ids("__u")
+    items = _ids("__i")
+    if not len(users) or not len(items):
+        raise ValueError("als_factorize: empty rating relation")
+
+    def _init(ids: np.ndarray) -> np.ndarray:
+        # deterministic small factors from a splitmix-style id hash
+        h = (ids[:, None].astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             + np.arange(k, dtype=np.uint64)[None, :]
+             * np.uint64(0xBF58476D1CE4E5B9))
+        return ((h >> np.uint64(11)).astype(np.float64)
+                / float(2 ** 53) - 0.5) * 0.1
+
+    v_mat = _init(items)
+    u_mat = np.zeros((len(users), k))
+
+    def _solve_side(group_col, other_col, other_ids, other_ref):
+        def per_key(g: pa.Table) -> pa.Table:
+            ov = ray.get(other_ref)
+            s = g.take(pc.sort_indices(
+                g, sort_keys=[(other_col, "ascending")]))
+            oid = s.column(other_col).to_numpy(zero_copy_only=False)
+            rv = s.column("__r").to_numpy(zero_copy_only=False)
+            fm = ov[np.searchsorted(other_ids, oid)]
+            a = fm.T @ fm + reg * np.eye(k)
+            b = fm.T @ rv
+            w = np.linalg.solve(a, b)
+            key = g.column(group_col).slice(0, 1)
+            return pa.table({
+                group_col: key,
+                "__w": pa.array([w.tolist()],
+                                pa.list_(pa.float64())),
+            })
+
+        out = r.groupby(group_col).map_groups(
+            per_key, batch_format="pyarrow").to_pandas()
+        out = out.sort_values(group_col)
+        return np.stack(out["__w"].to_numpy())
+
+    rmse = None
+    for _ in range(rounds):
+        u_mat = _solve_side("__u", "__i", items, ray.put(v_mat))
+        v_mat = _solve_side("__i", "__u", users, ray.put(u_mat))
+
+    u_ref = ray.put(u_mat)
+    v_ref = ray.put(v_mat)
+
+    def sq_err(t: pa.Table) -> pa.Table:
+        um = ray.get(u_ref)
+        vm = ray.get(v_ref)
+        ui = np.searchsorted(users, t.column("__u").to_numpy(
+            zero_copy_only=False))
+        ii = np.searchsorted(items, t.column("__i").to_numpy(
+            zero_copy_only=False))
+        pred = (um[ui] * vm[ii]).sum(axis=1)
+        err = t.column("__r").to_numpy(zero_copy_only=False) - pred
+        return pa.table({"se": pa.array([float((err * err).sum())]),
+                         "n": pa.array([len(err)], pa.int64())})
+
+    parts = r.map_batches(sq_err, batch_format="pyarrow").to_pandas()
+    rmse = float(np.sqrt(parts["se"].sum() / parts["n"].sum()))
+
+    def _frame(ids, mat, name):
+        cols = {name: pd.Series(ids, dtype="int64")}
+        for j in range(k):
+            cols[f"f{j}"] = mat[:, j]
+        return pd.DataFrame(cols)
+
+    return {"user_factors": _frame(users, u_mat, user_col),
+            "item_factors": _frame(items, v_mat, item_col),
+            "rmse": rmse}
