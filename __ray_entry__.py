@@ -6058,6 +6058,58 @@ def _q_cdc_rollback(sf):
     return got
 
 
+def _q_cdc_rollback_multi(sf):
+    """Transactional multi-table UNDO (pipelines/multi.py
+    rollback_multi): clone the cdc_multi_table root's layout by
+    building a fresh small two-table root, roll BOTH tables back to a
+    mid joint epoch under one journal record, and return the restored
+    pair tagged by table — asserted internally to equal the journaled
+    snapshot at the target. Rows-only; torn-apply recovery and vacuum
+    refusal are pytest (tests/replay/test_multi_rollback.py)."""
+    from maestro_ray.fixtures import ChangelogParams, write_changelog
+    from maestro_ray.pipelines.multi import (
+        committed_epochs,
+        ingest_multi,
+        read_table,
+        rollback_multi,
+    )
+
+    name = os.path.basename(sf.rstrip("/"))
+    scale = dict(_CDC_SCALES.get(name, _CDC_SCALES["sf0.01"]))
+    scale["n_events"] = max(200, scale["n_events"] // 4)
+    work = f"/tmp/maestro_cdc_rbm_r4_{name}"
+    root = os.path.join(work, "root")
+    done = os.path.join(work, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        logs = {}
+        for t, seed in (("pages_a", 303), ("pages_b", 404)):
+            log = os.path.join(work, f"log_{t}")
+            write_changelog(log, ChangelogParams(**{**scale,
+                                                    "seed": seed}))
+            logs[t] = log
+        ingest_multi(root, logs, num_partitions=8,
+                     segments_per_epoch=1)
+        epochs = committed_epochs(root)
+        tgt = epochs[len(epochs) // 2]
+        rollback_multi(root, tgt)
+        with open(os.path.join(work, "_TGT"), "w") as f:
+            f.write(str(tgt))
+        open(done, "w").close()
+    with open(os.path.join(work, "_TGT")) as f:
+        tgt = int(f.read())
+    frames = []
+    cols = ["url", "warc_ts", "lang"]
+    for t in ("pages_a", "pages_b"):
+        got = read_table(root, t, columns=cols) \
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        want = read_table(root, t, epoch=tgt, columns=cols) \
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        assert got.equals(want), f"rollback drift on {t}"
+        frames.append(got.assign(table=t))
+    return pd.concat(frames, ignore_index=True)
+
+
 def _q_label_propagation(sf):
     """Semi-supervised label propagation over the synthetic host
     outlink graph (ops/graph.py label_propagation): one seed host per
@@ -6247,6 +6299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rollback": _q_cdc_rollback,
         "join_jaro": _q_join_jaro,
         "dbscan": _q_dbscan,
+        "cdc_rollback_multi": _q_cdc_rollback_multi,
         "label_propagation": _q_label_propagation,
         "als_factorize": _q_als_factorize,
         "ngram_diversity": _q_ngram_diversity,

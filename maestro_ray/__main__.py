@@ -120,7 +120,10 @@ def main(argv: list[str] | None = None) -> int:
         "rollback",
         help="restore the lake to an earlier epoch as a NEW epoch "
              "(manifest-level undo; history preserved, watermark kept)")
-    p_rb.add_argument("--lake-dir", required=True)
+    p_rb.add_argument("--lake-dir", default=None)
+    p_rb.add_argument("--root", default=None,
+                      help="multi-table root: roll back EVERY table "
+                           "transactionally to the joint epoch")
     p_rb.add_argument("--to-epoch", type=int, required=True)
 
     p_fs = sub.add_parser(
@@ -238,6 +241,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "rollback":  # pure manifest surgery, no Ray
+        if bool(args.lake_dir) == bool(args.root):
+            raise SystemExit("rollback: pass exactly one of "
+                             "--lake-dir / --root")
+        if args.root:
+            from maestro_ray.pipelines.multi import rollback_multi
+
+            e = rollback_multi(args.root, args.to_epoch)
+            print(json.dumps({"joint_epoch": e}))
+            return 0
         from maestro_ray.pipelines.rollback import rollback_lake
 
         m = rollback_lake(args.lake_dir, args.to_epoch)

@@ -149,11 +149,53 @@ def read_table(root: str, name: str, epoch: int | None = None,
     return read_lake_at(lake, older[-1], columns=columns)
 
 
+def _apply_rollback_txn(root: str, epoch: int, rec: dict) -> None:
+    """Apply a ``kind="rollback"`` txn: per table, write a manifest
+    whose partition map is the journaled target map (pure metadata —
+    the rollback_lake semantics, transactional across tables).
+    Idempotent like the ingest apply; a DIFFERENT manifest already at
+    this epoch raises (the publish_epoch concurrency rule)."""
+    from maestro_ray.core.manifest import (
+        ConcurrentCommitError,
+        write_manifest_atomic,
+    )
+
+    for name, t in sorted(rec["tables"].items()):
+        lake = table_dir(root, name)
+        m = Manifest(
+            epoch=epoch,
+            watermark=t["watermark"],
+            partitions={int(p): dict(v)
+                        for p, v in t["partitions"].items()},
+            counters=t["counters"],
+            num_partitions=t["num_partitions"],
+        )
+        path = manifest_path(lake, epoch)
+        if os.path.exists(path):
+            with open(path) as f:
+                if f.read() != m.to_json():
+                    raise ConcurrentCommitError(
+                        f"epoch {epoch} of table {name!r} is already "
+                        "committed with different content")
+        else:
+            write_manifest_atomic(path, m)
+        write_lineage(lake, epoch, [
+            {"partition": p, "epoch": epoch,
+             "watermark_offset": int(v["watermark"]),
+             "row_count": int(v["rows"]),
+             "checksum": int(v["checksum"])}
+            for p, v in sorted(m.partitions.items())
+        ])
+
+
 def _apply_txn(root: str, epoch: int) -> None:
     """Idempotently publish every table named in txn-<epoch> — the
     recovery half of the protocol (and the normal apply path)."""
     with open(_txn_path(root, epoch)) as f:
         rec = json.load(f)
+    if rec.get("kind") == "rollback":
+        _apply_rollback_txn(root, epoch, rec)
+        return
     for name, t in sorted(rec["tables"].items()):
         lake = table_dir(root, name)
         prev = (
@@ -282,3 +324,80 @@ def ingest_multi(
         epoch += 1
 
     return {name: s["m"] for name, s in state.items()}
+
+
+def rollback_multi(root: str, to_epoch: int) -> int | None:
+    """Transactional multi-table UNDO: restore EVERY table to its
+    state at joint epoch ``to_epoch`` as one new atomically-committed
+    joint epoch (the rollback_lake semantics, lifted through the txn
+    journal — no interleaving can expose table A rolled back alongside
+    table B not yet rolled back, because the journal record is the
+    commit point and ``recover`` completes torn applies).
+
+    Per table the restored state is the table's newest manifest at or
+    before ``to_epoch`` (the ``read_table`` resolution rule — a table
+    that staged nothing at that joint epoch rolls to its older state),
+    the partition map carried BY REFERENCE (zero data movement) and
+    the changelog watermark kept (consumed events stay consumed).
+    Returns the new joint epoch, or None when every table already
+    matches the target (no empty epoch). Vacuumed targets refuse
+    loudly before anything is journaled."""
+    from maestro_ray.core.manifest import list_epochs, manifest_at
+
+    recover(root)
+    applied = committed_epoch(root)
+    if applied is None:
+        raise ValueError(f"no fully-applied joint epoch in {root}")
+    if to_epoch not in committed_epochs(root):
+        raise ValueError(
+            f"joint epoch {to_epoch} was never committed to {root}; "
+            f"available: {committed_epochs(root)}")
+    if to_epoch > applied:
+        raise ValueError(
+            f"rollback target {to_epoch} is newer than the newest "
+            f"applied joint epoch {applied}")
+    # the table set is the UNION across all txns — the newest record
+    # omits tables whose changelog had nothing for that joint epoch
+    names: set[str] = set()
+    for e in committed_epochs(root):
+        with open(_txn_path(root, e)) as f:
+            names |= set(json.load(f)["tables"].keys())
+    names = sorted(names)
+
+    payload: dict = {"kind": "rollback", "tables": {}}
+    all_same = True
+    for name in names:
+        lake = table_dir(root, name)
+        older = [e for e in list_epochs(lake) if e <= to_epoch]
+        if not older:
+            raise ValueError(
+                f"table {name!r} has no state at or before joint "
+                f"epoch {to_epoch} in {root}")
+        tgt = manifest_at(lake, older[-1])
+        head = latest_manifest(lake)
+        missing = [
+            v["file"] for v in tgt.partitions.values()
+            if v["rows"] > 0 and not os.path.exists(
+                os.path.join(lake, v["file"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"rollback of table {name!r} to epoch {tgt.epoch} is "
+                f"not computable: {len(missing)} partition file(s) "
+                "were vacuumed")
+        if tgt.partitions != head.partitions:
+            all_same = False
+        payload["tables"][name] = {
+            "partitions": {str(p): v
+                           for p, v in sorted(tgt.partitions.items())},
+            "watermark": head.watermark,
+            "num_partitions": tgt.num_partitions,
+            "counters": {"rolled_back_from": head.epoch,
+                         "rolled_back_to": tgt.epoch},
+        }
+    if all_same:
+        return None  # already at the target state everywhere
+    new_epoch = applied + 1
+    _write_txn_atomic(_txn_path(root, new_epoch), payload)
+    _apply_txn(root, new_epoch)
+    return new_epoch
