@@ -6058,6 +6058,37 @@ def _q_cdc_rollback(sf):
     return got
 
 
+def _q_jaro_scalar(sf):
+    """Per-row Jaro–Winkler similarity (ops/joins.py
+    jaro_winkler_scalar — the edit_distance sibling on the bit-exact
+    DuckDB-pinned byte kernel): p_name against its vowel-substituted
+    variant; raw unrounded doubles."""
+    from maestro_ray.ops.joins import jaro_winkler_scalar
+
+    ds = _read(sf, "part", columns=["p_partkey", "p_name"])
+
+    def variant(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "p_alt", pc.replace_substring(t.column("p_name"), "e", "a"))
+
+    out = jaro_winkler_scalar(
+        ds.map_batches(variant, batch_format="pyarrow"),
+        "p_name", "p_alt")
+    return P.project(out, columns=["p_partkey", "p_name", "p_alt",
+                                   "jw"])
+
+
+def _q_cdc_freshness(sf):
+    """Per-partition staleness report of the replay lake (io/lake.py
+    freshness_report): last-rewrite epoch, rows, recorded ts_max and
+    epochs_stale — computed from manifests alone, zero data files
+    opened. Rows-only; the last-epoch/monotonicity oracle is pytest
+    (tests/replay/test_freshness.py)."""
+    from maestro_ray.io.lake import freshness_report
+
+    return freshness_report(_cdc_lake(sf))
+
+
 def _q_cdc_rollback_multi(sf):
     """Transactional multi-table UNDO (pipelines/multi.py
     rollback_multi): clone the cdc_multi_table root's layout by
@@ -6299,6 +6330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rollback": _q_cdc_rollback,
         "join_jaro": _q_join_jaro,
         "dbscan": _q_dbscan,
+        "jaro_scalar": _q_jaro_scalar,
+        "cdc_freshness": _q_cdc_freshness,
         "cdc_rollback_multi": _q_cdc_rollback_multi,
         "label_propagation": _q_label_propagation,
         "als_factorize": _q_als_factorize,
@@ -6618,6 +6651,13 @@ def _zspread_sql(col: str) -> str:
 def oracle_sql() -> dict[str, str]:
     ev_types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
     return {
+        "jaro_scalar": (
+            # kernel pinned bit-exact to DuckDB — raw doubles
+            "SELECT p_partkey, p_name, "
+            "replace(p_name, 'e', 'a') AS p_alt, "
+            "jaro_winkler_similarity(p_name, "
+            "replace(p_name, 'e', 'a')) AS jw FROM part"
+        ),
         "dbscan": (
             # the spatial_join hash spelling + planted blob layout;
             # recursive min-label closure over the core graph

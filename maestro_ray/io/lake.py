@@ -1059,3 +1059,41 @@ def fsck_lake(lake_dir: str, deep: bool = False) -> dict:
                         or report["duplicate_urls"]
                         or report["misrouted"])
     return report
+
+
+def freshness_report(lake_dir: str) -> "pd.DataFrame":
+    """Per-partition staleness report from the manifest history alone
+    (no data files opened — O(manifests) driver work): for every
+    partition of the head manifest, the epoch that last REWROTE it
+    (parsed from the immutable ``epoch-NNN.parquet`` file name), its
+    rows/watermark, the recorded change-activity high watermark
+    (``ts_max``, µs — absent on pre-r3 files → null), and
+    ``epochs_stale`` = head epoch − last-rewrite epoch. The operational
+    "which partitions has ingest not touched lately" view that
+    monitoring a 100-TB lake needs without scanning it."""
+    import re as _re
+
+    import pandas as pd
+
+    m = latest_manifest(lake_dir)
+    if m is None:
+        raise ValueError(f"no committed epochs in {lake_dir}")
+    rows = []
+    pat = _re.compile(r"epoch-(\d+)\.parquet$")
+    for p, info in sorted(m.partitions.items()):
+        g = pat.search(info["file"])
+        last = int(g.group(1)) if g else None
+        rows.append({
+            "partition": p,
+            "file": info["file"],
+            "rows": int(info["rows"]),
+            "last_epoch": last,
+            "epochs_stale": (m.epoch - last) if last is not None
+            else None,
+            "watermark_offset": int(info["watermark"]),
+            "ts_max_us": int(info["ts_max"])
+            if info.get("ts_max") is not None else None,
+        })
+    out = pd.DataFrame(rows)
+    return out.astype({"partition": "int64", "rows": "int64",
+                       "watermark_offset": "int64"})

@@ -1094,3 +1094,29 @@ def jaro_winkler_join(
         return o.append_column(out, pa.array(jw[keep], pa.float64()))
 
     return left.map_batches(match, batch_format="pyarrow")
+
+
+def jaro_winkler_scalar(
+    ds: rd.Dataset, col_a: str, col_b: str, out_col: str = "jw"
+) -> rd.Dataset:
+    """Per-row Jaro–Winkler similarity between two string columns (SQL
+    ``jaro_winkler_similarity(a, b)``) — the ``edit_distance`` sibling
+    on the bit-exact DuckDB-pinned byte kernel; one batched evaluation
+    per block. Rows where either side is null get null."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a)
+        b = batch.column(col_b)
+        valid = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        idx = np.flatnonzero(valid.combine_chunks().to_numpy(
+            zero_copy_only=False))
+        jw = np.zeros(batch.num_rows, dtype=np.float64)
+        if len(idx):
+            take = pa.array(idx, pa.int64())
+            jw[idx] = _jaro_winkler_pairs(a.take(take).to_pylist(),
+                                          b.take(take).to_pylist())
+        arr = pc.if_else(valid, pa.array(jw, pa.float64()),
+                         pa.nulls(batch.num_rows, pa.float64()))
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -68,3 +68,19 @@ def test_join_threshold_nulls_and_guard(ray_session):
             "a", "b", min_sim=0.5, max_right_rows=10)
     with pytest.raises(ValueError, match="min_sim"):
         jaro_winkler_join(left, right, "a", "b", min_sim=1.5)
+
+
+def test_scalar_jw_nulls_and_values(ray_session):
+    import ray.data as rd
+
+    from maestro_ray.ops.joins import jaro_winkler_scalar
+
+    t = pa.table({
+        "a": pa.array(["martha", None, "abc", ""], pa.string()),
+        "b": pa.array(["marhta", "x", None, ""], pa.string()),
+    })
+    out = jaro_winkler_scalar(rd.from_arrow(t), "a", "b").to_pandas()
+    want = _duck([("martha", "marhta")])[0]
+    assert out["jw"].iloc[0] == want
+    assert out["jw"].isna().tolist() == [False, True, True, False]
+    assert out["jw"].iloc[3] == 0.0  # DuckDB empty-vs-empty rule
