@@ -6776,10 +6776,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id) AS DOUBLE) AS x FROM documents), "
             "s AS (SELECT doc_id, source, n_chars, "
             "CAST(count(n_chars) OVER w AS DOUBLE) AS n, "
-            "sum(x) OVER w AS sx, "
+            "sum(CASE WHEN n_chars IS NOT NULL THEN x END) "
+            "OVER w AS sx, "
             "sum(CAST(n_chars AS DOUBLE)) OVER w AS sy, "
             "sum(x * n_chars) OVER w AS sxy, "
-            "sum(x * x) OVER w AS sxx FROM d "
+            "sum(CASE WHEN n_chars IS NOT NULL THEN x * x END) "
+            "OVER w AS sxx FROM d "
             "WINDOW w AS (PARTITION BY source ORDER BY doc_id "
             "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) "
             "SELECT doc_id, source, n_chars, "

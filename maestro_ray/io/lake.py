@@ -1079,7 +1079,8 @@ def freshness_report(lake_dir: str) -> "pd.DataFrame":
     if m is None:
         raise ValueError(f"no committed epochs in {lake_dir}")
     rows = []
-    pat = _re.compile(r"epoch-(\d+)\.parquet$")
+    # match purge-rewritten names too (epoch-N.purge-<tag>.parquet)
+    pat = _re.compile(r"epoch-(\d+)")
     for p, info in sorted(m.partitions.items()):
         g = pat.search(info["file"])
         last = int(g.group(1)) if g else None

@@ -3486,7 +3486,7 @@ def kendall_trend(
     key: str,
     order_cols: list[str],
     value_col: str,
-    max_group_rows: int = 100_000,
+    max_group_rows: int = 20_000,
 ) -> pd.DataFrame:
     """Per-key Mann–Kendall trend: Kendall's tau-b between the
     ``order_cols`` sequence position and ``value_col``.
@@ -3503,7 +3503,8 @@ def kendall_trend(
 
     Plan: ONE ``groupby(key)`` shuffle; per group a vectorized O(n²)
     pairwise sign count (groups are per-entity and small by contract —
-    ``max_group_rows`` fails loudly if not, pointing at sampling).
+    ``max_group_rows`` fails loudly if not, pointing at sampling;
+    memory stays O(256·n) via chunked blocks, never the n×n matrix).
     Only (key, n, C, D, tau) rows reach the driver. Nulls in
     ``value_col`` are excluded up front; keys with n < 2 or all values
     tied (n0 == n2) are omitted — mirror the same HAVING rule in any
@@ -3532,10 +3533,18 @@ def kendall_trend(
         v = s.column(value_col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         n = v.size
-        diff = v[None, :] - v[:, None]
-        upper = np.triu(np.ones((n, n), dtype=bool), k=1)
-        c = int(np.count_nonzero(diff[upper] > 0))
-        d = int(np.count_nonzero(diff[upper] < 0))
+        # chunked pairwise count: O(n²) flops but O(blk·n) memory —
+        # the full n×n diff matrix is ~90 GB at the old 100k guard
+        # (review r4 s8b); blk=256 bounds a group at ~40 MB
+        blk = 256
+        c = d = 0
+        j_idx = np.arange(n)
+        for lo in range(0, n, blk):
+            seg = v[lo:lo + blk]
+            diff = v[None, :] - seg[:, None]
+            upper = j_idx[None, :] > (lo + np.arange(len(seg)))[:, None]
+            c += int(np.count_nonzero((diff > 0) & upper))
+            d += int(np.count_nonzero((diff < 0) & upper))
         n0 = n * (n - 1) // 2
         _, counts = np.unique(v, return_counts=True)
         n2 = int((counts * (counts - 1) // 2).sum())

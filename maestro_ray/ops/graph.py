@@ -1208,16 +1208,42 @@ def label_propagation(
             ["__o", "label"], [(None, "count_all", "__n")],
             n_buckets=num_buckets)
 
-        def pick(g: pa.Table) -> pa.Table:
-            # per-node majority, ties → smallest label
+        def route(t: pa.Table) -> pa.Table:
+            from maestro_ray.ops.hashing import hash_array
+
+            b = (hash_array(t.column("__o"))
+                 % np.uint64(num_buckets)).astype(np.int64)
+            return t.append_column("__vb", pa.array(b, pa.int64()))
+
+        def pick_bucket(g: pa.Table) -> pa.Table:
+            # per-node majority, ties → smallest label — vectorized
+            # adjacent-change pick over the WHOLE bucket (one Python
+            # call per bucket, never per node — the bucketed_agg rule)
+            g = g.drop_columns(["__vb"])
             s = g.take(pc.sort_indices(
-                g, sort_keys=[("__n", "descending"),
+                g, sort_keys=[("__o", "ascending"),
+                              ("__n", "descending"),
                               ("label", "ascending")]))
-            return s.slice(0, 1).select(["__o", "label"]) \
+            o = s.column("__o").combine_chunks()
+            first = np.ones(len(o), dtype=bool)
+            if len(o) > 1:
+                first[1:] = pc.not_equal(
+                    o.slice(1), o.slice(0, len(o) - 1)) \
+                    .to_numpy(zero_copy_only=False)
+            out = s.filter(pa.array(first))
+            return out.select(["__o", "label"]) \
                 .rename_columns(["node", "__new"])
 
-        cand = votes.groupby("__o").map_groups(
-            pick, batch_format="pyarrow")
+        cand = _compact(votes.map_batches(route, batch_format="pyarrow")
+                        .groupby("__vb")
+                        .map_groups(pick_bucket, batch_format="pyarrow")
+                        .materialize())
+        if cand.count() == 0:
+            # no seed matched any node: every round is a no-op, and an
+            # empty cand would lose its schema through the join probe
+            # (the empty-Dataset class — review r4 s8b,
+            # execution-confirmed)
+            break
         joined = hash_join(state, cand, keys="node",
                            num_buckets=num_buckets,
                            join_type="left outer")

@@ -398,6 +398,22 @@ def rollback_multi(root: str, to_epoch: int) -> int | None:
     if all_same:
         return None  # already at the target state everywhere
     new_epoch = applied + 1
-    _write_txn_atomic(_txn_path(root, new_epoch), payload)
+    tp = _txn_path(root, new_epoch)
+    if os.path.exists(tp):
+        # a concurrent writer (ingest_multi mid-apply, or a previous
+        # torn rollback) already journaled this joint epoch — only an
+        # IDENTICAL record may be re-applied; clobbering a different
+        # one would wedge recovery (review r4 s8b)
+        from maestro_ray.core.manifest import ConcurrentCommitError
+
+        with open(tp) as f:
+            existing = json.load(f)
+        if existing != payload:
+            raise ConcurrentCommitError(
+                f"joint epoch {new_epoch} of {root} is already "
+                "journaled with different content — concurrent "
+                "writers? recover() and retry")
+    else:
+        _write_txn_atomic(tp, payload)
     _apply_txn(root, new_epoch)
     return new_epoch

@@ -48,6 +48,28 @@ from maestro_ray.core.manifest import (
 from maestro_ray.io.lake import write_lineage
 
 
+def _lineage_rows(m: Manifest) -> list[dict]:
+    return [
+        {"partition": p, "epoch": m.epoch,
+         "watermark_offset": int(info["watermark"]),
+         "row_count": int(info["rows"]),
+         "checksum": int(info["checksum"])}
+        for p, info in sorted(m.partitions.items())
+    ]
+
+
+def _heal_lineage(lake_dir: str, m: Manifest) -> None:
+    """A crash between the manifest write and write_lineage leaves the
+    epoch lineage-less FOREVER unless every later entry point re-checks
+    (the r4-s2 multi-table lesson) — rollback's early returns heal it."""
+    from maestro_ray.core.manifest import LINEAGE_DIR
+
+    path = os.path.join(lake_dir, LINEAGE_DIR,
+                        f"epoch-{m.epoch:012d}.parquet")
+    if not os.path.exists(path):
+        write_lineage(lake_dir, m.epoch, _lineage_rows(m))
+
+
 def rollback_lake(lake_dir: str, to_epoch: int) -> Manifest:
     """Publish a new epoch whose state is exactly epoch ``to_epoch``'s;
     returns the new manifest (or the current head when it already
@@ -60,10 +82,14 @@ def rollback_lake(lake_dir: str, to_epoch: int) -> Manifest:
         raise ValueError(
             f"rollback target {to_epoch} is newer than head {head.epoch}")
     if tgt.partitions == head.partitions:
+        _heal_lineage(lake_dir, head)  # torn-rollback retry lands here
         return head  # already at the target state
     missing = [
         info["file"] for info in tgt.partitions.values()
-        if not os.path.exists(os.path.join(lake_dir, info["file"]))
+        # rows > 0: a purged-empty partition legitimately has no file
+        # (the lake_files/require_readable rule — review r4 s8b)
+        if info["rows"] > 0
+        and not os.path.exists(os.path.join(lake_dir, info["file"]))
     ]
     if missing:
         raise ValueError(
@@ -83,17 +109,12 @@ def rollback_lake(lake_dir: str, to_epoch: int) -> Manifest:
     if os.path.exists(path):  # the publish_epoch concurrency ritual
         with open(path) as f:
             if f.read() == new.to_json():
+                _heal_lineage(lake_dir, new)
                 return new  # idempotent re-commit
         raise ConcurrentCommitError(
             f"epoch {new.epoch} of {lake_dir} is already committed "
             "with different content — concurrent writers? Re-read the "
             "head manifest and retry")
     write_manifest_atomic(path, new)
-    write_lineage(lake_dir, new.epoch, [
-        {"partition": p, "epoch": new.epoch,
-         "watermark_offset": int(info["watermark"]),
-         "row_count": int(info["rows"]),
-         "checksum": int(info["checksum"])}
-        for p, info in sorted(new.partitions.items())
-    ])
+    write_lineage(lake_dir, new.epoch, _lineage_rows(new))
     return new

@@ -54,3 +54,29 @@ def test_stale_partition_detected(lake):
 def test_empty_lake_raises(tmp_path):
     with pytest.raises(ValueError, match="no committed"):
         freshness_report(str(tmp_path / "nolake"))
+
+
+def test_purge_style_filenames_still_parse(lake):
+    """epoch-N.purge-<tag>.parquet names must keep their last_epoch
+    (review r4 s8b — the old regex required .parquet right after the
+    digits and nulled the staleness signal for purged partitions)."""
+    from maestro_ray.core.manifest import (
+        Manifest,
+        latest_manifest,
+        manifest_path,
+        write_manifest_atomic,
+    )
+
+    m = latest_manifest(lake)
+    parts = {p: dict(v) for p, v in m.partitions.items()}
+    first = min(parts)
+    parts[first]["file"] = \
+        "p=0/epoch-000000000002.purge-abc123.parquet"
+    doctored = Manifest(epoch=m.epoch + 1, watermark=m.watermark,
+                        partitions=parts, counters={},
+                        num_partitions=m.num_partitions)
+    write_manifest_atomic(manifest_path(lake, doctored.epoch),
+                          doctored)
+    rep = freshness_report(lake).set_index("partition")
+    assert rep.loc[first, "last_epoch"] == 2
+    assert rep.loc[first, "epochs_stale"] == doctored.epoch - 2

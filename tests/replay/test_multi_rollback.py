@@ -99,3 +99,26 @@ def test_rollback_multi_refusals(root):
     assert committed_epoch(root) == committed_epochs(root)[-1]
     rec = json.load(open(multi._txn_path(root, committed_epoch(root))))
     assert rec.get("kind") != "rollback"
+
+
+def test_rollback_multi_refuses_foreign_journal_clobber(
+        root, monkeypatch):
+    """A txn record already journaled at the would-be epoch with
+    DIFFERENT content must raise, never be overwritten (review r4
+    s8b — a concurrent ingest mid-apply would have its journal
+    clobbered and recovery wedged). The race window is 'other writer
+    journals after our recover() pass' — recover is no-oped to land
+    inside it."""
+    from maestro_ray.core.manifest import ConcurrentCommitError
+
+    applied = committed_epoch(root)
+    foreign = multi._txn_path(root, applied + 1)
+    # a torn concurrent-ingest record (table 'a' not yet published
+    # at this epoch)
+    multi._write_txn_atomic(
+        foreign, {"tables": {"a": {}}, "note": "other"})
+    monkeypatch.setattr(multi, "recover", lambda r: 0)
+    with pytest.raises(ConcurrentCommitError, match="journaled"):
+        rollback_multi(root, committed_epochs(root)[0])
+    with open(foreign) as f:
+        assert json.load(f)["note"] == "other"  # untouched

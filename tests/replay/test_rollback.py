@@ -3,6 +3,8 @@ target epoch, history stays addressable, the feed across the rollback
 epoch is the net inverse, ingest resumes cleanly on top, and vacuumed
 targets refuse loudly."""
 
+import os
+
 import pytest
 
 from maestro_ray.core.manifest import (
@@ -126,3 +128,66 @@ def test_rollback_refuses_vacuumed_target(lake):
     vacuum(lake, latest_manifest(lake))
     with pytest.raises(ValueError, match="vacuum"):
         rollback_lake(lake, tgt)
+
+
+def test_rollback_tolerates_empty_partition_entries(lake, tmp_path):
+    """A target manifest entry with rows=0 and no file on disk (the
+    purge/clone shape) must NOT be mistaken for a vacuumed target
+    (review r4 s8b — rollback_lake lacked the lake_files rows>0
+    rule)."""
+    from maestro_ray.core.manifest import (
+        Manifest,
+        manifest_path,
+        write_manifest_atomic,
+    )
+
+    head = latest_manifest(lake)
+    # TARGET manifest carrying a rows=0 entry whose file never existed
+    doctored = Manifest(
+        epoch=head.epoch + 1, watermark=head.watermark,
+        partitions={**{p: dict(v) for p, v in head.partitions.items()},
+                    99: {"file": "p=99/epoch-000000000099.parquet",
+                         "rows": 0, "checksum": 0, "watermark": -1}},
+        counters={}, num_partitions=head.num_partitions)
+    write_manifest_atomic(manifest_path(lake, doctored.epoch), doctored)
+    # a newer head above it, with the ORIGINAL map
+    head2 = Manifest(
+        epoch=head.epoch + 2, watermark=head.watermark,
+        partitions={p: dict(v) for p, v in head.partitions.items()},
+        counters={}, num_partitions=head.num_partitions)
+    write_manifest_atomic(manifest_path(lake, head2.epoch), head2)
+    # rolling back TO the doctored epoch must not raise "vacuumed"
+    m = rollback_lake(lake, doctored.epoch)
+    assert m.epoch == head2.epoch + 1
+    assert 99 in m.partitions
+
+
+def test_rollback_crash_before_lineage_heals_on_retry(
+        ray_session, tmp_path, monkeypatch):
+    """Crash between the manifest write and write_lineage: the retry's
+    early-return path must heal the missing lineage (review r4 s8b —
+    the r4-s2 unrecoverable-lineage class)."""
+    import maestro_ray.pipelines.rollback as rb
+
+    root = tmp_path / "heal"
+    log = str(root / "log")
+    write_changelog(log, PARAMS)
+    lake_dir = str(root / "lake")
+    ingest(log, lake_dir, num_partitions=4, segments_per_epoch=2)
+    tgt = list_epochs(lake_dir)[0]
+
+    monkeypatch.setattr(rb, "write_lineage",
+                        lambda *a, **kw: (_ for _ in ()).throw(
+                            RuntimeError("simulated crash")))
+    with pytest.raises(RuntimeError, match="simulated"):
+        rollback_lake(lake_dir, tgt)
+    monkeypatch.undo()
+
+    new_e = latest_manifest(lake_dir).epoch
+    lin = os.path.join(lake_dir, "_lineage",
+                       f"epoch-{new_e:012d}.parquet")
+    assert not os.path.exists(lin)
+    m = rollback_lake(lake_dir, tgt)  # retry → early return + heal
+    assert m.epoch == new_e
+    assert os.path.exists(lin)
+    assert fsck_lake(lake_dir, deep=True)["ok"]

@@ -201,3 +201,52 @@ def test_local_clustering_no_triangles_empty_safe(rd):
     out = _cc(rd, [("h", "a"), ("h", "b"), ("h", "c")])
     assert list(out.index) == ["h"]
     assert out.loc["h", "triangles"] == 0 and out.loc["h", "cc"] == 0.0
+
+
+def test_kendall_trend_group_crossing_chunk_boundary(rd):
+    # one group larger than the 256-row pair-count block: the chunked
+    # path must equal the brute force exactly (review r4 s8b — the
+    # n×n matrix was replaced with O(blk·n) chunks)
+    rng = np.random.default_rng(31)
+    n = 600
+    t = pa.table({
+        "k": pa.array([1] * n, pa.int64()),
+        "o": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.integers(0, 25, n).astype(float),
+                      pa.float64()),
+    })
+    out = kendall_trend(rd.from_arrow(t).repartition(3), "k", ["o"],
+                        "v")
+    c, d, tau = _tau_ref(t.column("v").to_numpy())
+    assert int(out["concordant"].iloc[0]) == c
+    assert int(out["discordant"].iloc[0]) == d
+    assert out["tau_b"].iloc[0] == tau
+
+
+def test_moving_slope_twin_null_semantics_vs_duckdb(rd):
+    # review r4 s8b (execution-confirmed): the twin's sum(x)/sum(x*x)
+    # must CASE-gate on y nulls exactly like the engine — pin the
+    # engine against the FIXED twin SQL on a null-bearing fixture
+    import duckdb
+
+    import __ray_entry__ as e
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "source": pa.array(["s"] * 12, pa.string()),
+        "n_chars": pa.array([10, None, 13, 7, None, 20, 5, None,
+                             None, 9, 30, 2], pa.int64()),
+    })
+    # window=8 — the key's pinned frame (ROWS BETWEEN 7 PRECEDING)
+    out = moving_slope(rd.from_arrow(t), "source", ["doc_id"],
+                       "n_chars", window=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.sql(e.oracle_sql()["window_moving_slope"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = out["mov_slope"].to_numpy()
+    exp = want["mov_slope"].to_numpy()
+    mask = ~np.isnan(exp)
+    assert (got[mask] == exp[mask]).all()
+    assert np.isnan(got[~mask]).all()

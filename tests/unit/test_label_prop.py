@@ -75,3 +75,15 @@ def test_guards(rd):
         label_propagation(_edges(rd, [(1, 2)]),
                           pd.DataFrame({"node": [1], "label": ["A"]}),
                           rounds=0)
+
+
+def test_no_matching_seed_all_null_no_crash(rd):
+    # review r4 s8b (execution-confirmed): a seed node absent from the
+    # edge set left ZERO labeled nodes → empty cand lost its schema
+    # through the join probe and crashed
+    pairs = [(1, 2), (2, 3)]
+    seeds = pd.DataFrame({"node": [99], "label": ["A"]})
+    out = label_propagation(_edges(rd, pairs), seeds, rounds=3) \
+        .to_pandas().set_index("node").sort_index()
+    assert sorted(out.index) == [1, 2, 3]
+    assert out["label"].isna().all()
