@@ -6272,6 +6272,22 @@ def _q_join_jaro(sf):
     return pairs.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_theil_sen(sf):
+    """Per-user Theil-Sen robust trend of event values over time
+    (ops/aggregates.py theil_sen_trend): median of pairwise slopes on
+    the (ts, event_id)-ordered non-null sequence — each slope one IEEE
+    division, median the pinned quantile_cont interpolation; bit-exact
+    cross-engine, no rounding. kendall_trend's magnitude companion."""
+    from maestro_ray.ops.aggregates import theil_sen_trend
+
+    ds = P.filter_rows(
+        _read(sf, "events", columns=["user_id", "ts", "event_id",
+                                     "value"]),
+        lambda t: pc.is_valid(t.column("user_id")),
+    )
+    return theil_sen_trend(ds, "user_id", ["ts", "event_id"], "value")
+
+
 def _q_kendall_trend(sf):
     """Per-user Mann–Kendall trend of event values over time
     (ops/aggregates.py kendall_trend): Kendall tau-b between the
@@ -6337,6 +6353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "als_factorize": _q_als_factorize,
         "ngram_diversity": _q_ngram_diversity,
         "anova_oneway": _q_anova_oneway,
+        "theil_sen": _q_theil_sen,
         "kendall_trend": _q_kendall_trend,
         "window_moving_slope": _q_window_moving_slope,
         "clustering_coeff": _q_clustering_coeff,
@@ -6738,6 +6755,23 @@ def oracle_sql() -> dict[str, str]:
             "jaro_winkler_similarity(a.p_name, b.p_name) AS jw "
             "FROM n a JOIN n b ON a.p_name < b.p_name "
             "WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.72"
+        ),
+        "theil_sen": (
+            # pairwise-slope self-join; quantile_cont(0.5) IS the
+            # engine's interpolation spelling — bit-exact, no rounding
+            "WITH e AS (SELECT user_id, value, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events WHERE value IS NOT NULL "
+            "AND user_id IS NOT NULL), "
+            "p AS (SELECT a.user_id, "
+            "(b.value - a.value) / CAST(b.rn - a.rn AS DOUBLE) AS s "
+            "FROM e a JOIN e b ON a.user_id = b.user_id "
+            "AND b.rn > a.rn), "
+            "n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n "
+            "FROM e GROUP BY 1) "
+            "SELECT n.user_id, n.n, m.sen_slope FROM n JOIN ("
+            "SELECT user_id, quantile_cont(s, 0.5) AS sen_slope "
+            "FROM p GROUP BY 1) m USING (user_id) WHERE n.n >= 2"
         ),
         "kendall_trend": (
             # tau-b with a strictly-increasing x side: every term an

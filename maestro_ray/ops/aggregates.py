@@ -3688,3 +3688,72 @@ def anova_oneway(
         "df_within": pd.Series([n - k], dtype="int64"),
         "f_stat": pd.Series([round(f, round_to)], dtype="float64"),
     })
+
+
+def theil_sen_trend(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    max_group_rows: int = 2_000,
+) -> pd.DataFrame:
+    """Per-key Theil–Sen trend: the MEDIAN of all pairwise slopes
+    (v_j − v_i)/(j − i) over the (order_cols)-ordered non-null value
+    sequence — the robust (outlier-immune) companion to
+    ``kendall_trend``'s direction test.
+
+    Exactness: each pairwise slope is one IEEE division (identical in
+    any engine) and the median is the ``quantile_cont`` interpolation
+    ``s[lo] + (s[hi] − s[lo])·frac`` over the sorted slope array — the
+    repo's pinned cross-engine quantile spelling, so the result is
+    bit-exact with NO rounding. One grouped shuffle; O(n²) slopes per
+    group behind a loud per-entity guard; keys with n < 2 are
+    omitted."""
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.is_valid(g.column(value_col)))
+        k_arr = g.column(key)
+        empty = pa.table({
+            key: pa.array([], k_arr.type),
+            "n": pa.array([], pa.int64()),
+            "sen_slope": pa.array([], pa.float64()),
+        })
+        if g.num_rows < 2:
+            return empty
+        if g.num_rows > max_group_rows:
+            raise RuntimeError(
+                f"theil_sen_trend: group has {g.num_rows} rows "
+                f"(> {max_group_rows}); O(n²) pairwise slopes are for "
+                "per-entity groups — pre-sample (sample_group_k) or "
+                "raise max_group_rows explicitly")
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        v = s.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = v.size
+        x = np.arange(1, n + 1, dtype=np.float64)
+        iu = np.triu_indices(n, k=1)
+        slopes = np.sort((v[iu[1]] - v[iu[0]]) / (x[iu[1]] - x[iu[0]]))
+        m = slopes.size
+        p = 0.5 * (m - 1)
+        lo = int(np.floor(p))
+        hi = int(np.ceil(p))
+        med = slopes[lo] + (slopes[hi] - slopes[lo]) * (p - lo)
+        return pa.table({
+            key: k_arr.slice(0, 1),
+            "n": pa.array([n], pa.int64()),
+            "sen_slope": pa.array([float(med)], pa.float64()),
+        })
+
+    out = (
+        ds.groupby(key)
+        .map_groups(per_key, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:  # empty Dataset loses its schema in to_pandas
+        return pd.DataFrame({
+            key: pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "sen_slope": pd.Series([], dtype="float64"),
+        })
+    return out.sort_values(key).reset_index(drop=True)

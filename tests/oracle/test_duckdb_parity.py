@@ -118,7 +118,7 @@ ORACLE_NAMES = [
     "robust_scale", "quantile_transform",
     "kendall_trend", "window_moving_slope", "clustering_coeff",
     "join_jaro", "ngram_diversity", "anova_oneway", "dbscan",
-    "jaro_scalar",
+    "jaro_scalar", "theil_sen",
 ]
 
 

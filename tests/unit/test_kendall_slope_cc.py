@@ -250,3 +250,52 @@ def test_moving_slope_twin_null_semantics_vs_duckdb(rd):
     mask = ~np.isnan(exp)
     assert (got[mask] == exp[mask]).all()
     assert np.isnan(got[~mask]).all()
+
+
+# ------------------------------------------------------------ theil_sen
+
+
+def test_theil_sen_matches_bruteforce(rd):
+    from maestro_ray.ops.aggregates import theil_sen_trend
+
+    rng = np.random.default_rng(43)
+    n = 120
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 4, n), pa.int64()),
+        "o": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.normal(size=n).round(2), pa.float64()),
+    })
+    out = theil_sen_trend(rd.from_arrow(t).repartition(4), "k", ["o"],
+                          "v").set_index("k")
+    df = t.to_pandas().sort_values(["k", "o"])
+    for k, g in df.groupby("k"):
+        v = g["v"].to_numpy()
+        slopes = sorted(
+            (v[j] - v[i]) / (j - i)
+            for i in range(len(v)) for j in range(i + 1, len(v)))
+        m = len(slopes)
+        p = 0.5 * (m - 1)
+        lo, hi = int(np.floor(p)), int(np.ceil(p))
+        want = slopes[lo] + (slopes[hi] - slopes[lo]) * (p - lo)
+        assert out.loc[k, "sen_slope"] == want  # bit-exact contract
+
+
+def test_theil_sen_clean_trend_and_guards(rd):
+    from maestro_ray.ops.aggregates import theil_sen_trend
+
+    # perfect linear trend with one wild outlier: the median slope
+    # must stay at the clean 3.0 (robustness, unlike OLS)
+    v = [3.0 * i for i in range(11)]
+    v[5] = 1000.0
+    t = pa.table({"k": pa.array([1] * 11, pa.int64()),
+                  "o": pa.array(np.arange(11), pa.int64()),
+                  "v": pa.array(v, pa.float64())})
+    out = theil_sen_trend(rd.from_arrow(t), "k", ["o"], "v")
+    assert out["sen_slope"].iloc[0] == 3.0
+
+    big = pa.table({"k": pa.array([1] * 30, pa.int64()),
+                    "o": pa.array(np.arange(30), pa.int64()),
+                    "v": pa.array(np.arange(30.0), pa.float64())})
+    with pytest.raises(Exception, match="max_group_rows|sample"):
+        theil_sen_trend(rd.from_arrow(big), "k", ["o"], "v",
+                        max_group_rows=10)
