@@ -284,6 +284,8 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 20,
     max_broadcast_nodes: int = 5_000_000,
+    state: str = "auto",
+    num_buckets: int = 32,
 ) -> pd.DataFrame:
     """PageRank over a directed edge list: the standard power
     iteration r' = (1−d)/N + d·(Σ_{u→v} r_u/deg_u + dangling/N), fixed
@@ -291,21 +293,23 @@ def pagerank(
     float-iterative ops). Returns (node, rank) for every node that
     appears in any edge; ranks sum to 1.
 
-    Plan: the EDGES stream every round (one map_batches; contributions
-    pre-reduced per batch to sparse (dst, partial) via bincount → one
-    small driver fold); the O(nodes) rank/degree state is broadcast
-    once per round via ``ray.put`` (sorted arrays, ~16 B/node — 5M
-    nodes ≈ 80 MB). Node counts above ``max_broadcast_nodes`` fail
-    LOUDLY (the repo's guard idiom) naming the remedies: raise the
-    guard on a big-memory driver, or pre-contract the graph. (A
-    rank-as-Dataset hash_join round would remove the bound but pays a
-    per-round shuffle of the edge list AND the r3 block-doubling trap —
-    not built until a workload needs it.) Dangling mass is one array
-    reduction per round.
+    Two plans, dispatched by ``state`` (default "auto" = by node
+    count vs ``max_broadcast_nodes``):
+
+    - *broadcast* (small state): the EDGES stream every round (one
+      map_batches; contributions pre-reduced per batch to sparse
+      (dst, partial) via bincount → one small driver fold); the
+      O(nodes) rank/degree state is broadcast once per round via
+      ``ray.put`` (sorted arrays, ~16 B/node — 5M nodes ≈ 80 MB).
+      Zero per-round shuffles; dangling mass is one array reduction.
+    - *partitioned* (web-graph scale, ``_pagerank_partitioned``):
+      rank/degree state is a hash-bucketed Dataset joined to the edge
+      set per round — no O(nodes) driver state at any point; the
+      100-TB path.
 
     Per-node float sums fold per batch then per groupby — the last ulp
     depends on partitioning (inherent to distributed float addition);
-    tests compare against a numpy reference at 1e-9."""
+    tests compare both paths against a numpy reference at 1e-9."""
     import ray
 
     if not 0 < damping < 1:
@@ -328,11 +332,21 @@ def pagerank(
 
     e = compact_blocks(
         edges.map_batches(clean, batch_format="pyarrow").materialize())
-    if e.count() == 0:
+    n_edges = e.count()
+    if n_edges == 0:
         # all edges empty/null: an empty Ray collection loses its
         # schema in to_pandas (repo-documented class) — return directly
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "rank": pd.Series(dtype="float64")})
+    mode, nodes_ds = _resolve_state_mode(
+        state, "pagerank", n_edges, max_broadcast_nodes, e, num_buckets)
+    if mode == "partitioned":
+        if nodes_ds is None:
+            nodes_ds = _distinct_nodes(e, ["a", "b"], num_buckets)
+        out = _pagerank_partitioned(
+            e, nodes_ds, damping, iterations, num_buckets).to_pandas()
+        out["node"] = out["node"].astype("int64")
+        return out.sort_values("node").reset_index(drop=True)
 
     # node universe + out-degree: two tiny grouped folds, O(nodes)
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -353,12 +367,6 @@ def pagerank(
     if n == 0:
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "rank": pd.Series(dtype="float64")})
-    if n > max_broadcast_nodes:
-        raise ValueError(
-            f"pagerank: {n} nodes > max_broadcast_nodes="
-            f"{max_broadcast_nodes}; raise the guard explicitly (the "
-            "rank/degree tables are ~16 B/node of broadcast state) or "
-            "pre-contract the graph (ops/graph.connected_components)")
     degs = np.zeros(n, dtype=np.float64)
     degs[np.searchsorted(nodes, deg.index.to_numpy())] = \
         deg.to_numpy(dtype=np.float64)
@@ -400,23 +408,27 @@ def bfs_levels(
     src: str = "a",
     dst: str = "b",
     max_broadcast_nodes: int = 5_000_000,
+    state: str = "auto",
+    num_buckets: int = 32,
 ) -> pd.DataFrame:
     """Multi-source BFS: exact minimum hop distance (<= ``max_depth``)
     from the seed set to every reachable node that appears in the edge
     list. Seeds not present in any edge are ignored.
 
-    Plan — the ``pagerank`` scale shape: the EDGE list streams once
-    per level (one column-pruned map_batches whose per-batch output is
-    only the frontier's unique out-neighbors), while the O(nodes)
-    visited/distance state lives on the driver behind the same loud
-    ``max_broadcast_nodes`` guard (~16 B/node); each level broadcasts
-    the (shrinking) frontier via ``ray.put``. Levels run
-    sequentially by definition (BFS is a depth-synchronous fixpoint);
-    total work is O(edges * levels) worst case but each level's pass
-    prunes to frontier-incident batches via one vectorized
-    ``searchsorted`` membership test. Distances are exact integers —
-    bit-reproducible across partitionings. Returns (node, dist),
-    seeds at dist 0, sorted by node."""
+    Two plans, dispatched by ``state`` — the ``pagerank`` scale
+    shape: *broadcast* — the EDGE list streams once per level (one
+    column-pruned map_batches whose per-batch output is only the
+    frontier's unique out-neighbors), while the O(nodes)
+    visited/distance state lives on the driver (~16 B/node); each
+    level broadcasts the (shrinking) frontier via ``ray.put``.
+    *partitioned* (``_bfs_partitioned``, web-graph scale) — the
+    visited table is a hash-bucketed Dataset, each level one
+    frontier⋈edges join + one bucketed distinct + one state-update
+    join; no O(nodes) driver state. Levels run sequentially by
+    definition (BFS is a depth-synchronous fixpoint). Distances are
+    exact integers — bit-reproducible across partitionings AND across
+    the two plans. Returns (node, dist), seeds at dist 0, sorted by
+    node."""
     import ray
 
     if max_depth < 0:
@@ -437,9 +449,16 @@ def bfs_levels(
 
     e = _compact(edges.map_batches(clean, batch_format="pyarrow")
                  .materialize())
-    if e.count() == 0:
+    n_edges = e.count()
+    if n_edges == 0:
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "dist": pd.Series(dtype="int64")})
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    mode, _ = _resolve_state_mode(
+        state, "bfs_levels", n_edges, max_broadcast_nodes, e,
+        num_buckets)
+    if mode == "partitioned":
+        return _bfs_partitioned(e, seed_arr, max_depth, num_buckets)
 
     def node_partial(t: pa.Table) -> pa.Table:
         u = pc.unique(pa.chunked_array([t.column("a").combine_chunks(),
@@ -448,13 +467,7 @@ def bfs_levels(
 
     nodes = np.unique(e.map_batches(node_partial, batch_format="pyarrow")
                       .to_pandas()["node"].to_numpy())
-    if len(nodes) > max_broadcast_nodes:
-        raise ValueError(
-            f"bfs_levels: {len(nodes)} nodes > max_broadcast_nodes="
-            f"{max_broadcast_nodes}; raise the guard explicitly or "
-            "pre-contract the graph (ops/graph.connected_components)")
     dist = np.full(len(nodes), -1, dtype=np.int64)
-    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
     pos = np.searchsorted(nodes, seed_arr)
     in_univ = (pos < len(nodes))
     in_univ[in_univ] &= nodes[pos[in_univ]] == seed_arr[in_univ]
@@ -763,6 +776,8 @@ def sssp(
     directed: bool = True,
     max_rounds: int = 64,
     max_broadcast_nodes: int = 5_000_000,
+    state: str = "auto",
+    num_buckets: int = 32,
 ) -> pd.DataFrame:
     """Single-source shortest paths over non-negative edge weights —
     frontier Bellman–Ford (delta-free): each round relaxes only edges
@@ -771,16 +786,21 @@ def sssp(
     shortest-path hop count) rounds and each round is ONE pruned edge
     scan.
 
-    Plan — the ``bfs_levels`` scale shape: the edge list streams once
-    per round (per-batch output = per-destination MIN candidate only,
-    a sorted reduceat — O(unique dst) rows cross the wire); the
-    O(nodes) distance state lives on the driver behind the loud
-    ``max_broadcast_nodes`` guard; the (shrinking) frontier
-    (node, dist) pair is broadcast via ``ray.put``. Deterministic
-    across partitionings: every candidate is the single expression
-    dist[a] + w and min is order-independent. Negative weights fail
-    loudly (cycle divergence). Returns (node, dist) for reachable
-    nodes, source at 0.0, sorted by node."""
+    Two plans, dispatched by ``state`` (default "auto" = by node
+    count vs ``max_broadcast_nodes``): *broadcast* — the edge list
+    streams once per round (per-batch output = per-destination MIN
+    candidate only, a sorted reduceat — O(unique dst) rows cross the
+    wire); the O(nodes) distance state lives on the driver; the
+    (shrinking) frontier (node, dist) pair is broadcast via
+    ``ray.put``. *partitioned* (``_sssp_partitioned``, web-graph
+    scale) — the distance table is a hash-bucketed Dataset, each round
+    one frontier⋈edges join + one bucketed min + one state-update
+    join; no O(nodes) driver state. Deterministic across
+    partitionings AND across the two plans: every candidate is the
+    single expression dist[a] + w and min is order-independent.
+    Negative weights fail loudly (cycle divergence). Returns
+    (node, dist) for reachable nodes, source at 0.0, sorted by
+    node."""
     import ray
 
     def clean(t: pa.Table) -> pa.Table:
@@ -805,9 +825,14 @@ def sssp(
 
     e = _compact(edges.map_batches(clean, batch_format="pyarrow")
                  .materialize())
-    if e.count() == 0:
+    n_edges = e.count()
+    if n_edges == 0:
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "dist": pd.Series(dtype="float64")})
+    mode, _ = _resolve_state_mode(
+        state, "sssp", n_edges, max_broadcast_nodes, e, num_buckets)
+    if mode == "partitioned":
+        return _sssp_partitioned(e, source, num_buckets, max_rounds)
 
     def node_partial(t: pa.Table) -> pa.Table:
         u = pc.unique(pa.chunked_array([t.column("a").combine_chunks(),
@@ -816,11 +841,6 @@ def sssp(
 
     nodes = np.unique(e.map_batches(node_partial, batch_format="pyarrow")
                       .to_pandas()["node"].to_numpy())
-    if len(nodes) > max_broadcast_nodes:
-        raise ValueError(
-            f"sssp: {len(nodes)} nodes > max_broadcast_nodes="
-            f"{max_broadcast_nodes}; raise the guard explicitly or "
-            "pre-contract the graph (ops/graph.connected_components)")
     dist = np.full(len(nodes), np.inf, dtype=np.float64)
     spos = np.searchsorted(nodes, np.int64(source))
     if spos >= len(nodes) or nodes[spos] != source:
@@ -885,6 +905,8 @@ def hits(
     dst: str = "b",
     iterations: int = 20,
     max_broadcast_nodes: int = 5_000_000,
+    state: str = "auto",
+    num_buckets: int = 32,
 ) -> pd.DataFrame:
     """HITS hubs-and-authorities over a directed edge list — the link-
     analysis complement of ``pagerank`` (a good hub points at good
@@ -896,13 +918,16 @@ def hits(
     rounds (deterministic stopping — the repo rule for float-iterative
     ops). Returns (node, hub, authority) for every node in any edge.
 
-    Plan — exactly the pagerank scale shape: edges stream twice per
-    round (forward scatter for authorities, reverse for hubs), each
-    pass pre-reduces per batch to sparse (node, partial) via bincount;
-    the O(nodes) score state broadcasts via ``ray.put`` behind the
-    same loud ``max_broadcast_nodes`` guard. Last-ulp output depends
-    on partitioning (distributed float sums); tests compare against a
-    numpy reference at 1e-9."""
+    Two plans, dispatched by ``state`` — exactly the pagerank scale
+    shape: *broadcast* — edges stream twice per round (forward scatter
+    for authorities, reverse for hubs), each pass pre-reduces per
+    batch to sparse (node, partial) via bincount; the O(nodes) score
+    state broadcasts via ``ray.put``. *partitioned*
+    (``_hits_partitioned``, web-graph scale) — score state as a
+    hash-bucketed Dataset, two ``_hits_half`` join+fold scatters per
+    round; no O(nodes) driver state. Last-ulp output depends on
+    partitioning (distributed float sums); tests compare both paths
+    against a numpy reference at 1e-9."""
     import ray
 
     if iterations < 1:
@@ -919,10 +944,22 @@ def hits(
 
     e = compact_blocks(
         edges.map_batches(clean, batch_format="pyarrow").materialize())
-    if e.count() == 0:
+    n_edges = e.count()
+    if n_edges == 0:
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "hub": pd.Series(dtype="float64"),
                              "authority": pd.Series(dtype="float64")})
+    mode, nodes_ds = _resolve_state_mode(
+        state, "hits", n_edges, max_broadcast_nodes, e, num_buckets)
+    if mode == "partitioned":
+        if nodes_ds is None:
+            nodes_ds = _distinct_nodes(e, ["a", "b"], num_buckets)
+        out = _hits_partitioned(
+            e, nodes_ds, iterations, num_buckets).to_pandas()
+        out = out.rename(columns={"auth": "authority"})
+        out["node"] = out["node"].astype("int64")
+        return out[["node", "hub", "authority"]] \
+            .sort_values("node").reset_index(drop=True)
 
     def node_partial(t: pa.Table) -> pa.Table:
         u = pc.unique(pa.chunked_array([t.column("a").combine_chunks(),
@@ -932,11 +969,6 @@ def hits(
     nodes = np.unique(e.map_batches(node_partial, batch_format="pyarrow")
                       .to_pandas()["node"].to_numpy())
     n = len(nodes)
-    if n > max_broadcast_nodes:
-        raise ValueError(
-            f"hits: {n} nodes > max_broadcast_nodes="
-            f"{max_broadcast_nodes}; raise the guard explicitly or "
-            "pre-contract the graph (ops/graph.connected_components)")
     nodes_ref = ray.put(nodes)
     hub = np.full(n, 1.0 / np.sqrt(n))
     auth = np.full(n, 1.0 / np.sqrt(n))
@@ -974,6 +1006,401 @@ def hits(
 
     return pd.DataFrame({"node": nodes.astype(np.int64),
                          "hub": hub, "authority": auth})
+
+
+# ------------------------------------------------------- partitioned
+# vertex state (the >max_broadcast_nodes path for pagerank / sssp /
+# hits / bfs_levels).
+#
+# The broadcast plans above keep O(nodes) rank/distance/score state on
+# the driver and ship it per round via ray.put — the right shape while
+# it fits (zero per-round shuffles). Above ``max_broadcast_nodes`` the
+# public ops now SWITCH (state="auto") to these plans instead of
+# raising: vertex state lives as a hash-bucketed Dataset and each
+# round is bounded exchanges — ONE hash_join of the edge set against
+# the state (or frontier), ONE bucketed_agg fold of the per-batch
+# pre-reduced messages, ONE state-update join — the label_propagation
+# shape (same file). State is materialized + block-compacted every
+# round (the iterative-join block-doubling rule, ops/partition).
+# Nothing is O(nodes) on the driver except the final DataFrame
+# delivery the public API promises; the ``_*_partitioned`` helpers
+# themselves return Datasets, so a 100-TB caller can consume the
+# result distributed (write_parquet / further map_batches) without
+# ever collecting it.
+
+
+def _distinct_nodes(e: rd.Dataset, cols, num_buckets: int) -> rd.Dataset:
+    """Distinct (node) Dataset over the given endpoint columns — one
+    bucketed-distinct exchange, per-batch pc.unique pre-reduce so only
+    per-block uniques cross the wire; materialized + compacted (it is
+    reused as the state seed)."""
+    from maestro_ray.ops.aggregates import bucketed_distinct
+
+    def part(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.chunked_array(
+            [t.column(c).combine_chunks() for c in cols]))
+        return pa.table({"node": u})
+
+    return _compact(bucketed_distinct(
+        e.map_batches(part, batch_format="pyarrow"), ["node"],
+        n_buckets=num_buckets).materialize())
+
+
+def _fold_scalar(ds: rd.Dataset, batch_fn) -> float:
+    """Global Σ of a per-batch float statistic: one tiny partial per
+    block, O(blocks) driver rows — never the dataset itself."""
+    parts = ds.map_batches(
+        lambda t: pa.table(
+            {"s": pa.array([batch_fn(t)], pa.float64())}),
+        batch_format="pyarrow").to_pandas()
+    return float(parts["s"].sum())
+
+
+def _resolve_state_mode(state: str, op: str, n_edges: int,
+                        max_broadcast_nodes: int, e: rd.Dataset,
+                        num_buckets: int):
+    """Dispatch rule shared by the four vertex-state ops. Returns
+    (mode, nodes_ds) where nodes_ds is the distinct-node Dataset when
+    it was needed for the decision (reused by the partitioned plan)
+    else None. The cheap tier: nodes <= 2*edges, so small edge sets
+    prove the broadcast bound without any exchange; only above that
+    does ONE distributed distinct count run."""
+    if state not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(
+            f"{op}: state={state!r}: auto|broadcast|partitioned")
+    if state != "auto":
+        return state, None
+    if 2 * n_edges <= max_broadcast_nodes:
+        return "broadcast", None
+    nodes_ds = _distinct_nodes(e, ["a", "b"], num_buckets)
+    if nodes_ds.count() <= max_broadcast_nodes:
+        return "broadcast", nodes_ds
+    return "partitioned", nodes_ds
+
+
+def _pagerank_partitioned(e: rd.Dataset, nodes_ds: rd.Dataset,
+                          damping: float, iterations: int,
+                          num_buckets: int) -> rd.Dataset:
+    """pagerank with (node, deg, rank) as a hash-bucketed Dataset.
+    Per round: dangling mass via one O(blocks) partial fold; shares
+    join the edge set on src; per-batch (dst, Σshare) pre-reduce; one
+    bucketed sum; one left state-update join. Same fixed-iterations
+    semantics and formula as the broadcast plan (float association
+    differs at the last ulp — the distributed-float rule; tests
+    compare the two paths at 1e-9)."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.joins import hash_join
+
+    n = nodes_ds.count()
+    deg = bucketed_agg(e, "a", [(None, "count_all", "deg")],
+                       n_buckets=num_buckets).map_batches(
+        _rename_cols({"a": "node"}), batch_format="pyarrow")
+    init = hash_join(nodes_ds, deg, keys="node",
+                     num_buckets=num_buckets, join_type="left outer")
+    inv_n = 1.0 / n
+
+    def seed(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.fill_null(t.column("deg"), 0), pa.int64())
+        return pa.table({
+            "node": pc.cast(t.column("node"), pa.int64()),
+            "deg": d,
+            "rank": pa.array(np.full(t.num_rows, inv_n), pa.float64()),
+        })
+
+    state = _compact(init.map_batches(seed, batch_format="pyarrow")
+                     .materialize())
+
+    def share(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("deg"),
+                                pa.scalar(0, pa.int64())))
+        s = pc.divide(t.column("rank"),
+                      pc.cast(t.column("deg"), pa.float64()))
+        return pa.table({"a": t.column("node"), "__share": s})
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.select(["b", "__share"]).group_by(["b"]) \
+            .aggregate([("__share", "sum")])
+        return pa.table({"node": g.column("b"),
+                         "__in": g.column("__share_sum")})
+
+    for _ in range(iterations):
+        d_mass = _fold_scalar(state, lambda t: float(np.sum(
+            t.column("rank").to_numpy(zero_copy_only=False)[
+                t.column("deg").to_numpy(zero_copy_only=False) == 0])))
+        msgs = hash_join(
+            e, state.map_batches(share, batch_format="pyarrow"),
+            keys="a", num_buckets=num_buckets)
+        # an edge implies deg(src) >= 1, so msgs (and inflow) are
+        # non-empty whenever e is — the empty-side schema-loss class
+        # cannot fire here
+        inflow = bucketed_agg(
+            msgs.map_batches(pre, batch_format="pyarrow"),
+            "node", [("__in", "sum", "__in")], n_buckets=num_buckets)
+        upd = hash_join(state, inflow, keys="node",
+                        num_buckets=num_buckets, join_type="left outer")
+        base = (1.0 - damping) / n + damping * d_mass / n
+
+        def apply(t: pa.Table, base=base) -> pa.Table:
+            i = pc.fill_null(t.column("__in"), 0.0)
+            r = pc.add(pa.scalar(base, pa.float64()),
+                       pc.multiply(pa.scalar(damping, pa.float64()), i))
+            return pa.table({"node": t.column("node"),
+                             "deg": t.column("deg"), "rank": r})
+
+        state = _compact(upd.map_batches(
+            apply, batch_format="pyarrow").materialize())
+
+    return state.map_batches(lambda t: t.select(["node", "rank"]),
+                             batch_format="pyarrow")
+
+
+def _sssp_partitioned(e: rd.Dataset, source: int, num_buckets: int,
+                      max_rounds: int) -> pd.DataFrame:
+    """Frontier Bellman–Ford with the distance table as a bucketed
+    Dataset. Per round: frontier (node, dist) joins the edge set on
+    src; per-batch per-dst MIN pre-reduce; one bucketed min; one left
+    state-update join whose improved rows ARE the next frontier.
+    Distances stay exact (min of exact sums — order-independent), so
+    this path is bit-identical to the broadcast plan."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.joins import hash_join
+
+    source_i = int(source)
+    nodes_ds = _distinct_nodes(e, ["a", "b"], num_buckets)
+    present = nodes_ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("node"),
+                                    pa.scalar(source_i, pa.int64()))),
+        batch_format="pyarrow").count()
+    if present == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="float64")})
+
+    def seed(t: pa.Table) -> pa.Table:
+        node = pc.cast(t.column("node"), pa.int64())
+        d = pc.if_else(pc.equal(node, pa.scalar(source_i, pa.int64())),
+                       pa.scalar(0.0, pa.float64()),
+                       pa.scalar(np.inf, pa.float64()))
+        return pa.table({"node": node, "dist": d})
+
+    state = _compact(nodes_ds.map_batches(
+        seed, batch_format="pyarrow").materialize())
+    frontier = rd.from_arrow(pa.table({
+        "a": pa.array([source_i], pa.int64()),
+        "__fd": pa.array([0.0], pa.float64())}))
+
+    def pre(t: pa.Table) -> pa.Table:
+        nd = pc.add(t.column("__fd"), t.column("w"))
+        g = pa.table({"b": t.column("b"), "__nd": nd}) \
+            .group_by(["b"]).aggregate([("__nd", "min")])
+        return pa.table({"node": g.column("b"),
+                         "__nd": g.column("__nd_min")})
+
+    def apply(t: pa.Table) -> pa.Table:
+        nd = pc.fill_null(t.column("__nd"),
+                          pa.scalar(np.inf, pa.float64()))
+        better = pc.less(nd, t.column("dist"))
+        return pa.table({
+            "node": t.column("node"),
+            "dist": pc.if_else(better, nd, t.column("dist")),
+            "__imp": better})
+
+    def to_front(t: pa.Table) -> pa.Table:
+        f = t.filter(t.column("__imp"))
+        return pa.table({"a": f.column("node"),
+                         "__fd": f.column("dist")})
+
+    for _ in range(max_rounds):
+        msgs = hash_join(e, frontier, keys="a",
+                         num_buckets=num_buckets)
+        cand = _compact(bucketed_agg(
+            msgs.map_batches(pre, batch_format="pyarrow"),
+            "node", [("__nd", "min", "__nd")],
+            n_buckets=num_buckets).materialize())
+        if cand.count() == 0:
+            break  # frontier had no outgoing edges
+        upd = hash_join(state, cand, keys="node",
+                        num_buckets=num_buckets,
+                        join_type="left outer")
+        ns = _compact(upd.map_batches(
+            apply, batch_format="pyarrow").materialize())
+        frontier = ns.map_batches(
+            to_front, batch_format="pyarrow").materialize()
+        state = ns.map_batches(
+            lambda t: t.select(["node", "dist"]),
+            batch_format="pyarrow")
+        if frontier.count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"sssp: no convergence within max_rounds={max_rounds} — "
+            "raise max_rounds (deep graph) or check for weight "
+            "underflow churn")
+
+    out = state.map_batches(
+        lambda t: t.filter(pc.is_finite(t.column("dist"))),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _hits_half(e: rd.Dataset, state: rd.Dataset, from_col: str,
+               to_col: str, src_score: str, dst_score: str,
+               num_buckets: int) -> rd.Dataset:
+    """One HITS half-step over partitioned state: scatter src_score
+    along from→to edges, bucketed sum per target, L2-normalize
+    (global norm via one O(blocks) partial fold), write dst_score."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.joins import hash_join
+
+    def emit(t: pa.Table, fc=from_col, sc=src_score) -> pa.Table:
+        return pa.table({fc: t.column("node"), "__v": t.column(sc)})
+
+    def pre(t: pa.Table, tc=to_col) -> pa.Table:
+        g = pa.table({"node": t.column(tc), "__v": t.column("__v")}) \
+            .group_by(["node"]).aggregate([("__v", "sum")])
+        return pa.table({"node": g.column("node"),
+                         "__s": g.column("__v_sum")})
+
+    msgs = hash_join(
+        e, state.map_batches(emit, batch_format="pyarrow"),
+        keys=from_col, num_buckets=num_buckets)
+    sums = bucketed_agg(
+        msgs.map_batches(pre, batch_format="pyarrow"),
+        "node", [("__s", "sum", "__s")], n_buckets=num_buckets)
+    upd = hash_join(state, sums, keys="node",
+                    num_buckets=num_buckets, join_type="left outer")
+
+    def put(t: pa.Table, ds_col=dst_score) -> pa.Table:
+        cols = {"node": t.column("node")}
+        for c in ("hub", "auth"):
+            cols[c] = pc.fill_null(t.column("__s"), 0.0) \
+                if c == ds_col else t.column(c)
+        return pa.table(cols)
+
+    tmp = _compact(upd.map_batches(
+        put, batch_format="pyarrow").materialize())
+    norm = np.sqrt(_fold_scalar(tmp, lambda t, c=dst_score: float(
+        np.sum(np.square(t.column(c).to_numpy(
+            zero_copy_only=False))))))
+    if norm <= 0:
+        return tmp
+
+    def scale(t: pa.Table, ds_col=dst_score, nm=norm) -> pa.Table:
+        cols = {"node": t.column("node")}
+        for c in ("hub", "auth"):
+            cols[c] = pc.divide(t.column(c),
+                                pa.scalar(nm, pa.float64())) \
+                if c == ds_col else t.column(c)
+        return pa.table(cols)
+
+    return _compact(tmp.map_batches(
+        scale, batch_format="pyarrow").materialize())
+
+
+def _hits_partitioned(e: rd.Dataset, nodes_ds: rd.Dataset,
+                      iterations: int,
+                      num_buckets: int) -> rd.Dataset:
+    """HITS with (node, hub, auth) as a bucketed Dataset — two
+    ``_hits_half`` scatters per round (forward for authorities,
+    reverse for hubs), same fixed-iterations semantics as the
+    broadcast plan."""
+    n = nodes_ds.count()
+    v0 = 1.0 / np.sqrt(n)
+
+    def seed(t: pa.Table) -> pa.Table:
+        v = pa.array(np.full(t.num_rows, v0), pa.float64())
+        return pa.table({"node": pc.cast(t.column("node"), pa.int64()),
+                         "hub": v, "auth": v})
+
+    state = _compact(nodes_ds.map_batches(
+        seed, batch_format="pyarrow").materialize())
+    for _ in range(iterations):
+        state = _hits_half(e, state, "a", "b", "hub", "auth",
+                           num_buckets)
+        state = _hits_half(e, state, "b", "a", "auth", "hub",
+                           num_buckets)
+    return state
+
+
+def _bfs_partitioned(e: rd.Dataset, seed_arr: np.ndarray,
+                     max_depth: int, num_buckets: int) -> pd.DataFrame:
+    """Multi-source BFS with the visited/distance table as a bucketed
+    Dataset (e already symmetrized by the caller for undirected).
+    Per level: frontier joins the edge set on src; per-batch unique
+    pre-reduce; one bucketed distinct; one left state-update join —
+    newly-reached rows are the next frontier. Integer distances —
+    bit-identical to the broadcast plan."""
+    from maestro_ray.ops.aggregates import bucketed_distinct
+    from maestro_ray.ops.joins import hash_join
+
+    nodes_ds = _distinct_nodes(e, ["a", "b"], num_buckets)
+    seed_list = [int(s) for s in seed_arr]
+
+    def seed(t: pa.Table) -> pa.Table:
+        node = pc.cast(t.column("node"), pa.int64())
+        hit = pc.is_in(node, value_set=pa.array(seed_list, pa.int64()))
+        d = pc.if_else(hit, pa.scalar(0, pa.int64()),
+                       pa.scalar(-1, pa.int64()))
+        return pa.table({"node": node, "dist": d})
+
+    state = _compact(nodes_ds.map_batches(
+        seed, batch_format="pyarrow").materialize())
+    frontier = state.map_batches(
+        lambda t: pa.table({"a": t.filter(pc.equal(
+            t.column("dist"), pa.scalar(0, pa.int64())))
+            .column("node")}),
+        batch_format="pyarrow").materialize()
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pc.unique(t.column("b").combine_chunks())})
+
+    for d in range(1, max_depth + 1):
+        if frontier.count() == 0:
+            break
+        msgs = hash_join(e, frontier, keys="a",
+                         num_buckets=num_buckets)
+        cand = _compact(bucketed_distinct(
+            msgs.map_batches(pre, batch_format="pyarrow"), ["node"],
+            n_buckets=num_buckets).materialize())
+        if cand.count() == 0:
+            break
+        marked = cand.map_batches(
+            lambda t: t.append_column("__r", pa.array(
+                np.ones(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow")
+        upd = hash_join(state, marked, keys="node",
+                        num_buckets=num_buckets,
+                        join_type="left outer")
+
+        def apply(t: pa.Table, lvl=d) -> pa.Table:
+            new = pc.and_(pc.equal(t.column("dist"),
+                                   pa.scalar(-1, pa.int64())),
+                          pc.is_valid(t.column("__r")))
+            dist = pc.if_else(new, pa.scalar(lvl, pa.int64()),
+                              t.column("dist"))
+            return pa.table({"node": t.column("node"), "dist": dist,
+                             "__new": new})
+
+        ns = _compact(upd.map_batches(
+            apply, batch_format="pyarrow").materialize())
+        frontier = ns.map_batches(
+            lambda t: pa.table({"a": t.filter(t.column("__new"))
+                                .column("node")}),
+            batch_format="pyarrow").materialize()
+        state = ns.map_batches(
+            lambda t: t.select(["node", "dist"]),
+            batch_format="pyarrow")
+
+    out = state.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t.column("dist"), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    if out.empty:
+        # no seed in the graph: empty result loses its schema in
+        # to_pandas (repo-documented class) — rebuild it typed
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="int64")})
+    return out.sort_values("node").reset_index(drop=True)
 
 
 def degree_assortativity(

@@ -62,8 +62,8 @@ def test_guards_and_nulls(ray_session):
         pagerank(ds, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(ds, iterations=0)
-    with pytest.raises(ValueError, match="max_broadcast_nodes"):
-        pagerank(ds, max_broadcast_nodes=2)
+    with pytest.raises(ValueError, match="state"):
+        pagerank(ds, state="bogus")
     withnull = rd.from_arrow(pa.table({
         "a": pa.array([1, None], pa.int64()),
         "b": pa.array([2, 3], pa.int64())}))
