@@ -5154,11 +5154,18 @@ def _q_common_neighbors(sf):
 
 def _q_isotonic_calibration(sf):
     """Isotonic (PAV) calibration of P(event_type='purchase') against
-    the raw event value (ops/ml.py isotonic_fit): least-squares
-    nondecreasing rate fit — shared score-histogram plan + rational
-    PAV stack (integer cross-multiplied violation tests ⇒ bitwise
-    deterministic across partitionings). Rows-only (iterative pooling
-    has no SQL spelling); pytest owns the oracle
+    the event value bucketed to width-8 bins (ops/ml.py isotonic_fit):
+    least-squares nondecreasing rate fit — shared score-histogram plan
+    + rational PAV stack (integer cross-multiplied violation tests ⇒
+    bitwise deterministic across partitionings). DuckDB-exact via the
+    minimax identity fitted(k) = max_{i≤k} min_{j≥k} wmean(y[i..j])
+    (Robertson et al.): with ≤64 bins the O(bins³) triple join is
+    trivial, and every candidate mean is a ratio of exact ints whose
+    float64 comparisons are faithful (cross products ≪ 2^53, distinct
+    ratios differ by ≥ 1/(n_i·n_j) ≫ double ulp), so the SQL max/min
+    selects the same pool value the PAV stack emits — the one
+    division per pool is identical on both sides. Full-resolution PAV
+    + the iterative-stack oracle stay pytest
     (tests/unit/test_isotonic.py)."""
     from maestro_ray.ops.ml import isotonic_fit
 
@@ -5166,7 +5173,8 @@ def _q_isotonic_calibration(sf):
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({
-            "s": t.column("value"),
+            "s": pc.floor(pc.divide(t.column("value"),
+                                    pa.scalar(8.0, pa.float64()))),
             "y": pc.cast(pc.equal(t.column("event_type"), "purchase"),
                          pa.int64()),
         })
@@ -5777,33 +5785,70 @@ def _q_naive_bayes(sf):
                                 "event_type", "event_id")
 
 
+def _sssp_tree_w(c: np.ndarray) -> np.ndarray:
+    """Planted tree-edge weight formula: w(i) = (i·2654435761) mod 997
+    + 1 — positive exact integers (sums along any chain stay exact in
+    float64), spelled identically in the SQL twin."""
+    return (c * np.int64(2654435761)) % np.int64(997) + np.int64(1)
+
+
+def _sssp_tree_dist(v: np.ndarray) -> np.ndarray:
+    """Closed-form tree distance of the planted binary-heap tree
+    (parent(i) = i//2, root 0): Σ w over the halving chain down to 1 —
+    a ⌈log2 n⌉-round vectorized fold, no table needed."""
+    acc = np.zeros(len(v), dtype=np.int64)
+    c = v.copy()
+    while (c > 0).any():
+        live = c > 0
+        acc[live] += _sssp_tree_w(c[live])
+        c >>= 1
+    return acc
+
+
 def _q_sssp(sf):
-    """Weighted single-source shortest paths over the co-purchase
-    graph (ops/graph.py sssp — frontier Bellman–Ford, one pruned edge
-    scan per round, O(nodes) driver state behind the loud broadcast
-    guard): nodes = parts, undirected edges from order co-occurrence
-    with weight 1/support, source = global min part key. Rows-only
-    (path algebra is non-SQL); tests/unit/test_graph_sssp.py pins the
-    result against a heap Dijkstra reference on random graphs."""
-    from maestro_ray.ops.analytics import cooccurrence_pairs
+    """Weighted single-source shortest paths (ops/graph.py sssp —
+    frontier Bellman–Ford, broadcast or partitioned state by node
+    count) over a PLANTED graph derived from the part table: nodes =
+    p_partkey (0..n−1 contiguous), tree edges (i//2, i) with the
+    integer weight formula ``_sssp_tree_w``, PLUS decoy undirected
+    edges (i, (i·48271) mod n) for every 7th node whose weight
+    |dist(j) − dist(i)| + 1 provably improves NO distance in either
+    direction — the engine must discover that through real
+    relaxation. All weights and distances are exact integers in
+    float64, so the result is bit-identical to the SQL twin's
+    recursive ancestor-chain walk (which never needs the decoys).
+    Random-graph Dijkstra parity stays pytest
+    (tests/unit/test_graph_sssp.py)."""
     from maestro_ray.ops.graph import sssp
 
-    ds = _read(sf, "lineitem", columns=["l_orderkey", "l_partkey"])
-    pairs = cooccurrence_pairs(ds, "l_orderkey", "l_partkey",
-                               min_support=2)
+    ds = _read(sf, "part", columns=["p_partkey"])
+    n = ds.count()
 
-    def weight(t: pa.Table) -> pa.Table:
-        sup = t.column("support").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        return pa.table({"a": t.column("p1"), "b": t.column("p2"),
-                         "w": pa.array(1.0 / sup, pa.float64())})
+    def build(t: pa.Table) -> pa.Table:
+        i = t.column("p_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ti = i[i >= 1]
+        a = [ti >> 1]
+        b = [ti]
+        w = [_sssp_tree_w(ti)]
+        x = i[(i % 7 == 0) & (i >= 2)]
+        j = (x * np.int64(48271)) % np.int64(n)
+        keep = j != x
+        x, j = x[keep], j[keep]
+        if len(x):
+            a.append(x)
+            b.append(j)
+            w.append(np.abs(_sssp_tree_dist(j) - _sssp_tree_dist(x))
+                     + np.int64(1))
+        return pa.table({
+            "a": pa.array(np.concatenate(a), pa.int64()),
+            "b": pa.array(np.concatenate(b), pa.int64()),
+            "w": pa.array(np.concatenate(w).astype(np.float64),
+                          pa.float64()),
+        })
 
-    edges = pairs.map_batches(weight, batch_format="pyarrow") \
-        .materialize()
-    src = int(edges.min("a"))
-    out = sssp(edges, src, directed=False)
-    out["dist"] = out["dist"].round(9)
-    return out
+    edges = ds.map_batches(build, batch_format="pyarrow")
+    return sssp(edges, 0, directed=False)
 
 
 def _q_cdc_wap(sf):
@@ -5869,17 +5914,57 @@ def _q_hits(sf):
     return out
 
 
+# Planted stem corpus: a fixed cycle of (token, stem) pairs, every
+# pair lifted from Porter (1980)'s published examples (the same
+# vectors tests/unit/test_stem.py pins the automaton against). The
+# engine stems each token through the REAL automaton; the SQL twin
+# reconstructs the mapping as a VALUES lookup — the multimodal /
+# html_meta planted-synthesis precedent. Five families contribute two
+# inflections each (the merge the stemmer exists to perform), the
+# rest one.
+_STEM_CYCLE = [
+    ("hopeful", "hope"), ("hopefulness", "hope"),
+    ("formaliti", "formal"), ("formalize", "formal"),
+    ("electriciti", "electr"), ("electrical", "electr"),
+    ("adjustable", "adjust"), ("adjustment", "adjust"),
+    ("homologou", "homolog"), ("homologous", "homolog"),
+    ("caresses", "caress"), ("caress", "caress"),
+    ("motoring", "motor"), ("relational", "relat"),
+    ("conditional", "condit"), ("operator", "oper"),
+    ("decisiveness", "decis"), ("goodness", "good"),
+    ("revival", "reviv"), ("allowance", "allow"),
+    ("inference", "infer"), ("airliner", "airlin"),
+    ("gyroscopic", "gyroscop"), ("defensible", "defens"),
+    ("irritant", "irrit"), ("replacement", "replac"),
+    ("dependent", "depend"), ("adoption", "adopt"),
+    ("communism", "commun"), ("activate", "activ"),
+    ("angulariti", "angular"), ("effective", "effect"),
+]
+
+
 def _q_stem_top(sf):
-    """Top-20 Porter stems by corpus frequency (ops/stem.py
-    stem_terms): the published 1980 automaton memoized over per-batch
-    UNIQUE tokens (Zipf — O(unique) scalar calls, dictionary gather
-    rebuilds the stream), one bucketed count, local-combiner top-k.
-    Rows-only (no SQL spelling of the automaton);
-    tests/unit/test_stem.py pins the 75 published examples."""
+    """Top-20 Porter stems by frequency over a PLANTED token corpus
+    (ops/stem.py stem_terms): token k = _STEM_CYCLE[o_orderkey mod
+    32], one token per row — the engine runs the real published 1980
+    automaton (memoized over per-batch uniques, one bucketed count,
+    local-combiner top-k ordered n desc / stem asc); the twin maps
+    tokens to their published stems via a VALUES lookup and counts.
+    Exact ints end to end. The automaton itself stays pinned against
+    all 75 published examples in tests/unit/test_stem.py; the
+    real-document path is covered there too."""
     from maestro_ray.ops.stem import stem_terms
 
-    ds = _read(sf, "documents", columns=["text"])
-    return stem_terms(ds, "text", k=20)
+    ds = _read(sf, "orders", columns=["o_orderkey"])
+    toks = np.asarray([t for t, _ in _STEM_CYCLE])
+
+    def plant(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"text": pa.array(toks[k % len(toks)],
+                                          pa.string())})
+
+    return stem_terms(ds.map_batches(plant, batch_format="pyarrow"),
+                      "text", k=20)
 
 
 def _q_cdc_log_compact(sf):
@@ -6145,8 +6230,12 @@ def _q_label_propagation(sf):
     """Semi-supervised label propagation over the synthetic host
     outlink graph (ops/graph.py label_propagation): one seed host per
     tld, labels spread by per-round neighbor majority (ties → min
-    label, seeds clamped — fully deterministic). Rows-only; planted
-    community/tie/depth oracles are pytest
+    label, seeds clamped — fully deterministic). DuckDB-exact: the
+    fixed 4 rounds unroll into 4 chained CTEs (vote count → per-node
+    argmax by (n desc, label asc) row_number → clamped update) over
+    the same canonical distinct bidirected edge set the engine builds
+    — every vote an exact int, labels plain ASCII so Arrow and DuckDB
+    sort identically. Planted community/tie/depth oracles stay pytest
     (tests/unit/test_label_prop.py)."""
     from maestro_ray.ops.graph import label_propagation
 
@@ -6663,6 +6752,69 @@ def _zspread_sql(col: str) -> str:
                   (1, 0x5555555555555555)):
         s = f"((({s} | ({s} << {sh})) & {m}))"
     return s
+
+
+def _lp_oracle_sql(rounds: int = 4) -> str:
+    """label_propagation twin: the link_graph host-edge synthesis →
+    canonical distinct bidirected edges → the engine's fixed 4 rounds
+    unrolled as chained CTEs (vote count → per-node argmax by
+    (n desc, label asc) → clamped update). Exact int votes; ASCII
+    labels sort identically in Arrow and DuckDB."""
+    sql = (
+        "WITH tgt AS (SELECT doc_id, (doc_id * 31 + j * 97) % 1999 "
+        "AS t FROM documents, (SELECT unnest([1, 2, 3]) AS j) _j), "
+        "raw AS (SELECT 'www.example' || CAST(doc_id % 23 AS VARCHAR) "
+        "|| '.' || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN "
+        "'org' ELSE 'net' END) AS s, "
+        "'www.example' || CAST(t % 23 AS VARCHAR) || '.' || "
+        "(CASE t % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' "
+        "END) AS d FROM tgt), "
+        "ce AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v "
+        "FROM raw WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d), "
+        "bid AS (SELECT u AS node, v AS o FROM ce "
+        "UNION ALL SELECT v, u FROM ce), "
+        "nodes AS (SELECT DISTINCT node FROM bid), "
+        "seeds(snode, slabel) AS (VALUES "
+        "('www.example0.com', 'com'), ('www.example1.org', 'org'), "
+        "('www.example2.net', 'net')), "
+        "l0 AS (SELECT n.node, s.slabel AS label, "
+        "s.slabel IS NOT NULL AS is_seed "
+        "FROM nodes n LEFT JOIN seeds s ON n.node = s.snode)"
+    )
+    for k in range(1, rounds + 1):
+        p = k - 1
+        sql += (
+            f", v{k} AS (SELECT b.o AS node, l.label, "
+            f"count(*)::BIGINT AS n FROM bid b "
+            f"JOIN l{p} l ON b.node = l.node "
+            f"WHERE l.label IS NOT NULL GROUP BY 1, 2)"
+            f", p{k} AS (SELECT node, label FROM "
+            f"(SELECT node, label, row_number() OVER "
+            f"(PARTITION BY node ORDER BY n DESC, label ASC) AS rn "
+            f"FROM v{k}) WHERE rn = 1)"
+            f", l{k} AS (SELECT s.node, CASE WHEN s.is_seed THEN "
+            f"s.label WHEN p.label IS NOT NULL THEN p.label "
+            f"ELSE s.label END AS label, s.is_seed "
+            f"FROM l{p} s LEFT JOIN p{k} p ON s.node = p.node)"
+        )
+    return sql + (f" SELECT node, label FROM l{rounds} ORDER BY node")
+
+
+def _stem_oracle_sql() -> str:
+    """stem_top twin: the planted _STEM_CYCLE token→stem mapping as a
+    VALUES lookup (stems are Porter's published vectors, pinned
+    against the real automaton in tests/unit/test_stem.py), counted
+    with the engine's (n desc, stem asc) top-20 order."""
+    vals = ", ".join(f"({i}, '{s}')"
+                     for i, (_, s) in enumerate(_STEM_CYCLE))
+    return (
+        "WITH map(i, stem) AS (VALUES " + vals + "), "
+        "t AS (SELECT o_orderkey % " + str(len(_STEM_CYCLE)) +
+        " AS i FROM orders), "
+        "c AS (SELECT m.stem, count(*)::BIGINT AS n FROM t "
+        "JOIN map m ON t.i = m.i GROUP BY 1) "
+        "SELECT stem, n FROM c ORDER BY n DESC, stem ASC LIMIT 20"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9323,6 +9475,51 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n FROM lineitem "
             "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT "
             "NULL GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "sssp": (
+            # planted binary-heap tree (parent = i//2, root 0) with
+            # the _sssp_tree_w integer weight formula; the decoy edges
+            # provably never improve a distance, so the twin is the
+            # recursive ancestor-chain walk alone — exact ints in
+            # float64 on both sides, no rounding
+            "WITH RECURSIVE walk(node, cur, acc) AS ("
+            "SELECT CAST(p_partkey AS BIGINT), "
+            "CAST(p_partkey AS BIGINT), CAST(0 AS BIGINT) FROM part "
+            "UNION ALL "
+            "SELECT node, cur // 2, acc + (cur * 2654435761) % 997 + 1 "
+            "FROM walk WHERE cur > 0) "
+            "SELECT node, CAST(acc AS DOUBLE) AS dist FROM walk "
+            "WHERE cur = 0 ORDER BY node"
+        ),
+        "label_propagation": _lp_oracle_sql(),
+        "stem_top": _stem_oracle_sql(),
+        "isotonic_calibration": (
+            # minimax identity fitted(k) = max_{i<=k} min_{j>=k}
+            # wmean(y[i..j]) over the <=64-bin score histogram; every
+            # candidate a ratio of exact ints -> float64 comparisons
+            # faithful, winner IS the PAV pool's (pos, n) division
+            "WITH l AS (SELECT floor(value / 8) AS s, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "g AS (SELECT s, count(*)::BIGINT AS n, "
+            "sum(y)::BIGINT AS pos FROM l GROUP BY 1), "
+            "o AS (SELECT s, n, pos, "
+            "row_number() OVER (ORDER BY s) AS r FROM g), "
+            "cum AS (SELECT s, n, pos, r, "
+            "sum(n) OVER (ORDER BY r) AS cn, "
+            "sum(pos) OVER (ORDER BY r) AS cp FROM o), "
+            "iv AS (SELECT a.r AS i, b.r AS j, "
+            "CAST(b.cp - a.cp + a.pos AS BIGINT) AS ip, "
+            "CAST(b.cn - a.cn + a.n AS BIGINT) AS iw "
+            "FROM cum a JOIN cum b ON a.r <= b.r), "
+            "im AS (SELECT iv.i, k.r AS k, "
+            "min(CAST(ip AS DOUBLE) / CAST(iw AS DOUBLE)) AS v "
+            "FROM iv JOIN cum k ON iv.i <= k.r AND k.r <= iv.j "
+            "GROUP BY 1, 2), "
+            "fit AS (SELECT k, max(v) AS fitted FROM im GROUP BY 1) "
+            "SELECT o.s AS score, o.n, o.pos, fit.fitted FROM o "
+            "JOIN fit ON o.r = fit.k ORDER BY score"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

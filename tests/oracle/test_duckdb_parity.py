@@ -119,6 +119,7 @@ ORACLE_NAMES = [
     "kendall_trend", "window_moving_slope", "clustering_coeff",
     "join_jaro", "ngram_diversity", "anova_oneway", "dbscan",
     "jaro_scalar", "theil_sen",
+    "sssp", "label_propagation", "stem_top", "isotonic_calibration",
 ]
 
 
