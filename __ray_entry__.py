@@ -4120,11 +4120,12 @@ def _q_merge_into(sf):
     is_in actions, source-cardinality guard. The CDC-specific LWW merge
     is ops/merge.py; this is the user-facing whole-row variant."""
     from maestro_ray.ops.joins import merge_into
+    from maestro_ray.ops.partition import sized_read_blocks
 
-    # part is ~30 KB/percentile-sf: 8 blocks/read beats Ray's default
-    # shatter (64 blocks of 312 rows — measured 3×2 s of pure overhead)
-    nb = {"override_num_blocks": 8}
+    # tiny table: the shared byte-sizing rule reproduces the measured
+    # 8-block optimum (8 s → 1.0 s vs Ray's 64×312-row shatter)
     cols = ["p_partkey", "p_name", "p_retailprice"]
+    nb = {"override_num_blocks": sized_read_blocks(_t(sf, "part"), cols)}
     target = _read(sf, "part", columns=cols, **nb)
 
     def upd(t: pa.Table) -> pa.Table:
@@ -4316,15 +4317,19 @@ def _q_outlier_iqr(sf):
     arithmetic uses the same association on both engines — no rounding
     anywhere."""
     from maestro_ray.ops.aggregates import grouped_quantiles_cont
+    from maestro_ray.ops.partition import sized_read_blocks
 
     # extendedprice is continuous: the exact plan's distinct-pair
     # exchange carries ~594k pairs at sf0.1 (inside the 2M guard; the
-    # scale path is grouped_quantile_sketch). 32 read blocks measured
-    # best (7.8 s vs 10.4 default vs 18.8 at 8 — the shuffle wants
-    # sort parallelism here, not fewer blocks)
+    # scale path is grouped_quantile_sketch) — exchange volume is
+    # decoupled from the 2-column input bytes, so wide_shuffle floors
+    # the read at the CPU count (reproduces the measured 32-block
+    # optimum: 7.8 s vs 10.4 default vs 18.8 at 8)
+    icols = ["l_returnflag", "l_extendedprice"]
     qdf = grouped_quantiles_cont(
-        _read(sf, "lineitem", columns=["l_returnflag", "l_extendedprice"],
-              override_num_blocks=32),
+        _read(sf, "lineitem", columns=icols,
+              override_num_blocks=sized_read_blocks(
+                  _t(sf, "lineitem"), icols, wide_shuffle=True)),
         "l_returnflag", "l_extendedprice", [0.25, 0.75])
     piv = qdf.pivot(index="l_returnflag", columns="q",
                     values="value")

@@ -144,6 +144,53 @@ def compact_blocks(ds, min_blocks: int = 8):
     return ds
 
 
+def sized_read_blocks(paths, columns=None,
+                      wide_shuffle: bool = False) -> int:
+    """THE shared block-sizing rule for parquet reads that feed
+    shuffles/joins — the measured rule lifted out of per-op
+    ``override_num_blocks`` constants (BASELINE.md r4 s2/s3, both
+    directions):
+
+    - *tiny tables want FEW blocks*: Ray's ~200-block read floor
+      shatters a 600 KB table into 312-row blocks and a downstream
+      bucketed shuffle pays seconds of pure per-block overhead
+      (merge_into: 8 s → 1.0 s at 8 blocks);
+    - *big shuffles want parallelism*: when the downstream exchange
+      EXPANDS the payload (pair explosion, distinct exchange), floor
+      at the cluster CPU count instead of the (small) input bytes
+      (outlier_iqr's 594k-pair distinct exchange: 18.8 s at 8 blocks,
+      ~10.4 s at the default, 7.8 s at 32).
+
+    Sizing is by PRUNED payload bytes (column-chunk sums from the
+    parquet footers) when ``columns`` is given — full-file bytes
+    would shatter a narrow scan into near-empty blocks. Pass
+    ``wide_shuffle=True`` when the op's exchange volume is decoupled
+    from (larger than) its input bytes. ``paths`` may be a file, a
+    directory, or a list of files."""
+    import os
+
+    from maestro_ray.io.changelog import _num_read_blocks
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = [os.path.join(paths, f)
+                     for f in sorted(os.listdir(paths))
+                     if f.endswith(".parquet")]
+        else:
+            paths = [paths]
+    base = _num_read_blocks(list(paths), columns)
+    if not wide_shuffle:
+        return base
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+    except Exception:
+        ncpu = 8
+    return max(base, ncpu)
+
+
 @contextlib.contextmanager
 def push_based_shuffle():
     """Use Ray's push-based sort shuffle while executing a plan.
