@@ -292,7 +292,7 @@ def write_exchange(
     batch: pa.Table, ex_dir: str, num_partitions: int
 ) -> pa.Table:
     """File-exchange writer: split a prepped batch (CANDIDATE + ``p``)
-    into per-partition parquet files under ``ex_dir``.
+    into partition-grouped Arrow-IPC files under ``ex_dir``.
 
     This replaces the object-store all-to-all for the merge shuffle: on
     a single node every byte through a ``groupby`` funnels through the
@@ -304,8 +304,16 @@ def write_exchange(
     be harmless because LWW winner-selection dedups identical rows.
     Returns a tiny ack table (p, rows, file) — the driver folds the
     acks into a (partition → exchange files) map so each merge task
-    opens ONLY the footers of files that contain its partition.
-    """
+    opens ONLY files that contain its partitions.
+
+    Format: Arrow IPC (uncompressed), ONE record batch per contiguous
+    partition GROUP sized to the merge stage's task grouping, with the
+    group→p-range map in the schema metadata. IPC encode/decode is
+    ~memcpy where parquet pays per-row-group encode setup — the
+    parquet variant of this exchange measured 1.43× slim_sort on the
+    6M tier AFTER row-group coalescing; IPC closes the rest
+    (BASELINE.md r5). Readers (``make_exchange_merge_fn``) still
+    accept legacy ``.parquet`` exchange files."""
     import pyarrow.compute as _pc
 
     if batch.num_rows == 0:
@@ -321,10 +329,8 @@ def write_exchange(
     from maestro_ray.ops.hashing import hash_array as _ha
 
     bounds = np.searchsorted(pvals, np.arange(num_partitions + 1))
-    # ONE file per batch, ONE row group per partition present: readers
-    # locate their partition via the p column's row-group statistics.
-    # (A file per (batch, partition) costs a parquet open/footer per
-    # tiny file — measured 4x slower end-to-end.)
+    # ONE file per batch (a file per (batch, partition) costs an
+    # open per tiny file — measured 4x slower end-to-end).
     os.makedirs(ex_dir, exist_ok=True)
     # deterministic per-batch name: min offset disambiguates changelog
     # blocks; the FULL 64-bit first-url hash plus the row count
@@ -334,25 +340,49 @@ def write_exchange(
     # batch's exchange file
     tag = int(_ha(s.column("url").slice(0, 1))[0])
     path = os.path.join(
-        ex_dir, f"o{min_off:012d}-{tag:016x}-r{s.num_rows}.parquet"
+        ex_dir, f"o{min_off:012d}-{tag:016x}-r{s.num_rows}.arrow"
     )
     acks_p, acks_n = [], []
     tmp = path + ".tmp"
-    writer = None
+    # Record batches cover contiguous PARTITION GROUPS sized to the
+    # merge stage's task grouping (num_partitions // CPUs, the same
+    # formula _run_epoch_files uses): a merge task owning a group
+    # reads exactly one batch per file. A group-size mismatch at read
+    # time stays CORRECT: readers select batches via the metadata
+    # p-range map and filter rows by the p column.
     try:
-        for p in range(num_partitions):
-            lo, hi = bounds[p], bounds[p + 1]
-            if lo == hi:
-                continue
-            sub = s.slice(lo, hi - lo)
-            if writer is None:
-                writer = pq.ParquetWriter(tmp, sub.schema, compression="none")  # intermediate: speed over size
-            writer.write_table(sub, row_group_size=hi - lo)
-            acks_p.append(p)
-            acks_n.append(hi - lo)
-    finally:
-        if writer is not None:
-            writer.close()
+        import ray as _ray
+
+        _ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+    except Exception:
+        _ncpu = 8
+    g = max(1, num_partitions // max(1, _ncpu))
+    spans = []  # (p_lo, p_hi_inclusive, row_lo, row_hi) per batch
+    for p0 in range(0, num_partitions, g):
+        p1 = min(p0 + g, num_partitions)
+        lo, hi = bounds[p0], bounds[p1]
+        if lo == hi:
+            continue
+        spans.append((p0, p1 - 1, int(lo), int(hi)))
+        for p in range(p0, p1):
+            n = bounds[p + 1] - bounds[p]
+            if n:
+                acks_p.append(p)
+                acks_n.append(int(n))
+    import json as _json
+
+    schema = s.schema.with_metadata(
+        {b"exchange_groups": _json.dumps(
+            [[a, b] for a, b, _, _ in spans]).encode()})
+    with pa.OSFile(tmp, "wb") as sink:
+        with pa.ipc.new_file(sink, schema) as writer:
+            for _, _, lo, hi in spans:
+                # exactly ONE record batch per span — a multi-chunk
+                # slice would write several and break the batch-index
+                # ↔ span map the reader navigates by
+                sub = s.slice(lo, hi - lo).combine_chunks()
+                writer.write_batch(sub.to_batches()[0])
     os.replace(tmp, path)  # atomic: readers never see partial files
     fname = os.path.basename(path)
     return pa.table({"p": pa.array(acks_p, pa.int32()),
@@ -449,6 +479,7 @@ def make_exchange_merge_fn(
     the full directory listing — degraded but correct."""
 
     def merge_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
         import ray
 
         prev_files = ray.get(prev_files_ref) if prev_files_ref is not None else {}
@@ -456,28 +487,75 @@ def make_exchange_merge_fn(
         if not has_lists:
             all_ex = (
                 sorted(
-                    f for f in os.listdir(ex_dir) if f.endswith(".parquet")
+                    f for f in os.listdir(ex_dir)
+                    if f.endswith((".parquet", ".arrow"))
                 )
                 if os.path.isdir(ex_dir)
                 else []
             )
-        outs = []
-        for row_i, p in enumerate(batch.column("p").to_pylist()):
+        ps = batch.column("p").to_pylist()
+        # Open/read each exchange file ONCE for the whole batch of
+        # partitions: with one tiny row group per (batch, partition),
+        # per-partition re-opens made parquet footer+row-group setup
+        # the slim exchange's dominant cost (measured 2x vs slim_sort
+        # on the 6M tier; each merge row re-parsed every owning
+        # file's footer). file → wanted-partitions map, one
+        # read_row_groups per file, split by the p column.
+        file_parts: dict[str, list[int]] = {}
+        for row_i, p in enumerate(ps):
             own = batch.column("files")[row_i].as_py() if has_lists else all_ex
-            chunks = []
             for fname in own:
-                pf = pq.ParquetFile(os.path.join(ex_dir, fname))
+                file_parts.setdefault(fname, []).append(p)
+        part_chunks: dict[int, list[pa.Table]] = {p: [] for p in ps}
+        for fname, plist in file_parts.items():
+            fpath = os.path.join(ex_dir, fname)
+            if fname.endswith(".arrow"):
+                # IPC exchange file: select record batches by the
+                # writer's p-range metadata map. Zero-copy memory map
+                # — filtering happens INSIDE the map's lifetime (the
+                # filter kernels copy into owned buffers; the mapped
+                # tables themselves must not outlive the close).
+                import json as _json
+
+                with pa.memory_map(fpath) as src:
+                    rf = pa.ipc.open_file(src)
+                    spans = _json.loads(
+                        rf.schema.metadata[b"exchange_groups"])
+                    tabs = [
+                        pa.Table.from_batches([rf.get_batch(i)])
+                        for i, (a, b) in enumerate(spans)
+                        if any(a <= p <= b for p in plist)
+                    ]
+                    if not tabs:
+                        continue
+                    t = pa.concat_tables(tabs)
+                    pvals = t.column("p")
+                    for p in plist:
+                        sel = t.filter(_pc.equal(pvals, p))
+                        if sel.num_rows:
+                            part_chunks[p].append(
+                                sel.drop_columns(["p"]))
+                continue
+            else:  # legacy parquet exchange: row-group stats pruning
+                pf = pq.ParquetFile(fpath)
                 md = pf.metadata
                 pcol = md.schema.to_arrow_schema().get_field_index("p")
-                rgs = [
-                    i
-                    for i in range(md.num_row_groups)
-                    if md.row_group(i).column(pcol).statistics.min
-                    <= p
-                    <= md.row_group(i).column(pcol).statistics.max
-                ]
-                if rgs:
-                    chunks.append(pf.read_row_groups(rgs).drop_columns(["p"]))
+                rgs = []
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(pcol).statistics
+                    if any(st.min <= p <= st.max for p in plist):
+                        rgs.append(i)
+                if not rgs:
+                    continue
+                t = pf.read_row_groups(rgs)
+            pvals = t.column("p")
+            for p in plist:
+                sel = t.filter(_pc.equal(pvals, p))
+                if sel.num_rows:
+                    part_chunks[p].append(sel.drop_columns(["p"]))
+        outs = []
+        for p in ps:
+            chunks = part_chunks[p]
             events = (
                 pa.concat_tables(chunks) if chunks else CANDIDATE.empty_table()
             )

@@ -180,10 +180,21 @@ def _run_epoch_files(
     owners = acks_ds.groupby("p").map_groups(fold_acks, batch_format="pyarrow")
     fn = make_exchange_merge_fn(lake_dir, ex_dir, epoch, prev_ref,
                                 epoch_watermark)
-    # batch_size=1: one merge task per partition — the default batch
-    # size would coalesce partition ids into few serial mega-tasks
+    # merge-task granularity: enough tasks to saturate the cluster,
+    # but SEVERAL partitions per task when partitions > CPUs — the
+    # merge fn opens each exchange file once per TASK, so grouping
+    # divides the per-(partition, file) parquet-open overhead that
+    # made slim 2x slower than slim_sort (6M tier: 12.1 s → see
+    # BASELINE.md r5). batch_size=1 restored automatically when
+    # CPUs >= partitions; Ray's default batching would instead
+    # coalesce everything into few serial mega-tasks.
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    group = max(1, num_partitions // max(1, ncpu))
     rows = owners.map_batches(
-        fn, batch_format="pyarrow", batch_size=1
+        fn, batch_format="pyarrow", batch_size=group
     ).take_all()
     counters = {
         "partitions_touched": len(rows),
