@@ -5826,6 +5826,13 @@ def _q_sssp(sf):
     (tests/unit/test_graph_sssp.py)."""
     from maestro_ray.ops.graph import sssp
 
+    return sssp(_sssp_planted_edges(sf), 0, directed=False)
+
+
+def _sssp_planted_edges(sf):
+    """The planted shortest-path input shared by ``sssp`` and
+    ``sssp_partitioned``: heap-tree edges + non-improving decoys over
+    the part keys, built per batch from the key stream."""
     ds = _read(sf, "part", columns=["p_partkey"])
     n = ds.count()
 
@@ -5852,8 +5859,22 @@ def _q_sssp(sf):
                           pa.float64()),
         })
 
-    edges = ds.map_batches(build, batch_format="pyarrow")
-    return sssp(edges, 0, directed=False)
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def _q_sssp_partitioned(sf):
+    """The SAME planted shortest-path problem as ``sssp``, FORCED down
+    the partitioned-vertex-state plan (ops/graph.py
+    `_sssp_partitioned`: distance table + frontier as hash-bucketed
+    Datasets, per-round frontier⋈edges join + bucketed min + state
+    update join — the >max_broadcast_nodes path, no O(nodes) driver
+    state). Distances are exact integer sums, so the two plans are
+    bit-identical and share one DuckDB twin — a driver-visible exact
+    proof of the web-graph-scale machinery."""
+    from maestro_ray.ops.graph import sssp
+
+    return sssp(_sssp_planted_edges(sf), 0, directed=False,
+                state="partitioned", num_buckets=8)
 
 
 def _q_cdc_wap(sf):
@@ -6465,6 +6486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lagged_corr": _q_lagged_corr,
         "naive_bayes": _q_naive_bayes,
         "sssp": _q_sssp,
+        "sssp_partitioned": _q_sssp_partitioned,
         "cdc_wap": _q_cdc_wap,
         "hits": _q_hits,
         "stem_top": _q_stem_top,
@@ -6757,6 +6779,18 @@ def _zspread_sql(col: str) -> str:
                   (1, 0x5555555555555555)):
         s = f"((({s} | ({s} << {sh})) & {m}))"
     return s
+
+
+_SSSP_ORACLE = (
+    "WITH RECURSIVE walk(node, cur, acc) AS ("
+    "SELECT CAST(p_partkey AS BIGINT), "
+    "CAST(p_partkey AS BIGINT), CAST(0 AS BIGINT) FROM part "
+    "UNION ALL "
+    "SELECT node, cur // 2, acc + (cur * 2654435761) % 997 + 1 "
+    "FROM walk WHERE cur > 0) "
+    "SELECT node, CAST(acc AS DOUBLE) AS dist FROM walk "
+    "WHERE cur = 0 ORDER BY node"
+)
 
 
 def _lp_oracle_sql(rounds: int = 4) -> str:
@@ -9481,21 +9515,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT "
             "NULL GROUP BY 1, 2 ORDER BY 1, 2"
         ),
-        "sssp": (
-            # planted binary-heap tree (parent = i//2, root 0) with
-            # the _sssp_tree_w integer weight formula; the decoy edges
-            # provably never improve a distance, so the twin is the
-            # recursive ancestor-chain walk alone — exact ints in
-            # float64 on both sides, no rounding
-            "WITH RECURSIVE walk(node, cur, acc) AS ("
-            "SELECT CAST(p_partkey AS BIGINT), "
-            "CAST(p_partkey AS BIGINT), CAST(0 AS BIGINT) FROM part "
-            "UNION ALL "
-            "SELECT node, cur // 2, acc + (cur * 2654435761) % 997 + 1 "
-            "FROM walk WHERE cur > 0) "
-            "SELECT node, CAST(acc AS DOUBLE) AS dist FROM walk "
-            "WHERE cur = 0 ORDER BY node"
-        ),
+        # planted binary-heap tree (parent = i//2, root 0) with the
+        # _sssp_tree_w integer weight formula; the decoy edges
+        # provably never improve a distance, so the twin is the
+        # recursive ancestor-chain walk alone — exact ints in float64
+        # on both sides, no rounding. The broadcast and partitioned
+        # plans are bit-identical (integer min-folds), so both keys
+        # share it.
+        "sssp": _SSSP_ORACLE,
+        "sssp_partitioned": _SSSP_ORACLE,
         "label_propagation": _lp_oracle_sql(),
         "stem_top": _stem_oracle_sql(),
         "isotonic_calibration": (

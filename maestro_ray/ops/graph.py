@@ -35,6 +35,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from maestro_ray.ops.partition import checkpoint_state as _ckpt
 from maestro_ray.ops.partition import compact_blocks as _compact
 
 
@@ -185,12 +186,13 @@ def connected_components(
                              "b": pc.max_element_wise(x, y)}) \
                 .filter(keep)
 
-        return _compact(
+        # _ckpt: lbl probes both join sides — the plan-history
+        # diamond (ops/partition.cut_lineage)
+        return _ckpt(
             j.map_batches(contract, batch_format="pyarrow")
             .groupby(["a", "b"]).count()
             .map_batches(lambda t: t.select(["a", "b"]),
-                         batch_format="pyarrow")
-            .materialize())
+                         batch_format="pyarrow"))
 
     cedges = relabel_edges(e, labels)
 
@@ -242,8 +244,11 @@ def connected_components(
             hop = m.map_batches(
                 lambda t: t.rename_columns(["l2", "l3"]),
                 batch_format="pyarrow")
-            stepped = _compact(hash_join(m, hop, keys="l2",
-                                         join_type="left outer").map_batches(
+            # _ckpt, not _compact: m feeds BOTH join sides (hop +
+            # probe) — the diamond that doubles retained plan history
+            # per round (see ops/partition.cut_lineage)
+            stepped = _ckpt(hash_join(m, hop, keys="l2",
+                                      join_type="left outer").map_batches(
                 lambda t: pa.table({
                     "label": t.column("label"),
                     "l2": pc.if_else(pc.is_valid(t.column("l3")),
@@ -251,7 +256,7 @@ def connected_components(
                     "__chg": pc.fill_null(
                         pc.not_equal(t.column("l3"), t.column("l2")),
                         False),
-                }), batch_format="pyarrow").materialize())
+                }), batch_format="pyarrow"))
             changed = _changed_rows(stepped)
             m = stepped.map_batches(
                 lambda t: t.drop_columns(["__chg"]),
@@ -266,8 +271,8 @@ def connected_components(
                              t.column("l2"), t.column("label"))
             return pa.table({"node": t.column("node"), "label": new})
 
-        labels = _compact(relabeled.map_batches(
-            apply_m, batch_format="pyarrow").materialize())
+        labels = _ckpt(relabeled.map_batches(
+            apply_m, batch_format="pyarrow"))
         cedges = relabel_edges(
             cedges,
             m.map_batches(lambda t: t.rename_columns(["node", "label"]),
@@ -746,8 +751,10 @@ def kcore(
                       keys="u", num_buckets=num_buckets),
             keep.map_batches(_rename_cols({"m": "v"}),
                              batch_format="pyarrow"),
-            keys="v", num_buckets=num_buckets).materialize()
-        e2 = _compact(e2)
+            keys="v", num_buckets=num_buckets)
+        # _ckpt: e feeds degrees AND both join probes per round — the
+        # plan-history diamond (ops/partition.cut_lineage)
+        e2 = _ckpt(e2)
         n2 = e2.count()
         if n2 == n_edges:
             break
@@ -1147,8 +1154,9 @@ def _pagerank_partitioned(e: rd.Dataset, nodes_ds: rd.Dataset,
             return pa.table({"node": t.column("node"),
                              "deg": t.column("deg"), "rank": r})
 
-        state = _compact(upd.map_batches(
-            apply, batch_format="pyarrow").materialize())
+        # _ckpt: state feeds the share emit AND the update join —
+        # the plan-history diamond (ops/partition.cut_lineage)
+        state = _ckpt(upd.map_batches(apply, batch_format="pyarrow"))
 
     return state.map_batches(lambda t: t.select(["node", "rank"]),
                              batch_format="pyarrow")
@@ -1221,8 +1229,11 @@ def _sssp_partitioned(e: rd.Dataset, source: int, num_buckets: int,
         upd = hash_join(state, cand, keys="node",
                         num_buckets=num_buckets,
                         join_type="left outer")
-        ns = _compact(upd.map_batches(
-            apply, batch_format="pyarrow").materialize())
+        # _ckpt: ns feeds state AND the next frontier — the
+        # plan-history diamond (ops/partition.cut_lineage); measured
+        # 2x wall time PER ROUND without the cut (a 15-row path graph
+        # blew a 300 s timeout by round 13)
+        ns = _ckpt(upd.map_batches(apply, batch_format="pyarrow"))
         frontier = ns.map_batches(
             to_front, batch_format="pyarrow").materialize()
         state = ns.map_batches(
@@ -1276,8 +1287,9 @@ def _hits_half(e: rd.Dataset, state: rd.Dataset, from_col: str,
                 if c == ds_col else t.column(c)
         return pa.table(cols)
 
-    tmp = _compact(upd.map_batches(
-        put, batch_format="pyarrow").materialize())
+    # _ckpt: state feeds the emit AND the update join every
+    # half-step — the plan-history diamond (ops/partition.cut_lineage)
+    tmp = _ckpt(upd.map_batches(put, batch_format="pyarrow"))
     norm = np.sqrt(_fold_scalar(tmp, lambda t, c=dst_score: float(
         np.sum(np.square(t.column(c).to_numpy(
             zero_copy_only=False))))))
@@ -1292,8 +1304,7 @@ def _hits_half(e: rd.Dataset, state: rd.Dataset, from_col: str,
                 if c == ds_col else t.column(c)
         return pa.table(cols)
 
-    return _compact(tmp.map_batches(
-        scale, batch_format="pyarrow").materialize())
+    return _ckpt(tmp.map_batches(scale, batch_format="pyarrow"))
 
 
 def _hits_partitioned(e: rd.Dataset, nodes_ds: rd.Dataset,
@@ -1381,8 +1392,9 @@ def _bfs_partitioned(e: rd.Dataset, seed_arr: np.ndarray,
             return pa.table({"node": t.column("node"), "dist": dist,
                              "__new": new})
 
-        ns = _compact(upd.map_batches(
-            apply, batch_format="pyarrow").materialize())
+        # _ckpt: ns feeds state AND the next frontier — the
+        # plan-history diamond (ops/partition.cut_lineage)
+        ns = _ckpt(upd.map_batches(apply, batch_format="pyarrow"))
         frontier = ns.map_batches(
             lambda t: pa.table({"a": t.filter(t.column("__new"))
                                 .column("node")}),
@@ -1682,8 +1694,10 @@ def label_propagation(
             return pa.table({"node": t.column("node"), "label": lab,
                              "is_seed": t.column("is_seed")})
 
-        state = _compact(joined.map_batches(
-            update, batch_format="pyarrow").materialize())
+        # _ckpt: state feeds msgs AND the update join — the
+        # plan-history diamond (ops/partition.cut_lineage)
+        state = _ckpt(joined.map_batches(
+            update, batch_format="pyarrow"))
 
     return state.map_batches(lambda t: t.select(["node", "label"]),
                              batch_format="pyarrow")

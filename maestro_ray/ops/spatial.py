@@ -45,12 +45,22 @@ def radius_join(
     left_cols: tuple[str, str, str] = ("l_id", "x", "y"),
     right_cols: tuple[str, str, str] = ("r_id", "x", "y"),
     num_buckets: int = 32,
+    max_pairs: int = 200_000_000,
 ) -> rd.Dataset:
     """All pairs with (lx−rx)² + (ly−ry)² ≤ radius² over integer
     coordinates. ``left_cols`` / ``right_cols`` name (id, x, y) on
     each side. Returns a lazy Dataset (left id, right id, dist2)
     — dist2 the exact squared integer distance. Null ids or
-    coordinates are dropped (inner-join convention)."""
+    coordinates are dropped (inner-join convention).
+
+    ``max_pairs`` guards the candidate volume Σ_cell |L_c|·|R_c⁹|
+    (the join's EXACT pre-filter row count, computed from two tiny
+    per-cell counts before any pair materializes): pair volume grows
+    with the square of point density, and the r5 10×-density soak
+    measured the unguarded join spilling >70 GB to disk before dying
+    with OutOfDiskError — fail loudly up front instead. Remedies the
+    error names: shrink the radius, dedup/pre-aggregate coincident
+    points, or raise the guard on a box with the disk for it."""
     from maestro_ray.ops.joins import hash_join
 
     if radius <= 0:
@@ -96,6 +106,41 @@ def radius_join(
 
     lprep = left.map_batches(prep_left, batch_format="pyarrow")
     rprep = right.map_batches(prep_right, batch_format="pyarrow")
+
+    if max_pairs is not None:
+        from maestro_ray.ops.aggregates import bucketed_agg
+
+        def cells_only(t: pa.Table) -> pa.Table:
+            return t.select(["__cell"])
+
+        lc = bucketed_agg(
+            lprep.map_batches(cells_only, batch_format="pyarrow"),
+            "__cell", [(None, "count_all", "__nl")],
+            n_buckets=num_buckets)
+        rc = bucketed_agg(
+            rprep.map_batches(cells_only, batch_format="pyarrow"),
+            "__cell", [(None, "count_all", "__nr")],
+            n_buckets=num_buckets)
+
+        def prod_partial(t: pa.Table) -> pa.Table:
+            nl = t.column("__nl").to_numpy(zero_copy_only=False)
+            nr = t.column("__nr").to_numpy(zero_copy_only=False)
+            return pa.table({"s": pa.array(
+                [int(np.sum(nl.astype(np.int64) * nr))], pa.int64())})
+
+        parts = hash_join(lc, rc, "__cell", num_buckets=num_buckets) \
+            .map_batches(prod_partial, batch_format="pyarrow") \
+            .to_pandas()
+        est = int(parts["s"].sum()) if len(parts) else 0
+        if est > max_pairs:
+            raise ValueError(
+                f"radius_join: candidate pair volume {est:,} > "
+                f"max_pairs={max_pairs:,} — pair count grows with "
+                "density² (the r5 10×-density soak spilled >70 GB "
+                "and died OutOfDisk unguarded); shrink radius, "
+                "pre-aggregate coincident points, or raise max_pairs "
+                "explicitly")
+
     joined = hash_join(lprep, rprep, "__cell",
                        num_buckets=num_buckets)
 
@@ -118,6 +163,7 @@ def dbscan(
     min_pts: int,
     cols: tuple[str, str, str] = ("id", "x", "y"),
     num_buckets: int = 32,
+    max_pairs: int = 200_000_000,
 ) -> rd.Dataset:
     """Distributed DBSCAN over integer 2-D points — deterministic
     variant: cluster label = MIN core id in the density-connected
@@ -159,7 +205,7 @@ def dbscan(
     pairs = compact_blocks(radius_join(
         left, right, eps, left_cols=("__pa", "x", "y"),
         right_cols=("__pb", "x", "y"),
-        num_buckets=num_buckets).materialize())
+        num_buckets=num_buckets, max_pairs=max_pairs).materialize())
 
     deg = bucketed_agg(pairs, "__pa", [(None, "count_all", "__n")],
                        n_buckets=num_buckets)

@@ -88,3 +88,26 @@ def test_dbscan_guard(rd):
             "id": pa.array([1], pa.int64()),
             "x": pa.array([0], pa.int64()),
             "y": pa.array([0], pa.int64())})), 2, 0)
+
+
+def test_radius_join_max_pairs_guard(rd):
+    # 200 coincident points: candidate volume = 9 * 200 * 200 = 360k
+    # (every point's cell + its 8 halo replicas hit the same cell) —
+    # a tiny max_pairs must trip the loud density guard BEFORE any
+    # pair materializes; the r5 10x-density soak died OutOfDisk
+    # without it
+    from maestro_ray.ops.spatial import radius_join
+
+    t = pa.table({
+        "id": pa.array(list(range(200)), pa.int64()),
+        "x": pa.array([5] * 200, pa.int64()),
+        "y": pa.array([5] * 200, pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    with pytest.raises(ValueError, match="max_pairs"):
+        radius_join(ds, ds, 2, left_cols=("id", "x", "y"),
+                    right_cols=("id", "x", "y"), max_pairs=1000)
+    # same data passes with the guard sized for it, and dbscan's
+    # result is unaffected by the estimation pass
+    out = _run(rd, [(i, 5, 5) for i in range(6)], 2, 5)
+    assert set(out["role"]) == {"core"}
