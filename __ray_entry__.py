@@ -4812,46 +4812,6 @@ def _q_top_paths(sf):
                      max_steps=3, k=20)
 
 
-def _q_entropy_grouped(sf):
-    """Per-user Shannon entropy (nats) of the event-type distribution
-    (ops/analytics.py entropy_grouped): H = ln(n) − Σ n_c·ln(n_c)/n
-    from exact integer category counts — two bounded bucketed
-    exchanges, category universe never on the driver; entropy 6dp
-    (the anova order-sensitive-float policy), n/k exact ints."""
-    from maestro_ray.ops.analytics import entropy_grouped
-
-    ds = _read(sf, "events", columns=["user_id", "event_type"])
-    return entropy_grouped(ds, "user_id", "event_type")
-
-
-def _q_gini_grouped(sf):
-    """Per-returnflag Gini coefficient of line quantities
-    (ops/analytics.py gini_grouped): the rank sum collapses onto the
-    (group, value) integer histogram — v·(R·c + c(c+1)/2) per
-    equal-value run — so ONE bucketed count + an O(cells) driver fold
-    replaces any per-group sort; Σ i·x is an exact int64 and G a
-    fixed IEEE expression, bit-exact vs the row_number() twin with NO
-    rounding (tie order provably cancels)."""
-    from maestro_ray.ops.analytics import gini_grouped
-
-    ds = _read(sf, "lineitem", columns=["l_returnflag", "l_quantity"])
-    return gini_grouped(ds, "l_returnflag", "l_quantity")
-
-
-def _q_benford(sf):
-    """Benford's-law first-digit audit of extended prices
-    (ops/quality.py benford_digits — the fabricated-data screen in
-    the data-quality family): digit counts exact via INTEGER repeated
-    division of floor(value) (no float log10 in the digit path — libm
-    1-ulp differences could flip a boundary digit cross-engine; the
-    twin's int-to-VARCHAR substr is the same exact function); p_obs
-    an exact division; p_benford/χ² fold libm log10 → 6dp."""
-    from maestro_ray.ops.quality import benford_digits
-
-    ds = _read(sf, "lineitem", columns=["l_extendedprice"])
-    return benford_digits(ds, "l_extendedprice")
-
-
 def _q_histogram2d(sf):
     """2-D quantity × price histogram over lineitem (ops/analytics
     histogram2d): floor-bucket both axes per batch, one bucketed cell
@@ -6783,9 +6743,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gain_curve": _q_gain_curve,
         "top_paths": _q_top_paths,
         "histogram2d": _q_histogram2d,
-        "entropy_grouped": _q_entropy_grouped,
-        "gini_grouped": _q_gini_grouped,
-        "benford": _q_benford,
         "cdc_minmax_view": _q_cdc_minmax_view,
         "anomaly_zscore": _q_anomaly_zscore,
         "bin_equal_width": _q_bin_equal_width,
@@ -9596,59 +9553,6 @@ def oracle_sql() -> dict[str, str]:
             "fit AS (SELECT k, max(v) AS fitted FROM im GROUP BY 1) "
             "SELECT o.s AS score, o.n, o.pos, fit.fitted FROM o "
             "JOIN fit ON o.r = fit.k ORDER BY score"
-        ),
-        "entropy_grouped": (
-            # exact int counts; the category-term sum is the one
-            # order-sensitive float fold -> 6dp (the anova policy)
-            "WITH c AS (SELECT user_id, event_type, "
-            "count(*)::BIGINT AS n FROM events "
-            "WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
-            "GROUP BY 1, 2), "
-            "a AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n, "
-            "count(*)::BIGINT AS k_categories, "
-            "sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS s "
-            "FROM c GROUP BY 1) "
-            "SELECT user_id, n, k_categories, "
-            "round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6) "
-            "AS entropy FROM a ORDER BY user_id"
-        ),
-        "gini_grouped": (
-            # Σ i·x over 1-based ranks — tie order cancels (equal
-            # values over consecutive ranks), so row_number() is
-            # exact; all ints -> G bit-exact, NO rounding
-            "WITH r AS (SELECT l_returnflag AS flag, "
-            "CAST(l_quantity AS BIGINT) AS q, row_number() OVER "
-            "(PARTITION BY l_returnflag ORDER BY l_quantity) AS i "
-            "FROM lineitem WHERE l_quantity IS NOT NULL "
-            "AND l_returnflag IS NOT NULL), "
-            "a AS (SELECT flag, count(*)::BIGINT AS n, "
-            "sum(q)::BIGINT AS total, CAST(sum(i * q) AS BIGINT) AS si "
-            "FROM r GROUP BY 1) "
-            "SELECT flag AS l_returnflag, n, total, "
-            "CAST(2 * si AS DOUBLE) / (CAST(n AS DOUBLE) * "
-            "CAST(total AS DOUBLE)) - CAST(n + 1 AS DOUBLE) / "
-            "CAST(n AS DOUBLE) AS gini FROM a ORDER BY 1"
-        ),
-        "benford": (
-            # digit from int-to-VARCHAR substr == integer repeated
-            # division (exact); p_obs exact division; log10 terms 6dp
-            "WITH v AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) "
-            "AS iv FROM lineitem WHERE l_extendedprice IS NOT NULL "
-            "AND l_extendedprice >= 1), "
-            "c AS (SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) "
-            "AS BIGINT) AS digit, count(*)::BIGINT AS n FROM v "
-            "GROUP BY 1), "
-            "d AS (SELECT range + 1 AS digit FROM range(9)), "
-            "j AS (SELECT d.digit, coalesce(c.n, 0)::BIGINT AS n "
-            "FROM d LEFT JOIN c ON d.digit = c.digit), "
-            "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM j), "
-            "x AS (SELECT sum((n - total * log10(1 + 1.0 / digit)) * "
-            "(n - total * log10(1 + 1.0 / digit)) / "
-            "(total * log10(1 + 1.0 / digit))) AS chisq FROM j, t) "
-            "SELECT j.digit, j.n, "
-            "CAST(j.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS p_obs, "
-            "round(log10(1 + 1.0 / j.digit), 6) AS p_benford, "
-            "round(x.chisq, 6) AS chisq FROM j, t, x ORDER BY j.digit"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

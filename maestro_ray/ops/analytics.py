@@ -1468,132 +1468,3 @@ def lagged_corr(
         "n": pd.Series([r[1] for r in rows], dtype="int64"),
         "corr": pd.Series([r[2] for r in rows], dtype="float64")})
 
-
-def entropy_grouped(
-    ds: rd.Dataset,
-    group_col: str,
-    cat_col: str,
-    num_buckets: int = 32,
-) -> pd.DataFrame:
-    """Shannon entropy (nats) of the ``cat_col`` distribution within
-    each ``group_col`` group — the diversity/uniformity companion to
-    ``mutual_information``: H = ln(n) − (Σ_c n_c·ln n_c)/n from exact
-    integer category counts.
-
-    Plan: ONE bucketed (group, category) count, a per-row n·ln n
-    term, then ONE bucketed per-group fold (Σ term, Σ n, count
-    categories) — two bounded exchanges, the category universe never
-    on the driver. Rows with a null group or category are excluded
-    (mirror in the twin). The category-term sum is an
-    order-dependent float fold → entropy reported at 6dp (the
-    anova/cramers policy); n and k are exact ints. Returns
-    (group, n, k_categories, entropy) sorted by group."""
-    from maestro_ray.ops.aggregates import bucketed_agg
-
-    def clean(t: pa.Table) -> pa.Table:
-        t = t.select([group_col, cat_col])
-        return t.filter(pc.and_(pc.is_valid(t.column(group_col)),
-                                pc.is_valid(t.column(cat_col))))
-
-    cells = bucketed_agg(
-        ds.map_batches(clean, batch_format="pyarrow"),
-        [group_col, cat_col], [(None, "count_all", "__n")],
-        n_buckets=num_buckets)
-
-    def term(t: pa.Table) -> pa.Table:
-        n = t.column("__n").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        return pa.table({
-            group_col: t.column(group_col),
-            "__n": t.column("__n"),
-            "__t": pa.array(n * np.log(n), pa.float64()),
-        })
-
-    agg = bucketed_agg(
-        cells.map_batches(term, batch_format="pyarrow"),
-        group_col,
-        [("__n", "sum", "n"), (None, "count_all", "k_categories"),
-         ("__t", "sum", "__s")],
-        n_buckets=num_buckets).to_pandas()
-    if agg.empty:
-        return pd.DataFrame({
-            group_col: pd.Series(dtype="object"),
-            "n": pd.Series(dtype="int64"),
-            "k_categories": pd.Series(dtype="int64"),
-            "entropy": pd.Series(dtype="float64")})
-    n = agg["n"].to_numpy(dtype=np.float64)
-    agg["entropy"] = np.round(
-        np.log(n) - agg["__s"].to_numpy(dtype=np.float64) / n, 6)
-    agg["n"] = agg["n"].astype("int64")
-    agg["k_categories"] = agg["k_categories"].astype("int64")
-    return agg[[group_col, "n", "k_categories", "entropy"]] \
-        .sort_values(group_col).reset_index(drop=True)
-
-
-def gini_grouped(
-    ds: rd.Dataset,
-    group_col: str,
-    value_col: str,
-    num_buckets: int = 32,
-    max_distinct: int = 2_000_000,
-) -> pd.DataFrame:
-    """Gini coefficient of a NON-NEGATIVE INTEGER value column within
-    each group: G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over 1-based ranks
-    of the sorted values — inequality/concentration measure.
-
-    Scale-first plan: Gini needs the sorted order, but for integer
-    values the rank sum collapses onto the (group, value) HISTOGRAM —
-    a run of c equal values v starting after R predecessors
-    contributes v·(R·c + c(c+1)/2), so ONE bucketed (group, value)
-    count plus an O(groups × distinct values) driver fold (loud
-    ``max_distinct`` bound) computes Σ i·x EXACTLY with no per-group
-    sort and nothing row-sized on the driver. All terms are exact
-    int64 (Σ i·x ≤ n²·max_v — caller's domain bound), so G is a fixed
-    IEEE expression — bit-exact vs a row_number() twin, NO rounding
-    (tie order provably cancels: equal values over consecutive ranks
-    sum independently of their permutation). Nulls and negative
-    values are excluded loudly (negatives make G ill-defined).
-    Returns (group, n, total, gini); gini null when n·Σx = 0."""
-    from maestro_ray.ops.aggregates import bucketed_agg
-
-    def clean(t: pa.Table) -> pa.Table:
-        t = t.select([group_col, value_col])
-        t = t.filter(pc.and_(pc.is_valid(t.column(group_col)),
-                             pc.is_valid(t.column(value_col))))
-        v = pc.cast(t.column(value_col), pa.int64())
-        mn = pc.min(v)
-        if mn.is_valid and mn.as_py() < 0:
-            raise ValueError(
-                "gini_grouped: negative values make the Gini "
-                "coefficient ill-defined — shift or filter first")
-        return pa.table({group_col: t.column(group_col), "__v": v})
-
-    hist = bucketed_agg(
-        ds.map_batches(clean, batch_format="pyarrow"),
-        [group_col, "__v"], [(None, "count_all", "__c")],
-        n_buckets=num_buckets).to_pandas()
-    if len(hist) > max_distinct:
-        raise ValueError(
-            f"gini_grouped: {len(hist)} (group, value) cells > "
-            f"max_distinct={max_distinct} — bucket the values first "
-            "or raise the bound")
-    if hist.empty:
-        return pd.DataFrame({
-            group_col: pd.Series(dtype="object"),
-            "n": pd.Series(dtype="int64"),
-            "total": pd.Series(dtype="int64"),
-            "gini": pd.Series(dtype="float64")})
-    hist = hist.sort_values([group_col, "__v"])
-    out = []
-    for g, sub in hist.groupby(group_col, sort=True):
-        v = sub["__v"].to_numpy(dtype=np.int64)
-        c = sub["__c"].to_numpy(dtype=np.int64)
-        r_before = np.concatenate(([0], np.cumsum(c)[:-1]))
-        # Σ i·x over each equal-value run: v·(R·c + c(c+1)/2)
-        si = int(np.sum(v * (r_before * c + c * (c + 1) // 2)))
-        n = int(c.sum())
-        s = int(np.sum(v * c))
-        gini = (2.0 * si) / (float(n) * float(s)) \
-            - float(n + 1) / float(n) if n > 0 and s > 0 else None
-        out.append((g, n, s, gini))
-    return pd.DataFrame(out, columns=[group_col, "n", "total", "gini"])

@@ -111,62 +111,3 @@ def data_quality_report(rules: list[dict]) -> pd.DataFrame:
     df["n_violations"] = df["n_violations"].astype("int64")
     return df.sort_values("check").reset_index(drop=True)
 
-
-def benford_digits(
-    ds: rd.Dataset,
-    value_col: str,
-    num_buckets: int = 8,
-) -> pd.DataFrame:
-    """Benford's-law first-digit audit — the classic fabricated-data /
-    corrupted-feed screen for the data-quality family: observed
-    leading-digit distribution of ``floor(value)`` (values < 1 and
-    nulls excluded — no leading digit) vs the Benford expectation
-    p(d) = log10(1 + 1/d), plus the χ² distance.
-
-    Exactness contract: the leading digit comes from INTEGER repeated
-    division of floor(value) (floor is an exact IEEE op; no float
-    log10 in the digit path, whose 1-ulp libm differences could flip
-    a boundary digit cross-engine), so the 9 counts are exact ints;
-    p_obs is one exact-int division. p_benford and chisq fold libm
-    log10 → reported at 6dp (the anova policy). ONE streamed
-    per-batch bincount partial + a 9-row driver fold. Returns one row
-    per digit 1-9 (zero-count digits included), (digit, n, p_obs,
-    p_benford, chisq) with the global χ² repeated per row."""
-    import numpy as np
-
-    def partial(t: pa.Table) -> pa.Table:
-        t2 = t.select([value_col]).filter(
-            pc.is_valid(t.column(value_col)))
-        v = t2.column(value_col).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        v = np.floor(v[v >= 1.0]).astype(np.int64)
-        while (v >= 10).any():
-            big = v >= 10
-            v[big] //= 10
-        counts = np.bincount(v, minlength=10)[1:10]
-        return pa.table({"d": pa.array(np.arange(1, 10), pa.int64()),
-                         "n": pa.array(counts, pa.int64())})
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    n = parts.groupby("d")["n"].sum() if len(parts) else pd.Series(
-        dtype="int64")
-    counts = np.zeros(9, dtype=np.int64)
-    if len(n):
-        counts[n.index.to_numpy() - 1] = n.to_numpy()
-    total = int(counts.sum())
-    digits = np.arange(1, 10)
-    p_ben = np.log10(1.0 + 1.0 / digits)
-    if total > 0:
-        exp = total * p_ben
-        chisq = float(np.sum((counts - exp) ** 2 / exp))
-        p_obs = counts / float(total)
-    else:
-        chisq = None
-        p_obs = np.full(9, np.nan)
-    return pd.DataFrame({
-        "digit": digits.astype(np.int64),
-        "n": counts,
-        "p_obs": p_obs,
-        "p_benford": np.round(p_ben, 6),
-        "chisq": np.round(chisq, 6) if chisq is not None else None,
-    })
