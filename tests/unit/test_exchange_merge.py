@@ -50,16 +50,18 @@ def test_merge_task_opens_only_owning_files(tmp_path, monkeypatch):
     assert len(os.listdir(ex_dir)) == 2
 
     opens: list[str] = []
-    real_pf = pq.ParquetFile
+    real_mm = pa.memory_map
 
-    class CountingPF(real_pf):
-        def __init__(self, path, *a, **kw):
+    def counting_mm(path, *a, **kw):
+        # the IPC exchange reader opens files via pa.memory_map (r5
+        # format change); count basenames under ex_dir only
+        if str(path).startswith(ex_dir):
             opens.append(os.path.basename(str(path)))
-            super().__init__(path, *a, **kw)
+        return real_mm(path, *a, **kw)
 
     import maestro_ray.ops.merge as merge_mod
 
-    monkeypatch.setattr(merge_mod.pq, "ParquetFile", CountingPF)
+    monkeypatch.setattr(merge_mod.pa, "memory_map", counting_mm)
     fn = make_exchange_merge_fn(lake_dir, ex_dir, epoch=1,
                                 prev_files_ref=None, epoch_watermark=1)
     own = a1.column("file")[0].as_py()
