@@ -5685,6 +5685,34 @@ def _q_mann_whitney(sf):
     return mann_whitney_u(ds, "event_type", "value", "click", "view")
 
 
+def _q_cliffs_delta(sf):
+    """Cliff's delta ordinal effect size click-vs-view
+    (ops/analytics.py cliffs_delta — the magnitude companion to the
+    mann_whitney key on the same _two_sample_cells backbone):
+    #{x>y}/#{x<y} fold as exact integers from per-distinct-value
+    cohort counts, δ is one division — bit-exact vs the window twin,
+    no rounding."""
+    from maestro_ray.ops.analytics import cliffs_delta
+
+    ds = _read(sf, "events", columns=["event_type", "value"])
+    return cliffs_delta(ds, "event_type", "value", "click", "view")
+
+
+def _q_hill_tail(sf):
+    """Hill estimator of the Pareto tail index over the top-200 event
+    values (ops/analytics.py hill_tail): α̂ = k / Σ ln(x_i/x_{k+1})
+    from the local-combiner exact top-(k+1) — the heavy-tail
+    diagnostic for web-scale degree/size distributions. Order
+    statistics make boundary ties harmless (the value multiset is
+    unique); the ln fold is order-sensitive → alpha 6dp."""
+    from maestro_ray.ops.analytics import hill_tail
+
+    ds = P.filter_rows(
+        _read(sf, "events", columns=["value"]),
+        lambda t: pc.is_valid(t.column("value")))
+    return hill_tail(ds, "value", k=200)
+
+
 def _q_cramers_v(sf):
     """Cramér's V for event_type × value-bucket (ops/analytics.py
     cramers_v) — the normalized association strength over the chi2
@@ -6480,6 +6508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_transform": _q_quantile_transform,
         "ks_test": _q_ks_test,
         "mann_whitney": _q_mann_whitney,
+        "cliffs_delta": _q_cliffs_delta,
+        "hill_tail": _q_hill_tail,
         "cramers_v": _q_cramers_v,
         "collocations": _q_collocations,
         "active_users": _q_active_users,
@@ -9553,6 +9583,41 @@ def oracle_sql() -> dict[str, str]:
             "fit AS (SELECT k, max(v) AS fitted FROM im GROUP BY 1) "
             "SELECT o.s AS score, o.n, o.pos, fit.fitted FROM o "
             "JOIN fit ON o.r = fit.k ORDER BY score"
+        ),
+        "cliffs_delta": (
+            # the mann_whitney cells CTE; exact-int pair counts, one
+            # division — no rounding
+            "WITH f AS (SELECT value AS v, event_type AS g FROM "
+            "events WHERE value IS NOT NULL AND event_type IN "
+            "('click', 'view')), "
+            "c AS (SELECT v, "
+            "CAST(count(*) FILTER (WHERE g = 'click') AS BIGINT) AS c1, "
+            "CAST(count(*) FILTER (WHERE g = 'view') AS BIGINT) AS c2 "
+            "FROM f GROUP BY 1), "
+            "w AS (SELECT c1, c2, coalesce(sum(c2) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS cb2, sum(c2) OVER (ORDER BY v) AS ci2, "
+            "sum(c2) OVER () AS t2 FROM c), "
+            "s AS (SELECT CAST(sum(c1 * cb2) AS BIGINT) AS n_gt, "
+            "CAST(sum(c1 * (t2 - ci2)) AS BIGINT) AS n_lt, "
+            "CAST(sum(c1) AS BIGINT) AS n1, "
+            "CAST(max(t2) AS BIGINT) AS n2 FROM w) "
+            "SELECT n1, n2, n_gt, n_lt, "
+            "CAST(n_gt - n_lt AS DOUBLE) / (CAST(n1 AS DOUBLE) * "
+            "CAST(n2 AS DOUBLE)) AS delta FROM s"
+        ),
+        "hill_tail": (
+            # top-(k+1) order statistics are a unique value multiset
+            # (boundary ties harmless); ln fold -> 6dp
+            "WITH t AS (SELECT value AS x, row_number() OVER "
+            "(ORDER BY value DESC) AS i FROM events "
+            "WHERE value IS NOT NULL), "
+            "top AS (SELECT x, i FROM t WHERE i <= 201), "
+            "th AS (SELECT x AS xk1 FROM top WHERE i = 201), "
+            "s AS (SELECT sum(ln(top.x / th.xk1)) AS s FROM top, th "
+            "WHERE top.i <= 200) "
+            "SELECT CAST(200 AS BIGINT) AS k, th.xk1 AS x_k1, "
+            "round(200 / s.s, 6) AS alpha FROM s, th"
         ),
         # lang_detect, checksum, dedup_near, simhash, fingerprint,
         # knn_lsh, knn_ivf, embedding_near_dup, multimodal_decode,

@@ -1468,3 +1468,88 @@ def lagged_corr(
         "n": pd.Series([r[1] for r in rows], dtype="int64"),
         "corr": pd.Series([r[2] for r in rows], dtype="float64")})
 
+
+
+def cliffs_delta(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    g1: str,
+    g2: str,
+    max_distinct: int = 2_000_000,
+) -> pd.DataFrame:
+    """Cliff's delta ordinal effect size between the ``g1`` and ``g2``
+    cohorts: δ = (#{x>y} − #{x<y}) / (n1·n2) over all cross pairs —
+    the magnitude companion to ``mann_whitney_u``'s significance (same
+    backbone, same scale story).
+
+    Exact: from the shared per-distinct-value (c1, c2) cells,
+    #{x>y} = Σ_v c1(v)·cum2(<v) and #{x<y} = Σ_v c1(v)·(n2−cum2(≤v))
+    fold as exact integers (Python ints — no overflow at any n), and
+    δ is ONE division — bit-exact vs the window-SQL twin, no
+    rounding. The value stream never leaves the cluster (O(distinct)
+    driver rows behind the loud bound). Returns one row
+    (n1, n2, n_gt, n_lt, delta)."""
+    cells = _two_sample_cells(ds, group_col, value_col, g1, g2,
+                              max_distinct, "cliffs_delta")
+    n1 = int(cells["c1"].sum())
+    n2 = int(cells["c2"].sum())
+    if n1 == 0 or n2 == 0:
+        raise ValueError(f"cliffs_delta: empty cohort (n1={n1}, "
+                         f"n2={n2})")
+    c1 = cells["c1"].to_numpy(np.int64)
+    c2 = cells["c2"].to_numpy(np.int64)
+    cum2_incl = np.cumsum(c2)
+    cum2_before = cum2_incl - c2
+    n_gt = int(np.sum(c1 * cum2_before))
+    n_lt = int(np.sum(c1 * (n2 - cum2_incl)))
+    delta = (n_gt - n_lt) / (n1 * n2)
+    return pd.DataFrame({
+        "n1": pd.Series([n1], dtype="int64"),
+        "n2": pd.Series([n2], dtype="int64"),
+        "n_gt": pd.Series([n_gt], dtype="int64"),
+        "n_lt": pd.Series([n_lt], dtype="int64"),
+        "delta": pd.Series([delta], dtype="float64"),
+    })
+
+
+def hill_tail(
+    ds: rd.Dataset,
+    value_col: str,
+    k: int = 200,
+) -> pd.DataFrame:
+    """Hill estimator of the Pareto tail index over the top order
+    statistics: α̂ = k / Σ_{i=1..k} ln(x₍ᵢ₎ / x₍ₖ₊₁₎) with x₍₁₎ ≥ …
+    descending — the standard heavy-tail diagnostic for web-scale
+    degree / frequency / size distributions (finite mean iff α > 1,
+    finite variance iff α > 2).
+
+    Plan: the existing local-combiner exact top-(k+1) (one bounded
+    exchange, O(k) driver rows); values must be positive (the ratio's
+    log), non-positive values in the top-k fail loudly. The Σ ln fold
+    is order-sensitive float → alpha reported at 6dp (the anova
+    policy); ties at the threshold are fine (their ln ratio is 0
+    either way). Returns one row (k, x_k1, alpha)."""
+    from maestro_ray.ops.aggregates import topk
+
+    if k < 1:
+        raise ValueError(f"hill_tail: k={k}")
+    top = topk(ds, value_col, k + 1, descending=True, tie_break=[])
+    x = top[value_col].to_numpy(dtype=np.float64)
+    if len(x) < k + 1:
+        raise ValueError(
+            f"hill_tail: need at least k+1={k + 1} rows, got {len(x)}")
+    if x[k] <= 0:
+        raise ValueError(
+            "hill_tail: non-positive values inside the top-k — the "
+            "tail index needs a positive threshold; filter or shift")
+    s = float(np.sum(np.log(x[:k] / x[k])))
+    if s <= 0:
+        raise ValueError(
+            "hill_tail: degenerate top-k (all values equal) — no "
+            "tail to estimate; raise k")
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "x_k1": pd.Series([float(x[k])], dtype="float64"),
+        "alpha": pd.Series([round(k / s, 6)], dtype="float64"),
+    })

@@ -120,7 +120,7 @@ ORACLE_NAMES = [
     "join_jaro", "ngram_diversity", "anova_oneway", "dbscan",
     "jaro_scalar", "theil_sen",
     "sssp", "label_propagation", "stem_top", "isotonic_calibration",
-    "sssp_partitioned",
+    "sssp_partitioned", "cliffs_delta", "hill_tail",
 ]
 
 
