@@ -5713,6 +5713,27 @@ def _q_hill_tail(sf):
     return hill_tail(ds, "value", k=200)
 
 
+def _q_holt_winters_seasonal(sf):
+    """Additive triple exponential smoothing per user (ops/
+    aggregates.py holt_winters_seasonal — level + trend + LEARNED
+    seasonal, causal zero-init ring, period 4, α=0.25/β=0.5/γ=0.25):
+    bit-identical to the recursive-CTE twin carrying the four
+    seasonal slots as explicit columns under the ewma float contract
+    — binary-exact coefficients, identical expression order, NO
+    rounding."""
+    from maestro_ray.ops.aggregates import holt_winters_seasonal
+
+    ds = P.filter_rows(
+        _read(sf, "events", columns=["user_id", "ts", "event_id", "value"]),
+        lambda t: pc.is_valid(t.column("value")),
+    )
+    out = holt_winters_seasonal(
+        ds, key="user_id", order_cols=["ts", "event_id"],
+        value_col="value", alpha=0.25, beta=0.5, gamma=0.25, period=4)
+    return P.project(out, columns=["user_id", "event_id", "value",
+                                   "level", "trend", "seasonal"])
+
+
 def _q_cramers_v(sf):
     """Cramér's V for event_type × value-bucket (ops/analytics.py
     cramers_v) — the normalized association strength over the chi2
@@ -6501,6 +6522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_moving_slope": _q_window_moving_slope,
         "clustering_coeff": _q_clustering_coeff,
         "holt_winters": _q_holt_winters,
+        "holt_winters_seasonal": _q_holt_winters_seasonal,
         "outlier_mad": _q_outlier_mad,
         "assortativity": _q_assortativity,
         "funnel_time": _q_funnel_time,
@@ -9583,6 +9605,30 @@ def oracle_sql() -> dict[str, str]:
             "fit AS (SELECT k, max(v) AS fitted FROM im GROUP BY 1) "
             "SELECT o.s AS score, o.n, o.pos, fit.fitted FROM o "
             "JOIN fit ON o.r = fit.k ORDER BY score"
+        ),
+        "holt_winters_seasonal": (
+            # the ewma float contract: binary-exact coefficients,
+            # identical expression order, four explicit seasonal
+            # slot columns in the recursion -> bit-identical, NO
+            # rounding (l_t's expression repeats inside b_t/s_t)
+            "WITH RECURSIVE e AS (SELECT user_id, event_id, value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id) AS rn FROM events WHERE value IS NOT NULL), "
+            "w AS (SELECT user_id, event_id, value, rn, "
+            "value AS level, CAST(0.0 AS DOUBLE) AS trend, "
+            "CAST(0.0 AS DOUBLE) AS seasonal, "
+            "CAST(0.0 AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2, "
+            "CAST(0.0 AS DOUBLE) AS s3, CAST(0.0 AS DOUBLE) AS s4 "
+            "FROM e WHERE rn = 1 "
+            "UNION ALL SELECT e.user_id, e.event_id, e.value, e.rn, "
+            "0.25 * (e.value - w.s1) + 0.75 * (w.level + w.trend), "
+            "0.5 * ((0.25 * (e.value - w.s1) + 0.75 * (w.level + w.trend)) - w.level) + 0.5 * w.trend, "
+            "0.25 * (e.value - (0.25 * (e.value - w.s1) + 0.75 * (w.level + w.trend))) + 0.75 * w.s1, "
+            "w.s2, w.s3, w.s4, 0.25 * (e.value - (0.25 * (e.value - w.s1) + 0.75 * (w.level + w.trend))) + 0.75 * w.s1 "
+            "FROM e JOIN w ON e.user_id = w.user_id "
+            "AND e.rn = w.rn + 1) "
+            "SELECT user_id, event_id, value, level, trend, "
+            "seasonal FROM w"
         ),
         "cliffs_delta": (
             # the mann_whitney cells CTE; exact-int pair counts, one

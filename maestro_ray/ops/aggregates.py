@@ -2212,6 +2212,75 @@ def holt_linear(
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def holt_winters_seasonal(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+) -> rd.Dataset:
+    """Additive triple exponential smoothing (Holt–Winters: level +
+    trend + seasonal) per key, ordered by ``order_cols`` — the
+    seasonal completion of ``holt_linear``:
+
+        l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+
+    CAUSAL zero-init convention (pinned — it makes the recursion
+    uniform and SQL-expressible): l_1 = x_1, b_1 = 0, the seasonal
+    ring starts all-zero and row 1 consumes no slot; every later row
+    consumes the oldest slot and pushes its s_t. Seasonals therefore
+    LEARN through γ rather than being pre-estimated — the streaming
+    variant, not the batch-decomposition one.
+
+    Same float contract as ``ewma``/``holt_linear``: with binary-exact
+    α/β/γ the recursion is bit-identical to a recursive SQL CTE
+    carrying the m seasonal slots as explicit columns and evaluating
+    the SAME expressions in the same order (l_t's expression is
+    repeated inside b_t and s_t — IEEE re-evaluation of one
+    expression yields the same float) — the twin needs NO rounding.
+    Sequential per key, parallel across keys. Output adds ``level``,
+    ``trend``, ``seasonal``."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha={alpha}: need 0 < alpha <= 1")
+    if not 0 <= beta <= 1:
+        raise ValueError(f"beta={beta}: need 0 <= beta <= 1")
+    if not 0 <= gamma <= 1:
+        raise ValueError(f"gamma={gamma}: need 0 <= gamma <= 1")
+    if period < 1:
+        raise ValueError(f"period={period}: need >= 1")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        x = g[value_col].to_numpy(dtype=np.float64)
+        n = len(x)
+        lvl = np.empty(n, dtype=np.float64)
+        trd = np.empty(n, dtype=np.float64)
+        sea = np.empty(n, dtype=np.float64)
+        ring = [0.0] * period
+        if n:
+            lvl[0], trd[0], sea[0] = x[0], 0.0, 0.0
+        for t in range(1, n):
+            prev_l, prev_b = lvl[t - 1], trd[t - 1]
+            sp = ring[0]
+            lt = alpha * (x[t] - sp) + (1 - alpha) * (prev_l + prev_b)
+            bt = beta * (lt - prev_l) + (1 - beta) * prev_b
+            st = gamma * (x[t] - lt) + (1 - gamma) * sp
+            lvl[t], trd[t], sea[t] = lt, bt, st
+            ring = ring[1:] + [st]
+        g = g.copy()
+        g["level"] = lvl
+        g["trend"] = trd
+        g["seasonal"] = sea
+        return g
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def mad_outliers(
     ds: rd.Dataset,
     col: str,
