@@ -45,6 +45,20 @@ _SCALES = {
 }
 
 
+def du_bytes(path: str) -> int:
+    """Recursive on-disk byte count — shared by the soak harnesses
+    (bench/soak.py, bench/tail_soak.py; review r5: two drifting
+    copies)."""
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def _fixture(scale: dict) -> tuple[str, str]:
     """Deterministic cached changelog+pages fixture for the headline."""
     from maestro_ray.fixtures import (

@@ -23,15 +23,7 @@ SOAK_SCALE = dict(n_urls=1_500_000, n_events=60_000_000,
                   seg_rows=250_000, fast_html=True, with_pages=False)
 
 
-def _du(path: str) -> int:
-    total = 0
-    for root, _, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
+from bench import du_bytes as _du  # noqa: E402  (shared helper)
 
 
 def main() -> None:

@@ -106,7 +106,6 @@ def main() -> None:
     q = M.queries()
     results = {}
     for name in keys:
-        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         t0 = time.perf_counter()
         try:
             import pandas as pd
@@ -128,7 +127,6 @@ def main() -> None:
                 "error": f"{type(ex).__name__}: {str(ex)[:200]}",
             }
         print(json.dumps({name: results[name]}), flush=True)
-        del rss0
     ray.shutdown()
     print(json.dumps({"metric": "sweep10x", "results": results}))
 

@@ -63,13 +63,10 @@ def _num_read_blocks(paths: list[str], columns: list[str] | None = None) -> int:
         total = sum(os.path.getsize(p) for p in paths)
     else:
         total = sum(_pruned_bytes(p, columns) for p in paths)
-    try:
-        import ray
+    from maestro_ray.ops.partition import cluster_cpus
 
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        ncpu = 8
-    return max(1, min(ncpu, len(paths) * 8), total // TARGET_READ_BLOCK_BYTES)
+    return max(1, min(cluster_cpus(), len(paths) * 8),
+               total // TARGET_READ_BLOCK_BYTES)
 
 
 def list_segments(log_dir: str) -> list[tuple[int, str]]:

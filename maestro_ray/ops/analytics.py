@@ -1485,11 +1485,13 @@ def cliffs_delta(
 
     Exact: from the shared per-distinct-value (c1, c2) cells,
     #{x>y} = Σ_v c1(v)·cum2(<v) and #{x<y} = Σ_v c1(v)·(n2−cum2(≤v))
-    fold as exact integers (Python ints — no overflow at any n), and
-    δ is ONE division — bit-exact vs the window-SQL twin, no
-    rounding. The value stream never leaves the cluster (O(distinct)
-    driver rows behind the loud bound). Returns one row
-    (n1, n2, n_gt, n_lt, delta)."""
+    fold as exact int64 (every partial is ≤ n1·n2, which a loud guard
+    bounds below 2^53 — that ALSO keeps the final division's operands
+    exactly representable, so δ is bit-exact vs the window-SQL twin
+    with no rounding; cohort pairs past 2^53 ≈ 9e15 would need a
+    rational output instead). The value stream never leaves the
+    cluster (O(distinct) driver rows behind the loud bound). Returns
+    one row (n1, n2, n_gt, n_lt, delta)."""
     cells = _two_sample_cells(ds, group_col, value_col, g1, g2,
                               max_distinct, "cliffs_delta")
     n1 = int(cells["c1"].sum())
@@ -1497,6 +1499,11 @@ def cliffs_delta(
     if n1 == 0 or n2 == 0:
         raise ValueError(f"cliffs_delta: empty cohort (n1={n1}, "
                          f"n2={n2})")
+    if n1 * n2 >= (1 << 53):  # Python ints — checked before any numpy
+        raise ValueError(
+            f"cliffs_delta: n1*n2 = {n1 * n2:,} pairs >= 2^53 — the "
+            "int64 pair-count fold and the exact float division both "
+            "need the bound; subsample the cohorts")
     c1 = cells["c1"].to_numpy(np.int64)
     c2 = cells["c2"].to_numpy(np.int64)
     cum2_incl = np.cumsum(c2)
@@ -1539,6 +1546,11 @@ def hill_tail(
     if len(x) < k + 1:
         raise ValueError(
             f"hill_tail: need at least k+1={k + 1} rows, got {len(x)}")
+    if np.isnan(x[: k + 1]).any():
+        raise ValueError(
+            "hill_tail: NaN inside the top-(k+1) window (NaN sorts "
+            "last — the corpus has fewer than k+1 finite values); "
+            "filter or lower k")
     if x[k] <= 0:
         raise ValueError(
             "hill_tail: non-positive values inside the top-k — the "

@@ -459,11 +459,12 @@ def bfs_levels(
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "dist": pd.Series(dtype="int64")})
     seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
-    mode, _ = _resolve_state_mode(
+    mode, nodes_ds = _resolve_state_mode(
         state, "bfs_levels", n_edges, max_broadcast_nodes, e,
         num_buckets)
     if mode == "partitioned":
-        return _bfs_partitioned(e, seed_arr, max_depth, num_buckets)
+        return _bfs_partitioned(e, seed_arr, max_depth, num_buckets,
+                                nodes_ds=nodes_ds)
 
     def node_partial(t: pa.Table) -> pa.Table:
         u = pc.unique(pa.chunked_array([t.column("a").combine_chunks(),
@@ -836,10 +837,14 @@ def sssp(
     if n_edges == 0:
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "dist": pd.Series(dtype="float64")})
-    mode, _ = _resolve_state_mode(
+    mode, nodes_ds = _resolve_state_mode(
         state, "sssp", n_edges, max_broadcast_nodes, e, num_buckets)
     if mode == "partitioned":
-        return _sssp_partitioned(e, source, num_buckets, max_rounds)
+        # reuse the distinct-node Dataset the dispatch already built
+        # (review r5: recomputing it cost a full extra exchange in
+        # exactly the web-scale regime this path exists for)
+        return _sssp_partitioned(e, source, num_buckets, max_rounds,
+                                 nodes_ds=nodes_ds)
 
     def node_partial(t: pa.Table) -> pa.Table:
         u = pc.unique(pa.chunked_array([t.column("a").combine_chunks(),
@@ -1163,7 +1168,8 @@ def _pagerank_partitioned(e: rd.Dataset, nodes_ds: rd.Dataset,
 
 
 def _sssp_partitioned(e: rd.Dataset, source: int, num_buckets: int,
-                      max_rounds: int) -> pd.DataFrame:
+                      max_rounds: int,
+                      nodes_ds: rd.Dataset | None = None) -> pd.DataFrame:
     """Frontier Bellman–Ford with the distance table as a bucketed
     Dataset. Per round: frontier (node, dist) joins the edge set on
     src; per-batch per-dst MIN pre-reduce; one bucketed min; one left
@@ -1174,7 +1180,8 @@ def _sssp_partitioned(e: rd.Dataset, source: int, num_buckets: int,
     from maestro_ray.ops.joins import hash_join
 
     source_i = int(source)
-    nodes_ds = _distinct_nodes(e, ["a", "b"], num_buckets)
+    if nodes_ds is None:
+        nodes_ds = _distinct_nodes(e, ["a", "b"], num_buckets)
     present = nodes_ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("node"),
                                     pa.scalar(source_i, pa.int64()))),
@@ -1333,7 +1340,8 @@ def _hits_partitioned(e: rd.Dataset, nodes_ds: rd.Dataset,
 
 
 def _bfs_partitioned(e: rd.Dataset, seed_arr: np.ndarray,
-                     max_depth: int, num_buckets: int) -> pd.DataFrame:
+                     max_depth: int, num_buckets: int,
+                     nodes_ds: rd.Dataset | None = None) -> pd.DataFrame:
     """Multi-source BFS with the visited/distance table as a bucketed
     Dataset (e already symmetrized by the caller for undirected).
     Per level: frontier joins the edge set on src; per-batch unique
@@ -1343,7 +1351,8 @@ def _bfs_partitioned(e: rd.Dataset, seed_arr: np.ndarray,
     from maestro_ray.ops.aggregates import bucketed_distinct
     from maestro_ray.ops.joins import hash_join
 
-    nodes_ds = _distinct_nodes(e, ["a", "b"], num_buckets)
+    if nodes_ds is None:
+        nodes_ds = _distinct_nodes(e, ["a", "b"], num_buckets)
     seed_list = [int(s) for s in seed_arr]
 
     def seed(t: pa.Table) -> pa.Table:

@@ -350,14 +350,9 @@ def write_exchange(
     # reads exactly one batch per file. A group-size mismatch at read
     # time stays CORRECT: readers select batches via the metadata
     # p-range map and filter rows by the p column.
-    try:
-        import ray as _ray
+    from maestro_ray.ops.partition import cluster_cpus
 
-        _ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
-            if _ray.is_initialized() else 8
-    except Exception:
-        _ncpu = 8
-    g = max(1, num_partitions // max(1, _ncpu))
+    g = max(1, num_partitions // max(1, cluster_cpus()))
     spans = []  # (p_lo, p_hi_inclusive, row_lo, row_hi) per batch
     for p0 in range(0, num_partitions, g):
         p1 = min(p0 + g, num_partitions)

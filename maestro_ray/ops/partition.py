@@ -144,6 +144,20 @@ def compact_blocks(ds, min_blocks: int = 8):
     return ds
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Cluster CPU count with a safe fallback — THE one copy (the
+    same snippet had drifted into four call sites: exchange writer,
+    merge grouping, block sizing, changelog reads; review r5)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        pass
+    return default
+
+
 def cut_lineage(ds):
     """Truncate a Dataset's retained logical-plan history by
     rebuilding it from its materialized object-store blocks
@@ -215,14 +229,7 @@ def sized_read_blocks(paths, columns=None,
     base = _num_read_blocks(list(paths), columns)
     if not wide_shuffle:
         return base
-    try:
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
-    except Exception:
-        ncpu = 8
-    return max(base, ncpu)
+    return max(base, cluster_cpus())
 
 
 @contextlib.contextmanager

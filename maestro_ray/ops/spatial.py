@@ -109,6 +109,14 @@ def radius_join(
 
     if max_pairs is not None:
         from maestro_ray.ops.aggregates import bucketed_agg
+        from maestro_ray.ops.partition import compact_blocks
+
+        # materialize BOTH prep sides once: the guard's counting pass
+        # and the real join would otherwise each re-execute the
+        # caller's upstream pipeline (review r5 — the
+        # materialize-before-reuse lesson)
+        lprep = compact_blocks(lprep.materialize())
+        rprep = compact_blocks(rprep.materialize())
 
         def cells_only(t: pa.Table) -> pa.Table:
             return t.select(["__cell"])

@@ -188,11 +188,9 @@ def _run_epoch_files(
     # BASELINE.md r5). batch_size=1 restored automatically when
     # CPUs >= partitions; Ray's default batching would instead
     # coalesce everything into few serial mega-tasks.
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    group = max(1, num_partitions // max(1, ncpu))
+    from maestro_ray.ops.partition import cluster_cpus
+
+    group = max(1, num_partitions // max(1, cluster_cpus()))
     rows = owners.map_batches(
         fn, batch_format="pyarrow", batch_size=group
     ).take_all()
