@@ -5734,6 +5734,41 @@ def _q_holt_winters_seasonal(sf):
                                    "level", "trend", "seasonal"])
 
 
+def _q_dag_layers(sf):
+    """Topological longest-path layering (ops/graph.py dag_layers —
+    distributed Kahn peeling, per-round checkpoint_state) of a planted
+    DAG over the part keys: the heap-tree edges (i//2 → i) plus decoy
+    forward edges (i → j with bit_length(j) > bit_length(i), provably
+    never on a longest path — the engine must peel through real
+    multi-predecessor dependencies to discover that), so layer(i) =
+    bit_length(i) and the twin is a recursive halving count. Exact
+    ints; a cycle would fail loudly."""
+    from maestro_ray.ops.graph import dag_layers
+
+    ds = _read(sf, "part", columns=["p_partkey"])
+    n = ds.count()
+
+    def build(t: pa.Table) -> pa.Table:
+        i = t.column("p_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ti = i[i >= 1]
+        a = [ti >> 1]
+        b = [ti]
+        x = i[(i % 5 == 0) & (i >= 1)]
+        j = 2 * x + (x % 7) + 2
+        keep = j <= n - 1
+        if keep.any():
+            a.append(x[keep])
+            b.append(j[keep])
+        return pa.table({
+            "a": pa.array(np.concatenate(a), pa.int64()),
+            "b": pa.array(np.concatenate(b), pa.int64()),
+        })
+
+    edges = ds.map_batches(build, batch_format="pyarrow")
+    return dag_layers(edges, num_buckets=8)
+
+
 def _q_cramers_v(sf):
     """Cramér's V for event_type × value-bucket (ops/analytics.py
     cramers_v) — the normalized association strength over the chi2
@@ -6717,6 +6752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
         "graph_components": _q_graph_components,
+        "dag_layers": _q_dag_layers,
         "pipeline_pretrain_pack": _q_pipeline_pretrain_pack,
         "join_cross": _q_join_cross,
         "join_fuzzy": _q_join_fuzzy,
@@ -9629,6 +9665,18 @@ def oracle_sql() -> dict[str, str]:
             "AND e.rn = w.rn + 1) "
             "SELECT user_id, event_id, value, level, trend, "
             "seasonal FROM w"
+        ),
+        "dag_layers": (
+            # planted heap DAG: layer = halving-chain length; decoy
+            # forward edges never extend a longest path (bit_length
+            # ordering) so the twin ignores them — exact ints
+            "WITH RECURSIVE walk(node, cur, d) AS ("
+            "SELECT CAST(p_partkey AS BIGINT), "
+            "CAST(p_partkey AS BIGINT), CAST(0 AS BIGINT) FROM part "
+            "UNION ALL SELECT node, cur // 2, d + 1 "
+            "FROM walk WHERE cur > 0) "
+            "SELECT node, d AS layer FROM walk WHERE cur = 0 "
+            "ORDER BY node"
         ),
         "cliffs_delta": (
             # the mann_whitney cells CTE; exact-int pair counts, one

@@ -1710,3 +1710,105 @@ def label_propagation(
 
     return state.map_batches(lambda t: t.select(["node", "label"]),
                              batch_format="pyarrow")
+
+
+def dag_layers(
+    edges: rd.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    num_buckets: int = 32,
+    max_rounds: int = 10_000,
+) -> pd.DataFrame:
+    """Topological LAYERING of a DAG: layer(v) = length of the longest
+    directed path ending at v (sources = layer 0) — the parallel-
+    schedule depth / dependency-wave view of a DAG, and an implicit
+    cycle detector.
+
+    Plan — distributed Kahn peeling, the ``kcore`` shape: each round
+    computes in-degrees over the SURVIVING edge set (one bucketed
+    count), peels the zero-in-degree frontier (surviving nodes minus
+    current dst set — one left anti join), assigns them the round
+    index, and drops their out-edges (one join). Loop state is
+    ``checkpoint_state``-cut per round (the r5 plan-history-diamond
+    rule: the edge set feeds the degree count AND the join probe).
+    Layers are exact ints — bit-reproducible across partitionings.
+    A round with edges left but no peelable node means a CYCLE —
+    fails loudly naming the surviving edge count. Null endpoints are
+    dropped; self-loops fail as cycles (correct). Returns
+    (node, layer) sorted by node."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+    from maestro_ray.ops.joins import hash_join
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.select([src, dst]).rename_columns(["a", "b"])
+        t = t.filter(pc.and_(pc.is_valid(t.column("a")),
+                             pc.is_valid(t.column("b"))))
+        return pa.table({"a": pc.cast(t.column("a"), pa.int64()),
+                         "b": pc.cast(t.column("b"), pa.int64())})
+
+    e = _compact(edges.map_batches(clean, batch_format="pyarrow")
+                 .materialize())
+    if e.count() == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "layer": pd.Series(dtype="int64")})
+    nodes = _distinct_nodes(e, ["a", "b"], num_buckets)
+    out_parts: list[pd.DataFrame] = []
+    layer = 0
+    for _ in range(max_rounds):
+        n_edges = e.count()
+        if n_edges == 0:
+            # every remaining node has no incident surviving edge:
+            # they all peel at the current layer
+            rest = nodes.to_pandas()
+            if len(rest):
+                rest = rest.rename(columns={"node": "node"})
+                rest["layer"] = np.int64(layer)
+                out_parts.append(rest[["node", "layer"]])
+            break
+        # dst set marks nodes with incoming edges; survivors minus
+        # that set is the peelable frontier
+        dsts = bucketed_agg(
+            e.map_batches(lambda t: t.select(["b"]).rename_columns(
+                ["node"]), batch_format="pyarrow"),
+            "node", [(None, "count_all", "__in")],
+            n_buckets=num_buckets)
+        marked = hash_join(nodes, dsts, keys="node",
+                           num_buckets=num_buckets,
+                           join_type="left outer")
+        frontier = _ckpt(marked.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("__in")))
+            .select(["node"]), batch_format="pyarrow"))
+        n_f = frontier.count()
+        if n_f == 0:
+            raise ValueError(
+                f"dag_layers: no peelable node with {n_edges} edges "
+                "remaining — the graph has a CYCLE")
+        fp = frontier.to_pandas()
+        fp["layer"] = np.int64(layer)
+        out_parts.append(fp[["node", "layer"]])
+        # survivors = nodes minus frontier; edges from frontier drop
+        tagged = frontier.map_batches(
+            lambda t: t.append_column("__f", pa.array(
+                np.ones(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow")
+        nodes = _ckpt(hash_join(nodes, tagged, keys="node",
+                                num_buckets=num_buckets,
+                                join_type="left outer").map_batches(
+            lambda t: t.filter(pc.is_null(t.column("__f")))
+            .select(["node"]), batch_format="pyarrow"))
+        e = _ckpt(hash_join(
+            e, tagged.map_batches(_rename_cols({"node": "a"}),
+                                  batch_format="pyarrow"),
+            keys="a", num_buckets=num_buckets,
+            join_type="left outer").map_batches(
+            lambda t: t.filter(pc.is_null(t.column("__f")))
+            .select(["a", "b"]), batch_format="pyarrow"))
+        layer += 1
+    else:
+        raise RuntimeError(
+            f"dag_layers: no fixpoint after {max_rounds} rounds")
+    out = pd.concat(out_parts, ignore_index=True) if out_parts else \
+        pd.DataFrame({"node": pd.Series(dtype="int64"),
+                      "layer": pd.Series(dtype="int64")})
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

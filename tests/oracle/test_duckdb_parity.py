@@ -121,7 +121,7 @@ ORACLE_NAMES = [
     "jaro_scalar", "theil_sen",
     "sssp", "label_propagation", "stem_top", "isotonic_calibration",
     "sssp_partitioned", "cliffs_delta", "hill_tail",
-    "holt_winters_seasonal",
+    "holt_winters_seasonal", "dag_layers",
 ]
 
 
