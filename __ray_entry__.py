@@ -5769,6 +5769,69 @@ def _q_dag_layers(sf):
     return dag_layers(edges, num_buckets=8)
 
 
+def _q_state_durations(sf):
+    """Per-state dwell time over user event streams (ops/analytics.py
+    state_durations): each event opens its event_type until the user's
+    next event; per-user vectorized shifted-diff partials + one
+    bucketed per-state sum. Exact int64 microseconds — bit-exact vs
+    the lead()-window twin, no rounding."""
+    from maestro_ray.ops.analytics import state_durations
+
+    ds = _read(sf, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": t.column("event_id"),
+        })
+
+    return state_durations(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key="user_id", state_col="event_type",
+        order_cols=["us", "event_id"], ts_col="us")
+
+
+def _q_cohen_kappa(sf):
+    """Cohen's κ between the stored document language and a planted
+    noisy rater (ops/analytics.py cohen_kappa): rater_b = 'xx' on the
+    ~10% of docs selected by the shared multiplicative-hash contract
+    (the dataset_split spelling), else lang — so the twin reconstructs
+    both raters exactly. p_o/p_e from exact integer cell counts and
+    marginal products (guarded < 2^53); κ a fixed IEEE expression —
+    bit-exact, no rounding."""
+    from maestro_ray.ops.analytics import cohen_kappa
+
+    ds = _read(sf, "documents", columns=["doc_id", "lang"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = ((k % (1 << 32)).astype(np.uint64)
+             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        noisy = (h % np.uint64(10)) == 0
+        lang = t.column("lang")
+        rb = pc.if_else(pa.array(noisy), pa.scalar("xx", pa.string()),
+                        lang)
+        return pa.table({"ra": lang, "rb": rb})
+
+    return cohen_kappa(ds.map_batches(plant, batch_format="pyarrow"),
+                       "ra", "rb")
+
+
+def _q_reciprocity(sf):
+    """Link-graph reciprocity over the synthetic host outlink edges
+    (ops/graph.py reciprocity): distinct directed non-self edges
+    joined against their own reversal — mutual fraction of the web
+    graph. Exact ints, one division, bit-exact vs the self-join
+    twin."""
+    from maestro_ray.ops.graph import reciprocity
+
+    return reciprocity(_host_edges(sf), "src_host", "dst_host")
+
+
 def _q_cramers_v(sf):
     """Cramér's V for event_type × value-bucket (ops/analytics.py
     cramers_v) — the normalized association strength over the chi2
@@ -6753,6 +6816,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "graph_components": _q_graph_components,
         "dag_layers": _q_dag_layers,
+        "state_durations": _q_state_durations,
+        "cohen_kappa": _q_cohen_kappa,
+        "reciprocity": _q_reciprocity,
         "pipeline_pretrain_pack": _q_pipeline_pretrain_pack,
         "join_cross": _q_join_cross,
         "join_fuzzy": _q_join_fuzzy,
@@ -9677,6 +9743,66 @@ def oracle_sql() -> dict[str, str]:
             "FROM walk WHERE cur > 0) "
             "SELECT node, d AS layer FROM walk WHERE cur = 0 "
             "ORDER BY node"
+        ),
+        "state_durations": (
+            # lead()-window twin; exact int64 microseconds
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS "
+            "us, event_id FROM events WHERE event_type IS NOT NULL "
+            "AND ts IS NOT NULL), "
+            "d AS (SELECT event_type AS state, "
+            "lead(us) OVER (PARTITION BY user_id ORDER BY us, "
+            "event_id) - us AS dur FROM e) "
+            "SELECT state, CAST(sum(dur) AS BIGINT) AS total_us, "
+            "count(dur)::BIGINT AS n_intervals FROM d "
+            "WHERE dur IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "cohen_kappa": (
+            # planted noisy rater via the dataset_split hash spelling;
+            # exact-int p_o/p_e, fixed IEEE kappa — no rounding
+            "WITH r AS (SELECT lang AS ra, CASE WHEN "
+            "(CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) "
+            "% 4294967296 % 10 = 0 THEN 'xx' ELSE lang END AS rb "
+            "FROM documents WHERE lang IS NOT NULL), "
+            "c AS (SELECT ra, rb, count(*)::BIGINT AS n FROM r "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT CAST(sum(n) AS BIGINT) AS n, "
+            "CAST(sum(n) FILTER (WHERE ra = rb) AS BIGINT) AS diag "
+            "FROM c), "
+            "ra_m AS (SELECT ra AS cat, CAST(sum(n) AS BIGINT) AS rn "
+            "FROM c GROUP BY 1), "
+            "rb_m AS (SELECT rb AS cat, CAST(sum(n) AS BIGINT) AS cn "
+            "FROM c GROUP BY 1), "
+            "pe AS (SELECT CAST(sum(ra_m.rn * rb_m.cn) AS BIGINT) AS "
+            "se FROM ra_m JOIN rb_m ON ra_m.cat = rb_m.cat) "
+            "SELECT t.n, CAST(t.diag AS DOUBLE) / CAST(t.n AS DOUBLE) "
+            "AS p_o, CAST(pe.se AS DOUBLE) / (CAST(t.n AS DOUBLE) * "
+            "CAST(t.n AS DOUBLE)) AS p_e, "
+            "(CAST(t.diag AS DOUBLE) / CAST(t.n AS DOUBLE) - "
+            "CAST(pe.se AS DOUBLE) / (CAST(t.n AS DOUBLE) * "
+            "CAST(t.n AS DOUBLE))) / (1.0 - CAST(pe.se AS DOUBLE) / "
+            "(CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))) AS kappa "
+            "FROM t, pe"
+        ),
+        "reciprocity": (
+            # link_graph synthesis -> distinct directed edges joined
+            # against their reversal; exact ints, one division
+            "WITH tgt AS (SELECT doc_id, (doc_id * 31 + j * 97) % "
+            "1999 AS t FROM documents, "
+            "(SELECT unnest([1, 2, 3]) AS j) _j), "
+            "raw AS (SELECT 'www.example' || CAST(doc_id % 23 AS "
+            "VARCHAR) || '.' || (CASE doc_id % 3 WHEN 0 THEN 'com' "
+            "WHEN 1 THEN 'org' ELSE 'net' END) AS u, "
+            "'www.example' || CAST(t % 23 AS VARCHAR) || '.' || "
+            "(CASE t % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE "
+            "'net' END) AS v FROM tgt), "
+            "e AS (SELECT DISTINCT u, v FROM raw WHERE u IS NOT NULL "
+            "AND v IS NOT NULL AND u <> v), "
+            "m AS (SELECT count(*)::BIGINT AS n_mutual FROM e "
+            "JOIN e r ON e.u = r.v AND e.v = r.u), "
+            "t2 AS (SELECT count(*)::BIGINT AS n_edges FROM e) "
+            "SELECT t2.n_edges, m.n_mutual, "
+            "CAST(m.n_mutual AS DOUBLE) / CAST(t2.n_edges AS DOUBLE) "
+            "AS reciprocity FROM t2, m"
         ),
         "cliffs_delta": (
             # the mann_whitney cells CTE; exact-int pair counts, one

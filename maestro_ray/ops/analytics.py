@@ -1565,3 +1565,125 @@ def hill_tail(
         "x_k1": pd.Series([float(x[k])], dtype="float64"),
         "alpha": pd.Series([round(k / s, 6)], dtype="float64"),
     })
+
+
+def state_durations(
+    ds: rd.Dataset,
+    key: str,
+    state_col: str,
+    order_cols: list[str],
+    ts_col: str,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Time-in-state: for each entity, total dwell time per state —
+    each event opens its state until the entity's NEXT event (the last
+    event of an entity contributes nothing; its closing edge is
+    unobserved). The per-state-occupancy companion to ``sessionize`` /
+    ``sequence_gaps``.
+
+    Plan: one grouped shuffle; per entity a vectorized sort + shifted
+    timestamp difference (no Python row loop), then ONE bucketed
+    (state) sum over the per-entity partials. Durations are exact
+    int64 microseconds (timestamp subtraction) — bit-exact vs a
+    lead()-window SQL twin, no rounding. Rows with a null state or
+    timestamp are excluded up front (mirror in the twin: exclusion
+    changes which event is 'next'). Returns (state, total_us,
+    n_intervals) sorted by state."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    def clean(t: pa.Table) -> pa.Table:
+        cols = [key, state_col, ts_col] + [
+            c for c in order_cols if c not in (key, state_col, ts_col)]
+        t = t.select(cols)
+        return t.filter(pc.and_(pc.is_valid(t.column(state_col)),
+                                pc.is_valid(t.column(ts_col))))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        us = g[ts_col].astype("int64").to_numpy()
+        if len(us) < 2:
+            return pd.DataFrame({"state": pd.Series(dtype="object"),
+                                 "dur": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        dur = us[1:] - us[:-1]
+        st = g[state_col].to_numpy()[:-1]
+        out = pd.DataFrame({"state": st, "dur": dur})
+        agg = out.groupby("state", sort=False).agg(
+            dur=("dur", "sum"), n=("dur", "size")).reset_index()
+        agg["dur"] = agg["dur"].astype("int64")
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    partials = ds.map_batches(clean, batch_format="pyarrow") \
+        .groupby(key).map_groups(per_key, batch_format="pandas")
+    agg = bucketed_agg(partials, "state",
+                       [("dur", "sum", "total_us"),
+                        ("n", "sum", "n_intervals")],
+                       n_buckets=num_buckets).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"state": pd.Series(dtype="object"),
+                             "total_us": pd.Series(dtype="int64"),
+                             "n_intervals": pd.Series(dtype="int64")})
+    agg["total_us"] = agg["total_us"].astype("int64")
+    agg["n_intervals"] = agg["n_intervals"].astype("int64")
+    return agg.sort_values("state").reset_index(drop=True)
+
+
+def cohen_kappa(
+    ds: rd.Dataset,
+    rater_a: str,
+    rater_b: str,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Cohen's κ inter-rater agreement between two categorical
+    columns over the same rows: κ = (p_o − p_e)/(1 − p_e) with
+    observed agreement p_o from the diagonal of the confusion counts
+    and chance agreement p_e from the marginals — the
+    chi2_independence family's agreement-strength companion.
+
+    Exactness: one bucketed (a, b) cell count; p_o = diag/n is one
+    exact-int division; p_e = Σ_c rowsum_c·colsum_c / n² folds
+    EXACT integer products (Python ints, guarded < 2^53 before the
+    one division); κ is then a fixed IEEE expression of two exact
+    doubles — bit-exact cross-engine, NO rounding. Rows with a null
+    on either side are excluded. Returns one row
+    (n, p_o, p_e, kappa); κ null when p_e = 1 (degenerate single
+    category)."""
+    from maestro_ray.ops.aggregates import bucketed_agg
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.select([rater_a, rater_b])
+        return t.filter(pc.and_(pc.is_valid(t.column(rater_a)),
+                                pc.is_valid(t.column(rater_b))))
+
+    cells = bucketed_agg(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        [rater_a, rater_b], [(None, "count_all", "__n")],
+        n_buckets=num_buckets).to_pandas()
+    if cells.empty:
+        return pd.DataFrame({"n": pd.Series([0], dtype="int64"),
+                             "p_o": pd.Series([np.nan]),
+                             "p_e": pd.Series([np.nan]),
+                             "kappa": pd.Series([np.nan])})
+    n = int(cells["__n"].sum())
+    diag = int(cells.loc[cells[rater_a] == cells[rater_b],
+                         "__n"].sum())
+    rows = cells.groupby(rater_a)["__n"].sum()
+    colsums = cells.groupby(rater_b)["__n"].sum()
+    # exact integer Σ row_c · col_c over categories present on BOTH
+    # sides (absent categories contribute 0)
+    se = sum(int(rows.get(c, 0)) * int(colsums.get(c, 0))
+             for c in set(rows.index) | set(colsums.index))
+    if se >= (1 << 53) or n * n >= (1 << 53):
+        raise ValueError(
+            f"cohen_kappa: marginal product sum {se:,} or n² past "
+            "2^53 — the exact-division contract needs the bound")
+    p_o = diag / n
+    p_e = se / (n * n)
+    kappa = (p_o - p_e) / (1.0 - p_e) if p_e != 1.0 else None
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "p_o": pd.Series([p_o], dtype="float64"),
+        "p_e": pd.Series([p_e], dtype="float64"),
+        "kappa": pd.Series([kappa], dtype="float64"),
+    })

@@ -1812,3 +1812,53 @@ def dag_layers(
                       "layer": pd.Series(dtype="int64")})
     out["node"] = out["node"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def reciprocity(
+    edges: rd.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Directed-graph reciprocity: the fraction of distinct directed
+    non-self edges whose reverse edge also exists — mutual-linking
+    strength of a web/link graph (1 = fully bidirectional, 0 = pure
+    hierarchy).
+
+    Plan: ONE bucketed-distinct exchange over the cleaned directed
+    edge set (nulls and self-loops dropped), then one bucketed
+    hash_join of the distinct set against its own reversal — the
+    inner-join row count IS the mutual-edge count (distinctness makes
+    multiplicity 1). Exact ints, one division — bit-exact vs the
+    self-join twin, no rounding. Endpoint type preserved (string
+    hosts ride as-is). Returns one row (n_edges, n_mutual,
+    reciprocity)."""
+    from maestro_ray.ops.aggregates import bucketed_distinct
+    from maestro_ray.ops.joins import hash_join
+
+    def clean(t: pa.Table) -> pa.Table:
+        a, b = t.column(src), t.column(dst)
+        ok = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(a), pc.is_valid(b)),
+            pc.not_equal(a, b))
+        return pa.table({"u": a, "v": b}).filter(pc.fill_null(ok, False))
+
+    e = _compact(bucketed_distinct(
+        edges.map_batches(clean, batch_format="pyarrow"), ["u", "v"],
+        n_buckets=num_buckets).materialize())
+    n_edges = e.count()
+    if n_edges == 0:
+        return pd.DataFrame({
+            "n_edges": pd.Series([0], dtype="int64"),
+            "n_mutual": pd.Series([0], dtype="int64"),
+            "reciprocity": pd.Series([np.nan], dtype="float64")})
+    rev = e.map_batches(
+        lambda t: pa.table({"u": t.column("v"), "v": t.column("u")}),
+        batch_format="pyarrow")
+    n_mutual = hash_join(e, rev, keys=["u", "v"],
+                         num_buckets=num_buckets).count()
+    return pd.DataFrame({
+        "n_edges": pd.Series([n_edges], dtype="int64"),
+        "n_mutual": pd.Series([n_mutual], dtype="int64"),
+        "reciprocity": pd.Series([n_mutual / n_edges],
+                                 dtype="float64")})

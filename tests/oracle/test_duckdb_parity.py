@@ -122,6 +122,7 @@ ORACLE_NAMES = [
     "sssp", "label_propagation", "stem_top", "isotonic_calibration",
     "sssp_partitioned", "cliffs_delta", "hill_tail",
     "holt_winters_seasonal", "dag_layers",
+    "state_durations", "cohen_kappa", "reciprocity",
 ]
 
 
